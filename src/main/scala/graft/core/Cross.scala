@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Cross-engine deterministic building blocks.
+  *
+  * The correctness gate hash-compares Spark results against a DuckDB oracle,
+  * so every floating-point aggregate must be bit-reproducible regardless of
+  * partitioning / accumulation order. Two rules make that true:
+  *
+  *   1. Sums of doubles accumulate in DECIMAL (exact, commutative) and cast
+  *      to double once at the end — `dsum`/`davg` here, and
+  *      `CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE)` on the oracle side.
+  *   2. Shared hashing goes through md5 (identical in both engines):
+  *      `hash64` takes the first 15 hex chars of md5 → a 60-bit positive
+  *      long; DuckDB mirror is `('0x'||substr(md5(x),1,15))::UBIGINT::BIGINT`.
+  *
+  * At 100 TB these stay cheap: decimal partial aggregation is still a single
+  * shuffle with map-side combine, and md5 is per-row CPU with no shuffle.
+  */
+object Cross {
+
+  /** Order-independent sum of a double column: exact decimal accumulation,
+    * one final cast. Deterministic across any partitioning. */
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  /** Deterministic mean: exact decimal sum divided by count. */
+  def davg(c: Column, scale: Int = 6): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** Deterministic Pearson correlation of two double columns, built from
+    * exact decimal moments (built-in `corr` streams doubles and is
+    * order-sensitive). Mirrors reference utils/metrics.py:72-94 (M2). */
+  def dcorr(x: Column, y: Column, scale: Int = 6): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(x, scale); val sy = dsum(y, scale)
+    val sxx = dsum(x * x, scale); val syy = dsum(y * y, scale)
+    val sxy = dsum(x * y, scale)
+    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  /** SQL fragment for the oracle side of [[dsum]]. */
+  def dsumSql(expr: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  def davgSql(expr: String, scale: Int = 6): String =
+    s"(${dsumSql(expr, scale)} / COUNT(*))"
+
+  def dcorrSql(x: String, y: String, scale: Int = 6): String = {
+    def s(e: String) = dsumSql(e, scale)
+    s"((COUNT(*)::DOUBLE * ${s(s"($x)*($y)")} - ${s(x)} * ${s(y)}) / " +
+      s"sqrt((COUNT(*)::DOUBLE * ${s(s"($x)*($x)")} - ${s(x)} * ${s(x)}) * " +
+      s"(COUNT(*)::DOUBLE * ${s(s"($y)*($y)")} - ${s(y)} * ${s(y)})))"
+  }
+
+  /** 60-bit positive hash shared bit-for-bit with DuckDB via md5.
+    * Oracle mirror: `('0x'||substr(md5(x),1,15))::UBIGINT::BIGINT`. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** 31-bit variant for modular-arithmetic hash families (keeps a*x+b in
+    * int64 range with 31-bit coefficients; see MinHash X6/X7). */
+  def hash31(c: Column): Column = pmod(hash64(c), lit(2147483647L))
+
+  def hash64Sql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 15))::UBIGINT::BIGINT)"
+
+  def hash31Sql(expr: String): String =
+    s"(${hash64Sql(expr)} % 2147483647)"
+}

@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's source surface (SURVEY.md §2.1 S1-S3): the
+  * reference reads line-delimited JSON with a manual ~10 MB partition
+  * heuristic (reference utils/misc.py:35-46); here the engine reads columnar
+  * parquet and lets `spark.sql.files.maxPartitionBytes` size splits, so
+  * filter/column pushdown reach the scan for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** Review-shaped projection of the star schema: (user, item, stars).
+    * Stands in for the reference's `train_review.json` surface
+    * (reference README.md:38) so the recommender operators have a
+    * deterministic input in this repo's testdata.
+    * stars = 1..5 derived from quantity (deterministic, integer math).
+    */
+  def reviews(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = lineitem(spark, dir)
+    val o = orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        o("o_custkey").as("user_id"),
+        li("l_partkey").as("business_id"),
+        (pmod(li("l_quantity").cast("long"), lit(5L)) + lit(1L)).cast("double").as("stars"))
+  }
+}

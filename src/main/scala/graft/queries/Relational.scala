@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cross, Tables}
+import graft.core.Cross.{davgSql, dcorrSql, dsumSql}
+
+/** Relational operator coverage (SURVEY.md §2.2-2.7, §2.9): scans,
+  * projections/filters, equi/broadcast/semi/anti joins, hash aggregation,
+  * distinct, union, global and per-group top-k, case-when decision rules,
+  * null repair, deterministic Pearson/weighted-average/RMSE math.
+  *
+  * Scale notes (the 100 TB contract for each pattern):
+  *  - every aggregate here is algebraic → Spark plans partial (map-side)
+  *    aggregation before the shuffle; no collect_list-style holistic aggs
+  *    on the hot path (reference's groupByKey-everything anti-pattern,
+  *    SURVEY.md §4).
+  *  - dimension joins (region/nation/customer-sized) are marked broadcast;
+  *    fact-fact joins shuffle on their equi-keys and AQE handles skew.
+  *  - all outputs end in a total-order sort with unique tie-breaks so the
+  *    oracle hash-compare is stable; the sort is on the (small) result, not
+  *    the fact table.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: hash agg with exact decimal sums.
+    * A1/A5-analog (reference models/content_based_model.py:354-378). */
+  val q01 = QueryDef(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  %s AS sum_qty,
+      |  %s AS sum_base_price,
+      |  %s AS sum_disc_price,
+      |  %s AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin.format(
+      dsumSql("l_quantity", 2), dsumSql("l_extendedprice", 2),
+      dsumSql("l_extendedprice * (1 - l_discount)", 6),
+      davgSql("l_quantity", 2))) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Cross.dsum(col("l_quantity"), 2).as("sum_qty"),
+        Cross.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        Cross.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        Cross.davg(col("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Projection + predicate; both should push to the parquet scan
+    * (P1/P3 — reference models/content_based_model.py:72-77,168). */
+  val q02 = QueryDef(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_discount < 0.02
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Fact-fact-dim join + agg: revenue per market segment (J3). */
+  val q03 = QueryDef(
+    "q03_join_agg",
+    s"""SELECT c_mktsegment,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        Cross.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Broadcast dimension join chain (J2 — replaces the reference's
+    * collectAsMap-in-closure joins, models/item_cf_model.py:150-153). */
+  val q04 = QueryDef(
+    "q04_broadcast_dims",
+    """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+      |  %s AS avg_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin.format(davgSql("s_acctbal", 2))) { (spark, dir) =>
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_suppliers"), Cross.davg(col("s_acctbal"), 2).as("avg_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join: customers having a big order (P8 — replaces driver-set
+    * membership filter, scripts/predict_user_cf.py:149-154). */
+  val q05 = QueryDef(
+    "q05_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 50000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: cold-start id difference (J4/U3 — reference computes
+    * this with driver sets, models/content_based_model.py:483-488). */
+  val q06 = QueryDef(
+    "q06_anti_join",
+    """SELECT c_custkey, c_nationkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Global top-k with unique tie-break (T1 — TakeOrdered physical op;
+    * reference sortBy+take, models/content_based_model.py:166-178). */
+  val q07 = QueryDef(
+    "q07_topk_global",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(25)
+  }
+
+  /** Per-group top-k via ranking window (T2/T3 — replaces the reference's
+    * driver-side neighbor sorts, models/item_cf_model.py:309-313). */
+  val q08 = QueryDef(
+    "q08_topk_pergroup",
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 5
+      |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Distinct (A7). */
+  val q09 = QueryDef(
+    "q09_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Union + dedup (U1 — reference symmetrized pair-weight union,
+    * scripts/predict_user_cf.py:176-185). */
+  val q10 = QueryDef(
+    "q10_union",
+    """SELECT k, src FROM (
+      |  SELECT DISTINCT c_nationkey AS k, 'cust' AS src FROM customer
+      |  UNION
+      |  SELECT DISTINCT s_nationkey AS k, 'supp' AS src FROM supplier) t
+      |ORDER BY k, src""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("k"), lit("cust").as("src"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("k"), lit("supp").as("src"))
+    c.union(s).distinct().orderBy("k", "src")
+  }
+
+  /** Decision-rule CASE chain (M7 — reference's linear/geometric/constant
+    * scoring rules, models/content_based_model.py:509-530). */
+  val q11 = QueryDef(
+    "q11_case_rules",
+    """SELECT o_orderpriority,
+      |  CASE WHEN o_totalprice > 100000 THEN 'high'
+      |       WHEN o_totalprice > 30000 THEN 'mid'
+      |       ELSE 'low' END AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") > 100000, "high")
+          .when(col("o_totalprice") > 30000, "mid")
+          .otherwise("low"))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
+  /** Null repair via coalesce after an outer join (P9 — reference
+    * fillna(2.5) cold-start, scripts/train_als.py:109). */
+  val q12 = QueryDef(
+    "q12_na_fill",
+    s"""SELECT c_custkey, COALESCE(t.avg_price, 2.5) AS pred
+       |FROM customer LEFT JOIN (
+       |  SELECT o_custkey, ${davgSql("o_totalprice", 2)} AS avg_price
+       |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
+       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(Cross.davg(col("o_totalprice"), 2).as("avg_price"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("avg_price"), lit(2.5)).as("pred"))
+      .orderBy("c_custkey")
+  }
+
+  /** Deterministic Pearson per group (M2/M3 — utils/metrics.py:72-94). */
+  val q13 = QueryDef(
+    "q13_pearson",
+    s"""SELECT l_returnflag,
+       |  ${dcorrSql("l_quantity", "l_extendedprice", 4)} AS corr_qty_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(Cross.dcorr(col("l_quantity"), col("l_extendedprice"), 4).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Weighted average Σw·r/Σ|w| (M5 — models/item_cf_model.py:356-366). */
+  val q14 = QueryDef(
+    "q14_weighted_avg",
+    s"""SELECT l_linestatus,
+       |  (${dsumSql("l_discount * l_quantity", 6)} /
+       |   ${dsumSql("abs(l_discount)", 6)}) AS wavg_qty
+       |FROM lineitem
+       |GROUP BY l_linestatus
+       |ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg((Cross.dsum(col("l_discount") * col("l_quantity"), 6) /
+        Cross.dsum(abs(col("l_discount")), 6)).as("wavg_qty"))
+      .orderBy("l_linestatus")
+  }
+
+  /** RMSE of a grouped-mean predictor (M8 — scripts/evaluate.py:87-102):
+    * predict each item's price by its part's mean, score with exact sums. */
+  val q15 = QueryDef(
+    "q15_rmse",
+    s"""WITH pred AS (
+       |  SELECT l_partkey, ${davgSql("l_extendedprice", 2)} AS p
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT sqrt(${dsumSql("(l_extendedprice - p) * (l_extendedprice - p)", 4)}
+       |            / COUNT(*)) AS rmse
+       |FROM lineitem JOIN pred USING (l_partkey)""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val pred = li.groupBy("l_partkey").agg(Cross.davg(col("l_extendedprice"), 2).as("p"))
+    val err = li.join(pred, "l_partkey")
+      .select(((col("l_extendedprice") - col("p")) * (col("l_extendedprice") - col("p"))).as("se"))
+    err.agg(sqrt(Cross.dsum(col("se"), 4) / count(lit(1))).as("rmse"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q13, q14, q15)
+}

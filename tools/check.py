@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local imitation of the driver's correctness gate (dev tool only; the
+shipped library is Scala — this script just closes the feedback loop).
+
+Runs graft.Verify via sbt at a given SF dir, then for each dumped query
+result runs the corresponding oracle SQL in DuckDB over the same parquet
+tables and strictly compares (row count, column names, values after sorting
+rows and columns). Strict equality here implies any reasonable driver hash
+also matches.
+
+Usage: python3 tools/check.py [sfdir] [--no-run] [query ...]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify(sfdir: str, outdir: str) -> None:
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}']
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit(f"Verify failed rc={r.returncode}")
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, list):
+        return "[" + ",".join(str(canon(x)) for x in v) + "]"
+    return str(v)
+
+
+def compare(name: str, outdir: Path, sql: str, con) -> str:
+    got = con.execute(
+        f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").fetchall()
+    gcols = [d[0] for d in con.description]
+    try:
+        exp = con.execute(sql).fetchall()
+    except Exception as e:
+        return f"ORACLE-ERROR: {e}"
+    ecols = [d[0] for d in con.description]
+    if sorted(gcols) != sorted(ecols):
+        return f"SCHEMA: got {sorted(gcols)} want {sorted(ecols)}"
+    if len(got) != len(exp):
+        return f"ROWS: got {len(got)} want {len(exp)}"
+    gperm = [gcols.index(c) for c in sorted(gcols)]
+    eperm = [ecols.index(c) for c in sorted(ecols)]
+    gs = sorted(tuple(canon(r[i]) for i in gperm) for r in got)
+    es = sorted(tuple(canon(r[i]) for i in eperm) for r in exp)
+    if gs != es:
+        bad = next((a, b) for a, b in zip(gs, es) if a != b)
+        return f"VALUES: first diff got={bad[0]} want={bad[1]}"
+    return "OK"
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfdir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+    outdir = Path("/tmp/graft_verify")
+    if "--no-run" not in sys.argv:
+        run_verify(sfdir, str(outdir))
+    oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sfdir}/{t}.parquet')")
+    dumped = sorted(p.name for p in outdir.iterdir() if p.is_dir())
+    fails = 0
+    for name in dumped:
+        if only and name not in only:
+            continue
+        if name not in oracle:
+            n = con.execute(
+                f"SELECT count(*) FROM parquet_scan('{outdir}/{name}/*.parquet')").fetchone()[0]
+            print(f"{name:28s} ROWS-ONLY ({n} rows)")
+            continue
+        res = compare(name, outdir, oracle[name], con)
+        print(f"{name:28s} {res}")
+        if res != "OK":
+            fails += 1
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
