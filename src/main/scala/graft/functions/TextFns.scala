@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives (SURVEY.md §2.8 X1-X3 + the beyond-reference
+  * text-pipeline operators: language-ID, quality scoring, token counting,
+  * fingerprinting).
+  *
+  * Everything here is pure Catalyst `functions._` composition — no UDFs —
+  * so the whole pipeline stays inside WholeStageCodegen and is per-row CPU
+  * with zero shuffle; at 100 TB these scale linearly with input splits.
+  *
+  * The reference's equivalents are row-at-a-time Python closures:
+  * punctuation expansion + lowercase + split (reference
+  * models/content_based_model.py:19-22,65-77, X1/X2) and a 127-word
+  * stopword file (reference utils/stopwords, P2).
+  *
+  * Each helper has a DuckDB-SQL mirror in [[TextSql]]; the pair must stay
+  * semantically identical because the correctness gate hash-compares them.
+  */
+object TextFns {
+
+  /** Compact stopword list shared with the SQL mirror (subset of the
+    * reference's utils/stopwords list). */
+  val stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with")
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Order matters: ties resolve to the earliest entry. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "ein", "eine", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "un", "una", "que"),
+    "fr" -> Seq("le", "les", "et", "de", "un", "une", "est", "pour", "dans", "ce"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "men", "zai", "you", "hao", "ma"))
+
+  /** X1+X2: lowercase, collapse non-alphanumerics to spaces, split, drop
+    * empties. Equivalent to the reference's punctuation expansion + split. */
+  def tokens(c: Column): Column =
+    filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "), _ =!= lit(""))
+
+  /** Tokens with stopwords removed (P2). Uses a higher-order filter, not
+    * `array_except`, which has set semantics and would drop repeated
+    * non-stopword tokens (breaking TF counts). */
+  def contentTokens(c: Column): Column =
+    filter(tokens(c), t => !array_contains(lit(stopwords.toArray), t))
+
+  /** Word n-shingles: ["a","b","c","d"] with n=3 → ["a b c","b c d"].
+    * Empty when the doc has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    val body = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(size(toks) >= n, body).otherwise(array())
+  }
+
+  /** Number of tokens from `toks` found in `lexicon` (with multiplicity). */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(lexicon.toArray), t)))
+
+  /** Stopword-overlap language-ID: argmax of lexicon hit counts, ties to
+    * the earliest language in [[langLexicons]], no hits → "und". */
+  def langId(toks: Column): Column = {
+    val scores = langLexicons.map { case (lang, lex) => lang -> lexiconHits(toks, lex) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** BPE-ish token count: alphabetic runs, single digits, and single
+    * punctuation marks each count as one piece. */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Total characters across tokens (deterministic integer fold). */
+  def tokenChars(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Document fingerprint: md5 of the token-normalized text — identical in
+    * DuckDB, used for exact near-normalization dedup. */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", tokens(c)))
+}
+
+/** DuckDB mirrors of [[TextFns]]; `t` is the text column SQL expression. */
+object TextSql {
+  private def strList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  def tokens(t: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower($t), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
+
+  def contentTokens(t: String): String =
+    s"list_filter(${tokens(t)}, x -> NOT list_contains(${strList(TextFns.stopwords)}, x))"
+
+  def shingles(toks: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"$toks[i + $j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($toks) - ${n - 2}), i -> $parts)"
+  }
+
+  def lexiconHits(toks: String, lexicon: Seq[String]): String =
+    s"len(list_filter($toks, x -> list_contains(${strList(lexicon)}, x)))"
+
+  def langId(toks: String): String = {
+    val scores = TextFns.langLexicons.map { case (lang, lex) => lang -> lexiconHits(toks, lex) }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val chain = scores.map { case (lang, s) =>
+      s"WHEN $s = $best AND $s > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $chain ELSE 'und' END)"
+  }
+
+  def bpeishCount(t: String): String =
+    s"len(regexp_extract_all(lower($t), '[a-z]+|[0-9]|[^a-z0-9\\s]'))"
+
+  def tokenChars(toks: String): String =
+    s"list_sum(list_transform($toks, x -> length(x)))"
+
+  def fingerprint(t: String): String =
+    s"md5(array_to_string(${tokens(t)}, ' '))"
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextFns, TextSql}
+
+/** Text-analysis gate queries over the `documents` table: tokenization,
+  * term/document frequency, exact TF-IDF (log2, as in the reference —
+  * models/content_based_model.py:163), quality scoring, language-ID,
+  * token counting, fingerprinting, n-grams.
+  *
+  * Scale: token explosion is the only row-multiplying step; term-count
+  * aggregation is algebraic (map-side partial agg) and top-k is a
+  * TakeOrdered on the already-aggregated term table, so shuffle volume is
+  * O(distinct terms), not O(tokens).
+  */
+object TextAnalysis {
+
+  private val toks = TextSql.tokens("text")
+  private val ctoks = TextSql.contentTokens("text")
+
+  /** X1/X2/P2/A4: corpus term counts after stopword removal, top 50. */
+  val q20 = QueryDef(
+    "q20_term_counts",
+    s"""SELECT term, COUNT(*) AS n FROM (
+       |  SELECT unnest($ctoks) AS term FROM documents) t
+       |GROUP BY term
+       |ORDER BY n DESC, term LIMIT 50""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.contentTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(50)
+  }
+
+  /** A3/P3: document frequency of each term (distinct docs), df > 1. */
+  val q21 = QueryDef(
+    "q21_doc_freq",
+    s"""SELECT term, COUNT(*) AS df FROM (
+       |  SELECT DISTINCT doc_id, unnest($toks) AS term FROM documents) t
+       |GROUP BY term HAVING COUNT(*) > 1
+       |ORDER BY term""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .orderBy("term")
+  }
+
+  /** A4/A5/M10/T1: exact TF-IDF with tf·log2(N/df) (the reference's
+    * formula, not MLlib's ln((N+1)/(df+1))), global top 100. */
+  val q22 = QueryDef(
+    "q22_tfidf_topk",
+    s"""WITH tok AS (SELECT doc_id, unnest($ctoks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT doc_id, term,
+       |  round(tf * log2(n::DOUBLE / df::DOUBLE), 6) AS tfidf
+       |FROM tf JOIN df USING (term) CROSS JOIN n
+       |ORDER BY tfidf DESC, doc_id, term LIMIT 100""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(TextFns.contentTokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.count()
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(2.0, lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("term")).limit(100)
+  }
+
+  /** Quality scoring: token count, stopword ratio, mean token length,
+    * punctuation density — per doc, pure per-row arithmetic. */
+  val q23 = QueryDef(
+    "q23_quality",
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
+       |SELECT doc_id,
+       |  len(tk) AS n_tokens,
+       |  CASE WHEN len(tk) > 0 THEN round(${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE, 6) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN len(tk) > 0 THEN round(${TextSql.tokenChars("tk")}::DOUBLE / len(tk)::DOUBLE, 6) ELSE 0.0 END AS mean_tok_len,
+       |  round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)::DOUBLE, 6) AS punct_ratio
+       |FROM t
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text")))
+    d.select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        when(size(col("tk")) > 0,
+          round(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") / size(col("tk")).cast("double"), 6))
+          .otherwise(0.0).as("stop_ratio"),
+        when(size(col("tk")) > 0,
+          round(TextFns.tokenChars(col("tk")).cast("double") / size(col("tk")).cast("double"), 6))
+          .otherwise(0.0).as("mean_tok_len"),
+        round((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("double") / length(col("text")).cast("double"), 6).as("punct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic per doc + aggregate confusion vs the labeled
+    * `lang` column. */
+  val q24 = QueryDef(
+    "q24_langid",
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents)
+       |SELECT lang, ${TextSql.langId("tk")} AS pred, COUNT(*) AS n
+       |FROM t
+       |GROUP BY lang, pred
+       |ORDER BY lang, pred""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("lang"), TextFns.langId(col("tk")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Token counting: whitespace tokens vs BPE-ish regex pieces. */
+  val q25 = QueryDef(
+    "q25_token_count",
+    s"""SELECT doc_id,
+       |  len($toks) AS ws_tokens,
+       |  ${TextSql.bpeishCount("text")} AS bpeish_tokens
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(TextFns.tokens(col("text"))).as("ws_tokens"),
+        TextFns.bpeishCount(col("text")).as("bpeish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting (rolling-hash analog via md5 of normalized
+    * text) + fingerprint-group sizes. */
+  val q26 = QueryDef(
+    "q26_fingerprint",
+    s"""WITH f AS (SELECT doc_id, ${TextSql.fingerprint("text")} AS fp FROM documents)
+       |SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+       |FROM f GROUP BY fp
+       |ORDER BY fp""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .orderBy("fp")
+  }
+
+  /** Corpus bigrams (X8-style n-gram explosion), top 40. */
+  val q27 = QueryDef(
+    "q27_bigrams",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+       |SELECT bigram, COUNT(*) AS n FROM (
+       |  SELECT unnest(${TextSql.shingles("tk", 2)}) AS bigram FROM t) s
+       |GROUP BY bigram
+       |ORDER BY n DESC, bigram LIMIT 40""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(explode(TextFns.shingles(col("tk"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(40)
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+}
