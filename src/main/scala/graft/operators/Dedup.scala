@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.{HashFns, TextFns}
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact (hash-group), MinHash + banded LSH, SimHash with byte blocking,
+  * and exact n-gram Jaccard via an inverted shingle index.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - Exact dedup shuffles one 16-byte digest per doc, never the text.
+  *  - MinHash: per-doc work is O(shingles·K) map-side; the shuffle carries
+  *    K signature rows per doc (K=16 here). Banding turns the O(n²)
+  *    similarity join into a join on (band, band-key) — only colliding
+  *    docs meet, which is the LSH contract (reference utils/lsh.py:23-58
+  *    does the same banding with Python dict buckets).
+  *  - SimHash: one 32-bit sketch per doc; candidate generation blocks on
+  *    the 4 sketch bytes, so a pair is compared only if some byte matches
+  *    (≤ 8 Hamming distance guaranteed detectable at d ≤ 4·... — standard
+  *    pigeonhole blocking), again avoiding the cartesian square.
+  *  - n-gram Jaccard is the exact (non-approximate) fallback: inverted
+  *    index self-join on shingle, so cost is Σ_shingle df² — fine when
+  *    df is bounded, and the LSH paths above are the scale escape hatch.
+  */
+object Dedup {
+
+  /** Exact dedup groups: raw-text md5 → group size + surviving doc id. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+
+  /** Distinct (doc_id, shingle) pairs, the base for MinHash and Jaccard. */
+  def shingleSet(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextFns.shingles(TextFns.tokens(col("text")), n)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: (doc_id, h_idx, sig) with K deterministic hashes.
+    * Algebraic min-aggregate → partial aggregation before the shuffle. */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame, k: Int, shingleN: Int = 3): DataFrame = {
+    val hashed = shingleSet(docs, shingleN)
+      .select(col("doc_id"), HashFns.hash31(col("sh")).as("x"))
+    hashed
+      .crossJoin(broadcast(HashFns.minhashParamsDF(spark, k)))
+      .select(col("doc_id"), col("h_idx"),
+        HashFns.happly(col("h_a"), col("h_b"), col("x")).as("hv"))
+      .groupBy("doc_id", "h_idx")
+      .agg(min("hv").as("sig"))
+  }
+
+  /** LSH banding of a signature table: (doc_id, band, bkey) where bkey is
+    * the band's signature values joined in h_idx order (X8). */
+  def bandTable(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", expr(s"h_idx div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("h_idx"), col("sig")))),
+          s => s.getField("sig").cast("string"))).as("bkey"))
+
+  /** Candidate pairs (a < b) from any shared LSH band, with exact Jaccard
+    * verification over the shingle sets (X9 + X11). */
+  def minhashNearDups(spark: SparkSession, docs: DataFrame,
+      k: Int, rowsPerBand: Int, shingleN: Int = 3): DataFrame = {
+    val sh = shingleSet(docs, shingleN).cache()
+    val bands = bandTable(minhashSignatures(spark, docs, k, shingleN), rowsPerBand)
+    val a = bands.as("a"); val b = bands.as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(cands, sh)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index. */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleSet(docs, shingleN).cache()
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(pairs, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set. */
+  private def withJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("i"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash per doc: token-hash bit votes weighted by multiplicity
+    * (integer sums → deterministic), bit set where the vote is positive. */
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), Cross.hash64(col("t")).as("x"))
+    toks
+      .crossJoin(broadcast(HashFns.bitTableDF(spark)))
+      .select(col("doc_id"), col("bit"), col("p2"),
+        when(expr("(x div p2) % 2") === 1, lit(1)).otherwise(lit(-1)).as("c"))
+      .groupBy("doc_id", "bit", "p2")
+      .agg(sum("c").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on any equal sketch byte, then filter
+    * by Hamming distance (bit_count of xor). */
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    val sh = simhash(spark, docs)
+    val bytes = sh.crossJoin(broadcast((0 until 4).toDF("byte_idx")))
+      .select(col("doc_id"), col("simhash"), col("byte_idx"),
+        expr("(simhash div cast(pow(256, byte_idx) as bigint)) % 256").as("byte_val"))
+    val cands = bytes.as("a").join(bytes.as("b"),
+        col("a.byte_idx") === col("b.byte_idx") && col("a.byte_val") === col("b.byte_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.{HashFns, TextSql}
+import graft.operators.Dedup
+
+/** Dedup gate queries over `documents` (beyond-reference LLM-pipeline
+  * surface; LSH machinery shared with the recommender's user-CF path,
+  * reference utils/lsh.py:23-58 / utils/minhash.py:7-30).
+  */
+object DedupQueries {
+
+  private val K = 16          // minhash signatures
+  private val R = 2           // rows per LSH band → 8 bands
+  private val ShingleN = 3
+
+  private def shingleCte: String =
+    s"""tok AS (SELECT doc_id, ${TextSql.tokens("text")} AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${TextSql.shingles("tk", ShingleN)}) AS s FROM tok)""".stripMargin
+
+  private def sigCte: String =
+    s"""hx AS (SELECT doc_id, ${Cross.hash31Sql("s")} AS x FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, h_idx, MIN(${HashFns.happlySql}) AS sig
+       |  FROM hx CROSS JOIN ${HashFns.minhashParamsSql(K)}
+       |  GROUP BY doc_id, h_idx)""".stripMargin
+
+  /** Exact dedup: group by raw-text hash, keep min doc_id. */
+  val q30 = QueryDef(
+    "q30_dedup_exact",
+    """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY h""".stripMargin) { (spark, dir) =>
+    Dedup.exactGroups(graft.core.Tables.documents(spark, dir)).orderBy("h")
+  }
+
+  /** MinHash signature table for a doc sample (X6/X7). */
+  val q31 = QueryDef(
+    "q31_minhash_sigs",
+    s"""WITH $shingleCte,
+       |$sigCte
+       |SELECT doc_id, h_idx, sig FROM sigs WHERE doc_id < 32
+       |ORDER BY doc_id, h_idx""".stripMargin) { (spark, dir) =>
+    Dedup.minhashSignatures(spark, graft.core.Tables.documents(spark, dir), K, ShingleN)
+      .filter(col("doc_id") < 32)
+      .orderBy("doc_id", "h_idx")
+  }
+
+  /** Banded-LSH candidate pairs with exact Jaccard verification (X8/X9/X11). */
+  val q32 = QueryDef(
+    "q32_minhash_lsh_pairs",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  round(COALESCE(i.i, 0)::DOUBLE /
+       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE, 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |JOIN sizes sa ON c.doc_a = sa.doc_id
+       |JOIN sizes sb ON c.doc_b = sb.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.minhashNearDups(spark, graft.core.Tables.documents(spark, dir), K, R, ShingleN)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard pairs over a threshold (inverted-index join). */
+  val q33 = QueryDef(
+    "q33_ngram_jaccard",
+    s"""WITH $shingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.ngramJaccardPairs(graft.core.Tables.documents(spark, dir), ShingleN, 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc 32-bit SimHash sketches. */
+  val q34 = QueryDef(
+    "q34_simhash",
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(${TextSql.tokens("text")}) AS t FROM documents),
+       |hx AS (SELECT doc_id, ${Cross.hash64Sql("t")} AS x FROM tk),
+       |votes AS (
+       |  SELECT doc_id, bit, p2,
+       |         SUM(CASE WHEN (x // p2) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hx CROSS JOIN ${HashFns.bitTableSql}
+       |  GROUP BY doc_id, bit, p2)
+       |SELECT doc_id, SUM(CASE WHEN s > 0 THEN p2 ELSE 0 END) AS simhash
+       |FROM votes GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.simhash(spark, graft.core.Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** SimHash near-dups: byte blocking + Hamming filter. */
+  val q35 = QueryDef(
+    "q35_simhash_neardup",
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(${TextSql.tokens("text")}) AS t FROM documents),
+       |hx AS (SELECT doc_id, ${Cross.hash64Sql("t")} AS x FROM tk),
+       |votes AS (
+       |  SELECT doc_id, bit, p2,
+       |         SUM(CASE WHEN (x // p2) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hx CROSS JOIN ${HashFns.bitTableSql}
+       |  GROUP BY doc_id, bit, p2),
+       |sim AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN p2 ELSE 0 END) AS simhash
+       |        FROM votes GROUP BY doc_id),
+       |bytes AS (
+       |  SELECT doc_id, simhash, j,
+       |         (simhash // CAST(pow(256, j) AS BIGINT)) % 256 AS bv
+       |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM bytes a JOIN bytes b
+       |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sim_a, sim_b)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.simhashNearDups(spark, graft.core.Tables.documents(spark, dir), 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35)
+}
