@@ -25,7 +25,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses to
+    * read as a timestamp. Read it as a raw long (legacy nanosAsLong) and
+    * expose `sec` = floored epoch seconds, which is also what the DuckDB
+    * oracle reduces to (`floor(epoch(ts))`) — sub-second precision never
+    * participates in query semantics. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+      .drop("ts")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 

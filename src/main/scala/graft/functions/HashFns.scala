@@ -32,6 +32,12 @@ object HashFns {
     h
   }
 
+  /** Deterministic pseudo-random vector with components in [-1, 1] at 3
+    * decimal places — used for LSH hyperplanes and IVF seed centroids.
+    * 3-dp rationals render identically as Scala doubles and SQL literals. */
+  def litVector(tag: String, dims: Int): Array[Double] =
+    (0 until dims).map(d => ((fnv(s"$tag-$d") % 2001) - 1000) / 1000.0).toArray
+
   /** MinHash coefficient table: (idx, a, b), a ∈ [1, P-1], b ∈ [0, P-1]. */
   def minhashParams(k: Int): Seq[(Int, Long, Long)] =
     (0 until k).map(i => (i, fnv(s"minhash-a-$i") % (P - 1) + 1, fnv(s"minhash-b-$i") % P))

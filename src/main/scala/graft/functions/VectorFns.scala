@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns (SURVEY.md §2.9
+  * M1/M4 + the beyond-reference similarity-search operators).
+  *
+  * Everything is a sequential left-to-right fold (`aggregate` over
+  * `zip_with`) rather than a parallel aggregate: per-row work inside
+  * codegen, no shuffle, and — critically for the oracle gate — the same
+  * addition order as the DuckDB mirror, so doubles match bit-for-bit.
+  * Elements are cast to double before multiplying so products are exact.
+  *
+  * The reference computes cosine with sklearn on the driver
+  * (reference utils/metrics.py:4, models/item_cf_model.py:158-161);
+  * here it's a Catalyst expression usable on executors at any scale.
+  */
+object VectorFns {
+
+  /** Σ aᵢ·bᵢ as a deterministic sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Σ aᵢ·wᵢ against a literal plane/centroid vector. */
+  def dotLit(a: Column, w: Array[Double]): Column =
+    aggregate(
+      zip_with(a, typedLit(w), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NaN-free for the zero vector (returns 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm2(a); val nb = norm2(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Squared L2 distance to a literal vector (for IVF assignment). */
+  def sqDistLit(a: Column, w: Array[Double]): Column =
+    aggregate(
+      zip_with(a, typedLit(w), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+}
+
+/** DuckDB mirrors. `a`/`b` are list-typed SQL expressions. */
+object VectorSql {
+  def dot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  def dotLit(a: String, w: Array[Double]): String = {
+    val lits = w.mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * ($lits)[i]))"
+  }
+
+  def norm2(a: String): String = s"sqrt(${dot(a, a)})"
+
+  def cosine(a: String, b: String): String = {
+    val d = dot(a, b); val na = norm2(a); val nb = norm2(b)
+    s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $d / ($na * $nb) END)"
+  }
+
+  def sqDistLit(a: String, w: Array[Double]): String = {
+    val lits = w.mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - ($lits)[i]) * ($a[i]::DOUBLE - ($lits)[i])))"
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cross, Tables}
+import graft.functions.{HashFns, VectorFns, VectorSql}
+import graft.operators.SimilaritySearch
+
+/** Similarity-search gate queries over `embeddings` (64-dim float
+  * vectors): exact brute-force kNN, hyperplane-LSH ANN, label-blocked
+  * near-dup, per-dimension statistics, IVF coarse assignment.
+  */
+object EmbeddingQueries {
+
+  private val Dims = 64
+  private val Planes = 8
+  private val Cells = 4
+
+  /** Exact cosine top-5 for a small broadcast query set. */
+  val q40 = QueryDef(
+    "q40_knn_brute",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         ${VectorSql.cosine("qe", "embedding")} AS cos
+       |  FROM q CROSS JOIN embeddings WHERE query_id <> vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Label-blocked near-duplicate vectors: cosine ≥ 0.98 within a label
+    * (blocking keeps the pair space linear in bucket sizes). */
+  val q41 = QueryDef(
+    "q41_embed_neardup",
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${VectorSql.cosine("a.embedding", "b.embedding")}, 6) AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${VectorSql.cosine("a.embedding", "b.embedding")} >= 0.98
+       |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.as("a"); val b = emb.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", VectorFns.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.98)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private def bucketSql(emb: String): String =
+    (0 until Planes).map { p =>
+      val w = HashFns.litVector(s"plane-$p", Dims)
+      s"(CASE WHEN ${VectorSql.dotLit(emb, w)} > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Hyperplane-LSH ANN: top-3 within the query's sign bucket. */
+  val q42 = QueryDef(
+    "q42_ann_lsh",
+    s"""WITH hashed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM hashed WHERE vec_id < 32),
+       |scored AS (
+       |  SELECT query_id, h.vec_id AS neighbor_id,
+       |         ${VectorSql.cosine("qe", "h.embedding")} AS cos
+       |  FROM q JOIN hashed h USING (bucket) WHERE query_id <> h.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.lshTopK(emb.filter(col("vec_id") < 32), emb, 3, Planes, Dims)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-dimension corpus statistics (A12-analog vector mean, exact). */
+  val q43 = QueryDef(
+    "q43_dim_stats",
+    s"""SELECT dim,
+       |  ${Cross.dsumSql("embedding[dim]::DOUBLE", 9)} AS sum_v,
+       |  round(MIN(embedding[dim]::DOUBLE), 6) AS min_v,
+       |  round(MAX(embedding[dim]::DOUBLE), 6) AS max_v
+       |FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS dim) d
+       |GROUP BY dim
+       |ORDER BY dim""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(Cross.dsum(col("v"), 9).as("sum_v"),
+        round(min("v"), 6).as("min_v"),
+        round(max("v"), 6).as("max_v"))
+      .orderBy("dim")
+  }
+
+  /** IVF coarse quantization against fixed seed centroids. */
+  val q44 = QueryDef(
+    "q44_ivf_assign", {
+      val arms = (0 until Cells).map { c =>
+        val w = HashFns.litVector(s"centroid-$c", Dims)
+        s"SELECT vec_id, label, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH dists AS (
+         |$arms),
+         |ranked AS (
+         |  SELECT vec_id, label, cell, d,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM dists)
+         |SELECT vec_id, label, cell, round(d, 6) AS dist
+         |FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    }) { (spark, dir) =>
+    SimilaritySearch.ivfAssign(Tables.embeddings(spark, dir), Cells, Dims)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cross, Tables}
+
+/** Event-stream operators in their batch form over `events`: tumbling and
+  * sliding window aggregation, sessionization, keyed dedup, JSON
+  * extraction. The streaming counterparts (withWatermark + window,
+  * dropDuplicatesWithinWatermark, flatMapGroupsWithState sessionization)
+  * live in graft.streaming and share these semantics; the reference has no
+  * streaming surface at all (SURVEY.md §2.11), so this is the
+  * beyond-reference design space.
+  *
+  * Timestamps: the parquet column is nanosecond-precision; Spark truncates
+  * to micros on read. All queries therefore reduce time to whole epoch
+  * seconds (floor) *before* any arithmetic or comparison so both engines
+  * agree; outputs carry epoch seconds or formatted strings, never raw
+  * timestamps.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour window per event type (streaming `window()` analog). */
+  val q50 = QueryDef(
+    "q50_window_tumbling",
+    s"""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       |  COUNT(*) AS n, ${Cross.dsumSql("value", 4)} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(from_unixtime(col("sec") - pmod(col("sec"), lit(3600)), "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag + flag + running
+    * sum, all integer arithmetic on floored epoch seconds. */
+  val q51 = QueryDef(
+    "q51_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       MIN(sec) AS start_sec, MAX(sec) AS end_sec
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val flagged = e.withColumn("prev", lag("sec", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+    flagged
+      .withColumn("session_id", sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("sec").as("start_sec"), max("sec").as("end_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Semi-structured JSON extraction from the props column. */
+  val q52 = QueryDef(
+    "q52_json_extract",
+    s"""SELECT event_type,
+       |  ${Cross.dsumSql("json_extract_string(props, '" + "$" + ".k')::BIGINT", 0)} AS sum_k,
+       |  MAX(json_extract_string(props, '$$.k')::BIGINT) AS max_k
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(Cross.dsum(col("k").cast("double"), 0).as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** Keyed dedup keeping the first event per (user, type) by time —
+    * batch analog of dropDuplicatesWithinWatermark. */
+  val q53 = QueryDef(
+    "q53_keyed_dedup",
+    """SELECT user_id, event_type, event_id AS first_event, sec AS first_sec FROM (
+      |  SELECT user_id, event_type, event_id, floor(epoch(ts))::BIGINT AS sec,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY sec, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event"),
+        col("sec").as("first_sec"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Daily counts + 3-day moving sum (sliding-window analog) via a
+    * RANGE frame over the integer day number. */
+  val q54 = QueryDef(
+    "q54_window_sliding",
+    """WITH daily AS (
+      |  SELECT event_type, (floor(epoch(ts))::BIGINT // 86400) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |  SUM(n) OVER (PARTITION BY event_type ORDER BY day
+      |               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_3day
+      |FROM daily
+      |ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("sec div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-2, 0)
+    daily
+      .withColumn("n_3day", sum("n").over(w))
+      .orderBy("event_type", "day")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54)
+}
