@@ -39,7 +39,10 @@ object Cross {
     val sx = dsum(x, scale); val sy = dsum(y, scale)
     val sxx = dsum(x * x, scale); val syy = dsum(y * y, scale)
     val sxy = dsum(x * y, scale)
-    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    // Zero-variance guard: ANSI mode (Spark 4 default) raises on 0/0, and
+    // the oracle needs identical semantics — both emit 0.0 when degenerate.
+    when(prod <= 0.0, lit(0.0)).otherwise((n * sxy - sx * sy) / sqrt(prod))
   }
 
   /** SQL fragment for the oracle side of [[dsum]]. */
@@ -51,9 +54,10 @@ object Cross {
 
   def dcorrSql(x: String, y: String, scale: Int = 6): String = {
     def s(e: String) = dsumSql(e, scale)
-    s"((COUNT(*)::DOUBLE * ${s(s"($x)*($y)")} - ${s(x)} * ${s(y)}) / " +
-      s"sqrt((COUNT(*)::DOUBLE * ${s(s"($x)*($x)")} - ${s(x)} * ${s(x)}) * " +
-      s"(COUNT(*)::DOUBLE * ${s(s"($y)*($y)")} - ${s(y)} * ${s(y)})))"
+    val prod = s"((COUNT(*)::DOUBLE * ${s(s"($x)*($x)")} - ${s(x)} * ${s(x)}) * " +
+      s"(COUNT(*)::DOUBLE * ${s(s"($y)*($y)")} - ${s(y)} * ${s(y)}))"
+    s"(CASE WHEN $prod <= 0.0 THEN 0.0 ELSE " +
+      s"(COUNT(*)::DOUBLE * ${s(s"($x)*($y)")} - ${s(x)} * ${s(y)}) / sqrt($prod) END)"
   }
 
   /** 60-bit positive hash shared bit-for-bit with DuckDB via md5.

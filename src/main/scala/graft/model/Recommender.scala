@@ -1,0 +1,133 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+
+/** Relational recommender core: rating averages, cold-start baseline,
+  * item-item collaborative filtering, and RMSE evaluation.
+  *
+  * Input contract: a `reviews` DataFrame with columns
+  * `(user_id, business_id, stars: double)` — the reference's
+  * `train_review.json` surface (reference README.md:38).
+  *
+  * Everything is expressed as DataFrame algebra — no collect, no driver
+  * maps (the reference's collectAsMap-in-closure pattern, SURVEY.md §2.4
+  * A9, is replaced by broadcast/shuffle joins chosen by Catalyst):
+  *  - averages are algebraic aggregates (map-side partial agg);
+  *  - pair generation self-joins on user_id so only users' own baskets
+  *    multiply (never a global cartesian), with `a < b` halving the
+  *    triangle (reference models/item_cf_model.py:78, P7);
+  *  - per-pair weights are single-pass grouped aggregates over the joined
+  *    co-ratings (Pearson via exact decimal moments);
+  *  - scoring is a join of the test pairs against top-k neighbor lists
+  *    (per-group window top-k, T2) and the user's own ratings.
+  */
+object Recommender {
+
+  /** One rating per (user, business): mean of repeated interactions,
+    * rounded so downstream joins see stable doubles. The CF operators all
+    * consume this canonical form. */
+  def dedupReviews(reviews: DataFrame): DataFrame =
+    reviews.groupBy("user_id", "business_id")
+      .agg(round(Cross.davg(col("stars"), 2), 6).as("stars"))
+
+  /** Per-user mean stars (A1 — reference models/content_based_model.py:354-378). */
+  def userAvg(reviews: DataFrame): DataFrame =
+    reviews.groupBy("user_id").agg(Cross.davg(col("stars"), 2).as("user_avg"))
+
+  /** Per-business mean stars. */
+  def bizAvg(reviews: DataFrame): DataFrame =
+    reviews.groupBy("business_id").agg(Cross.davg(col("stars"), 2).as("biz_avg"))
+
+  /** Cold-start cascade baseline (reference models/content_based_model.py:
+    * 509-530 degenerate form): both avgs → their mean; one → it; none → 2.5. */
+  def baselinePredict(pairs: DataFrame, reviews: DataFrame): DataFrame =
+    pairs
+      .join(userAvg(reviews), Seq("user_id"), "left")
+      .join(bizAvg(reviews), Seq("business_id"), "left")
+      .select(col("user_id"), col("business_id"),
+        round(coalesce(
+          (col("user_avg") + col("biz_avg")) / 2.0,
+          col("user_avg"), col("biz_avg"), lit(2.5)), 6).as("pred"))
+
+  /** Business pairs co-rated by ≥ `minCorated` users (P4/P7/J1): self-join
+    * on user, triangular predicate, grouped count. */
+  def coRatedPairs(reviews: DataFrame, minCorated: Int): DataFrame = {
+    val r = dedupReviews(reviews)
+    r.as("a").join(r.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.business_id") < col("b.business_id"))
+      .groupBy(col("a.business_id").as("biz_a"), col("b.business_id").as("biz_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCorated)
+  }
+
+  /** Item-item similarity weights over co-ratings: co-rated-only Pearson
+    * (M2, reference utils/metrics.py:72-94), rating-vector cosine (M1/M3)
+    * and rater-set Jaccard (X11), one grouped pass + two size joins. */
+  def pairWeights(reviews: DataFrame, minCorated: Int): DataFrame = {
+    val r = dedupReviews(reviews)
+    val co = r.as("a").join(r.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.business_id") < col("b.business_id"))
+      .select(col("a.business_id").as("biz_a"), col("b.business_id").as("biz_b"),
+        col("a.stars").as("sa"), col("b.stars").as("sb"))
+    val grouped = co.groupBy("biz_a", "biz_b")
+      .agg(count(lit(1)).as("n_common"),
+        guardNaN(Cross.dcorr(col("sa"), col("sb"), 6)).as("pearson"),
+        Cross.dsum(col("sa") * col("sb"), 6).as("dot"))
+      .filter(col("n_common") >= minCorated)
+    val sq = r.groupBy("business_id")
+      .agg(Cross.dsum(col("stars") * col("stars"), 6).as("sumsq"),
+        count(lit(1)).as("n"))
+    grouped
+      .join(sq.select(col("business_id").as("biz_a"), col("sumsq").as("qa"), col("n").as("na")), "biz_a")
+      .join(sq.select(col("business_id").as("biz_b"), col("sumsq").as("qb"), col("n").as("nb")), "biz_b")
+      .select(col("biz_a"), col("biz_b"), col("n_common"),
+        round(col("pearson"), 6).as("pearson"),
+        round(col("dot") / (sqrt(col("qa")) * sqrt(col("qb"))), 6).as("cosine"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Zero out NaN/null similarity (zero-variance co-rating groups). */
+  private def guardNaN(c: Column): Column =
+    when(c.isNull || isnan(c), 0.0).otherwise(c)
+
+  /** Symmetrized top-k neighbor lists by a weight column (T2 window). */
+  def topNeighbors(weights: DataFrame, weightCol: String, k: Int): DataFrame = {
+    val sym = weights.select(col("biz_a").as("biz"), col("biz_b").as("neighbor"), col(weightCol).as("w"))
+      .union(weights.select(col("biz_b").as("biz"), col("biz_a").as("neighbor"), col(weightCol).as("w")))
+    val win = Window.partitionBy("biz").orderBy(col("w").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+  }
+
+  /** Item-CF prediction (M5): weighted average of the user's ratings on
+    * the target's top-k neighbors, Σw·r / Σ|w|; no neighbor → 2.5
+    * (reference models/item_cf_model.py:356-366). */
+  def itemCfPredict(pairs: DataFrame, reviews: DataFrame,
+      neighbors: DataFrame): DataFrame = {
+    val matched = pairs
+      .join(neighbors.withColumnRenamed("biz", "business_id"), Seq("business_id"), "left")
+      .join(reviews.select(col("user_id"), col("business_id").as("neighbor"), col("stars")),
+        Seq("user_id", "neighbor"), "left")
+    matched
+      .groupBy("user_id", "business_id")
+      .agg(
+        Cross.dsum(when(col("stars").isNotNull, col("w") * col("stars")).otherwise(0.0), 6).as("num"),
+        Cross.dsum(when(col("stars").isNotNull, abs(col("w"))).otherwise(0.0), 6).as("den"))
+      .select(col("user_id"), col("business_id"),
+        round(when(col("den") > 0.0, col("num") / col("den")).otherwise(2.5), 6).as("pred"))
+  }
+
+  /** RMSE over joined (prediction, ground truth), skipping missing pairs
+    * and NaN predictions (M8 — reference scripts/evaluate.py:87-102). */
+  def rmse(preds: DataFrame, gt: DataFrame): DataFrame =
+    preds.filter(!isnan(col("pred")))
+      .join(gt, Seq("user_id", "business_id"))
+      .select(((col("pred") - col("stars")) * (col("pred") - col("stars"))).as("se"))
+      .agg(round(sqrt(Cross.dsum(col("se"), 6) / count(lit(1))), 6).as("rmse"))
+}

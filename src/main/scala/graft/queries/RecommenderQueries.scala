@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cross, Tables}
+import graft.model.Recommender
+
+/** Recommender gate queries. The star schema stands in for the reference's
+  * review corpus: (o_custkey, l_partkey, quantity-derived stars) is the
+  * `reviews` relation (see Tables.reviews), and the whole CF pipeline —
+  * averages, cold-start baseline, co-rated pair mining, Pearson/cosine/
+  * Jaccard weights, top-k neighbors, weighted-average scoring, RMSE — is
+  * verified end-to-end against DuckDB running the identical algebra.
+  */
+object RecommenderQueries {
+
+  private def ds(e: String, s: Int = 2) = Cross.dsumSql(e, s)
+
+  private val reviewsCte =
+    """reviews AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS business_id,
+      |         CAST((CAST(l_quantity AS BIGINT) % 5) + 1 AS DOUBLE) AS stars
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+
+  private val rdedupCte =
+    s"""rdedup AS (
+       |  SELECT user_id, business_id,
+       |         round(${ds("stars")} / COUNT(*), 6) AS stars
+       |  FROM reviews GROUP BY user_id, business_id)""".stripMargin
+
+  private val avgCtes =
+    s"""uavg AS (SELECT user_id, ${ds("stars")} / COUNT(*) AS user_avg
+       |         FROM reviews GROUP BY user_id),
+       |bavg AS (SELECT business_id, ${ds("stars")} / COUNT(*) AS biz_avg
+       |         FROM reviews GROUP BY business_id)""".stripMargin
+
+  /** Test-pair slice: a deterministic customer × part grid that includes
+    * ids with no review history (exercises the cold-start cascade). */
+  private val pairsCte =
+    """pairs AS (
+      |  SELECT c_custkey AS user_id, p_partkey AS business_id
+      |  FROM customer CROSS JOIN part
+      |  WHERE c_custkey % 19 = 0 AND p_partkey % 23 = 0)""".stripMargin
+
+  private def pairsDF(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)
+      .select(col("c_custkey").as("user_id"))
+      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
+        .select(col("p_partkey").as("business_id")))
+
+  /** A1: user and business rating averages in one relation. */
+  val q60 = QueryDef(
+    "q60_rating_avgs",
+    s"""WITH $reviewsCte,
+       |$avgCtes
+       |SELECT kind, id, avg_stars FROM (
+       |  SELECT 'user' AS kind, user_id AS id, round(user_avg, 6) AS avg_stars FROM uavg
+       |  UNION ALL
+       |  SELECT 'biz' AS kind, business_id AS id, round(biz_avg, 6) AS avg_stars FROM bavg) t
+       |ORDER BY kind, id""".stripMargin) { (spark, dir) =>
+    val r = Tables.reviews(spark, dir)
+    Recommender.userAvg(r)
+      .select(lit("user").as("kind"), col("user_id").as("id"), round(col("user_avg"), 6).as("avg_stars"))
+      .union(Recommender.bizAvg(r)
+        .select(lit("biz").as("kind"), col("business_id").as("id"), round(col("biz_avg"), 6).as("avg_stars")))
+      .orderBy("kind", "id")
+  }
+
+  /** P9/J7: cold-start cascade baseline prediction over the pair grid. */
+  val q61 = QueryDef(
+    "q61_baseline_predict",
+    s"""WITH $reviewsCte,
+       |$avgCtes,
+       |$pairsCte
+       |SELECT p.user_id, p.business_id,
+       |  round(COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5), 6) AS pred
+       |FROM pairs p
+       |LEFT JOIN uavg u ON p.user_id = u.user_id
+       |LEFT JOIN bavg b ON p.business_id = b.business_id
+       |ORDER BY p.user_id, p.business_id""".stripMargin) { (spark, dir) =>
+    Recommender.baselinePredict(pairsDF(spark, dir), Tables.reviews(spark, dir))
+      .orderBy("user_id", "business_id")
+  }
+
+  /** P4/P7/J1: co-rated business pairs (≥ 2 common raters). */
+  val q62 = QueryDef(
+    "q62_corated_pairs",
+    s"""WITH $reviewsCte,
+       |$rdedupCte
+       |SELECT a.business_id AS biz_a, b.business_id AS biz_b, COUNT(*) AS n_common
+       |FROM rdedup a JOIN rdedup b
+       |  ON a.user_id = b.user_id AND a.business_id < b.business_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
+    Recommender.coRatedPairs(Tables.reviews(spark, dir), 2)
+      .orderBy("biz_a", "biz_b")
+  }
+
+  private def weightsCtes(minCorated: Int) =
+    s"""co AS (
+       |  SELECT a.business_id AS biz_a, b.business_id AS biz_b,
+       |         a.stars AS sa, b.stars AS sb
+       |  FROM rdedup a JOIN rdedup b
+       |    ON a.user_id = b.user_id AND a.business_id < b.business_id),
+       |g AS (
+       |  SELECT biz_a, biz_b, COUNT(*) AS n_common, COUNT(*)::DOUBLE AS n,
+       |         ${ds("sa", 6)} AS sx, ${ds("sb", 6)} AS sy,
+       |         ${ds("sa * sa", 6)} AS sxx, ${ds("sb * sb", 6)} AS syy,
+       |         ${ds("sa * sb", 6)} AS sxy
+       |  FROM co GROUP BY biz_a, biz_b HAVING COUNT(*) >= $minCorated),
+       |sq AS (
+       |  SELECT business_id, ${ds("stars * stars", 6)} AS sumsq, COUNT(*) AS n
+       |  FROM rdedup GROUP BY business_id),
+       |weights AS (
+       |  SELECT biz_a, biz_b, n_common,
+       |    round(CASE WHEN (g.n * sxx - sx * sx) * (g.n * syy - sy * sy) <= 0 THEN 0.0
+       |          ELSE (g.n * sxy - sx * sy) /
+       |               sqrt((g.n * sxx - sx * sx) * (g.n * syy - sy * sy)) END, 6) AS pearson,
+       |    round(sxy / (sqrt(qa.sumsq) * sqrt(qb.sumsq)), 6) AS cosine,
+       |    round(n_common::DOUBLE / (qa.n + qb.n - n_common)::DOUBLE, 6) AS jaccard
+       |  FROM g
+       |  JOIN sq qa ON biz_a = qa.business_id
+       |  JOIN sq qb ON biz_b = qb.business_id)""".stripMargin
+
+  /** M1/M2/M3/X11: item-item similarity weights (Pearson over co-ratings,
+    * rating-vector cosine, rater-set Jaccard). */
+  val q63 = QueryDef(
+    "q63_pair_weights",
+    s"""WITH $reviewsCte,
+       |$rdedupCte,
+       |${weightsCtes(3)}
+       |SELECT biz_a, biz_b, n_common, pearson, cosine, jaccard FROM weights
+       |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
+    Recommender.pairWeights(Tables.reviews(spark, dir), 3)
+      .orderBy("biz_a", "biz_b")
+  }
+
+  /** T2: symmetrized top-5 neighbors per business by cosine weight. */
+  val q64 = QueryDef(
+    "q64_topk_neighbors",
+    s"""WITH $reviewsCte,
+       |$rdedupCte,
+       |${weightsCtes(2)},
+       |sym AS (
+       |  SELECT biz_a AS biz, biz_b AS neighbor, cosine AS w FROM weights
+       |  UNION ALL
+       |  SELECT biz_b AS biz, biz_a AS neighbor, cosine AS w FROM weights),
+       |ranked AS (
+       |  SELECT biz, neighbor, w,
+       |         row_number() OVER (PARTITION BY biz ORDER BY w DESC, neighbor) AS rank
+       |  FROM sym)
+       |SELECT biz, rank, neighbor, w FROM ranked WHERE rank <= 5
+       |ORDER BY biz, rank""".stripMargin) { (spark, dir) =>
+    Recommender.topNeighbors(Recommender.pairWeights(Tables.reviews(spark, dir), 2), "cosine", 5)
+      .select("biz", "rank", "neighbor", "w")
+      .orderBy("biz", "rank")
+  }
+
+  /** M5: item-CF weighted-average prediction over the pair grid. */
+  val q65 = QueryDef(
+    "q65_itemcf_predict",
+    s"""WITH $reviewsCte,
+       |$rdedupCte,
+       |${weightsCtes(2)},
+       |sym AS (
+       |  SELECT biz_a AS biz, biz_b AS neighbor, cosine AS w FROM weights
+       |  UNION ALL
+       |  SELECT biz_b AS biz, biz_a AS neighbor, cosine AS w FROM weights),
+       |nb AS (
+       |  SELECT biz, neighbor, w FROM (
+       |    SELECT biz, neighbor, w,
+       |           row_number() OVER (PARTITION BY biz ORDER BY w DESC, neighbor) AS rank
+       |    FROM sym) t WHERE rank <= 5),
+       |$pairsCte,
+       |matched AS (
+       |  SELECT p.user_id, p.business_id,
+       |         CASE WHEN ur.stars IS NOT NULL THEN nb.w * ur.stars ELSE 0.0 END AS wr,
+       |         CASE WHEN ur.stars IS NOT NULL THEN abs(nb.w) ELSE 0.0 END AS aw
+       |  FROM pairs p
+       |  LEFT JOIN nb ON p.business_id = nb.biz
+       |  LEFT JOIN rdedup ur ON ur.user_id = p.user_id AND ur.business_id = nb.neighbor),
+       |scored AS (
+       |  SELECT user_id, business_id,
+       |         ${ds("wr", 6)} AS num, ${ds("aw", 6)} AS den
+       |  FROM matched GROUP BY user_id, business_id)
+       |SELECT user_id, business_id,
+       |  round(CASE WHEN den > 0.0 THEN num / den ELSE 2.5 END, 6) AS pred
+       |FROM scored
+       |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
+    val r = Tables.reviews(spark, dir)
+    val nb = Recommender.topNeighbors(Recommender.pairWeights(r, 2), "cosine", 5)
+      .select("biz", "neighbor", "w")
+    Recommender.itemCfPredict(pairsDF(spark, dir), Recommender.dedupReviews(r), nb)
+      .orderBy("user_id", "business_id")
+  }
+
+  /** M8: end-to-end RMSE of the baseline predictor on a held-out slice. */
+  val q66 = QueryDef(
+    "q66_rmse_eval",
+    s"""WITH $reviewsCte,
+       |$rdedupCte,
+       |$avgCtes,
+       |gt AS (SELECT user_id, business_id, stars FROM rdedup WHERE user_id % 7 = 3),
+       |preds AS (
+       |  SELECT g.user_id, g.business_id,
+       |    round(COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5), 6) AS pred
+       |  FROM gt g
+       |  LEFT JOIN uavg u ON g.user_id = u.user_id
+       |  LEFT JOIN bavg b ON g.business_id = b.business_id)
+       |SELECT round(sqrt(${ds("(pred - stars) * (pred - stars)", 6)} / COUNT(*)), 6) AS rmse
+       |FROM preds JOIN gt USING (user_id, business_id)""".stripMargin) { (spark, dir) =>
+    val r = Tables.reviews(spark, dir)
+    val gt = Recommender.dedupReviews(r).filter(pmod(col("user_id"), lit(7)) === 3)
+    val preds = Recommender.baselinePredict(gt.select("user_id", "business_id"), r)
+    Recommender.rmse(preds, gt)
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
+}
