@@ -31,14 +31,38 @@ object Cross {
   def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(lit(1))
 
+  /** Exact sum of products: factors (assumed ≈6-dp values, e.g. previously
+    * rounded) are cast to DECIMAL(15,6) *before* multiplying, so the
+    * product is exact decimal arithmetic in both engines. Converting the
+    * double *product* instead would hit .5e-6 rounding boundaries where
+    * Java's shortest-repr BigDecimal conversion and DuckDB's exact-binary
+    * conversion disagree. */
+  def dxsum(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 6)) * b.cast(DecimalType(18, 6))).cast("double")
+
+  /** DuckDB mirror uses width 19 to force int128 arithmetic (width ≤ 18
+    * multiplies in int64 and overflows at runtime); Spark uses width 18 so
+    * the product type (37,12) needs no precision adjustment. Both exact. */
+  def dxsumSql(a: String, b: String): String =
+    s"CAST(SUM(CAST(($a) AS DECIMAL(19,6)) * CAST(($b) AS DECIMAL(19,6))) AS DOUBLE)"
+
+  /** Boundary-safe 6-dp rounding. Spark's round() decimalizes doubles via
+    * shortest-repr (Java BigDecimal.valueOf) while DuckDB rounds the exact
+    * binary value — a computed double whose shortest repr sits exactly on
+    * a .5e-6 boundary rounds differently. The 1e-9 shift moves every such
+    * value off the boundary identically in both engines. */
+  def r6(c: Column): Column = round(c + lit(1e-9), 6)
+
+  def r6Sql(e: String): String = s"round(($e) + 1e-9, 6)"
+
   /** Deterministic Pearson correlation of two double columns, built from
     * exact decimal moments (built-in `corr` streams doubles and is
     * order-sensitive). Mirrors reference utils/metrics.py:72-94 (M2). */
   def dcorr(x: Column, y: Column, scale: Int = 6): Column = {
     val n = count(lit(1)).cast("double")
     val sx = dsum(x, scale); val sy = dsum(y, scale)
-    val sxx = dsum(x * x, scale); val syy = dsum(y * y, scale)
-    val sxy = dsum(x * y, scale)
+    val sxx = dxsum(x, x); val syy = dxsum(y, y)
+    val sxy = dxsum(x, y)
     val prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
     // Zero-variance guard: ANSI mode (Spark 4 default) raises on 0/0, and
     // the oracle needs identical semantics — both emit 0.0 when degenerate.
@@ -54,10 +78,10 @@ object Cross {
 
   def dcorrSql(x: String, y: String, scale: Int = 6): String = {
     def s(e: String) = dsumSql(e, scale)
-    val prod = s"((COUNT(*)::DOUBLE * ${s(s"($x)*($x)")} - ${s(x)} * ${s(x)}) * " +
-      s"(COUNT(*)::DOUBLE * ${s(s"($y)*($y)")} - ${s(y)} * ${s(y)}))"
+    val prod = s"((COUNT(*)::DOUBLE * ${dxsumSql(x, x)} - ${s(x)} * ${s(x)}) * " +
+      s"(COUNT(*)::DOUBLE * ${dxsumSql(y, y)} - ${s(y)} * ${s(y)}))"
     s"(CASE WHEN $prod <= 0.0 THEN 0.0 ELSE " +
-      s"(COUNT(*)::DOUBLE * ${s(s"($x)*($y)")} - ${s(x)} * ${s(y)}) / sqrt($prod) END)"
+      s"(COUNT(*)::DOUBLE * ${dxsumSql(x, y)} - ${s(x)} * ${s(y)}) / sqrt($prod) END)"
   }
 
   /** 60-bit positive hash shared bit-for-bit with DuckDB via md5.

@@ -1,0 +1,106 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.TextFns
+
+/** Content-based recommender (the reference's flagship model,
+  * models/content_based_model.py): business TF-IDF profiles over a
+  * top-V vocabulary, user profiles as means of rated-business vectors,
+  * cosine affinity, and the geometric decision rule with the cold-start
+  * cascade.
+  *
+  * Differences from the reference worth noting (SURVEY.md §7.3):
+  *  - TF-IDF uses the reference's exact formula tf·log2(N/df)
+  *    (models/content_based_model.py:163), not MLlib IDF's smoothed log.
+  *  - Profiles live in "long form" (entity, term, weight) relations, not
+  *    driver-side dicts (reference A9 collectAsMap): at 100 TB the profile
+  *    table shuffles on term for the cosine join and nothing lands on the
+  *    driver.
+  *  - The vocabulary is the global top-V terms by their max TF-IDF
+  *    (reference T1/A6 `take(TOP_TFIDF)`), V configurable.
+  */
+object ContentBased {
+
+  /** Per-business TF-IDF over `bizText(business_id, text)`:
+    * returns (business_id, term, tfidf). */
+  def bizTfidf(bizText: DataFrame): DataFrame = {
+    val tok = bizText
+      .select(col("business_id"), explode(TextFns.contentTokens(col("text"))).as("term"))
+    val tf = tok.groupBy("business_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.select("business_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = bizText.select("business_id").distinct().count()
+    tf.join(df, "term")
+      .select(col("business_id"), col("term"),
+        Cross.r6(col("tf") * log(2.0, lit(n.toDouble) / col("df").cast("double"))).as("tfidf"))
+  }
+
+  /** Top-V vocabulary by max TF-IDF any business attains (T1/A6). */
+  def vocabulary(tfidf: DataFrame, v: Int): DataFrame =
+    tfidf.groupBy("term")
+      .agg(Cross.r6(max("tfidf")).as("max_tfidf"))
+      .orderBy(col("max_tfidf").desc, col("term"))
+      .limit(v)
+
+  /** Business profiles restricted to the vocabulary: (business_id, term, w). */
+  def bizProfiles(tfidf: DataFrame, vocab: DataFrame): DataFrame =
+    tfidf.join(vocab.select("term"), "term")
+      .select(col("business_id"), col("term"), col("tfidf").as("w"))
+
+  /** User profiles: per-term mean over the user's rated businesses,
+    * zeros included via the rated-business count (A12 — reference
+    * models/extended_content_model.py:156-169 semantics). */
+  def userProfiles(reviews: DataFrame, bizProf: DataFrame): DataFrame = {
+    val rated = Recommender.dedupReviews(reviews).select("user_id", "business_id")
+    val nRated = rated.groupBy("user_id").agg(count(lit(1)).as("n_rated"))
+    rated.join(bizProf, "business_id")
+      .groupBy("user_id", "term")
+      .agg(Cross.dsum(col("w"), 6).as("sw"))
+      .join(nRated, "user_id")
+      .select(col("user_id"), col("term"),
+        Cross.r6(col("sw") / col("n_rated").cast("double")).as("uw"))
+  }
+
+  /** Cosine affinity between user and business profiles for given pairs:
+    * sparse dot on the term join, norms per entity; missing profile or
+    * zero norm → 0 (drives the rule toward the business average). */
+  def profileCosine(pairs: DataFrame, userProf: DataFrame, bizProf: DataFrame): DataFrame = {
+    val dots = pairs
+      .join(userProf, "user_id")
+      .join(bizProf, Seq("business_id", "term"))
+      .groupBy("user_id", "business_id")
+      .agg(Cross.dxsum(col("uw"), col("w")).as("dot"))
+    val un = userProf.groupBy("user_id").agg(Cross.dxsum(col("uw"), col("uw")).as("usq"))
+    val bn = bizProf.groupBy("business_id").agg(Cross.dxsum(col("w"), col("w")).as("bsq"))
+    pairs
+      .join(dots, Seq("user_id", "business_id"), "left")
+      .join(un, Seq("user_id"), "left")
+      .join(bn, Seq("business_id"), "left")
+      .select(col("user_id"), col("business_id"),
+        Cross.r6(when(col("dot").isNull || col("usq").isNull || col("bsq").isNull ||
+            col("usq") === 0.0 || col("bsq") === 0.0, 0.0)
+          .otherwise(col("dot") / (sqrt(col("usq")) * sqrt(col("bsq"))))).as("cos"))
+  }
+
+  /** Geometric decision rule + cold-start cascade (reference
+    * models/content_based_model.py:509-530): both avgs → cos·ū+(1−cos)·b̄;
+    * user only → ū; biz only → b̄; neither → 2.5. */
+  def predict(pairs: DataFrame, reviews: DataFrame, userProf: DataFrame,
+      bizProf: DataFrame): DataFrame = {
+    val withCos = profileCosine(pairs, userProf, bizProf)
+    withCos
+      .join(Recommender.userAvg(reviews), Seq("user_id"), "left")
+      .join(Recommender.bizAvg(reviews), Seq("business_id"), "left")
+      .select(col("user_id"), col("business_id"), col("cos"),
+        Cross.r6(
+          when(col("user_avg").isNotNull && col("biz_avg").isNotNull,
+            col("cos") * col("user_avg") + (lit(1.0) - col("cos")) * col("biz_avg"))
+            .when(col("user_avg").isNotNull, col("user_avg"))
+            .when(col("biz_avg").isNotNull, col("biz_avg"))
+            .otherwise(2.5)).as("pred"))
+  }
+}

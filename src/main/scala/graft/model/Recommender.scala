@@ -32,7 +32,7 @@ object Recommender {
     * consume this canonical form. */
   def dedupReviews(reviews: DataFrame): DataFrame =
     reviews.groupBy("user_id", "business_id")
-      .agg(round(Cross.davg(col("stars"), 2), 6).as("stars"))
+      .agg(Cross.r6(Cross.davg(col("stars"), 2)).as("stars"))
 
   /** Per-user mean stars (A1 — reference models/content_based_model.py:354-378). */
   def userAvg(reviews: DataFrame): DataFrame =
@@ -49,9 +49,9 @@ object Recommender {
       .join(userAvg(reviews), Seq("user_id"), "left")
       .join(bizAvg(reviews), Seq("business_id"), "left")
       .select(col("user_id"), col("business_id"),
-        round(coalesce(
+        Cross.r6(coalesce(
           (col("user_avg") + col("biz_avg")) / 2.0,
-          col("user_avg"), col("biz_avg"), lit(2.5)), 6).as("pred"))
+          col("user_avg"), col("biz_avg"), lit(2.5))).as("pred"))
 
   /** Business pairs co-rated by ≥ `minCorated` users (P4/P7/J1): self-join
     * on user, triangular predicate, grouped count. */
@@ -78,19 +78,19 @@ object Recommender {
     val grouped = co.groupBy("biz_a", "biz_b")
       .agg(count(lit(1)).as("n_common"),
         guardNaN(Cross.dcorr(col("sa"), col("sb"), 6)).as("pearson"),
-        Cross.dsum(col("sa") * col("sb"), 6).as("dot"))
+        Cross.dxsum(col("sa"), col("sb")).as("dot"))
       .filter(col("n_common") >= minCorated)
     val sq = r.groupBy("business_id")
-      .agg(Cross.dsum(col("stars") * col("stars"), 6).as("sumsq"),
+      .agg(Cross.dxsum(col("stars"), col("stars")).as("sumsq"),
         count(lit(1)).as("n"))
     grouped
       .join(sq.select(col("business_id").as("biz_a"), col("sumsq").as("qa"), col("n").as("na")), "biz_a")
       .join(sq.select(col("business_id").as("biz_b"), col("sumsq").as("qb"), col("n").as("nb")), "biz_b")
       .select(col("biz_a"), col("biz_b"), col("n_common"),
-        round(col("pearson"), 6).as("pearson"),
-        round(col("dot") / (sqrt(col("qa")) * sqrt(col("qb"))), 6).as("cosine"),
-        round(col("n_common").cast("double") /
-          (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jaccard"))
+        Cross.r6(col("pearson")).as("pearson"),
+        Cross.r6(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))).as("cosine"),
+        Cross.r6(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
   }
 
   /** Zero out NaN/null similarity (zero-variance co-rating groups). */
@@ -117,10 +117,10 @@ object Recommender {
     matched
       .groupBy("user_id", "business_id")
       .agg(
-        Cross.dsum(when(col("stars").isNotNull, col("w") * col("stars")).otherwise(0.0), 6).as("num"),
+        Cross.dxsum(when(col("stars").isNotNull, col("w")).otherwise(0.0), coalesce(col("stars"), lit(0.0))).as("num"),
         Cross.dsum(when(col("stars").isNotNull, abs(col("w"))).otherwise(0.0), 6).as("den"))
       .select(col("user_id"), col("business_id"),
-        round(when(col("den") > 0.0, col("num") / col("den")).otherwise(2.5), 6).as("pred"))
+        Cross.r6(when(col("den") > 0.0, col("num") / col("den")).otherwise(2.5)).as("pred"))
   }
 
   /** RMSE over joined (prediction, ground truth), skipping missing pairs
@@ -129,5 +129,5 @@ object Recommender {
     preds.filter(!isnan(col("pred")))
       .join(gt, Seq("user_id", "business_id"))
       .select(((col("pred") - col("stars")) * (col("pred") - col("stars"))).as("se"))
-      .agg(round(sqrt(Cross.dsum(col("se"), 6) / count(lit(1))), 6).as("rmse"))
+      .agg(Cross.r6(sqrt(Cross.dsum(col("se"), 6) / count(lit(1)))).as("rmse"))
 }

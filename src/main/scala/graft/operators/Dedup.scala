@@ -101,8 +101,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double"), 6).as("jaccard"))
+        Cross.r6(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
   }
 
   /** 32-bit SimHash per doc: token-hash bit votes weighted by multiplicity

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Cross
 import graft.functions.{HashFns, VectorFns}
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -35,7 +36,7 @@ object SimilaritySearch {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Cross.r6(col("cos")).as("cos"))
   }
 
   /** Sign-LSH bucket id from `nPlanes` fixed hyperplanes (bit p set iff
@@ -64,7 +65,7 @@ object SimilaritySearch {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Cross.r6(col("cos")).as("cos"))
   }
 
   /** IVF coarse assignment: nearest of `nCells` fixed seed centroids by
@@ -76,6 +77,6 @@ object SimilaritySearch {
     }
     corpus.select(col("vec_id"), col("label"),
       array_min(array(dists: _*)).getField("cell").as("cell"),
-      round(array_min(array(dists: _*)).getField("d"), 6).as("dist"))
+      Cross.r6(array_min(array(dists: _*)).getField("d")).as("dist"))
   }
 }

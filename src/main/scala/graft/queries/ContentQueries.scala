@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cross, Tables}
+import graft.functions.TextSql
+import graft.model.ContentBased
+
+/** Content-based model gate queries (the reference flagship): business
+  * TF-IDF profiles from document text, top-V vocabulary, user profiles,
+  * profile cosine, geometric decision rule with cold-start cascade — the
+  * entire train+predict path hash-verified against a DuckDB CTE mirror.
+  *
+  * Businesses get text deterministically: part p reads document
+  * p_partkey mod |documents|.
+  */
+object ContentQueries {
+
+  private val V = 50
+
+  private def ds(e: String, s: Int = 6) = Cross.dsumSql(e, s)
+
+  private val bizTextCte =
+    """biztext AS (
+      |  SELECT p_partkey AS business_id, d.text AS text
+      |  FROM part JOIN documents d
+      |    ON d.doc_id = p_partkey % (SELECT COUNT(*) FROM documents))""".stripMargin
+
+  private val reviewsCtes =
+    s"""reviews AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS business_id,
+       |         CAST((CAST(l_quantity AS BIGINT) % 5) + 1 AS DOUBLE) AS stars
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |rdedup AS (
+       |  SELECT user_id, business_id,
+       |         round((${Cross.dsumSql("stars", 2)} / COUNT(*)) + 1e-9, 6) AS stars
+       |  FROM reviews GROUP BY user_id, business_id)""".stripMargin
+
+  private val tfidfCtes =
+    s"""tok AS (SELECT business_id, unnest(${TextSql.contentTokens("text")}) AS term FROM biztext),
+       |tfr AS (SELECT business_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT term, COUNT(*) AS df
+       |        FROM (SELECT DISTINCT business_id, term FROM tok) t GROUP BY term),
+       |nb AS (SELECT COUNT(DISTINCT business_id) AS n FROM biztext),
+       |tfidf AS (
+       |  SELECT business_id, term, round((tf * log2(n::DOUBLE / df::DOUBLE)) + 1e-9, 6) AS tfidf
+       |  FROM tfr JOIN dfr USING (term) CROSS JOIN nb),
+       |vocab AS (
+       |  SELECT term, round((MAX(tfidf)) + 1e-9, 6) AS max_tfidf FROM tfidf GROUP BY term
+       |  ORDER BY max_tfidf DESC, term LIMIT $V),
+       |bprof AS (
+       |  SELECT business_id, t.term AS term, tfidf AS w
+       |  FROM tfidf t JOIN vocab v ON t.term = v.term)""".stripMargin
+
+  private val profileCtes =
+    s"""rated AS (SELECT user_id, business_id FROM rdedup),
+       |nrated AS (SELECT user_id, COUNT(*) AS n_rated FROM rated GROUP BY user_id),
+       |up1 AS (
+       |  SELECT user_id, term, ${ds("w")} AS sw
+       |  FROM rated JOIN bprof USING (business_id) GROUP BY user_id, term),
+       |uprof AS (
+       |  SELECT user_id, term, round((sw / n_rated::DOUBLE) + 1e-9, 6) AS uw
+       |  FROM up1 JOIN nrated USING (user_id))""".stripMargin
+
+  private def bizTextDF(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    Tables.part(spark, dir)
+      .select(col("p_partkey").as("business_id"), pmod(col("p_partkey"), lit(n)).as("doc_id"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .select("business_id", "text")
+  }
+
+  /** T1/A6: top-V vocabulary by max TF-IDF. */
+  val q70 = QueryDef(
+    "q70_tfidf_vocab",
+    s"""WITH $bizTextCte,
+       |$tfidfCtes
+       |SELECT term, max_tfidf FROM vocab
+       |ORDER BY max_tfidf DESC, term""".stripMargin) { (spark, dir) =>
+    ContentBased.vocabulary(ContentBased.bizTfidf(bizTextDF(spark, dir)), V)
+      .orderBy(col("max_tfidf").desc, col("term"))
+  }
+
+  /** A12/M9: user profile vectors (long form) for a user sample. */
+  val q71 = QueryDef(
+    "q71_user_profiles",
+    s"""WITH $bizTextCte,
+       |$reviewsCtes,
+       |$tfidfCtes,
+       |$profileCtes
+       |SELECT user_id, term, uw FROM uprof
+       |WHERE user_id % 97 = 0
+       |ORDER BY user_id, term""".stripMargin) { (spark, dir) =>
+    val bizProf = ContentBased.bizProfiles(
+      ContentBased.bizTfidf(bizTextDF(spark, dir)),
+      ContentBased.vocabulary(ContentBased.bizTfidf(bizTextDF(spark, dir)), V))
+    ContentBased.userProfiles(Tables.reviews(spark, dir), bizProf)
+      .filter(pmod(col("user_id"), lit(97)) === 0)
+      .orderBy("user_id", "term")
+  }
+
+  /** M1/M7: full content-based predict over the pair grid (cosine +
+    * geometric rule + cold-start cascade). */
+  val q72 = QueryDef(
+    "q72_content_predict",
+    s"""WITH $bizTextCte,
+       |$reviewsCtes,
+       |$tfidfCtes,
+       |$profileCtes,
+       |pairs AS (
+       |  SELECT c_custkey AS user_id, p_partkey AS business_id
+       |  FROM customer CROSS JOIN part
+       |  WHERE c_custkey % 19 = 0 AND p_partkey % 23 = 0),
+       |dots AS (
+       |  SELECT p.user_id, p.business_id, ${Cross.dxsumSql("uw", "w")} AS dot
+       |  FROM pairs p
+       |  JOIN uprof u ON p.user_id = u.user_id
+       |  JOIN bprof b ON b.business_id = p.business_id AND b.term = u.term
+       |  GROUP BY p.user_id, p.business_id),
+       |un AS (SELECT user_id, ${Cross.dxsumSql("uw", "uw")} AS usq FROM uprof GROUP BY user_id),
+       |bn AS (SELECT business_id, ${Cross.dxsumSql("w", "w")} AS bsq FROM bprof GROUP BY business_id),
+       |cosed AS (
+       |  SELECT p.user_id, p.business_id,
+       |    round((CASE WHEN dot IS NULL OR usq IS NULL OR bsq IS NULL
+       |                    OR usq = 0.0 OR bsq = 0.0 THEN 0.0
+       |          ELSE dot / (sqrt(usq) * sqrt(bsq)) END) + 1e-9, 6) AS cos
+       |  FROM pairs p
+       |  LEFT JOIN dots d ON p.user_id = d.user_id AND p.business_id = d.business_id
+       |  LEFT JOIN un ON p.user_id = un.user_id
+       |  LEFT JOIN bn ON p.business_id = bn.business_id),
+       |uavg AS (SELECT user_id, ${Cross.dsumSql("stars", 2)} / COUNT(*) AS user_avg
+       |         FROM reviews GROUP BY user_id),
+       |bavg AS (SELECT business_id, ${Cross.dsumSql("stars", 2)} / COUNT(*) AS biz_avg
+       |         FROM reviews GROUP BY business_id)
+       |SELECT c.user_id, c.business_id, c.cos,
+       |  round((CASE
+       |    WHEN user_avg IS NOT NULL AND biz_avg IS NOT NULL
+       |      THEN c.cos * user_avg + (1.0 - c.cos) * biz_avg
+       |    WHEN user_avg IS NOT NULL THEN user_avg
+       |    WHEN biz_avg IS NOT NULL THEN biz_avg
+       |    ELSE 2.5 END) + 1e-9, 6) AS pred
+       |FROM cosed c
+       |LEFT JOIN uavg u ON c.user_id = u.user_id
+       |LEFT JOIN bavg b ON c.business_id = b.business_id
+       |ORDER BY c.user_id, c.business_id""".stripMargin) { (spark, dir) =>
+    val bt = bizTextDF(spark, dir)
+    val tfidf = ContentBased.bizTfidf(bt)
+    val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V))
+    val reviews = Tables.reviews(spark, dir)
+    val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)
+      .select(col("c_custkey").as("user_id"))
+      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
+        .select(col("p_partkey").as("business_id")))
+    ContentBased.predict(pairs, reviews,
+        ContentBased.userProfiles(reviews, bizProf), bizProf)
+      .orderBy("user_id", "business_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q70, q71, q72)
+}

@@ -67,8 +67,8 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |  round(COALESCE(i.i, 0)::DOUBLE /
-       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE, 6) AS jaccard
+       |  round((COALESCE(i.i, 0)::DOUBLE /
+       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
        |FROM cand c
        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
        |JOIN sizes sa ON c.doc_a = sa.doc_id
@@ -88,7 +88,7 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
        |SELECT doc_a, doc_b,
-       |  round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+       |  round((i::DOUBLE / (sa.n + sb.n - i)::DOUBLE) + 1e-9, 6) AS jaccard
        |FROM inter
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id

@@ -29,7 +29,7 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
@@ -42,7 +42,7 @@ object EmbeddingQueries {
   val q41 = QueryDef(
     "q41_embed_neardup",
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(${VectorSql.cosine("a.embedding", "b.embedding")}, 6) AS cos
+       |  round((${VectorSql.cosine("a.embedding", "b.embedding")}) + 1e-9, 6) AS cos
        |FROM embeddings a JOIN embeddings b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${VectorSql.cosine("a.embedding", "b.embedding")} >= 0.98
@@ -53,7 +53,7 @@ object EmbeddingQueries {
       .withColumn("cos", VectorFns.cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= 0.98)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cos"))
+        Cross.r6(col("cos")).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -77,7 +77,7 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
@@ -90,8 +90,8 @@ object EmbeddingQueries {
     "q43_dim_stats",
     s"""SELECT dim,
        |  ${Cross.dsumSql("embedding[dim]::DOUBLE", 9)} AS sum_v,
-       |  round(MIN(embedding[dim]::DOUBLE), 6) AS min_v,
-       |  round(MAX(embedding[dim]::DOUBLE), 6) AS max_v
+       |  round((MIN(embedding[dim]::DOUBLE)) + 1e-9, 6) AS min_v,
+       |  round((MAX(embedding[dim]::DOUBLE)) + 1e-9, 6) AS max_v
        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS dim) d
        |GROUP BY dim
        |ORDER BY dim""".stripMargin) { (spark, dir) =>
@@ -100,8 +100,8 @@ object EmbeddingQueries {
       .select((col("pos") + 1).as("dim"), col("v").cast("double").as("v"))
       .groupBy("dim")
       .agg(Cross.dsum(col("v"), 9).as("sum_v"),
-        round(min("v"), 6).as("min_v"),
-        round(max("v"), 6).as("max_v"))
+        Cross.r6(min("v")).as("min_v"),
+        Cross.r6(max("v")).as("max_v"))
       .orderBy("dim")
   }
 
@@ -118,7 +118,7 @@ object EmbeddingQueries {
          |  SELECT vec_id, label, cell, d,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |  FROM dists)
-         |SELECT vec_id, label, cell, round(d, 6) AS dist
+         |SELECT vec_id, label, cell, round((d) + 1e-9, 6) AS dist
          |FROM ranked WHERE rn = 1
          |ORDER BY vec_id""".stripMargin
     }) { (spark, dir) =>

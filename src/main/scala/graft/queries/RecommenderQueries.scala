@@ -25,7 +25,7 @@ object RecommenderQueries {
   private val rdedupCte =
     s"""rdedup AS (
        |  SELECT user_id, business_id,
-       |         round(${ds("stars")} / COUNT(*), 6) AS stars
+       |         round((${ds("stars")} / COUNT(*)) + 1e-9, 6) AS stars
        |  FROM reviews GROUP BY user_id, business_id)""".stripMargin
 
   private val avgCtes =
@@ -54,15 +54,15 @@ object RecommenderQueries {
     s"""WITH $reviewsCte,
        |$avgCtes
        |SELECT kind, id, avg_stars FROM (
-       |  SELECT 'user' AS kind, user_id AS id, round(user_avg, 6) AS avg_stars FROM uavg
+       |  SELECT 'user' AS kind, user_id AS id, round((user_avg) + 1e-9, 6) AS avg_stars FROM uavg
        |  UNION ALL
-       |  SELECT 'biz' AS kind, business_id AS id, round(biz_avg, 6) AS avg_stars FROM bavg) t
+       |  SELECT 'biz' AS kind, business_id AS id, round((biz_avg) + 1e-9, 6) AS avg_stars FROM bavg) t
        |ORDER BY kind, id""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
     Recommender.userAvg(r)
-      .select(lit("user").as("kind"), col("user_id").as("id"), round(col("user_avg"), 6).as("avg_stars"))
+      .select(lit("user").as("kind"), col("user_id").as("id"), Cross.r6(col("user_avg")).as("avg_stars"))
       .union(Recommender.bizAvg(r)
-        .select(lit("biz").as("kind"), col("business_id").as("id"), round(col("biz_avg"), 6).as("avg_stars")))
+        .select(lit("biz").as("kind"), col("business_id").as("id"), Cross.r6(col("biz_avg")).as("avg_stars")))
       .orderBy("kind", "id")
   }
 
@@ -73,7 +73,7 @@ object RecommenderQueries {
        |$avgCtes,
        |$pairsCte
        |SELECT p.user_id, p.business_id,
-       |  round(COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5), 6) AS pred
+       |  round((COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5)) + 1e-9, 6) AS pred
        |FROM pairs p
        |LEFT JOIN uavg u ON p.user_id = u.user_id
        |LEFT JOIN bavg b ON p.business_id = b.business_id
@@ -105,19 +105,19 @@ object RecommenderQueries {
        |g AS (
        |  SELECT biz_a, biz_b, COUNT(*) AS n_common, COUNT(*)::DOUBLE AS n,
        |         ${ds("sa", 6)} AS sx, ${ds("sb", 6)} AS sy,
-       |         ${ds("sa * sa", 6)} AS sxx, ${ds("sb * sb", 6)} AS syy,
-       |         ${ds("sa * sb", 6)} AS sxy
+       |         ${Cross.dxsumSql("sa", "sa")} AS sxx, ${Cross.dxsumSql("sb", "sb")} AS syy,
+       |         ${Cross.dxsumSql("sa", "sb")} AS sxy
        |  FROM co GROUP BY biz_a, biz_b HAVING COUNT(*) >= $minCorated),
        |sq AS (
-       |  SELECT business_id, ${ds("stars * stars", 6)} AS sumsq, COUNT(*) AS n
+       |  SELECT business_id, ${Cross.dxsumSql("stars", "stars")} AS sumsq, COUNT(*) AS n
        |  FROM rdedup GROUP BY business_id),
        |weights AS (
        |  SELECT biz_a, biz_b, n_common,
-       |    round(CASE WHEN (g.n * sxx - sx * sx) * (g.n * syy - sy * sy) <= 0 THEN 0.0
+       |    round((CASE WHEN (g.n * sxx - sx * sx) * (g.n * syy - sy * sy) <= 0 THEN 0.0
        |          ELSE (g.n * sxy - sx * sy) /
-       |               sqrt((g.n * sxx - sx * sx) * (g.n * syy - sy * sy)) END, 6) AS pearson,
-       |    round(sxy / (sqrt(qa.sumsq) * sqrt(qb.sumsq)), 6) AS cosine,
-       |    round(n_common::DOUBLE / (qa.n + qb.n - n_common)::DOUBLE, 6) AS jaccard
+       |               sqrt((g.n * sxx - sx * sx) * (g.n * syy - sy * sy)) END) + 1e-9, 6) AS pearson,
+       |    round((sxy / (sqrt(qa.sumsq) * sqrt(qb.sumsq))) + 1e-9, 6) AS cosine,
+       |    round((n_common::DOUBLE / (qa.n + qb.n - n_common)::DOUBLE) + 1e-9, 6) AS jaccard
        |  FROM g
        |  JOIN sq qa ON biz_a = qa.business_id
        |  JOIN sq qb ON biz_b = qb.business_id)""".stripMargin
@@ -174,17 +174,18 @@ object RecommenderQueries {
        |$pairsCte,
        |matched AS (
        |  SELECT p.user_id, p.business_id,
-       |         CASE WHEN ur.stars IS NOT NULL THEN nb.w * ur.stars ELSE 0.0 END AS wr,
+       |         CASE WHEN ur.stars IS NOT NULL THEN nb.w ELSE 0.0 END AS wn,
+       |         COALESCE(ur.stars, 0.0) AS sn,
        |         CASE WHEN ur.stars IS NOT NULL THEN abs(nb.w) ELSE 0.0 END AS aw
        |  FROM pairs p
        |  LEFT JOIN nb ON p.business_id = nb.biz
        |  LEFT JOIN rdedup ur ON ur.user_id = p.user_id AND ur.business_id = nb.neighbor),
        |scored AS (
        |  SELECT user_id, business_id,
-       |         ${ds("wr", 6)} AS num, ${ds("aw", 6)} AS den
+       |         ${Cross.dxsumSql("wn", "sn")} AS num, ${ds("aw", 6)} AS den
        |  FROM matched GROUP BY user_id, business_id)
        |SELECT user_id, business_id,
-       |  round(CASE WHEN den > 0.0 THEN num / den ELSE 2.5 END, 6) AS pred
+       |  round((CASE WHEN den > 0.0 THEN num / den ELSE 2.5 END) + 1e-9, 6) AS pred
        |FROM scored
        |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
@@ -203,11 +204,11 @@ object RecommenderQueries {
        |gt AS (SELECT user_id, business_id, stars FROM rdedup WHERE user_id % 7 = 3),
        |preds AS (
        |  SELECT g.user_id, g.business_id,
-       |    round(COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5), 6) AS pred
+       |    round((COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5)) + 1e-9, 6) AS pred
        |  FROM gt g
        |  LEFT JOIN uavg u ON g.user_id = u.user_id
        |  LEFT JOIN bavg b ON g.business_id = b.business_id)
-       |SELECT round(sqrt(${ds("(pred - stars) * (pred - stars)", 6)} / COUNT(*)), 6) AS rmse
+       |SELECT round((sqrt(${ds("(pred - stars) * (pred - stars)", 6)} / COUNT(*))) + 1e-9, 6) AS rmse
        |FROM preds JOIN gt USING (user_id, business_id)""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
     val gt = Recommender.dedupReviews(r).filter(pmod(col("user_id"), lit(7)) === 3)

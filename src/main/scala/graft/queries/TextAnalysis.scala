@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Cross
 import graft.core.Tables
 import graft.functions.{TextFns, TextSql}
 
@@ -57,7 +58,7 @@ object TextAnalysis {
        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
        |n AS (SELECT COUNT(*) AS n FROM documents)
        |SELECT doc_id, term,
-       |  round(tf * log2(n::DOUBLE / df::DOUBLE), 6) AS tfidf
+       |  round((tf * log2(n::DOUBLE / df::DOUBLE)) + 1e-9, 6) AS tfidf
        |FROM tf JOIN df USING (term) CROSS JOIN n
        |ORDER BY tfidf DESC, doc_id, term LIMIT 100""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
@@ -67,7 +68,7 @@ object TextAnalysis {
     val n = docs.count()
     tf.join(df, "term")
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log(2.0, lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+        Cross.r6(col("tf") * log(2.0, lit(n.toDouble) / col("df").cast("double"))).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id"), col("term")).limit(100)
   }
 
@@ -78,9 +79,9 @@ object TextAnalysis {
     s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
        |SELECT doc_id,
        |  len(tk) AS n_tokens,
-       |  CASE WHEN len(tk) > 0 THEN round(${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE, 6) ELSE 0.0 END AS stop_ratio,
-       |  CASE WHEN len(tk) > 0 THEN round(${TextSql.tokenChars("tk")}::DOUBLE / len(tk)::DOUBLE, 6) ELSE 0.0 END AS mean_tok_len,
-       |  round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)::DOUBLE, 6) AS punct_ratio
+       |  CASE WHEN len(tk) > 0 THEN round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN len(tk) > 0 THEN round((${TextSql.tokenChars("tk")}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) ELSE 0.0 END AS mean_tok_len,
+       |  round(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)::DOUBLE) + 1e-9, 6) AS punct_ratio
        |FROM t
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val d = Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text")))
@@ -88,13 +89,13 @@ object TextAnalysis {
         col("doc_id"),
         size(col("tk")).as("n_tokens"),
         when(size(col("tk")) > 0,
-          round(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") / size(col("tk")).cast("double"), 6))
+          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") / size(col("tk")).cast("double")))
           .otherwise(0.0).as("stop_ratio"),
         when(size(col("tk")) > 0,
-          round(TextFns.tokenChars(col("tk")).cast("double") / size(col("tk")).cast("double"), 6))
+          Cross.r6(TextFns.tokenChars(col("tk")).cast("double") / size(col("tk")).cast("double")))
           .otherwise(0.0).as("mean_tok_len"),
-        round((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-          .cast("double") / length(col("text")).cast("double"), 6).as("punct_ratio"))
+        Cross.r6((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("double") / length(col("text")).cast("double")).as("punct_ratio"))
       .orderBy("doc_id")
   }
 
