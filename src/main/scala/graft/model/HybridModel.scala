@@ -1,0 +1,64 @@
+package graft.model
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid recommender (reference scripts/train_hybrid.py): a low-iteration
+  * ALS score plus user/business averages feed a small regressor that
+  * predicts the final star rating.
+  *
+  * The reference uses a driver-side sklearn MLP over the 3 features
+  * (scripts/train_hybrid.py:101-110,133-134); Spark has no MLP regressor,
+  * so per SURVEY.md §7.2 the substitute is GBTRegressor — distributed,
+  * seeded, and strictly stronger than a 3-feature MLP at this size. The
+  * feature join shape (ALS ⋈ uavg ⋈ bavg, global-mean fallback for missing
+  * ids — reference scripts/predict_hybrid.py:120-128) is preserved.
+  */
+object HybridModel {
+
+  final case class Fitted(als: org.apache.spark.ml.recommendation.ALSModel,
+      gbt: GBTRegressionModel)
+
+  /** Assemble [als_pred, user_avg, biz_avg] features for given pairs,
+    * missing averages → the global mean (A15). */
+  def features(pairs: DataFrame, reviews: DataFrame,
+      als: org.apache.spark.ml.recommendation.ALSModel): DataFrame = {
+    val ua = Recommender.userAvg(reviews)
+    val ba = Recommender.bizAvg(reviews)
+    val globalAvg = reviews.agg(avg("stars")).first().getDouble(0)
+    val alsPred = AlsModel.predict(als, pairs)
+    alsPred
+      .join(ua, Seq("user_id"), "left")
+      .join(ba, Seq("business_id"), "left")
+      .select(col("user_id"), col("business_id"),
+        col("pred").as("als_pred"),
+        coalesce(col("user_avg"), lit(globalAvg)).as("f_uavg"),
+        coalesce(col("biz_avg"), lit(globalAvg)).as("f_bavg"))
+  }
+
+  def fit(reviews: DataFrame, alsParams: AlsModel.Params = AlsModel.Params(maxIter = 1),
+      gbtIter: Int = 10, seed: Long = 42L): Fitted = {
+    val als = AlsModel.fit(reviews, alsParams)
+    val train = features(reviews.select("user_id", "business_id").distinct(), reviews, als)
+      .join(Recommender.dedupReviews(reviews), Seq("user_id", "business_id"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("als_pred", "f_uavg", "f_bavg")).setOutputCol("features")
+      .transform(train)
+    val gbt = new GBTRegressor()
+      .setLabelCol("stars").setFeaturesCol("features")
+      .setMaxIter(gbtIter).setMaxDepth(3).setSeed(seed)
+      .fit(assembled)
+    Fitted(als, gbt)
+  }
+
+  def predict(fitted: Fitted, pairs: DataFrame, reviews: DataFrame): DataFrame = {
+    val f = features(pairs, reviews, fitted.als)
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("als_pred", "f_uavg", "f_bavg")).setOutputCol("features")
+      .transform(f)
+    fitted.gbt.transform(assembled)
+      .select(col("user_id"), col("business_id"), col("prediction").as("pred"))
+  }
+}

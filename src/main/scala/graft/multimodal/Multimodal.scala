@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads with typed metadata,
+  * chunking, and batch feature extraction (beyond-reference operator
+  * family for training-data pipelines).
+  *
+  * Design contract for 100 TB:
+  *  - media stays an opaque `binary` column end-to-end; only metadata
+  *    (sizes, checksums, offsets) is computed relationally, so filters and
+  *    pruning run without touching payload bytes;
+  *  - heavy decode runs batched per partition (`mapPartitions` over typed
+  *    rows — Scala's analog of `mapInPandas` batch shape), never per-row
+  *    driver code;
+  *  - chunking is expression-level substring arithmetic, which the
+  *    optimizer can pipeline inside codegen.
+  *
+  * The actual image/audio decode is STUBBED (`decodeStub`): the container
+  * has no media libraries, so it derives a deterministic fake feature
+  * vector from payload bytes. The Spark-side plumbing — schema, batch
+  * iteration, partitioning — is the real, tested part; swap `decodeStub`
+  * for a JNI/FFmpeg/opencv call in production.
+  */
+object Multimodal {
+
+  final case class Payload(doc_id: Long, payload: Array[Byte], mime: String)
+  final case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Double])
+
+  /** Wrap documents into (doc_id, payload: binary, mime) — stands in for
+    * reading image/audio bytes alongside metadata. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"))
+
+  /** Fixed-size chunking of the payload (e.g. for shard-parallel decode):
+    * (doc_id, chunk_idx, chunk: binary). Pure substring arithmetic. */
+  def chunk(payloads: DataFrame, chunkBytes: Int): DataFrame =
+    payloads
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          ((octet_length(col("payload")) - 1) / chunkBytes).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        substring(col("payload"), (col("chunk_idx") * chunkBytes + 1).cast("int"), lit(chunkBytes))
+          .as("chunk"))
+
+  /** STUB decode: deterministic 4-dim "embedding" from byte statistics.
+    * Replace with a real decoder (image resize, audio features, frame
+    * sampling) — the batch iteration shape is what production code keeps. */
+  private def decodeStub(bytes: Array[Byte]): Array[Double] = {
+    var s0 = 0L; var s1 = 0L; var mn = 255L; var mx = 0L
+    bytes.foreach { b =>
+      val v = b & 0xffL
+      s0 += v; s1 += v * v; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    val n = math.max(bytes.length, 1)
+    Array(s0.toDouble / n, s1.toDouble / n, mn.toDouble, mx.toDouble)
+  }
+
+  /** Batched feature extraction over typed payload rows. */
+  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    payloads.select("doc_id", "payload", "mime").as[Payload]
+      .mapPartitions { batch =>
+        // One partition = one decode batch (mapInPandas-shaped): amortize
+        // any per-batch decoder setup here.
+        batch.map(p => MediaFeature(p.doc_id, p.payload.length, decodeStub(p.payload)))
+      }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.HashFns
+
+/** Generic MinHash + banded LSH over an (id, token) relation — the
+  * reusable core behind document dedup (token = shingle) and user-CF
+  * candidate mining (token = rated business id; reference
+  * utils/minhash.py:7-30 + utils/lsh.py:23-58).
+  *
+  * Scale: signatures shuffle K rows per id (algebraic min); banding joins
+  * only colliding ids; exact Jaccard verification runs on the inverted
+  * token index, never a cartesian.
+  */
+object Lsh {
+
+  /** MinHash signatures (id, h_idx, sig) from distinct (id, token) rows. */
+  def signatures(spark: SparkSession, items: DataFrame, k: Int): DataFrame =
+    items.distinct()
+      .select(col("id"), Cross.hash31(col("token").cast("string")).as("x"))
+      .crossJoin(broadcast(HashFns.minhashParamsDF(spark, k)))
+      .select(col("id"), col("h_idx"),
+        HashFns.happly(col("h_a"), col("h_b"), col("x")).as("hv"))
+      .groupBy("id", "h_idx")
+      .agg(min("hv").as("sig"))
+
+  /** Band table (id, band, bkey): band key = sig values in h_idx order. */
+  def bands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", expr(s"h_idx div $rowsPerBand"))
+      .groupBy("id", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("h_idx"), col("sig")))),
+          s => s.getField("sig").cast("string"))).as("bkey"))
+
+  /** Candidate id pairs (a < b) sharing any band, with exact Jaccard over
+    * the token sets attached; keeps pairs with jaccard ≥ minJaccard. */
+  def candidatePairs(spark: SparkSession, items: DataFrame,
+      k: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val it = items.distinct().cache()
+    val bt = bands(signatures(spark, it, k), rowsPerBand)
+    val cands = bt.as("a").join(bt.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = it.as("a").join(it.as("b"),
+        col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val sizes = it.groupBy("id").agg(count(lit(1)).as("n"))
+    cands
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0, Seq("i"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Cross.r6(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.MinHashLSH
+import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.model.{AlsModel, HybridModel, Recommender}
+import graft.streaming.EventStreams
+
+/** MLlib-backed + streaming gate queries. ALS/GBT/MinHashLSH internals are
+  * not DuckDB-reproducible, so those are rows-only checks (the driver
+  * verifies cardinality); the streaming tumbling window replays the batch
+  * oracle exactly and keeps its full hash check.
+  */
+object MlQueries {
+
+  /** R2/P9: ALS matrix factorization predictions over the pair grid,
+    * NaN cold-start repaired to 2.5. */
+  val q80 = QueryDef.rowsOnly("q80_als_predict") { (spark, dir) =>
+    val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
+    val model = AlsModel.fit(r)
+    val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)
+      .select(col("c_custkey").as("user_id"))
+      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
+        .select(col("p_partkey").as("business_id")))
+    AlsModel.predict(model, pairs).orderBy("user_id", "business_id")
+  }
+
+  /** R5-substitute: hybrid ALS + averages → GBT regressor predictions. */
+  val q81 = QueryDef.rowsOnly("q81_hybrid_predict") { (spark, dir) =>
+    val reviews = Tables.reviews(spark, dir)
+    val fitted = HybridModel.fit(reviews)
+    val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(57)) === 0)
+      .select(col("c_custkey").as("user_id"))
+      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)
+        .select(col("p_partkey").as("business_id")))
+    HybridModel.predict(fitted, pairs, reviews).orderBy("user_id", "business_id")
+  }
+
+  /** R4/X10: MLlib MinHashLSH approx similarity self-join over users'
+    * rated-business sets (seed pinned like the reference,
+    * models/item_cf_model.py:127). */
+  val q82 = QueryDef.rowsOnly("q82_mllib_minhash_join") { (spark, dir) =>
+    val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
+    val dim = r.agg(max("business_id")).first().getLong(0).toInt + 1
+    val toVec = udf((idx: Seq[Long]) =>
+      Vectors.sparse(dim, idx.distinct.sorted.map(_.toInt).toArray,
+        Array.fill(idx.distinct.size)(1.0)))
+    val userVecs = r.groupBy("user_id")
+      .agg(collect_list("business_id").as("bids"))
+      .filter(size(col("bids")) >= 2)
+      .select(col("user_id"), toVec(col("bids")).as("features"))
+    val model = new MinHashLSH()
+      .setNumHashTables(8).setSeed(12345L)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(userVecs)
+    model.approxSimilarityJoin(userVecs, userVecs, 0.9, "jaccard_dist")
+      .select(
+        col("datasetA.user_id").as("user_a"),
+        col("datasetB.user_id").as("user_b"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("user_a") < col("user_b"))
+      .orderBy("user_a", "user_b")
+  }
+
+  /** Streaming tumbling window — same oracle as the batch q50. */
+  val q90 = QueryDef(
+    "q90_stream_tumbling",
+    s"""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       |  COUNT(*) AS n, ${graft.core.Cross.dsumSql("value", 4)} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
+    EventStreams.runToCompletion(spark,
+        EventStreams.tumblingHourly(EventStreams.readEvents(spark, dir)),
+        "q90_out")
+      .orderBy("hour", "event_type")
+  }
+
+  /** Streaming keyed dedup (arrival-order first — rows-only since file
+    * replay order is not the event-time order). */
+  val q91 = QueryDef.rowsOnly("q91_stream_dedup") { (spark, dir) =>
+    EventStreams.runToCompletion(spark,
+        EventStreams.dedupWithinWatermark(EventStreams.readEvents(spark, dir)),
+        "q91_out", mode = "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81, q82, q90, q91)
+}

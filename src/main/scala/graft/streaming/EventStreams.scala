@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Cross
+
+/** Structured Streaming surface (net-new vs the reference — SURVEY.md
+  * §2.11): the batch event operators (EventQueries) re-expressed as
+  * streams. The file source replays the events parquet; in production the
+  * same plans run against Kafka/files with `trigger` and checkpointing.
+  *
+  * The nanosecond `ts` is read as a long (same as Tables.events) and
+  * floored to epoch seconds; event-time columns are derived casts.
+  */
+object EventStreams {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table (file source replay). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("etime", col("sec").cast("timestamp"))
+  }
+
+  /** Tumbling 1-hour windowed aggregation (count + exact decimal sum),
+    * identical semantics to the batch q50. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("value"), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Run a streaming DataFrame to completion against the replayed file
+    * source and return the final result as a batch DataFrame. */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming keyed dedup: first event per (user, type) within the
+    * watermark — dropDuplicatesWithinWatermark analog of batch q53. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("etime", "40 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("sec"))
+}
