@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{AlsModel, HybridModel, Recommender, UserCF}
+import graft.multimodal.Multimodal
+import graft.operators.SimilaritySearch
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+/** End-to-end checks over the sf0.001 testdata: models train and predict,
+  * streaming equals batch, multimodal chunks reassemble, entry smoke. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SparkEntry contract: entry returns rows, names unique, oracles map to queries") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val names = SparkEntry.defs.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("ALS trains, predicts in range, and cold-start repairs to 2.5") {
+    val r = Recommender.dedupReviews(Tables.reviews(spark, sf()))
+    val m = AlsModel.fit(r, AlsModel.Params(rank = 4, maxIter = 3))
+    val pairs = Seq((999999L, 999999L)).toDF("user_id", "business_id")
+    assert(AlsModel.predict(m, pairs).head().getDouble(2) == 2.5)
+    val known = r.limit(20).select("user_id", "business_id")
+    val preds = AlsModel.predict(m, known).collect()
+    assert(preds.forall(p => !p.getDouble(2).isNaN))
+    val rmse = AlsModel.evaluate(m, r.limit(200))
+    assert(rmse >= 0.0 && rmse < 5.0)
+  }
+
+  test("hybrid GBT predicts finite values") {
+    val reviews = Tables.reviews(spark, sf())
+    val fitted = HybridModel.fit(reviews,
+      AlsModel.Params(rank = 4, maxIter = 1), gbtIter = 3)
+    val pairs = Recommender.dedupReviews(reviews).limit(10)
+      .select("user_id", "business_id")
+    val preds = HybridModel.predict(fitted, pairs, reviews).collect()
+    assert(preds.length == 10 && preds.forall(p => !p.getDouble(2).isNaN))
+  }
+
+  test("user-CF predict returns the 0.0 sentinel for unknown users") {
+    val r = Tables.reviews(spark, sf())
+    val nb = UserCF.topSimilar(UserCF.similarUsers(spark, r, 16, 2, 0.1), 5)
+      .select("user_id", "neighbor", "w")
+    val pairs = Seq((999999L, 1L)).toDF("user_id", "business_id")
+    assert(UserCF.predict(pairs, r, nb).head().getDouble(2) == 0.0)
+  }
+
+  test("streaming tumbling window equals the batch aggregation") {
+    val streamed = EventStreams.runToCompletion(spark,
+      EventStreams.tumblingHourly(EventStreams.readEvents(spark, sf())),
+      "test_stream_out")
+    val batch = Tables.events(spark, sf())
+      .groupBy(from_unixtime(col("sec") - pmod(col("sec"), lit(3600)), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val s = streamed.select("hour", "event_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = batch.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(s == b)
+  }
+
+  test("multimodal chunks reassemble to the original payload") {
+    val payloads = Multimodal.withPayload(Tables.documents(spark, sf()).limit(20))
+    val reassembled = Multimodal.chunk(payloads, 64)
+      .groupBy("doc_id")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk").cast("string").as("c")))),
+          s => s.getField("c"))).as("txt"))
+    val orig = Tables.documents(spark, sf()).limit(20).select("doc_id", "text")
+    val diff = reassembled.join(orig, "doc_id")
+      .filter(col("txt") =!= col("text")).count()
+    assert(diff == 0)
+  }
+
+  test("brute-force kNN: nearest neighbor of a vector is its duplicate") {
+    val base = Tables.embeddings(spark, sf()).limit(5)
+    val dup = base.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val corpus = base.unionByName(dup)
+    val got = SimilaritySearch.bruteForceTopK(base, corpus, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (q, n) => assert(n == q + 100000L) }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokens lowercases, strips punctuation, keeps multiplicity") {
+    val got = one("Hello, WORLD! hello... 42")
+      .select(TextFns.tokens(col("text"))).head().getSeq[String](0)
+    assert(got == Seq("hello", "world", "hello", "42"))
+  }
+
+  test("contentTokens removes stopwords but keeps repeated content words") {
+    val got = one("the cat and the cat")
+      .select(TextFns.contentTokens(col("text"))).head().getSeq[String](0)
+    assert(got == Seq("cat", "cat"))
+  }
+
+  test("shingles produce n-grams and empty for short docs") {
+    val toks = TextFns.tokens(col("text"))
+    assert(one("a b c d").select(TextFns.shingles(toks, 3)).head().getSeq[String](0)
+      == Seq("a b c", "b c d"))
+    assert(one("a b").select(TextFns.shingles(toks, 3)).head().getSeq[String](0).isEmpty)
+    assert(one("").select(TextFns.shingles(toks, 3)).head().getSeq[String](0).isEmpty)
+  }
+
+  test("langId picks the best lexicon and falls back to und") {
+    val toks = TextFns.tokens(col("text"))
+    assert(one("the cat is in the house and it was good")
+      .select(TextFns.langId(toks)).head().getString(0) == "en")
+    assert(one("der hund ist mit von und das")
+      .select(TextFns.langId(toks)).head().getString(0) == "de")
+    assert(one("zzz qqq xxx")
+      .select(TextFns.langId(toks)).head().getString(0) == "und")
+  }
+
+  test("fingerprint is whitespace/punctuation insensitive") {
+    val a = one("Hello,   world!").select(TextFns.fingerprint(col("text"))).head().getString(0)
+    val b = one("hello world").select(TextFns.fingerprint(col("text"))).head().getString(0)
+    assert(a == b)
+  }
+
+  test("bpeishCount counts word runs, digits and punctuation marks") {
+    val got = one("hi there 42!").select(TextFns.bpeishCount(col("text"))).head().getInt(0)
+    assert(got == 5) // hi, there, 4, 2, !
+  }
+}

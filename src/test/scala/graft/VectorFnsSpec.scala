@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+class VectorFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pair(a: Seq[Float], b: Seq[Float]) = Seq((a, b)).toDF("a", "b")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1, zero-vector guard") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      pair(a, b).select(VectorFns.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(cos(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) - 1.0) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 0f), Seq(0f, 1f))) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 1f), Seq(-1f, -1f)) + 1.0) < 1e-12)
+    assert(cos(Seq(0f, 0f), Seq(1f, 2f)) == 0.0)
+  }
+
+  test("dot matches naive double computation") {
+    val a = Seq(0.5f, -1.25f, 3f); val b = Seq(2f, 4f, -0.5f)
+    val got = pair(a, b).select(VectorFns.dot(col("a"), col("b"))).head().getDouble(0)
+    val want = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(got == want)
+  }
+
+  test("sqDistLit is zero at the centroid and positive elsewhere") {
+    val df = Seq(Seq(1f, 2f)).toDF("a")
+    assert(df.select(VectorFns.sqDistLit(col("a"), Array(1.0, 2.0))).head().getDouble(0) == 0.0)
+    assert(df.select(VectorFns.sqDistLit(col("a"), Array(0.0, 0.0))).head().getDouble(0) == 5.0)
+  }
+}
