@@ -69,6 +69,13 @@ object HashFns {
     (0 until simhashBits).map(j => s"($j, ${1L << j})")
       .mkString("(VALUES ", ", ", ") AS bt(bit, p2)")
 
+  /** Single-pass SimHash aggregation expression over a column `x` of token
+    * hashes: Σ_j 2^j · [Σ_tokens sign-vote for bit j > 0]. */
+  def simhashAggSql: String =
+    (0 until simhashBits).map { j =>
+      s"(CASE WHEN SUM(CASE WHEN (x // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Shared 31-bit token hash (md5-based, identical in DuckDB). */
   def hash31(c: Column): Column = Cross.hash31(c)
 }

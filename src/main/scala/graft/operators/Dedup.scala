@@ -78,26 +78,33 @@ object Dedup {
     withJaccard(cands, sh)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index. */
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * one pass builds intersection counts directly (no separate pair
+    * mining), then sizes attach. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, minJaccard: Double): DataFrame = {
     val sh = shingleSet(docs, shingleN).cache()
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(pairs, sh).filter(col("jaccard") >= minJaccard)
-  }
-
-  /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set. */
-  private def withJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
+    attachJaccard(inter, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set.
+    * Intersections are computed candidate-filtered (cost O(|pairs|·set
+    * size)), never via the full Σ df² inverted self-join. */
+  private def withJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    attachJaccard(pairs.join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0, Seq("i")), sh)
+  }
+
+  private def attachJaccard(pairsWithI: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0, Seq("i"))
+    pairsWithI
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -110,14 +117,17 @@ object Dedup {
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
       .select(col("doc_id"), Cross.hash64(col("t")).as("x"))
-    toks
-      .crossJoin(broadcast(HashFns.bitTableDF(spark)))
-      .select(col("doc_id"), col("bit"), col("p2"),
-        when(expr("(x div p2) % 2") === 1, lit(1)).otherwise(lit(-1)).as("c"))
-      .groupBy("doc_id", "bit", "p2")
-      .agg(sum("c").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+    // One grouped pass with 32 aggregate columns (one signed vote sum per
+    // bit) instead of a 32× row explosion — same integer-exact result.
+    val bitSums = (0 until HashFns.simhashBits).map { j =>
+      sum(when(expr(s"(x div ${1L << j}) % 2") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j")
+    }
+    val simExpr = (0 until HashFns.simhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simExpr.as("simhash"))
   }
 
   /** SimHash near-dup pairs: block on any equal sketch byte, then filter

@@ -47,9 +47,13 @@ object Lsh {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val inter = it.as("a").join(it.as("b"),
-        col("a.token") === col("b.token") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Intersections only for LSH candidates — the full inverted-index
+    // self-join is Σ df² and dwarfs everything else; candidate filtering
+    // makes verification cost O(|candidates| · set size).
+    val inter = cands
+      .join(it.select(col("id").as("id_a"), col("token")), "id_a")
+      .join(it.select(col("id").as("id_b"), col("token")), Seq("id_b", "token"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("i"))
     val sizes = it.groupBy("id").agg(count(lit(1)).as("n"))
     cands

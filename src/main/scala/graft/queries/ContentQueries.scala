@@ -79,7 +79,7 @@ object ContentQueries {
        |$tfidfCtes
        |SELECT term, max_tfidf FROM vocab
        |ORDER BY max_tfidf DESC, term""".stripMargin) { (spark, dir) =>
-    ContentBased.vocabulary(ContentBased.bizTfidf(bizTextDF(spark, dir)), V)
+    ContentBased.vocabulary(ContentBased.bizTfidf(bizTextDF(spark, dir)).cache(), V)
       .orderBy(col("max_tfidf").desc, col("term"))
   }
 
@@ -93,9 +93,8 @@ object ContentQueries {
        |SELECT user_id, term, uw FROM uprof
        |WHERE user_id % 97 = 0
        |ORDER BY user_id, term""".stripMargin) { (spark, dir) =>
-    val bizProf = ContentBased.bizProfiles(
-      ContentBased.bizTfidf(bizTextDF(spark, dir)),
-      ContentBased.vocabulary(ContentBased.bizTfidf(bizTextDF(spark, dir)), V))
+    val tfidf = ContentBased.bizTfidf(bizTextDF(spark, dir)).cache()
+    val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V))
     ContentBased.userProfiles(Tables.reviews(spark, dir), bizProf)
       .filter(pmod(col("user_id"), lit(97)) === 0)
       .orderBy("user_id", "term")
@@ -146,7 +145,7 @@ object ContentQueries {
        |LEFT JOIN bavg b ON c.business_id = b.business_id
        |ORDER BY c.user_id, c.business_id""".stripMargin) { (spark, dir) =>
     val bt = bizTextDF(spark, dir)
-    val tfidf = ContentBased.bizTfidf(bt)
+    val tfidf = ContentBased.bizTfidf(bt).cache()
     val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V))
     val reviews = Tables.reviews(spark, dir)
     val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)

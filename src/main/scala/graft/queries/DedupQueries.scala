@@ -62,8 +62,10 @@ object DedupQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
@@ -103,14 +105,9 @@ object DedupQueries {
     "q34_simhash",
     s"""WITH tk AS (
        |  SELECT doc_id, unnest(${TextSql.tokens("text")}) AS t FROM documents),
-       |hx AS (SELECT doc_id, ${Cross.hash64Sql("t")} AS x FROM tk),
-       |votes AS (
-       |  SELECT doc_id, bit, p2,
-       |         SUM(CASE WHEN (x // p2) % 2 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM hx CROSS JOIN ${HashFns.bitTableSql}
-       |  GROUP BY doc_id, bit, p2)
-       |SELECT doc_id, SUM(CASE WHEN s > 0 THEN p2 ELSE 0 END) AS simhash
-       |FROM votes GROUP BY doc_id
+       |hx AS (SELECT doc_id, ${Cross.hash64Sql("t")} AS x FROM tk)
+       |SELECT doc_id, ${HashFns.simhashAggSql} AS simhash
+       |FROM hx GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     Dedup.simhash(spark, graft.core.Tables.documents(spark, dir)).orderBy("doc_id")
   }
@@ -121,13 +118,8 @@ object DedupQueries {
     s"""WITH tk AS (
        |  SELECT doc_id, unnest(${TextSql.tokens("text")}) AS t FROM documents),
        |hx AS (SELECT doc_id, ${Cross.hash64Sql("t")} AS x FROM tk),
-       |votes AS (
-       |  SELECT doc_id, bit, p2,
-       |         SUM(CASE WHEN (x // p2) % 2 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM hx CROSS JOIN ${HashFns.bitTableSql}
-       |  GROUP BY doc_id, bit, p2),
-       |sim AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN p2 ELSE 0 END) AS simhash
-       |        FROM votes GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ${HashFns.simhashAggSql} AS simhash
+       |        FROM hx GROUP BY doc_id),
        |bytes AS (
        |  SELECT doc_id, simhash, j,
        |         (simhash // CAST(pow(256, j) AS BIGINT)) % 256 AS bv

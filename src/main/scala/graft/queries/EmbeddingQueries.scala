@@ -37,20 +37,39 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Label-blocked near-duplicate vectors: cosine ≥ 0.98 within a label
-    * (blocking keeps the pair space linear in bucket sizes). */
+  /** Label-blocked near-duplicate vectors: cosine ≥ 0.98 within a label.
+    * Vectors are L2-normalized once per row, so each pair costs one dot
+    * fold instead of three (dot + two norms) — the per-pair work is the
+    * hot loop at scale. */
   val q41 = QueryDef(
     "q41_embed_neardup",
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round((${VectorSql.cosine("a.embedding", "b.embedding")}) + 1e-9, 6) AS cos
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${VectorSql.cosine("a.embedding", "b.embedding")} >= 0.98
+    s"""WITH nrm AS (
+       |  SELECT vec_id, label, embedding,
+       |         ${VectorSql.norm2("embedding")} AS nrm
+       |  FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN nrm = 0 THEN NULL
+       |    ELSE list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE / nrm)
+       |    END AS ne
+       |  FROM nrm)
+       |SELECT vec_a, vec_b, round((cos) + 1e-9, 6) AS cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_sum(list_transform(range(1, len(a.ne) + 1), i -> a.ne[i] * b.ne[i])) AS cos
+       |  FROM normed a JOIN normed b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE a.ne IS NOT NULL AND b.ne IS NOT NULL) t
+       |WHERE cos >= 0.98
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
-    val emb = Tables.embeddings(spark, dir)
-    val a = emb.as("a"); val b = emb.as("b")
+    val normed = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorFns.norm2(col("embedding")))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+    val a = normed.as("a"); val b = normed.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", VectorFns.cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos",
+        aggregate(zip_with(col("a.ne"), col("b.ne"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
       .filter(col("cos") >= 0.98)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Cross.r6(col("cos")).as("cos"))

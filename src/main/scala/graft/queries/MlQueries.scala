@@ -30,7 +30,7 @@ object MlQueries {
   /** R5-substitute: hybrid ALS + averages → GBT regressor predictions. */
   val q81 = QueryDef.rowsOnly("q81_hybrid_predict") { (spark, dir) =>
     val reviews = Tables.reviews(spark, dir)
-    val fitted = HybridModel.fit(reviews)
+    val fitted = HybridModel.fit(reviews, gbtIter = 5)
     val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(57)) === 0)
       .select(col("c_custkey").as("user_id"))
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)

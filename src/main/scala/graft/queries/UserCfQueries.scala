@@ -42,8 +42,10 @@ object UserCfQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
        |inter AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-       |  FROM rated a JOIN rated b ON a.token = b.token AND a.id < b.id
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN rated a ON a.id = c.id_a
+       |  JOIN rated b ON b.id = c.id_b AND b.token = a.token
        |  GROUP BY 1, 2),
        |sizes AS (SELECT id, COUNT(*) AS n FROM rated GROUP BY id),
        |upairs AS (
