@@ -1,0 +1,123 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.model._
+import graft.sources.ModelIO
+
+/** CLI entry points mirroring the reference's train.py / predict.py /
+  * scripts/evaluate.py surface (SURVEY.md §3), with the same
+  * registry-dispatch shape as models/__init__.py:6-11.
+  *
+  * Usage:
+  *   runMain graft.cli.Train   <model> <sfDir> <artifactDir>
+  *   runMain graft.cli.Predict <model> <sfDir> <artifactDir> <outPath>
+  *   runMain graft.cli.Evaluate <predPath> <sfDir>
+  * where <model> ∈ {baseline, itemcf, usercf, als, hybrid}.
+  */
+object Cli {
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def testPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)
+      .select(col("c_custkey").as("user_id"))
+      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
+        .select(col("p_partkey").as("business_id")))
+
+  val models: Seq[String] = Seq("baseline", "itemcf", "usercf", "als", "hybrid")
+}
+
+object Train {
+  def main(args: Array[String]): Unit = {
+    val Array(model, sfDir, artifactDir) = args.take(3)
+    val spark = Cli.session()
+    val reviews = Tables.reviews(spark, sfDir)
+    model match {
+      case "baseline" =>
+        ModelIO.saveTable(Recommender.userAvg(reviews), s"$artifactDir/user_avg")
+        ModelIO.saveTable(Recommender.bizAvg(reviews), s"$artifactDir/biz_avg")
+      case "itemcf" =>
+        ModelIO.saveTable(
+          Recommender.topNeighbors(Recommender.pairWeights(reviews, 2), "cosine", 10)
+            .select("biz", "neighbor", "w"),
+          s"$artifactDir/neighbors")
+        ModelIO.saveTable(Recommender.dedupReviews(reviews), s"$artifactDir/ratings")
+      case "usercf" =>
+        ModelIO.saveTable(
+          UserCF.topSimilar(UserCF.similarUsers(spark, reviews, 16, 2, 0.1), 5)
+            .select("user_id", "neighbor", "w"),
+          s"$artifactDir/similar_users")
+        ModelIO.saveTable(Recommender.dedupReviews(reviews), s"$artifactDir/ratings")
+      case "als" =>
+        ModelIO.saveAls(AlsModel.fit(Recommender.dedupReviews(reviews)), s"$artifactDir/als")
+      case "hybrid" =>
+        val fitted = HybridModel.fit(reviews, gbtIter = 5)
+        ModelIO.saveAls(fitted.als, s"$artifactDir/als")
+        fitted.gbt.write.overwrite().save(s"$artifactDir/gbt")
+      case other => sys.error(s"unknown model '$other' (expected ${Cli.models.mkString("/")})")
+    }
+    spark.stop()
+  }
+}
+
+object Predict {
+  def main(args: Array[String]): Unit = {
+    val Array(model, sfDir, artifactDir, outPath) = args.take(4)
+    val spark = Cli.session()
+    val pairs = Cli.testPairs(spark, sfDir)
+    val preds = model match {
+      case "baseline" =>
+        val ua = ModelIO.loadTable(spark, s"$artifactDir/user_avg")
+        val ba = ModelIO.loadTable(spark, s"$artifactDir/biz_avg")
+        pairs.join(ua, Seq("user_id"), "left").join(ba, Seq("business_id"), "left")
+          .select(col("user_id"), col("business_id"),
+            round(coalesce((col("user_avg") + col("biz_avg")) / 2.0,
+              col("user_avg"), col("biz_avg"), lit(2.5)), 6).as("pred"))
+      case "itemcf" =>
+        Recommender.itemCfPredict(pairs,
+          ModelIO.loadTable(spark, s"$artifactDir/ratings"),
+          ModelIO.loadTable(spark, s"$artifactDir/neighbors"))
+      case "usercf" =>
+        UserCF.predict(pairs,
+          ModelIO.loadTable(spark, s"$artifactDir/ratings"),
+          ModelIO.loadTable(spark, s"$artifactDir/similar_users"))
+      case "als" =>
+        AlsModel.predict(ModelIO.loadAls(s"$artifactDir/als"), pairs)
+      case "hybrid" =>
+        val fitted = HybridModel.Fitted(
+          ModelIO.loadAls(s"$artifactDir/als"),
+          org.apache.spark.ml.regression.GBTRegressionModel.load(s"$artifactDir/gbt"))
+        HybridModel.predict(fitted, pairs, Tables.reviews(spark, sfDir))
+      case other => sys.error(s"unknown model '$other'")
+    }
+    ModelIO.savePredictionsJson(preds, outPath)
+    println(s"[predict] wrote ${spark.read.json(outPath).count()} predictions to $outPath")
+    spark.stop()
+  }
+}
+
+object Evaluate {
+  def main(args: Array[String]): Unit = {
+    val Array(predPath, sfDir) = args.take(2)
+    val spark = Cli.session()
+    val preds = ModelIO.loadPredictionsJson(spark, predPath)
+    val gt = Recommender.dedupReviews(Tables.reviews(spark, sfDir))
+    val rmse = Recommender.rmse(preds, gt).head().getDouble(0)
+    val missing = gt.join(preds, Seq("user_id", "business_id"), "left_anti").count()
+    println(s"""{"rmse":$rmse,"missing_pairs":$missing}""")
+    spark.stop()
+  }
+}

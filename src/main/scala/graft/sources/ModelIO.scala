@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-artifact and prediction IO (reference SURVEY.md §1.3 formats,
+  * re-expressed as atomic parallel writes).
+  *
+  * The reference persists driver-side dicts as ad-hoc JSON files, with one
+  * racy executor-side append path (S5 — models/content_based_model.py:
+  * 404-418); here every artifact is a DataFrame written as parquet
+  * (columnar, splittable — the 100 TB-safe choice) and predictions are
+  * line-delimited JSON for byte-level compatibility with the reference's
+  * output surface (S4 — {user_id, business_id, stars} per line).
+  */
+object ModelIO {
+
+  def saveTable(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def loadTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Predictions in the reference's JSON-lines output format
+    * (models/content_based_model.py:534-539). */
+  def savePredictionsJson(preds: DataFrame, path: String): Unit =
+    preds.select(col("user_id"), col("business_id"), col("pred").as("stars"))
+      .write.mode("overwrite").json(path)
+
+  def loadPredictionsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+      .select(col("user_id"), col("business_id"), col("stars").as("pred"))
+
+  def saveAls(model: org.apache.spark.ml.recommendation.ALSModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadAls(path: String): org.apache.spark.ml.recommendation.ALSModel =
+    org.apache.spark.ml.recommendation.ALSModel.load(path)
+}
