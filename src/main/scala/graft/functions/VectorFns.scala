@@ -18,17 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Σ aᵢ·bᵢ as a deterministic sequential fold. */
+  /** Σ aᵢ·bᵢ via the native codegen expression (graft.plans.FloatVectorDot)
+    * — bit-identical to the sequential fold, but a primitive loop inside
+    * whole-stage codegen instead of interpreted lambdas. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.FloatVectorDot.dot(a, b)
+
+  /** Reference implementation of [[dot]] as a higher-order fold; kept for
+    * differential testing against the native expression. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   /** Σ aᵢ·wᵢ against a literal plane/centroid vector. */
   def dotLit(a: Column, w: Array[Double]): Column =
-    aggregate(
-      zip_with(a, typedLit(w), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.FloatVectorDot.dot(a, typedLit(w))
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

@@ -86,6 +86,22 @@ object ContentBased {
           .otherwise(col("dot") / (sqrt(col("usq")) * sqrt(col("bsq"))))).as("cos"))
   }
 
+  /** MLlib sparse TF-IDF path (R3 — the reference's `sparse` config uses
+    * HashingTF + mllib IDF with its own smoothed-log formula,
+    * models/content_based_model.py:195-204; preserved as a distinct path
+    * per SURVEY.md §7.2 rather than merged with the exact log2 TF-IDF). */
+  def hashingTfidf(bizText: DataFrame, numFeatures: Int, minDocFreq: Int = 2): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF}
+    val tokened = bizText.select(col("business_id"),
+      TextFns.contentTokens(col("text")).as("tokens"))
+    val tf = new HashingTF()
+      .setInputCol("tokens").setOutputCol("tf").setNumFeatures(numFeatures)
+      .transform(tokened)
+    new IDF().setInputCol("tf").setOutputCol("tfidf").setMinDocFreq(minDocFreq)
+      .fit(tf).transform(tf)
+      .select("business_id", "tfidf")
+  }
+
   /** Geometric decision rule + cold-start cascade (reference
     * models/content_based_model.py:509-530): both avgs → cos·ū+(1−cos)·b̄;
     * user only → ū; biz only → b̄; neither → 2.5. */

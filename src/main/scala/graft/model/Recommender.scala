@@ -75,13 +75,38 @@ object Recommender {
           col("a.business_id") < col("b.business_id"))
       .select(col("a.business_id").as("biz_a"), col("b.business_id").as("biz_b"),
         col("a.stars").as("sa"), col("b.stars").as("sb"))
-    val grouped = co.groupBy("biz_a", "biz_b")
+    // Moments accumulate as scaled 64-bit integers: stars are exact 6-dp
+    // values ≤ 5, so sa·1e6 is an exact integer and Σ (sa6·sb6) stays well
+    // inside int64 (≤ 3·10^13 per term). Long sums are order-free and one
+    // 8-byte buffer per column — far lighter than decimal aggregation over
+    // millions of mostly-discarded pair groups. The reconstructed doubles
+    // (x / 10^k) are the nearest-double of the same exact rationals the
+    // decimal path produced, so the oracle's decimal formulation still
+    // hash-matches.
+    val co6 = co.select(col("biz_a"), col("biz_b"),
+      round(col("sa") * 1e6).cast("long").as("sa6"),
+      round(col("sb") * 1e6).cast("long").as("sb6"))
+    val grouped = co6.groupBy("biz_a", "biz_b")
       .agg(count(lit(1)).as("n_common"),
-        guardNaN(Cross.dcorr(col("sa"), col("sb"), 6)).as("pearson"),
-        Cross.dxsum(col("sa"), col("sb")).as("dot"))
+        sum(col("sa6")).as("sx6"), sum(col("sb6")).as("sy6"),
+        sum(col("sa6") * col("sa6")).as("sxx12"),
+        sum(col("sb6") * col("sb6")).as("syy12"),
+        sum(col("sa6") * col("sb6")).as("sxy12"))
       .filter(col("n_common") >= minCorated)
-    val sq = r.groupBy("business_id")
-      .agg(Cross.dxsum(col("stars"), col("stars")).as("sumsq"),
+      .select(col("biz_a"), col("biz_b"), col("n_common"), {
+        val n = col("n_common").cast("double")
+        val sx = col("sx6").cast("double") / 1e6
+        val sy = col("sy6").cast("double") / 1e6
+        val sxx = col("sxx12").cast("double") / 1e12
+        val syy = col("syy12").cast("double") / 1e12
+        val sxy = col("sxy12").cast("double") / 1e12
+        val prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        guardNaN(when(prod <= 0.0, lit(0.0))
+          .otherwise((n * sxy - sx * sy) / sqrt(prod))).as("pearson")
+      }, (col("sxy12").cast("double") / 1e12).as("dot"))
+    val sq = r.select(col("business_id"), round(col("stars") * 1e6).cast("long").as("s6"))
+      .groupBy("business_id")
+      .agg((sum(col("s6") * col("s6")).cast("double") / 1e12).as("sumsq"),
         count(lit(1)).as("n"))
     grouped
       .join(sq.select(col("business_id").as("biz_a"), col("sumsq").as("qa"), col("n").as("na")), "biz_a")
@@ -122,6 +147,18 @@ object Recommender {
       .select(col("user_id"), col("business_id"),
         Cross.r6(when(col("den") > 0.0, col("num") / col("den")).otherwise(2.5)).as("pred"))
   }
+
+  /** Per-decision-rule RMSE breakdown (P10 — reference
+    * scripts/evaluate.py:104-121 re-filters predictions per rule):
+    * expects a `decision` column tagging which rule produced each row. */
+  def rmseByDecision(preds: DataFrame, gt: DataFrame): DataFrame =
+    preds.filter(!isnan(col("pred")))
+      .join(gt, Seq("user_id", "business_id"))
+      .groupBy("decision")
+      .agg(Cross.r6(sqrt(Cross.dsum(
+          (col("pred") - col("stars")) * (col("pred") - col("stars")), 6) /
+        count(lit(1)))).as("rmse"),
+        count(lit(1)).as("n"))
 
   /** RMSE over joined (prediction, ground truth), skipping missing pairs
     * and NaN predictions (M8 — reference scripts/evaluate.py:87-102). */

@@ -41,17 +41,12 @@ object Dedup {
       .distinct()
 
   /** MinHash signatures: (doc_id, h_idx, sig) with K deterministic hashes.
-    * Algebraic min-aggregate → partial aggregation before the shuffle. */
-  def minhashSignatures(spark: SparkSession, docs: DataFrame, k: Int, shingleN: Int = 3): DataFrame = {
-    val hashed = shingleSet(docs, shingleN)
-      .select(col("doc_id"), HashFns.hash31(col("sh")).as("x"))
-    hashed
-      .crossJoin(broadcast(HashFns.minhashParamsDF(spark, k)))
-      .select(col("doc_id"), col("h_idx"),
-        HashFns.happly(col("h_a"), col("h_b"), col("x")).as("hv"))
-      .groupBy("doc_id", "h_idx")
-      .agg(min("hv").as("sig"))
-  }
+    * Delegates to the generic single-pass [[Lsh.signatures]]. */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame, k: Int, shingleN: Int = 3): DataFrame =
+    Lsh.signatures(spark,
+        shingleSet(docs, shingleN)
+          .select(col("doc_id").as("id"), col("sh").as("token")), k)
+      .withColumnRenamed("id", "doc_id")
 
   /** LSH banding of a signature table: (doc_id, band, bkey) where bkey is
     * the band's signature values joined in h_idx order (X8). */

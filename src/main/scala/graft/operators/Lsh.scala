@@ -17,15 +17,25 @@ import graft.functions.HashFns
   */
 object Lsh {
 
-  /** MinHash signatures (id, h_idx, sig) from distinct (id, token) rows. */
-  def signatures(spark: SparkSession, items: DataFrame, k: Int): DataFrame =
-    items.distinct()
+  /** MinHash signatures (id, h_idx, sig) from distinct (id, token) rows.
+    * All K minima are computed as aggregate columns in one pass over the
+    * token table (no K× row expansion) and unpivoted afterwards — K·8
+    * bytes of aggregation state per id, one shuffle of the token rows. */
+  def signatures(spark: SparkSession, items: DataFrame, k: Int): DataFrame = {
+    val params = HashFns.minhashParams(k)
+    val aggs = params.map { case (i, a, b) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(HashFns.P))).as(s"sig$i")
+    }
+    val wide = items.distinct()
       .select(col("id"), Cross.hash31(col("token").cast("string")).as("x"))
-      .crossJoin(broadcast(HashFns.minhashParamsDF(spark, k)))
-      .select(col("id"), col("h_idx"),
-        HashFns.happly(col("h_a"), col("h_b"), col("x")).as("hv"))
-      .groupBy("id", "h_idx")
-      .agg(min("hv").as("sig"))
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+    val longForm = params.map { case (i, _, _) =>
+      struct(lit(i).as("h_idx"), col(s"sig$i").as("sig"))
+    }
+    wide.select(col("id"), explode(array(longForm: _*)).as("s"))
+      .select(col("id"), col("s.h_idx").as("h_idx"), col("s.sig").as("sig"))
+  }
 
   /** Band table (id, band, bkey): band key = sig values in h_idx order. */
   def bands(sigs: DataFrame, rowsPerBand: Int): DataFrame =

@@ -68,8 +68,7 @@ object EmbeddingQueries {
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
     val a = normed.as("a"); val b = normed.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        aggregate(zip_with(col("a.ne"), col("b.ne"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("cos", VectorFns.dot(col("a.ne"), col("b.ne")))
       .filter(col("cos") >= 0.98)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Cross.r6(col("cos")).as("cos"))

@@ -99,24 +99,27 @@ object RecommenderQueries {
   private def weightsCtes(minCorated: Int) =
     s"""co AS (
        |  SELECT a.business_id AS biz_a, b.business_id AS biz_b,
-       |         a.stars AS sa, b.stars AS sb
+       |         round(a.stars * 1e6)::BIGINT AS sa6, round(b.stars * 1e6)::BIGINT AS sb6
        |  FROM rdedup a JOIN rdedup b
        |    ON a.user_id = b.user_id AND a.business_id < b.business_id),
        |g AS (
-       |  SELECT biz_a, biz_b, COUNT(*) AS n_common, COUNT(*)::DOUBLE AS n,
-       |         ${ds("sa", 6)} AS sx, ${ds("sb", 6)} AS sy,
-       |         ${Cross.dxsumSql("sa", "sa")} AS sxx, ${Cross.dxsumSql("sb", "sb")} AS syy,
-       |         ${Cross.dxsumSql("sa", "sb")} AS sxy
+       |  SELECT biz_a, biz_b, COUNT(*) AS n_common,
+       |         SUM(sa6)::BIGINT AS sx6, SUM(sb6)::BIGINT AS sy6,
+       |         SUM(sa6 * sa6)::BIGINT AS sxx12, SUM(sb6 * sb6)::BIGINT AS syy12,
+       |         SUM(sa6 * sb6)::BIGINT AS sxy12
        |  FROM co GROUP BY biz_a, biz_b HAVING COUNT(*) >= $minCorated),
        |sq AS (
-       |  SELECT business_id, ${Cross.dxsumSql("stars", "stars")} AS sumsq, COUNT(*) AS n
-       |  FROM rdedup GROUP BY business_id),
+       |  SELECT business_id, SUM(s6 * s6)::BIGINT::DOUBLE / 1e12 AS sumsq, COUNT(*) AS n
+       |  FROM (SELECT business_id, round(stars * 1e6)::BIGINT AS s6 FROM rdedup) t
+       |  GROUP BY business_id),
        |weights AS (
        |  SELECT biz_a, biz_b, n_common,
-       |    round((CASE WHEN (g.n * sxx - sx * sx) * (g.n * syy - sy * sy) <= 0 THEN 0.0
-       |          ELSE (g.n * sxy - sx * sy) /
-       |               sqrt((g.n * sxx - sx * sx) * (g.n * syy - sy * sy)) END) + 1e-9, 6) AS pearson,
-       |    round((sxy / (sqrt(qa.sumsq) * sqrt(qb.sumsq))) + 1e-9, 6) AS cosine,
+       |    round((CASE WHEN (n_common::DOUBLE * (sxx12::DOUBLE / 1e12) - (sx6::DOUBLE / 1e6) * (sx6::DOUBLE / 1e6))
+       |                   * (n_common::DOUBLE * (syy12::DOUBLE / 1e12) - (sy6::DOUBLE / 1e6) * (sy6::DOUBLE / 1e6)) <= 0.0 THEN 0.0
+       |          ELSE (n_common::DOUBLE * (sxy12::DOUBLE / 1e12) - (sx6::DOUBLE / 1e6) * (sy6::DOUBLE / 1e6)) /
+       |               sqrt((n_common::DOUBLE * (sxx12::DOUBLE / 1e12) - (sx6::DOUBLE / 1e6) * (sx6::DOUBLE / 1e6))
+       |                  * (n_common::DOUBLE * (syy12::DOUBLE / 1e12) - (sy6::DOUBLE / 1e6) * (sy6::DOUBLE / 1e6))) END) + 1e-9, 6) AS pearson,
+       |    round(((sxy12::DOUBLE / 1e12) / (sqrt(qa.sumsq) * sqrt(qb.sumsq))) + 1e-9, 6) AS cosine,
        |    round((n_common::DOUBLE / (qa.n + qb.n - n_common)::DOUBLE) + 1e-9, 6) AS jaccard
        |  FROM g
        |  JOIN sq qa ON biz_a = qa.business_id

@@ -31,6 +31,16 @@ object ModelIO {
     spark.read.json(path)
       .select(col("user_id"), col("business_id"), col("stars").as("pred"))
 
+  /** CSV pair-weights table (S6 — reference models/item_cf_model.py:194
+    * writes b1,b2,pears,cos,jacc via pandas). */
+  def saveCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CSV scan with header (S3 — reference utils/misc.py:48-56 skips the
+    * header by zipWithIndex; the built-in reader does it natively). */
+  def loadCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
   def saveAls(model: org.apache.spark.ml.recommendation.ALSModel, path: String): Unit =
     model.write.overwrite().save(path)
 

@@ -32,6 +32,34 @@ class PipelineSpec extends SparkSpec {
     assert(rmse >= 0.0 && rmse < 5.0)
   }
 
+  test("ALS with randomSplit holdout evaluates (R7) and sparse TF-IDF path runs (R3)") {
+    val r = Recommender.dedupReviews(Tables.reviews(spark, sf()))
+    val Array(train, holdout) = r.randomSplit(Array(0.9, 0.1), seed = 42L)
+    val m = AlsModel.fit(train, AlsModel.Params(rank = 4, maxIter = 3))
+    val rmse = AlsModel.evaluate(m, holdout)
+    assert(rmse > 0.0 && rmse < 5.0)
+    // 3 docs so a df=2 term gets idf = ln(4/3) > 0 (mllib's smoothed log
+    // zeroes out df = N terms in a 2-doc corpus).
+    val sparse = graft.model.ContentBased.hashingTfidf(
+      Seq((1L, "spark engine spark"), (2L, "engine room"), (3L, "cooking pasta"))
+        .toDF("business_id", "text"), 64)
+    assert(sparse.count() == 3)
+    assert(sparse.head().getAs[org.apache.spark.ml.linalg.Vector]("tfidf").numNonzeros > 0)
+  }
+
+  test("csv round-trip and per-decision rmse breakdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val w = Seq((1L, 2L, 0.5)).toDF("biz_a", "biz_b", "w")
+    graft.sources.ModelIO.saveCsv(w, s"$dir/w")
+    assert(graft.sources.ModelIO.loadCsv(spark, s"$dir/w").count() == 1)
+    val preds = Seq((1L, 10L, 4.0, "geometric"), (2L, 11L, 2.0, "cold_start"))
+      .toDF("user_id", "business_id", "pred", "decision")
+    val gt = Seq((1L, 10L, 5.0), (2L, 11L, 2.0)).toDF("user_id", "business_id", "stars")
+    val by = Recommender.rmseByDecision(preds, gt).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(by("geometric") == 1.0 && by("cold_start") == 0.0)
+  }
+
   test("hybrid GBT predicts finite values") {
     val reviews = Tables.reviews(spark, sf())
     val fitted = HybridModel.fit(reviews,

@@ -25,6 +25,19 @@ class VectorFnsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("native vector_dot is bit-identical to the fold implementation") {
+    val vecs = Seq(
+      (Seq(0.1f, -2.5f, 3.25f, 1e-7f), Seq(4f, 0.33f, -1.75f, 2e6f)),
+      (Seq(1f, 2f), Seq(3f, 4f)),
+      (Seq.empty[Float], Seq.empty[Float]))
+    vecs.foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(VectorFns.dot(col("a"), col("b"))).head().getDouble(0)
+      val fold = df.select(VectorFns.dotFold(col("a"), col("b"))).head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(native) == java.lang.Double.doubleToLongBits(fold))
+    }
+  }
+
   test("sqDistLit is zero at the centroid and positive elsewhere") {
     val df = Seq(Seq(1f, 2f)).toDF("a")
     assert(df.select(VectorFns.sqDistLit(col("a"), Array(1.0, 2.0))).head().getDouble(0) == 0.0)
