@@ -137,5 +137,43 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35)
+  /** The SelfSimilarityJoin logical operator (custom Catalyst node +
+    * optimizer expansion rule) over document shingles, thresholded —
+    * same oracle algebra as q32 plus the jaccard cut. */
+  val q36 = QueryDef(
+    "q36_similarity_join_op",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.doc_a AS id_a, c.doc_b AS id_b,
+       |    round((COALESCE(i.i, 0)::DOUBLE /
+       |          (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |  JOIN sizes sa ON c.doc_a = sa.doc_id
+       |  JOIN sizes sb ON c.doc_b = sb.doc_id) t
+       |WHERE jaccard >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val items = Dedup.shingleSet(graft.core.Tables.documents(spark, dir), ShingleN)
+      .select(col("doc_id").as("id"), col("sh").as("token"))
+    graft.plans.SimilarityJoinSupport.selfSimilarityJoin(items, minJaccard = 0.3, K, R)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36)
 }

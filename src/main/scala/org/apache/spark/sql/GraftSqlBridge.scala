@@ -13,4 +13,7 @@ object GraftSqlBridge {
 
   def toColumn(e: Expression): Column =
     Column(classic.ExpressionColumnNode(e))
+
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -44,6 +44,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("SelfSimilarityJoin logical operator expands to the LSH pipeline") {
+    val items = Seq(
+      (10L, "a"), (10L, "b"), (10L, "c"),
+      (20L, "a"), (20L, "b"), (20L, "c"),
+      (30L, "x"), (30L, "y")).toDF("id", "token")
+    val viaOperator = graft.plans.SimilarityJoinSupport
+      .selfSimilarityJoin(items, minJaccard = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val direct = graft.operators.Lsh
+      .candidatePairs(spark, items, 16, 2, 0.5)
+      .orderBy("id_a", "id_b").collect()
+    assert(viaOperator.toSeq == direct.toSeq)
+    assert(viaOperator.length == 1 && viaOperator.head.getDouble(2) == 1.0)
+    // downstream operators compose above the logical node
+    val filtered = graft.plans.SimilarityJoinSupport
+      .selfSimilarityJoin(items, minJaccard = 0.5)
+      .filter(col("id_a") === 10L).select("id_b").collect()
+    assert(filtered.map(_.getLong(0)).toSeq == Seq(20L))
+  }
+
   test("generic Lsh candidatePairs works on arbitrary id/token sets") {
     val items = Seq(
       (10L, "a"), (10L, "b"), (10L, "c"),
