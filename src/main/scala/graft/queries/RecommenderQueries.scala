@@ -219,5 +219,30 @@ object RecommenderQueries {
     Recommender.rmse(preds, gt)
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
+  /** A13/A14: per-user rating map (reference builds driver dicts
+    * {biz: stars}, models/item_cf_model.py:346-353); emitted as a sorted
+    * entry string so map ordering cannot affect the hash compare. */
+  val q69 = QueryDef(
+    "q69_user_rating_maps",
+    s"""WITH $reviewsCte,
+       |$rdedupCte
+       |SELECT user_id, COUNT(*) AS n_rated,
+       |  string_agg(business_id::VARCHAR || '=' || stars::VARCHAR, ','
+       |             ORDER BY business_id) AS ratings
+       |FROM rdedup
+       |WHERE user_id % 101 = 0
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Recommender.dedupReviews(Tables.reviews(spark, dir))
+      .filter(pmod(col("user_id"), lit(101)) === 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rated"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("business_id"),
+            concat(col("business_id").cast("string"), lit("="), col("stars").cast("string")).as("e")))),
+          s => s.getField("e"))).as("ratings"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69)
 }
