@@ -44,6 +44,22 @@ object AlsModel {
         .otherwise(col("prediction").cast("double")).as("pred"))
   }
 
+  /** Grid search over rank × regParam on a seeded 90/10 split, best RMSE
+    * wins (reference scripts/train_als.py:89-99 greed: rank {40,50} ×
+    * reg {0.2,0.4}; sizes are caller-chosen here). */
+  def gridSearch(reviews: DataFrame, ranks: Seq[Int], regs: Seq[Double],
+      maxIter: Int = 5, seed: Long = 42L): (Params, Double, ALSModel) = {
+    val Array(train, holdout) = reviews.randomSplit(Array(0.9, 0.1), seed)
+    train.cache(); holdout.cache()
+    val results = for (r <- ranks; reg <- regs) yield {
+      val p = Params(rank = r, maxIter = maxIter, regParam = reg, seed = seed)
+      val m = fit(train, p)
+      (p, evaluate(m, holdout), m)
+    }
+    train.unpersist(); holdout.unpersist()
+    results.minBy(_._2)
+  }
+
   /** RMSE on a labeled holdout via MLlib's RegressionEvaluator (R1). */
   def evaluate(model: ALSModel, labeled: DataFrame): Double = {
     val scored = predict(model, labeled.select("user_id", "business_id"))

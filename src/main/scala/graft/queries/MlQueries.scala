@@ -87,5 +87,30 @@ object MlQueries {
       .orderBy("user_id", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q80, q81, q82, q90, q91)
+  /** Stateful sessionization (flatMapGroupsWithState fold) — identical
+    * sessions to the q51 window formulation, same oracle. */
+  val q92 = QueryDef(
+    "q92_stateful_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       MIN(sec) AS start_sec, MAX(sec) AS end_sec
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.Sessionize.sessionizeBatch(
+        graft.streaming.Sessionize.eventsDataset(spark, dir))
+      .orderBy("user_id", "session_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81, q82, q90, q91, q92)
 }

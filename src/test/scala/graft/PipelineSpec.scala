@@ -47,6 +47,15 @@ class PipelineSpec extends SparkSpec {
     assert(sparse.head().getAs[org.apache.spark.ml.linalg.Vector]("tfidf").numNonzeros > 0)
   }
 
+  test("ALS grid search picks the lowest-rmse combination") {
+    val r = Recommender.dedupReviews(Tables.reviews(spark, sf()))
+    val (best, rmse, model) = AlsModel.gridSearch(r,
+      ranks = Seq(2, 4), regs = Seq(0.2, 0.6), maxIter = 2)
+    assert(rmse > 0.0 && rmse < 5.0)
+    assert(Seq(2, 4).contains(best.rank) && Seq(0.2, 0.6).contains(best.regParam))
+    assert(model.rank == best.rank)
+  }
+
   test("csv round-trip and per-decision rmse breakdown") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val w = Seq((1L, 2L, 0.5)).toDF("biz_a", "biz_b", "w")
@@ -90,6 +99,27 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val b = batch.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(s == b)
+  }
+
+  test("stateful sessionization: stream emits the closed subset of batch") {
+    import graft.streaming.Sessionize
+    val events = Sessionize.eventsDataset(spark, sf())
+    val batch = Sessionize.sessionizeBatch(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val q = Sessionize.sessionizedStream(events.sparkSession.readStream
+        .schema(graft.streaming.EventStreams.eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf())
+        .withColumn("sec", expr("ts div 1000000000"))
+        .select(col("user_id"), col("event_id"), col("sec")).as[Sessionize.Event])
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v) } // closed ⊆ batch
+    // batch-only leftovers are exactly the final open session per user
+    val openOnly = batch.keySet -- streamed.keySet
+    assert(openOnly.groupBy(_._1).forall { case (_, ks) => ks.size == 1 })
   }
 
   test("multimodal chunks reassemble to the original payload") {
