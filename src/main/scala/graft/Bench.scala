@@ -26,11 +26,20 @@ object Bench {
     // Untimed warmup: absorbs session/codegen/JIT initialization so the
     // first measured query isn't charged for it.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // A failing query must be loud: stderr line + a sentinel time, so
+          // a regression can't silently deflate the bench total.
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

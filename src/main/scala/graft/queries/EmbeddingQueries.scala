@@ -59,8 +59,12 @@ object EmbeddingQueries {
        |  FROM normed a JOIN normed b
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE a.ne IS NOT NULL AND b.ne IS NOT NULL) t
-       |WHERE cos >= 0.98
+       |WHERE cos >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+    // Threshold 0.35, not a production-style 0.9+: the synthetic embeddings
+    // are near-uniform (max same-label cosine at sf0.01 is 0.47), so any
+    // high cut yields the empty set and the gate proves nothing (round-1
+    // verdict). 0.35 verifies ~26 genuine pairs at sf0.01.
     val normed = Tables.embeddings(spark, dir)
       .withColumn("nrm", VectorFns.norm2(col("embedding")))
       .filter(col("nrm") > 0.0)
@@ -69,7 +73,7 @@ object EmbeddingQueries {
     val a = normed.as("a"); val b = normed.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", VectorFns.dot(col("a.ne"), col("b.ne")))
-      .filter(col("cos") >= 0.98)
+      .filter(col("cos") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Cross.r6(col("cos")).as("cos"))
       .orderBy("vec_a", "vec_b")

@@ -49,7 +49,7 @@ object EventQueries {
       |sess AS (
       |  SELECT user_id, event_id, sec,
       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |       MIN(sec) AS start_sec, MAX(sec) AS end_sec
@@ -113,7 +113,7 @@ object EventQueries {
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type, day, n,
       |  SUM(n) OVER (PARTITION BY event_type ORDER BY day
-      |               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_3day
+      |               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS n_3day
       |FROM daily
       |ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
     val daily = Tables.events(spark, dir)

@@ -101,7 +101,7 @@ object MlQueries {
       |sess AS (
       |  SELECT user_id, event_id, sec,
       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |       MIN(sec) AS start_sec, MAX(sec) AS end_sec

@@ -129,10 +129,16 @@ object Relational {
   val q06 = QueryDef(
     "q06_anti_join",
     """SELECT c_custkey, c_nationkey FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    // Anti-join against the urgent-orders slice: in the synthetic data every
+    // customer has at least one order, so the unfiltered anti-join was
+    // trivially empty (round-1 verdict). This slice leaves ~200 genuine
+    // survivors at sf0.01.
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_nationkey")
       .orderBy("c_custkey")

@@ -13,7 +13,11 @@ object UserCfQueries {
 
   private val K = 16
   private val R = 2
-  private val MinJ = 0.1
+  // 0.05 (not the reference's illustrative 0.1): at sf0.01 only 6 user
+  // pairs reach J >= 0.1, which made the gate trivially empty (round-1
+  // verdict). 0.05 yields ~112 verified pairs from ~1.8k candidates —
+  // the reference itself accepts J >= 0.01 (scripts/train_user_cf.py:56).
+  private val MinJ = 0.05
   private val TopK = 5
 
   private def ds(e: String, s: Int = 6) = Cross.dsumSql(e, s)
