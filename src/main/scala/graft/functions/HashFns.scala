@@ -59,8 +59,12 @@ object HashFns {
 
   val happlySql: String = "((h_a * x + h_b) % 2147483647)"
 
-  /** 32-entry bit table (bit index, 2^bit) for SimHash decomposition. */
-  val simhashBits: Int = 32
+  /** SimHash sketch width: all 60 bits the md5-derived token hash carries
+    * (Cross.hash64 keeps 15 hex chars). Widened from 32 in round 1 — a
+    * wider sketch both sharpens the Hamming estimate and gives the
+    * pigeonhole blocking in Dedup.simhashPairs wider, more selective
+    * blocks for the same maxHamming. */
+  val simhashBits: Int = 60
   def bitTableDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (0 until simhashBits).map(j => (j, 1L << j)).toDF("bit", "p2")

@@ -102,21 +102,55 @@ object ContentBased {
       .select("business_id", "tfidf")
   }
 
+  /** M7 decision rules for the has-both-averages case (reference
+    * models/content_based_model.py:516-524, config-selected via
+    * hp_params.DECISION_RULE in config/config_content.json:8-15). */
+  sealed trait DecisionRule
+  object DecisionRule {
+    /** ū + slope·(cos − bias); reference defaults slope=0.7, bias=0.5. */
+    final case class Linear(slope: Double = 0.7, bias: Double = 0.5) extends DecisionRule
+    /** cos·ū + (1−cos)·b̄ — the reference's active default. */
+    case object Geometric extends DecisionRule
+    /** 5·cos. */
+    case object Constant extends DecisionRule
+  }
+
   /** Geometric decision rule + cold-start cascade (reference
     * models/content_based_model.py:509-530): both avgs → cos·ū+(1−cos)·b̄;
     * user only → ū; biz only → b̄; neither → 2.5. */
   def predict(pairs: DataFrame, reviews: DataFrame, userProf: DataFrame,
-      bizProf: DataFrame): DataFrame = {
+      bizProf: DataFrame): DataFrame =
+    predictRuled(pairs, reviews, userProf, bizProf, DecisionRule.Geometric)
+      .drop("decision")
+
+  /** M7/P10: prediction under a selectable decision rule, tagged with the
+    * `decision` branch that produced each row ('both', 'user_only',
+    * 'biz_only', 'cold') so the per-decision RMSE breakdown
+    * (Recommender.rmseByDecision) can re-filter like the reference's
+    * evaluator (scripts/evaluate.py:104-121). */
+  def predictRuled(pairs: DataFrame, reviews: DataFrame, userProf: DataFrame,
+      bizProf: DataFrame, rule: DecisionRule): DataFrame = {
     val withCos = profileCosine(pairs, userProf, bizProf)
+    val both = rule match {
+      case DecisionRule.Linear(slope, bias) =>
+        col("user_avg") + lit(slope) * (col("cos") - lit(bias))
+      case DecisionRule.Geometric =>
+        col("cos") * col("user_avg") + (lit(1.0) - col("cos")) * col("biz_avg")
+      case DecisionRule.Constant =>
+        lit(5.0) * col("cos")
+    }
+    val hasU = col("user_avg").isNotNull
+    val hasB = col("biz_avg").isNotNull
     withCos
       .join(Recommender.userAvg(reviews), Seq("user_id"), "left")
       .join(Recommender.bizAvg(reviews), Seq("business_id"), "left")
       .select(col("user_id"), col("business_id"), col("cos"),
+        when(hasU && hasB, "both").when(hasU, "user_only")
+          .when(hasB, "biz_only").otherwise("cold").as("decision"),
         Cross.r6(
-          when(col("user_avg").isNotNull && col("biz_avg").isNotNull,
-            col("cos") * col("user_avg") + (lit(1.0) - col("cos")) * col("biz_avg"))
-            .when(col("user_avg").isNotNull, col("user_avg"))
-            .when(col("biz_avg").isNotNull, col("biz_avg"))
+          when(hasU && hasB, both)
+            .when(hasU, col("user_avg"))
+            .when(hasB, col("biz_avg"))
             .otherwise(2.5)).as("pred"))
   }
 }

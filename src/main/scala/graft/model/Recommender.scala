@@ -53,10 +53,42 @@ object Recommender {
           (col("user_avg") + col("biz_avg")) / 2.0,
           col("user_avg"), col("biz_avg"), lit(2.5))).as("pred"))
 
+  /** Largest per-group term count for which the scaled-int64 moment sums
+    * (each term ≤ (5·10^6)² = 2.5·10^13) provably stay inside int64:
+    * 2^63 / 2.5·10^13 ≈ 3.68·10^5. Beyond this the non-ANSI long sum would
+    * wrap silently; the weight operators raise instead of emitting garbage. */
+  val MaxMomentTerms = 350000
+
+  /** Fail loudly (executor-side, codegen'd) if a moment-sum group exceeds
+    * the int64-safe bound — returns `v` unchanged otherwise. */
+  private def momentSafe(n: Column, v: Column): Column =
+    when(n > MaxMomentTerms, raise_error(
+      lit(s"graft: moment group exceeds $MaxMomentTerms ratings — " +
+        "int64 moment sums would overflow; cap baskets (maxBasket) or " +
+        "pre-filter frequent raters")))
+      .otherwise(v)
+
+  /** Skew guard for the user self-join (the quadratic step of the CF
+    * chain): cap every user's basket at `maxBasket` ratings, keeping a
+    * deterministic prefix (lowest business ids). One power user with 100k
+    * ratings would otherwise contribute 5·10^9 pairs inside a single join
+    * key — AQE splits oversized partitions but cannot split the per-key
+    * quadratic blowup itself. `maxBasket <= 0` disables the cap; a cap
+    * above the corpus' true max basket is a provable no-op (the gates run
+    * capped at 1024 against uncapped oracles and still hash-match). */
+  private def capBasket(r: DataFrame, maxBasket: Int): DataFrame =
+    if (maxBasket <= 0) r
+    else {
+      val w = Window.partitionBy("user_id").orderBy("business_id")
+      r.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= maxBasket).drop("_rk")
+    }
+
   /** Business pairs co-rated by ≥ `minCorated` users (P4/P7/J1): self-join
-    * on user, triangular predicate, grouped count. */
-  def coRatedPairs(reviews: DataFrame, minCorated: Int): DataFrame = {
-    val r = dedupReviews(reviews)
+    * on user, triangular predicate, grouped count. `maxBasket` bounds the
+    * per-user pair fan-out at maxBasket²/2 (see [[capBasket]]). */
+  def coRatedPairs(reviews: DataFrame, minCorated: Int, maxBasket: Int = 0): DataFrame = {
+    val r = capBasket(dedupReviews(reviews), maxBasket)
     r.as("a").join(r.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.business_id") < col("b.business_id"))
@@ -68,8 +100,8 @@ object Recommender {
   /** Item-item similarity weights over co-ratings: co-rated-only Pearson
     * (M2, reference utils/metrics.py:72-94), rating-vector cosine (M1/M3)
     * and rater-set Jaccard (X11), one grouped pass + two size joins. */
-  def pairWeights(reviews: DataFrame, minCorated: Int): DataFrame = {
-    val r = dedupReviews(reviews)
+  def pairWeights(reviews: DataFrame, minCorated: Int, maxBasket: Int = 0): DataFrame = {
+    val r = capBasket(dedupReviews(reviews), maxBasket)
     val co = r.as("a").join(r.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.business_id") < col("b.business_id"))
@@ -112,10 +144,61 @@ object Recommender {
       .join(sq.select(col("business_id").as("biz_a"), col("sumsq").as("qa"), col("n").as("na")), "biz_a")
       .join(sq.select(col("business_id").as("biz_b"), col("sumsq").as("qb"), col("n").as("nb")), "biz_b")
       .select(col("biz_a"), col("biz_b"), col("n_common"),
-        Cross.r6(col("pearson")).as("pearson"),
+        momentSafe(greatest(col("n_common"), col("na"), col("nb")),
+          Cross.r6(col("pearson"))).as("pearson"),
         Cross.r6(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))).as("cosine"),
         Cross.r6(col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
+  /** M3: dense Pearson — correlation of the two items' FULL user-dimension
+    * rating vectors, zeros for unrated users (scipy semantics; reference
+    * models/item_cf_model.py:154-157, config-selected at
+    * config/config_item_cf.json:8-11). Selectable alongside the co-rated
+    * variant [[pairWeights]], mirroring the reference's metric switch.
+    *
+    * Scale note — the densification is algebraic, not physical: with
+    * U = |users|, sx = Σ r_a, sxx = Σ r_a² (zero entries contribute
+    * nothing) and sxy = Σ_{co-raters} r_a·r_b,
+    *   pearson = (U·sxy − sx·sy) / √((U·sxx − sx²)(U·syy − sy²)).
+    * So no U-length vectors are ever materialized: one co-rated join for
+    * sxy, one per-item aggregate, one 1-row user count — the same cost as
+    * the co-rated variant. Moments accumulate as scaled int64 (see
+    * [[pairWeights]]); the oracle mirrors the identical integer algebra.
+    */
+  def pairWeightsDense(reviews: DataFrame, minCorated: Int, maxBasket: Int = 0): DataFrame = {
+    val r = capBasket(dedupReviews(reviews), maxBasket)
+    val r6 = r.select(col("user_id"), col("business_id"),
+      round(col("stars") * 1e6).cast("long").as("s6"))
+    val co = r6.as("a").join(r6.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.business_id") < col("b.business_id"))
+      .select(col("a.business_id").as("biz_a"), col("b.business_id").as("biz_b"),
+        col("a.s6").as("sa6"), col("b.s6").as("sb6"))
+    val g = co.groupBy("biz_a", "biz_b")
+      .agg(count(lit(1)).as("n_common"), sum(col("sa6") * col("sb6")).as("sxy12"))
+      .filter(col("n_common") >= minCorated)
+    val it = r6.groupBy("business_id")
+      .agg(sum(col("s6")).as("sx6"), sum(col("s6") * col("s6")).as("sxx12"),
+        count(lit(1)).as("nr"))
+    val users = r.agg(countDistinct(col("user_id")).as("nu"))
+    g.join(it.select(col("business_id").as("biz_a"),
+        col("sx6").as("xa6"), col("sxx12").as("xaa12"), col("nr").as("nra")), "biz_a")
+      .join(it.select(col("business_id").as("biz_b"),
+        col("sx6").as("xb6"), col("sxx12").as("xbb12"), col("nr").as("nrb")), "biz_b")
+      .crossJoin(broadcast(users))
+      .select(col("biz_a"), col("biz_b"), col("n_common"), {
+        val nu = col("nu").cast("double")
+        val sx = col("xa6").cast("double") / 1e6
+        val sy = col("xb6").cast("double") / 1e6
+        val sxx = col("xaa12").cast("double") / 1e12
+        val syy = col("xbb12").cast("double") / 1e12
+        val sxy = col("sxy12").cast("double") / 1e12
+        val prod = (nu * sxx - sx * sx) * (nu * syy - sy * sy)
+        momentSafe(greatest(col("n_common"), col("nra"), col("nrb")),
+          Cross.r6(guardNaN(when(prod <= 0.0, lit(0.0))
+            .otherwise((nu * sxy - sx * sy) / sqrt(prod))))).as("pearson_dense")
+      })
   }
 
   /** Zero out NaN/null similarity (zero-variance co-rating groups). */

@@ -125,23 +125,51 @@ object Dedup {
       .select(col("doc_id"), simExpr.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on any equal sketch byte, then filter
-    * by Hamming distance (bit_count of xor). */
-  def simhashNearDups(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
-    import spark.implicits._
-    val sh = simhash(spark, docs)
-    val bytes = sh.crossJoin(broadcast((0 until 4).toDF("byte_idx")))
-      .select(col("doc_id"), col("simhash"), col("byte_idx"),
-        expr("(simhash div cast(pow(256, byte_idx) as bigint)) % 256").as("byte_val"))
-    val cands = bytes.as("a").join(bytes.as("b"),
-        col("a.byte_idx") === col("b.byte_idx") && col("a.byte_val") === col("b.byte_val") &&
+  /** Pigeonhole block layout for [[simhashPairs]]: `maxHamming + 1` blocks
+    * partitioning the sketch's bit range as evenly as possible. Any pair
+    * within Hamming ≤ maxHamming can differ in at most maxHamming blocks,
+    * so it MUST share at least one — the blocking is recall-lossless for
+    * the requested distance by construction (round 1 hardcoded 4 byte
+    * blocks, which silently lost recall for maxHamming ≥ 4).
+    * Returns (blockIdx, divisor = 2^startBit, modulus = 2^blockWidth). */
+  def blockSpec(maxHamming: Int): Seq[(Int, Long, Long)] = {
+    val w = HashFns.simhashBits
+    val n = maxHamming + 1
+    require(maxHamming >= 0 && n <= w,
+      s"maxHamming must be in [0, ${w - 1}]: the $w-bit sketch supports at most $w blocks")
+    (0 until n).map { j =>
+      val start = j * w / n
+      val end = (j + 1) * w / n
+      (j, 1L << start, 1L << (end - start))
+    }
+  }
+
+  /** SimHash near-dup candidate pairs from a (doc_id, simhash) sketch
+    * table: block-equality join over the pigeonhole layout, then the exact
+    * Hamming filter (bit_count of xor). Block count derives from the
+    * requested distance, so recall is guaranteed at any `maxHamming`;
+    * block width w/(maxHamming+1) keeps buckets selective (e.g. 20-bit
+    * blocks at maxHamming=2 → ~10^6 bucket values, vs 256 for bytes). */
+  def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val blockCols = blockSpec(maxHamming).map { case (j, d, m) =>
+      struct(lit(j).as("blk"), expr(s"(simhash div ${d}L) % ${m}L").as("bv"))
+    }
+    val blocks = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .distinct()
-    cands
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** SimHash near-dup pairs over documents (sketch + [[simhashPairs]]). */
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairs(simhash(spark, docs), maxHamming)
 }

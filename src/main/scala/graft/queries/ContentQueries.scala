@@ -157,5 +157,130 @@ object ContentQueries {
       .orderBy("user_id", "business_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q70, q71, q72)
+  /** Shared predict-side CTEs: pairs grid, cosine, averages, decision tag.
+    * The grid mixes known ids with shifted ids that have no review history
+    * so all four decision branches (both/user_only/biz_only/cold) actually
+    * occur — a grid of only-known ids would land every row in 'both'. */
+  private val predictCtes =
+    s"""pu AS (
+       |  SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 19 = 0
+       |  UNION ALL
+       |  SELECT c_custkey + 10000000 FROM customer WHERE c_custkey % 97 = 0),
+       |pb AS (
+       |  SELECT p_partkey AS business_id FROM part WHERE p_partkey % 23 = 0
+       |  UNION ALL
+       |  SELECT p_partkey + 10000000 FROM part WHERE p_partkey % 101 = 0),
+       |pairs AS (SELECT user_id, business_id FROM pu CROSS JOIN pb),
+       |dots AS (
+       |  SELECT p.user_id, p.business_id, ${Cross.dxsumSql("uw", "w")} AS dot
+       |  FROM pairs p
+       |  JOIN uprof u ON p.user_id = u.user_id
+       |  JOIN bprof b ON b.business_id = p.business_id AND b.term = u.term
+       |  GROUP BY p.user_id, p.business_id),
+       |un AS (SELECT user_id, ${Cross.dxsumSql("uw", "uw")} AS usq FROM uprof GROUP BY user_id),
+       |bn AS (SELECT business_id, ${Cross.dxsumSql("w", "w")} AS bsq FROM bprof GROUP BY business_id),
+       |cosed AS (
+       |  SELECT p.user_id, p.business_id,
+       |    round((CASE WHEN dot IS NULL OR usq IS NULL OR bsq IS NULL
+       |                    OR usq = 0.0 OR bsq = 0.0 THEN 0.0
+       |          ELSE dot / (sqrt(usq) * sqrt(bsq)) END) + 1e-9, 6) AS cos
+       |  FROM pairs p
+       |  LEFT JOIN dots d ON p.user_id = d.user_id AND p.business_id = d.business_id
+       |  LEFT JOIN un ON p.user_id = un.user_id
+       |  LEFT JOIN bn ON p.business_id = bn.business_id),
+       |uavg AS (SELECT user_id, ${Cross.dsumSql("stars", 2)} / COUNT(*) AS user_avg
+       |         FROM reviews GROUP BY user_id),
+       |bavg AS (SELECT business_id, ${Cross.dsumSql("stars", 2)} / COUNT(*) AS biz_avg
+       |         FROM reviews GROUP BY business_id),
+       |sel AS (
+       |  SELECT c.user_id, c.business_id, c.cos, user_avg, biz_avg,
+       |    CASE WHEN user_avg IS NOT NULL AND biz_avg IS NOT NULL THEN 'both'
+       |         WHEN user_avg IS NOT NULL THEN 'user_only'
+       |         WHEN biz_avg IS NOT NULL THEN 'biz_only'
+       |         ELSE 'cold' END AS decision
+       |  FROM cosed c
+       |  LEFT JOIN uavg u ON c.user_id = u.user_id
+       |  LEFT JOIN bavg b ON c.business_id = b.business_id)""".stripMargin
+
+  private def ruleSql(rule: String, bothExpr: String) =
+    s"""SELECT '$rule' AS rule, user_id, business_id, cos, decision,
+       |  round((CASE WHEN decision = 'both' THEN $bothExpr
+       |        WHEN decision = 'user_only' THEN user_avg
+       |        WHEN decision = 'biz_only' THEN biz_avg
+       |        ELSE 2.5 END) + 1e-9, 6) AS pred FROM sel""".stripMargin
+
+  private def sharedInputs(spark: SparkSession, dir: String) = {
+    val tfidf = ContentBased.bizTfidf(bizTextDF(spark, dir)).cache()
+    val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V)).cache()
+    val reviews = Tables.reviews(spark, dir)
+    val userProf = ContentBased.userProfiles(reviews, bizProf).cache()
+    val c = Tables.customer(spark, dir)
+    val p = Tables.part(spark, dir)
+    val pu = c.filter(pmod(col("c_custkey"), lit(19)) === 0)
+      .select(col("c_custkey").as("user_id"))
+      .union(c.filter(pmod(col("c_custkey"), lit(97)) === 0)
+        .select((col("c_custkey") + 10000000L).as("user_id")))
+    val pb = p.filter(pmod(col("p_partkey"), lit(23)) === 0)
+      .select(col("p_partkey").as("business_id"))
+      .union(p.filter(pmod(col("p_partkey"), lit(101)) === 0)
+        .select((col("p_partkey") + 10000000L).as("business_id")))
+    (reviews, userProf, bizProf, pu.crossJoin(pb))
+  }
+
+  /** M7: all three decision rules (linear slope=0.7 bias=0.5, geometric,
+    * constant — reference models/content_based_model.py:516-524 +
+    * config/config_content.json defaults), tagged with the decision branch. */
+  val q75 = QueryDef(
+    "q75_content_rules",
+    s"""WITH $bizTextCte,
+       |$reviewsCtes,
+       |$tfidfCtes,
+       |$profileCtes,
+       |$predictCtes
+       |SELECT rule, user_id, business_id, cos, decision, pred FROM (
+       |${ruleSql("constant", "5.0 * cos")}
+       |UNION ALL
+       |${ruleSql("geometric", "cos * user_avg + (1.0 - cos) * biz_avg")}
+       |UNION ALL
+       |${ruleSql("linear", "user_avg + 0.7 * (cos - 0.5)")}) t
+       |ORDER BY rule, user_id, business_id""".stripMargin) { (spark, dir) =>
+    import ContentBased.DecisionRule
+    val (reviews, userProf, bizProf, pairs) = sharedInputs(spark, dir)
+    Seq("constant" -> DecisionRule.Constant,
+        "geometric" -> DecisionRule.Geometric,
+        "linear" -> DecisionRule.Linear())
+      .map { case (nm, rule) =>
+        ContentBased.predictRuled(pairs, reviews, userProf, bizProf, rule)
+          .select(lit(nm).as("rule"), col("user_id"), col("business_id"),
+            col("cos"), col("decision"), col("pred"))
+      }
+      .reduce(_ union _)
+      .orderBy("rule", "user_id", "business_id")
+  }
+
+  /** P10: per-decision-branch RMSE breakdown of the geometric rule against
+    * the observed ratings (reference scripts/evaluate.py:104-121). */
+  val q76 = QueryDef(
+    "q76_rmse_by_decision",
+    s"""WITH $bizTextCte,
+       |$reviewsCtes,
+       |$tfidfCtes,
+       |$profileCtes,
+       |$predictCtes,
+       |preds AS (${ruleSql("geometric", "cos * user_avg + (1.0 - cos) * biz_avg")})
+       |SELECT decision,
+       |  round((sqrt(${ds("(pred - stars) * (pred - stars)")} / COUNT(*))) + 1e-9, 6) AS rmse,
+       |  COUNT(*) AS n
+       |FROM preds JOIN rdedup USING (user_id, business_id)
+       |GROUP BY decision
+       |ORDER BY decision""".stripMargin) { (spark, dir) =>
+    val (reviews, userProf, bizProf, pairs) = sharedInputs(spark, dir)
+    val preds = ContentBased.predictRuled(pairs, reviews, userProf, bizProf,
+      ContentBased.DecisionRule.Geometric)
+    val gt = graft.model.Recommender.dedupReviews(reviews)
+    graft.model.Recommender.rmseByDecision(preds, gt)
+      .orderBy("decision")
+  }
+
+  val all: Seq[QueryDef] = Seq(q70, q71, q72, q75, q76)
 }

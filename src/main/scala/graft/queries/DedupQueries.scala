@@ -112,7 +112,12 @@ object DedupQueries {
     Dedup.simhash(spark, graft.core.Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
-  /** SimHash near-dups: byte blocking + Hamming filter. */
+  /** SimHash near-dups: pigeonhole blocking (maxHamming+1 blocks, derived
+    * via Dedup.blockSpec so recall is guaranteed) + exact Hamming filter. */
+  private val q35MaxHamming = 2
+  private val q35Blocks = Dedup.blockSpec(q35MaxHamming)
+    .map { case (j, d, m) => s"($j, ${d}, ${m})" }
+    .mkString("(VALUES ", ", ", ") AS t(j, d, m)")
   val q35 = QueryDef(
     "q35_simhash_neardup",
     s"""WITH tk AS (
@@ -120,20 +125,55 @@ object DedupQueries {
        |hx AS (SELECT doc_id, ${Cross.hash64Sql("t")} AS x FROM tk),
        |sim AS (SELECT doc_id, ${HashFns.simhashAggSql} AS simhash
        |        FROM hx GROUP BY doc_id),
-       |bytes AS (
-       |  SELECT doc_id, simhash, j,
-       |         (simhash // CAST(pow(256, j) AS BIGINT)) % 256 AS bv
-       |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)),
+       |blocks AS (
+       |  SELECT doc_id, simhash, j, (simhash // d) % m AS bv
+       |  FROM sim CROSS JOIN $q35Blocks),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM bytes a JOIN bytes b
+       |  FROM blocks a JOIN blocks b
        |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
        |FROM cand
-       |WHERE bit_count(xor(sim_a, sim_b)) <= 2
+       |WHERE bit_count(xor(sim_a, sim_b)) <= $q35MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    Dedup.simhashNearDups(spark, graft.core.Tables.documents(spark, dir), 2)
+    Dedup.simhashNearDups(spark, graft.core.Tables.documents(spark, dir), q35MaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X10 AND-amplification: the reference's MinHashLSH candidate gate
+    * requires the FULL K-hash tuple to match (models/item_cf_model.py:
+    * 131-134 groups by the whole signature), not any-band OR semantics.
+    * Expressed with the same banded operator at rowsPerBand = K — a single
+    * band spanning all K signatures IS the AND gate. */
+  val q37 = QueryDef(
+    "q37_lsh_and_pairs",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $K AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $K),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  round((COALESCE(i.i, 0)::DOUBLE /
+       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |JOIN sizes sa ON c.doc_a = sa.doc_id
+       |JOIN sizes sb ON c.doc_b = sb.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.minhashNearDups(spark, graft.core.Tables.documents(spark, dir), K, K, ShingleN)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -175,5 +215,5 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36)
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -92,7 +92,7 @@ object RecommenderQueries {
        |  ON a.user_id = b.user_id AND a.business_id < b.business_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
        |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
-    Recommender.coRatedPairs(Tables.reviews(spark, dir), 2)
+    Recommender.coRatedPairs(Tables.reviews(spark, dir), 2, maxBasket = 1024)
       .orderBy("biz_a", "biz_b")
   }
 
@@ -134,7 +134,7 @@ object RecommenderQueries {
        |${weightsCtes(3)}
        |SELECT biz_a, biz_b, n_common, pearson, cosine, jaccard FROM weights
        |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
-    Recommender.pairWeights(Tables.reviews(spark, dir), 3)
+    Recommender.pairWeights(Tables.reviews(spark, dir), 3, maxBasket = 1024)
       .orderBy("biz_a", "biz_b")
   }
 
@@ -154,9 +154,45 @@ object RecommenderQueries {
        |  FROM sym)
        |SELECT biz, rank, neighbor, w FROM ranked WHERE rank <= 5
        |ORDER BY biz, rank""".stripMargin) { (spark, dir) =>
-    Recommender.topNeighbors(Recommender.pairWeights(Tables.reviews(spark, dir), 2), "cosine", 5)
+    Recommender.topNeighbors(Recommender.pairWeights(Tables.reviews(spark, dir), 2, maxBasket = 1024), "cosine", 5)
       .select("biz", "rank", "neighbor", "w")
       .orderBy("biz", "rank")
+  }
+
+  /** M3: dense Pearson (full user dimension incl. zeros — scipy semantics,
+    * reference models/item_cf_model.py:154-157) via the algebraic identity
+    * pearson = (U·sxy − sx·sy)/√((U·sxx − sx²)(U·syy − sy²)) — no dense
+    * vectors are materialized on either engine. */
+  val q74 = QueryDef(
+    "q74_pearson_dense",
+    s"""WITH $reviewsCte,
+       |$rdedupCte,
+       |co AS (
+       |  SELECT a.business_id AS biz_a, b.business_id AS biz_b,
+       |         round(a.stars * 1e6)::BIGINT AS sa6, round(b.stars * 1e6)::BIGINT AS sb6
+       |  FROM rdedup a JOIN rdedup b
+       |    ON a.user_id = b.user_id AND a.business_id < b.business_id),
+       |g AS (
+       |  SELECT biz_a, biz_b, COUNT(*) AS n_common, SUM(sa6 * sb6)::BIGINT AS sxy12
+       |  FROM co GROUP BY biz_a, biz_b HAVING COUNT(*) >= 3),
+       |it AS (
+       |  SELECT business_id, SUM(s6)::BIGINT AS sx6, SUM(s6 * s6)::BIGINT AS sxx12
+       |  FROM (SELECT business_id, round(stars * 1e6)::BIGINT AS s6 FROM rdedup) t
+       |  GROUP BY business_id),
+       |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM rdedup)
+       |SELECT biz_a, biz_b, n_common,
+       |  round((CASE WHEN (nu::DOUBLE * (qa.sxx12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qa.sx6::DOUBLE / 1e6))
+       |                 * (nu::DOUBLE * (qb.sxx12::DOUBLE / 1e12) - (qb.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6)) <= 0.0 THEN 0.0
+       |        ELSE (nu::DOUBLE * (sxy12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6)) /
+       |             sqrt((nu::DOUBLE * (qa.sxx12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qa.sx6::DOUBLE / 1e6))
+       |                * (nu::DOUBLE * (qb.sxx12::DOUBLE / 1e12) - (qb.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6))) END) + 1e-9, 6) AS pearson_dense
+       |FROM g
+       |JOIN it qa ON biz_a = qa.business_id
+       |JOIN it qb ON biz_b = qb.business_id
+       |CROSS JOIN u
+       |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
+    Recommender.pairWeightsDense(Tables.reviews(spark, dir), 3, maxBasket = 1024)
+      .orderBy("biz_a", "biz_b")
   }
 
   /** M5: item-CF weighted-average prediction over the pair grid. */
@@ -192,7 +228,7 @@ object RecommenderQueries {
        |FROM scored
        |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
-    val nb = Recommender.topNeighbors(Recommender.pairWeights(r, 2), "cosine", 5)
+    val nb = Recommender.topNeighbors(Recommender.pairWeights(r, 2, maxBasket = 1024), "cosine", 5)
       .select("biz", "neighbor", "w")
     Recommender.itemCfPredict(pairsDF(spark, dir), Recommender.dedupReviews(r), nb)
       .orderBy("user_id", "business_id")
@@ -244,5 +280,5 @@ object RecommenderQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69)
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69, q74)
 }

@@ -64,6 +64,45 @@ class DedupSpec extends SparkSpec {
     assert(filtered.map(_.getLong(0)).toSeq == Seq(20L))
   }
 
+  test("simhashPairs blocking is recall-lossless at the requested distance") {
+    // Planted pair at Hamming = 4 with the differing bits spread across
+    // bits {0, 8, 16, 24} — under round 1's fixed 4-byte blocking these
+    // land in four DIFFERENT byte blocks, so the pair generated no
+    // candidate and was silently dropped. The pigeonhole layout
+    // (maxHamming+1 = 5 blocks) must find it.
+    val planted = (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24)
+    val sh = Seq((1L, 0L), (2L, planted)).toDF("doc_id", "simhash")
+    val found = Dedup.simhashPairs(sh, maxHamming = 4).collect()
+    assert(found.length == 1)
+    assert(found.head.getLong(0) == 1L && found.head.getLong(1) == 2L)
+    assert(found.head.get(2).toString.toInt == 4)
+    // the same pair is correctly OUT of range at maxHamming = 3
+    assert(Dedup.simhashPairs(sh, maxHamming = 3).collect().isEmpty)
+  }
+
+  test("simhashPairs matches brute force on the fixture docs") {
+    val sketches = Dedup.simhash(spark, docs).cache()
+    for (maxH <- Seq(2, 6, 10)) {
+      val blocked = Dedup.simhashPairs(sketches, maxH)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = sketches.as("a").join(sketches.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxH)
+        .select(col("a.doc_id"), col("b.doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute, s"recall mismatch at maxHamming=$maxH")
+    }
+  }
+
+  test("blockSpec rejects distances the sketch width cannot guarantee") {
+    intercept[IllegalArgumentException](Dedup.blockSpec(60))
+    intercept[IllegalArgumentException](Dedup.blockSpec(-1))
+    // every bit of the sketch is covered by exactly one block
+    val spec = Dedup.blockSpec(4)
+    assert(spec.map { case (_, _, m) => java.lang.Long.numberOfTrailingZeros(m) }.sum == 60)
+  }
+
   test("generic Lsh candidatePairs works on arbitrary id/token sets") {
     val items = Seq(
       (10L, "a"), (10L, "b"), (10L, "c"),

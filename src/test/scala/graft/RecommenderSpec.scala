@@ -45,6 +45,42 @@ class RecommenderSpec extends SparkSpec {
     assert(!got.contains((101L, 102L))) // only user 2 → below min
   }
 
+  test("basket cap above the max basket is a no-op; below it caps the fan-out") {
+    val uncapped = Recommender.coRatedPairs(reviews, 1).orderBy("biz_a", "biz_b").collect()
+    val wideCap = Recommender.coRatedPairs(reviews, 1, maxBasket = 100)
+      .orderBy("biz_a", "biz_b").collect()
+    assert(uncapped.toSeq == wideCap.toSeq)
+    // cap 2 keeps each user's two lowest business ids: user 2 loses 102,
+    // user 3 keeps (100, 102) — so (100,102) survives via user 3 only
+    val capped = Recommender.coRatedPairs(reviews, 1, maxBasket = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(capped((100L, 101L)) == 2L)
+    assert(capped((100L, 102L)) == 1L)
+    assert(!capped.contains((101L, 102L)))
+    // dense variant honors the same no-op contract
+    val d1 = Recommender.pairWeightsDense(reviews, 1).orderBy("biz_a", "biz_b").collect()
+    val d2 = Recommender.pairWeightsDense(reviews, 1, maxBasket = 100)
+      .orderBy("biz_a", "biz_b").collect()
+    assert(d1.toSeq == d2.toSeq)
+  }
+
+  test("dense Pearson matches a hand computation with zeros included") {
+    // items 100 and 101 over the full user dimension U=3:
+    // a = (4,5,4), b = (2,3,0)  [user 3 never rated 101]
+    // scipy pearsonr(a, b) with n=U=3
+    val got = Recommender.pairWeightsDense(reviews, 1)
+      .filter(col("biz_a") === 100L && col("biz_b") === 101L)
+      .select("pearson_dense").collect().head.getDouble(0)
+    val a = Seq(4.0, 5.0, 4.0); val b = Seq(2.0, 3.0, 0.0)
+    val n = 3.0
+    val (sx, sy) = (a.sum, b.sum)
+    val (sxx, syy) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+    val sxy = a.zip(b).map { case (x, y) => x * y }.sum
+    val expect = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(got - expect) < 1e-6)
+  }
+
   test("pairWeights: perfect positive correlation on aligned ratings") {
     val r = Seq(
       (1L, 10L, 1.0), (1L, 20L, 2.0),
