@@ -37,7 +37,22 @@ object Cli {
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
         .select(col("p_partkey").as("business_id")))
 
-  val models: Seq[String] = Seq("baseline", "itemcf", "usercf", "als", "hybrid")
+  val models: Seq[String] = Seq("baseline", "itemcf", "usercf", "content", "als", "hybrid")
+}
+
+/** S8: config-file driven training — the reference's `train.py
+  * --config config.json` surface. The model comes from the config's
+  * registry `class`, the artifact dir from its `mdl_file`.
+  * Usage: runMain graft.cli.TrainConfig <configPath> <sfDir> */
+object TrainConfig {
+  def main(args: Array[String]): Unit = {
+    val Array(cfgPath, sfDir) = args.take(2)
+    val spark = Cli.session()
+    val cfg = graft.sources.ConfigSource.load(spark, cfgPath)
+    val model = graft.sources.ConfigSource.modelKey(cfg)
+    spark.stop()
+    Train.main(Array(model, sfDir, cfg.mdlFile))
+  }
 }
 
 object Train {
@@ -61,6 +76,11 @@ object Train {
             .select("user_id", "neighbor", "w"),
           s"$artifactDir/similar_users")
         ModelIO.saveTable(Recommender.dedupReviews(reviews), s"$artifactDir/ratings")
+      case "content" =>
+        val tfidf = ContentBased.bizTfidf(Tables.bizText(spark, sfDir)).cache()
+        val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, 50))
+        ModelIO.saveTable(bizProf, s"$artifactDir/biz_prof")
+        ModelIO.saveTable(ContentBased.userProfiles(reviews, bizProf), s"$artifactDir/user_prof")
       case "als" =>
         ModelIO.saveAls(AlsModel.fit(Recommender.dedupReviews(reviews)), s"$artifactDir/als")
       case "hybrid" =>
@@ -94,6 +114,10 @@ object Predict {
         UserCF.predict(pairs,
           ModelIO.loadTable(spark, s"$artifactDir/ratings"),
           ModelIO.loadTable(spark, s"$artifactDir/similar_users"))
+      case "content" =>
+        ContentBased.predict(pairs, Tables.reviews(spark, sfDir),
+          ModelIO.loadTable(spark, s"$artifactDir/user_prof"),
+          ModelIO.loadTable(spark, s"$artifactDir/biz_prof"))
       case "als" =>
         AlsModel.predict(ModelIO.loadAls(s"$artifactDir/als"), pairs)
       case "hybrid" =>

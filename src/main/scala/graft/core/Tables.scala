@@ -40,6 +40,19 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
+  /** Business text for the content-based model: part p reads document
+    * p_partkey mod |documents| (deterministic stand-in for the reference's
+    * business corpus). Shared by the content gate queries and the CLI. */
+  def bizText(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = documents(spark, dir)
+    val n = docs.count()
+    part(spark, dir)
+      .select(col("p_partkey").as("business_id"), pmod(col("p_partkey"), lit(n)).as("doc_id"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .select("business_id", "text")
+  }
+
   /** Review-shaped projection of the star schema: (user, item, stars).
     * Stands in for the reference's `train_review.json` surface
     * (reference README.md:38) so the recommender operators have a

@@ -1,6 +1,7 @@
 package graft.model
 
 import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StringIndexer, StringIndexerModel}
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -42,6 +43,41 @@ object AlsModel {
     scored.select(col("user_id"), col("business_id"),
       when(isnan(col("prediction")) || col("prediction").isNull, 2.5)
         .otherwise(col("prediction").cast("double")).as("pred"))
+  }
+
+  /** A10: ALS over string-keyed reviews (real Yelp ids are strings).
+    * The reference builds contiguous int ids with zipWithIndex into
+    * driver-side dicts (scripts/train_als.py:55-57); here StringIndexer
+    * fits the id mapping distributed and serializable. handleInvalid
+    * "keep" maps ids unseen at fit time to one extra bucket, which ALS
+    * (coldStartStrategy "nan") scores NaN → the 2.5 repair — the same
+    * cold-start surface as the int-id path. */
+  final case class StringIdAls(
+      userIndex: StringIndexerModel, itemIndex: StringIndexerModel, model: ALSModel)
+
+  def fitStringIds(reviews: DataFrame, p: Params = Params()): StringIdAls = {
+    val ui = new StringIndexer().setInputCol("user_id").setOutputCol("user_idx")
+      .setHandleInvalid("keep").fit(reviews)
+    val bi = new StringIndexer().setInputCol("business_id").setOutputCol("item_idx")
+      .setHandleInvalid("keep").fit(reviews)
+    val indexed = bi.transform(ui.transform(reviews)).select(
+      col("user_idx").cast("int").as("user_id"),
+      col("item_idx").cast("int").as("business_id"),
+      col("stars"))
+    StringIdAls(ui, bi, fit(indexed, p))
+  }
+
+  /** Predict for string-keyed (user_id, business_id) pairs; unseen ids
+    * and NaN factors fall back to 2.5 like [[predict]]. */
+  def predictStringIds(m: StringIdAls, pairs: DataFrame): DataFrame = {
+    val idx = m.itemIndex.transform(m.userIndex.transform(pairs))
+      .select(col("user_id"), col("business_id"),
+        col("user_idx").cast("int").as("user"),
+        col("item_idx").cast("int").as("item"))
+    m.model.transform(idx)
+      .select(col("user_id"), col("business_id"),
+        when(isnan(col("prediction")) || col("prediction").isNull, 2.5)
+          .otherwise(col("prediction").cast("double")).as("pred"))
   }
 
   /** Grid search over rank × regParam on a seeded 90/10 split, best RMSE

@@ -63,14 +63,8 @@ object ContentQueries {
        |  SELECT user_id, term, round((sw / n_rated::DOUBLE) + 1e-9, 6) AS uw
        |  FROM up1 JOIN nrated USING (user_id))""".stripMargin
 
-  private def bizTextDF(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val n = docs.count()
-    Tables.part(spark, dir)
-      .select(col("p_partkey").as("business_id"), pmod(col("p_partkey"), lit(n)).as("doc_id"))
-      .join(docs.select("doc_id", "text"), "doc_id")
-      .select("business_id", "text")
-  }
+  private def bizTextDF(spark: SparkSession, dir: String): DataFrame =
+    Tables.bizText(spark, dir)
 
   /** T1/A6: top-V vocabulary by max TF-IDF. */
   val q70 = QueryDef(

@@ -64,6 +64,63 @@ object MlQueries {
       .orderBy("user_a", "user_b")
   }
 
+  /** R3: MLlib HashingTF + IDF sparse path (rows-only: MLlib's murmur
+    * feature hashing and smoothed-log IDF are not DuckDB-reproducible;
+    * the exact-formula TF-IDF path is hash-gated by q70/q22 instead). */
+  val q78 = QueryDef.rowsOnly("q78_hashing_tfidf") { (spark, dir) =>
+    import org.apache.spark.ml.functions.vector_to_array
+    graft.model.ContentBased.hashingTfidf(Tables.bizText(spark, dir), numFeatures = 1024)
+      .select(col("business_id"), posexplode(vector_to_array(col("tfidf"))))
+      .filter(col("col") > 0.0)
+      .select(col("business_id"), col("pos").as("feature_idx"),
+        graft.core.Cross.r6(col("col")).as("w"))
+      .orderBy("business_id", "feature_idx")
+  }
+
+  /** S2-S4/S6: ModelIO round-trip with a TRUE oracle — the slice goes
+    * Spark → JSON-lines → read → CSV → read, and the result must still
+    * hash-match DuckDB computing the slice directly from the base tables.
+    * Any lossy serialization (float formatting, header handling, type
+    * inference) breaks the gate. */
+  val q79 = QueryDef(
+    "q79_modelio_roundtrip",
+    s"""WITH reviews AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS business_id,
+       |         CAST((CAST(l_quantity AS BIGINT) % 5) + 1 AS DOUBLE) AS stars
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |rdedup AS (
+       |  SELECT user_id, business_id,
+       |         round((${graft.core.Cross.dsumSql("stars", 2)} / COUNT(*)) + 1e-9, 6) AS stars
+       |  FROM reviews GROUP BY user_id, business_id)
+       |SELECT user_id, business_id, stars FROM rdedup
+       |WHERE user_id % 97 = 0
+       |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
+    val slice = Recommender.dedupReviews(Tables.reviews(spark, dir))
+      .filter(pmod(col("user_id"), lit(97)) === 0)
+      .select(col("user_id"), col("business_id"), col("stars").as("pred"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+    graft.sources.ModelIO.savePredictionsJson(slice, s"$tmp/json")
+    val viaJson = graft.sources.ModelIO.loadPredictionsJson(spark, s"$tmp/json")
+    graft.sources.ModelIO.saveCsv(viaJson, s"$tmp/csv")
+    graft.sources.ModelIO.loadCsv(spark, s"$tmp/csv")
+      .select(col("user_id"), col("business_id"), col("pred").as("stars"))
+      .orderBy("user_id", "business_id")
+  }
+
+  /** A10/R2: ALS over string-keyed reviews (StringIndexer id assignment in
+    * front — reference scripts/train_als.py:55-57; rows-only like q80). */
+  val q83 = QueryDef.rowsOnly("q83_als_string_ids") { (spark, dir) =>
+    val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
+      .select(concat(lit("u"), col("user_id")).as("user_id"),
+        concat(lit("b"), col("business_id")).as("business_id"), col("stars"))
+    val fitted = AlsModel.fitStringIds(r)
+    val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)
+      .select(concat(lit("u"), col("c_custkey")).as("user_id"))
+      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
+        .select(concat(lit("b"), col("p_partkey")).as("business_id")))
+    AlsModel.predictStringIds(fitted, pairs).orderBy("user_id", "business_id")
+  }
+
   /** Streaming tumbling window — same oracle as the batch q50. */
   val q90 = QueryDef(
     "q90_stream_tumbling",
@@ -112,5 +169,5 @@ object MlQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q80, q81, q82, q90, q91, q92)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q90, q91, q92)
 }

@@ -2,12 +2,18 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Cross, Tables}
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing gate queries: binary payload metadata + chunk
-  * accounting (relational part, oracle-checked) and the batched stub
-  * decoder (rows-only; the stub is Scala-side by design).
+/** Multimodal plumbing gate queries: binary payload metadata, chunk
+  * accounting, and the batched stub decoder — all oracle-checked.
+  *
+  * Byte-true oracles: DuckDB 1.0 has no BLOB substring, so the oracle
+  * slices `hex(encode(text))` at doubled offsets (2 hex chars per byte)
+  * and converts with `('0x'||..)::INT` — exact byte semantics even for
+  * non-ASCII documents (round-1 advice: char-based `substr(text, ..)`
+  * diverged from Spark's byte-based binary substring on multi-byte
+  * UTF-8).
   */
 object MultimodalQueries {
 
@@ -18,7 +24,7 @@ object MultimodalQueries {
     """SELECT doc_id,
       |  octet_length(encode(text)) AS n_bytes,
       |  md5(text) AS checksum,
-      |  lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+      |  lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
       |  (octet_length(encode(text)) + 63) // 64 AS n_chunks
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -26,19 +32,21 @@ object MultimodalQueries {
       .join(Tables.documents(spark, dir), "doc_id")
       .select(
         col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("text")).as("checksum"),
         lower(hex(substring(col("payload"), 1, 8))).as("header_hex"),
         ((octet_length(col("payload")) + 63) / 64).cast("long").as("n_chunks"))
       .orderBy("doc_id")
   }
 
-  /** Chunk table sanity: per-doc chunk count and byte accounting. */
+  /** Chunk table sanity: per-doc chunk count and byte accounting. Chunk
+    * lengths are pure byte arithmetic (LEAST(64, n - 64·ci)) — no text
+    * slicing, so multi-byte characters cannot skew the oracle. */
   val q86 = QueryDef(
     "q86_chunk_accounting",
     """SELECT doc_id, COUNT(*) AS n_chunks, SUM(clen)::BIGINT AS total_bytes FROM (
       |  SELECT doc_id,
-      |    octet_length(encode(substr(text, 1 + 64 * ci, 64))) AS clen
+      |    LEAST(64, octet_length(encode(text)) - 64 * ci) AS clen
       |  FROM documents
       |  CROSS JOIN (SELECT unnest(range(0, 32)) AS ci) c
       |  WHERE ci * 64 < octet_length(encode(text))) t
@@ -51,14 +59,35 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  /** Batched stub decode output (rows-only: stub features are Scala-side). */
-  val q87 = QueryDef.rowsOnly("q87_media_features") { (spark, dir) =>
+  /** Batched stub decode: the stub features are plain byte statistics
+    * (mean, mean-square, min, max), so the oracle CAN verify them — the
+    * per-byte values come from doubled-offset hex slicing (round-1
+    * verdict upgraded this from rows-only). */
+  val q87 = QueryDef(
+    "q87_media_features",
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |bytes AS (
+       |  SELECT doc_id, ('0x' || substr(hx, 2 * i - 1, 2))::INT AS v
+       |  FROM b, unnest(range(1, n + 1)) AS t(i)),
+       |stats AS (
+       |  SELECT doc_id, SUM(v)::BIGINT AS s0, SUM(v * v)::BIGINT AS s1,
+       |         MIN(v) AS mn, MAX(v) AS mx
+       |  FROM bytes GROUP BY doc_id)
+       |SELECT b.doc_id, b.n AS n_bytes,
+       |  round((COALESCE(s0, 0)::DOUBLE / GREATEST(b.n, 1)::DOUBLE) + 1e-9, 6) AS f_mean,
+       |  round((COALESCE(s1, 0)::DOUBLE / GREATEST(b.n, 1)::DOUBLE) + 1e-9, 6) AS f_meansq,
+       |  COALESCE(mn, 255)::DOUBLE AS f_min,
+       |  COALESCE(mx, 0)::DOUBLE AS f_max
+       |FROM b LEFT JOIN stats s ON b.doc_id = s.doc_id
+       |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
     Multimodal.extractFeatures(spark,
         Multimodal.withPayload(Tables.documents(spark, dir)))
       .toDF()
-      .select(col("doc_id"), col("n_bytes"),
-        round(element_at(col("feature"), 1), 6).as("f_mean"),
-        round(element_at(col("feature"), 2), 6).as("f_meansq"),
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        Cross.r6(element_at(col("feature"), 1)).as("f_mean"),
+        Cross.r6(element_at(col("feature"), 2)).as("f_meansq"),
         element_at(col("feature"), 3).as("f_min"),
         element_at(col("feature"), 4).as("f_max"))
       .orderBy("doc_id")

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** S8: JSON model-config source with required-key validation, mirroring
+  * the reference's config loader (config/config.py:23-32 asserts `class`,
+  * `training_data`, `mdl_file`, `hp_params` before dispatch) and its
+  * registry-keyed model classes (models/__init__.py:6-11).
+  */
+final case class GraftConfig(
+    modelClass: String,
+    trainingData: String,
+    mdlFile: String,
+    hpParams: Map[String, String])
+
+object ConfigSource {
+
+  /** Keys the reference's loader asserts on (config/config.py:23-32). */
+  val RequiredKeys: Seq[String] = Seq("class", "training_data", "mdl_file", "hp_params")
+
+  /** Reference registry class name → CLI model key (models/__init__.py:6-11). */
+  val ModelRegistry: Map[String, String] = Map(
+    "BaselineModel" -> "baseline",
+    "ItemCFModel" -> "itemcf",
+    "UserCFModel" -> "usercf",
+    "ALSModel" -> "als",
+    "ContentBasedModel" -> "content",
+    "HybridModel" -> "hybrid")
+
+  /** Load and validate a single-object JSON config. Fails with the full
+    * list of missing keys (the reference asserts one by one; listing all
+    * at once is strictly more useful, same contract). */
+  def load(spark: SparkSession, path: String): GraftConfig = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    val present = df.columns.toSet
+    val missing = RequiredKeys.filterNot(present)
+    require(missing.isEmpty,
+      s"config $path missing required keys: ${missing.mkString(", ")}")
+    val row = df.select("class", "training_data", "mdl_file", "hp_params").head()
+    require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
+      s"config $path has null values for required scalar keys")
+    val hp =
+      if (row.isNullAt(3)) Map.empty[String, String]
+      else {
+        val struct = row.getStruct(3)
+        struct.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.name -> (if (struct.isNullAt(i)) null else struct.get(i).toString)
+        }.toMap
+      }
+    GraftConfig(row.getString(0), row.getString(1), row.getString(2), hp)
+  }
+
+  /** Resolve the config's registry class to a CLI model key. */
+  def modelKey(cfg: GraftConfig): String =
+    ModelRegistry.getOrElse(cfg.modelClass,
+      throw new IllegalArgumentException(
+        s"unknown model class '${cfg.modelClass}'; known: ${ModelRegistry.keys.toSeq.sorted.mkString(", ")}"))
+}

@@ -32,6 +32,21 @@ class PipelineSpec extends SparkSpec {
     assert(rmse >= 0.0 && rmse < 5.0)
   }
 
+  test("string-keyed ALS indexes ids, predicts known pairs, repairs unknown ids to 2.5") {
+    val r = Recommender.dedupReviews(Tables.reviews(spark, sf()))
+      .select(concat(lit("u"), col("user_id")).as("user_id"),
+        concat(lit("b"), col("business_id")).as("business_id"), col("stars"))
+    val m = AlsModel.fitStringIds(r, AlsModel.Params(rank = 4, maxIter = 3))
+    // an id never seen at fit time goes through handleInvalid=keep → NaN → 2.5
+    val unknown = Seq(("uZZZ", "bZZZ")).toDF("user_id", "business_id")
+    assert(AlsModel.predictStringIds(m, unknown).head().getDouble(2) == 2.5)
+    val known = r.limit(20).select("user_id", "business_id")
+    val preds = AlsModel.predictStringIds(m, known).collect()
+    assert(preds.length == 20)
+    assert(preds.forall(p => !p.getDouble(2).isNaN))
+    assert(preds.exists(_.getDouble(2) != 2.5))
+  }
+
   test("ALS with randomSplit holdout evaluates (R7) and sparse TF-IDF path runs (R3)") {
     val r = Recommender.dedupReviews(Tables.reviews(spark, sf()))
     val Array(train, holdout) = r.randomSplit(Array(0.9, 0.1), seed = 42L)
