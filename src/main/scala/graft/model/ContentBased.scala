@@ -86,6 +86,33 @@ object ContentBased {
           .otherwise(col("dot") / (sqrt(col("usq")) * sqrt(col("bsq"))))).as("cos"))
   }
 
+  /** M9: the reference's selectable profile encodings over the top-V
+    * vocabulary (models/content_based_model.py:209-258, FEATURES config).
+    *  - 'onehot': binary presence — w = 1 where the entity's tokens
+    *    contain the vocabulary term.
+    *  - 'continuous': w = the GLOBAL top-term TF-IDF value (the term's
+    *    vocabulary score), NOT a per-entity weight — the SURVEY §7.3.2
+    *    trap: the reference's `_encode` writes `top_terms[w]`
+    *    (content_based_model.py:252-257).
+    * Input: `entityTokens(entity_id, term)` (dupes fine — set semantics
+    * applied here); `vocab(term, max_tfidf)` from [[vocabulary]].
+    * Output long form (entity_id, term, w): the dense 0-padding of the
+    * reference is representational only — cosines over the long form are
+    * identical and nothing materializes V columns per row at scale. */
+  def encodedProfiles(entityTokens: DataFrame, vocab: DataFrame, encoding: String): DataFrame = {
+    val present = entityTokens.select("entity_id", "term").distinct()
+      .join(vocab, "term")
+    encoding match {
+      case "onehot" =>
+        present.select(col("entity_id"), col("term"), lit(1.0).as("w"))
+      case "continuous" =>
+        present.select(col("entity_id"), col("term"), col("max_tfidf").as("w"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown profile encoding '$other' (expected onehot/continuous)")
+    }
+  }
+
   /** MLlib sparse TF-IDF path (R3 — the reference's `sparse` config uses
     * HashingTF + mllib IDF with its own smoothed-log formula,
     * models/content_based_model.py:195-204; preserved as a distinct path

@@ -276,5 +276,81 @@ object ContentQueries {
       .orderBy("decision")
   }
 
-  val all: Seq[QueryDef] = Seq(q70, q71, q72, q75, q76)
+  /** M9: the reference's selectable profile encodings — 'onehot' (binary
+    * presence) and 'continuous' (GLOBAL top-term TF-IDF value, the SURVEY
+    * §7.3.2 trap) — for both entity kinds, hash-verified. */
+  val q84 = QueryDef(
+    "q84_profile_encodings",
+    s"""WITH $bizTextCte,
+       |$reviewsCtes,
+       |$tfidfCtes,
+       |btok AS (SELECT DISTINCT business_id AS entity_id, term FROM tok),
+       |utok AS (
+       |  SELECT DISTINCT r.user_id AS entity_id, t.term
+       |  FROM rdedup r JOIN tok t ON r.business_id = t.business_id)
+       |SELECT encoding, kind, entity_id, term, w FROM (
+       |  SELECT 'onehot' AS encoding, 'biz' AS kind, b.entity_id, b.term, 1.0 AS w
+       |  FROM btok b JOIN vocab v ON b.term = v.term
+       |  UNION ALL
+       |  SELECT 'continuous', 'biz', b.entity_id, b.term, v.max_tfidf
+       |  FROM btok b JOIN vocab v ON b.term = v.term
+       |  UNION ALL
+       |  SELECT 'onehot', 'user', u.entity_id, u.term, 1.0
+       |  FROM utok u JOIN vocab v ON u.term = v.term
+       |  UNION ALL
+       |  SELECT 'continuous', 'user', u.entity_id, u.term, v.max_tfidf
+       |  FROM utok u JOIN vocab v ON u.term = v.term) t
+       |ORDER BY encoding, kind, entity_id, term""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextFns
+    val bt = bizTextDF(spark, dir)
+    val vocab = ContentBased.vocabulary(ContentBased.bizTfidf(bt).cache(), V).cache()
+    val bizTok = bt.select(col("business_id").as("entity_id"),
+      explode(TextFns.contentTokens(col("text"))).as("term"))
+    val userTok = graft.model.Recommender.dedupReviews(Tables.reviews(spark, dir))
+      .select(col("user_id"), col("business_id"))
+      .join(bizTok.select(col("entity_id").as("business_id"), col("term")), "business_id")
+      .select(col("user_id").as("entity_id"), col("term"))
+    val arms = for {
+      enc <- Seq("onehot", "continuous")
+      (kind, toks) <- Seq("biz" -> bizTok, "user" -> userTok)
+    } yield ContentBased.encodedProfiles(toks, vocab, enc)
+      .select(lit(enc).as("encoding"), lit(kind).as("kind"),
+        col("entity_id"), col("term"), col("w"))
+    arms.reduce(_ union _).orderBy("encoding", "kind", "entity_id", "term")
+  }
+
+  /** S9: sparse-artifact round-trip with a TRUE oracle — user profiles go
+    * long-form → (size, indices[], values[]) JSON lines → back to long
+    * form, and must still hash-match DuckDB computing the profiles
+    * directly from the base tables. */
+  val q89 = QueryDef(
+    "q89_sparse_artifact_roundtrip",
+    s"""WITH $bizTextCte,
+       |$reviewsCtes,
+       |$tfidfCtes,
+       |$profileCtes
+       |SELECT user_id, term, uw FROM uprof
+       |WHERE user_id % 31 = 0
+       |ORDER BY user_id, term""".stripMargin) { (spark, dir) =>
+    import graft.sources.ModelIO
+    val tfidf = ContentBased.bizTfidf(bizTextDF(spark, dir)).cache()
+    val vocab = ContentBased.vocabulary(tfidf, V).cache()
+    val bizProf = ContentBased.bizProfiles(tfidf, vocab)
+    val uprof = ContentBased.userProfiles(Tables.reviews(spark, dir), bizProf)
+      .filter(pmod(col("user_id"), lit(31)) === 0)
+    val vocabIndex = vocab
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("max_tfidf").desc, col("term"))) - 1)
+      .select("term", "idx").cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sparse").toString
+    ModelIO.saveSparseArtifact(
+      uprof.select(col("user_id").as("entity_id"), col("term"), col("uw").as("w")),
+      vocabIndex, V, s"$tmp/profiles")
+    ModelIO.loadSparseArtifact(spark, s"$tmp/profiles", vocabIndex)
+      .select(col("entity_id").as("user_id"), col("term"), col("w").as("uw"))
+      .orderBy("user_id", "term")
+  }
+
+  val all: Seq[QueryDef] = Seq(q70, q71, q72, q75, q76, q84, q89)
 }

@@ -121,6 +121,19 @@ object MlQueries {
     AlsModel.predictStringIds(fitted, pairs).orderBy("user_id", "business_id")
   }
 
+  /** T5: k-NN over the ALS item-factor matrix (reference
+    * scripts/als_recommender.py:140-148 runs 500-NN over item factors;
+    * rows-only — ALS factors aren't DuckDB-reproducible). */
+  val q88 = QueryDef.rowsOnly("q88_als_factor_knn") { (spark, dir) =>
+    val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
+    val model = AlsModel.fit(r)
+    val factors = model.itemFactors
+      .select(col("id").cast("long").as("vec_id"), col("features").as("embedding"))
+    val queries = factors.filter(pmod(col("vec_id"), lit(97)) === 0)
+    graft.operators.SimilaritySearch.bruteForceTopK(queries, factors, 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Streaming tumbling window — same oracle as the batch q50. */
   val q90 = QueryDef(
     "q90_stream_tumbling",
@@ -169,5 +182,5 @@ object MlQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q90, q91, q92)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92)
 }

@@ -41,6 +41,31 @@ object ModelIO {
   def loadCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** S9: the reference's sparse-profile artifact format — one JSON line
+    * per entity holding SparseVector triples `(size, indices[], values[])`
+    * (models/content_based_model.py:404-418 persists, 463-469 reloads).
+    * `vocabIndex(term, idx)` fixes the index space; indices are written
+    * sorted so the artifact is byte-deterministic. */
+  def saveSparseArtifact(profiles: DataFrame, vocabIndex: DataFrame,
+      size: Int, path: String): Unit = {
+    profiles.join(vocabIndex, "term")
+      .groupBy(col("entity_id").as("id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("w")))).as("iw"))
+      .select(col("id"), lit(size).as("size"),
+        col("iw.idx").as("indices"), col("iw.w").as("values"))
+      .write.mode("overwrite").json(path)
+  }
+
+  /** Read the sparse artifact back to long form (entity_id, term, w). */
+  def loadSparseArtifact(spark: SparkSession, path: String,
+      vocabIndex: DataFrame): DataFrame =
+    spark.read.json(path)
+      .select(col("id").as("entity_id"),
+        explode(arrays_zip(col("indices"), col("values"))).as("z"))
+      .select(col("entity_id"), col("z.indices").as("idx"), col("z.values").as("w"))
+      .join(vocabIndex, "idx")
+      .select("entity_id", "term", "w")
+
   def saveAls(model: org.apache.spark.ml.recommendation.ALSModel, path: String): Unit =
     model.write.overwrite().save(path)
 
