@@ -157,13 +157,21 @@ object ContentQueries {
     * occur — a grid of only-known ids would land every row in 'both'. */
   private val predictCtes =
     s"""pu AS (
-       |  SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 19 = 0
+       |  SELECT user_id FROM (
+       |    SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 19 = 0
+       |    ORDER BY user_id LIMIT 100)
        |  UNION ALL
-       |  SELECT c_custkey + 10000000 FROM customer WHERE c_custkey % 97 = 0),
+       |  SELECT user_id FROM (
+       |    SELECT c_custkey + 10000000 AS user_id FROM customer WHERE c_custkey % 97 = 0
+       |    ORDER BY user_id LIMIT 16)),
        |pb AS (
-       |  SELECT p_partkey AS business_id FROM part WHERE p_partkey % 23 = 0
+       |  SELECT business_id FROM (
+       |    SELECT p_partkey AS business_id FROM part WHERE p_partkey % 23 = 0
+       |    ORDER BY business_id LIMIT 110)
        |  UNION ALL
-       |  SELECT p_partkey + 10000000 FROM part WHERE p_partkey % 101 = 0),
+       |  SELECT business_id FROM (
+       |    SELECT p_partkey + 10000000 AS business_id FROM part WHERE p_partkey % 101 = 0
+       |    ORDER BY business_id LIMIT 20)),
        |pairs AS (SELECT user_id, business_id FROM pu CROSS JOIN pb),
        |dots AS (
        |  SELECT p.user_id, p.business_id, ${Cross.dxsumSql("uw", "w")} AS dot
@@ -208,16 +216,20 @@ object ContentQueries {
     val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V)).cache()
     val reviews = Tables.reviews(spark, dir)
     val userProf = ContentBased.userProfiles(reviews, bizProf).cache()
+    // Capped test grid: strides alone would scale the grid quadratically
+    // with SF (1M pairs at sf0.1 — a test set should not outgrow the
+    // corpus); ORDER BY + LIMIT pins each side deterministically, sized so
+    // the sf0.01 grid is unchanged (79+16 users, 87+20 businesses).
     val c = Tables.customer(spark, dir)
     val p = Tables.part(spark, dir)
     val pu = c.filter(pmod(col("c_custkey"), lit(19)) === 0)
-      .select(col("c_custkey").as("user_id"))
+      .select(col("c_custkey").as("user_id")).orderBy("user_id").limit(100)
       .union(c.filter(pmod(col("c_custkey"), lit(97)) === 0)
-        .select((col("c_custkey") + 10000000L).as("user_id")))
+        .select((col("c_custkey") + 10000000L).as("user_id")).orderBy("user_id").limit(16))
     val pb = p.filter(pmod(col("p_partkey"), lit(23)) === 0)
-      .select(col("p_partkey").as("business_id"))
+      .select(col("p_partkey").as("business_id")).orderBy("business_id").limit(110)
       .union(p.filter(pmod(col("p_partkey"), lit(101)) === 0)
-        .select((col("p_partkey") + 10000000L).as("business_id")))
+        .select((col("p_partkey") + 10000000L).as("business_id")).orderBy("business_id").limit(20))
     (reviews, userProf, bizProf, pu.crossJoin(pb))
   }
 
