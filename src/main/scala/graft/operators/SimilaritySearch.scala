@@ -68,15 +68,42 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("neighbor_id"), Cross.r6(col("cos")).as("cos"))
   }
 
+  /** Nearest-centroid struct (d, cell) — min by squared L2, ties → lowest
+    * cell id. Pure per-row fold, no shuffle. */
+  private def nearestCentroid(emb: Column, nCells: Int, dims: Int): Column =
+    array_min(array((0 until nCells).map { c =>
+      struct(VectorFns.sqDistLit(emb, HashFns.litVector(s"centroid-$c", dims)).as("d"),
+        lit(c).as("cell"))
+    }: _*))
+
   /** IVF coarse assignment: nearest of `nCells` fixed seed centroids by
     * squared L2 (ties → lowest cell id). */
   def ivfAssign(corpus: DataFrame, nCells: Int, dims: Int): DataFrame = {
-    val dists = (0 until nCells).map { c =>
-      struct(VectorFns.sqDistLit(col("embedding"), HashFns.litVector(s"centroid-$c", dims)).as("d"),
-        lit(c).as("cell"))
-    }
+    val nc = nearestCentroid(col("embedding"), nCells, dims)
     corpus.select(col("vec_id"), col("label"),
-      array_min(array(dists: _*)).getField("cell").as("cell"),
-      Cross.r6(array_min(array(dists: _*)).getField("d")).as("dist"))
+      nc.getField("cell").as("cell"),
+      Cross.r6(nc.getField("d")).as("dist"))
+  }
+
+  /** IVF search (nProbe = 1): each query visits only its own cell's
+    * inverted list; exact cosine re-rank inside the cell. Same join shape
+    * as [[lshTopK]] — a shuffle on cell id, never a cartesian. Recall is
+    * bounded by the coarse quantizer (the standard IVF trade); raise
+    * nCells for selectivity, add probe cells for recall. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int, dims: Int): DataFrame = {
+    val cell = nearestCentroid(col("embedding"), nCells, dims).getField("cell")
+    val qb = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), cell.as("cell"))
+    val cb = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), cell.as("cell"))
+    val scored = qb.join(cb, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Cross.r6(col("cos")).as("cos"))
   }
 }

@@ -148,5 +148,39 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+  /** IVF search (nProbe=1): top-3 by exact cosine within the query's own
+    * centroid cell — completes the ANN tier ladder (brute → LSH → IVF). */
+  val q45 = QueryDef(
+    "q45_ivf_topk", {
+      val arms = (0 until Cells).map { c =>
+        val w = HashFns.litVector(s"centroid-$c", Dims)
+        s"SELECT vec_id, embedding, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH dists AS (
+         |$arms),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM dists) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
+         |      FROM assigned WHERE vec_id < 32),
+         |scored AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
+         |  FROM q JOIN assigned a USING (cell) WHERE query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 32), emb, 3, Cells, Dims)
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
 }

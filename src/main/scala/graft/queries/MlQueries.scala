@@ -157,6 +157,26 @@ object MlQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Streaming sliding window (1 h window / 30 min slide): every event
+    * lands in exactly two windows; the oracle replays that membership
+    * arithmetically (wstart ∈ {⌊sec/1800⌋·1800, that − 1800}). */
+  val q93 = QueryDef(
+    "q93_stream_sliding",
+    """WITH e AS (
+      |  SELECT event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |w AS (
+      |  SELECT event_type, ((sec // 1800) - i) * 1800 AS ws
+      |  FROM e CROSS JOIN (VALUES (0), (1)) AS t(i))
+      |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
+      |       event_type, COUNT(*) AS n
+      |FROM w GROUP BY 1, 2
+      |ORDER BY wstart, event_type""".stripMargin) { (spark, dir) =>
+    EventStreams.runToCompletion(spark,
+        EventStreams.slidingCounts(EventStreams.readEvents(spark, dir)),
+        "q93_out")
+      .orderBy("wstart", "event_type")
+  }
+
   /** Stateful sessionization (flatMapGroupsWithState fold) — identical
     * sessions to the q51 window formulation, same oracle. */
   val q92 = QueryDef(
@@ -182,5 +202,5 @@ object MlQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93)
 }

@@ -56,6 +56,17 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Sliding windowed aggregation: 1-hour windows every 30 minutes, so
+    * each event lands in exactly two windows. Mirrors the batch sliding
+    * semantics (q54's moving frame) in event-time streaming form. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+
   /** Streaming keyed dedup: first event per (user, type) within the
     * watermark — dropDuplicatesWithinWatermark analog of batch q53. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
