@@ -113,7 +113,9 @@ object MlQueries {
     val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
       .select(concat(lit("u"), col("user_id")).as("user_id"),
         concat(lit("b"), col("business_id")).as("business_id"), col("stars"))
-    val fitted = AlsModel.fitStringIds(r)
+    // light params: this gate verifies the id-indexing plumbing, not model
+    // quality — q80 covers the default-parameter fit
+    val fitted = AlsModel.fitStringIds(r, AlsModel.Params(rank = 4, maxIter = 3))
     val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)
       .select(concat(lit("u"), col("c_custkey")).as("user_id"))
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
@@ -126,7 +128,9 @@ object MlQueries {
     * rows-only — ALS factors aren't DuckDB-reproducible). */
   val q88 = QueryDef.rowsOnly("q88_als_factor_knn") { (spark, dir) =>
     val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
-    val model = AlsModel.fit(r)
+    // light params: the operator under test is the factor-space kNN, not
+    // the factorization itself (q80 fits with defaults)
+    val model = AlsModel.fit(r, AlsModel.Params(rank = 4, maxIter = 3))
     val factors = model.itemFactors
       .select(col("id").cast("long").as("vec_id"), col("features").as("embedding"))
     val queries = factors.filter(pmod(col("vec_id"), lit(97)) === 0)
