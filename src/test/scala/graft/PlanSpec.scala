@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale (pushdown reaching the scan, broadcast on small dims, shuffle
+  * joins instead of cartesians, partial aggregation) are pinned here so a
+  * refactor that silently loses one fails the suite, not a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf())
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan"),
+      s"filter not pushed:\n$scan")
+    // pruned read schema: only the two referenced columns reach the scan
+    assert(scan.contains("l_orderkey") && !scan.contains("l_extendedprice"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("small dimension joins broadcast; fact-fact joins shuffle") {
+    val q04 = queries.Relational.q04.fn(spark, sf())
+    assert(planOf(q04).contains("BroadcastHashJoin"))
+    val q62 = graft.model.Recommender.coRatedPairs(Tables.reviews(spark, sf()), 2)
+    assert(planOf(q62).contains("Join"))
+    assert(!planOf(q62).contains("CartesianProduct"),
+      "co-rated self-join must stay key-partitioned, never cartesian")
+  }
+
+  test("LSH candidate generation never plans a cartesian product") {
+    val pairs = graft.operators.Lsh.candidatePairs(spark,
+      Tables.documents(spark, sf()).select(col("doc_id").as("id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("token")),
+      k = 8, rowsPerBand = 2, minJaccard = 0.5)
+    assert(!planOf(pairs).contains("CartesianProduct"))
+  }
+
+  test("grouped aggregates keep map-side partial aggregation") {
+    val agg = Tables.lineitem(spark, sf())
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = planOf(agg)
+    // two HashAggregate stages (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("whole-stage codegen covers the scalar hot path") {
+    val df = Tables.documents(spark, sf())
+      .select(graft.core.Cross.hash64(col("text")).as("h"))
+      .filter(col("h") > 0)
+    // the "*(n)" stage marker is how WholeStageCodegen prints in the
+    // executed plan's toString
+    assert(planOf(df).contains("*(1)"), planOf(df))
+  }
+}
