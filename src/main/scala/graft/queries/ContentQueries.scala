@@ -316,8 +316,13 @@ object ContentQueries {
     import graft.functions.TextFns
     val bt = bizTextDF(spark, dir)
     val vocab = ContentBased.vocabulary(ContentBased.bizTfidf(bt).cache(), V).cache()
+    // Prune tokens to the vocabulary BEFORE the user fan-out join: the
+    // encoding only keeps vocab terms anyway, and joining rated pairs
+    // against the full token table first multiplies every rater by every
+    // token of the business (~40x more rows for identical output).
     val bizTok = bt.select(col("business_id").as("entity_id"),
       explode(TextFns.contentTokens(col("text"))).as("term"))
+      .join(vocab.select("term"), "term")
     val userTok = graft.model.Recommender.dedupReviews(Tables.reviews(spark, dir))
       .select(col("user_id"), col("business_id"))
       .join(bizTok.select(col("entity_id").as("business_id"), col("term")), "business_id")
