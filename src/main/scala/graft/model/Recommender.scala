@@ -151,6 +151,23 @@ object Recommender {
           (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
   }
 
+  /** T2 via the bounded [[graft.plans.TopKPairs]] Catalyst aggregate: the
+    * k-bounded heap makes partial aggregation cap map-side state at k
+    * entries per group, so the shuffle carries ≤ k entries per group per
+    * map partition — the 100 TB formulation of [[topNeighbors]], whose
+    * window variant must shuffle and sort every candidate row first.
+    * Gate-proven hash-equal to the window formulation (q77 runs this
+    * against q64's oracle). */
+  def topNeighborsAgg(weights: DataFrame, weightCol: String, k: Int): DataFrame = {
+    val sym = weights.select(col("biz_a").as("biz"), col("biz_b").as("neighbor"), col(weightCol).as("w"))
+      .union(weights.select(col("biz_b").as("biz"), col("biz_a").as("neighbor"), col(weightCol).as("w")))
+    sym.groupBy("biz")
+      .agg(graft.plans.TopKAgg.topK(col("w"), col("neighbor"), k).as("top"))
+      .select(col("biz"), posexplode(col("top")))
+      .select(col("biz"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor"), col("col.w").as("w"))
+  }
+
   /** M3: dense Pearson — correlation of the two items' FULL user-dimension
     * rating vectors, zeros for unrated users (scipy semantics; reference
     * models/item_cf_model.py:154-157, config-selected at

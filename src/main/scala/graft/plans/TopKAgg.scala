@@ -1,0 +1,129 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded per-group top-k as a custom Catalyst aggregate (T2/T3 done
+  * scale-right).
+  *
+  * The window formulation (`row_number() OVER (PARTITION BY g ORDER BY w
+  * DESC)` then `rank <= k`) must shuffle and sort EVERY candidate row of
+  * every group before discarding all but k — at 100 TB the shuffle is
+  * |pairs|, not |groups|·k. This aggregate keeps a k-bounded heap per
+  * group: partial aggregation caps map-side state at k entries per group
+  * per partition, the shuffle carries at most k entries per group per map
+  * partition, and merge folds heaps. Order inside the result: w
+  * descending, id ascending on ties — identical to the window's total
+  * order, so the two formulations are hash-equal (gated against the same
+  * DuckDB oracle as the window path).
+  *
+  * TypedImperativeAggregate is the documented extension point for
+  * heap-style aggregation state (the same shape Spark uses for
+  * approx_percentile / collect-with-bound).
+  */
+case class TopKPairs(
+    wExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with BinaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def left: Expression = wExpr
+  override def right: Expression = idExpr
+
+  /** Head of the queue = WORST kept entry (smallest w, then largest id),
+    * so `dequeue()` evicts correctly when the heap exceeds k. */
+  private def worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val w = wExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (w != null && id != null) {
+      buf.enqueue((w.asInstanceOf[Double], id.asInstanceOf[Long]))
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Double, Long)],
+      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach { e =>
+      buf.enqueue(e)
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    // best-first: w desc, id asc — the window's total order
+    val sorted = buf.toArray.sortWith((a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    new GenericArrayData(sorted.map { case (w, id) =>
+      InternalRow(w, id): Any
+    })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (w, id) => bb.putDouble(w); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(wExpr = newLeft, idExpr = newRight)
+}
+
+object TopKAgg {
+  /** `top_k(w, id, k)` aggregate column: array<struct<w,id>> of the k
+    * best (w desc, id asc) entries of the group. */
+  def topK(w: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.toColumn(
+      TopKPairs(
+        GraftSqlBridge.toExpression(w.cast("double")),
+        GraftSqlBridge.toExpression(id.cast("long")),
+        k).toAggregateExpression())
+}

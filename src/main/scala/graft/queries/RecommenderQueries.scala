@@ -159,6 +159,31 @@ object RecommenderQueries {
       .orderBy("biz", "rank")
   }
 
+  /** T2 through the custom bounded top-k Catalyst aggregate
+    * (plans.TopKPairs): SAME oracle as the window-based q64 — the gate
+    * proves the k-heap aggregate and the window formulation are
+    * hash-identical while the aggregate shuffles ≤ k rows per group per
+    * partition. */
+  val q77 = QueryDef(
+    "q77_topk_agg",
+    s"""WITH $reviewsCte,
+       |$rdedupCte,
+       |${weightsCtes(2)},
+       |sym AS (
+       |  SELECT biz_a AS biz, biz_b AS neighbor, cosine AS w FROM weights
+       |  UNION ALL
+       |  SELECT biz_b AS biz, biz_a AS neighbor, cosine AS w FROM weights),
+       |ranked AS (
+       |  SELECT biz, neighbor, w,
+       |         row_number() OVER (PARTITION BY biz ORDER BY w DESC, neighbor) AS rank
+       |  FROM sym)
+       |SELECT biz, rank, neighbor, w FROM ranked WHERE rank <= 5
+       |ORDER BY biz, rank""".stripMargin) { (spark, dir) =>
+    Recommender.topNeighborsAgg(
+        Recommender.pairWeights(Tables.reviews(spark, dir), 2, maxBasket = 1024), "cosine", 5)
+      .orderBy("biz", "rank")
+  }
+
   /** M3: dense Pearson (full user dimension incl. zeros — scipy semantics,
     * reference models/item_cf_model.py:154-157) via the algebraic identity
     * pearson = (U·sxy − sx·sy)/√((U·sxx − sx²)(U·syy − sy²)) — no dense
@@ -280,5 +305,5 @@ object RecommenderQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69, q74)
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69, q74, q77)
 }

@@ -81,6 +81,22 @@ class RecommenderSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-6)
   }
 
+  test("bounded top-k aggregate equals the window formulation exactly") {
+    val w = Recommender.pairWeights(reviews, 1)
+    val viaWindow = Recommender.topNeighbors(w, "cosine", 2)
+      .select("biz", "rank", "neighbor", "w").orderBy("biz", "rank").collect()
+    val viaAgg = Recommender.topNeighborsAgg(w, "cosine", 2)
+      .orderBy("biz", "rank").collect()
+    assert(viaWindow.toSeq == viaAgg.toSeq)
+    assert(viaAgg.nonEmpty)
+    // tie-break check: equal weights resolve by ascending neighbor id in both
+    val ties = Seq((1L, 2L, 0.5), (1L, 3L, 0.5), (1L, 4L, 0.5))
+      .toDF("biz_a", "biz_b", "cosine")
+    val got = Recommender.topNeighborsAgg(ties, "cosine", 2)
+      .filter(col("biz") === 1L).orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+  }
+
   test("pairWeights: perfect positive correlation on aligned ratings") {
     val r = Seq(
       (1L, 10L, 1.0), (1L, 20L, 2.0),
