@@ -65,8 +65,10 @@ object Train {
         ModelIO.saveTable(Recommender.userAvg(reviews), s"$artifactDir/user_avg")
         ModelIO.saveTable(Recommender.bizAvg(reviews), s"$artifactDir/biz_avg")
       case "itemcf" =>
+        // bounded-heap top-k aggregate: shuffles <= k rows per group
+        // (hash-equal to the window path, proven by gate q77)
         ModelIO.saveTable(
-          Recommender.topNeighbors(Recommender.pairWeights(reviews, 2), "cosine", 10)
+          Recommender.topNeighborsAgg(Recommender.pairWeights(reviews, 2), "cosine", 10)
             .select("biz", "neighbor", "w"),
           s"$artifactDir/neighbors")
         ModelIO.saveTable(Recommender.dedupReviews(reviews), s"$artifactDir/ratings")

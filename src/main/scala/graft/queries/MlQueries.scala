@@ -181,6 +181,23 @@ object MlQueries {
       .orderBy("wstart", "event_type")
   }
 
+  /** Stream-static enrichment join: events joined to the customer
+    * dimension while streaming, aggregated per (nation, event_type) —
+    * oracle is the equivalent batch join. */
+  val q94 = QueryDef(
+    "q94_stream_enrich",
+    """SELECT c_nationkey, event_type, COUNT(*) AS n
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey, event_type
+      |ORDER BY c_nationkey, event_type""".stripMargin) { (spark, dir) =>
+    EventStreams.runToCompletion(spark,
+        EventStreams.enrichedCounts(
+          EventStreams.readEvents(spark, dir),
+          Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        "q94_out")
+      .orderBy("c_nationkey", "event_type")
+  }
+
   /** Stateful sessionization (flatMapGroupsWithState fold) — identical
     * sessions to the q51 window formulation, same oracle. */
   val q92 = QueryDef(
@@ -206,5 +223,5 @@ object MlQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94)
 }

@@ -67,6 +67,16 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"))
 
+  /** Stream-static enrichment join: the event stream joins a static
+    * dimension (broadcast by Catalyst — the static side is planned like
+    * any batch relation), then aggregates per enriched key. The standard
+    * shape for attaching dimension attributes to a live stream. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(dim, events("user_id") === dim("c_custkey"))
+      .groupBy("c_nationkey", "event_type")
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming keyed dedup: first event per (user, type) within the
     * watermark — dropDuplicatesWithinWatermark analog of batch q53. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
