@@ -1,7 +1,6 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Cross
@@ -28,13 +27,19 @@ object UserCF {
         k, rowsPerBand, minJaccard)
       .select(col("id_a").as("user_a"), col("id_b").as("user_b"), col("jaccard"))
 
-  /** Top-k similar users per user (symmetrized, jaccard desc). */
+  /** Top-k similar users per user (symmetrized, jaccard desc, ties by
+    * ascending neighbor id) via the bounded-heap TopKPairs aggregate —
+    * shuffles ≤ k entries per user instead of window-sorting every
+    * candidate pair (ordering proven hash-equal to row_number by q68's
+    * window-based oracle). */
   def topSimilar(pairs: DataFrame, k: Int): DataFrame = {
     val sym = pairs.select(col("user_a").as("user_id"), col("user_b").as("neighbor"), col("jaccard").as("w"))
       .union(pairs.select(col("user_b").as("user_id"), col("user_a").as("neighbor"), col("jaccard").as("w")))
-    val win = Window.partitionBy("user_id").orderBy(col("w").desc, col("neighbor"))
-    sym.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
-      .select("user_id", "neighbor", "w", "rank")
+    sym.groupBy("user_id")
+      .agg(graft.plans.TopKAgg.topK(col("w"), col("neighbor"), k).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), col("col.id").as("neighbor"), col("col.w").as("w"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** M6 mean-centered prediction: ū + Σ w·(r_vb − v̄) / Σ|w| over the
