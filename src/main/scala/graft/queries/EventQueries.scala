@@ -125,5 +125,29 @@ object EventQueries {
       .orderBy("event_type", "day")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54)
+  /** S1-analog at scale: day-partitioned parquet write + partition-pruned
+    * read-back. The Spark side writes events partitioned by day, reads
+    * back only three day-partitions (the filter prunes at the directory
+    * level — pinned by PlanSpec), and must hash-match the oracle computing
+    * the same slice from the ORIGINAL table: a lossy partition layout,
+    * dropped rows, or broken pruning all fail the gate. */
+  val q55 = QueryDef(
+    "q55_partitioned_roundtrip",
+    """SELECT (floor(epoch(ts))::BIGINT // 86400) AS day, event_type, COUNT(*) AS n
+      |FROM events
+      |WHERE (floor(epoch(ts))::BIGINT // 86400) % 10 = 3
+      |GROUP BY day, event_type
+      |ORDER BY day, event_type""".stripMargin) { (spark, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, dir)
+      .withColumn("day", expr("sec div 86400"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$tmp/events_by_day")
+    spark.read.parquet(s"$tmp/events_by_day")
+      .filter(pmod(col("day"), lit(10)) === 3)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
 }

@@ -52,6 +52,37 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("day-partitioned writes prune partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_test").toString
+    Tables.events(spark, sf()).withColumn("day", expr("sec div 86400"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$tmp/e")
+    val days = spark.read.parquet(s"$tmp/e").select("day").distinct()
+      .collect().map(_.get(0).toString.toLong).sorted
+    val df = spark.read.parquet(s"$tmp/e").filter(col("day") === days.head)
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("day"), scan)
+    assert(df.count() > 0)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val r = graft.model.Recommender.dedupReviews(Tables.reviews(spark, sf()))
+      r.write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("graft_bucket_a")
+      r.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("graft_bucket_b")
+      val j = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located by bucket id: the join consumes both sides with NO
+      // shuffle — the property that makes pre-bucketed 100 TB joins cheap
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scalar hot path") {
     val df = Tables.documents(spark, sf())
       .select(graft.core.Cross.hash64(col("text")).as("h"))
