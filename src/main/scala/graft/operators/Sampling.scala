@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+
+/** Deterministic, engine-portable sampling/splitting (beyond-reference
+  * pipeline surface; complements the seeded `randomSplit` R7 path).
+  *
+  * `randomSplit` is seeded but partition-layout-dependent — repartition
+  * the input and the split changes. These operators key the decision on a
+  * content hash (Cross.hash64: md5-derived, bit-identical in DuckDB), so
+  * a row's bucket is a pure function of its key: stable across runs,
+  * partitionings, engines, and cluster sizes — the property a 100 TB
+  * train/eval split must have, since re-shuffling data between runs is
+  * routine at that scale.
+  */
+object Sampling {
+
+  /** Bucket in [0, denom) from the key's content hash. */
+  def hashBucket(key: Column, denom: Int): Column =
+    pmod(Cross.hash64(key.cast("string")), lit(denom.toLong))
+
+  /** Keep rows whose key hashes into [0, num) of denom buckets — a
+    * deterministic num/denom sample (e.g. 1/10 eval holdout). */
+  def hashSample(df: DataFrame, key: Column, num: Int, denom: Int): DataFrame = {
+    require(num > 0 && num <= denom, s"need 0 < num <= denom, got $num/$denom")
+    df.filter(hashBucket(key, denom) < num)
+  }
+
+  /** (train, eval) pair: eval = `evalBuckets` of denom buckets, train =
+    * the complement. The two are disjoint and exhaustive by construction. */
+  def hashSplit(df: DataFrame, key: Column, evalBuckets: Int, denom: Int): (DataFrame, DataFrame) = {
+    val b = hashBucket(key, denom)
+    (df.filter(b >= evalBuckets), df.filter(b < evalBuckets))
+  }
+}

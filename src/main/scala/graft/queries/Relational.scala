@@ -288,6 +288,30 @@ object Relational {
     err.agg(sqrt(Cross.dsum(col("se"), 4) / count(lit(1))).as("rmse"))
   }
 
+  /** Deterministic hash split: the 1-in-8 eval bucket plus split
+    * accounting, hash-verified — the oracle recomputes the same md5
+    * bucket, so engine-portability of the split IS what's being gated. */
+  val q16 = QueryDef(
+    "q16_hash_split",
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_totalprice,
+       |         ${graft.core.Cross.hash64Sql("o_orderkey::VARCHAR")} % 8 AS bucket
+       |  FROM orders)
+       |SELECT CASE WHEN bucket < 1 THEN 'eval' ELSE 'train' END AS part,
+       |       COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+       |FROM b GROUP BY 1
+       |ORDER BY part""".stripMargin) { (spark, dir) =>
+    import graft.operators.Sampling
+    val o = Tables.orders(spark, dir)
+    val (train, eval_) = Sampling.hashSplit(o, col("o_orderkey"), 1, 8)
+    train.select(lit("train").as("part"), col("o_orderkey"))
+      .union(eval_.select(lit("eval").as("part"), col("o_orderkey")))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("part")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15)
+    q09, q10, q11, q12, q13, q14, q15, q16)
 }
