@@ -68,6 +68,15 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // a fresh JVM has an empty in-memory catalog but the managed-table
+      // directories survive in the warehouse dir — clear both
+      for (t <- Seq("graft_bucket_a", "graft_bucket_b")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+        if (d.exists()) {
+          d.listFiles().foreach(_.delete()); d.delete()
+        }
+      }
       val r = graft.model.Recommender.dedupReviews(Tables.reviews(spark, sf()))
       r.write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
         .saveAsTable("graft_bucket_a")
