@@ -160,5 +160,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram")).limit(40)
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+  /** Unigram log-probability quality score: mean log2 of each token's
+    * corpus frequency — the statistical baseline behind model-based
+    * quality filtering of training data (docs of common language score
+    * high, gibberish scores low). One corpus frequency table, one join,
+    * one exact decimal mean; no model needed. */
+  val q28 = QueryDef(
+    "q28_unigram_logprob",
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT COUNT(*) AS tt FROM tok),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ${Cross.dsumSql("log2(c::DOUBLE / tt::DOUBLE)", 6)} AS s,
+       |         COUNT(*) AS n_tokens
+       |  FROM tok JOIN freq USING (t) CROSS JOIN tot
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, round((s / n_tokens::DOUBLE) + 1e-9, 6) AS logprob
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("tt"))
+    tok.join(freq, "t")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(Cross.dsum(log(2.0, col("c").cast("double") / col("tt").cast("double")), 6).as("s"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        Cross.r6(col("s") / col("n_tokens").cast("double")).as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }
