@@ -51,13 +51,31 @@ object TrainConfig {
     val cfg = graft.sources.ConfigSource.load(spark, cfgPath)
     val model = graft.sources.ConfigSource.modelKey(cfg)
     spark.stop()
-    Train.main(Array(model, sfDir, cfg.mdlFile))
+    Train.run(model, sfDir, cfg.mdlFile, cfg.hpParams)
   }
 }
 
 object Train {
   def main(args: Array[String]): Unit = {
     val Array(model, sfDir, artifactDir) = args.take(3)
+    run(model, sfDir, artifactDir, Map.empty)
+  }
+
+  /** Train with the reference's hp_params honored (S8): MIN_CORRATED /
+    * K_NEIGHS / METRIC.active+min_value (item- and user-CF,
+    * config_item_cf.json), TOP_TFIDF (content), RANK / MAX_ITER /
+    * REG_PARAM (ALS), GBT_ITER (hybrid). Unknown keys are ignored like
+    * the reference's loader; values are JSON scalars rendered as strings
+    * (ints may arrive as "3" or "3.0"). */
+  def run(model: String, sfDir: String, artifactDir: String, hp: Map[String, String]): Unit = {
+    def hpInt(k: String, d: Int): Int = hp.get(k).map(_.toDouble.toInt).getOrElse(d)
+    def hpDouble(k: String, d: Double): Double = hp.get(k).map(_.toDouble).getOrElse(d)
+    // reference metric names (models/item_cf_model.py:167): pears/cos/jacc
+    val metricCol = hp.getOrElse("METRIC.active", "cos") match {
+      case "pears" | "pearson" => "pearson"
+      case "jacc" | "jaccard" => "jaccard"
+      case _ => "cosine"
+    }
     val spark = Cli.session()
     val reviews = Tables.reviews(spark, sfDir)
     model match {
@@ -68,25 +86,36 @@ object Train {
         // bounded-heap top-k aggregate: shuffles <= k rows per group
         // (hash-equal to the window path, proven by gate q77)
         ModelIO.saveTable(
-          Recommender.topNeighborsAgg(Recommender.pairWeights(reviews, 2), "cosine", 10)
+          Recommender.topNeighborsAgg(
+              Recommender.pairWeights(reviews, hpInt("MIN_CORRATED", 2)),
+              metricCol, hpInt("K_NEIGHS", 10))
             .select("biz", "neighbor", "w"),
           s"$artifactDir/neighbors")
         ModelIO.saveTable(Recommender.dedupReviews(reviews), s"$artifactDir/ratings")
       case "usercf" =>
         ModelIO.saveTable(
-          UserCF.topSimilar(UserCF.similarUsers(spark, reviews, 16, 2, 0.1), 5)
+          UserCF.topSimilar(
+              UserCF.similarUsers(spark, reviews,
+                hpInt("N_MIN_HASHES", 16), hpInt("ROWS_PER_BAND", 2),
+                hpDouble("METRIC.min_value", 0.1)),
+              hpInt("K_NEIGHS", 5))
             .select("user_id", "neighbor", "w"),
           s"$artifactDir/similar_users")
         ModelIO.saveTable(Recommender.dedupReviews(reviews), s"$artifactDir/ratings")
       case "content" =>
         val tfidf = ContentBased.bizTfidf(Tables.bizText(spark, sfDir)).cache()
-        val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, 50))
+        val bizProf = ContentBased.bizProfiles(tfidf,
+          ContentBased.vocabulary(tfidf, hpInt("TOP_TFIDF", 50)))
         ModelIO.saveTable(bizProf, s"$artifactDir/biz_prof")
         ModelIO.saveTable(ContentBased.userProfiles(reviews, bizProf), s"$artifactDir/user_prof")
       case "als" =>
-        ModelIO.saveAls(AlsModel.fit(Recommender.dedupReviews(reviews)), s"$artifactDir/als")
+        ModelIO.saveAls(
+          AlsModel.fit(Recommender.dedupReviews(reviews),
+            AlsModel.Params(rank = hpInt("RANK", 8), maxIter = hpInt("MAX_ITER", 5),
+              regParam = hpDouble("REG_PARAM", 0.2))),
+          s"$artifactDir/als")
       case "hybrid" =>
-        val fitted = HybridModel.fit(reviews, gbtIter = 5)
+        val fitted = HybridModel.fit(reviews, gbtIter = hpInt("GBT_ITER", 5))
         ModelIO.saveAls(fitted.als, s"$artifactDir/als")
         fitted.gbt.write.overwrite().save(s"$artifactDir/gbt")
       case other => sys.error(s"unknown model '$other' (expected ${Cli.models.mkString("/")})")

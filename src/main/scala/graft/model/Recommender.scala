@@ -143,10 +143,15 @@ object Recommender {
     grouped
       .join(sq.select(col("business_id").as("biz_a"), col("sumsq").as("qa"), col("n").as("na")), "biz_a")
       .join(sq.select(col("business_id").as("biz_b"), col("sumsq").as("qb"), col("n").as("nb")), "biz_b")
-      .select(col("biz_a"), col("biz_b"), col("n_common"),
+      .select(col("biz_a"), col("biz_b"), col("n_common"), {
+        // guard EVERY moment-derived output: a caller selecting only
+        // cosine would otherwise let Catalyst prune the pearson guard away
+        // and silently wrap (round-2 review finding)
+        val guard = greatest(col("n_common"), col("na"), col("nb"))
+        momentSafe(guard, Cross.r6(col("pearson"))).as("pearson")
+      },
         momentSafe(greatest(col("n_common"), col("na"), col("nb")),
-          Cross.r6(col("pearson"))).as("pearson"),
-        Cross.r6(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))).as("cosine"),
+          Cross.r6(col("dot") / (sqrt(col("qa")) * sqrt(col("qb"))))).as("cosine"),
         Cross.r6(col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
   }

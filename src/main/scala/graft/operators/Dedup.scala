@@ -17,10 +17,11 @@ import graft.functions.{HashFns, TextFns}
   *    similarity join into a join on (band, band-key) — only colliding
   *    docs meet, which is the LSH contract (reference utils/lsh.py:23-58
   *    does the same banding with Python dict buckets).
-  *  - SimHash: one 32-bit sketch per doc; candidate generation blocks on
-  *    the 4 sketch bytes, so a pair is compared only if some byte matches
-  *    (≤ 8 Hamming distance guaranteed detectable at d ≤ 4·... — standard
-  *    pigeonhole blocking), again avoiding the cartesian square.
+  *  - SimHash: one 60-bit sketch per doc (HashFns.simhashBits); candidate
+  *    generation blocks on maxHamming+1 derived blocks ([[blockSpec]]), so
+  *    any pair within the requested distance is guaranteed to share a
+  *    block (pigeonhole) while blocks stay ~60/(maxHamming+1) bits wide —
+  *    selective buckets, no cartesian square.
   *  - n-gram Jaccard is the exact (non-approximate) fallback: inverted
   *    index self-join on shingle, so cost is Σ_shingle df² — fine when
   *    df is bounded, and the LSH paths above are the scale escape hatch.
@@ -107,13 +108,14 @@ object Dedup {
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
   }
 
-  /** 32-bit SimHash per doc: token-hash bit votes weighted by multiplicity
-    * (integer sums → deterministic), bit set where the vote is positive. */
+  /** 60-bit SimHash per doc (width = HashFns.simhashBits): token-hash bit
+    * votes weighted by multiplicity (integer sums → deterministic), bit
+    * set where the vote is positive. */
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
       .select(col("doc_id"), Cross.hash64(col("t")).as("x"))
-    // One grouped pass with 32 aggregate columns (one signed vote sum per
-    // bit) instead of a 32× row explosion — same integer-exact result.
+    // One grouped pass with one signed vote-sum aggregate column per bit
+    // instead of a width× row explosion — same integer-exact result.
     val bitSums = (0 until HashFns.simhashBits).map { j =>
       sum(when(expr(s"(x div ${1L << j}) % 2") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j")
     }

@@ -32,6 +32,8 @@ object Sampling {
   /** (train, eval) pair: eval = `evalBuckets` of denom buckets, train =
     * the complement. The two are disjoint and exhaustive by construction. */
   def hashSplit(df: DataFrame, key: Column, evalBuckets: Int, denom: Int): (DataFrame, DataFrame) = {
+    require(evalBuckets > 0 && evalBuckets < denom,
+      s"need 0 < evalBuckets < denom, got $evalBuckets/$denom (both splits must be non-empty)")
     val b = hashBucket(key, denom)
     (df.filter(b >= evalBuckets), df.filter(b < evalBuckets))
   }

@@ -80,9 +80,12 @@ case class TopKPairs(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    // best-first: w desc, id asc — the window's total order
-    val sorted = buf.toArray.sortWith((a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    // sorted ascending by worstFirst = best entries first (worstFirst
+    // compares "worse" as greater). Uses the same Double.compare-based
+    // total order as update/merge so NaN weights sort consistently instead
+    // of violating the sort contract (sortWith with > is not a strict weak
+    // ordering under NaN).
+    val sorted = buf.toArray.sorted(worstFirst)
     new GenericArrayData(sorted.map { case (w, id) =>
       InternalRow(w, id): Any
     })

@@ -273,17 +273,29 @@ object ContentQueries {
        |$tfidfCtes,
        |$profileCtes,
        |$predictCtes,
-       |preds AS (${ruleSql("geometric", "cos * user_avg + (1.0 - cos) * biz_avg")})
+       |preds AS (${ruleSql("geometric", "cos * user_avg + (1.0 - cos) * biz_avg")}),
+       |gt AS (
+       |  SELECT user_id, business_id, stars FROM rdedup
+       |  UNION ALL
+       |  SELECT user_id, business_id, 3.0 AS stars FROM pairs
+       |  WHERE user_id >= 10000000 OR business_id >= 10000000)
        |SELECT decision,
        |  round((sqrt(${ds("(pred - stars) * (pred - stars)")} / COUNT(*))) + 1e-9, 6) AS rmse,
        |  COUNT(*) AS n
-       |FROM preds JOIN rdedup USING (user_id, business_id)
+       |FROM preds JOIN gt USING (user_id, business_id)
        |GROUP BY decision
        |ORDER BY decision""".stripMargin) { (spark, dir) =>
     val (reviews, userProf, bizProf, pairs) = sharedInputs(spark, dir)
     val preds = ContentBased.predictRuled(pairs, reviews, userProf, bizProf,
       ContentBased.DecisionRule.Geometric)
-    val gt = graft.model.Recommender.dedupReviews(reviews)
+    // Observed ratings only ever land in the 'both' branch (a reviewed
+    // pair implies both averages exist), so the breakdown gate would
+    // never see the other arms; synthetic held-out ratings for the
+    // shifted-id grid rows put user_only/biz_only/cold in the output too.
+    val synth = pairs
+      .filter(col("user_id") >= 10000000L || col("business_id") >= 10000000L)
+      .select(col("user_id"), col("business_id"), lit(3.0).as("stars"))
+    val gt = graft.model.Recommender.dedupReviews(reviews).union(synth)
     graft.model.Recommender.rmseByDecision(preds, gt)
       .orderBy("decision")
   }

@@ -28,6 +28,20 @@ object RecommenderQueries {
        |         round((${ds("stars")} / COUNT(*)) + 1e-9, 6) AS stars
        |  FROM reviews GROUP BY user_id, business_id)""".stripMargin
 
+  /** The CF gates run Spark with maxBasket = [[MaxBasketGate]] and the
+    * oracle applies the IDENTICAL cap, so the comparison verifies the cap
+    * logic itself and stays valid at any scale factor (round-2 review: an
+    * uncapped oracle silently depends on no user exceeding the cap). */
+  private val MaxBasketGate = 1024
+
+  private val rcapCte =
+    s"""rcap AS (
+       |  SELECT user_id, business_id, stars FROM (
+       |    SELECT user_id, business_id, stars,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY business_id) AS rk
+       |    FROM rdedup) t
+       |  WHERE rk <= $MaxBasketGate)""".stripMargin
+
   private val avgCtes =
     s"""uavg AS (SELECT user_id, ${ds("stars")} / COUNT(*) AS user_avg
        |         FROM reviews GROUP BY user_id),
@@ -86,13 +100,14 @@ object RecommenderQueries {
   val q62 = QueryDef(
     "q62_corated_pairs",
     s"""WITH $reviewsCte,
-       |$rdedupCte
+       |$rdedupCte,
+       |$rcapCte
        |SELECT a.business_id AS biz_a, b.business_id AS biz_b, COUNT(*) AS n_common
-       |FROM rdedup a JOIN rdedup b
+       |FROM rcap a JOIN rcap b
        |  ON a.user_id = b.user_id AND a.business_id < b.business_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
        |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
-    Recommender.coRatedPairs(Tables.reviews(spark, dir), 2, maxBasket = 1024)
+    Recommender.coRatedPairs(Tables.reviews(spark, dir), 2, maxBasket = MaxBasketGate)
       .orderBy("biz_a", "biz_b")
   }
 
@@ -100,7 +115,7 @@ object RecommenderQueries {
     s"""co AS (
        |  SELECT a.business_id AS biz_a, b.business_id AS biz_b,
        |         round(a.stars * 1e6)::BIGINT AS sa6, round(b.stars * 1e6)::BIGINT AS sb6
-       |  FROM rdedup a JOIN rdedup b
+       |  FROM rcap a JOIN rcap b
        |    ON a.user_id = b.user_id AND a.business_id < b.business_id),
        |g AS (
        |  SELECT biz_a, biz_b, COUNT(*) AS n_common,
@@ -110,7 +125,7 @@ object RecommenderQueries {
        |  FROM co GROUP BY biz_a, biz_b HAVING COUNT(*) >= $minCorated),
        |sq AS (
        |  SELECT business_id, SUM(s6 * s6)::BIGINT::DOUBLE / 1e12 AS sumsq, COUNT(*) AS n
-       |  FROM (SELECT business_id, round(stars * 1e6)::BIGINT AS s6 FROM rdedup) t
+       |  FROM (SELECT business_id, round(stars * 1e6)::BIGINT AS s6 FROM rcap) t
        |  GROUP BY business_id),
        |weights AS (
        |  SELECT biz_a, biz_b, n_common,
@@ -131,10 +146,11 @@ object RecommenderQueries {
     "q63_pair_weights",
     s"""WITH $reviewsCte,
        |$rdedupCte,
+       |$rcapCte,
        |${weightsCtes(3)}
        |SELECT biz_a, biz_b, n_common, pearson, cosine, jaccard FROM weights
        |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
-    Recommender.pairWeights(Tables.reviews(spark, dir), 3, maxBasket = 1024)
+    Recommender.pairWeights(Tables.reviews(spark, dir), 3, maxBasket = MaxBasketGate)
       .orderBy("biz_a", "biz_b")
   }
 
@@ -143,6 +159,7 @@ object RecommenderQueries {
     "q64_topk_neighbors",
     s"""WITH $reviewsCte,
        |$rdedupCte,
+       |$rcapCte,
        |${weightsCtes(2)},
        |sym AS (
        |  SELECT biz_a AS biz, biz_b AS neighbor, cosine AS w FROM weights
@@ -154,7 +171,7 @@ object RecommenderQueries {
        |  FROM sym)
        |SELECT biz, rank, neighbor, w FROM ranked WHERE rank <= 5
        |ORDER BY biz, rank""".stripMargin) { (spark, dir) =>
-    Recommender.topNeighbors(Recommender.pairWeights(Tables.reviews(spark, dir), 2, maxBasket = 1024), "cosine", 5)
+    Recommender.topNeighbors(Recommender.pairWeights(Tables.reviews(spark, dir), 2, maxBasket = MaxBasketGate), "cosine", 5)
       .select("biz", "rank", "neighbor", "w")
       .orderBy("biz", "rank")
   }
@@ -168,6 +185,7 @@ object RecommenderQueries {
     "q77_topk_agg",
     s"""WITH $reviewsCte,
        |$rdedupCte,
+       |$rcapCte,
        |${weightsCtes(2)},
        |sym AS (
        |  SELECT biz_a AS biz, biz_b AS neighbor, cosine AS w FROM weights
@@ -180,7 +198,7 @@ object RecommenderQueries {
        |SELECT biz, rank, neighbor, w FROM ranked WHERE rank <= 5
        |ORDER BY biz, rank""".stripMargin) { (spark, dir) =>
     Recommender.topNeighborsAgg(
-        Recommender.pairWeights(Tables.reviews(spark, dir), 2, maxBasket = 1024), "cosine", 5)
+        Recommender.pairWeights(Tables.reviews(spark, dir), 2, maxBasket = MaxBasketGate), "cosine", 5)
       .orderBy("biz", "rank")
   }
 
@@ -192,10 +210,11 @@ object RecommenderQueries {
     "q74_pearson_dense",
     s"""WITH $reviewsCte,
        |$rdedupCte,
+       |$rcapCte,
        |co AS (
        |  SELECT a.business_id AS biz_a, b.business_id AS biz_b,
        |         round(a.stars * 1e6)::BIGINT AS sa6, round(b.stars * 1e6)::BIGINT AS sb6
-       |  FROM rdedup a JOIN rdedup b
+       |  FROM rcap a JOIN rcap b
        |    ON a.user_id = b.user_id AND a.business_id < b.business_id),
        |g AS (
        |  SELECT biz_a, biz_b, COUNT(*) AS n_common, SUM(sa6 * sb6)::BIGINT AS sxy12
@@ -216,7 +235,7 @@ object RecommenderQueries {
        |JOIN it qb ON biz_b = qb.business_id
        |CROSS JOIN u
        |ORDER BY biz_a, biz_b""".stripMargin) { (spark, dir) =>
-    Recommender.pairWeightsDense(Tables.reviews(spark, dir), 3, maxBasket = 1024)
+    Recommender.pairWeightsDense(Tables.reviews(spark, dir), 3, maxBasket = MaxBasketGate)
       .orderBy("biz_a", "biz_b")
   }
 
@@ -225,6 +244,7 @@ object RecommenderQueries {
     "q65_itemcf_predict",
     s"""WITH $reviewsCte,
        |$rdedupCte,
+       |$rcapCte,
        |${weightsCtes(2)},
        |sym AS (
        |  SELECT biz_a AS biz, biz_b AS neighbor, cosine AS w FROM weights
@@ -253,7 +273,7 @@ object RecommenderQueries {
        |FROM scored
        |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
-    val nb = Recommender.topNeighbors(Recommender.pairWeights(r, 2, maxBasket = 1024), "cosine", 5)
+    val nb = Recommender.topNeighbors(Recommender.pairWeights(r, 2, maxBasket = MaxBasketGate), "cosine", 5)
       .select("biz", "neighbor", "w")
     Recommender.itemCfPredict(pairsDF(spark, dir), Recommender.dedupReviews(r), nb)
       .orderBy("user_id", "business_id")

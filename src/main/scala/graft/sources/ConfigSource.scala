@@ -18,10 +18,12 @@ object ConfigSource {
   /** Keys the reference's loader asserts on (config/config.py:23-32). */
   val RequiredKeys: Seq[String] = Seq("class", "training_data", "mdl_file", "hp_params")
 
-  /** Reference registry class name → CLI model key (models/__init__.py:6-11). */
+  /** Reference registry class name → CLI model key (models/__init__.py:6-11;
+    * "ItemBasedCFModel" is the name the shipped config_item_cf.json uses). */
   val ModelRegistry: Map[String, String] = Map(
     "BaselineModel" -> "baseline",
     "ItemCFModel" -> "itemcf",
+    "ItemBasedCFModel" -> "itemcf",
     "UserCFModel" -> "usercf",
     "ALSModel" -> "als",
     "ContentBasedModel" -> "content",
@@ -39,14 +41,21 @@ object ConfigSource {
     val row = df.select("class", "training_data", "mdl_file", "hp_params").head()
     require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
       s"config $path has null values for required scalar keys")
+    // Nested hp objects (e.g. the reference's METRIC: {active, min_value},
+    // DECISION_RULE: {active, params: {...}}) flatten to dotted keys:
+    // "METRIC.active" -> "jacc".
+    def flatten(prefix: String, r: org.apache.spark.sql.Row): Seq[(String, String)] =
+      r.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        val key = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        if (r.isNullAt(i)) Seq(key -> null)
+        else r.get(i) match {
+          case nested: org.apache.spark.sql.Row => flatten(key, nested)
+          case v => Seq(key -> v.toString)
+        }
+      }
     val hp =
       if (row.isNullAt(3)) Map.empty[String, String]
-      else {
-        val struct = row.getStruct(3)
-        struct.schema.fields.zipWithIndex.map { case (f, i) =>
-          f.name -> (if (struct.isNullAt(i)) null else struct.get(i).toString)
-        }.toMap
-      }
+      else flatten("", row.getStruct(3)).toMap
     GraftConfig(row.getString(0), row.getString(1), row.getString(2), hp)
   }
 
