@@ -174,4 +174,53 @@ object Dedup {
   /** SimHash near-dup pairs over documents (sketch + [[simhashPairs]]). */
   def simhashNearDups(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame =
     simhashPairs(simhash(spark, docs), maxHamming)
+
+  /** Connected components over near-dup pairs by min-label propagation:
+    * every node ends with the smallest id reachable from it — the step
+    * that turns a PAIR list into dedup CLUSTERS (pick one survivor per
+    * cluster). Each iteration is one join + one min-aggregate, so the
+    * per-round cost is |edges| shuffled on the adjacency key; rounds
+    * needed = component diameter, which for near-dup graphs is tiny
+    * (clusters are cliques or short chains). The per-iteration
+    * convergence count is a driver scalar by design — iterative graph
+    * algorithms need a loop-control signal (same shape GraphX/Pregel
+    * uses); the data itself never leaves the cluster.
+    *
+    * `nodes(id)`, `edges(a, b)`; returns (id, cluster = min reachable id). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = sym.join(labels, sym("a") === labels("id"))
+        .groupBy(sym("b").as("nid")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(prop, labels("id") === prop("nid"), "left")
+        .select(labels("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Cluster-level dedup: docs → LSH near-dup pairs → components →
+    * (doc_id, cluster, is_survivor) where the survivor is the cluster's
+    * min doc id. */
+  def dedupClusters(spark: SparkSession, docs: DataFrame,
+      k: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double): DataFrame = {
+    val pairs = minhashNearDups(spark, docs, k, rowsPerBand, shingleN)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_survivor"))
+  }
 }

@@ -177,6 +177,51 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cluster-level dedup: LSH near-dup pairs → connected components →
+    * one survivor per cluster. The oracle computes the transitive closure
+    * with a recursive CTE and takes the min reachable id — exactly the
+    * fixpoint the Spark label propagation converges to, so the gate
+    * verifies the iteration's correctness, not just one round. */
+  val q38 = QueryDef(
+    "q38_dedup_clusters",
+    s"""WITH RECURSIVE $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |edges0 AS (
+       |  SELECT c.doc_a AS a, c.doc_b AS b
+       |  FROM cand c
+       |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |  JOIN sizes sa ON c.doc_a = sa.doc_id
+       |  JOIN sizes sb ON c.doc_b = sb.doc_id
+       |  WHERE COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE >= 0.5),
+       |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, MIN(dst) AS cluster,
+       |       (src = MIN(dst)) AS is_survivor
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.dedupClusters(spark, graft.core.Tables.documents(spark, dir),
+        K, R, ShingleN, minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
   /** The SelfSimilarityJoin logical operator (custom Catalyst node +
     * optimizer expansion rule) over document shingles, thresholded —
     * same oracle algebra as q32 plus the jaccard cut. */
@@ -215,5 +260,5 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

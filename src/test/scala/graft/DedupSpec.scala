@@ -103,6 +103,15 @@ class DedupSpec extends SparkSpec {
     assert(spec.map { case (_, _, m) => java.lang.Long.numberOfTrailingZeros(m) }.sum == 60)
   }
 
+  test("connected components propagate the min label across multi-hop chains") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 5-6, isolated 7
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (6L, 5L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("generic Lsh candidatePairs works on arbitrary id/token sets") {
     val items = Seq(
       (10L, "a"), (10L, "b"), (10L, "c"),
