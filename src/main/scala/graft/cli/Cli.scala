@@ -42,16 +42,18 @@ object Cli {
 
 /** S8: config-file driven training — the reference's `train.py
   * --config config.json` surface. The model comes from the config's
-  * registry `class`, the artifact dir from its `mdl_file`.
-  * Usage: runMain graft.cli.TrainConfig <configPath> <sfDir> */
+  * registry `class`, the artifact dir from its `mdl_file`, and the data
+  * dir from its `training_data` unless overridden on the command line.
+  * Usage: runMain graft.cli.TrainConfig <configPath> [sfDir] */
 object TrainConfig {
   def main(args: Array[String]): Unit = {
-    val Array(cfgPath, sfDir) = args.take(2)
+    val cfgPath = args(0)
     val spark = Cli.session()
     val cfg = graft.sources.ConfigSource.load(spark, cfgPath)
     val model = graft.sources.ConfigSource.modelKey(cfg)
+    val sfDir = args.lift(1).getOrElse(cfg.trainingData)
+    Train.runWith(spark, model, sfDir, cfg.mdlFile, cfg.hpParams)
     spark.stop()
-    Train.run(model, sfDir, cfg.mdlFile, cfg.hpParams)
   }
 }
 
@@ -68,6 +70,13 @@ object Train {
     * the reference's loader; values are JSON scalars rendered as strings
     * (ints may arrive as "3" or "3.0"). */
   def run(model: String, sfDir: String, artifactDir: String, hp: Map[String, String]): Unit = {
+    val spark = Cli.session()
+    runWith(spark, model, sfDir, artifactDir, hp)
+    spark.stop()
+  }
+
+  def runWith(spark: SparkSession, model: String, sfDir: String,
+      artifactDir: String, hp: Map[String, String]): Unit = {
     def hpInt(k: String, d: Int): Int = hp.get(k).map(_.toDouble.toInt).getOrElse(d)
     def hpDouble(k: String, d: Double): Double = hp.get(k).map(_.toDouble).getOrElse(d)
     // reference metric names (models/item_cf_model.py:167): pears/cos/jacc
@@ -76,7 +85,6 @@ object Train {
       case "jacc" | "jaccard" => "jaccard"
       case _ => "cosine"
     }
-    val spark = Cli.session()
     val reviews = Tables.reviews(spark, sfDir)
     model match {
       case "baseline" =>
@@ -120,7 +128,6 @@ object Train {
         fitted.gbt.write.overwrite().save(s"$artifactDir/gbt")
       case other => sys.error(s"unknown model '$other' (expected ${Cli.models.mkString("/")})")
     }
-    spark.stop()
   }
 }
 

@@ -65,13 +65,6 @@ object HashFns {
     * pigeonhole blocking in Dedup.simhashPairs wider, more selective
     * blocks for the same maxHamming. */
   val simhashBits: Int = 60
-  def bitTableDF(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    (0 until simhashBits).map(j => (j, 1L << j)).toDF("bit", "p2")
-  }
-  def bitTableSql: String =
-    (0 until simhashBits).map(j => s"($j, ${1L << j})")
-      .mkString("(VALUES ", ", ", ") AS bt(bit, p2)")
 
   /** Single-pass SimHash aggregation expression over a column `x` of token
     * hashes: Σ_j 2^j · [Σ_tokens sign-vote for bit j > 0]. */

@@ -73,9 +73,10 @@ object Recommender {
     * deterministic prefix (lowest business ids). One power user with 100k
     * ratings would otherwise contribute 5·10^9 pairs inside a single join
     * key — AQE splits oversized partitions but cannot split the per-key
-    * quadratic blowup itself. `maxBasket <= 0` disables the cap; a cap
-    * above the corpus' true max basket is a provable no-op (the gates run
-    * capped at 1024 against uncapped oracles and still hash-match). */
+    * quadratic blowup itself. `maxBasket <= 0` disables the cap. The CF
+    * gates run capped AND mirror the identical cap in their oracles
+    * (RecommenderQueries.rcapCte), so the comparison verifies the cap
+    * logic itself and stays valid at any scale factor. */
   private def capBasket(r: DataFrame, maxBasket: Int): DataFrame =
     if (maxBasket <= 0) r
     else {

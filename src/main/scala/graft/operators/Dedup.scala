@@ -208,6 +208,12 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    // raise-instead-of-garbage (same policy as momentSafe): unconverged
+    // labels are not component minima and a survivor-keeping consumer
+    // would silently drop docs of clusters whose label is no row's id
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing) — component diameter exceeds maxIter; raise it")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 

@@ -332,9 +332,13 @@ object ContentQueries {
     // encoding only keeps vocab terms anyway, and joining rated pairs
     // against the full token table first multiplies every rater by every
     // token of the business (~40x more rows for identical output).
+    // distinct BEFORE the rater join: encodedProfiles applies set
+    // semantics anyway, and without it a term repeated 20x in one text
+    // fans out 20x per rater through the join
     val bizTok = bt.select(col("business_id").as("entity_id"),
       explode(TextFns.contentTokens(col("text"))).as("term"))
       .join(vocab.select("term"), "term")
+      .distinct()
     val userTok = graft.model.Recommender.dedupReviews(Tables.reviews(spark, dir))
       .select(col("user_id"), col("business_id"))
       .join(bizTok.select(col("entity_id").as("business_id"), col("term")), "business_id")

@@ -207,7 +207,7 @@ object DedupQueries {
        |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
        |  JOIN sizes sa ON c.doc_a = sa.doc_id
        |  JOIN sizes sb ON c.doc_b = sb.doc_id
-       |  WHERE COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE >= 0.5),
+       |  WHERE round((COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) >= 0.5),
        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM documents

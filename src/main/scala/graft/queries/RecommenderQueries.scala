@@ -221,9 +221,9 @@ object RecommenderQueries {
        |  FROM co GROUP BY biz_a, biz_b HAVING COUNT(*) >= 3),
        |it AS (
        |  SELECT business_id, SUM(s6)::BIGINT AS sx6, SUM(s6 * s6)::BIGINT AS sxx12
-       |  FROM (SELECT business_id, round(stars * 1e6)::BIGINT AS s6 FROM rdedup) t
+       |  FROM (SELECT business_id, round(stars * 1e6)::BIGINT AS s6 FROM rcap) t
        |  GROUP BY business_id),
-       |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM rdedup)
+       |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM rcap)
        |SELECT biz_a, biz_b, n_common,
        |  round((CASE WHEN (nu::DOUBLE * (qa.sxx12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qa.sx6::DOUBLE / 1e6))
        |                 * (nu::DOUBLE * (qb.sxx12::DOUBLE / 1e12) - (qb.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6)) <= 0.0 THEN 0.0

@@ -47,9 +47,11 @@ object ConfigSource {
     def flatten(prefix: String, r: org.apache.spark.sql.Row): Seq[(String, String)] =
       r.schema.fields.zipWithIndex.flatMap { case (f, i) =>
         val key = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        if (r.isNullAt(i)) Seq(key -> null)
+        if (r.isNullAt(i)) Seq.empty // null value = key absent → consumer default
         else r.get(i) match {
           case nested: org.apache.spark.sql.Row => flatten(key, nested)
+          case seq: Seq[_] => // JSON array → indexed keys ("params.0" ...)
+            seq.zipWithIndex.map { case (v, j) => s"$key.$j" -> String.valueOf(v) }
           case v => Seq(key -> v.toString)
         }
       }
