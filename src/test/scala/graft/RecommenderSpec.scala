@@ -97,6 +97,23 @@ class RecommenderSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == Seq(2L, 3L))
   }
 
+  test("bounded top-k aggregate tolerates NaN weights without breaking the sort") {
+    // NaN weights must not throw (sortWith with > violates the sort
+    // contract under NaN) and must rank exactly like the window
+    // formulation (Spark sorts NaN greater than any double; so does
+    // Double.compare — the two paths agree that NaN ranks first)
+    val rows = Seq((1L, 2L, Double.NaN), (1L, 3L, 0.4), (1L, 4L, 0.2), (1L, 5L, Double.NaN))
+      .toDF("biz_a", "biz_b", "cosine")
+    val viaAgg = Recommender.topNeighborsAgg(rows, "cosine", 3)
+      .filter(col("biz") === 1L).orderBy("rank")
+      .select("biz", "rank", "neighbor").collect()
+    val viaWindow = Recommender.topNeighbors(rows, "cosine", 3)
+      .filter(col("biz") === 1L).orderBy("rank")
+      .select("biz", "rank", "neighbor").collect()
+    assert(viaAgg.length == 3)
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
   test("pairWeights: perfect positive correlation on aligned ratings") {
     val r = Seq(
       (1L, 10L, 1.0), (1L, 20L, 2.0),
