@@ -37,4 +37,24 @@ object Sampling {
     val b = hashBucket(key, denom)
     (df.filter(b >= evalBuckets), df.filter(b < evalBuckets))
   }
+
+  /** Deterministic per-key cap — "at most n rows per domain", the
+    * workhorse constraint of corpus curation. Selection order is the
+    * row id's content hash (an unbiased deterministic shuffle), so which
+    * rows survive is a pure function of the data, like [[hashSample]].
+    *
+    * Built on the bounded TopKPairs aggregate: map-side state and the
+    * shuffle stay ≤ n entries per key per partition — a window
+    * row_number would sort EVERY row of every key first. The hash is
+    * folded to 2^50 so its double image is exact (< 2^53); ties (P ≈
+    * 2^-50 per pair) resolve by ascending id on both engines.
+    * Returns (key, id) survivors. */
+  def capPerKey(df: DataFrame, key: Column, id: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val bucket = pmod(Cross.hash64(id.cast("string")), lit(1L << 50))
+    df.select(key.as("key"), id.as("id"), (-bucket.cast("double")).as("w"))
+      .groupBy("key")
+      .agg(graft.plans.TopKAgg.topK(col("w"), col("id"), n).as("top"))
+      .select(col("key"), explode(col("top.id")).as("id"))
+  }
 }

@@ -149,5 +149,25 @@ object EventQueries {
       .orderBy("day", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
+  /** Deterministic per-key cap (≤ 3 events per user, selected by content
+    * hash): the curation "max N per domain" constraint. The oracle ranks
+    * by the identical folded hash, so WHICH rows survive — not just how
+    * many — is hash-verified cross-engine. */
+  val q56 = QueryDef(
+    "q56_cap_per_key",
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_id,
+       |         row_number() OVER (
+       |           PARTITION BY user_id
+       |           ORDER BY ${Cross.hash64Sql("event_id::VARCHAR")} % 1125899906842624, event_id
+       |         ) AS rk
+       |  FROM events)
+       |SELECT user_id AS key, event_id AS id FROM ranked WHERE rk <= 3
+       |ORDER BY key, id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.capPerKey(
+        Tables.events(spark, dir), col("user_id"), col("event_id"), 3)
+      .orderBy("key", "id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }
