@@ -76,9 +76,24 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     * one pass builds intersection counts directly (no separate pair
-    * mining), then sizes attach. */
-  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleSet(docs, shingleN).cache()
+    * mining), then sizes attach.
+    *
+    * `maxShingleDf` is the hot-shingle guard (the skew analog of the CF
+    * chain's maxBasket cap): the self-join costs Σ_shingle df², so ONE
+    * stop-shingle ("of the and") shared by m docs at corpus scale is an
+    * m² single-key blowup. Shingles whose document frequency exceeds the
+    * cap are dropped from the index BEFORE the join; intersections and
+    * set sizes are then both computed over the capped shingle space, so
+    * the output stays a true Jaccard (of the discriminating shingles —
+    * stop-shingles carry no pair signal). Default = no cap. */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, minJaccard: Double,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val shAll = shingleSet(docs, shingleN)
+    val sh = (if (maxShingleDf == Long.MaxValue) shAll
+      else shAll.join(
+        shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("sh"),
+        "sh")).cache()
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -197,24 +212,37 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = sym.join(labels, sym("a") === labels("id"))
         .groupBy(sym("b").as("nid")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(prop, labels("id") === prop("nid"), "left")
+      // convergence is folded into the propagation pass: the chg flag is
+      // computed in the same select, so counting it materializes the
+      // cached `next` and is the round's ONLY job (the old shape re-joined
+      // next against labels for a second comparison job per round)
+      val propagated = labels.join(prop, labels("id") === prop("nid"), "left")
         .select(labels("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+      // periodic lineage truncation: each round's plan is built over the
+      // previous round's, so analysis cost grows linearly with iterations
+      // without a checkpoint every few rounds
+      val next = (if ((i + 1) % 4 == 0) propagated.localCheckpoint(false)
+        else propagated).cache()
+      changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next
       i += 1
     }
-    sym.unpersist()
     // raise-instead-of-garbage (same policy as momentSafe): unconverged
     // labels are not component minima and a survivor-keeping consumer
     // would silently drop docs of clusters whose label is no row's id
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter iterations " +
         s"($changed labels still changing) — component diameter exceeds maxIter; raise it")
-    labels.select(col("id"), col("lbl").as("cluster"))
+    // eagerly pin the result, then free every iteration cache — callers
+    // get a materialized table, not a dangling reference into the loop's
+    // cached lineage
+    val out = labels.select(col("id"), col("lbl").as("cluster")).localCheckpoint()
+    labels.unpersist()
+    sym.unpersist()
+    out
   }
 
   /** Cluster-level dedup: docs → LSH near-dup pairs → components →

@@ -1,11 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Cross
 import graft.functions.{HashFns, VectorFns}
+import graft.plans.TopKAgg
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (beyond-reference operator; the LSH idea generalizes the reference's
@@ -24,6 +24,26 @@ import graft.functions.{HashFns, VectorFns}
   */
 object SimilaritySearch {
 
+  /** Exact top-k re-rank of scored (query_id, neighbor_id, cos) candidates
+    * via the bounded [[TopKAgg]] aggregate. The window formulation
+    * (row_number over every candidate) shuffles and sorts ALL candidates
+    * of every query before discarding all but k — a hot LSH bucket or fat
+    * IVF cell makes that sort the bottleneck at 100 TB. The aggregate
+    * keeps a k-bounded heap per query: map-side state ≤ k per query per
+    * partition, shuffle ≤ k entries per query per map partition. Ordering
+    * (cos desc, neighbor_id asc) is identical to the window's total order
+    * — gate q77 pins the hash-equality of the two formulations.
+    * Precondition: cos and neighbor_id non-null (cosine over non-empty
+    * vectors never is; a null would be dropped here but ranked NULLS LAST
+    * by the window). */
+  private def rerank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("e").getField("id").as("neighbor_id"),
+        Cross.r6(col("e").getField("w")).as("cos"))
+
   /** Exact top-k cosine neighbors for each query row. `queries` must be
     * small (broadcast); excludes self-matches. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -32,11 +52,7 @@ object SimilaritySearch {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), Cross.r6(col("cos")).as("cos"))
+    rerank(scored, k)
   }
 
   /** Sign-LSH bucket id from `nPlanes` fixed hyperplanes (bit p set iff
@@ -61,11 +77,7 @@ object SimilaritySearch {
     val scored = qb.join(cb, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), Cross.r6(col("cos")).as("cos"))
+    rerank(scored, k)
   }
 
   /** Nearest-centroid struct (d, cell) — min by squared L2, ties → lowest
@@ -85,25 +97,34 @@ object SimilaritySearch {
       Cross.r6(nc.getField("d")).as("dist"))
   }
 
-  /** IVF search (nProbe = 1): each query visits only its own cell's
-    * inverted list; exact cosine re-rank inside the cell. Same join shape
-    * as [[lshTopK]] — a shuffle on cell id, never a cartesian. Recall is
-    * bounded by the coarse quantizer (the standard IVF trade); raise
-    * nCells for selectivity, add probe cells for recall. */
+  /** The query's `p` nearest cells (d asc, cell asc — the same total
+    * order as [[nearestCentroid]]'s min). Per-row fold + array_sort on
+    * (d, cell) structs, no shuffle. */
+  private def nearestCells(emb: Column, nCells: Int, dims: Int, p: Int): Column =
+    slice(array_sort(array((0 until nCells).map { c =>
+      struct(VectorFns.sqDistLit(emb, HashFns.litVector(s"centroid-$c", dims)).as("d"),
+        lit(c).as("cell"))
+    }: _*)), 1, p)
+
+  /** IVF search: the corpus lives in its nearest cell's inverted list;
+    * each query probes its `nProbe` nearest cells (the standard IVF recall
+    * knob — nProbe=1 is the fastest/lowest-recall point, nProbe=nCells is
+    * exhaustive and equals [[bruteForceTopK]]). Exact cosine re-rank over
+    * the probed candidates. Same join shape as [[lshTopK]] — a shuffle on
+    * cell id (queries replicated nProbe×, never the corpus), never a
+    * cartesian. Each corpus vector sits in exactly one cell and probe
+    * cells are distinct, so no candidate dedup is needed. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int, dims: Int): DataFrame = {
+      nCells: Int, dims: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"need 1 <= nProbe <= nCells, got $nProbe/$nCells")
     val cell = nearestCentroid(col("embedding"), nCells, dims).getField("cell")
-    val qb = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qe"), cell.as("cell"))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      explode(nearestCells(col("embedding"), nCells, dims, nProbe).getField("cell")).as("cell"))
     val cb = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ne"), cell.as("cell"))
     val scored = qb.join(cb, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), Cross.r6(col("cos")).as("cos"))
+    rerank(scored, k)
   }
 }

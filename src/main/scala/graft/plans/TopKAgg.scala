@@ -30,6 +30,16 @@ import org.apache.spark.sql.types._
   * TypedImperativeAggregate is the documented extension point for
   * heap-style aggregation state (the same shape Spark uses for
   * approx_percentile / collect-with-bound).
+  *
+  * Precondition: w and id are non-null. Null-w/null-id rows are DROPPED
+  * (like an agg ignoring nulls), whereas the window formulation ranks
+  * null weights NULLS LAST and still assigns them row numbers — the two
+  * paths diverge iff a group has fewer than k non-null entries plus
+  * null rows. Every in-repo caller scores w from non-null inputs
+  * (cosine / similarity weights / folded hashes), so the aggregate and
+  * window forms stay hash-equal (gate q77). NaN weights ARE ranked, and
+  * identically on both paths: Double.compare and Spark's window sort
+  * both treat NaN as greater than any value (pinned by TopKAggSpec).
   */
 case class TopKPairs(
     wExpr: Expression,

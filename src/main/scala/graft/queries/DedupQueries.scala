@@ -80,15 +80,25 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard pairs over a threshold (inverted-index join). */
+  /** Exact n-gram Jaccard pairs over a threshold (inverted-index join),
+    * with the hot-shingle df-cap ACTIVE (the Σ df² skew guard): shingles
+    * in more than [[MaxShingleDf]] docs are dropped from the index, and
+    * the oracle mirrors the cap (intersections AND sizes over the capped
+    * set), so the gate verifies the capped semantics themselves — the
+    * same mirrored-cap pattern as the CF chain's maxBasket/rcap. */
+  private val MaxShingleDf = 5
   val q33 = QueryDef(
     "q33_ngram_jaccard",
     s"""WITH $shingleCte,
+       |shc AS (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $MaxShingleDf) keep
+       |    ON sh.s = keep.s),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id)
        |SELECT doc_a, doc_b,
        |  round((i::DOUBLE / (sa.n + sb.n - i)::DOUBLE) + 1e-9, 6) AS jaccard
        |FROM inter
@@ -96,7 +106,8 @@ object DedupQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    Dedup.ngramJaccardPairs(graft.core.Tables.documents(spark, dir), ShingleN, 0.2)
+    Dedup.ngramJaccardPairs(graft.core.Tables.documents(spark, dir), ShingleN, 0.2,
+        maxShingleDf = MaxShingleDf)
       .orderBy("doc_a", "doc_b")
   }
 

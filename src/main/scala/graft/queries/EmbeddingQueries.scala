@@ -182,5 +182,42 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
+  /** IVF multi-probe (nProbe=2): queries probe their TWO nearest cells —
+    * the standard IVF recall knob. Recovers near-cell-boundary neighbors
+    * that the q45 single-probe search misses (the planted-recall test in
+    * SimilaritySearchSpec pins one such query; nProbe=nCells ≡ brute
+    * force is pinned there too). */
+  val q46 = QueryDef(
+    "q46_ivf_multiprobe", {
+      val arms = (0 until Cells).map { c =>
+        val w = HashFns.litVector(s"centroid-$c", Dims)
+        s"SELECT vec_id, embedding, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH dists AS (
+         |$arms),
+         |cells AS (
+         |  SELECT vec_id, embedding, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM dists),
+         |assigned AS (SELECT vec_id, embedding, cell FROM cells WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
+         |      FROM cells WHERE rn <= 2 AND vec_id < 32),
+         |scored AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
+         |  FROM q JOIN assigned a USING (cell) WHERE query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 32), emb, 3, Cells, Dims, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }

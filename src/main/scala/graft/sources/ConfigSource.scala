@@ -50,8 +50,13 @@ object ConfigSource {
         if (r.isNullAt(i)) Seq.empty // null value = key absent → consumer default
         else r.get(i) match {
           case nested: org.apache.spark.sql.Row => flatten(key, nested)
-          case seq: Seq[_] => // JSON array → indexed keys ("params.0" ...)
-            seq.zipWithIndex.map { case (v, j) => s"$key.$j" -> String.valueOf(v) }
+          case seq: Seq[_] => // JSON array → indexed keys ("params.0" ...);
+            // arrays of OBJECTS recurse per element ("params.0.lr" ...)
+            // instead of stringifying the Row
+            seq.zipWithIndex.flatMap {
+              case (r: org.apache.spark.sql.Row, j) => flatten(s"$key.$j", r)
+              case (v, j) => Seq(s"$key.$j" -> String.valueOf(v))
+            }
           case v => Seq(key -> v.toString)
         }
       }

@@ -44,6 +44,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("ngram jaccard df-cap drops hot shingles but keeps near-dup pairs") {
+    // "x0 x1 x2" appears in all 5 docs (a stop-shingle); docs 0/1 share a
+    // long distinctive tail
+    val tail = (0 until 12).map(i => s"t$i").mkString(" ")
+    val hot = Seq.tabulate(5)(d => (d.toLong, s"x0 x1 x2 unique$d " + (if (d <= 1) tail else s"filler$d only here now")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(hot, 3, 0.2, maxShingleDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.contains((0L, 1L)), "near-dup pair must survive the cap")
+    // with the df-5 stop-shingle dropped, unrelated docs share nothing
+    assert(capped.keySet == Set((0L, 1L)), s"got $capped")
+    // uncapped keeps the stop-shingle: every doc pair intersects, but the
+    // tiny shared fraction stays under the threshold for unrelated docs —
+    // the cap changes COST, and jaccard only over the capped space
+    val uncapped = Dedup.ngramJaccardPairs(hot, 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 1, "uncapped index must mine pairs via the stop-shingle")
+  }
+
   test("SelfSimilarityJoin logical operator expands to the LSH pipeline") {
     val items = Seq(
       (10L, "a"), (10L, "b"), (10L, "c"),
@@ -110,6 +129,34 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.connectedComponents(nodes, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connected components run one job per iteration (folded convergence)") {
+    val nodes = (1L to 6L).toDF("id")
+    // chain of diameter 5 → several propagation rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    // AQE splits one action into a job per materialized exchange stage,
+    // which makes "jobs" meaningless as an iteration counter — pin it off
+    // for the measurement
+    // broadcast-hash joins add a driver-side broadcast-build job per join,
+    // also not an iteration count — force shuffle joins for the measurement
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.setJobGroup("cc-jobs", "cc job-count test")
+    val got = try Dedup.connectedComponents(nodes, edges).collect()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    assert(got.forall(_.getLong(1) == 1L))
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("cc-jobs").length
+    // chain 1..6 under one-hop min-label propagation: 5 rounds to settle
+    // +1 quiet round to detect convergence, +1 final eager checkpoint,
+    // +1 collect = 9. The old two-jobs-per-round shape would need ≥ 14.
+    assert(jobs <= 9, s"expected ≤ 1 job per round (+2 fixed), saw $jobs")
   }
 
   test("generic Lsh candidatePairs works on arbitrary id/token sets") {

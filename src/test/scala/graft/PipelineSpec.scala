@@ -150,6 +150,37 @@ class PipelineSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("IVF probing all cells is exhaustive: equals brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.filter(col("vec_id") < 32)
+    val ivf = SimilaritySearch.ivfTopK(q, emb, 3, 4, 64, nProbe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = SimilaritySearch.bruteForceTopK(q, emb, 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivf == brute)
+  }
+
+  test("IVF multi-probe recovers a planted neighbor single-probe misses") {
+    import spark.implicits._
+    val dims = 4
+    val c0 = graft.functions.HashFns.litVector("centroid-0", dims)
+    val c1 = graft.functions.HashFns.litVector("centroid-1", dims)
+    def mix(a: Double, b: Double): Array[Float] =
+      (0 until dims).map(i => (a * c0(i) + b * c1(i)).toFloat).toArray
+    // query: just on the c0 side of the bisector → assigned cell 0;
+    // planted best neighbor: just on the c1 side → lives in cell 1
+    val query = Seq((1L, mix(0.51, 0.49))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      2L -> mix(0.49, 0.51), // planted: cos(q,·) ≈ 1 but in cell 1
+      3L -> mix(1.0, 0.0)    // filler in the query's own cell 0
+    ).toDF("vec_id", "embedding")
+    def top1(nProbe: Int): Long =
+      SimilaritySearch.ivfTopK(query, corpus, 1, 2, dims, nProbe)
+        .head().getAs[Long]("neighbor_id")
+    assert(top1(1) == 3L, "single probe must only see the query's own cell")
+    assert(top1(2) == 2L, "second probe must recover the planted neighbor")
+  }
+
   test("brute-force kNN: nearest neighbor of a vector is its duplicate") {
     val base = Tables.embeddings(spark, sf()).limit(5)
     val dup = base.select((col("vec_id") + 100000L).as("vec_id"),

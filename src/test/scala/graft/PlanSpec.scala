@@ -44,6 +44,21 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(pairs).contains("CartesianProduct"))
   }
 
+  test("ANN re-rank is the bounded top-k aggregate, not a window sort") {
+    val emb = Tables.embeddings(spark, sf())
+    for (df <- Seq(
+        graft.operators.SimilaritySearch.bruteForceTopK(emb.limit(4), emb, 3),
+        graft.operators.SimilaritySearch.lshTopK(emb.limit(4), emb, 3, 8, 64),
+        graft.operators.SimilaritySearch.ivfTopK(emb.limit(4), emb, 3, 4, 64, 2))) {
+      val plan = planOf(df)
+      assert(!plan.contains("Window"),
+        s"re-rank must not sort every candidate via a window:\n$plan")
+      assert(plan.contains("topkpairs") || plan.contains("TopKPairs") ||
+        plan.contains("ObjectHashAggregate"),
+        s"re-rank should aggregate with the k-bounded heap:\n$plan")
+    }
+  }
+
   test("grouped aggregates keep map-side partial aggregation") {
     val agg = Tables.lineitem(spark, sf())
       .groupBy("l_returnflag").agg(sum("l_quantity"))

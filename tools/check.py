@@ -23,8 +23,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def run_verify(sfdir: str, outdir: str) -> None:
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}']
+def run_verify(sfdir: str, outdir: str, only=()) -> None:
+    names = " ".join(only)
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir} {names}'.strip()]
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
@@ -71,7 +72,10 @@ def main():
     only = [a for a in args if "/" not in a]
     outdir = Path("/tmp/graft_verify")
     if "--no-run" not in sys.argv:
-        run_verify(sfdir, str(outdir))
+        if only:  # subset rerun: keep other dumps, refresh only these
+            run_verify(sfdir, str(outdir), only)
+        else:
+            run_verify(sfdir, str(outdir))
     oracle = json.loads((outdir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
