@@ -152,11 +152,21 @@ object MlQueries {
       .orderBy("hour", "event_type")
   }
 
-  /** Streaming keyed dedup (arrival-order first — rows-only since file
-    * replay order is not the event-time order). */
-  val q91 = QueryDef.rowsOnly("q91_stream_dedup") { (spark, dir) =>
+  /** Streaming keyed dedup over a DETERMINISTIC replay: the events file
+    * is rewritten sorted by (sec, event_id) as a single file, so first
+    * arrival ≡ earliest event and the kept row hash-matches the batch
+    * q53-style oracle (upgraded from the round-2 rows-only check). */
+  val q91 = QueryDef(
+    "q91_stream_dedup",
+    """SELECT user_id, event_type, event_id, sec FROM (
+      |  SELECT user_id, event_type, event_id, floor(epoch(ts))::BIGINT AS sec,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY sec, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
     EventStreams.runToCompletion(spark,
-        EventStreams.dedupWithinWatermark(EventStreams.readEvents(spark, dir)),
+        EventStreams.dedupWithinWatermark(EventStreams.replayOrdered(spark, dir)),
         "q91_out", mode = "append")
       .orderBy("user_id", "event_type")
   }
@@ -218,8 +228,13 @@ object MlQueries {
       |       MIN(sec) AS start_sec, MAX(sec) AS end_sec
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
-    graft.streaming.Sessionize.sessionizeBatch(
-        graft.streaming.Sessionize.eventsDataset(spark, dir))
+    // runs through the STREAMING operator (flatMapGroupsWithState) via a
+    // flush-sentinel replay — every real session closes and is emitted,
+    // so the streaming fold itself is what the oracle hash-verifies
+    // (round-2 gated the shared batch fold instead); the batch secondary-
+    // sort form is gated by the same oracle shape at q51
+    graft.streaming.Sessionize.sessionizedStreamComplete(spark,
+        graft.streaming.Sessionize.eventsDataset(spark, dir), queryName = "q92_out")
       .orderBy("user_id", "session_id")
   }
 

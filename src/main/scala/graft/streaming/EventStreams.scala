@@ -77,6 +77,31 @@ object EventStreams {
       .groupBy("c_nationkey", "event_type")
       .agg(count(lit(1)).as("n"))
 
+  /** Deterministic ordered replay of the events table: rewritten as ONE
+    * parquet file globally sorted by event time (sec, event_id), so file-
+    * source arrival order IS event order — single-split scans read a file
+    * front-to-back and the shuffle to a stateful operator's key partitions
+    * preserves each mapper's row order, so with one mapper the state store
+    * sees rows in event order. First-arrival operators (keyed dedup)
+    * become replay-deterministic: "first arrived" ≡ "earliest event",
+    * which is what lets q91 carry a full hash oracle instead of a
+    * rows-only check. */
+  def replayOrdered(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_replay").toString
+    spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .orderBy("sec", "event_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    spark.readStream
+      .schema(StructType(eventsSchema.fields :+ StructField("sec", LongType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+      .withColumn("etime", col("sec").cast("timestamp"))
+  }
+
   /** Streaming keyed dedup: first event per (user, type) within the
     * watermark — dropDuplicatesWithinWatermark analog of batch q53. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

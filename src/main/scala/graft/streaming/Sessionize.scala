@@ -53,19 +53,93 @@ object Sessionize {
         sessionizeGroups(gapSeconds))
   }
 
-  /** Batch form over the full replay: the same fold, plus the final open
-    * session per user — total result ≡ the q51 window formulation. */
+  /** Batch form over the full replay: identical sessions to the q51
+    * window formulation (and to the streaming fold + final open session).
+    *
+    * Scale shape: the naive groupByKey.flatMapGroups would materialize a
+    * user's ENTIRE history in one task (a 100M-event power user = OOM).
+    * Instead this is the secondary-sort pattern: shuffle on user_id, sort
+    * WITHIN each partition by (user_id, sec, event_id) — Spark's external
+    * sorter spills, never holds a group in memory — then a streaming
+    * O(1)-state iterator fold ([[sessionizeSorted]]) walks the sorted run
+    * and emits sessions as they close. */
   def sessionizeBatch(events: Dataset[Event], gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        val gs = new InMemoryGroupState[SessionState]
-        val closed = sessionizeGroups(gapSeconds)(uid, it, gs).toList
-        val open = gs.getOption.map(s =>
-          Session(uid, s.sessionId, s.nEvents, s.startSec, s.lastSec))
-        (closed ++ open).iterator
-      }
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("sec"), col("event_id"))
+      .mapPartitions(it => sessionizeSorted(it, gapSeconds))
       .toDF()
+  }
+
+  /** Streaming fold over a (user_id, sec, event_id)-sorted partition:
+    * O(1) state (one open session), emits each session when it closes and
+    * the open one at each user boundary / end of partition. All users of
+    * a partition are folded by ONE pass — no per-group buffering. */
+  def sessionizeSorted(it: Iterator[Event], gapSeconds: Long): Iterator[Session] =
+    new Iterator[Session] {
+      private var pending: Session = _
+      private var curUser = 0L
+      private var cur: SessionState = _
+      private def close(): Session = {
+        val s = Session(curUser, cur.sessionId, cur.nEvents, cur.startSec, cur.lastSec)
+        cur = null
+        s
+      }
+      private def advance(): Unit = {
+        while (pending == null && it.hasNext) {
+          val e = it.next()
+          if (cur == null) {
+            curUser = e.user_id
+            cur = SessionState(1L, e.sec, e.sec, 1)
+          } else if (e.user_id != curUser) {
+            pending = close()
+            curUser = e.user_id
+            cur = SessionState(1L, e.sec, e.sec, 1)
+          } else if (e.sec - cur.lastSec <= gapSeconds) {
+            cur = cur.copy(lastSec = e.sec, nEvents = cur.nEvents + 1)
+          } else {
+            val next = SessionState(cur.sessionId + 1, e.sec, e.sec, 1)
+            pending = close()
+            cur = next
+          }
+        }
+        if (pending == null && cur != null) pending = close()
+      }
+      override def hasNext: Boolean = {
+        if (pending == null) advance()
+        pending != null
+      }
+      override def next(): Session = {
+        if (!hasNext) throw new NoSuchElementException("empty partition")
+        val r = pending
+        pending = null
+        r
+      }
+    }
+
+  /** Run the STREAMING sessionizer over a replay of `events` and return
+    * every session — the gate path for the flatMapGroupsWithState
+    * operator itself. Open sessions live in [[GroupState]] and a memory
+    * sink cannot read state, so the replay appends one flush sentinel per
+    * user past every real event + gap: the sentinel closes the user's
+    * last real session (emitting it) and the sentinel's own 1-event
+    * session is the only thing left open. Everything is written as one
+    * parquet batch so the single microbatch sees a complete, sortable
+    * history (the streaming fold's documented contract). */
+  def sessionizedStreamComplete(spark: SparkSession, events: Dataset[Event],
+      gapSeconds: Long = 1800, queryName: String = "sess_complete"): DataFrame = {
+    import spark.implicits._
+    val maxSec = events.agg(org.apache.spark.sql.functions.max("sec")).head().getLong(0)
+    val flush = events.select("user_id").distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"), lit(maxSec + gapSeconds + 1).as("sec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_replay").toString
+    events.toDF().unionByName(flush).write.mode("overwrite").parquet(tmp)
+    val replay = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+      .parquet(tmp).as[Event]
+    EventStreams.runToCompletion(spark,
+      sessionizedStream(replay, gapSeconds).toDF(), queryName, mode = "append")
   }
 
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {

@@ -116,6 +116,45 @@ class PipelineSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("sessionizeBatch matches the window formulation on a skewed user") {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.expressions.Window
+    // one power user with 50k events (10-event bursts separated by >gap)
+    // interleaved with small users — the old flatMapGroups shape buffered
+    // the whole power-user history in one task; the secondary-sort fold
+    // must produce identical sessions with O(1) state
+    val big = (0L until 50000L).map(i =>
+      Sessionize.Event(7L, i, (i / 10) * 3600 + (i % 10) * 60))
+    val small = Seq(Sessionize.Event(1L, 100001L, 50L), Sessionize.Event(1L, 100002L, 2500L),
+      Sessionize.Event(2L, 100003L, 9L))
+    val events = (big ++ small).toDS()
+    val got = Sessionize.sessionizeBatch(events)
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val expected = events.toDF()
+      .withColumn("new_session",
+        when(col("sec") - lag("sec", 1).over(w) > 1800 || lag("sec", 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("sec").as("start_sec"), max("sec").as("end_sec"))
+    // 5000 bursts for user 7, two >gap-separated events for user 1, one for user 2
+    assert(got.count() == 5003)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("streaming sessionizer with flush sentinel equals the batch result") {
+    import graft.streaming.Sessionize
+    val events = Sessionize.eventsDataset(spark, sf())
+    val streamed = Sessionize.sessionizedStreamComplete(spark, events,
+        queryName = "sess_complete_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = Sessionize.sessionizeBatch(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization: stream emits the closed subset of batch") {
     import graft.streaming.Sessionize
     val events = Sessionize.eventsDataset(spark, sf())
