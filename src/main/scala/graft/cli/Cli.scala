@@ -37,7 +37,7 @@ object Cli {
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
         .select(col("p_partkey").as("business_id")))
 
-  val models: Seq[String] = Seq("baseline", "itemcf", "usercf", "content", "als", "hybrid")
+  val models: Seq[String] = Seq("baseline", "itemcf", "usercf", "content", "als", "hybrid", "hybridmlp")
 }
 
 /** S8: config-file driven training — the reference's `train.py
@@ -126,6 +126,13 @@ object Train {
         val fitted = HybridModel.fit(reviews, gbtIter = hpInt("GBT_ITER", 5))
         ModelIO.saveAls(fitted.als, s"$artifactDir/als")
         fitted.gbt.write.overwrite().save(s"$artifactDir/gbt")
+      case "hybridmlp" =>
+        // reference-exact head (scripts/train_hybrid.py:101-110); the
+        // distributed GBT 'hybrid' stays the default
+        val fitted = HybridModel.fitMlp(reviews,
+          mlpParams = MlpRegressor.Params(epochs = hpInt("MLP_EPOCHS", 50)))
+        ModelIO.saveAls(fitted.als, s"$artifactDir/als")
+        ModelIO.saveMlp(spark, fitted.mlp, s"$artifactDir/mlp")
       case other => sys.error(s"unknown model '$other' (expected ${Cli.models.mkString("/")})")
     }
   }
@@ -135,6 +142,13 @@ object Predict {
   def main(args: Array[String]): Unit = {
     val Array(model, sfDir, artifactDir, outPath) = args.take(4)
     val spark = Cli.session()
+    run(spark, model, sfDir, artifactDir, outPath)
+    println(s"[predict] wrote ${spark.read.json(outPath).count()} predictions to $outPath")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, model: String, sfDir: String,
+      artifactDir: String, outPath: String): Unit = {
     val pairs = Cli.testPairs(spark, sfDir)
     val preds = model match {
       case "baseline" =>
@@ -153,9 +167,13 @@ object Predict {
           ModelIO.loadTable(spark, s"$artifactDir/ratings"),
           ModelIO.loadTable(spark, s"$artifactDir/similar_users"))
       case "content" =>
-        ContentBased.predict(pairs, Tables.reviews(spark, sfDir),
-          ModelIO.loadTable(spark, s"$artifactDir/user_prof"),
-          ModelIO.loadTable(spark, s"$artifactDir/biz_prof"))
+        // decision-tagged form: the tag rides into the JSON so Evaluate
+        // can print the per-rule breakdown like the reference evaluator
+        ContentBased.predictRuled(pairs, Tables.reviews(spark, sfDir),
+            ModelIO.loadTable(spark, s"$artifactDir/user_prof"),
+            ModelIO.loadTable(spark, s"$artifactDir/biz_prof"),
+            ContentBased.DecisionRule.Geometric)
+          .select("user_id", "business_id", "pred", "decision")
       case "als" =>
         AlsModel.predict(ModelIO.loadAls(s"$artifactDir/als"), pairs)
       case "hybrid" =>
@@ -163,11 +181,15 @@ object Predict {
           ModelIO.loadAls(s"$artifactDir/als"),
           org.apache.spark.ml.regression.GBTRegressionModel.load(s"$artifactDir/gbt"))
         HybridModel.predict(fitted, pairs, Tables.reviews(spark, sfDir))
+      case "hybridmlp" =>
+        HybridModel.predictMlp(
+          HybridModel.FittedMlp(
+            ModelIO.loadAls(s"$artifactDir/als"),
+            ModelIO.loadMlp(spark, s"$artifactDir/mlp")),
+          pairs, Tables.reviews(spark, sfDir))
       case other => sys.error(s"unknown model '$other'")
     }
     ModelIO.savePredictionsJson(preds, outPath)
-    println(s"[predict] wrote ${spark.read.json(outPath).count()} predictions to $outPath")
-    spark.stop()
   }
 }
 
@@ -175,11 +197,24 @@ object Evaluate {
   def main(args: Array[String]): Unit = {
     val Array(predPath, sfDir) = args.take(2)
     val spark = Cli.session()
+    println(run(spark, predPath, sfDir))
+    spark.stop()
+  }
+
+  /** Overall RMSE + missing count, plus — when the predictions carry a
+    * `decision` tag — the per-decision-rule breakdown, mirroring the
+    * reference evaluator's two-part report (scripts/evaluate.py:87-121:
+    * overall first, then compute_decision_rmse re-filters per rule). */
+  def run(spark: SparkSession, predPath: String, sfDir: String): String = {
     val preds = ModelIO.loadPredictionsJson(spark, predPath)
     val gt = Recommender.dedupReviews(Tables.reviews(spark, sfDir))
     val rmse = Recommender.rmse(preds, gt).head().getDouble(0)
     val missing = gt.join(preds, Seq("user_id", "business_id"), "left_anti").count()
-    println(s"""{"rmse":$rmse,"missing_pairs":$missing}""")
-    spark.stop()
+    val byDecision =
+      if (!preds.columns.contains("decision")) ""
+      else Recommender.rmseByDecision(preds, gt).orderBy("decision").collect()
+        .map(r => s""""${r.getString(0)}":{"rmse":${r.getDouble(1)},"n":${r.getLong(2)}}""")
+        .mkString(""","by_decision":{""", ",", "}")
+    s"""{"rmse":$rmse,"missing_pairs":$missing$byDecision}"""
   }
 }

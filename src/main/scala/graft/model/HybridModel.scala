@@ -61,4 +61,48 @@ object HybridModel {
     fitted.gbt.transform(assembled)
       .select(col("user_id"), col("business_id"), col("prediction").as("pred"))
   }
+
+  /** Reference-exact head: the sklearn-shaped MLP (30,10,30) over the same
+    * 3 features (scripts/train_hybrid.py:101-110). Training is driver-side
+    * like the reference's `.toPandas()` + sklearn fit — bounded by
+    * `sampleCap` via the deterministic content-hash sample, so the collect
+    * is a fixed-size driver step at any corpus scale. */
+  final case class FittedMlp(als: org.apache.spark.ml.recommendation.ALSModel,
+      mlp: MlpRegressor.Model)
+
+  def fitMlp(reviews: DataFrame,
+      alsParams: AlsModel.Params = AlsModel.Params(maxIter = 1),
+      mlpParams: MlpRegressor.Params = MlpRegressor.Params(),
+      sampleCap: Int = 1 << 20): FittedMlp = {
+    val als = AlsModel.fit(reviews, alsParams)
+    val train = features(reviews.select("user_id", "business_id").distinct(), reviews, als)
+      .join(Recommender.dedupReviews(reviews), Seq("user_id", "business_id"))
+      .select("user_id", "business_id", "als_pred", "f_uavg", "f_bavg", "stars")
+    val n = train.count()
+    val sampled =
+      if (n <= sampleCap) train
+      else graft.operators.Sampling.hashSample(train,
+        concat_ws("|", col("user_id"), col("business_id")),
+        num = math.max(1, (sampleCap.toLong * (1 << 20) / n).toInt), denom = 1 << 20)
+    // total-order sort before collect: a parallel collect's row order is
+    // partition-arrival order, which would make the (seeded) training
+    // sequence — and therefore the fitted weights — run-dependent
+    val rows = sampled.select("user_id", "business_id", "als_pred", "f_uavg", "f_bavg", "stars")
+      .orderBy("user_id", "business_id")
+      .select("als_pred", "f_uavg", "f_bavg", "stars").collect()
+    val xs = rows.map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val ys = rows.map(_.getDouble(3))
+    FittedMlp(als, MlpRegressor.fit(xs, ys, mlpParams))
+  }
+
+  /** Distributed MLP scoring: the ~1.5k-double weight set broadcasts and
+    * the forward pass runs per row (a UDF is justified here — no builtin
+    * expresses an MLP forward pass; the feature join stays declarative). */
+  def predictMlp(fitted: FittedMlp, pairs: DataFrame, reviews: DataFrame): DataFrame = {
+    val f = features(pairs, reviews, fitted.als)
+    val bc = f.sparkSession.sparkContext.broadcast(fitted.mlp)
+    val score = udf((a: Double, u: Double, b: Double) => bc.value.forward(Array(a, u, b)))
+    f.select(col("user_id"), col("business_id"),
+      score(col("als_pred"), col("f_uavg"), col("f_bavg")).as("pred"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.model.{AlsModel, HybridModel, Recommender}
+import graft.model.{AlsModel, HybridModel, MlpRegressor, Recommender}
 import graft.streaming.EventStreams
 
 /** MLlib-backed + streaming gate queries. ALS/GBT/MinHashLSH internals are
@@ -36,6 +36,24 @@ object MlQueries {
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)
         .select(col("p_partkey").as("business_id")))
     HybridModel.predict(fitted, pairs, reviews).orderBy("user_id", "business_id")
+  }
+
+  /** R5 reference-exact head: the sklearn-shaped (30,10,30) MLP hybrid
+    * (scripts/train_hybrid.py:101-110) — closes the last documented
+    * substitution; GBT (q81) stays the distributed default. Rows-only:
+    * ALS + MLP internals are not DuckDB-reproducible. */
+  val q95 = QueryDef.rowsOnly("q95_hybrid_mlp_predict") { (spark, dir) =>
+    val reviews = Tables.reviews(spark, dir)
+    // light params: the gate verifies the head's plumbing (driver fit +
+    // broadcast scoring), not model quality
+    val fitted = HybridModel.fitMlp(reviews,
+      AlsModel.Params(rank = 4, maxIter = 2),
+      MlpRegressor.Params(epochs = 10))
+    val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(57)) === 0)
+      .select(col("c_custkey").as("user_id"))
+      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)
+        .select(col("p_partkey").as("business_id")))
+    HybridModel.predictMlp(fitted, pairs, reviews).orderBy("user_id", "business_id")
   }
 
   /** R4/X10: MLlib MinHashLSH approx similarity self-join over users'
@@ -238,5 +256,5 @@ object MlQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95)
 }

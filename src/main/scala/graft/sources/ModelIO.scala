@@ -23,13 +23,21 @@ object ModelIO {
 
   /** Predictions in the reference's JSON-lines output format
     * (models/content_based_model.py:534-539). */
-  def savePredictionsJson(preds: DataFrame, path: String): Unit =
-    preds.select(col("user_id"), col("business_id"), col("pred").as("stars"))
-      .write.mode("overwrite").json(path)
+  def savePredictionsJson(preds: DataFrame, path: String): Unit = {
+    // a `decision` tag (which rule produced the row) rides along when the
+    // model emits one — the reference's predictions carry it and its
+    // evaluator branches on its presence (scripts/evaluate.py:137-139)
+    val cols = Seq(col("user_id"), col("business_id"), col("pred").as("stars")) ++
+      (if (preds.columns.contains("decision")) Seq(col("decision")) else Nil)
+    preds.select(cols: _*).write.mode("overwrite").json(path)
+  }
 
-  def loadPredictionsJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
-      .select(col("user_id"), col("business_id"), col("stars").as("pred"))
+  def loadPredictionsJson(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.json(path)
+    val cols = Seq(col("user_id"), col("business_id"), col("stars").as("pred")) ++
+      (if (df.columns.contains("decision")) Seq(col("decision")) else Nil)
+    df.select(cols: _*)
+  }
 
   /** CSV pair-weights table (S6 — reference models/item_cf_model.py:194
     * writes b1,b2,pears,cos,jacc via pandas). */
@@ -65,6 +73,42 @@ object ModelIO {
       .select(col("entity_id"), col("z.indices").as("idx"), col("z.values").as("w"))
       .join(vocabIndex, "idx")
       .select("entity_id", "term", "w")
+
+  /** S7-analog for the driver-side MLP head (reference np.save of
+    * hybridMLP.model, scripts/train_hybrid.py:107): one flat parquet of
+    * (layer, row, col, v) weight cells, biases at col = -1, layer sizes
+    * at layer = -1. Engine-portable and schema-stable, unlike a pickled
+    * object. */
+  def saveMlp(spark: SparkSession, model: graft.model.MlpRegressor.Model,
+      path: String): Unit = {
+    import spark.implicits._
+    val cells =
+      model.sizes.zipWithIndex.map { case (s, i) => (-1, i, -1, s.toDouble) } ++
+        model.w.zipWithIndex.flatMap { case (m, l) =>
+          m.zipWithIndex.flatMap { case (row, j) =>
+            row.zipWithIndex.map { case (v, i) => (l, j, i, v) } } } ++
+        model.b.zipWithIndex.flatMap { case (bl, l) =>
+          bl.zipWithIndex.map { case (v, j) => (l, j, -1, v) } }
+    cells.toSeq.toDF("layer", "row", "col", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMlp(spark: SparkSession, path: String): graft.model.MlpRegressor.Model = {
+    val cells = spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val sizes = cells.filter(_._1 == -1).sortBy(_._2).map(_._4.toInt)
+    val w = Array.tabulate(sizes.length - 1) { l =>
+      val m = Array.ofDim[Double](sizes(l + 1), sizes(l))
+      cells.filter(c => c._1 == l && c._3 >= 0).foreach(c => m(c._2)(c._3) = c._4)
+      m
+    }
+    val b = Array.tabulate(sizes.length - 1) { l =>
+      val v = new Array[Double](sizes(l + 1))
+      cells.filter(c => c._1 == l && c._3 == -1).foreach(c => v(c._2) = c._4)
+      v
+    }
+    graft.model.MlpRegressor.Model(sizes, w, b)
+  }
 
   def saveAls(model: org.apache.spark.ml.recommendation.ALSModel, path: String): Unit =
     model.write.overwrite().save(path)

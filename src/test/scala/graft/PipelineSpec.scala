@@ -84,6 +84,19 @@ class PipelineSpec extends SparkSpec {
     assert(by("geometric") == 1.0 && by("cold_start") == 0.0)
   }
 
+  test("Evaluate CLI emits the per-decision breakdown end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_e2e").toString
+    graft.cli.Train.runWith(spark, "content", sf(), s"$dir/model", Map.empty)
+    graft.cli.Predict.run(spark, "content", sf(), s"$dir/model", s"$dir/preds")
+    val out = graft.cli.Evaluate.run(spark, s"$dir/preds", sf())
+    assert(out.contains("\"rmse\":") && out.contains("\"by_decision\":{"),
+      s"expected overall + per-decision report, got: $out")
+    // the tagged branches present in the report must come from the rule set
+    val tags = "\"(both|user_only|biz_only|cold)\":\\{\"rmse\"".r
+      .findAllIn(out).size
+    assert(tags >= 1, s"no decision branch in: $out")
+  }
+
   test("hybrid GBT predicts finite values") {
     val reviews = Tables.reviews(spark, sf())
     val fitted = HybridModel.fit(reviews,
@@ -92,6 +105,38 @@ class PipelineSpec extends SparkSpec {
       .select("user_id", "business_id")
     val preds = HybridModel.predict(fitted, pairs, reviews).collect()
     assert(preds.length == 10 && preds.forall(p => !p.getDouble(2).isNaN))
+  }
+
+  test("MLP hybrid head is deterministic and competitive with the GBT head") {
+    import graft.model.MlpRegressor
+    val reviews = Tables.reviews(spark, sf())
+    val alsP = AlsModel.Params(rank = 4, maxIter = 1)
+    val gt = Recommender.dedupReviews(reviews).cache()
+    val pairs = gt.select("user_id", "business_id")
+    def rmseOf(preds: org.apache.spark.sql.DataFrame): Double =
+      Recommender.rmse(preds, gt).head().getDouble(0)
+    val mlp = HybridModel.fitMlp(reviews, alsP, MlpRegressor.Params(epochs = 30))
+    val mlpRmse = rmseOf(HybridModel.predictMlp(mlp, pairs, reviews))
+    val gbtRmse = rmseOf(HybridModel.predict(
+      HybridModel.fit(reviews, alsP, gbtIter = 3), pairs, reviews))
+    assert(!mlpRmse.isNaN && mlpRmse <= gbtRmse * 1.05,
+      s"mlp=$mlpRmse should be competitive with gbt=$gbtRmse")
+    // seeded determinism: refit produces identical weights
+    val mlp2 = HybridModel.fitMlp(reviews, alsP, MlpRegressor.Params(epochs = 30))
+    assert(mlp.mlp.w.flatten.flatten.toSeq == mlp2.mlp.w.flatten.flatten.toSeq)
+  }
+
+  test("MLP artifact round-trips through the parquet cell format") {
+    import graft.model.MlpRegressor
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(64)(Array.fill(3)(rnd.nextDouble() * 4 + 1))
+    val ys = xs.map(x => (x(0) + x(1) + x(2)) / 3)
+    val m = MlpRegressor.fit(xs, ys, MlpRegressor.Params(epochs = 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlp").toString
+    graft.sources.ModelIO.saveMlp(spark, m, s"$dir/mlp")
+    val m2 = graft.sources.ModelIO.loadMlp(spark, s"$dir/mlp")
+    assert(m2.sizes.toSeq == m.sizes.toSeq)
+    xs.take(5).foreach(x => assert(m2.forward(x) == m.forward(x)))
   }
 
   test("user-CF predict returns the 0.0 sentinel for unknown users") {
