@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-mitigation operators. AQE's skew-join split already
+  * re-plans sort-merge skew at runtime (enabled in every session here);
+  * the salted form below is for skew known a priori — a hot user, a
+  * viral document — and for joins inside iterative loops where the
+  * explicit shape is cheaper than a re-plan per round.
+  */
+object Skew {
+
+  /** Salted equi-join: the big side gets a deterministic salt in
+    * [0, saltFactor) derived from `saltOn` (pick a unique id column so
+    * rows of a hot key spread evenly), the small side replicates
+    * saltFactor×, and the join key becomes (keys..., salt) — one hot
+    * key's rows fan out over saltFactor reducers instead of hammering
+    * one. The output is EXACTLY the plain equi-join on `keys` (the salt
+    * never escapes; gate q59 pins the equivalence against a plain-join
+    * oracle). Cost: the small side shuffles saltFactor× its size — keep
+    * saltFactor ≈ the skew multiple, not huge. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int, saltOn: Seq[Column]): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(saltOn: _*), lit(saltFactor.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}

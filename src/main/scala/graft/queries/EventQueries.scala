@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Cross, Tables}
+import graft.operators.{Skew, TemporalJoins}
 
 /** Event-stream operators in their batch form over `events`: tumbling and
   * sliding window aggregation, sessionization, keyed dedup, JSON
@@ -169,5 +170,102 @@ object EventQueries {
       .orderBy("key", "id")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  /** As-of join (TemporalJoins.asofJoin): each click picks up the user's
+    * latest view at or before it — the single-pass union+running-window
+    * shape, never a per-row rescan. The oracle replays the same ANSI
+    * union+window algebra (DuckDB's ASOF JOIN keyword has unspecified
+    * tie-breaks; the window mirror is deterministic on both engines). */
+  val q57 = QueryDef(
+    "q57_asof_join",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |u AS (
+      |  SELECT user_id, sec, 0 AS side, event_id AS tid,
+      |         event_id AS view_event, sec AS view_sec
+      |  FROM e WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, sec, 1, event_id, NULL, NULL
+      |  FROM e WHERE event_type = 'click'),
+      |f AS (
+      |  SELECT user_id, sec, side, tid,
+      |    last_value(view_event IGNORE NULLS) OVER w AS view_event,
+      |    last_value(view_sec IGNORE NULLS) OVER w AS view_sec
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY sec, side, tid
+      |                      ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, tid AS click_event, sec AS click_sec, view_event, view_sec
+      |FROM f WHERE side = 1
+      |ORDER BY user_id, click_event""".stripMargin) { (spark, dir) =>
+    val e = Tables.events(spark, dir)
+    TemporalJoins.asofJoin(
+        e.filter(col("event_type") === "click").select("user_id", "event_id", "sec"),
+        e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("sec"),
+            col("event_id").as("view_event"), col("sec").as("view_sec")),
+        key = "user_id", leftTime = "sec", rightTime = "sec",
+        leftId = "event_id", rightId = "event_id",
+        rightPayload = Seq("view_event", "view_sec"))
+      .withColumnRenamed("event_id", "click_event")
+      .withColumnRenamed("sec", "click_sec")
+      .orderBy("user_id", "click_event")
+  }
+
+  /** Range-containment join (TemporalJoins.rangeJoinBucketed): global
+    * event activity inside each of a user slice's sessions. The bucketed
+    * equi-join shape replaces the cartesian a BETWEEN theta-join would
+    * plan (PlanSpec pins the absence of a nested-loop); sessions come
+    * from the secondary-sort sessionizer, exercising operator reuse. */
+  val q58 = QueryDef(
+    "q58_range_join",
+    """WITH e AS (
+      |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id AS s_user, session_id,
+      |         MIN(sec) AS start_sec, MAX(sec) AS end_sec
+      |  FROM sess GROUP BY user_id, session_id),
+      |small AS (SELECT * FROM sessions WHERE s_user < 8)
+      |SELECT s_user, session_id, COUNT(*) AS n
+      |FROM small JOIN e ON e.sec BETWEEN start_sec AND end_sec
+      |GROUP BY s_user, session_id
+      |ORDER BY s_user, session_id""".stripMargin) { (spark, dir) =>
+    val sessions = graft.streaming.Sessionize.sessionizeBatch(
+        graft.streaming.Sessionize.eventsDataset(spark, dir))
+      .filter(col("user_id") < 8)
+      .select(col("user_id").as("s_user"), col("session_id"),
+        col("start_sec"), col("end_sec"))
+    val points = Tables.events(spark, dir).select(col("event_id"), col("sec"))
+    TemporalJoins.rangeJoinBucketed(points, sessions, "sec", "start_sec", "end_sec", 3600L)
+      .groupBy("s_user", "session_id").agg(count(lit(1)).as("n"))
+      .orderBy("s_user", "session_id")
+  }
+
+  /** Salted equi-join (Skew.saltedEquiJoin): output must be EXACTLY the
+    * plain equi-join — the oracle is the unsalted SQL join, so the gate
+    * proves the salt never leaks into results at any factor. */
+  val q59 = QueryDef(
+    "q59_salted_join",
+    s"""SELECT c_nationkey, event_type, COUNT(*) AS n,
+       |  ${Cross.dsumSql("value", 4)} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val big = Tables.events(spark, dir).select(col("user_id").as("c_custkey"),
+      col("event_id"), col("event_type"), col("value"))
+    val small = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    Skew.saltedEquiJoin(big, small, Seq("c_custkey"), 8, Seq(col("event_id")))
+      .groupBy("c_nationkey", "event_type")
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("c_nationkey", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

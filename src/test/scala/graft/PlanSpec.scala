@@ -59,6 +59,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join plans an equi-join, never a nested loop") {
+    val points = Tables.events(spark, sf()).select(col("event_id"), col("sec"))
+    val intervals = Tables.events(spark, sf()).limit(5)
+      .select(col("event_id").as("iv_id"), col("sec").as("start_sec"),
+        (col("sec") + 7200L).as("end_sec"))
+    val plan = planOf(graft.operators.TemporalJoins.rangeJoinBucketed(
+      points, intervals, "sec", "start_sec", "end_sec", 3600L))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must meet on the bucket key:\n$plan")
+  }
+
   test("grouped aggregates keep map-side partial aggregation") {
     val agg = Tables.lineitem(spark, sf())
       .groupBy("l_returnflag").agg(sum("l_quantity"))
