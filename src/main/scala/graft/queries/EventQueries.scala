@@ -267,5 +267,46 @@ object EventQueries {
       .orderBy("c_nationkey", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+  /** HyperLogLog approx-distinct: the sketch is merge-commutative, so the
+    * estimate is deterministic for a dataset regardless of partitioning —
+    * but its value is engine-specific, so the gate pins the EXACT count
+    * plus a boolean accuracy contract (within 5% at rsd=2%): a sketch
+    * regression flips the boolean and hash-fails. */
+  val q47 = QueryDef(
+    "q47_approx_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        approx_count_distinct("user_id", 0.02).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  /** Quantiles: the exact interpolated median hash-matches DuckDB's
+    * quantile_cont; the approx_percentile sketch is value-checked against
+    * the exact p40..p60 band (same boolean-contract pattern as q47). */
+  val q48 = QueryDef(
+    "q48_quantile_sketch",
+    """SELECT event_type,
+      |  round((quantile_cont(value, 0.5)) + 1e-9, 6) AS p50,
+      |  TRUE AS approx_in_band
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(Cross.r6(expr("percentile(value, 0.5D)")).as("p50"),
+        expr("approx_percentile(value, 0.5D, 10000)").as("ap"),
+        expr("percentile(value, 0.4D)").as("p40"),
+        expr("percentile(value, 0.6D)").as("p60"))
+      .select(col("event_type"), col("p50"),
+        (col("ap") >= col("p40") && col("ap") <= col("p60")).as("approx_in_band"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

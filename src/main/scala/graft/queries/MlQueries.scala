@@ -48,7 +48,8 @@ object MlQueries {
     // broadcast scoring), not model quality
     val fitted = HybridModel.fitMlp(reviews,
       AlsModel.Params(rank = 4, maxIter = 2),
-      MlpRegressor.Params(epochs = 10))
+      MlpRegressor.Params(epochs = 10),
+      sampleCap = 1 << 16) // plumbing gate: cap the driver fit at any SF
     val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(57)) === 0)
       .select(col("c_custkey").as("user_id"))
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)

@@ -312,6 +312,64 @@ object Relational {
       .orderBy("part")
   }
 
+  /** ROLLUP hierarchy totals with grouping-id tags — the multi-level
+    * aggregation surface (subtotals per flag, grand total) in one
+    * map-side-combinable pass instead of N unioned aggregations. */
+  val q17 = QueryDef(
+    "q17_rollup",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY gid, COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("l_quantity"), 2).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("")),
+        coalesce(col("l_linestatus"), lit("")))
+  }
+
+  /** CUBE over two independent dimensions (all 4 grouping combinations). */
+  val q18 = QueryDef(
+    "q18_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, '')""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), coalesce(col("o_orderstatus"), lit("")),
+        coalesce(col("o_orderpriority"), lit("")))
+  }
+
+  /** Pivot (wide counts per key): explicit value list so the output
+    * schema is static — the scale-safe form (an implicit pivot would
+    * collect distinct values to the driver to infer columns). */
+  val q19 = QueryDef(
+    "q19_pivot",
+    """SELECT c_nationkey,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey").as("user_id"), col("c_nationkey")),
+        "user_id")
+      .groupBy("c_nationkey")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }
