@@ -80,6 +80,10 @@ object SimilaritySearch {
     rerank(scored, k)
   }
 
+  /** The deterministic seed centroids (cell c = litVector("centroid-c")). */
+  def seedCentroids(nCells: Int, dims: Int): Array[Array[Double]] =
+    (0 until nCells).map(c => HashFns.litVector(s"centroid-$c", dims)).toArray
+
   /** Nearest-centroid struct (d, cell) — min by squared L2, ties → lowest
     * cell id. Pure per-row fold, no shuffle. */
   private def nearestCentroid(emb: Column, nCells: Int, dims: Int): Column =
@@ -87,6 +91,74 @@ object SimilaritySearch {
       struct(VectorFns.sqDistLit(emb, HashFns.litVector(s"centroid-$c", dims)).as("d"),
         lit(c).as("cell"))
     }: _*))
+
+  /** (d, cell) min-struct against EXPLICIT centroid literals with
+    * r6-rounded distances: the rounding absorbs float addition-order
+    * differences between the Spark fold and a SQL SUM, so the ASSIGNMENT
+    * (which only consumes the order of distances) is bit-stable across
+    * engines — required for the k-means trajectory to be oracle-mirrorable. */
+  private def nearestCellOf(emb: Column, cents: Array[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (w, c) =>
+      struct(Cross.r6(VectorFns.sqDistLit(emb, w)).as("d"), lit(c).as("cell"))
+    }: _*))
+
+  /** Lloyd k-means refinement of the IVF coarse quantizer, starting from
+    * [[seedCentroids]]. Each round is ONE distributed pass — assignment
+    * is a per-row literal fold (no shuffle), the per-dim mean a
+    * decimal-exact groupBy — plus a k×dims driver collect: centroid
+    * state is loop control, the same contract as connectedComponents'
+    * convergence scalar, never data. Distances and means are r6-rounded
+    * every round so the whole trajectory is engine-reproducible (gate
+    * q49 unrolls the identical rounds in SQL). Raises if a cell empties:
+    * the gate must fail loudly rather than silently diverge from the
+    * oracle's inner-join semantics. */
+  def ivfTrain(corpus: DataFrame, nCells: Int, dims: Int, iters: Int): Array[Array[Double]] = {
+    var cents = seedCentroids(nCells, dims)
+    for (round <- 0 until iters) {
+      // two selects: mixing getField-on-aliased-struct with a
+      // multi-aliased generator in ONE select makes CleanupAliases strip
+      // the struct's inner field names before ExtractValue resolves
+      val means = corpus
+        .select(col("embedding"),
+          nearestCellOf(col("embedding"), cents).getField("cell").as("cell"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy("cell", "pos")
+        .agg(Cross.r6(Cross.davg(col("e").cast("double"), 9)).as("v"))
+        .collect()
+      require(means.map(_.getInt(0)).distinct.length == nCells,
+        s"k-means round $round emptied a cell; reduce nCells or reseed")
+      val next = Array.ofDim[Double](nCells, dims)
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    cents
+  }
+
+  /** Mean squared distance of every corpus vector to its assigned
+    * centroid — the k-means objective, for convergence tests. */
+  def ivfInertia(corpus: DataFrame, cents: Array[Array[Double]]): Double =
+    corpus.select(nearestCellOf(col("embedding"), cents).getField("d").as("d"))
+      .agg(avg("d")).head().getDouble(0)
+
+  /** IVF search against explicit (e.g. trained) centroids — same shape
+    * as [[ivfTopK]]: corpus in its nearest cell, queries probe their
+    * nProbe nearest cells, bounded top-k re-rank. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"need 1 <= nProbe <= nCells, got $nProbe/${cents.length}")
+    val cellStructs = array(cents.zipWithIndex.map { case (w, c) =>
+      struct(Cross.r6(VectorFns.sqDistLit(col("embedding"), w)).as("d"), lit(c).as("cell"))
+    }: _*)
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      explode(slice(array_sort(cellStructs), 1, nProbe).getField("cell")).as("cell"))
+    val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      array_min(cellStructs).getField("cell").as("cell"))
+    val scored = qb.join(cb, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+    rerank(scored, k)
+  }
 
   /** IVF coarse assignment: nearest of `nCells` fixed seed centroids by
     * squared L2 (ties → lowest cell id). */

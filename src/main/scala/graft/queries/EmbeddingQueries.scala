@@ -219,5 +219,45 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  /** Lloyd-trained IVF centroids (2 rounds from the seed centroids) —
+    * the "usable IVF" upgrade: the quantizer adapts to the data instead
+    * of staying at the fixed seeds. The oracle unrolls the IDENTICAL two
+    * rounds relationally (assign by r6-rounded squared distance, per-dim
+    * decimal mean, r6 each round), so the gate verifies the whole
+    * training trajectory, not just the final table shape. */
+  val q49 = QueryDef(
+    "q49_ivf_train", {
+      val seedVals = (0 until Cells).flatMap { c =>
+        HashFns.litVector(s"centroid-$c", Dims).zipWithIndex.map {
+          case (v, i) => s"($c, ${i + 1}, ${v})"
+        }
+      }.mkString(", ")
+      def round(prev: String, n: Int): String =
+        s"""d$n AS (
+           |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
+           |  FROM emb JOIN $prev USING (dim) GROUP BY vec_id, cell),
+           |a$n AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+           |  FROM d$n) t WHERE rn = 1),
+           |c$n AS (
+           |  SELECT cell, dim, ${Cross.r6Sql(Cross.davgSql("e", 9))} AS v
+           |  FROM a$n JOIN emb USING (vec_id) GROUP BY cell, dim)""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, dim, embedding[dim]::DOUBLE AS e
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS dim) dd),
+         |c0(cell, dim, v) AS (VALUES $seedVals),
+         |${round("c0", 1)},
+         |${round("c1", 2)}
+         |SELECT cell, dim, v FROM c2
+         |ORDER BY cell, dim""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val cents = SimilaritySearch.ivfTrain(Tables.embeddings(spark, dir), Cells, Dims, iters = 2)
+    cents.zipWithIndex.flatMap { case (w, c) =>
+      w.zipWithIndex.map { case (v, i) => (c, i + 1, v) }
+    }.toSeq.toDF("cell", "dim", "v")
+      .orderBy("cell", "dim")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49)
 }

@@ -257,5 +257,26 @@ object MlQueries {
       .orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95)
+  /** Stream-stream interval join (clicks × same-user views within the
+    * 1-hour look-back) — the remaining Structured Streaming operator
+    * class; the matched-pair set is replay-order independent, so the
+    * batch BETWEEN join is a full hash oracle. */
+  val q96 = QueryDef(
+    "q96_stream_stream_join",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events)
+      |SELECT c.user_id AS user_id, c.event_id AS click_event, c.sec AS click_sec,
+      |       v.event_id AS view_event, v.sec AS view_sec
+      |FROM e c JOIN e v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND v.sec BETWEEN c.sec - 3600 AND c.sec
+      |ORDER BY c.user_id, click_event, view_event""".stripMargin) { (spark, dir) =>
+    EventStreams.runToCompletion(spark,
+        EventStreams.clickViewJoin(EventStreams.readEvents(spark, dir)),
+        "q96_out", mode = "append")
+      .orderBy("user_id", "click_event", "view_event")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96)
 }

@@ -102,6 +102,31 @@ object EventStreams {
       .withColumn("etime", col("sec").cast("timestamp"))
   }
 
+  /** Stream-stream event-time interval join: each click pairs with the
+    * same user's views in the look-back window [click − 1 h, click]
+    * (inclusive). Both sides carry watermarks and the join condition is
+    * an event-time range, which is exactly what lets Spark BOUND the join
+    * state: view state older than watermark − 1 h is dropped instead of
+    * accumulating forever — the correctness-vs-state contract of
+    * stream-stream joins. The matched-pair SET is arrival-order
+    * independent (inner join over a complete replay), so the gate
+    * hash-matches a batch BETWEEN-join oracle. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event"),
+        col("sec").as("click_sec"), col("etime").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
+        col("sec").as("view_sec"), col("etime").as("view_time"))
+      .withWatermark("view_time", "1 hour")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_time") >= col("click_time") - expr("INTERVAL 1 HOUR") &&
+          col("view_time") <= col("click_time"))
+      .select("user_id", "click_event", "click_sec", "view_event", "view_sec")
+  }
+
   /** Streaming keyed dedup: first event per (user, type) within the
     * watermark — dropDuplicatesWithinWatermark analog of batch q53. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

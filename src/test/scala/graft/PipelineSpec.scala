@@ -265,6 +265,22 @@ class PipelineSpec extends SparkSpec {
     assert(top1(2) == 2L, "second probe must recover the planted neighbor")
   }
 
+  test("k-means IVF training reduces inertia; trained search stays exhaustive-correct") {
+    val emb = Tables.embeddings(spark, sf())
+    val seed = SimilaritySearch.seedCentroids(4, 64)
+    val trained = SimilaritySearch.ivfTrain(emb, 4, 64, iters = 2)
+    val i0 = SimilaritySearch.ivfInertia(emb, seed)
+    val i2 = SimilaritySearch.ivfInertia(emb, trained)
+    assert(i2 < i0, s"Lloyd rounds must not increase inertia: $i0 -> $i2")
+    // probing every trained cell is exhaustive: equals brute force
+    val q = emb.filter(col("vec_id") < 8)
+    val ivf = SimilaritySearch.ivfTopKTrained(q, emb, 3, trained, nProbe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = SimilaritySearch.bruteForceTopK(q, emb, 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivf == brute)
+  }
+
   test("brute-force kNN: nearest neighbor of a vector is its duplicate") {
     val base = Tables.embeddings(spark, sf()).limit(5)
     val dup = base.select((col("vec_id") + 100000L).as("vec_id"),
