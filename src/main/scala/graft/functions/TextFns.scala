@@ -84,6 +84,33 @@ object TextFns {
 
   /** Document fingerprint: md5 of the token-normalized text — identical in
     * DuckDB, used for exact near-normalization dedup. */
+  /** Token-window chunking with overlap — the RAG/context-window prep
+    * step: chunk i covers tokens [i·step, i·step + chunkSize) for
+    * step = chunkSize − overlap, the final chunk clamped. Pure
+    * expression-level array ops (codegen-friendly, no UDF, no explode
+    * until the caller wants rows). Returns array<struct<idx, chunk>>. */
+  def chunkTokens(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val step = chunkSize - overlap
+    // integer ceil((len - overlap) / step), at least one chunk
+    val n = greatest(lit(1),
+      (size(toks) - lit(overlap) + lit(step - 1)).cast("long") / lit(step)).cast("int")
+    transform(sequence(lit(0), n - 1), i =>
+      struct(i.cast("int").as("idx"),
+        concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize))).as("chunk")))
+  }
+
+  /** PII scrub: emails → <EMAIL>, URLs → <URL>, 7+-digit runs → <NUM> —
+    * the redaction pass of a training-data pipeline. Patterns stay in
+    * the RE2-compatible subset so engine mirrors agree. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+      "[0-9]{7,}", "<NUM>")
+
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", tokens(c)))
 }
@@ -121,6 +148,20 @@ object TextSql {
 
   def tokenChars(toks: String): String =
     s"list_sum(list_transform($toks, x -> length(x)))"
+
+  /** DuckDB mirror of [[TextFns.chunkTokens]]: list_slice is 1-based with
+    * INCLUSIVE end, so chunk i spans [i·step + 1, i·step + chunkSize]. */
+  def chunkTokens(toks: String, chunkSize: Int, overlap: Int): String = {
+    val step = chunkSize - overlap
+    s"""list_transform(range(0, GREATEST(1, (len($toks) - $overlap + ${step - 1}) // $step)::BIGINT),
+       | i -> array_to_string(list_slice($toks, i * $step + 1, i * $step + $chunkSize), ' '))""".stripMargin.replace("\n", "")
+  }
+
+  def scrubPii(t: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($t,
+       | '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       | 'https?://[^ ]+', '<URL>', 'g'),
+       | '[0-9]{7,}', '<NUM>', 'g')""".stripMargin.replace("\n", "")
 
   def fingerprint(t: String): String =
     s"md5(array_to_string(${tokens(t)}, ' '))"

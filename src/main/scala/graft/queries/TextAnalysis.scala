@@ -193,5 +193,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+  /** Token-window chunking (chunkSize 32, overlap 8) — the RAG/context
+    * prep step, all expression-level array ops (no UDF; rows appear only
+    * at the final explode). The oracle replays the identical slice
+    * arithmetic: chunk i = tokens [i·24 + 1, i·24 + 32], ceil count,
+    * minimum one chunk per doc. */
+  val q29 = QueryDef(
+    "q29_chunking",
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents)
+       |SELECT doc_id, i AS chunk_idx,
+       |       array_to_string(list_slice(tk, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+       |FROM tok CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) g
+       |WHERE i < GREATEST(1, (len(tk) - 8 + 23) // 24)
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFns.chunkTokens(TextFns.tokens(col("text")), 32, 8)).as(Seq("pos", "c")))
+      .select(col("doc_id"), col("c").getField("idx").as("chunk_idx"),
+        col("c").getField("chunk").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** PII scrub (emails → <EMAIL>, URLs → <URL>, 7+-digit runs → <NUM>).
+    * The synthetic corpus carries no PII, so the gate INJECTS it
+    * deterministically from doc_id — identically on both engines — and
+    * hash-compares the scrubbed text: a missed or mangled redaction
+    * changes the output string. */
+  val q39 = QueryDef(
+    "q39_pii_scrub",
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    text || ' reach me at user' || doc_id || '@mail.example.com or https://ex.com/'
+       |         || doc_id || ' phone 555' || lpad(doc_id::VARCHAR, 7, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id, ${TextSql.scrubPii("t")} AS scrubbed
+       |FROM injected
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" reach me at user"), col("doc_id"),
+          lit("@mail.example.com or https://ex.com/"), col("doc_id"),
+          lit(" phone 555"), lpad(col("doc_id").cast("string"), 7, "0")).as("t"))
+      .select(col("doc_id"), TextFns.scrubPii(col("t")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39)
 }

@@ -39,6 +39,24 @@ class TextFnsSpec extends SparkSpec {
       .select(TextFns.langId(toks)).head().getString(0) == "und")
   }
 
+  test("chunkTokens: overlap, final-chunk clamp, and one-chunk minimum") {
+    def chunksOf(text: String, size: Int, overlap: Int): Seq[(Int, String)] =
+      one(text).select(explode(TextFns.chunkTokens(TextFns.tokens(col("text")), size, overlap)).as("c"))
+        .select(col("c.idx"), col("c.chunk")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // 7 tokens, size 4, overlap 2 → step 2, ceil((7-2)/2)=3 chunks
+    val got = chunksOf("a b c d e f g", 4, 2)
+    assert(got == Seq((0, "a b c d"), (1, "c d e f"), (2, "e f g")))
+    // shorter than one chunk → exactly one clamped chunk
+    assert(chunksOf("x y", 32, 8) == Seq((0, "x y")))
+  }
+
+  test("scrubPii redacts emails, urls, and long digit runs only") {
+    val got = one("mail a.b+c@ex-1.co.uk see https://x.io/p?q=1 call 5551234567 not 123")
+      .select(TextFns.scrubPii(col("text"))).head().getString(0)
+    assert(got == "mail <EMAIL> see <URL> call <NUM> not 123")
+  }
+
   test("fingerprint is whitespace/punctuation insensitive") {
     val a = one("Hello,   world!").select(TextFns.fingerprint(col("text"))).head().getString(0)
     val b = one("hello world").select(TextFns.fingerprint(col("text"))).head().getString(0)
