@@ -48,6 +48,28 @@ object VectorFns {
     aggregate(
       zip_with(a, typedLit(w), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Per-vector symmetric int8 quantization: scale = max|xᵢ|/127, code =
+    * round(xᵢ/scale) ∈ [−127, 127] — the 4× footprint lever that turns a
+    * float32 corpus into a tinyint corpus for billion-vector ANN (rerank
+    * the shortlist against the float originals). Zero vectors get zero
+    * codes and scale 0. The pre-round ratio is r6-rounded so the HALF_UP
+    * boundary is engine-stable (same guard as every other float gate).
+    * Returns struct<scale double, codes array<tinyint>>. */
+  def quantizeI8(a: Column): Column = {
+    val maxabs = array_max(transform(a, x => abs(x.cast("double"))))
+    val scale = maxabs / lit(127.0)
+    struct(
+      graft.core.Cross.r6(scale).as("scale"),
+      transform(a, x =>
+        when(maxabs === 0.0, lit(0))
+          .otherwise(round(graft.core.Cross.r6(x.cast("double") / scale)))
+          .cast("tinyint")).as("codes"))
+  }
+
+  /** Dequantize [[quantizeI8]] output back to doubles (codeᵢ · scale). */
+  def dequantizeI8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 }
 
 /** DuckDB mirrors. `a`/`b` are list-typed SQL expressions. */
@@ -70,5 +92,15 @@ object VectorSql {
   def sqDistLit(a: String, w: Array[Double]): String = {
     val lits = w.mkString("[", ", ", "]")
     s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - ($lits)[i]) * ($a[i]::DOUBLE - ($lits)[i])))"
+  }
+
+  /** Mirrors of [[VectorFns.quantizeI8]]'s scale and codes. */
+  def quantScale(a: String): String =
+    s"round((list_max(list_transform($a, x -> abs(x::DOUBLE))) / 127.0) + 1e-9, 6)"
+
+  def quantCodes(a: String): String = {
+    val maxabs = s"list_max(list_transform($a, x -> abs(x::DOUBLE)))"
+    s"""list_transform($a, x -> CASE WHEN $maxabs = 0.0 THEN 0::TINYINT
+       | ELSE round(round(x::DOUBLE / ($maxabs / 127.0) + 1e-9, 6))::TINYINT END)""".stripMargin.replace("\n", "")
   }
 }

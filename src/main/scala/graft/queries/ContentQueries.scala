@@ -335,14 +335,19 @@ object ContentQueries {
     // distinct BEFORE the rater join: encodedProfiles applies set
     // semantics anyway, and without it a term repeated 20x in one text
     // fans out 20x per rater through the join
+    // cache both pruned token tables: they are small (entities × ≤V vocab
+    // terms) and each feeds TWO union arms — uncached, the tokenize +
+    // join + distinct chain re-ran per arm (4× for bizTok via userTok)
     val bizTok = bt.select(col("business_id").as("entity_id"),
       explode(TextFns.contentTokens(col("text"))).as("term"))
       .join(vocab.select("term"), "term")
       .distinct()
+      .cache()
     val userTok = graft.model.Recommender.dedupReviews(Tables.reviews(spark, dir))
       .select(col("user_id"), col("business_id"))
       .join(bizTok.select(col("entity_id").as("business_id"), col("term")), "business_id")
       .select(col("user_id").as("entity_id"), col("term"))
+      .cache()
     val arms = for {
       enc <- Seq("onehot", "continuous")
       (kind, toks) <- Seq("biz" -> bizTok, "user" -> userTok)

@@ -259,5 +259,23 @@ object EmbeddingQueries {
       .orderBy("cell", "dim")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49)
+  /** Symmetric int8 quantization of the embedding corpus — the 4×
+    * footprint lever for billion-vector ANN (search the tinyint corpus,
+    * rerank the shortlist against float originals). The oracle mirrors
+    * the exact scale/code arithmetic, so every single code byte is
+    * hash-verified; reconstruction quality is pinned by VectorFnsSpec. */
+  val q97 = QueryDef(
+    "q97_quantize_i8",
+    s"""SELECT vec_id, ${VectorSql.quantScale("embedding")} AS scale,
+       |       i - 1 AS dim, (${VectorSql.quantCodes("embedding")})[i] AS code
+       |FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i) g
+       |ORDER BY vec_id, dim""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.quantizeI8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q").getField("scale").as("scale"),
+        posexplode(col("q").getField("codes")).as(Seq("dim", "code")))
+      .orderBy("vec_id", "dim")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97)
 }

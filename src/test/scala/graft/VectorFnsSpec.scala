@@ -43,4 +43,22 @@ class VectorFnsSpec extends SparkSpec {
     assert(df.select(VectorFns.sqDistLit(col("a"), Array(1.0, 2.0))).head().getDouble(0) == 0.0)
     assert(df.select(VectorFns.sqDistLit(col("a"), Array(0.0, 0.0))).head().getDouble(0) == 5.0)
   }
+
+  test("int8 quantization: codes bounded, zero vector safe, cosine preserved") {
+    val emb = graft.core.Tables.embeddings(spark, sf()).limit(200)
+      .withColumn("deq", VectorFns.dequantizeI8(VectorFns.quantizeI8(col("embedding"))))
+    val stats = emb
+      .select(VectorFns.cosine(col("embedding"), col("deq")).as("c"))
+      .agg(min("c"), max("c")).head()
+    // dequantized vector points within ~1% of the original direction
+    assert(stats.getDouble(0) > 0.99 && stats.getDouble(1) <= 1.0 + 1e-9, stats.toString)
+    val z = Seq(Seq(0f, 0f, 0f)).toDF("embedding")
+      .select(VectorFns.quantizeI8(col("embedding")).as("q"))
+      .select(col("q.scale"), col("q.codes")).head()
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1).forall(_ == 0))
+    val bounds = graft.core.Tables.embeddings(spark, sf())
+      .select(explode(VectorFns.quantizeI8(col("embedding")).getField("codes")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(bounds.getByte(0) >= -127 && bounds.getByte(1) <= 127)
+  }
 }
