@@ -70,6 +70,22 @@ object VectorFns {
   /** Dequantize [[quantizeI8]] output back to doubles (codeᵢ · scale). */
   def dequantizeI8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
+  /** Cosine over int8 code vectors. The per-vector scales CANCEL in the
+    * cosine (cos of dequantized = cos of codes), so scoring needs only
+    * exact integer sums and one final double division — no float
+    * accumulation order to diverge across engines. This is what makes a
+    * quantized ANN sweep both 4× smaller AND bit-reproducible. */
+  def cosineI8(a: Column, b: Column): Column = {
+    val d = aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+  }
 }
 
 /** DuckDB mirrors. `a`/`b` are list-typed SQL expressions. */
@@ -102,5 +118,13 @@ object VectorSql {
     val maxabs = s"list_max(list_transform($a, x -> abs(x::DOUBLE)))"
     s"""list_transform($a, x -> CASE WHEN $maxabs = 0.0 THEN 0::TINYINT
        | ELSE round(round(x::DOUBLE / ($maxabs / 127.0) + 1e-9, 6))::TINYINT END)""".stripMargin.replace("\n", "")
+  }
+
+  /** Mirror of [[VectorFns.cosineI8]] (exact integer sums, one division). */
+  def cosineI8(a: String, b: String): String = {
+    val d = s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]::BIGINT * $b[i]::BIGINT))"
+    val na = s"list_sum(list_transform($a, x -> x::BIGINT * x::BIGINT))"
+    val nb = s"list_sum(list_transform($b, x -> x::BIGINT * x::BIGINT))"
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $d::DOUBLE / (sqrt($na::DOUBLE) * sqrt($nb::DOUBLE)) END)"
   }
 }

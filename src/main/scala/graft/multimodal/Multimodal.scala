@@ -47,6 +47,25 @@ object Multimodal {
         substring(col("payload"), (col("chunk_idx") * chunkBytes + 1).cast("int"), lit(chunkBytes))
           .as("chunk"))
 
+  /** Every-kth fixed-size frame from the payload — the video
+    * frame-sample plumbing (a real build swaps the byte slicing for a
+    * container parser; the stride arithmetic, clamping, and schema are
+    * the contract that survives). Frame f covers bytes
+    * [f·frameBytes, min((f+1)·frameBytes, n)); sampled frames are
+    * f = 0, everyK, 2·everyK, …; a trailing partial frame is kept
+    * (clamped substring). */
+  def sampleFrames(payloads: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    payloads
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          ((octet_length(col("payload")) - 1) / frameBytes).cast("int"),
+          lit(everyK))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        substring(col("payload"), (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes))
+          .as("frame"))
+  }
+
   /** STUB decode: deterministic 4-dim "embedding" from byte statistics.
     * Replace with a real decoder (image resize, audio features, frame
     * sampling) — the batch iteration shape is what production code keeps. */

@@ -36,7 +36,7 @@ object SimilaritySearch {
     * Precondition: cos and neighbor_id non-null (cosine over non-empty
     * vectors never is; a null would be dropped here but ranked NULLS LAST
     * by the window). */
-  private def rerank(scored: DataFrame, k: Int): DataFrame =
+  def rerank(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))

@@ -277,5 +277,35 @@ object EmbeddingQueries {
       .orderBy("vec_id", "dim")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97)
+  /** kNN over the QUANTIZED corpus: scoring uses only exact integer
+    * sums (the per-vector scales cancel in the cosine) plus one final
+    * division, so the quantized sweep is bit-reproducible and the gate
+    * can hash-match every rank — not just bound recall. */
+  val q98 = QueryDef(
+    "q98_quantized_knn",
+    s"""WITH qc AS (SELECT vec_id, ${VectorSql.quantCodes("embedding")} AS c FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, c AS qa FROM qc WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, b.vec_id AS neighbor_id,
+       |         ${VectorSql.cosineI8("qa", "b.c")} AS cos
+       |  FROM q CROSS JOIN qc b WHERE query_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val qc = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.quantizeI8(col("embedding")).getField("codes").as("codes"))
+    val queries = qc.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("codes").as("qa"))
+    val scored = broadcast(queries)
+      .crossJoin(qc.select(col("vec_id").as("neighbor_id"), col("codes").as("qb")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.cosineI8(col("qa"), col("qb")))
+    SimilaritySearch.rerank(scored, 3).orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98)
 }

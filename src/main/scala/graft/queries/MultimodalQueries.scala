@@ -93,5 +93,28 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87)
+  /** Every-3rd-frame byte sampling at 16-byte frames — the stride,
+    * clamping, and per-frame byte content all verified via the
+    * doubled-offset hex oracle (byte-true like q87). */
+  val q99 = QueryDef(
+    "q99_frame_sampling",
+    """WITH b AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, fi, LEAST(16, n - fi * 16) AS flen, hx
+      |  FROM b CROSS JOIN (SELECT unnest(range(0, 4000, 3)) AS fi) g
+      |  WHERE fi * 16 < n)
+      |SELECT doc_id, fi AS frame_idx, substr(hx, fi * 32 + 1, flen * 2) AS frame_hex,
+      |       flen AS n_bytes
+      |FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    Multimodal.sampleFrames(Multimodal.withPayload(Tables.documents(spark, dir)), 16, 3)
+      .select(col("doc_id"), col("frame_idx"),
+        lower(hex(col("frame"))).as("frame_hex"),
+        octet_length(col("frame")).cast("long").as("n_bytes"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99)
 }

@@ -281,6 +281,26 @@ class PipelineSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("quantized kNN recovers most float-kNN neighbors") {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(spark, sf())
+    val qc = emb.select(col("vec_id"),
+      VectorFns.quantizeI8(col("embedding")).getField("codes").as("codes"))
+    val queries = qc.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), col("codes").as("qa"))
+    val scored = broadcast(queries)
+      .crossJoin(qc.select(col("vec_id").as("neighbor_id"), col("codes").as("qb")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.cosineI8(col("qa"), col("qb")))
+    val quant = SimilaritySearch.rerank(scored, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val float = SimilaritySearch.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = float.map { case (q, f) => quant(q).intersect(f).size.toDouble / f.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 of int8 sweep vs float = $mean")
+  }
+
   test("brute-force kNN: nearest neighbor of a vector is its duplicate") {
     val base = Tables.embeddings(spark, sf()).limit(5)
     val dup = base.select((col("vec_id") + 100000L).as("vec_id"),
