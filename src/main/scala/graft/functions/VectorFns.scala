@@ -58,13 +58,17 @@ object VectorFns {
     * Returns struct<scale double, codes array<tinyint>>. */
   def quantizeI8(a: Column): Column = {
     val maxabs = array_max(transform(a, x => abs(x.cast("double"))))
-    val scale = maxabs / lit(127.0)
+    // pair each element with the (once-per-row) maxabs via array_repeat
+    // instead of referencing the array_max subtree inside the lambda —
+    // the latter re-scans the whole vector per element (O(d²)/row on the
+    // corpus-wide quantization path)
+    val codes = zip_with(a, array_repeat(maxabs, size(a)), (x, m) =>
+      when(m === 0.0, lit(0))
+        .otherwise(round(graft.core.Cross.r6(x.cast("double") / (m / lit(127.0)))))
+        .cast("tinyint"))
     struct(
-      graft.core.Cross.r6(scale).as("scale"),
-      transform(a, x =>
-        when(maxabs === 0.0, lit(0))
-          .otherwise(round(graft.core.Cross.r6(x.cast("double") / scale)))
-          .cast("tinyint")).as("codes"))
+      graft.core.Cross.r6(maxabs / lit(127.0)).as("scale"),
+      codes.as("codes"))
   }
 
   /** Dequantize [[quantizeI8]] output back to doubles (codeᵢ · scale). */

@@ -57,6 +57,9 @@ object Multimodal {
   def sampleFrames(payloads: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
     require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
     payloads
+      // empty media has no frames; without this the sequence arithmetic
+      // ((0-1) div F = 0) would emit a phantom zero-byte frame 0
+      .filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0),
           ((octet_length(col("payload")) - 1) / frameBytes).cast("int"),

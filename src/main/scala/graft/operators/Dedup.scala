@@ -230,18 +230,23 @@ object Dedup {
       labels = next
       i += 1
     }
+    sym.unpersist()
     // raise-instead-of-garbage (same policy as momentSafe): unconverged
     // labels are not component minima and a survivor-keeping consumer
-    // would silently drop docs of clusters whose label is no row's id
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter iterations " +
-        s"($changed labels still changing) — component diameter exceeds maxIter; raise it")
+    // would silently drop docs of clusters whose label is no row's id —
+    // caches are released BEFORE raising so a failed call doesn't leak
+    // persisted blocks into a long-lived session
+    if (changed != 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — component diameter exceeds maxIter; raise it")
+    }
     // eagerly pin the result, then free every iteration cache — callers
     // get a materialized table, not a dangling reference into the loop's
     // cached lineage
     val out = labels.select(col("id"), col("lbl").as("cluster")).localCheckpoint()
     labels.unpersist()
-    sym.unpersist()
     out
   }
 

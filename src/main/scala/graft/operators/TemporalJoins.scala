@@ -31,6 +31,12 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, leftId: String, rightId: String,
       rightPayload: Seq[String]): DataFrame = {
+    // ids/times are cast to long for the union tag — a non-numeric column
+    // would cast to NULL silently, nulling the output ids and collapsing
+    // the deterministic tie-break, so fail fast instead
+    for ((df, c) <- Seq(left -> leftTime, left -> leftId, right -> rightTime, right -> rightId))
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asofJoin needs numeric time/id columns; '$c' is ${df.schema(c).dataType.simpleString}")
     val rightTagged = right.select(col(key).as("__k"), col(rightTime).cast("long").as("__t"),
       lit(0).as("__side"), col(rightId).cast("long").as("__tid"),
       struct(rightPayload.map(col): _*).as("__payload"))

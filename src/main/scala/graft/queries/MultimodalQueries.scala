@@ -103,7 +103,7 @@ object MultimodalQueries {
       |  FROM documents),
       |f AS (
       |  SELECT doc_id, fi, LEAST(16, n - fi * 16) AS flen, hx
-      |  FROM b CROSS JOIN (SELECT unnest(range(0, 4000, 3)) AS fi) g
+      |  FROM b, unnest(range(0, GREATEST(n, 0), 3)) AS g(fi)
       |  WHERE fi * 16 < n)
       |SELECT doc_id, fi AS frame_idx, substr(hx, fi * 32 + 1, flen * 2) AS frame_hex,
       |       flen AS n_bytes

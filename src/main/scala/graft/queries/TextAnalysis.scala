@@ -203,8 +203,7 @@ object TextAnalysis {
     s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents)
        |SELECT doc_id, i AS chunk_idx,
        |       array_to_string(list_slice(tk, i * 24 + 1, i * 24 + 32), ' ') AS chunk
-       |FROM tok CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) g
-       |WHERE i < GREATEST(1, (len(tk) - 8 + 23) // 24)
+       |FROM tok, unnest(range(0, GREATEST(1, (len(tk) - 8 + 23) // 24))) AS g(i)
        |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
       .select(col("doc_id"),

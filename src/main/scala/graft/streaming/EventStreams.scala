@@ -88,17 +88,30 @@ object EventStreams {
     * rows-only check. */
   def replayOrdered(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_events_replay").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_replay")
     spark.read.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("sec", expr("ts div 1000000000"))
       .orderBy("sec", "event_id")
       .coalesce(1)
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // the determinism argument requires ONE mapper: a file larger than
+    // the scan split size would be read by several tasks and the
+    // shuffle-fetch interleaving at the state partition would break
+    // "first arrived ≡ earliest event". Enforce rather than assume —
+    // fail loudly with the remedy instead of going flaky.
+    val bytes = java.nio.file.Files.walk(tmp).filter(_.toString.endsWith(".parquet"))
+      .mapToLong(java.nio.file.Files.size).sum()
+    val split = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").trim.toLong
+    require(bytes * 2 < split,
+      s"replayOrdered needs a single-split file for deterministic arrival order: " +
+        s"replay is $bytes bytes vs maxPartitionBytes=$split — raise " +
+        "spark.sql.files.maxPartitionBytes or replay a smaller slice")
     spark.readStream
       .schema(StructType(eventsSchema.fields :+ StructField("sec", LongType)))
       .option("maxFilesPerTrigger", "1")
-      .parquet(tmp)
+      .parquet(tmp.toString)
       .withColumn("etime", col("sec").cast("timestamp"))
   }
 

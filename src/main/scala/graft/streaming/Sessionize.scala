@@ -130,16 +130,24 @@ object Sessionize {
   def sessionizedStreamComplete(spark: SparkSession, events: Dataset[Event],
       gapSeconds: Long = 1800, queryName: String = "sess_complete"): DataFrame = {
     import spark.implicits._
-    val maxSec = events.agg(org.apache.spark.sql.functions.max("sec")).head().getLong(0)
+    val maxRow = events.agg(org.apache.spark.sql.functions.max("sec")).head()
+    if (maxRow.isNullAt(0)) return spark.emptyDataset[Session].toDF()
+    val maxSec = maxRow.getLong(0)
     val flush = events.select("user_id").distinct()
       .select(col("user_id"), lit(-1L).as("event_id"), lit(maxSec + gapSeconds + 1).as("sec"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_replay").toString
-    events.toDF().unionByName(flush).write.mode("overwrite").parquet(tmp)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_replay")
+    events.toDF().unionByName(flush).write.mode("overwrite").parquet(tmp.toString)
     val replay = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Event].schema)
-      .parquet(tmp).as[Event]
-    EventStreams.runToCompletion(spark,
+      .parquet(tmp.toString).as[Event]
+    val out = EventStreams.runToCompletion(spark,
       sessionizedStream(replay, gapSeconds).toDF(), queryName, mode = "append")
+    // the memory sink holds the result; the replay copy is dead weight —
+    // delete it so repeated gate runs don't accumulate temp copies
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
   }
 
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
