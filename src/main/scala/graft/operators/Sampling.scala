@@ -43,6 +43,21 @@ object Sampling {
     (df.filter(b >= evalBuckets), df.filter(b < evalBuckets))
   }
 
+  /** Per-stratum deterministic split: the bucket hash is keyed on
+    * (stratum, key), so each stratum splits independently — a key that
+    * appears in several strata is decided per stratum, whereas plain
+    * [[hashSplit]] sends every occurrence of a key to one side (the
+    * leakage-safe default; use THIS form when strata are independent
+    * populations, e.g. per-language corpora, and each must yield its own
+    * eval fraction). */
+  def stratifiedSplit(df: DataFrame, stratum: Column, key: Column,
+      evalBuckets: Int, denom: Int): (DataFrame, DataFrame) = {
+    require(evalBuckets > 0 && evalBuckets < denom,
+      s"need 0 < evalBuckets < denom, got $evalBuckets/$denom")
+    val b = hashBucket(concat_ws("|", stratum.cast("string"), key.cast("string")), denom)
+    (df.filter(b >= evalBuckets), df.filter(b < evalBuckets))
+  }
+
   /** Deterministic per-key cap — "at most n rows per domain", the
     * workhorse constraint of corpus curation. Selection order is the
     * row id's content hash (an unbiased deterministic shuffle), so which

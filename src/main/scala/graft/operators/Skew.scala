@@ -29,4 +29,22 @@ object Skew {
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Bloom-prefiltered equi-join on a long key: ONE aggregate pass builds
+    * a Bloom filter over the build side's keys, the broadcast filter
+    * drops probe rows that cannot match BEFORE they shuffle, then the
+    * exact join eliminates the false positives — output is EXACTLY the
+    * plain join (gate q100 uses the unfiltered join as its oracle). This
+    * is the explicit form of Spark's runtime bloom-filter pushdown, for
+    * when the selectivity is known a priori (or the probe side feeds a
+    * multi-stage pipeline where the automatic filter doesn't reach): at
+    * 100 TB the win is shuffle volume ∝ matching keys, not probe rows. */
+  def bloomPrefilterJoin(probe: DataFrame, build: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bf = build.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    probe.filter(col(key).isNotNull && mightContain(col(key).cast("long")))
+      .join(build, key)
+  }
 }

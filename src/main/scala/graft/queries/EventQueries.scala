@@ -308,5 +308,23 @@ object EventQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+  /** Bloom-prefiltered join (Skew.bloomPrefilterJoin): the filter only
+    * PRUNES — false positives die in the exact join — so the unfiltered
+    * join is the oracle and any dropped true match hash-fails. */
+  val q100 = QueryDef(
+    "q100_bloom_join",
+    """SELECT c_nationkey, COUNT(*) AS n
+      |FROM events JOIN (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 7 = 0) d
+      |  ON user_id = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    val build = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val probe = Tables.events(spark, dir).select("user_id")
+    Skew.bloomPrefilterJoin(probe, build, "user_id", expectedItems = 10000)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100)
 }

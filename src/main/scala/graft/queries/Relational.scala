@@ -370,6 +370,30 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Stratified deterministic split: each order-priority stratum yields
+    * its own ~1/8 eval slice; the oracle mirrors the (stratum|key)
+    * bucket hash, so WHICH side every row lands on is verified. */
+  val q101 = QueryDef(
+    "q101_stratified_split",
+    s"""WITH b AS (
+       |  SELECT o_orderpriority, o_orderkey,
+       |         ${graft.core.Cross.hash64Sql("o_orderpriority || '|' || o_orderkey::VARCHAR")} % 8 AS bucket
+       |  FROM orders)
+       |SELECT o_orderpriority, CASE WHEN bucket < 1 THEN 'eval' ELSE 'train' END AS part,
+       |       COUNT(*) AS n, MIN(o_orderkey) AS min_key
+       |FROM b GROUP BY 1, 2
+       |ORDER BY o_orderpriority, part""".stripMargin) { (spark, dir) =>
+    import graft.operators.Sampling
+    val o = Tables.orders(spark, dir)
+    val (train, eval_) = Sampling.stratifiedSplit(o,
+      col("o_orderpriority"), col("o_orderkey"), 1, 8)
+    train.select(lit("train").as("part"), col("o_orderpriority"), col("o_orderkey"))
+      .union(eval_.select(lit("eval").as("part"), col("o_orderpriority"), col("o_orderkey")))
+      .groupBy("o_orderpriority", "part")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority", "part")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101)
 }

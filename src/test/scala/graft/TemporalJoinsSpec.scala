@@ -47,6 +47,26 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(n == brute.size)
   }
 
+  test("bloomPrefilterJoin output is exactly the plain equi-join") {
+    val probe = (0L until 2000L).toDF("k")
+    val build = (0L until 100L).map(i => (i * 17, s"v$i")).toDF("k", "v") // sparse keys
+    val got = Skew.bloomPrefilterJoin(probe, build, "k", expectedItems = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == plain && plain.nonEmpty)
+  }
+
+  test("stratifiedSplit is disjoint, exhaustive, and splits every stratum") {
+    import graft.operators.Sampling
+    val df = (0L until 4000L).map(i => (s"s${i % 4}", i)).toDF("stratum", "k")
+    val (train, eval_) = Sampling.stratifiedSplit(df, col("stratum"), col("k"), 1, 8)
+    assert(train.count() + eval_.count() == 4000)
+    assert(train.intersect(eval_).isEmpty)
+    val evalStrata = eval_.select("stratum").distinct().count()
+    assert(evalStrata == 4, "every stratum must contribute eval rows")
+  }
+
   test("saltedEquiJoin output is exactly the plain equi-join") {
     val big = (0L until 1000L).map(i => (i % 3, i)).toDF("k", "id") // 3 hot keys
     val small = Seq((0L, "a"), (1L, "b"), (5L, "unmatched")).toDF("k", "v")
