@@ -11,7 +11,7 @@ object SparkEntry {
 
   /** All gate queries, grouped by operator family. */
   def defs: Seq[QueryDef] =
-    Relational.all ++ TextAnalysis.all ++ DedupQueries.all ++ EmbeddingQueries.all ++ EventQueries.all ++ RecommenderQueries.all ++ ContentQueries.all ++ UserCfQueries.all ++ MlQueries.all ++ MultimodalQueries.all ++ ExtendedQueries.all
+    Relational.all ++ TextAnalysis.all ++ DedupQueries.all ++ EmbeddingQueries.all ++ EventQueries.all ++ RecommenderQueries.all ++ ContentQueries.all ++ UserCfQueries.all ++ MlQueries.all ++ MultimodalQueries.all ++ ExtendedQueries.all ++ SqlApiQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

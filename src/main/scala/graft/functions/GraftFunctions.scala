@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.core.Cross
+
+/** SQL surface for the graft function library: `graft_*` functions
+  * registered into a session's FunctionRegistry so every capability is
+  * reachable from `spark.sql(...)` — a user of the reference (whose
+  * surface is Python calls) can drive the same operators from pure SQL.
+  * Two hookup paths:
+  *   - [[register]] on a live session (what Verify/tests use);
+  *   - [[GraftFunctionExtensions]] via `.withExtensions` at build time
+  *     (the deployment path — survives session cloning and Thrift).
+  * Each function lowers to the SAME Column expressions the Scala API
+  * uses, so the SQL and DataFrame paths share one implementation (and
+  * the same oracle gates). */
+object GraftFunctions {
+
+  private def c(e: Expression): Column = GraftSqlBridge.toColumn(e)
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, arity description, builder). */
+  val all: Seq[(String, String, Seq[Expression] => Column)] = Seq(
+    ("graft_cosine", "(arrayA, arrayB)",
+      es => VectorFns.cosine(c(es(0)), c(es(1)))),
+    ("graft_dot", "(arrayA, arrayB)",
+      es => VectorFns.dot(c(es(0)), c(es(1)))),
+    ("graft_norm2", "(array)",
+      es => VectorFns.norm2(c(es(0)))),
+    ("graft_hash64", "(string)",
+      es => Cross.hash64(c(es(0)))),
+    ("graft_r6", "(double)",
+      es => Cross.r6(c(es(0)))),
+    ("graft_quantize_i8", "(array)",
+      es => VectorFns.quantizeI8(c(es(0)))),
+    ("graft_cosine_i8", "(codesA, codesB)",
+      es => VectorFns.cosineI8(c(es(0)), c(es(1)))),
+    ("graft_tokens", "(string)",
+      es => TextFns.tokens(c(es(0)))),
+    ("graft_content_tokens", "(string)",
+      es => TextFns.contentTokens(c(es(0)))),
+    ("graft_lang_id", "(tokens)",
+      es => TextFns.langId(c(es(0)))),
+    ("graft_fingerprint", "(string)",
+      es => TextFns.fingerprint(c(es(0)))),
+    ("graft_scrub_pii", "(string)",
+      es => TextFns.scrubPii(c(es(0)))),
+    ("graft_chunk_tokens", "(tokens, chunkSize, overlap)",
+      es => TextFns.chunkTokens(c(es(0)),
+        litInt(es(1), "chunkSize"), litInt(es(2), "overlap"))),
+    ("graft_shingles", "(tokens, n)",
+      es => TextFns.shingles(c(es(0)), litInt(es(1), "n"))),
+    ("graft_top_k", "(w, id, k) aggregate",
+      es => graft.plans.TopKAgg.topK(c(es(0)), c(es(1)), litInt(es(2), "k"))))
+
+  /** Register every graft_* function on a live session. Idempotent
+    * (re-registration overwrites with identical builders). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, usage, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name + usage),
+        (exprs: Seq[Expression]) => GraftSqlBridge.toExpression(builder(exprs)))
+    }
+  }
+}
+
+/** Build-time hookup: `SparkSession.builder()
+  * .withExtensions(new GraftFunctionExtensions).getOrCreate()`. */
+class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name + usage),
+        (exprs: Seq[Expression]) => GraftSqlBridge.toExpression(builder(exprs))))
+    }
+}

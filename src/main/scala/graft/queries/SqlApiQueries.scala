@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.core.{Cross, Tables}
+import graft.functions.{GraftFunctions, TextSql, VectorSql}
+
+/** Pure-SQL API gates: the graft_* function surface registered into the
+  * session's FunctionRegistry and driven entirely through `spark.sql`,
+  * proving a SQL-only user reaches the same operators (and the same
+  * oracle-verified results) as the DataFrame API — both lower to the
+  * identical Column expressions.
+  */
+object SqlApiQueries {
+
+  /** Scalar surface from SQL: tokenization, language-ID, content-token
+    * counts, fingerprint hashing — grouped per language. */
+  val q102 = QueryDef(
+    "q102_sql_scalar_api",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         ${TextSql.langId(TextSql.tokens("text"))} AS lang,
+       |         len(${TextSql.contentTokens("text")}) AS n_content,
+       |         ${Cross.hash64Sql(TextSql.fingerprint("text"))} % 1000 AS fp_bucket
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n, SUM(n_content)::BIGINT AS total_content,
+       |       MIN(fp_bucket) AS min_bucket
+       |FROM d GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs")
+    spark.sql(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         graft_lang_id(graft_tokens(text)) AS lang,
+        |         size(graft_content_tokens(text)) AS n_content,
+        |         graft_hash64(graft_fingerprint(text)) % 1000 AS fp_bucket
+        |  FROM graft_docs)
+        |SELECT lang, COUNT(*) AS n, SUM(n_content) AS total_content,
+        |       MIN(fp_bucket) AS min_bucket
+        |FROM d GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  /** The bounded top-k AGGREGATE from SQL (graft_top_k + posexplode):
+    * per-label top-2 vectors by L2 norm — the same TopKPairs plan the
+    * DataFrame path uses, reached through the function registry. */
+  val q103 = QueryDef(
+    "q103_sql_topk_agg",
+    s"""WITH n AS (
+       |  SELECT label, vec_id, ${VectorSql.norm2("embedding")} AS nrm
+       |  FROM embeddings),
+       |ranked AS (
+       |  SELECT label, vec_id, nrm,
+       |         row_number() OVER (PARTITION BY label ORDER BY nrm DESC, vec_id) AS rank
+       |  FROM n)
+       |SELECT label, rank, vec_id, ${Cross.r6Sql("nrm")} AS nrm
+       |FROM ranked WHERE rank <= 2
+       |ORDER BY label, rank""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_emb")
+    spark.sql(
+      """SELECT label, pos + 1 AS rank, e.id AS vec_id, graft_r6(e.w) AS nrm
+        |FROM (
+        |  SELECT label, graft_top_k(graft_norm2(embedding), vec_id, 2) AS top
+        |  FROM graft_emb GROUP BY label)
+        |LATERAL VIEW posexplode(top) t AS pos, e
+        |ORDER BY label, rank""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103)
+}

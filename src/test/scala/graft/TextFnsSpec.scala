@@ -57,6 +57,25 @@ class TextFnsSpec extends SparkSpec {
     assert(got == "mail <EMAIL> see <URL> call <NUM> not 123")
   }
 
+  test("graft_* SQL functions lower to the same results as the Scala API") {
+    graft.functions.GraftFunctions.register(spark)
+    one("Great tacos, loud music! visit https://x.io").createOrReplaceTempView("gf_t")
+    val viaSql = spark.sql(
+      "SELECT graft_scrub_pii(text) AS s, graft_chunk_tokens(graft_tokens(text), 3, 1) AS c FROM gf_t")
+      .head()
+    val viaApi = one("Great tacos, loud music! visit https://x.io")
+      .select(TextFns.scrubPii(col("text")).as("s"),
+        TextFns.chunkTokens(TextFns.tokens(col("text")), 3, 1).as("c"))
+      .head()
+    assert(viaSql.getString(0) == viaApi.getString(0))
+    assert(viaSql.getSeq[Any](1) == viaApi.getSeq[Any](1))
+    // non-literal k must fail loudly, not silently misbehave
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_chunk_tokens(graft_tokens(text), length(text), 1) FROM gf_t").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("fingerprint is whitespace/punctuation insensitive") {
     val a = one("Hello,   world!").select(TextFns.fingerprint(col("text"))).head().getString(0)
     val b = one("hello world").select(TextFns.fingerprint(col("text"))).head().getString(0)
