@@ -208,7 +208,10 @@ object Evaluate {
   def run(spark: SparkSession, predPath: String, sfDir: String): String = {
     val preds = ModelIO.loadPredictionsJson(spark, predPath)
     val gt = Recommender.dedupReviews(Tables.reviews(spark, sfDir))
-    val rmse = Recommender.rmse(preds, gt).head().getDouble(0)
+    // zero matched pairs → "N/A", the reference evaluator's sentinel
+    // (scripts/evaluate.py:100-102), not a crash on a null aggregate
+    val rmseRow = Recommender.rmse(preds, gt).head()
+    val rmse = if (rmseRow.isNullAt(0)) "\"N/A\"" else rmseRow.getDouble(0).toString
     val missing = gt.join(preds, Seq("user_id", "business_id"), "left_anti").count()
     val byDecision =
       if (!preds.columns.contains("decision")) ""

@@ -200,6 +200,35 @@ class PipelineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup state survives a checkpoint restart (exactly-once keys)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+    new java.io.File(in).mkdirs()
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("k STRING, v LONG")
+        .parquet(in)
+        .dropDuplicates("k")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    // restart from the SAME checkpoint with overlapping keys: recovered
+    // state must suppress b/c, admit only d
+    Seq(("b", 20L), ("c", 30L), ("d", 4L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val keys = spark.read.parquet(out).select("k").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b", "c", "d"),
+      s"each key exactly once across the restart, got ${keys.mkString(",")}")
+  }
+
   test("stateful sessionization: stream emits the closed subset of batch") {
     import graft.streaming.Sessionize
     val events = Sessionize.eventsDataset(spark, sf())
