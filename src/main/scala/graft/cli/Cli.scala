@@ -209,9 +209,16 @@ object Evaluate {
     val preds = ModelIO.loadPredictionsJson(spark, predPath)
     val gt = Recommender.dedupReviews(Tables.reviews(spark, sfDir))
     // zero matched pairs → "N/A", the reference evaluator's sentinel
-    // (scripts/evaluate.py:100-102), not a crash on a null aggregate
+    // (scripts/evaluate.py:100-102), not a crash on a null aggregate;
+    // a non-finite rmse (corrupt artifact with Infinity stars) is quoted
+    // so the report stays parseable JSON
     val rmseRow = Recommender.rmse(preds, gt).head()
-    val rmse = if (rmseRow.isNullAt(0)) "\"N/A\"" else rmseRow.getDouble(0).toString
+    val rmse =
+      if (rmseRow.isNullAt(0)) "\"N/A\""
+      else {
+        val v = rmseRow.getDouble(0)
+        if (java.lang.Double.isFinite(v)) v.toString else "\"" + v + "\""
+      }
     val missing = gt.join(preds, Seq("user_id", "business_id"), "left_anti").count()
     val byDecision =
       if (!preds.columns.contains("decision")) ""

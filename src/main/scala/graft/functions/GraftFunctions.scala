@@ -27,61 +27,65 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  /** (name, arity description, builder). */
-  val all: Seq[(String, String, Seq[Expression] => Column)] = Seq(
-    ("graft_cosine", "(arrayA, arrayB)",
+  /** (name, usage, arity, builder). */
+  private val defs: Seq[(String, String, Int, Seq[Expression] => Column)] = Seq(
+    ("graft_cosine", "(arrayA, arrayB)", 2,
       es => VectorFns.cosine(c(es(0)), c(es(1)))),
-    ("graft_dot", "(arrayA, arrayB)",
+    ("graft_dot", "(arrayA, arrayB)", 2,
       es => VectorFns.dot(c(es(0)), c(es(1)))),
-    ("graft_norm2", "(array)",
+    ("graft_norm2", "(array)", 1,
       es => VectorFns.norm2(c(es(0)))),
-    ("graft_hash64", "(string)",
+    ("graft_hash64", "(string)", 1,
       es => Cross.hash64(c(es(0)))),
-    ("graft_r6", "(double)",
+    ("graft_r6", "(double)", 1,
       es => Cross.r6(c(es(0)))),
-    ("graft_quantize_i8", "(array)",
+    ("graft_quantize_i8", "(array)", 1,
       es => VectorFns.quantizeI8(c(es(0)))),
-    ("graft_cosine_i8", "(codesA, codesB)",
+    ("graft_cosine_i8", "(codesA, codesB)", 2,
       es => VectorFns.cosineI8(c(es(0)), c(es(1)))),
-    ("graft_tokens", "(string)",
+    ("graft_tokens", "(string)", 1,
       es => TextFns.tokens(c(es(0)))),
-    ("graft_content_tokens", "(string)",
+    ("graft_content_tokens", "(string)", 1,
       es => TextFns.contentTokens(c(es(0)))),
-    ("graft_lang_id", "(tokens)",
+    ("graft_lang_id", "(tokens)", 1,
       es => TextFns.langId(c(es(0)))),
-    ("graft_fingerprint", "(string)",
+    ("graft_fingerprint", "(string)", 1,
       es => TextFns.fingerprint(c(es(0)))),
-    ("graft_scrub_pii", "(string)",
+    ("graft_scrub_pii", "(string)", 1,
       es => TextFns.scrubPii(c(es(0)))),
-    ("graft_chunk_tokens", "(tokens, chunkSize, overlap)",
+    ("graft_chunk_tokens", "(tokens, chunkSize, overlap)", 3,
       es => TextFns.chunkTokens(c(es(0)),
         litInt(es(1), "chunkSize"), litInt(es(2), "overlap"))),
-    ("graft_shingles", "(tokens, n)",
+    ("graft_shingles", "(tokens, n)", 2,
       es => TextFns.shingles(c(es(0)), litInt(es(1), "n"))),
-    ("graft_top_k", "(w, id, k) aggregate",
+    ("graft_top_k", "(w, id, k) aggregate", 3,
       es => graft.plans.TopKAgg.topK(c(es(0)), c(es(1)), litInt(es(2), "k"))))
+
+  /** Pre-built registry triples shared by BOTH hookup paths, with an
+    * arity check so a wrong-arity SQL call fails with the function name
+    * and usage instead of an IndexOutOfBoundsException from a builder. */
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    defs.map { case (name, usage, arity, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft", name + usage),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == arity,
+            s"$name expects $arity arguments $usage, got ${exprs.length}")
+          GraftSqlBridge.toExpression(builder(exprs))
+        })
+    }
 
   /** Register every graft_* function on a live session. Idempotent
     * (re-registration overwrites with identical builders). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    all.foreach { case (name, usage, builder) =>
-      registry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name + usage),
-        (exprs: Seq[Expression]) => GraftSqlBridge.toExpression(builder(exprs)))
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-  }
 }
 
 /** Build-time hookup: `SparkSession.builder()
   * .withExtensions(new GraftFunctionExtensions).getOrCreate()`. */
 class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach { case (name, usage, builder) =>
-      e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name + usage),
-        (exprs: Seq[Expression]) => GraftSqlBridge.toExpression(builder(exprs))))
-    }
+    GraftFunctions.entries.foreach(e.injectFunction)
 }

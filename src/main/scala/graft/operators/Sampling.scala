@@ -52,10 +52,13 @@ object Sampling {
     * eval fraction). */
   def stratifiedSplit(df: DataFrame, stratum: Column, key: Column,
       evalBuckets: Int, denom: Int): (DataFrame, DataFrame) = {
-    require(evalBuckets > 0 && evalBuckets < denom,
-      s"need 0 < evalBuckets < denom, got $evalBuckets/$denom")
-    val b = hashBucket(concat_ws("|", stratum.cast("string"), key.cast("string")), denom)
-    (df.filter(b >= evalBuckets), df.filter(b < evalBuckets))
+    // length-prefixed composite (len|stratum|key): unambiguous for any
+    // stratum content — a plain 'stratum|key' concat would let a '|'
+    // inside the stratum collide with a different (stratum, key) pair;
+    // null stratum reads as the empty stratum ("0||key")
+    val s = coalesce(stratum.cast("string"), lit(""))
+    hashSplit(df, concat_ws("|", length(s).cast("string"), s, key.cast("string")),
+      evalBuckets, denom)
   }
 
   /** Deterministic per-key cap — "at most n rows per domain", the

@@ -42,6 +42,11 @@ object Skew {
   def bloomPrefilterJoin(probe: DataFrame, build: DataFrame, key: String,
       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bf = build.stat.bloomFilter(key, expectedItems, fpp)
+    // broadcast lifetime: the only reference lives in the returned plan's
+    // UDF closure, so once the caller drops the DataFrame the
+    // ContextCleaner reclaims the broadcast blocks — no explicit destroy
+    // hook is exposed because destroying early would break a still-held
+    // plan
     val bc = probe.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
     probe.filter(col(key).isNotNull && mightContain(col(key).cast("long")))

@@ -377,7 +377,7 @@ object Relational {
     "q101_stratified_split",
     s"""WITH b AS (
        |  SELECT o_orderpriority, o_orderkey,
-       |         ${graft.core.Cross.hash64Sql("o_orderpriority || '|' || o_orderkey::VARCHAR")} % 8 AS bucket
+       |         ${graft.core.Cross.hash64Sql("len(o_orderpriority)::VARCHAR || '|' || o_orderpriority || '|' || o_orderkey::VARCHAR")} % 8 AS bucket
        |  FROM orders)
        |SELECT o_orderpriority, CASE WHEN bucket < 1 THEN 'eval' ELSE 'train' END AS part,
        |       COUNT(*) AS n, MIN(o_orderkey) AS min_key
