@@ -96,6 +96,27 @@ object AlsModel {
     results.minBy(_._2)
   }
 
+  /** Deterministic k-fold cross-validated RMSE: folds come from the
+    * content-hash bucket of the (user, business) pair — stable across
+    * runs, partitionings, and cluster sizes, unlike randomSplit (the R7
+    * rationale applied to CV). Returns the mean holdout RMSE over the k
+    * (train = k−1 folds, eval = 1 fold) rotations — the model-selection
+    * primitive gridSearch's single fixed holdout can't provide when the
+    * holdout is small or unlucky. */
+  def crossValidate(reviews: DataFrame, p: Params = Params(), k: Int = 5): Double = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val bucketed = reviews.withColumn("__fold",
+      graft.operators.Sampling.hashBucket(
+        concat_ws("|", col("user_id").cast("string"), col("business_id").cast("string")), k))
+      .cache()
+    val rmses = (0 until k).map { f =>
+      val m = fit(bucketed.filter(col("__fold") =!= f))
+      evaluate(m, bucketed.filter(col("__fold") === f).drop("__fold"))
+    }
+    bucketed.unpersist()
+    rmses.sum / k
+  }
+
   /** RMSE on a labeled holdout via MLlib's RegressionEvaluator (R1). */
   def evaluate(model: ALSModel, labeled: DataFrame): Double = {
     val scored = predict(model, labeled.select("user_id", "business_id"))

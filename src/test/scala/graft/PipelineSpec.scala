@@ -62,6 +62,15 @@ class PipelineSpec extends SparkSpec {
     assert(sparse.head().getAs[org.apache.spark.ml.linalg.Vector]("tfidf").numNonzeros > 0)
   }
 
+  test("deterministic k-fold CV: reasonable rmse, identical across runs") {
+    val r = Recommender.dedupReviews(Tables.reviews(spark, sf()))
+    val p = AlsModel.Params(rank = 4, maxIter = 2)
+    val a = AlsModel.crossValidate(r, p, k = 3)
+    val b = AlsModel.crossValidate(r, p, k = 3)
+    assert(a == b, "hash-bucket folds + seeded ALS must reproduce exactly")
+    assert(a > 0.0 && a < 3.0, s"cv rmse out of sane range: $a")
+  }
+
   test("ALS grid search picks the lowest-rmse combination") {
     val r = Recommender.dedupReviews(Tables.reviews(spark, sf()))
     val (best, rmse, model) = AlsModel.gridSearch(r,
