@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Sampling, TemporalJoins}
+
+/** Property-based invariants for the operator kernels: the unit suites
+  * pin specific fixtures; these pin the LAWS (bounds, partitions,
+  * orderings, reconstructions) over generated inputs. Generator sizes
+  * stay small — each property round-trips through Spark. (Raw scalacheck
+  * runner: the scalatest bridge artifact isn't in the offline cache.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val smallN = 40
+
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hashSplit partitions every generated key set disjointly and exhaustively") {
+    check(forAll(Gen.listOfN(smallN, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        Gen.choose(1, 7)) { (keys, evalBuckets) =>
+      val df = keys.toDF("k").cache()
+      val (train, eval_) = Sampling.hashSplit(df, col("k"), evalBuckets, 8)
+      val t = train.collect().map(_.getLong(0))
+      val e = eval_.collect().map(_.getLong(0))
+      df.unpersist()
+      Prop(t.length + e.length == keys.length) :| "exhaustive" &&
+        Prop(t.toSet.intersect(e.toSet).isEmpty || keys.distinct.length != keys.length) :| "disjoint"
+    }, minSuccessful = 10)
+  }
+
+  test("chunkTokens covers every token; overlap and bounds hold for any doc") {
+    val genToks = Gen.listOfN(30, Gen.identifier.map(_.take(4))).map(_.mkString(" "))
+    check(forAll(genToks, Gen.choose(2, 8), Gen.choose(0, 1)) { (text, size, ovRaw) =>
+      val overlap = math.min(ovRaw, size - 1)
+      val row = Seq(text).toDF("text")
+        .select(TextFns.tokens(col("text")).as("tk"),
+          TextFns.chunkTokens(TextFns.tokens(col("text")), size, overlap).as("c"))
+        .head()
+      val toks = row.getSeq[String](0)
+      val chunks = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
+      val step = size - overlap
+      val rejoined = chunks.zipWithIndex.flatMap { case (ch, i) =>
+        val words = if (ch.isEmpty) Seq.empty else ch.split(" ").toSeq
+        // drop the overlapped prefix of every chunk after the first
+        if (i == 0) words else words.drop(overlap)
+      }
+      Prop(chunks.forall(c => c.isEmpty || c.split(" ").length <= size)) :| "chunk size bound" &&
+        Prop(rejoined == toks || (toks.isEmpty && chunks.size == 1)) :| "lossless coverage" &&
+        Prop(chunks.size == math.max(1, (toks.size - overlap + step - 1) / step)) :| "chunk count"
+    }, minSuccessful = 20)
+  }
+
+  test("quantizeI8 round-trip: codes in [-127,127], reconstruction within scale/2 + eps") {
+    val genVec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+    check(forAll(genVec) { vec =>
+      val row = Seq(vec).toDF("embedding")
+        .select(VectorFns.quantizeI8(col("embedding")).as("q"))
+        .select(col("q.scale"), col("q.codes")).head()
+      val scale = row.getDouble(0)
+      val codes = row.getSeq[Byte](1)
+      val maxErr = vec.zip(codes).map { case (x, c) =>
+        math.abs(x.toDouble - c * scale)
+      }.maxOption.getOrElse(0.0)
+      Prop(codes.forall(c => c >= -127 && c <= 127)) :| "code bounds" &&
+        // r6 rounding of the ratio adds up to 5e-7 relative slack
+        Prop(maxErr <= scale / 2 + scale * 1e-5 + 1e-12) :| s"reconstruction err $maxErr scale $scale"
+    }, minSuccessful = 20)
+  }
+
+  test("asofJoin equals the naive per-row max-earlier lookup on generated events") {
+    val genRows = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    check(forAll(genRows, genRows) { (lRaw, rRaw) =>
+      val l = lRaw.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+      val r = rRaw.zipWithIndex.map { case ((k, t), i) => (k, 1000L + i, t) }
+      val got = TemporalJoins.asofJoin(
+          l.toDF("k", "lid", "t"), r.toDF("k", "rid", "t").withColumn("tag", col("rid")),
+          "k", "t", "t", "lid", "rid", Seq("tag"))
+        .collect().map(row => row.getLong(1) -> Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+      val expected = l.map { case (k, lid, t) =>
+        val cands = r.filter { case (rk, _, rt) => rk == k && rt <= t }
+        lid -> cands.sortBy { case (_, rid, rt) => (rt, rid) }.lastOption.map(_._2)
+      }.toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }, minSuccessful = 15)
+  }
+}
