@@ -326,5 +326,54 @@ object EventQueries {
       .orderBy("c_nationkey")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100)
+  /** Ordered conversion funnel view→click→purchase within 2 h: one
+    * conditional-MIN aggregate + user-keyed join per step — never a
+    * per-user ordered event collect. The oracle replays the identical
+    * chained-CTE algebra. */
+  val q104 = QueryDef(
+    "q104_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(sec) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.sec) AS t2, MIN(s1.t1) AS t1
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.sec >= s1.t1 AND e.sec <= s1.t1 + 7200
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.sec) AS t3
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.sec >= s2.t2 AND e.sec <= s2.t1 + 7200
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS step_idx, 'view' AS step_name, (SELECT COUNT(*) FROM s1) AS n_users
+      |UNION ALL
+      |SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      |UNION ALL
+      |SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+      |ORDER BY step_idx""".stripMargin) { (spark, dir) =>
+    graft.operators.Analytics.funnel(Tables.events(spark, dir),
+        Seq("view", "click", "purchase"), windowSeconds = 7200)
+      .orderBy("step_idx")
+  }
+
+  /** Weekly cohort retention matrix: cohort = first-touch epoch-week,
+    * cell = distinct users of that cohort active at each week offset. */
+  val q105 = QueryDef(
+    "q105_cohort_retention",
+    """WITH e AS (
+      |  SELECT user_id, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(sec) // 604800 AS cohort_week FROM e GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, sec // 604800 AS week FROM e)
+      |SELECT cohort_week, week - cohort_week AS week_offset, COUNT(*) AS n_users
+      |FROM active JOIN first USING (user_id)
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (spark, dir) =>
+    graft.operators.Analytics.cohortRetention(Tables.events(spark, dir))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105)
 }

@@ -67,6 +67,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(evalStrata == 4, "every stratum must contribute eval rows")
   }
 
+  test("funnel enforces step order and the conversion window") {
+    val events = Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L), // full depth
+      (2L, "click", 0L), (2L, "view", 10L),                        // click BEFORE view: depth 1
+      (3L, "view", 0L), (3L, "click", 8000L),                      // outside 7200s window: depth 1
+      (4L, "view", 0L), (4L, "purchase", 90L), (4L, "click", 100L) // purchase before click: depth 2
+    ).toDF("user_id", "event_type", "sec")
+    val got = graft.operators.Analytics.funnel(events,
+        Seq("view", "click", "purchase"), 7200)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("cohort retention offset-0 equals the cohort size") {
+    val events = Seq(
+      (1L, 0L), (1L, 604800L * 2),       // cohort week 0, active at offsets 0 and 2
+      (2L, 100L), (2L, 604800L + 5),     // cohort week 0, offsets 0 and 1
+      (3L, 604800L)                       // cohort week 1, offset 0
+    ).toDF("user_id", "sec")
+    val got = graft.operators.Analytics.cohortRetention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("saltedEquiJoin output is exactly the plain equi-join") {
     val big = (0L until 1000L).map(i => (i % 3, i)).toDF("k", "id") // 3 hot keys
     val small = Seq((0L, "a"), (1L, "b"), (5L, "unmatched")).toDF("k", "v")
