@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the validation pass a training
+  * pipeline runs before spending compute on bad data. Each check is a
+  * named boolean Column evaluated per row; ALL checks aggregate in ONE
+  * pass over the data (a conditional count per check inside a single
+  * map-side-combinable aggregate — k checks never means k scans).
+  */
+object Validate {
+
+  final case class Check(name: String, violatedWhen: Column)
+
+  /** Common check constructors. */
+  def notNull(c: String): Check = Check(s"${c}_not_null", col(c).isNull)
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"${c}_in_range", col(c).isNotNull && (col(c) < lo || col(c) > hi))
+  def matches(c: String, regex: String): Check =
+    Check(s"${c}_matches", col(c).isNotNull && !col(c).rlike(regex))
+  def unique(c: String): Check = Check(s"${c}_unique", lit(false)) // handled below
+
+  /** One row per check: (check, n_violations, n_rows, pass). Uniqueness
+    * checks need a grouped pass of their own (duplicate detection is not
+    * a per-row predicate); everything else folds into one scan. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val (uniques, rowChecks) = checks.partition(_.name.endsWith("_unique"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowAggs = count(lit(1)).as("__n") +:
+      rowChecks.map(ch => sum(when(ch.violatedWhen, 1L).otherwise(0L)).as(ch.name))
+    val base =
+      if (rowChecks.isEmpty) Seq.empty
+      else {
+        val row = df.agg(rowAggs.head, rowAggs.tail: _*).head()
+        val n = row.getLong(0)
+        rowChecks.zipWithIndex.map { case (ch, i) =>
+          (ch.name, row.getLong(i + 1), n)
+        }
+      }
+    val uniqueRows = uniques.map { ch =>
+      val c = ch.name.stripSuffix("_unique")
+      val agg = df.groupBy(col(c))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dups"),
+          coalesce(sum("cnt"), lit(0L)).as("n"))
+        .head()
+      (ch.name, agg.getLong(0), agg.getLong(1))
+    }
+    (base ++ uniqueRows).toSeq
+      .toDF("check", "n_violations", "n_rows")
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

@@ -394,6 +394,42 @@ object Relational {
       .orderBy("o_orderpriority", "part")
   }
 
+  /** Data-quality expectations (Validate.report): k row-level checks in
+    * ONE scan + a grouped pass per uniqueness check. Includes checks
+    * that FAIL on this data (quantity capped at 10, l_orderkey unique)
+    * so the gate verifies violation COUNTING, not just all-green. */
+  val q106 = QueryDef(
+    "q106_validate",
+    """WITH checks AS (
+      |  SELECT 'l_linenumber_not_null' AS chk,
+      |         COUNT(*) FILTER (WHERE l_linenumber IS NULL)::BIGINT AS n_violations,
+      |         COUNT(*)::BIGINT AS n_rows FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity_in_range',
+      |         COUNT(*) FILTER (WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 10))::BIGINT,
+      |         COUNT(*)::BIGINT FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag_matches',
+      |         COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL AND NOT regexp_matches(l_returnflag, '^[ANR]$'))::BIGINT,
+      |         COUNT(*)::BIGINT FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_orderkey_unique',
+      |         (SELECT COALESCE(SUM(cnt), 0) FROM (
+      |            SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) t
+      |          WHERE cnt > 1)::BIGINT,
+      |         COUNT(*)::BIGINT FROM lineitem)
+      |SELECT chk AS "check", n_violations, n_rows, n_violations = 0 AS pass
+      |FROM checks
+      |ORDER BY chk""".stripMargin) { (spark, dir) =>
+    import graft.operators.Validate
+    Validate.report(Tables.lineitem(spark, dir), Seq(
+        Validate.notNull("l_linenumber"),
+        Validate.inRange("l_quantity", 1, 10),
+        Validate.matches("l_returnflag", "^[ANR]$"),
+        Validate.unique("l_orderkey")))
+      .orderBy("check")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106)
 }

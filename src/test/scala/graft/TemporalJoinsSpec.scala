@@ -91,6 +91,26 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("Validate.report counts violations per check in one pass") {
+    import graft.operators.Validate
+    val df = Seq(
+      (1L, Some(5.0), "ok"),
+      (1L, Some(99.0), "ok"),   // dup key + out of range
+      (2L, None, "ok"),         // null value
+      (3L, Some(7.0), "BAD!")   // regex violation
+    ).toDF("k", "v", "s")
+    val got = Validate.report(df, Seq(
+        Validate.notNull("v"),
+        Validate.inRange("v", 0, 10),
+        Validate.matches("s", "^[a-z]+$"),
+        Validate.unique("k")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got("v_not_null") == ((1L, false)))
+    assert(got("v_in_range") == ((1L, false)))
+    assert(got("s_matches") == ((1L, false)))
+    assert(got("k_unique") == ((2L, false)), "both rows of the duplicated key count")
+  }
+
   test("saltedEquiJoin output is exactly the plain equi-join") {
     val big = (0L until 1000L).map(i => (i % 3, i)).toDF("k", "id") // 3 hot keys
     val small = Seq((0L, "a"), (1L, "b"), (5L, "unmatched")).toDF("k", "v")
