@@ -53,6 +53,39 @@ object Sessionize {
         sessionizeGroups(gapSeconds))
   }
 
+  /** Production form: EVENT-TIME TIMEOUT flushes idle sessions. When the
+    * watermark passes `lastSec + gap`, the group fires with
+    * `state.hasTimedOut` and the open session is emitted and cleared —
+    * no flush sentinel, no unbounded state for users who never return.
+    * The per-batch fold is [[sessionizeGroups]] unchanged; this wrapper
+    * only adds the timeout arm and timestamp bookkeeping. Requires a
+    * watermark on `etime` upstream (Spark enforces it). */
+  final case class EventW(user_id: Long, event_id: Long, sec: Long,
+      etime: java.sql.Timestamp)
+
+  def sessionizedStreamWithTimeout(events: DataFrame,
+      gapSeconds: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("sec"), col("etime")).as[EventW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventW], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.sessionId, s.nEvents, s.startSec, s.lastSec))
+          } else {
+            val closed = sessionizeGroups(gapSeconds)(userId,
+              it.map(e => Event(e.user_id, e.event_id, e.sec)), state)
+            state.getOption.foreach { s =>
+              state.setTimeoutTimestamp((s.lastSec + gapSeconds + 1) * 1000L)
+            }
+            closed
+          }
+      }
+  }
+
   /** Batch form over the full replay: identical sessions to the q51
     * window formulation (and to the streaming fold + final open session).
     *

@@ -238,6 +238,32 @@ class PipelineSpec extends SparkSpec {
       s"each key exactly once across the restart, got ${keys.mkString(",")}")
   }
 
+  test("event-time timeout flushes the idle session without a flush sentinel") {
+    import graft.streaming.Sessionize
+    val in = java.nio.file.Files.createTempDirectory("graft_tmo").toString
+    // batch 1: user 7's burst; batch 2 (separate file → separate
+    // microbatch): an unrelated user far in the future, advancing the
+    // watermark past user 7's gap so the EventTimeTimeout fires
+    Seq((7L, 1L, 1000L), (7L, 2L, 1060L), (7L, 3L, 1120L)).toDF("user_id", "event_id", "sec")
+      .coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mtime → deterministic file order
+    Seq((9L, 4L, 100000L)).toDF("user_id", "event_id", "sec")
+      .coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, sec LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .withColumn("etime", col("sec").cast("timestamp"))
+      .withWatermark("etime", "10 seconds")
+    val q = Sessionize.sessionizedStreamWithTimeout(stream)
+      .writeStream.format("memory").queryName("sess_tmo").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_tmo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.get(7L).contains((3L, 1000L, 1120L)),
+      s"idle session must flush via timeout, got $got")
+  }
+
   test("stateful sessionization: stream emits the closed subset of batch") {
     import graft.streaming.Sessionize
     val events = Sessionize.eventsDataset(spark, sf())
