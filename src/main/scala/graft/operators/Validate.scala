@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Validate {
 
-  final case class Check(name: String, violatedWhen: Column)
+  /** A named expectation: either a per-row violation predicate or a
+    * uniqueness constraint on a column (the latter is not expressible as
+    * a row predicate and takes its own grouped pass). */
+  final case class Check(name: String, violatedWhen: Column,
+      uniqueOn: Option[String] = None)
 
   /** Common check constructors. */
   def notNull(c: String): Check = Check(s"${c}_not_null", col(c).isNull)
@@ -19,14 +23,14 @@ object Validate {
     Check(s"${c}_in_range", col(c).isNotNull && (col(c) < lo || col(c) > hi))
   def matches(c: String, regex: String): Check =
     Check(s"${c}_matches", col(c).isNotNull && !col(c).rlike(regex))
-  def unique(c: String): Check = Check(s"${c}_unique", lit(false)) // handled below
+  def unique(c: String): Check = Check(s"${c}_unique", lit(false), uniqueOn = Some(c))
 
   /** One row per check: (check, n_violations, n_rows, pass). Uniqueness
     * checks need a grouped pass of their own (duplicate detection is not
     * a per-row predicate); everything else folds into one scan. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
-    val (uniques, rowChecks) = checks.partition(_.name.endsWith("_unique"))
+    val (uniques, rowChecks) = checks.partition(_.uniqueOn.isDefined)
     val spark = df.sparkSession
     import spark.implicits._
     val rowAggs = count(lit(1)).as("__n") +:
@@ -41,7 +45,7 @@ object Validate {
         }
       }
     val uniqueRows = uniques.map { ch =>
-      val c = ch.name.stripSuffix("_unique")
+      val c = ch.uniqueOn.get
       val agg = df.groupBy(col(c))
         .agg(count(lit(1)).as("cnt"))
         .agg(coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dups"),
