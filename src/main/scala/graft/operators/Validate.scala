@@ -31,6 +31,13 @@ object Validate {
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
     val (uniques, rowChecks) = checks.partition(_.uniqueOn.isDefined)
+    // a uniqueness check's row predicate is never evaluated — reject a
+    // Check that sets both rather than silently dropping the predicate
+    uniques.foreach(ch => require(
+      org.apache.spark.sql.GraftSqlBridge.toExpression(ch.violatedWhen) ==
+        org.apache.spark.sql.GraftSqlBridge.toExpression(lit(false)),
+      s"check '${ch.name}' sets uniqueOn AND a row predicate; split it into " +
+        "two checks (the predicate would be silently ignored)"))
     val spark = df.sparkSession
     import spark.implicits._
     val rowAggs = count(lit(1)).as("__n") +:

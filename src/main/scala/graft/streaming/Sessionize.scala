@@ -23,7 +23,14 @@ object Sessionize {
       start_sec: Long, end_sec: Long)
 
   /** The shared per-user fold: consume a (time-sorted) event batch,
-    * update the open-session state, return closed sessions. */
+    * update the open-session state, return closed sessions.
+    *
+    * A state with nEvents == 0 is the COUNTER MARKER left by a timeout
+    * flush: no session is open, but the next session id continues from
+    * sessionId (so a returning user's numbering matches the batch
+    * replay instead of restarting at 1). Late-but-valid cross-batch
+    * events (≥ watermark, < the open session's lastSec) extend the
+    * session without regressing its bounds (min start / max end). */
   def sessionizeGroups(gapSeconds: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
@@ -32,8 +39,13 @@ object Sessionize {
     var cur = state.getOption
     sorted.foreach { e =>
       cur match {
+        case Some(s) if s.nEvents == 0 => // counter marker from a timeout
+          cur = Some(SessionState(s.sessionId, e.sec, e.sec, 1))
         case Some(s) if e.sec - s.lastSec <= gapSeconds =>
-          cur = Some(s.copy(lastSec = e.sec, nEvents = s.nEvents + 1))
+          cur = Some(s.copy(
+            startSec = math.min(s.startSec, e.sec),
+            lastSec = math.max(s.lastSec, e.sec),
+            nEvents = s.nEvents + 1))
         case Some(s) =>
           closed ::= Session(userId, s.sessionId, s.nEvents, s.startSec, s.lastSec)
           cur = Some(SessionState(s.sessionId + 1, e.sec, e.sec, 1))
@@ -55,11 +67,16 @@ object Sessionize {
 
   /** Production form: EVENT-TIME TIMEOUT flushes idle sessions. When the
     * watermark passes `lastSec + gap`, the group fires with
-    * `state.hasTimedOut` and the open session is emitted and cleared —
-    * no flush sentinel, no unbounded state for users who never return.
-    * The per-batch fold is [[sessionizeGroups]] unchanged; this wrapper
-    * only adds the timeout arm and timestamp bookkeeping. Requires a
-    * watermark on `etime` upstream (Spark enforces it). */
+    * `state.hasTimedOut`, the open session is emitted, and only a
+    * one-long counter marker survives so a returning user's session
+    * numbering continues where the batch replay would put it (full
+    * per-session state is freed; the marker is the price of stable
+    * (user_id, session_id) keys — consumers that don't need them can
+    * key on (user_id, start_sec) instead). The per-batch fold is
+    * [[sessionizeGroups]] unchanged. Requires a watermark on `etime`
+    * upstream (Spark enforces it), and `etime` MUST equal `sec` as an
+    * epoch timestamp — the timeout deadline is computed from sec while
+    * the watermark advances on etime (validated per event, loudly). */
   final case class EventW(user_id: Long, event_id: Long, sec: Long,
       etime: java.sql.Timestamp)
 
@@ -73,12 +90,20 @@ object Sessionize {
         (userId: Long, it: Iterator[EventW], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // keep only the counter marker (nEvents == 0): numbering
+            // survives, the per-session payload is freed; no new timeout
+            // is registered so the marker costs no further firings
+            state.update(SessionState(s.sessionId + 1, 0L, 0L, 0L))
             Iterator.single(Session(userId, s.sessionId, s.nEvents, s.startSec, s.lastSec))
           } else {
             val closed = sessionizeGroups(gapSeconds)(userId,
-              it.map(e => Event(e.user_id, e.event_id, e.sec)), state)
-            state.getOption.foreach { s =>
+              it.map { e =>
+                require(e.etime.getTime / 1000L == e.sec,
+                  s"etime must be sec as an epoch timestamp (event ${e.event_id}: " +
+                    s"etime=${e.etime} sec=${e.sec}) — the timeout deadline derives from sec")
+                Event(e.user_id, e.event_id, e.sec)
+              }, state)
+            state.getOption.filter(_.nEvents > 0).foreach { s =>
               state.setTimeoutTimestamp((s.lastSec + gapSeconds + 1) * 1000L)
             }
             closed

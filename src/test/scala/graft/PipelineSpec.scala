@@ -244,11 +244,15 @@ class PipelineSpec extends SparkSpec {
     // batch 1: user 7's burst; batch 2 (separate file → separate
     // microbatch): an unrelated user far in the future, advancing the
     // watermark past user 7's gap so the EventTimeTimeout fires
-    Seq((7L, 1L, 1000L), (7L, 2L, 1060L), (7L, 3L, 1120L)).toDF("user_id", "event_id", "sec")
-      .coalesce(1).write.mode("append").parquet(in)
-    Thread.sleep(1100) // distinct mtime → deterministic file order
-    Seq((9L, 4L, 100000L)).toDF("user_id", "event_id", "sec")
-      .coalesce(1).write.mode("append").parquet(in)
+    val batches = Seq(
+      Seq((7L, 1L, 1000L), (7L, 2L, 1060L), (7L, 3L, 1120L)), // user 7's burst
+      Seq((9L, 4L, 100000L)),  // watermark advance → flushes (7, session 1)
+      Seq((7L, 5L, 200000L)),  // user 7 RETURNS: numbering must continue at 2
+      Seq((9L, 6L, 500000L)))  // flushes (7, session 2) and (9, session 1)
+    batches.foreach { b =>
+      b.toDF("user_id", "event_id", "sec").coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1100) // distinct mtime → deterministic file order
+    }
     val stream = spark.readStream
       .schema("user_id LONG, event_id LONG, sec LONG")
       .option("maxFilesPerTrigger", "1")
@@ -259,9 +263,13 @@ class PipelineSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sess_tmo").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("sess_tmo").collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(got.get(7L).contains((3L, 1000L, 1120L)),
-      s"idle session must flush via timeout, got $got")
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact emission set: no duplicates, no spurious flush of open
+    // sessions, and the returning user's numbering continues at 2
+    assert(got == Map(
+      (7L, 1L) -> ((3L, 1000L, 1120L)),
+      (7L, 2L) -> ((1L, 200000L, 200000L)),
+      (9L, 1L) -> ((1L, 100000L, 100000L))), s"got $got")
   }
 
   test("stateful sessionization: stream emits the closed subset of batch") {
