@@ -123,6 +123,33 @@ object Dedup {
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag every training document that shares
+    * at least `minOverlap` distinct word n-shingles with a benchmark/eval
+    * corpus — the contamination check every pre-training pipeline runs
+    * before a data release. Returns one row per training doc:
+    * (doc_id, n_overlap, contaminated).
+    *
+    * Scale shape: benchmark suites are tiny (MBs) next to a 100 TB corpus,
+    * so the benchmark shingle set is broadcast and the check is a map-side
+    * hash join on the exploded corpus shingles — no big-side shuffle; the
+    * per-doc overlap count is then one map-side-combinable aggregate.
+    * Distinct shingles on the corpus side keep multiplicity out of the
+    * count (overlap is measured in distinct n-grams, the standard metric). */
+  def decontaminate(docs: DataFrame, bench: DataFrame, shingleN: Int,
+      minOverlap: Long = 1L): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val docSh = shingleSet(docs, shingleN)
+    val benchSh = shingleSet(bench, shingleN).select("sh").distinct()
+    val overlaps = docSh
+      .join(broadcast(benchSh), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.select("doc_id")
+      .join(overlaps, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** 60-bit SimHash per doc (width = HashFns.simhashBits): token-hash bit
     * votes weighted by multiplicity (integer sums → deterministic), bit
     * set where the vote is positive. */

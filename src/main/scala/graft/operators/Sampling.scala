@@ -61,6 +61,30 @@ object Sampling {
       evalBuckets, denom)
   }
 
+  /** Deterministic domain-mixture resampling — the "hit the target data
+    * mixture" step of corpus curation: each domain keeps a `num/denom`
+    * fraction of its rows (an unlisted domain falls back to `default`),
+    * decided per row by the key's content hash. `num = 0` drops the
+    * domain, `num = denom` keeps it whole. Pure per-row predicate: no
+    * shuffle, no join, the rate table is a literal CASE chain — at 100 TB
+    * this is a scan that prunes at the source.
+    *
+    * The rate is an exact integer pair (not a double) so the kept set is
+    * a pure function of (domain, key) that any engine reproduces. */
+  def mixtureSample(df: DataFrame, domain: Column, key: Column,
+      rates: Map[String, (Int, Int)], default: (Int, Int)): DataFrame = {
+    (rates.values.toSeq :+ default).foreach { case (num, denom) =>
+      require(denom > 0 && num >= 0 && num <= denom,
+        s"each rate needs 0 <= num <= denom with denom > 0, got $num/$denom")
+    }
+    val (dn, dd) = default
+    val keep = rates.toSeq.sortBy(_._1).foldRight(hashBucket(key, dd) < dn: Column) {
+      case ((dom, (num, denom)), acc) =>
+        when(domain === dom, hashBucket(key, denom) < num).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Deterministic per-key cap — "at most n rows per domain", the
     * workhorse constraint of corpus curation. Selection order is the
     * row id's content hash (an unbiased deterministic shuffle), so which

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFns
+
+/** Count-min sketch over a key stream — the sublinear-memory frequency
+  * estimator for heavy-hitter mining when the exact key space doesn't fit
+  * (distinct URLs/shingles at 100 TB). `depth` independent hash rows ×
+  * `width` counters; a key's estimate is the MIN of its `depth` counters,
+  * which never under-counts (every counter holds the key's true count plus
+  * non-negative collision mass) and over-counts by ≤ εN with ε = e/width
+  * at the usual confidence.
+  *
+  * Everything is deterministic integer arithmetic on the shared md5-derived
+  * 31-bit key hash and the FNV-seeded `(a·x + b) mod P` family — the same
+  * machinery as MinHash — so the sketch (and therefore every estimate) is
+  * bit-identical across engines and partitionings; the gate hash-compares
+  * estimates against a DuckDB mirror of the identical construction.
+  *
+  * Scale shape: building the sketch is ONE aggregation of depth·width
+  * cells (map-side combinable; the shuffle carries at most depth·width
+  * rows per partition regardless of input size). Probing broadcasts the
+  * sketch — it IS small, that's its point.
+  */
+object Sketches {
+
+  /** Build the sketch: (row, bucket, cnt) — depth·width cells, sparse
+    * (absent cell = 0). `keys` is a one-column DataFrame of key strings. */
+  def countMinBuild(spark: SparkSession, keys: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth, width >= 1, got $depth x $width")
+    val params = HashFns.minhashParamsDF(spark, depth)
+      .withColumnsRenamed(Map("h_idx" -> "row", "h_a" -> "a", "h_b" -> "b"))
+    keys.select(HashFns.hash31(col(keys.columns.head)).as("x"))
+      .crossJoin(broadcast(params))
+      .groupBy(col("row"), pmod(HashFns.happly(col("a"), col("b"), col("x")), lit(width.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate counts for `probes` (same one-column shape): the min over
+    * the sketch rows, with absent cells read as 0. */
+  def countMinEstimate(spark: SparkSession, sketch: DataFrame, probes: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val params = HashFns.minhashParamsDF(spark, depth)
+      .withColumnsRenamed(Map("h_idx" -> "row", "h_a" -> "a", "h_b" -> "b"))
+    val keyCol = probes.columns.head
+    probes.select(col(keyCol).as("key"), HashFns.hash31(col(keyCol)).as("x"))
+      .crossJoin(broadcast(params))
+      .select(col("key"), col("row"),
+        pmod(HashFns.happly(col("a"), col("b"), col("x")), lit(width.toLong)).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("key")
+      .agg(min("cnt").as("est"))
+  }
+}

@@ -271,5 +271,27 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  /** Benchmark decontamination (Dedup.decontaminate): every doc scored by
+    * its distinct-shingle overlap with a benchmark corpus (here a
+    * deterministic doc_id slice standing in for an eval suite), flagged at
+    * minOverlap=2. The oracle rebuilds the same distinct-shingle overlap
+    * count, so WHICH docs get flagged is hash-verified. */
+  val q107 = QueryDef(
+    "q107_decontaminate",
+    s"""WITH $shingleCte,
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 7),
+       |ov AS (
+       |  SELECT sh.doc_id, COUNT(*) AS n_overlap
+       |  FROM sh JOIN bsh ON sh.s = bsh.s
+       |  GROUP BY sh.doc_id)
+       |SELECT d.doc_id, COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       |       COALESCE(ov.n_overlap, 0) >= 2 AS contaminated
+       |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = graft.core.Tables.documents(spark, dir)
+    Dedup.decontaminate(docs, docs.filter(col("doc_id") % 41 === 7), ShingleN, minOverlap = 2)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Cross, Tables}
+import graft.functions.HashFns
 import graft.operators.{Skew, TemporalJoins}
 
 /** Event-stream operators in their batch form over `events`: tumbling and
@@ -375,5 +376,68 @@ object EventQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105)
+  /** Domain-mixture resampling (Sampling.mixtureSample): clicks kept at
+    * 1/4, views at 1/10, errors dropped, everything else at 1/2 — decided
+    * per row by the event_id content hash. The oracle recomputes each
+    * domain's keep predicate, so WHICH rows survive (not just how many)
+    * is verified; the dropped domain must vanish on both engines. */
+  val q108 = QueryDef(
+    "q108_mixture_sample",
+    s"""WITH b AS (
+       |  SELECT event_type, event_id,
+       |    CASE WHEN event_type = 'click' THEN ${Cross.hash64Sql("event_id::VARCHAR")} % 4 < 1
+       |         WHEN event_type = 'error' THEN FALSE
+       |         WHEN event_type = 'view'  THEN ${Cross.hash64Sql("event_id::VARCHAR")} % 10 < 1
+       |         ELSE ${Cross.hash64Sql("event_id::VARCHAR")} % 2 < 1 END AS keep
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+       |FROM b WHERE keep GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.mixtureSample(Tables.events(spark, dir),
+        col("event_type"), col("event_id"),
+        Map("click" -> (1, 4), "error" -> (0, 1), "view" -> (1, 10)), default = (1, 2))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** Count-min sketch (Sketches): build a 4×32 sketch over the user_id
+    * stream, then estimate every distinct user's frequency from it. The
+    * construction is pure integer arithmetic on the shared md5/FNV hash
+    * family, so the oracle rebuilds the identical sketch and the ESTIMATES
+    * hash-match exactly; `never_under` additionally pins the count-min
+    * guarantee (est >= exact) against the true counts. Width 32 << the
+    * ~1000 distinct users forces real collision mass, so the gate
+    * exercises the min-over-rows logic, not a collision-free identity. */
+  val q110 = QueryDef(
+    "q110_count_min",
+    s"""WITH keys AS (SELECT user_id::VARCHAR AS k FROM events),
+       |hx AS (SELECT ${Cross.hash31Sql("k")} AS x FROM keys),
+       |cells AS (
+       |  SELECT h_idx AS row, ${HashFns.happlySql} % 32 AS bucket, COUNT(*) AS cnt
+       |  FROM hx CROSS JOIN ${HashFns.minhashParamsSql(4)}
+       |  GROUP BY 1, 2),
+       |probes AS (SELECT k AS key, COUNT(*) AS exact FROM keys GROUP BY k),
+       |ph AS (SELECT key, exact, ${Cross.hash31Sql("key")} AS x FROM probes),
+       |pc AS (
+       |  SELECT key, exact, h_idx AS row, ${HashFns.happlySql} % 32 AS bucket
+       |  FROM ph CROSS JOIN ${HashFns.minhashParamsSql(4)}),
+       |est AS (
+       |  SELECT key, MIN(exact) AS exact, MIN(COALESCE(cnt, 0)) AS est
+       |  FROM pc LEFT JOIN cells USING (row, bucket)
+       |  GROUP BY key)
+       |SELECT key, exact, est, est >= exact AS never_under
+       |FROM est ORDER BY key""".stripMargin) { (spark, dir) =>
+    import graft.operators.Sketches
+    val keys = Tables.events(spark, dir).select(col("user_id").cast("string").as("k"))
+    val sketch = Sketches.countMinBuild(spark, keys, depth = 4, width = 32)
+    val probes = keys.groupBy(col("k").as("key")).agg(count(lit(1)).as("exact"))
+    Sketches.countMinEstimate(spark, sketch, probes.select("key"), depth = 4, width = 32)
+      .join(probes, "key")
+      .select(col("key"), col("exact"), col("est"),
+        (col("est") >= col("exact")).as("never_under"))
+      .orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110)
 }

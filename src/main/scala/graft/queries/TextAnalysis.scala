@@ -237,5 +237,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39)
+  /** Sequence packing (Packing.packOffsets): every doc's global token
+    * start offset and bin span under concat-and-split packing at 512
+    * tokens/bin. The engine computes the prefix sum as a two-level
+    * bucketed scan (bucketSize=64 → 8 buckets at this SF, so the
+    * cross-bucket carry logic is genuinely exercised); the oracle is the
+    * flat single-window formulation — hash-equality proves the
+    * distributed decomposition exact. Window SUM casts to BIGINT (DuckDB
+    * types it HUGEINT). */
+  val q109 = QueryDef(
+    "q109_pack_offsets",
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, len(${TextSql.tokens("text")})::BIGINT AS ntok FROM documents),
+       |off AS (
+       |  SELECT id, ntok,
+       |    COALESCE(SUM(ntok) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+       |  FROM tok)
+       |SELECT id, ntok, start, start // 512 AS bin_first,
+       |  (start + greatest(ntok, 1) - 1) // 512 AS bin_last,
+       |  (start // 512) <> ((start + greatest(ntok, 1) - 1) // 512) AS spans_boundary
+       |FROM off ORDER BY id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+    graft.operators.Packing.packOffsets(d, col("doc_id"), col("ntok"),
+        binSize = 512, bucketSize = 64)
+      .orderBy("id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109)
 }

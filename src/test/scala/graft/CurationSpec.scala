@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing, Sampling, Sketches}
+
+/** Specs for the corpus-curation operators added after the core dedup
+  * suite: benchmark decontamination, mixture resampling, sequence
+  * packing, and the count-min sketch. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags docs by distinct-shingle overlap with the benchmark") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma something else entirely here"),
+      (2L, "totally unrelated words about columnar engines"),
+      (3L, "delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, bench, shingleN = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // doc 0 is the benchmark text itself: 4 tri-shingles, all overlap
+    assert(out(0L) == ((4L, true)))
+    // doc 1 shares exactly one tri-shingle ("alpha beta gamma")
+    assert(out(1L) == ((1L, false)))
+    // doc 2 shares nothing — and still appears in the report
+    assert(out(2L) == ((0L, false)))
+    // doc 3 shares "delta epsilon zeta"
+    assert(out(3L) == ((1L, false)))
+  }
+
+  test("mixtureSample keeps exact-rate domains and is layout-independent") {
+    val rows = (0L until 400L).map(i => (if (i % 4 == 0) "keepall" else if (i % 4 == 1) "drop" else if (i % 4 == 2) "half" else "other", i))
+    val df = rows.toDF("domain", "id")
+    val rates = Map("keepall" -> (1, 1), "drop" -> (0, 1), "half" -> (1, 2))
+    val out = Sampling.mixtureSample(df, col("domain"), col("id"), rates, default = (1, 4))
+    val byDom = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("keepall") == 100L)
+    assert(!byDom.contains("drop"))
+    // hash rates are exact in expectation, not per-sample: just bound them
+    assert(byDom("half") > 20L && byDom("half") < 80L)
+    assert(byDom("other") > 5L && byDom("other") < 50L)
+    // layout independence: same surviving ids after a repartition
+    val a = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.mixtureSample(df.repartition(7, col("id")), col("domain"), col("id"),
+      rates, default = (1, 4)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("packOffsets two-level prefix sum matches the flat cumulative sum") {
+    // deterministic 'random' sizes incl. zeros; ids deliberately sparse
+    val docs = (0L until 100L).map(i => (i * 3L, (i * 7L) % 13L)).toDF("doc_id", "ntok")
+    val out = Packing.packOffsets(docs, col("doc_id"), col("ntok"),
+        binSize = 16L, bucketSize = 32L)
+      .orderBy("id").collect()
+    var acc = 0L
+    for (r <- out) {
+      val (id, ntok, start, binF, binL, spans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(start == acc, s"doc $id: start $start != flat prefix $acc")
+      assert(binF == start / 16L)
+      assert(binL == (start + math.max(ntok, 1L) - 1L) / 16L)
+      assert(spans == (binF != binL))
+      acc += ntok
+    }
+    // an empty doc occupies its offset's bin and never spans
+    val empty = out.filter(_.getLong(1) == 0L)
+    assert(empty.nonEmpty && empty.forall(r => r.getLong(3) == r.getLong(4)))
+  }
+
+  test("count-min never under-counts and is exact when width avoids collisions") {
+    val keys = (Seq.fill(50)("hot") ++ (0 until 40).map(i => s"k$i")).toDF("k")
+    val exact = keys.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // narrow sketch: collisions certain, estimates must still dominate
+    val narrow = Sketches.countMinEstimate(spark,
+        Sketches.countMinBuild(spark, keys, depth = 4, width = 8),
+        keys.distinct(), depth = 4, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (k, n) => narrow(k) >= n })
+    assert(narrow("hot") >= 50L)
+    // wide sketch: 4 rows of 4096 buckets for 41 keys — collisions in all
+    // 4 rows are overwhelmingly unlikely, so the min is exact
+    val wide = Sketches.countMinEstimate(spark,
+        Sketches.countMinBuild(spark, keys, depth = 4, width = 4096),
+        keys.distinct(), depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact)
+  }
+}
