@@ -150,6 +150,49 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Fuzzy benchmark decontamination: near-duplicate pairs BETWEEN the
+    * training corpus and a benchmark corpus via the shared MinHash band
+    * scheme — catches paraphrased / near-verbatim contamination that the
+    * exact shingle-overlap check ([[decontaminate]]) under-weights.
+    * Returns (doc_id, bench_id, jaccard) for banded candidates whose
+    * exact shingle Jaccard clears `minJaccard`.
+    *
+    * Scale shape: the benchmark side is tiny, so its band table AND its
+    * shingle set broadcast; the corpus pays one signature pass (K
+    * aggregate columns, no K× expansion) and a map-side band probe —
+    * there is no corpus self-join anywhere. Verification joins shingles
+    * through the candidate pairs, O(|candidates| · set size). */
+  def decontaminateFuzzy(spark: SparkSession, docs: DataFrame, bench: DataFrame,
+      k: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double): DataFrame = {
+    val dSh = shingleSet(docs, shingleN)
+    val bSh = shingleSet(bench, shingleN)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val dBands = Lsh.bands(Lsh.signatures(spark,
+      dSh.select(col("doc_id").as("id"), col("sh").as("token")), k), rowsPerBand)
+    val bBands = Lsh.bands(Lsh.signatures(spark,
+      bSh.select(col("bench_id").as("id"), col("sh").as("token")), k), rowsPerBand)
+    val cands = dBands.join(
+        broadcast(bBands.withColumnRenamed("id", "bench_id")), Seq("band", "bkey"))
+      .select(col("id").as("doc_id"), col("bench_id"))
+      .distinct()
+    val inter = cands
+      .join(dSh, "doc_id")
+      .join(broadcast(bSh), Seq("bench_id", "sh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("i"))
+    val na = dSh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val nb = bSh.groupBy("bench_id").agg(count(lit(1)).as("nb"))
+    cands
+      .join(inter, Seq("doc_id", "bench_id"), "left")
+      .na.fill(0, Seq("i"))
+      .join(na, "doc_id")
+      .join(broadcast(nb), "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        Cross.r6(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** 60-bit SimHash per doc (width = HashFns.simhashBits): token-hash bit
     * votes weighted by multiplicity (integer sums → deterministic), bit
     * set where the vote is positive. */

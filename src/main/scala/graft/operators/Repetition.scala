@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.TextFns
+
+/** Per-document repetition / diversity statistics — the Gopher-style
+  * quality signals ("fraction of the doc that is its most common n-gram",
+  * "distinct-token fraction") used to drop boilerplate and degenerate
+  * generations from training corpora.
+  *
+  * Shape: explode → count → per-doc aggregate. Counting (doc, token)
+  * pairs relationally keeps every step map-side combinable; nothing here
+  * builds a per-row map or re-scans token arrays inside a lambda (an
+  * `aggregate`-within-`transform` formulation is O(d²) per row — the trap
+  * noted in the repo log). All fractions are exact-integer ratios,
+  * epsilon-rounded once.
+  */
+object Repetition {
+
+  /** Returns (doc_id, n_tokens, distinct_frac, top_token_frac,
+    * top_bigram_frac): distinct tokens / tokens, occurrences of the modal
+    * token / tokens, occurrences of the modal bigram / bigrams. Docs with
+    * no tokens report 0 fractions; docs with one token have no bigrams
+    * and report top_bigram_frac 0. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val tok = tk.select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+    val big = tk.select(col("doc_id"), explode(TextFns.shingles(col("tk"), 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_b"))
+    docs.select("doc_id")
+      .join(tok, Seq("doc_id"), "left")
+      .join(big, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct", "top_c", "n_bigrams", "top_b"))
+      .select(col("doc_id"), col("n_tokens"),
+        frac(col("n_distinct"), col("n_tokens")).as("distinct_frac"),
+        frac(col("top_c"), col("n_tokens")).as("top_token_frac"),
+        frac(col("top_b"), col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  /** Cross-document duplicated-span fraction: per doc, the fraction of
+    * its positional n-token spans that also occur in at least one OTHER
+    * document — the corpus-level signal behind substring-dedup policies
+    * (a cheap, exact stand-in for suffix-array substring dedup at a fixed
+    * span length). Returns (doc_id, n_spans, n_dup_spans, dup_frac).
+    *
+    * Scale shape: spans keep per-doc multiplicity (a span repeated inside
+    * one doc counts each time it appears) but duplication is judged on
+    * DISTINCT doc membership, so the span-df table is one row per
+    * distinct span and the join back is an equi-join on span — cost
+    * Σ spans, never Σ df² (no span-pair expansion anywhere). */
+  def duplicatedSpanFraction(docs: DataFrame, n: Int): DataFrame = {
+    val spans = docs.select(col("doc_id"),
+      explode(TextFns.shingles(TextFns.tokens(col("text")), n)).as("sp"))
+    val df = spans.distinct().groupBy("sp").agg(count(lit(1)).as("nd"))
+    val agg = spans.join(df, "sp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        frac(col("n_dup_spans"), col("n_spans")).as("dup_frac"))
+  }
+
+  private def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+    Cross.r6(when(den === 0L, lit(0.0))
+      .otherwise(num.cast("double") / den.cast("double")))
+}

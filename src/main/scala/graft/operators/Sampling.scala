@@ -85,6 +85,47 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Deterministic global shuffle into shards — the "shuffle the corpus
+    * before training" step: each row gets a shard in [0, nShards) and a
+    * dense position within its shard, both pure functions of the row key
+    * (content hash), so the training order is reproducible by any engine
+    * at any parallelism. Returns (id, shard, pos) with pos dense from 0
+    * per shard in (hash, id) order.
+    *
+    * The within-shard rank is a GLOBAL sort per shard — a plain window
+    * (`PARTITION BY shard ORDER BY hash`) puts an entire shard in one
+    * task, a non-starter when a shard is 100 GB. Same cure as
+    * [[graft.operators.Packing]]: two-level decomposition. The hash range
+    * splits into `buckets` slices (bucket = hash >> shift, monotone in
+    * hash, so bucket order IS hash order); per-(shard, bucket) counts are
+    * map-side combinable and tiny (≤ nShards·buckets rows), their
+    * per-shard prefix sum runs on broadcastable data, and the final
+    * window ranks only within (shard, bucket) — parallel across buckets,
+    * each sort bounded by the bucket's rows. */
+  def shardShuffle(df: DataFrame, id: Column, nShards: Int, bucketBits: Int = 12): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(bucketBits > 0 && bucketBits < 60, s"need 0 < bucketBits < 60, got $bucketBits")
+    // Cross.hash64 is 60-bit (15 md5 hex chars); shift keeps `bucketBits`
+    // leading bits as the bucket id
+    val shift = 60 - bucketBits
+    val d = df.select(id.as("id"),
+        Cross.hash64(coalesce(id.cast("string"), lit("graft-null-key"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("bucket", expr(s"h div ${1L << shift}L"))
+    val counts = d.groupBy("shard", "bucket").agg(count(lit(1)).as("c"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("boff", coalesce(sum("c").over(wS), lit(0L)))
+      .select("shard", "bucket", "boff")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "bucket").orderBy("h", "id")
+    d.join(broadcast(offsets), Seq("shard", "bucket"))
+      .withColumn("pos", col("boff") + row_number().over(wIn) - 1)
+      .select("id", "shard", "pos")
+  }
+
   /** Deterministic per-key cap — "at most n rows per domain", the
     * workhorse constraint of corpus curation. Selection order is the
     * row id's content hash (an unbiased deterministic shuffle), so which

@@ -293,5 +293,47 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107)
+  /** Fuzzy (MinHash-banded) decontamination (Dedup.decontaminateFuzzy):
+    * corpus×benchmark near-dup pairs — the paraphrase-robust complement
+    * to q107's exact overlap. A per-doc signature depends only on that
+    * doc's own shingles, so the oracle's bench-side bands are just the
+    * full band table restricted to the bench ids; candidates keep
+    * doc==bench self-pairs (they ARE contamination). Verified by exact
+    * Jaccard through the candidates, threshold on the rounded value. */
+  val q115 = QueryDef(
+    "q115_decontaminate_fuzzy",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id % 41 = 7),
+       |inter AS (
+       |  SELECT c.doc_id, c.bench_id, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_id
+       |  JOIN sh b ON b.doc_id = c.bench_id AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT doc_id, bench_id, jaccard FROM (
+       |  SELECT c.doc_id, c.bench_id,
+       |    round((COALESCE(i.i, 0)::DOUBLE /
+       |          (na.n + nb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON c.doc_id = i.doc_id AND c.bench_id = i.bench_id
+       |  JOIN sizes na ON c.doc_id = na.doc_id
+       |  JOIN sizes nb ON c.bench_id = nb.doc_id) t
+       |WHERE jaccard >= 0.2
+       |ORDER BY doc_id, bench_id""".stripMargin) { (spark, dir) =>
+    val docs = graft.core.Tables.documents(spark, dir)
+    Dedup.decontaminateFuzzy(spark, docs, docs.filter(col("doc_id") % 41 === 7),
+        k = K, rowsPerBand = R, shingleN = ShingleN, minJaccard = 0.2)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115)
 }

@@ -325,5 +325,53 @@ object RecommenderQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69, q74, q77)
+  /** Top-k ranking metrics (Ranking.metricsAtK): precision@5 / recall /
+    * MRR / NDCG@5 per user, predictions = each user's top-5 items by
+    * (stars desc, id), ground truth = their 4+-star items. DCG gains are
+    * 6-dp literals rendered into BOTH engines (the minhash-coefficient
+    * pattern) and summed in decimal, so NDCG is hash-exact — including
+    * the all-branches cases (no hit → 0 metrics, |gt| > k → capped
+    * ideal DCG). */
+  val q114 = QueryDef(
+    "q114_ranking_metrics", {
+      import graft.model.Ranking
+      s"""WITH $reviewsCte,
+         |$rdedupCte,
+         |pred AS (
+         |  SELECT user_id, business_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY stars DESC, business_id) AS rank
+         |  FROM rdedup),
+         |gt AS (SELECT user_id, business_id FROM rdedup WHERE stars >= 4.0),
+         |hits AS (
+         |  SELECT p.user_id, COUNT(*) AS n_hits, MIN(p.rank) AS first_hit,
+         |         ${Cross.dsumSql("gain", 6)} AS dcg
+         |  FROM pred p
+         |  JOIN gt ON p.user_id = gt.user_id AND p.business_id = gt.business_id
+         |  JOIN ${Ranking.gainsSql(5)} ON p.rank = g.rank
+         |  WHERE p.rank <= 5
+         |  GROUP BY p.user_id),
+         |base AS (SELECT user_id, COUNT(*) AS n_gt FROM gt GROUP BY user_id)
+         |SELECT base.user_id, n_gt, COALESCE(n_hits, 0) AS n_hits,
+         |  round((COALESCE(n_hits, 0)::DOUBLE / 5.0) + 1e-9, 6) AS precision_k,
+         |  round((COALESCE(n_hits, 0)::DOUBLE / n_gt::DOUBLE) + 1e-9, 6) AS recall,
+         |  round((CASE WHEN first_hit IS NULL THEN 0.0
+         |         ELSE 1.0 / first_hit::DOUBLE END) + 1e-9, 6) AS mrr,
+         |  round((COALESCE(dcg, 0.0) / idcg) + 1e-9, 6) AS ndcg
+         |FROM base
+         |LEFT JOIN hits ON base.user_id = hits.user_id
+         |JOIN ${Ranking.idcgSql(5)} ON least(n_gt, 5) = ideal.m
+         |ORDER BY base.user_id""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
+    val pred = r.withColumn("rank",
+      row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("stars").desc, col("business_id"))))
+      .select("user_id", "business_id", "rank")
+    val gt = r.filter(col("stars") >= 4.0).select("user_id", "business_id")
+    graft.model.Ranking.metricsAtK(spark, pred, gt, 5).orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69, q74, q77, q114)
 }

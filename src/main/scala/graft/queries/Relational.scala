@@ -430,6 +430,29 @@ object Relational {
       .orderBy("check")
   }
 
+  /** Deterministic global shuffle into shards (Sampling.shardShuffle):
+    * every order gets a shard and a dense within-shard position in
+    * content-hash order. The engine computes the rank with the two-level
+    * bucketed decomposition (bucketBits=6 → 64 hash slices, so the
+    * cross-bucket offset carry is genuinely exercised at this SF); the
+    * oracle is the flat per-shard row_number — hash-equality proves the
+    * decomposition exact, and that the "training order" is a pure
+    * function of the data. */
+  val q111 = QueryDef(
+    "q111_shard_shuffle",
+    s"""WITH b AS (
+       |  SELECT o_orderkey AS id, ${Cross.hash64Sql("o_orderkey::VARCHAR")} AS h
+       |  FROM orders)
+       |SELECT id, h % 8 AS shard,
+       |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, id) - 1 AS pos
+       |FROM b
+       |ORDER BY shard, pos""".stripMargin) { (spark, dir) =>
+    import graft.operators.Sampling
+    Sampling.shardShuffle(Tables.orders(spark, dir), col("o_orderkey"),
+        nShards = 8, bucketBits = 6)
+      .orderBy("shard", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106, q111)
 }

@@ -264,5 +264,85 @@ object TextAnalysis {
       .orderBy("id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109)
+  /** BM25 retrieval (Retrieval.bm25) for a 3-term query, k1=1.5 b=0.75 —
+    * constants chosen exactly binary-representable so every literal in
+    * the scoring expression is bit-identical across engines; tf/df/dl are
+    * exact integers, the per-doc sum is decimal-accumulated, and the
+    * score is epsilon-rounded before the ordering it drives. */
+  val q112 = QueryDef(
+    "q112_bm25",
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tok FROM tok),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |qt AS (SELECT doc_id, t FROM tok WHERE t IN ('spark', 'query', 'window')),
+       |df AS (SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM qt) d GROUP BY t),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM qt GROUP BY doc_id, t),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.5 /
+       |      (tf + 1.5 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (n_tok::DOUBLE / n_docs::DOUBLE))) AS s
+       |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_hit_terms,
+       |         round((${Cross.dsumSql("s", 6)}) + 1e-9, 6) AS score
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_hit_terms, score FROM agg
+       |ORDER BY score DESC, doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Retrieval.bm25(Tables.documents(spark, dir),
+      Seq("spark", "query", "window"), k1 = 1.5, b = 0.75)
+  }
+
+  /** Repetition/diversity quality stats (Repetition.repetitionStats):
+    * distinct-token, modal-token and modal-bigram fractions per doc —
+    * exact integer ratios, every doc present incl. token-free ones. */
+  val q113 = QueryDef(
+    "q113_repetition_stats",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS tkn FROM t),
+       |tc AS (SELECT doc_id, tkn, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |ts AS (SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_distinct,
+       |              MAX(c) AS top_c FROM tc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, unnest(${TextSql.shingles("tk", 2)}) AS b FROM t),
+       |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, MAX(c) AS top_b
+       |       FROM bc GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+       |  round((CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+       |         ELSE n_distinct::DOUBLE / n_tokens::DOUBLE END) + 1e-9, 6) AS distinct_frac,
+       |  round((CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+       |         ELSE top_c::DOUBLE / n_tokens::DOUBLE END) + 1e-9, 6) AS top_token_frac,
+       |  round((CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+       |         ELSE top_b::DOUBLE / n_bigrams::DOUBLE END) + 1e-9, 6) AS top_bigram_frac
+       |FROM documents d
+       |LEFT JOIN ts ON d.doc_id = ts.doc_id
+       |LEFT JOIN bs ON d.doc_id = bs.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Repetition.repetitionStats(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document duplicated-span fraction
+    * (Repetition.duplicatedSpanFraction) at n=6: spans keep per-doc
+    * multiplicity, duplication judged on distinct-doc membership — the
+    * substring-dedup policy signal, exact at fixed span length. */
+  val q116 = QueryDef(
+    "q116_dup_spans",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sp AS (SELECT doc_id, unnest(${TextSql.shingles("tk", 6)}) AS s FROM t),
+       |df AS (SELECT s, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, s FROM sp) d GROUP BY s),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |         SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+       |  FROM sp JOIN df USING (s) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       |  round((CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+       |         ELSE n_dup_spans::DOUBLE / n_spans::DOUBLE END) + 1e-9, 6) AS dup_frac
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Repetition.duplicatedSpanFraction(Tables.documents(spark, dir), 6)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116)
 }

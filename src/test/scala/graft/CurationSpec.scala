@@ -70,6 +70,39 @@ class CurationSpec extends SparkSpec {
     assert(empty.nonEmpty && empty.forall(r => r.getLong(3) == r.getLong(4)))
   }
 
+  test("shardShuffle assigns every row once, densely, in hash order") {
+    val ids = (0L until 500L).toDF("id")
+    val out = Sampling.shardShuffle(ids, col("id"), nShards = 4, bucketBits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    // dense positions 0..n-1 per shard
+    for ((shard, rows) <- out.groupBy(_._2)) {
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (0L until rows.length.toLong), s"shard $shard not dense")
+    }
+    // equal to the flat single-window rank (the oracle formulation)
+    val flat = Sampling.shardShuffle(ids.repartition(7), col("id"), nShards = 4, bucketBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(flat == out.sorted.toSeq, "bucketing granularity or layout changed the order")
+  }
+
+  test("decontaminateFuzzy finds cross-corpus near-dups the exact check underweights") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (2L, "completely different content about spark query engines and columnar data")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.decontaminateFuzzy(spark, docs, bench,
+        k = 16, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 100L)) == 1.0)          // verbatim contamination
+    assert(pairs.get((1L, 100L)).exists(_ > 0.5)) // near-verbatim caught
+    assert(!pairs.keys.exists(_._1 == 2L))    // unrelated doc clean
+  }
+
   test("count-min never under-counts and is exact when width avoids collisions") {
     val keys = (Seq.fill(50)("hot") ++ (0 until 40).map(i => s"k$i")).toDF("k")
     val exact = keys.groupBy("k").count().collect()

@@ -118,6 +118,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("curation operators keep their scale shapes") {
+    val docs = Tables.documents(spark, sf())
+    // decontamination probes the benchmark as a broadcast, never a shuffle
+    // of the corpus against it
+    val dec = graft.operators.Dedup.decontaminate(
+      docs, docs.filter(col("doc_id") % 41 === 7), 3, 2)
+    assert(planOf(dec).contains("BroadcastHashJoin"), planOf(dec))
+    // mixture resampling is a pure scan predicate: no exchange anywhere
+    val mix = graft.operators.Sampling.mixtureSample(
+      Tables.events(spark, sf()), col("event_type"), col("event_id"),
+      Map("click" -> (1, 4)), default = (1, 2))
+    assert(!planOf(mix).contains("Exchange"),
+      s"mixtureSample must not shuffle:\n${planOf(mix)}")
+    // the shard-shuffle rank windows partition on (shard, bucket) — the
+    // full data never sorts in one task (only the tiny per-bucket count
+    // table may)
+    val sh = graft.operators.Sampling.shardShuffle(
+      Tables.orders(spark, sf()), col("o_orderkey"), 8, bucketBits = 6)
+    assert(planOf(sh).contains("windowspecdefinition(shard"), planOf(sh))
+    // packing's per-row window partitions on the id bucket
+    val pk = graft.operators.Packing.packOffsets(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("ntok")),
+      col("doc_id"), col("ntok"), binSize = 512, bucketSize = 64)
+    assert(planOf(pk).contains("windowspecdefinition(bucket"), planOf(pk))
+  }
+
   test("whole-stage codegen covers the scalar hot path") {
     val df = Tables.documents(spark, sf())
       .select(graft.core.Cross.hash64(col("text")).as("h"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Ranking
+import graft.operators.{Repetition, Retrieval}
+
+/** Specs for lexical retrieval (BM25), repetition-quality stats, and
+  * top-k ranking metrics. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 ranks term-dense short docs first and drops non-matching docs") {
+    val docs = Seq(
+      (0L, "spark spark spark engine"),                       // dense in the query term
+      (1L, "spark engine with many many other words here to dilute the term weight"),
+      (2L, "nothing relevant at all in this one"),
+      (3L, "spark query")                                     // two query terms
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, Seq("spark", "query")).collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(!ids.contains(2L), "doc without query terms must not score")
+    assert(ids.head == 3L, "two distinct rare terms beat one repeated common one")
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(0L) > byId(1L), "same tf must score higher in a shorter doc")
+    assert(out.map(_.getLong(1)).max == 2L) // n_hit_terms capped at |query|
+  }
+
+  test("repetitionStats computes exact modal fractions incl. degenerate docs") {
+    val docs = Seq(
+      (0L, "a a a a"),                  // modal token = all of it
+      (1L, "a b c d"),                  // fully distinct
+      (2L, "a b a b a b"),              // modal bigram "a b" = 3 of 5
+      (3L, ""),                         // no tokens at all
+      (4L, "single")                    // one token, no bigrams
+    ).toDF("doc_id", "text")
+    val m = Repetition.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m(0L) == ((4L, 0.25, 1.0, 1.0)))
+    assert(m(1L) == ((4L, 1.0, 0.25, 0.333333)))
+    assert(m(2L)._4 == 0.6)           // "a b" appears 3x among 5 bigrams
+    assert(m(3L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(m(4L) == ((1L, 1.0, 1.0, 0.0)))
+  }
+
+  test("duplicatedSpanFraction judges cross-doc duplication, not intra-doc repeats") {
+    val docs = Seq(
+      (0L, "one two three four one two three four"), // repeats ITS OWN span only
+      (1L, "alpha beta gamma delta shared tail here"),
+      (2L, "different head words go shared tail here"), // 3-span "shared tail here" in both
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = Repetition.duplicatedSpanFraction(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(0L) == ((6L, 0L)), "intra-doc repeats are not cross-doc duplication")
+    assert(m(1L) == ((5L, 1L)) && m(2L) == ((5L, 1L)))
+    assert(m(3L) == ((0L, 0L)))
+  }
+
+  test("metricsAtK matches hand-computed NDCG/MRR on an all-branches fixture") {
+    // user 1: hits at ranks 1 and 3, |gt|=2 → ideal = gains(1)+gains(2)
+    // user 2: no hits → zero metrics  |  user 3: |gt|=7 > k → idcg capped
+    val pred = (1 to 5).flatMap(r => Seq((1L, r.toLong * 10, r), (2L, r.toLong * 10, r), (3L, r.toLong * 10, r)))
+      .toDF("user_id", "business_id", "rank")
+    val gt = (Seq((1L, 10L), (1L, 30L), (2L, 999L)) ++ (1 to 7).map(i => (3L, i.toLong * 10)))
+      .toDF("user_id", "business_id")
+    val g = Ranking.gains(5).toMap
+    val out = Ranking.metricsAtK(spark, pred, gt, 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(2) == 2L && u1.getDouble(5) == 1.0) // 2 hits, first at rank 1
+    val expNdcg1 = BigDecimal((g(1) + g(3)) / (g(1) + g(2))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(u1.getDouble(6) - expNdcg1.toDouble) < 2e-6)
+    val u2 = out(2L)
+    assert(u2.getLong(2) == 0L && u2.getDouble(5) == 0.0 && u2.getDouble(6) == 0.0)
+    val u3 = out(3L) // every slot hits: ndcg = 1, recall = 5/7
+    assert(u3.getDouble(6) == 1.0 && math.abs(u3.getDouble(4) - 5.0 / 7.0) < 2e-6)
+    // idcg table caps at k entries and matches the gains cumsum
+    assert(Ranking.idcg(5).last._2 == Ranking.gains(5).map(x => BigDecimal(x._2)).sum.toDouble)
+  }
+}
