@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture compaction: apply a keyed changeset (upserts +
+  * delete tombstones, each carrying a version) to a snapshot — the MERGE
+  * step every incrementally-maintained 100 TB table needs.
+  *
+  * Scale shape: one union + ONE algebraic `max_by` aggregate keyed on the
+  * primary key. `max_by` carries a single candidate row per key per
+  * partition through the shuffle (map-side combinable), where the window
+  * `row_number` formulation would sort every version of every key.
+  * Deletions ride the same pass: the tombstone wins like any other
+  * version and is dropped at the end, so a delete-then-reinsert sequence
+  * resolves correctly by version order alone.
+  */
+object Cdc {
+
+  /** Merge `changes` into `snapshot`. Both must share the schema
+    * (key, version, payload...); `changes` additionally carries a
+    * boolean `deleted` column. Snapshot rows count as version
+    * `snapshotVersion` (must be below every change version). Versions
+    * must be unique per key — the caller's CDC log contract; violations
+    * would make "latest" ambiguous, so the tie-break on the full row
+    * struct keeps even that case deterministic. */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame, key: String,
+      version: String, snapshotVersion: Long = 0L): DataFrame = {
+    val payload = snapshot.columns.filterNot(c => c == key || c == version)
+    require(payload.nonEmpty, "snapshot needs at least one payload column")
+    val snap = snapshot
+      .withColumn(version, lit(snapshotVersion))
+      .withColumn("deleted", lit(false))
+    val cols = Seq(key, version) ++ payload :+ "deleted"
+    val unioned = snap.select(cols.map(col): _*)
+      .unionByName(changes.select(cols.map(col): _*))
+    unioned
+      .groupBy(col(key))
+      .agg(max_by(
+        struct((Seq(version) ++ payload :+ "deleted").map(col): _*),
+        struct(col(version), col("deleted"))).as("w"))
+      .select(col(key) +: (Seq(version) ++ payload :+ "deleted").map(c => col(s"w.$c").as(c)): _*)
+      .filter(!col("deleted"))
+      .drop("deleted")
+  }
+}

@@ -453,6 +453,71 @@ object Relational {
       .orderBy("shard", "pos")
   }
 
+  /** Z-order (Morton) layout keys (Layout.zValue): bit-interleave
+    * user_id with the hour-of-epoch so range-partitioning the write
+    * clusters BOTH dimensions for footer-stats pruning. The key itself
+    * is exact int64 bit arithmetic — the oracle renders the identical
+    * shift/mask term sum. */
+  val q117 = QueryDef(
+    "q117_zorder_key",
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT // 3600 AS hr FROM events)
+       |SELECT event_id,
+       |  ${graft.operators.Layout.zValueSql("user_id", "hr", 12)} AS z
+       |FROM e
+       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Layout
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        Layout.zValue(col("user_id"), expr("sec div 3600"), 12).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** CDC merge (Cdc.applyChangeset): snapshot + three change waves —
+    * an update, a delete tombstone, and a second-generation update on a
+    * subset of the first — compacted to latest-version-wins in one
+    * algebraic max_by pass. The oracle replays the same log with a
+    * per-key version sort; deleted keys must vanish, twice-updated keys
+    * must carry version 2. */
+  val q118 = QueryDef(
+    "q118_cdc_merge",
+    """WITH snap AS (
+      |  SELECT o_orderkey, 0::BIGINT AS version, o_totalprice, o_orderstatus,
+      |         FALSE AS del FROM orders),
+      |c AS (
+      |  SELECT o_orderkey, 1::BIGINT, o_totalprice + 1000.0, 'U', FALSE
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 1::BIGINT, o_totalprice, o_orderstatus, TRUE
+      |  FROM orders WHERE o_orderkey % 10 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey, 2::BIGINT, o_totalprice + 2000.0, 'V', FALSE
+      |  FROM orders WHERE o_orderkey % 100 = 3),
+      |u AS (SELECT * FROM snap UNION ALL SELECT * FROM c),
+      |m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                                   ORDER BY version DESC) AS rn FROM u)
+      |SELECT o_orderkey, version, o_totalprice, o_orderstatus
+      |FROM m WHERE rn = 1 AND NOT del
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.operators.Cdc
+    val o = Tables.orders(spark, dir)
+    val snap = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val changes = o.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), lit(1L).as("version"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit("U").as("o_orderstatus"), lit(false).as("deleted"))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 4)
+        .select(col("o_orderkey"), lit(1L).as("version"), col("o_totalprice"),
+          col("o_orderstatus"), lit(true).as("deleted")))
+      .unionByName(o.filter(col("o_orderkey") % 100 === 3)
+        .select(col("o_orderkey"), lit(2L).as("version"),
+          (col("o_totalprice") + 2000.0).as("o_totalprice"),
+          lit("V").as("o_orderstatus"), lit(false).as("deleted")))
+    Cdc.applyChangeset(snap, changes, "o_orderkey", "version")
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106, q111)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
+    q111, q117, q118)
 }

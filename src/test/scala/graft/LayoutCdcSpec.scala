@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Layout}
+
+class LayoutCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly and stays within 2*bits bits") {
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L), (4095L, 4095L))
+      .toDF("a", "b")
+    val z = df.select(Layout.zValue(col("a"), col("b"), 12).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a → even positions, b → odd: (1,0)→1, (0,1)→2, (3,3)→15
+    // (5,2)=(101,010)→011001=25; (4095,4095)→2^24-1
+    assert(z == Seq(1L, 2L, 15L, 25L, (1L << 24) - 1))
+  }
+
+  test("zorder clusters both dimensions within range partitions") {
+    val df = (0L until 1024L).map(i => (i % 32, i / 32)).toDF("a", "b")
+    val parts = Layout.zorder(df, col("a"), col("b"), 5, 8)
+      .select(spark_partition_id().as("p"), Layout.zValue(col("a"), col("b"), 5).as("z"))
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // range partitioning on z: partitions cover disjoint z intervals
+    for (Seq((_, hi), (lo, _)) <- parts.sliding(2))
+      assert(hi <= lo, s"overlapping z ranges: $parts")
+    assert(parts.length > 1)
+  }
+
+  test("CDC merge keeps latest version, drops tombstones, honors reinserts") {
+    val snap = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"), (4L, 40.0, "d"))
+      .toDF("k", "price", "st")
+    val changes = Seq(
+      (2L, 1L, 21.0, "b1", false), // update
+      (2L, 2L, 22.0, "b2", false), // second-generation update
+      (3L, 1L, 30.0, "c", true),   // delete
+      (4L, 1L, 40.0, "d", true),   // delete...
+      (4L, 2L, 44.0, "d2", false)  // ...then reinsert
+    ).toDF("k", "version", "price", "st", "deleted")
+    val out = Cdc.applyChangeset(snap, changes, "k", "version")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, 10.0, "a")))   // untouched
+    assert(out(2L) == ((2L, 22.0, "b2")))  // latest wins
+    assert(!out.contains(3L))              // tombstone removed
+    assert(out(4L) == ((2L, 44.0, "d2")))  // reinsert after delete survives
+  }
+
+  test("CDC merge plans one aggregate, not a per-key window sort") {
+    val snap = Seq((1L, 10.0)).toDF("k", "v2")
+    val changes = Seq((1L, 1L, 11.0, false)).toDF("k", "version", "v2", "deleted")
+    val plan = Cdc.applyChangeset(snap, changes, "k", "version")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("max_by") || plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"), plan)
+  }
+}
