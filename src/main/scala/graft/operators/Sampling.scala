@@ -85,6 +85,20 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Quality-weighted deterministic sampling (importance resampling):
+    * keep each row with probability `w` ∈ [0,1] at 10^-6 resolution,
+    * decided by the key's content hash — the "sample toward a target
+    * distribution" step of corpus curation, with per-row weights where
+    * [[mixtureSample]] has per-domain rates. Keep iff
+    * `hash64(key) mod 10^6 < round(w·10^6)`: a pure scan predicate (no
+    * shuffle), reproducible by any engine from the same (key, w).
+    * Weights at 6-dp resolution make `w·10^6` integral up to float
+    * noise, so the rounded threshold is unambiguous on every engine. */
+  def weightedSample(df: DataFrame, key: Column, w: Column): DataFrame =
+    df.filter(
+      pmod(Cross.hash64(coalesce(key.cast("string"), lit("graft-null-key"))),
+        lit(1000000L)) < round(w * lit(1000000.0)).cast("long"))
+
   /** Deterministic global shuffle into shards — the "shuffle the corpus
     * before training" step: each row gets a shard in [0, nShards) and a
     * dense position within its shard, both pure functions of the row key

@@ -26,15 +26,23 @@ import graft.functions.HashFns
   */
 object Sketches {
 
+  /** The depth hash rows as a literal struct array: exploding it is a
+    * pure map-side expression (no join), so the same build plan runs on a
+    * batch relation AND a stream (complete-mode global aggregation). */
+  private def paramsExplode(depth: Int) = explode(array(
+    HashFns.minhashParams(depth).map { case (i, a, b) =>
+      struct(lit(i).as("row"), lit(a).as("a"), lit(b).as("b"))
+    }: _*))
+
   /** Build the sketch: (row, bucket, cnt) — depth·width cells, sparse
-    * (absent cell = 0). `keys` is a one-column DataFrame of key strings. */
+    * (absent cell = 0). `keys` is a one-column DataFrame of key strings;
+    * it may be a streaming DataFrame (the build is one global
+    * aggregation — run it in complete output mode). */
   def countMinBuild(spark: SparkSession, keys: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, s"need depth, width >= 1, got $depth x $width")
-    val params = HashFns.minhashParamsDF(spark, depth)
-      .withColumnsRenamed(Map("h_idx" -> "row", "h_a" -> "a", "h_b" -> "b"))
-    keys.select(HashFns.hash31(col(keys.columns.head)).as("x"))
-      .crossJoin(broadcast(params))
-      .groupBy(col("row"), pmod(HashFns.happly(col("a"), col("b"), col("x")), lit(width.toLong)).as("bucket"))
+    keys.select(HashFns.hash31(col(keys.columns.head)).as("x"), paramsExplode(depth).as("p"))
+      .groupBy(col("p.row").as("row"),
+        pmod(HashFns.happly(col("p.a"), col("p.b"), col("x")), lit(width.toLong)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -42,13 +50,11 @@ object Sketches {
     * the sketch rows, with absent cells read as 0. */
   def countMinEstimate(spark: SparkSession, sketch: DataFrame, probes: DataFrame,
       depth: Int, width: Int): DataFrame = {
-    val params = HashFns.minhashParamsDF(spark, depth)
-      .withColumnsRenamed(Map("h_idx" -> "row", "h_a" -> "a", "h_b" -> "b"))
     val keyCol = probes.columns.head
-    probes.select(col(keyCol).as("key"), HashFns.hash31(col(keyCol)).as("x"))
-      .crossJoin(broadcast(params))
-      .select(col("key"), col("row"),
-        pmod(HashFns.happly(col("a"), col("b"), col("x")), lit(width.toLong)).as("bucket"))
+    probes.select(col(keyCol).as("key"), HashFns.hash31(col(keyCol)).as("x"),
+        paramsExplode(depth).as("p"))
+      .select(col("key"), col("p.row").as("row"),
+        pmod(HashFns.happly(col("p.a"), col("p.b"), col("x")), lit(width.toLong)).as("bucket"))
       .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy("key")

@@ -409,8 +409,10 @@ object EventQueries {
     * guarantee (est >= exact) against the true counts. Width 32 << the
     * ~1000 distinct users forces real collision mass, so the gate
     * exercises the min-over-rows logic, not a collision-free identity. */
-  val q110 = QueryDef(
-    "q110_count_min",
+  /** Shared by q110 (batch build) and q119 (stream build): the estimates
+    * depend only on the sketch cells, which must be identical however the
+    * sketch was folded. */
+  val countMinOracleSql: String =
     s"""WITH keys AS (SELECT user_id::VARCHAR AS k FROM events),
        |hx AS (SELECT ${Cross.hash31Sql("k")} AS x FROM keys),
        |cells AS (
@@ -427,7 +429,11 @@ object EventQueries {
        |  FROM pc LEFT JOIN cells USING (row, bucket)
        |  GROUP BY key)
        |SELECT key, exact, est, est >= exact AS never_under
-       |FROM est ORDER BY key""".stripMargin) { (spark, dir) =>
+       |FROM est ORDER BY key""".stripMargin
+
+  val q110 = QueryDef(
+    "q110_count_min",
+    countMinOracleSql) { (spark, dir) =>
     import graft.operators.Sketches
     val keys = Tables.events(spark, dir).select(col("user_id").cast("string").as("k"))
     val sketch = Sketches.countMinBuild(spark, keys, depth = 4, width = 32)
@@ -439,5 +445,26 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110)
+  /** Per-row weighted sampling (Sampling.weightedSample): keep
+    * probability = least(value/100, 1) per event, decided by the
+    * event_id content hash — the oracle recomputes the same threshold
+    * comparison, so WHICH rows survive is verified. */
+  val q120 = QueryDef(
+    "q120_weighted_sample",
+    s"""WITH b AS (
+       |  SELECT event_type, event_id,
+       |    (${Cross.hash64Sql("event_id::VARCHAR")} % 1000000) <
+       |      round(least(value / 100, 1.0) * 1000000.0)::BIGINT AS keep
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+       |FROM b WHERE keep GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.weightedSample(Tables.events(spark, dir),
+        col("event_id"), least(col("value") / 100, lit(1.0)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120)
 }

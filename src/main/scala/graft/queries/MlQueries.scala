@@ -278,5 +278,27 @@ object MlQueries {
       .orderBy("user_id", "click_event", "view_event")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96)
+  /** Streaming count-min build: the sketch folds over the event STREAM
+    * (complete-mode global aggregation — the explode-based build plan is
+    * shared verbatim with batch), then batch probes read it. Same oracle
+    * as q110: the estimates depend only on the sketch cells, so
+    * hash-equality proves stream fold ≡ batch fold. */
+  val q119 = QueryDef(
+    "q119_stream_count_min",
+    EventQueries.countMinOracleSql) { (spark, dir) =>
+    import graft.operators.Sketches
+    val keysStream = EventStreams.readEvents(spark, dir)
+      .select(col("user_id").cast("string").as("k"))
+    val sketch = EventStreams.runToCompletion(spark,
+      Sketches.countMinBuild(spark, keysStream, depth = 4, width = 32), "q119_out")
+    val keys = Tables.events(spark, dir).select(col("user_id").cast("string").as("k"))
+    val probes = keys.groupBy(col("k").as("key")).agg(count(lit(1)).as("exact"))
+    Sketches.countMinEstimate(spark, sketch, probes.select("key"), depth = 4, width = 32)
+      .join(probes, "key")
+      .select(col("key"), col("exact"), col("est"),
+        (col("est") >= col("exact")).as("never_under"))
+      .orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119)
 }

@@ -517,7 +517,42 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** PageRank (Graph.pagerank), 3 iterations at d=0.85 over a 50-node
+    * graph derived from orders. The oracle unrolls all three rounds
+    * relationally with the same decimal-sum + epsilon-round at every
+    * step, so the full TRAJECTORY is verified, not just the fixpoint
+    * (the q49 Lloyd pattern). Dangling mass leaks on both sides. */
+  val q121 = QueryDef(
+    "q121_pagerank", {
+      val round1 = (p: String, c: String) =>
+        s"""$c AS (
+           |  SELECT e.dst AS node, ${Cross.dsumSql("pr / outdeg", 6)} AS s
+           |  FROM e JOIN $p ON e.src = $p.node JOIN od ON e.src = od.src
+           |  GROUP BY e.dst)""".stripMargin
+      val step = (c: String, p: String) =>
+        s"""$p AS (
+           |  SELECT nodes.node,
+           |    round(((1.0 - 0.85) / nn + 0.85 * COALESCE(s, 0.0)) + 1e-9, 6) AS pr
+           |  FROM nodes CROSS JOIN n LEFT JOIN $c ON nodes.node = $c.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_orderkey % 50 AS src, o_custkey % 50 AS dst FROM orders),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |n AS (SELECT COUNT(*) AS nn FROM nodes),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |p0 AS (SELECT node, round(1.0 / nn + 1e-9, 6) AS pr FROM nodes CROSS JOIN n),
+         |${round1("p0", "c1")},
+         |${step("c1", "p1")},
+         |${round1("p1", "c2")},
+         |${step("c2", "p2")},
+         |${round1("p2", "c3")},
+         |${step("c3", "p3")}
+         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin
+    }) { (spark, dir) =>
+    val edges = Tables.orders(spark, dir)
+      .select((col("o_orderkey") % 50).as("src"), (col("o_custkey") % 50).as("dst"))
+    graft.operators.Graph.pagerank(edges, iters = 3, d = 0.85).orderBy("node")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
-    q111, q117, q118)
+    q111, q117, q118, q121)
 }
