@@ -24,6 +24,29 @@ import graft.plans.TopKAgg
   */
 object SimilaritySearch {
 
+  /** Semantic dedup end-to-end: label-blocked embedding near-dup pairs
+    * (cosine ≥ minCos, vectors normalized ONCE per row) fed into
+    * min-label connected components — the embedding analog of
+    * [[Dedup.dedupClusters]], closing pair mining → clusters →
+    * survivors for the vector modality. Returns
+    * (vec_id, cluster, is_survivor). */
+  def embeddingDedupClusters(emb: DataFrame, minCos: Double): DataFrame = {
+    val normed = emb
+      .withColumn("nrm", VectorFns.norm2(col("embedding")))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+    val pairs = normed.as("a")
+      .join(normed.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", VectorFns.dot(col("a.ne"), col("b.ne")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+    Dedup.connectedComponents(emb.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_survivor"))
+  }
+
   /** Exact top-k re-rank of scored (query_id, neighbor_id, cos) candidates
     * via the bounded [[TopKAgg]] aggregate. The window formulation
     * (row_number over every candidate) shuffles and sorts ALL candidates

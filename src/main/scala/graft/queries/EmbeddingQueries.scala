@@ -79,6 +79,41 @@ object EmbeddingQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Semantic dedup clusters (SimilaritySearch.embeddingDedupClusters):
+    * the q41 near-dup pairs fed through min-label connected components —
+    * pair mining → clusters → survivors for the vector modality, full
+    * fixpoint verified against a recursive CTE (the q38 pattern). */
+  val q122 = QueryDef(
+    "q122_embed_dedup_clusters",
+    s"""WITH RECURSIVE nrm AS (
+       |  SELECT vec_id, label, embedding,
+       |         ${VectorSql.norm2("embedding")} AS nrm
+       |  FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN nrm = 0 THEN NULL
+       |    ELSE list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE / nrm)
+       |    END AS ne
+       |  FROM nrm),
+       |edges0 AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM normed a JOIN normed b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE a.ne IS NOT NULL AND b.ne IS NOT NULL
+       |    AND list_sum(list_transform(range(1, len(a.ne) + 1), i -> a.ne[i] * b.ne[i])) >= 0.35),
+       |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+       |reach(src, dst) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS vec_id, MIN(dst) AS cluster,
+       |       (src = MIN(dst)) AS is_survivor
+       |FROM reach GROUP BY src
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    SimilaritySearch.embeddingDedupClusters(Tables.embeddings(spark, dir), minCos = 0.35)
+      .orderBy("vec_id")
+  }
+
   private def bucketSql(emb: String): String =
     (0 until Planes).map { p =>
       val w = HashFns.litVector(s"plane-$p", Dims)
@@ -307,5 +342,5 @@ object EmbeddingQueries {
     SimilaritySearch.rerank(scored, 3).orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122)
 }

@@ -466,5 +466,27 @@ object EventQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120)
+  /** Incremental aggregate maintenance (Incremental.partials/merge):
+    * per-(type, day) partial states merged to per-type totals. The
+    * oracle aggregates the raw rows DIRECTLY in one pass — hash-equality
+    * is the partial-then-merge ≡ direct contract that makes incremental
+    * maintenance sound (decimal partial sums are exact and commutative). */
+  val q123 = QueryDef(
+    "q123_incremental_merge",
+    s"""WITH e AS (
+       |  SELECT event_type, value FROM events)
+       |SELECT event_type AS key, COUNT(*) AS n,
+       |  ${Cross.dsumSql("value", 2)} AS sum,
+       |  round((${Cross.dsumSql("value", 2)} / COUNT(*)) + 1e-9, 6) AS avg,
+       |  MIN(value) AS mn, MAX(value) AS mx
+       |FROM e GROUP BY event_type
+       |ORDER BY key""".stripMargin) { (spark, dir) =>
+    import graft.operators.Incremental
+    val e = Tables.events(spark, dir)
+    val p = Incremental.partials(e, col("event_type"), expr("sec div 86400"),
+      col("value"), scale = 2)
+    Incremental.merge(p).orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123)
 }

@@ -29,6 +29,38 @@ class GraphSpec extends SparkSpec {
     assert(dup == pr)
   }
 
+  test("embeddingDedupClusters groups transitive near-dups and picks min survivors") {
+    val v = Array.fill(8)(1.0f)
+    val w = Array.fill(8)(-1.0f)
+    val emb = Seq(
+      (0L, "a", v), (1L, "a", v), (2L, "a", v), // identical triple → one cluster
+      (3L, "a", w),                             // opposite direction, same label
+      (4L, "b", v)                              // same vector, different label block
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.SimilaritySearch.embeddingDedupClusters(emb, 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L) == ((0L, true)) && out(1L) == ((0L, false)) && out(2L) == ((0L, false)))
+    assert(out(3L) == ((3L, true)))
+    assert(out(4L) == ((4L, true)), "label blocking keeps cross-label dups apart")
+  }
+
+  test("incremental partial-then-merge equals direct aggregation and extends by a day") {
+    import graft.operators.Incremental
+    val day1 = Seq(("a", 1L, 1.25), ("a", 1L, 2.50), ("b", 1L, 9.75)).toDF("k", "day", "v")
+    val day2 = Seq(("a", 2L, 4.25), ("b", 2L, 0.25)).toDF("k", "day", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      Incremental.merge(Incremental.partials(df, col("k"), col("day"), col("v"), 2))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // merging day-1 partials with day-2 partials == recomputing over both
+    val both = agg(day1.union(day2))
+    val incr = Incremental.merge(
+      Incremental.partials(day1, col("k"), col("day"), col("v"), 2).union(
+        Incremental.partials(day2, col("k"), col("day"), col("v"), 2)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(incr == both)
+    assert(both("a") == ((3L, 8.0, 2.666667)))
+  }
+
   test("weightedSample: keep sets are exact at the extremes and nested in w") {
     val df = (0L until 300L).toDF("id")
     def kept(w: Double): Set[Long] =
