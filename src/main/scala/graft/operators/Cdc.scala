@@ -34,11 +34,15 @@ object Cdc {
     val cols = Seq(key, version) ++ payload :+ "deleted"
     val unioned = snap.select(cols.map(col): _*)
       .unionByName(changes.select(cols.map(col): _*))
+    // the ordering key is the FULL row struct (version first): with the
+    // contract honored (unique versions per key) only the version
+    // matters; if a log ever violates it, ties still resolve by a total
+    // order on the row content — deterministic on any engine/partitioning
     unioned
       .groupBy(col(key))
       .agg(max_by(
         struct((Seq(version) ++ payload :+ "deleted").map(col): _*),
-        struct(col(version), col("deleted"))).as("w"))
+        struct((Seq(version, "deleted") ++ payload).map(col): _*)).as("w"))
       .select(col(key) +: (Seq(version) ++ payload :+ "deleted").map(c => col(s"w.$c").as(c)): _*)
       .filter(!col("deleted"))
       .drop("deleted")

@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions._
   *
   *   1. bucket each row by `id div bucketSize` and aggregate per-bucket
   *      token totals (map-side combinable, one small shuffle);
-  *   2. prefix-sum the bucket totals — one row per bucket, ~rows/bucketSize
-  *      of them, so the single-partition window here handles a trillion-row
-  *      corpus with ~10^6 bucket rows;
+  *   2. prefix-sum the bucket totals — one row per OCCUPIED bucket, so
+  *      the single-partition window here handles a trillion-row corpus
+  *      with ~10^6 bucket rows;
   *   3. broadcast the bucket offsets back and window WITHIN each bucket
   *      (partitioned by bucket → parallel across executors, each sort
-  *      bounded by bucketSize rows).
+  *      bounded by the bucket's rows).
+  *
+  * PRECONDITION — ids must be reasonably dense: the bucket count is
+  * idRange/bucketSize, NOT rows/bucketSize, so sparse ids (e.g. raw
+  * 60-bit content hashes) degenerate to one doc per bucket and the
+  * step-2 table is O(n) — the exact single-task bottleneck this operator
+  * exists to avoid. Size `bucketSize` to the id RANGE (aim for ≤ ~10^6
+  * buckets and ≥ ~10^3 rows per bucket). [[Sampling.shardShuffle]]
+  * positions are the canonical dense-id source: shard the corpus, then
+  * pack each shard by `pos`.
   *
   * Offsets are exact integer arithmetic, so the result is independent of
   * partitioning and engine-portable (the gate's oracle computes the same

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Cross
@@ -11,12 +11,14 @@ import graft.functions.TextFns
   * the "find documents about X" primitive behind targeted corpus audits
   * (alongside the embedding ANN path in [[SimilaritySearch]]).
   *
-  * Scale shape: the query is a handful of terms, so the per-term corpus
-  * statistics (df) and the per-doc term frequencies are computed AFTER
-  * filtering the exploded token stream to the query terms — the token
-  * explosion is the only full-corpus pass, everything downstream carries
-  * ≤ |query| rows per doc. Corpus-level scalars (N, avgdl) ride along as
-  * a broadcast singleton, never a driver collect.
+  * Scale shape: ONE full-corpus pass. The per-doc length and the
+  * query-term frequencies come out of a single grouped aggregation over
+  * the exploded token stream (tf per term as conditional counts — the
+  * query is a handful of literals); corpus stats (N, avgdl) and per-term
+  * df are then re-aggregations of that one-row-per-doc table, so every
+  * downstream consumer hangs off the same shuffle (Spark's
+  * ReuseExchange dedupes the shared grouped subtree). Nothing scans the
+  * corpus twice.
   *
   * Determinism: tf/df/dl are exact integers; idf and the length
   * normalizer are IEEE double expressions on those integers (same ulp on
@@ -33,21 +35,28 @@ object Retrieval {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms == queryTerms.distinct, "queryTerms must be distinct")
     val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-    // corpus stats: one aggregate row, broadcast everywhere it's needed
-    val stats = tok.agg(
-      countDistinct("doc_id").as("n_docs"),
-      count(lit(1)).as("n_tok"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val qtok = tok.filter(col("t").isin(queryTerms: _*))
-    val df = qtok.select("doc_id", "t").distinct()
-      .groupBy("t").agg(count(lit(1)).as("df"))
-    val tf = qtok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // the one corpus pass: doc length + per-query-term tf as columns
+    val tfCols = queryTerms.zipWithIndex.map { case (term, i) =>
+      sum(when(col("t") === term, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val aggs = count(lit(1)).as("dl") +: tfCols
+    val perDoc = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // corpus stats and df: re-aggregations of the per-doc table
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("n_tok"))
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+        explode(array(queryTerms.zipWithIndex.map { case (term, i) =>
+          struct(lit(term).as("t"), col(s"tf_$i").as("tf"))
+        }: _*)).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.t").as("t"), col("p.tf").as("tf"))
+      .filter(col("tf") > 0L)
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val norm = col("tf") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") /
         (col("n_tok").cast("double") / col("n_docs").cast("double")))
     tf.join(broadcast(df), "t")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (idf * col("tf") * lit(k1 + 1.0) / norm).as("s"))

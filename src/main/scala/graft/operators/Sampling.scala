@@ -18,14 +18,18 @@ import graft.core.Cross
   */
 object Sampling {
 
-  /** Bucket in [0, denom) from the key's content hash. A null key would
-    * hash to null and make every bucket predicate null — the row would
+  /** The one content hash every sampler keys on. A null key would hash
+    * to null and make every downstream predicate null — the row would
     * silently land in NO split — so nulls coalesce to a sentinel first:
-    * all null-key rows land deterministically in the sentinel's bucket
-    * and the splits stay disjoint and exhaustive for any input. */
+    * all null-key rows decide deterministically and the splits stay
+    * disjoint and exhaustive for any input. Every operator in this file
+    * MUST go through this (the sentinel contract lives here only). */
+  private def keyHash(key: Column): Column =
+    Cross.hash64(coalesce(key.cast("string"), lit("graft-null-key")))
+
+  /** Bucket in [0, denom) from the key's content hash. */
   def hashBucket(key: Column, denom: Int): Column =
-    pmod(Cross.hash64(coalesce(key.cast("string"), lit("graft-null-key"))),
-      lit(denom.toLong))
+    pmod(keyHash(key), lit(denom.toLong))
 
   /** Keep rows whose key hashes into [0, num) of denom buckets — a
     * deterministic num/denom sample (e.g. 1/10 eval holdout). */
@@ -95,9 +99,7 @@ object Sampling {
     * Weights at 6-dp resolution make `w·10^6` integral up to float
     * noise, so the rounded threshold is unambiguous on every engine. */
   def weightedSample(df: DataFrame, key: Column, w: Column): DataFrame =
-    df.filter(
-      pmod(Cross.hash64(coalesce(key.cast("string"), lit("graft-null-key"))),
-        lit(1000000L)) < round(w * lit(1000000.0)).cast("long"))
+    df.filter(hashBucket(key, 1000000) < round(w * lit(1000000.0)).cast("long"))
 
   /** Deterministic global shuffle into shards — the "shuffle the corpus
     * before training" step: each row gets a shard in [0, nShards) and a
@@ -122,8 +124,7 @@ object Sampling {
     // Cross.hash64 is 60-bit (15 md5 hex chars); shift keeps `bucketBits`
     // leading bits as the bucket id
     val shift = 60 - bucketBits
-    val d = df.select(id.as("id"),
-        Cross.hash64(coalesce(id.cast("string"), lit("graft-null-key"))).as("h"))
+    val d = df.select(id.as("id"), keyHash(id).as("h"))
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
       .withColumn("bucket", expr(s"h div ${1L << shift}L"))
     val counts = d.groupBy("shard", "bucket").agg(count(lit(1)).as("c"))

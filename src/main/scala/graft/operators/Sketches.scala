@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFns
@@ -34,13 +34,20 @@ object Sketches {
       struct(lit(i).as("row"), lit(a).as("a"), lit(b).as("b"))
     }: _*))
 
+  /** Null keys coalesce to the shared sentinel (same contract as
+    * Sampling.hashBucket) — a raw null would hash to a NULL bucket that
+    * no probe could ever match, silently under-counting and breaking the
+    * est ≥ exact guarantee. Build and probe MUST agree on this mapping. */
+  private def keyHash(c: org.apache.spark.sql.Column) =
+    HashFns.hash31(coalesce(c.cast("string"), lit("graft-null-key")))
+
   /** Build the sketch: (row, bucket, cnt) — depth·width cells, sparse
     * (absent cell = 0). `keys` is a one-column DataFrame of key strings;
     * it may be a streaming DataFrame (the build is one global
     * aggregation — run it in complete output mode). */
-  def countMinBuild(spark: SparkSession, keys: DataFrame, depth: Int, width: Int): DataFrame = {
+  def countMinBuild(keys: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, s"need depth, width >= 1, got $depth x $width")
-    keys.select(HashFns.hash31(col(keys.columns.head)).as("x"), paramsExplode(depth).as("p"))
+    keys.select(keyHash(col(keys.columns.head)).as("x"), paramsExplode(depth).as("p"))
       .groupBy(col("p.row").as("row"),
         pmod(HashFns.happly(col("p.a"), col("p.b"), col("x")), lit(width.toLong)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -48,10 +55,10 @@ object Sketches {
 
   /** Estimate counts for `probes` (same one-column shape): the min over
     * the sketch rows, with absent cells read as 0. */
-  def countMinEstimate(spark: SparkSession, sketch: DataFrame, probes: DataFrame,
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
       depth: Int, width: Int): DataFrame = {
     val keyCol = probes.columns.head
-    probes.select(col(keyCol).as("key"), HashFns.hash31(col(keyCol)).as("x"),
+    probes.select(col(keyCol).as("key"), keyHash(col(keyCol)).as("x"),
         paramsExplode(depth).as("p"))
       .select(col("key"), col("p.row").as("row"),
         pmod(HashFns.happly(col("p.a"), col("p.b"), col("x")), lit(width.toLong)).as("bucket"))

@@ -436,9 +436,9 @@ object EventQueries {
     countMinOracleSql) { (spark, dir) =>
     import graft.operators.Sketches
     val keys = Tables.events(spark, dir).select(col("user_id").cast("string").as("k"))
-    val sketch = Sketches.countMinBuild(spark, keys, depth = 4, width = 32)
+    val sketch = Sketches.countMinBuild(keys, depth = 4, width = 32)
     val probes = keys.groupBy(col("k").as("key")).agg(count(lit(1)).as("exact"))
-    Sketches.countMinEstimate(spark, sketch, probes.select("key"), depth = 4, width = 32)
+    Sketches.countMinEstimate(sketch, probes.select("key"), depth = 4, width = 32)
       .join(probes, "key")
       .select(col("key"), col("exact"), col("est"),
         (col("est") >= col("exact")).as("never_under"))

@@ -290,10 +290,10 @@ object MlQueries {
     val keysStream = EventStreams.readEvents(spark, dir)
       .select(col("user_id").cast("string").as("k"))
     val sketch = EventStreams.runToCompletion(spark,
-      Sketches.countMinBuild(spark, keysStream, depth = 4, width = 32), "q119_out")
+      Sketches.countMinBuild(keysStream, depth = 4, width = 32), "q119_out")
     val keys = Tables.events(spark, dir).select(col("user_id").cast("string").as("k"))
     val probes = keys.groupBy(col("k").as("key")).agg(count(lit(1)).as("exact"))
-    Sketches.countMinEstimate(spark, sketch, probes.select("key"), depth = 4, width = 32)
+    Sketches.countMinEstimate(sketch, probes.select("key"), depth = 4, width = 32)
       .join(probes, "key")
       .select(col("key"), col("exact"), col("est"),
         (col("est") >= col("exact")).as("never_under"))

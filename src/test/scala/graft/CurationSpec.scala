@@ -108,18 +108,29 @@ class CurationSpec extends SparkSpec {
     val exact = keys.groupBy("k").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // narrow sketch: collisions certain, estimates must still dominate
-    val narrow = Sketches.countMinEstimate(spark,
-        Sketches.countMinBuild(spark, keys, depth = 4, width = 8),
+    val narrow = Sketches.countMinEstimate(
+        Sketches.countMinBuild(keys, depth = 4, width = 8),
         keys.distinct(), depth = 4, width = 8)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.forall { case (k, n) => narrow(k) >= n })
     assert(narrow("hot") >= 50L)
     // wide sketch: 4 rows of 4096 buckets for 41 keys — collisions in all
     // 4 rows are overwhelmingly unlikely, so the min is exact
-    val wide = Sketches.countMinEstimate(spark,
-        Sketches.countMinBuild(spark, keys, depth = 4, width = 4096),
+    val wide = Sketches.countMinEstimate(
+        Sketches.countMinBuild(keys, depth = 4, width = 4096),
         keys.distinct(), depth = 4, width = 4096)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wide == exact)
+  }
+
+  test("count-min counts null keys via the sentinel — never under-counts them") {
+    val keys = (Seq[Option[String]](None, None, None) ++ (0 until 5).map(i => Some(s"k$i")))
+      .toDF("k")
+    val est = Sketches.countMinEstimate(
+        Sketches.countMinBuild(keys, depth = 4, width = 4096),
+        keys.distinct(), depth = 4, width = 4096)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(est(None) == 3L, s"null key must estimate its true count, got $est")
+    assert((0 until 5).forall(i => est(Some(s"k$i")) == 1L))
   }
 }

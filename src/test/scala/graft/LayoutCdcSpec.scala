@@ -47,6 +47,23 @@ class LayoutCdcSpec extends SparkSpec {
     assert(out(4L) == ((2L, 44.0, "d2")))  // reinsert after delete survives
   }
 
+  test("CDC merge resolves duplicate-version log violations deterministically") {
+    val snap = Seq((1L, 10.0, "a")).toDF("k", "price", "st")
+    // contract violation: two version-1 upserts with different payloads —
+    // the full-row-struct tie-break must pick the same winner (the
+    // struct-max: higher price) on every run and partitioning
+    val changes = Seq(
+      (1L, 1L, 11.0, "x", false),
+      (1L, 1L, 12.0, "y", false)
+    ).toDF("k", "version", "price", "st", "deleted")
+    val runs = (1 to 3).map { i =>
+      Cdc.applyChangeset(snap, changes.repartition(i), "k", "version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+    }
+    assert(runs.distinct.size == 1, s"nondeterministic tie-break: $runs")
+    assert(runs.head == Seq((1L, 1L, 12.0, "y")))
+  }
+
   test("CDC merge plans one aggregate, not a per-key window sort") {
     val snap = Seq((1L, 10.0)).toDF("k", "v2")
     val changes = Seq((1L, 1L, 11.0, false)).toDF("k", "version", "v2", "deleted")
