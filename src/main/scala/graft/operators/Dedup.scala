@@ -164,9 +164,12 @@ object Dedup {
     * through the candidate pairs, O(|candidates| · set size). */
   def decontaminateFuzzy(spark: SparkSession, docs: DataFrame, bench: DataFrame,
       k: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double): DataFrame = {
-    val dSh = shingleSet(docs, shingleN)
+    // the shingle relations feed three consumers each (signatures,
+    // intersection, sizes) — cache them once instead of re-tokenizing
+    // the corpus per consumer (the Lsh.candidatePairs precedent)
+    val dSh = shingleSet(docs, shingleN).cache()
     val bSh = shingleSet(bench, shingleN)
-      .select(col("doc_id").as("bench_id"), col("sh"))
+      .select(col("doc_id").as("bench_id"), col("sh")).cache()
     val dBands = Lsh.bands(Lsh.signatures(spark,
       dSh.select(col("doc_id").as("id"), col("sh").as("token")), k), rowsPerBand)
     val bBands = Lsh.bands(Lsh.signatures(spark,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+
+/** Feature engineering over numeric columns: z-score standardization —
+  * the "scale the features before training" step.
+  *
+  * Scale shape: ONE aggregate pass computes every column's exact decimal
+  * moments (Σx via dsum, Σx² via dxsum — the M2 Pearson machinery), the
+  * one-row moment table broadcasts, and each z-score is a codegen'd
+  * per-row expression. No window, no second pass over the data.
+  *
+  * Determinism: the moments are exact decimal sums (order-free), the
+  * mean/std arithmetic on them is plain IEEE on identical operands, and
+  * each z is epsilon-rounded — bit-identical across engines (the same
+  * construction the dcorr gate q13 verifies).
+  */
+object Features {
+
+  /** Append `z_<col>` for each input column: (x − mean)/std over the
+    * whole frame, 6-dp rounded. `scale` is the values' known decimal
+    * scale (for the exact Σ). A constant column (std = 0) yields NaN —
+    * surfaced, not masked, so a degenerate feature is visible (guarded
+    * explicitly: under ANSI mode a raw 0/0 would abort the job). */
+  def standardize(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(Cross.dsum(col(c), scale).as(s"s_$c"),
+        Cross.dxsum(col(c), col(c)).as(s"q_$c"))
+    } :+ count(lit(1)).as("n")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val out = cols.foldLeft(df.crossJoin(broadcast(m))) { (acc, c) =>
+      val mean = col(s"s_$c") / col("n")
+      val num = col("n").cast("double") * col(s"q_$c") - col(s"s_$c") * col(s"s_$c")
+      val std = sqrt(num) / col("n").cast("double")
+      acc.withColumn(s"z_$c",
+        when(num <= 0.0, lit(Double.NaN))
+          .otherwise(Cross.r6((col(c) - mean) / std)))
+    }
+    out.drop("n" +: cols.flatMap(c => Seq(s"s_$c", s"q_$c")): _*)
+  }
+}

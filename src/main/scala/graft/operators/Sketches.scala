@@ -53,6 +53,22 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Approximate heavy hitters: build the sketch over `keys`, probe the
+    * distinct keys, return the top `k` by (estimate desc, key) — the
+    * composed sketch-then-select pattern for frequency mining over a key
+    * space too wide to count exactly per partition. The global top-k
+    * plans as TakeOrdered (no full sort); estimates keep the count-min
+    * ≥-exact guarantee, so a true heavy hitter can be displaced only by
+    * an over-counted key, never silently dropped below rank k by
+    * under-counting. */
+  def heavyHitters(keys: DataFrame, depth: Int, width: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    countMinEstimate(countMinBuild(keys, depth, width),
+        keys.distinct(), depth, width)
+      .orderBy(col("est").desc, col("key"))
+      .limit(k)
+  }
+
   /** Estimate counts for `probes` (same one-column shape): the min over
     * the sketch rows, with absent cells read as 0. */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame,

@@ -552,7 +552,35 @@ object Relational {
     graft.operators.Graph.pagerank(edges, iters = 3, d = 0.85).orderBy("node")
   }
 
+  /** Z-score standardization (Features.standardize): one exact-moment
+    * aggregate pass (Σx decimal, Σx² via the decimal-product dxsum — the
+    * q13 dcorr machinery), broadcast moments, per-row codegen z. The
+    * oracle recomputes the identical construction, so every z value
+    * hash-matches. */
+  val q125 = QueryDef(
+    "q125_standardize", {
+      def z(c: String) =
+        s"round((($c - s_$c / n) / (sqrt(n::DOUBLE * q_$c - s_$c * s_$c) / n::DOUBLE)) + 1e-9, 6)"
+      s"""WITH m AS (
+         |  SELECT COUNT(*) AS n,
+         |    ${Cross.dsumSql("l_quantity", 2)} AS s_l_quantity,
+         |    ${Cross.dxsumSql("l_quantity", "l_quantity")} AS q_l_quantity,
+         |    ${Cross.dsumSql("l_extendedprice", 2)} AS s_l_extendedprice,
+         |    ${Cross.dxsumSql("l_extendedprice", "l_extendedprice")} AS q_l_extendedprice
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  ${z("l_quantity")} AS z_l_quantity,
+         |  ${z("l_extendedprice")} AS z_l_extendedprice
+         |FROM lineitem CROSS JOIN m
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }) { (spark, dir) =>
+    graft.operators.Features.standardize(Tables.lineitem(spark, dir),
+        Seq("l_quantity", "l_extendedprice"), scale = 2)
+      .select("l_orderkey", "l_linenumber", "z_l_quantity", "z_l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
-    q111, q117, q118, q121)
+    q111, q117, q118, q121, q125)
 }

@@ -344,5 +344,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116)
+  /** Approximate heavy hitters (Sketches.heavyHitters) over the token
+    * stream — the sketch at its natural wide key space, composed with a
+    * TakeOrdered top-20. The oracle rebuilds the identical sketch, so
+    * ranks AND estimates hash-match; width 64 << vocabulary forces real
+    * collision mass through the min. */
+  val q124 = QueryDef(
+    "q124_heavy_hitters",
+    s"""WITH keys AS (SELECT unnest($toks) AS k FROM documents),
+       |hx AS (SELECT ${Cross.hash31Sql("k")} AS x FROM keys),
+       |cells AS (
+       |  SELECT h_idx AS row, ${graft.functions.HashFns.happlySql} % 64 AS bucket, COUNT(*) AS cnt
+       |  FROM hx CROSS JOIN ${graft.functions.HashFns.minhashParamsSql(4)}
+       |  GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT k AS key FROM keys),
+       |ph AS (SELECT key, ${Cross.hash31Sql("key")} AS x FROM probes),
+       |pc AS (
+       |  SELECT key, h_idx AS row, ${graft.functions.HashFns.happlySql} % 64 AS bucket
+       |  FROM ph CROSS JOIN ${graft.functions.HashFns.minhashParamsSql(4)}),
+       |est AS (
+       |  SELECT key, MIN(COALESCE(cnt, 0)) AS est
+       |  FROM pc LEFT JOIN cells USING (row, bucket)
+       |  GROUP BY key)
+       |SELECT key, est FROM est
+       |ORDER BY est DESC, key LIMIT 20""".stripMargin) { (spark, dir) =>
+    val keys = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("k"))
+    graft.operators.Sketches.heavyHitters(keys, depth = 4, width = 64, k = 20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124)
 }

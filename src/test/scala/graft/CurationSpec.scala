@@ -123,6 +123,18 @@ class CurationSpec extends SparkSpec {
     assert(wide == exact)
   }
 
+  test("heavyHitters surfaces the hot key first even with collision mass") {
+    val keys = (Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
+      (0 until 30).map(i => s"cold$i")).toDF("k")
+    val top = Sketches.heavyHitters(keys, depth = 4, width = 8, k = 3).collect()
+    assert(top.head.getString(0) == "hot" && top.head.getLong(1) >= 60L)
+    assert(top.map(_.getString(0)).contains("warm"))
+    // ranking is (est desc, key asc): fully deterministic
+    val again = Sketches.heavyHitters(keys.repartition(5), depth = 4, width = 8, k = 3).collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("count-min counts null keys via the sentinel — never under-counts them") {
     val keys = (Seq[Option[String]](None, None, None) ++ (0 until 5).map(i => Some(s"k$i")))
       .toDF("k")

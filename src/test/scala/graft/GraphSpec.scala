@@ -61,6 +61,22 @@ class GraphSpec extends SparkSpec {
     assert(both("a") == ((3L, 8.0, 2.666667)))
   }
 
+  test("standardize yields zero-mean unit-std scores and exposes constant columns") {
+    import graft.operators.Features
+    val df = Seq((1L, 2.0, 7.0), (2L, 4.0, 7.0), (3L, 6.0, 7.0), (4L, 8.0, 7.0))
+      .toDF("id", "x", "c")
+    val out = Features.standardize(df, Seq("x", "c"), scale = 1)
+      .orderBy("id").collect()
+    val zx = out.map(_.getDouble(3))
+    // x = 2,4,6,8: mean 5, population std sqrt(5) → z = ±1.341641, ±0.447214
+    assert(zx.map(v => math.abs(v)).sorted.toSeq == Seq(0.447214, 0.447214, 1.341641, 1.341641))
+    assert(math.abs(zx.sum) < 1e-5)
+    // constant column: std 0 → NaN, surfaced not masked
+    assert(out.forall(r => r.getDouble(4).isNaN))
+    // schema: original columns preserved, z_ columns appended, moments dropped
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "x", "c", "z_x", "z_c"))
+  }
+
   test("weightedSample: keep sets are exact at the extremes and nested in w") {
     val df = (0L until 300L).toDF("id")
     def kept(w: Double): Set[Long] =
