@@ -59,7 +59,9 @@ object GraftFunctions {
     ("graft_shingles", "(tokens, n)", 2,
       es => TextFns.shingles(c(es(0)), litInt(es(1), "n"))),
     ("graft_top_k", "(w, id, k) aggregate", 3,
-      es => graft.plans.TopKAgg.topK(c(es(0)), c(es(1)), litInt(es(2), "k"))))
+      es => graft.plans.TopKAgg.topK(c(es(0)), c(es(1)), litInt(es(2), "k"))),
+    ("graft_zvalue", "(a, b, bits)", 3,
+      es => graft.operators.Layout.zValue(c(es(0)), c(es(1)), litInt(es(2), "bits"))))
 
   /** Pre-built registry triples shared by BOTH hookup paths, with an
     * arity check so a wrong-arity SQL call fails with the function name

@@ -471,8 +471,10 @@ object EventQueries {
     * oracle aggregates the raw rows DIRECTLY in one pass — hash-equality
     * is the partial-then-merge ≡ direct contract that makes incremental
     * maintenance sound (decimal partial sums are exact and commutative). */
-  val q123 = QueryDef(
-    "q123_incremental_merge",
+  /** Shared by q123 (batch partials) and q127 (stream partials): the
+    * merged totals must equal the direct one-pass aggregation however
+    * the partial states were produced. */
+  val incrementalOracleSql: String =
     s"""WITH e AS (
        |  SELECT event_type, value FROM events)
        |SELECT event_type AS key, COUNT(*) AS n,
@@ -480,7 +482,11 @@ object EventQueries {
        |  round((${Cross.dsumSql("value", 2)} / COUNT(*)) + 1e-9, 6) AS avg,
        |  MIN(value) AS mn, MAX(value) AS mx
        |FROM e GROUP BY event_type
-       |ORDER BY key""".stripMargin) { (spark, dir) =>
+       |ORDER BY key""".stripMargin
+
+  val q123 = QueryDef(
+    "q123_incremental_merge",
+    incrementalOracleSql) { (spark, dir) =>
     import graft.operators.Incremental
     val e = Tables.events(spark, dir)
     val p = Incremental.partials(e, col("event_type"), expr("sec div 86400"),

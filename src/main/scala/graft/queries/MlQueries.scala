@@ -300,5 +300,19 @@ object MlQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119)
+  /** Streaming incremental maintenance: the per-(type, day) partial
+    * states fold over the event STREAM (the partials aggregation is the
+    * same plan batch and streaming), then merge in batch. Same oracle as
+    * q123: stream-maintained partials merged ≡ direct aggregation. */
+  val q127 = QueryDef(
+    "q127_stream_incremental",
+    EventQueries.incrementalOracleSql) { (spark, dir) =>
+    import graft.operators.Incremental
+    val p = Incremental.partials(EventStreams.readEvents(spark, dir),
+      col("event_type"), expr("sec div 86400"), col("value"), scale = 2)
+    val partials = EventStreams.runToCompletion(spark, p, "q127_out")
+    Incremental.merge(partials).orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127)
 }

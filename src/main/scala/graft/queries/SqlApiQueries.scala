@@ -66,5 +66,24 @@ object SqlApiQueries {
         |ORDER BY label, rank""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103)
+  /** Z-order keys from pure SQL (graft_zvalue): the same bit-interleave
+    * expression the DataFrame path uses (q117), reached through the
+    * function registry. */
+  val q126 = QueryDef(
+    "q126_sql_zvalue",
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT // 3600 AS hr FROM events)
+       |SELECT event_id,
+       |  ${graft.operators.Layout.zValueSql("user_id", "hr", 12)} AS z
+       |FROM e
+       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_id, graft_zvalue(user_id, sec div 3600, 12) AS z
+        |FROM graft_events
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126)
 }
