@@ -50,10 +50,18 @@ object Cross {
     * shortest-repr (Java BigDecimal.valueOf) while DuckDB rounds the exact
     * binary value — a computed double whose shortest repr sits exactly on
     * a .5e-6 boundary rounds differently. The 1e-9 shift moves every such
-    * value off the boundary identically in both engines. */
-  def r6(c: Column): Column = round(c + lit(1e-9), 6)
+    * value off the boundary identically in both engines.
+    *
+    * The trailing `+ 0.0` normalizes the SIGN OF ZERO: rounding a tiny
+    * negative (e.g. a ~-1e-12 correlation) yields +0.0 in Spark (the
+    * BigDecimal path drops the sign) but -0.0 in DuckDB (IEEE round
+    * keeps it), and the two print differently ("0" vs "-0"). IEEE
+    * guarantees -0.0 + 0.0 = +0.0 and x + 0.0 = x for every other x,
+    * so the term is a no-op except exactly where the engines disagree.
+    * (Found by the cross-SF robustness run: q74 at sf0.001.) */
+  def r6(c: Column): Column = round(c + lit(1e-9), 6) + lit(0.0)
 
-  def r6Sql(e: String): String = s"round(($e) + 1e-9, 6)"
+  def r6Sql(e: String): String = s"(round(($e) + 1e-9, 6) + 0.0)"
 
   /** Deterministic Pearson correlation of two double columns, built from
     * exact decimal moments (built-in `corr` streams doubles and is

@@ -69,6 +69,27 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** Byte-level SimHash over the opaque payload — near-duplicate
+    * sketching for the binary modality WITHOUT decoding: overlapping
+    * `gramBytes`-byte grams (hex-sliced at doubled offsets, stride one
+    * byte) vote on the shared 60-bit sketch via
+    * [[graft.operators.Dedup.simhashFromHashes]]. Catches re-encoded
+    * headers/trailing-metadata variants of the same bytes; pairs mining
+    * reuses the text path's pigeonhole blocking unchanged (the sketch is
+    * modality-agnostic). Payloads shorter than one gram are skipped.
+    * Returns (doc_id, simhash). */
+  def payloadSimhash(payloads: DataFrame, gramBytes: Int = 4): DataFrame = {
+    require(gramBytes >= 1, "gramBytes must be >= 1")
+    val grams = payloads
+      .select(col("doc_id"), lower(hex(col("payload"))).as("hx"),
+        (octet_length(col("payload")) - gramBytes).as("last"))
+      .filter(col("last") >= 0)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, last), i -> substring(hx, i * 2 + 1, ${2 * gramBytes}))")).as("g"))
+    graft.operators.Dedup.simhashFromHashes(
+      grams.select(col("doc_id"), graft.core.Cross.hash64(col("g")).as("x")))
+  }
+
   /** STUB decode: deterministic 4-dim "embedding" from byte statistics.
     * Replace with a real decoder (image resize, audio features, frame
     * sampling) — the batch iteration shape is what production code keeps. */

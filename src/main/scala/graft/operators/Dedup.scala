@@ -199,18 +199,24 @@ object Dedup {
   /** 60-bit SimHash per doc (width = HashFns.simhashBits): token-hash bit
     * votes weighted by multiplicity (integer sums → deterministic), bit
     * set where the vote is positive. */
-  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), Cross.hash64(col("t")).as("x"))
-    // One grouped pass with one signed vote-sum aggregate column per bit
-    // instead of a width× row explosion — same integer-exact result.
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame =
+    simhashFromHashes(
+      docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), Cross.hash64(col("t")).as("x")))
+
+  /** The sketch fold itself, over any (doc_id, x) hashed-feature
+    * relation — shared by the text path ([[simhash]]) and the binary
+    * path (Multimodal.payloadSimhash). One grouped pass with one signed
+    * vote-sum aggregate column per bit instead of a width× row
+    * explosion — same integer-exact result. */
+  def simhashFromHashes(hashed: DataFrame): DataFrame = {
     val bitSums = (0 until HashFns.simhashBits).map { j =>
       sum(when(expr(s"(x div ${1L << j}) % 2") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j")
     }
     val simExpr = (0 until HashFns.simhashBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    toks.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simExpr.as("simhash"))
   }

@@ -34,7 +34,7 @@ object ContentQueries {
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |rdedup AS (
        |  SELECT user_id, business_id,
-       |         round((${Cross.dsumSql("stars", 2)} / COUNT(*)) + 1e-9, 6) AS stars
+       |         (round((${Cross.dsumSql("stars", 2)} / COUNT(*)) + 1e-9, 6) + 0.0) AS stars
        |  FROM reviews GROUP BY user_id, business_id)""".stripMargin
 
   private val tfidfCtes =
@@ -44,10 +44,10 @@ object ContentQueries {
        |        FROM (SELECT DISTINCT business_id, term FROM tok) t GROUP BY term),
        |nb AS (SELECT COUNT(DISTINCT business_id) AS n FROM biztext),
        |tfidf AS (
-       |  SELECT business_id, term, round((tf * log2(n::DOUBLE / df::DOUBLE)) + 1e-9, 6) AS tfidf
+       |  SELECT business_id, term, (round((tf * log2(n::DOUBLE / df::DOUBLE)) + 1e-9, 6) + 0.0) AS tfidf
        |  FROM tfr JOIN dfr USING (term) CROSS JOIN nb),
        |vocab AS (
-       |  SELECT term, round((MAX(tfidf)) + 1e-9, 6) AS max_tfidf FROM tfidf GROUP BY term
+       |  SELECT term, (round((MAX(tfidf)) + 1e-9, 6) + 0.0) AS max_tfidf FROM tfidf GROUP BY term
        |  ORDER BY max_tfidf DESC, term LIMIT $V),
        |bprof AS (
        |  SELECT business_id, t.term AS term, tfidf AS w
@@ -60,7 +60,7 @@ object ContentQueries {
        |  SELECT user_id, term, ${ds("w")} AS sw
        |  FROM rated JOIN bprof USING (business_id) GROUP BY user_id, term),
        |uprof AS (
-       |  SELECT user_id, term, round((sw / n_rated::DOUBLE) + 1e-9, 6) AS uw
+       |  SELECT user_id, term, (round((sw / n_rated::DOUBLE) + 1e-9, 6) + 0.0) AS uw
        |  FROM up1 JOIN nrated USING (user_id))""".stripMargin
 
   private def bizTextDF(spark: SparkSession, dir: String): DataFrame =
@@ -116,9 +116,9 @@ object ContentQueries {
        |bn AS (SELECT business_id, ${Cross.dxsumSql("w", "w")} AS bsq FROM bprof GROUP BY business_id),
        |cosed AS (
        |  SELECT p.user_id, p.business_id,
-       |    round((CASE WHEN dot IS NULL OR usq IS NULL OR bsq IS NULL
+       |    (round((CASE WHEN dot IS NULL OR usq IS NULL OR bsq IS NULL
        |                    OR usq = 0.0 OR bsq = 0.0 THEN 0.0
-       |          ELSE dot / (sqrt(usq) * sqrt(bsq)) END) + 1e-9, 6) AS cos
+       |          ELSE dot / (sqrt(usq) * sqrt(bsq)) END) + 1e-9, 6) + 0.0) AS cos
        |  FROM pairs p
        |  LEFT JOIN dots d ON p.user_id = d.user_id AND p.business_id = d.business_id
        |  LEFT JOIN un ON p.user_id = un.user_id
@@ -128,12 +128,12 @@ object ContentQueries {
        |bavg AS (SELECT business_id, ${Cross.dsumSql("stars", 2)} / COUNT(*) AS biz_avg
        |         FROM reviews GROUP BY business_id)
        |SELECT c.user_id, c.business_id, c.cos,
-       |  round((CASE
+       |  (round((CASE
        |    WHEN user_avg IS NOT NULL AND biz_avg IS NOT NULL
        |      THEN c.cos * user_avg + (1.0 - c.cos) * biz_avg
        |    WHEN user_avg IS NOT NULL THEN user_avg
        |    WHEN biz_avg IS NOT NULL THEN biz_avg
-       |    ELSE 2.5 END) + 1e-9, 6) AS pred
+       |    ELSE 2.5 END) + 1e-9, 6) + 0.0) AS pred
        |FROM cosed c
        |LEFT JOIN uavg u ON c.user_id = u.user_id
        |LEFT JOIN bavg b ON c.business_id = b.business_id
@@ -183,9 +183,9 @@ object ContentQueries {
        |bn AS (SELECT business_id, ${Cross.dxsumSql("w", "w")} AS bsq FROM bprof GROUP BY business_id),
        |cosed AS (
        |  SELECT p.user_id, p.business_id,
-       |    round((CASE WHEN dot IS NULL OR usq IS NULL OR bsq IS NULL
+       |    (round((CASE WHEN dot IS NULL OR usq IS NULL OR bsq IS NULL
        |                    OR usq = 0.0 OR bsq = 0.0 THEN 0.0
-       |          ELSE dot / (sqrt(usq) * sqrt(bsq)) END) + 1e-9, 6) AS cos
+       |          ELSE dot / (sqrt(usq) * sqrt(bsq)) END) + 1e-9, 6) + 0.0) AS cos
        |  FROM pairs p
        |  LEFT JOIN dots d ON p.user_id = d.user_id AND p.business_id = d.business_id
        |  LEFT JOIN un ON p.user_id = un.user_id
@@ -206,10 +206,10 @@ object ContentQueries {
 
   private def ruleSql(rule: String, bothExpr: String) =
     s"""SELECT '$rule' AS rule, user_id, business_id, cos, decision,
-       |  round((CASE WHEN decision = 'both' THEN $bothExpr
+       |  (round((CASE WHEN decision = 'both' THEN $bothExpr
        |        WHEN decision = 'user_only' THEN user_avg
        |        WHEN decision = 'biz_only' THEN biz_avg
-       |        ELSE 2.5 END) + 1e-9, 6) AS pred FROM sel""".stripMargin
+       |        ELSE 2.5 END) + 1e-9, 6) + 0.0) AS pred FROM sel""".stripMargin
 
   private def sharedInputs(spark: SparkSession, dir: String) = {
     val tfidf = ContentBased.bizTfidf(bizTextDF(spark, dir)).cache()
@@ -280,7 +280,7 @@ object ContentQueries {
        |  SELECT user_id, business_id, 3.0 AS stars FROM pairs
        |  WHERE user_id >= 10000000 OR business_id >= 10000000)
        |SELECT decision,
-       |  round((sqrt(${ds("(pred - stars) * (pred - stars)")} / COUNT(*))) + 1e-9, 6) AS rmse,
+       |  (round((sqrt(${ds("(pred - stars) * (pred - stars)")} / COUNT(*))) + 1e-9, 6) + 0.0) AS rmse,
        |  COUNT(*) AS n
        |FROM preds JOIN gt USING (user_id, business_id)
        |GROUP BY decision

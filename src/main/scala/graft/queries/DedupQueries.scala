@@ -69,8 +69,8 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |  round((COALESCE(i.i, 0)::DOUBLE /
-       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |  (round((COALESCE(i.i, 0)::DOUBLE /
+       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
        |FROM cand c
        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
        |JOIN sizes sa ON c.doc_a = sa.doc_id
@@ -100,7 +100,7 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id)
        |SELECT doc_a, doc_b,
-       |  round((i::DOUBLE / (sa.n + sb.n - i)::DOUBLE) + 1e-9, 6) AS jaccard
+       |  (round((i::DOUBLE / (sa.n + sb.n - i)::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
        |FROM inter
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
@@ -177,8 +177,8 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |  round((COALESCE(i.i, 0)::DOUBLE /
-       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |  (round((COALESCE(i.i, 0)::DOUBLE /
+       |        (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
        |FROM cand c
        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
        |JOIN sizes sa ON c.doc_a = sa.doc_id
@@ -218,7 +218,7 @@ object DedupQueries {
        |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
        |  JOIN sizes sa ON c.doc_a = sa.doc_id
        |  JOIN sizes sb ON c.doc_b = sb.doc_id
-       |  WHERE round((COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) >= 0.5),
+       |  WHERE (round((COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) + 0.0) >= 0.5),
        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM documents
@@ -257,8 +257,8 @@ object DedupQueries {
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
        |SELECT id_a, id_b, jaccard FROM (
        |  SELECT c.doc_a AS id_a, c.doc_b AS id_b,
-       |    round((COALESCE(i.i, 0)::DOUBLE /
-       |          (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |    (round((COALESCE(i.i, 0)::DOUBLE /
+       |          (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
        |  FROM cand c
        |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
        |  JOIN sizes sa ON c.doc_a = sa.doc_id
@@ -321,8 +321,8 @@ object DedupQueries {
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
        |SELECT doc_id, bench_id, jaccard FROM (
        |  SELECT c.doc_id, c.bench_id,
-       |    round((COALESCE(i.i, 0)::DOUBLE /
-       |          (na.n + nb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |    (round((COALESCE(i.i, 0)::DOUBLE /
+       |          (na.n + nb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
        |  FROM cand c
        |  LEFT JOIN inter i ON c.doc_id = i.doc_id AND c.bench_id = i.bench_id
        |  JOIN sizes na ON c.doc_id = na.doc_id

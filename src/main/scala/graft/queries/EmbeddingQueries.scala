@@ -29,7 +29,7 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+       |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
@@ -53,7 +53,7 @@ object EmbeddingQueries {
        |    ELSE list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE / nrm)
        |    END AS ne
        |  FROM nrm)
-       |SELECT vec_a, vec_b, round((cos) + 1e-9, 6) AS cos FROM (
+       |SELECT vec_a, vec_b, (round((cos) + 1e-9, 6) + 0.0) AS cos FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    list_sum(list_transform(range(1, len(a.ne) + 1), i -> a.ne[i] * b.ne[i])) AS cos
        |  FROM normed a JOIN normed b
@@ -134,7 +134,7 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+       |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
@@ -147,8 +147,8 @@ object EmbeddingQueries {
     "q43_dim_stats",
     s"""SELECT dim,
        |  ${Cross.dsumSql("embedding[dim]::DOUBLE", 9)} AS sum_v,
-       |  round((MIN(embedding[dim]::DOUBLE)) + 1e-9, 6) AS min_v,
-       |  round((MAX(embedding[dim]::DOUBLE)) + 1e-9, 6) AS max_v
+       |  (round((MIN(embedding[dim]::DOUBLE)) + 1e-9, 6) + 0.0) AS min_v,
+       |  (round((MAX(embedding[dim]::DOUBLE)) + 1e-9, 6) + 0.0) AS max_v
        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS dim) d
        |GROUP BY dim
        |ORDER BY dim""".stripMargin) { (spark, dir) =>
@@ -175,7 +175,7 @@ object EmbeddingQueries {
          |  SELECT vec_id, label, cell, d,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |  FROM dists)
-         |SELECT vec_id, label, cell, round((d) + 1e-9, 6) AS dist
+         |SELECT vec_id, label, cell, (round((d) + 1e-9, 6) + 0.0) AS dist
          |FROM ranked WHERE rn = 1
          |ORDER BY vec_id""".stripMargin
     }) { (spark, dir) =>
@@ -208,7 +208,7 @@ object EmbeddingQueries {
          |  SELECT query_id, neighbor_id, cos,
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+         |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin
     }) { (spark, dir) =>
@@ -245,7 +245,7 @@ object EmbeddingQueries {
          |  SELECT query_id, neighbor_id, cos,
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+         |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin
     }) { (spark, dir) =>
@@ -328,7 +328,7 @@ object EmbeddingQueries {
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round((cos) + 1e-9, 6) AS cos
+       |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val qc = Tables.embeddings(spark, dir)

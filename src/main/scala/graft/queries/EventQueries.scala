@@ -294,7 +294,7 @@ object EventQueries {
   val q48 = QueryDef(
     "q48_quantile_sketch",
     """SELECT event_type,
-      |  round((quantile_cont(value, 0.5)) + 1e-9, 6) AS p50,
+      |  (round((quantile_cont(value, 0.5)) + 1e-9, 6) + 0.0) AS p50,
       |  TRUE AS approx_in_band
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
@@ -479,7 +479,7 @@ object EventQueries {
        |  SELECT event_type, value FROM events)
        |SELECT event_type AS key, COUNT(*) AS n,
        |  ${Cross.dsumSql("value", 2)} AS sum,
-       |  round((${Cross.dsumSql("value", 2)} / COUNT(*)) + 1e-9, 6) AS avg,
+       |  (round((${Cross.dsumSql("value", 2)} / COUNT(*)) + 1e-9, 6) + 0.0) AS avg,
        |  MIN(value) AS mn, MAX(value) AS mx
        |FROM e GROUP BY event_type
        |ORDER BY key""".stripMargin

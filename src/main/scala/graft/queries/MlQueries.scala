@@ -109,7 +109,7 @@ object MlQueries {
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |rdedup AS (
        |  SELECT user_id, business_id,
-       |         round((${graft.core.Cross.dsumSql("stars", 2)} / COUNT(*)) + 1e-9, 6) AS stars
+       |         (round((${graft.core.Cross.dsumSql("stars", 2)} / COUNT(*)) + 1e-9, 6) + 0.0) AS stars
        |  FROM reviews GROUP BY user_id, business_id)
        |SELECT user_id, business_id, stars FROM rdedup
        |WHERE user_id % 97 = 0

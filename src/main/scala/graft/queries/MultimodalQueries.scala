@@ -76,8 +76,8 @@ object MultimodalQueries {
        |         MIN(v) AS mn, MAX(v) AS mx
        |  FROM bytes GROUP BY doc_id)
        |SELECT b.doc_id, b.n AS n_bytes,
-       |  round((COALESCE(s0, 0)::DOUBLE / GREATEST(b.n, 1)::DOUBLE) + 1e-9, 6) AS f_mean,
-       |  round((COALESCE(s1, 0)::DOUBLE / GREATEST(b.n, 1)::DOUBLE) + 1e-9, 6) AS f_meansq,
+       |  (round((COALESCE(s0, 0)::DOUBLE / GREATEST(b.n, 1)::DOUBLE) + 1e-9, 6) + 0.0) AS f_mean,
+       |  (round((COALESCE(s1, 0)::DOUBLE / GREATEST(b.n, 1)::DOUBLE) + 1e-9, 6) + 0.0) AS f_meansq,
        |  COALESCE(mn, 255)::DOUBLE AS f_min,
        |  COALESCE(mx, 0)::DOUBLE AS f_max
        |FROM b LEFT JOIN stats s ON b.doc_id = s.doc_id
@@ -116,5 +116,29 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99)
+  /** Byte-level SimHash over the payload (Multimodal.payloadSimhash):
+    * binary-modality near-dup sketching with no decode — overlapping
+    * 4-byte hex grams vote on the shared 60-bit sketch. The oracle
+    * replays the identical doubled-offset gram slicing and vote sums,
+    * so every sketch bit is byte-true. */
+  val q128 = QueryDef(
+    "q128_payload_simhash",
+    s"""WITH p AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, n - 3), i -> substr(hx, i * 2 + 1, 8))) AS g
+       |  FROM p WHERE n >= 4),
+       |hxs AS (SELECT doc_id, ${Cross.hash64Sql("g")} AS x FROM g)
+       |SELECT doc_id, ${graft.functions.HashFns.simhashAggSql} AS simhash
+       |FROM hxs GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Multimodal.payloadSimhash(
+        Multimodal.withPayload(Tables.documents(spark, dir)), gramBytes = 4)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q128)
 }

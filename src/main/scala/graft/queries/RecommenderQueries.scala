@@ -25,7 +25,7 @@ object RecommenderQueries {
   private val rdedupCte =
     s"""rdedup AS (
        |  SELECT user_id, business_id,
-       |         round((${ds("stars")} / COUNT(*)) + 1e-9, 6) AS stars
+       |         (round((${ds("stars")} / COUNT(*)) + 1e-9, 6) + 0.0) AS stars
        |  FROM reviews GROUP BY user_id, business_id)""".stripMargin
 
   /** The CF gates run Spark with maxBasket = [[MaxBasketGate]] and the
@@ -68,9 +68,9 @@ object RecommenderQueries {
     s"""WITH $reviewsCte,
        |$avgCtes
        |SELECT kind, id, avg_stars FROM (
-       |  SELECT 'user' AS kind, user_id AS id, round((user_avg) + 1e-9, 6) AS avg_stars FROM uavg
+       |  SELECT 'user' AS kind, user_id AS id, (round((user_avg) + 1e-9, 6) + 0.0) AS avg_stars FROM uavg
        |  UNION ALL
-       |  SELECT 'biz' AS kind, business_id AS id, round((biz_avg) + 1e-9, 6) AS avg_stars FROM bavg) t
+       |  SELECT 'biz' AS kind, business_id AS id, (round((biz_avg) + 1e-9, 6) + 0.0) AS avg_stars FROM bavg) t
        |ORDER BY kind, id""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
     Recommender.userAvg(r)
@@ -87,7 +87,7 @@ object RecommenderQueries {
        |$avgCtes,
        |$pairsCte
        |SELECT p.user_id, p.business_id,
-       |  round((COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5)) + 1e-9, 6) AS pred
+       |  (round((COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5)) + 1e-9, 6) + 0.0) AS pred
        |FROM pairs p
        |LEFT JOIN uavg u ON p.user_id = u.user_id
        |LEFT JOIN bavg b ON p.business_id = b.business_id
@@ -129,13 +129,13 @@ object RecommenderQueries {
        |  GROUP BY business_id),
        |weights AS (
        |  SELECT biz_a, biz_b, n_common,
-       |    round((CASE WHEN (n_common::DOUBLE * (sxx12::DOUBLE / 1e12) - (sx6::DOUBLE / 1e6) * (sx6::DOUBLE / 1e6))
+       |    (round((CASE WHEN (n_common::DOUBLE * (sxx12::DOUBLE / 1e12) - (sx6::DOUBLE / 1e6) * (sx6::DOUBLE / 1e6))
        |                   * (n_common::DOUBLE * (syy12::DOUBLE / 1e12) - (sy6::DOUBLE / 1e6) * (sy6::DOUBLE / 1e6)) <= 0.0 THEN 0.0
        |          ELSE (n_common::DOUBLE * (sxy12::DOUBLE / 1e12) - (sx6::DOUBLE / 1e6) * (sy6::DOUBLE / 1e6)) /
        |               sqrt((n_common::DOUBLE * (sxx12::DOUBLE / 1e12) - (sx6::DOUBLE / 1e6) * (sx6::DOUBLE / 1e6))
-       |                  * (n_common::DOUBLE * (syy12::DOUBLE / 1e12) - (sy6::DOUBLE / 1e6) * (sy6::DOUBLE / 1e6))) END) + 1e-9, 6) AS pearson,
-       |    round(((sxy12::DOUBLE / 1e12) / (sqrt(qa.sumsq) * sqrt(qb.sumsq))) + 1e-9, 6) AS cosine,
-       |    round((n_common::DOUBLE / (qa.n + qb.n - n_common)::DOUBLE) + 1e-9, 6) AS jaccard
+       |                  * (n_common::DOUBLE * (syy12::DOUBLE / 1e12) - (sy6::DOUBLE / 1e6) * (sy6::DOUBLE / 1e6))) END) + 1e-9, 6) + 0.0) AS pearson,
+       |    (round(((sxy12::DOUBLE / 1e12) / (sqrt(qa.sumsq) * sqrt(qb.sumsq))) + 1e-9, 6) + 0.0) AS cosine,
+       |    (round((n_common::DOUBLE / (qa.n + qb.n - n_common)::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
        |  FROM g
        |  JOIN sq qa ON biz_a = qa.business_id
        |  JOIN sq qb ON biz_b = qb.business_id)""".stripMargin
@@ -225,11 +225,11 @@ object RecommenderQueries {
        |  GROUP BY business_id),
        |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM rcap)
        |SELECT biz_a, biz_b, n_common,
-       |  round((CASE WHEN (nu::DOUBLE * (qa.sxx12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qa.sx6::DOUBLE / 1e6))
+       |  (round((CASE WHEN (nu::DOUBLE * (qa.sxx12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qa.sx6::DOUBLE / 1e6))
        |                 * (nu::DOUBLE * (qb.sxx12::DOUBLE / 1e12) - (qb.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6)) <= 0.0 THEN 0.0
        |        ELSE (nu::DOUBLE * (sxy12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6)) /
        |             sqrt((nu::DOUBLE * (qa.sxx12::DOUBLE / 1e12) - (qa.sx6::DOUBLE / 1e6) * (qa.sx6::DOUBLE / 1e6))
-       |                * (nu::DOUBLE * (qb.sxx12::DOUBLE / 1e12) - (qb.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6))) END) + 1e-9, 6) AS pearson_dense
+       |                * (nu::DOUBLE * (qb.sxx12::DOUBLE / 1e12) - (qb.sx6::DOUBLE / 1e6) * (qb.sx6::DOUBLE / 1e6))) END) + 1e-9, 6) + 0.0) AS pearson_dense
        |FROM g
        |JOIN it qa ON biz_a = qa.business_id
        |JOIN it qb ON biz_b = qb.business_id
@@ -269,7 +269,7 @@ object RecommenderQueries {
        |         ${Cross.dxsumSql("wn", "sn")} AS num, ${ds("aw", 6)} AS den
        |  FROM matched GROUP BY user_id, business_id)
        |SELECT user_id, business_id,
-       |  round((CASE WHEN den > 0.0 THEN num / den ELSE 2.5 END) + 1e-9, 6) AS pred
+       |  (round((CASE WHEN den > 0.0 THEN num / den ELSE 2.5 END) + 1e-9, 6) + 0.0) AS pred
        |FROM scored
        |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
@@ -288,11 +288,11 @@ object RecommenderQueries {
        |gt AS (SELECT user_id, business_id, stars FROM rdedup WHERE user_id % 7 = 3),
        |preds AS (
        |  SELECT g.user_id, g.business_id,
-       |    round((COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5)) + 1e-9, 6) AS pred
+       |    (round((COALESCE((user_avg + biz_avg) / 2.0, user_avg, biz_avg, 2.5)) + 1e-9, 6) + 0.0) AS pred
        |  FROM gt g
        |  LEFT JOIN uavg u ON g.user_id = u.user_id
        |  LEFT JOIN bavg b ON g.business_id = b.business_id)
-       |SELECT round((sqrt(${ds("(pred - stars) * (pred - stars)", 6)} / COUNT(*))) + 1e-9, 6) AS rmse
+       |SELECT (round((sqrt(${ds("(pred - stars) * (pred - stars)", 6)} / COUNT(*))) + 1e-9, 6) + 0.0) AS rmse
        |FROM preds JOIN gt USING (user_id, business_id)""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
     val gt = Recommender.dedupReviews(r).filter(pmod(col("user_id"), lit(7)) === 3)
@@ -353,11 +353,11 @@ object RecommenderQueries {
          |  GROUP BY p.user_id),
          |base AS (SELECT user_id, COUNT(*) AS n_gt FROM gt GROUP BY user_id)
          |SELECT base.user_id, n_gt, COALESCE(n_hits, 0) AS n_hits,
-         |  round((COALESCE(n_hits, 0)::DOUBLE / 5.0) + 1e-9, 6) AS precision_k,
-         |  round((COALESCE(n_hits, 0)::DOUBLE / n_gt::DOUBLE) + 1e-9, 6) AS recall,
-         |  round((CASE WHEN first_hit IS NULL THEN 0.0
-         |         ELSE 1.0 / first_hit::DOUBLE END) + 1e-9, 6) AS mrr,
-         |  round((COALESCE(dcg, 0.0) / idcg) + 1e-9, 6) AS ndcg
+         |  (round((COALESCE(n_hits, 0)::DOUBLE / 5.0) + 1e-9, 6) + 0.0) AS precision_k,
+         |  (round((COALESCE(n_hits, 0)::DOUBLE / n_gt::DOUBLE) + 1e-9, 6) + 0.0) AS recall,
+         |  (round((CASE WHEN first_hit IS NULL THEN 0.0
+         |         ELSE 1.0 / first_hit::DOUBLE END) + 1e-9, 6) + 0.0) AS mrr,
+         |  (round((COALESCE(dcg, 0.0) / idcg) + 1e-9, 6) + 0.0) AS ndcg
          |FROM base
          |LEFT JOIN hits ON base.user_id = hits.user_id
          |JOIN ${Ranking.idcgSql(5)} ON least(n_gt, 5) = ideal.m

@@ -532,13 +532,13 @@ object Relational {
       val step = (c: String, p: String) =>
         s"""$p AS (
            |  SELECT nodes.node,
-           |    round(((1.0 - 0.85) / nn + 0.85 * COALESCE(s, 0.0)) + 1e-9, 6) AS pr
+           |    (round(((1.0 - 0.85) / nn + 0.85 * COALESCE(s, 0.0)) + 1e-9, 6) + 0.0) AS pr
            |  FROM nodes CROSS JOIN n LEFT JOIN $c ON nodes.node = $c.node)""".stripMargin
       s"""WITH e AS (SELECT DISTINCT o_orderkey % 50 AS src, o_custkey % 50 AS dst FROM orders),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |n AS (SELECT COUNT(*) AS nn FROM nodes),
          |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-         |p0 AS (SELECT node, round(1.0 / nn + 1e-9, 6) AS pr FROM nodes CROSS JOIN n),
+         |p0 AS (SELECT node, (round(1.0 / nn + 1e-9, 6) + 0.0) AS pr FROM nodes CROSS JOIN n),
          |${round1("p0", "c1")},
          |${step("c1", "p1")},
          |${round1("p1", "c2")},
@@ -560,7 +560,7 @@ object Relational {
   val q125 = QueryDef(
     "q125_standardize", {
       def z(c: String) =
-        s"round((($c - s_$c / n) / (sqrt(n::DOUBLE * q_$c - s_$c * s_$c) / n::DOUBLE)) + 1e-9, 6)"
+        s"(round((($c - s_$c / n) / (sqrt(n::DOUBLE * q_$c - s_$c * s_$c) / n::DOUBLE)) + 1e-9, 6) + 0.0)"
       s"""WITH m AS (
          |  SELECT COUNT(*) AS n,
          |    ${Cross.dsumSql("l_quantity", 2)} AS s_l_quantity,

@@ -58,7 +58,7 @@ object TextAnalysis {
        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
        |n AS (SELECT COUNT(*) AS n FROM documents)
        |SELECT doc_id, term,
-       |  round((tf * log2(n::DOUBLE / df::DOUBLE)) + 1e-9, 6) AS tfidf
+       |  (round((tf * log2(n::DOUBLE / df::DOUBLE)) + 1e-9, 6) + 0.0) AS tfidf
        |FROM tf JOIN df USING (term) CROSS JOIN n
        |ORDER BY tfidf DESC, doc_id, term LIMIT 100""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
@@ -79,9 +79,9 @@ object TextAnalysis {
     s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
        |SELECT doc_id,
        |  len(tk) AS n_tokens,
-       |  CASE WHEN len(tk) > 0 THEN round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) ELSE 0.0 END AS stop_ratio,
-       |  CASE WHEN len(tk) > 0 THEN round((${TextSql.tokenChars("tk")}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) ELSE 0.0 END AS mean_tok_len,
-       |  round(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)::DOUBLE) + 1e-9, 6) AS punct_ratio
+       |  CASE WHEN len(tk) > 0 THEN (round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) + 0.0) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN len(tk) > 0 THEN (round((${TextSql.tokenChars("tk")}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) + 0.0) ELSE 0.0 END AS mean_tok_len,
+       |  (round(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)::DOUBLE) + 1e-9, 6) + 0.0) AS punct_ratio
        |FROM t
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val d = Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text")))
@@ -176,7 +176,7 @@ object TextAnalysis {
        |         COUNT(*) AS n_tokens
        |  FROM tok JOIN freq USING (t) CROSS JOIN tot
        |  GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, round((s / n_tokens::DOUBLE) + 1e-9, 6) AS logprob
+       |SELECT doc_id, n_tokens, (round((s / n_tokens::DOUBLE) + 1e-9, 6) + 0.0) AS logprob
        |FROM scored
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val tok = Tables.documents(spark, dir)
@@ -284,7 +284,7 @@ object TextAnalysis {
        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
        |agg AS (
        |  SELECT doc_id, COUNT(*) AS n_hit_terms,
-       |         round((${Cross.dsumSql("s", 6)}) + 1e-9, 6) AS score
+       |         (round((${Cross.dsumSql("s", 6)}) + 1e-9, 6) + 0.0) AS score
        |  FROM scored GROUP BY doc_id)
        |SELECT doc_id, n_hit_terms, score FROM agg
        |ORDER BY score DESC, doc_id""".stripMargin) { (spark, dir) =>
@@ -307,12 +307,12 @@ object TextAnalysis {
        |bs AS (SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, MAX(c) AS top_b
        |       FROM bc GROUP BY doc_id)
        |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
-       |  round((CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
-       |         ELSE n_distinct::DOUBLE / n_tokens::DOUBLE END) + 1e-9, 6) AS distinct_frac,
-       |  round((CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
-       |         ELSE top_c::DOUBLE / n_tokens::DOUBLE END) + 1e-9, 6) AS top_token_frac,
-       |  round((CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
-       |         ELSE top_b::DOUBLE / n_bigrams::DOUBLE END) + 1e-9, 6) AS top_bigram_frac
+       |  (round((CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+       |         ELSE n_distinct::DOUBLE / n_tokens::DOUBLE END) + 1e-9, 6) + 0.0) AS distinct_frac,
+       |  (round((CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+       |         ELSE top_c::DOUBLE / n_tokens::DOUBLE END) + 1e-9, 6) + 0.0) AS top_token_frac,
+       |  (round((CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+       |         ELSE top_b::DOUBLE / n_bigrams::DOUBLE END) + 1e-9, 6) + 0.0) AS top_bigram_frac
        |FROM documents d
        |LEFT JOIN ts ON d.doc_id = ts.doc_id
        |LEFT JOIN bs ON d.doc_id = bs.doc_id
@@ -336,8 +336,8 @@ object TextAnalysis {
        |  FROM sp JOIN df USING (s) GROUP BY doc_id)
        |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
        |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
-       |  round((CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
-       |         ELSE n_dup_spans::DOUBLE / n_spans::DOUBLE END) + 1e-9, 6) AS dup_frac
+       |  (round((CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+       |         ELSE n_dup_spans::DOUBLE / n_spans::DOUBLE END) + 1e-9, 6) + 0.0) AS dup_frac
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     graft.operators.Repetition.duplicatedSpanFraction(Tables.documents(spark, dir), 6)

@@ -29,7 +29,7 @@ object UserCfQueries {
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |rdedup AS (
        |  SELECT user_id, business_id,
-       |         round((${ds("stars", 2)} / COUNT(*)) + 1e-9, 6) AS stars
+       |         (round((${ds("stars", 2)} / COUNT(*)) + 1e-9, 6) + 0.0) AS stars
        |  FROM reviews GROUP BY user_id, business_id),
        |rated AS (SELECT user_id AS id, CAST(business_id AS VARCHAR) AS token FROM rdedup),
        |hx AS (SELECT id, ${Cross.hash31Sql("token")} AS x FROM rated),
@@ -55,8 +55,8 @@ object UserCfQueries {
        |upairs AS (
        |  SELECT user_a, user_b, jaccard FROM (
        |    SELECT c.id_a AS user_a, c.id_b AS user_b,
-       |      round((COALESCE(i.i, 0)::DOUBLE /
-       |             (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) AS jaccard
+       |      (round((COALESCE(i.i, 0)::DOUBLE /
+       |             (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
        |    FROM cand c
        |    LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
        |    JOIN sizes sa ON c.id_a = sa.id
@@ -87,7 +87,7 @@ object UserCfQueries {
        |           row_number() OVER (PARTITION BY user_id ORDER BY w DESC, neighbor) AS rank
        |    FROM sym) t WHERE rank <= $TopK),
        |uavg2 AS (
-       |  SELECT user_id, round((${ds("stars", 2)} / COUNT(*)) + 1e-9, 6) AS uavg
+       |  SELECT user_id, (round((${ds("stars", 2)} / COUNT(*)) + 1e-9, 6) + 0.0) AS uavg
        |  FROM rdedup GROUP BY user_id),
        |pairs AS (
        |  SELECT c_custkey AS user_id, p_partkey AS business_id
@@ -108,8 +108,8 @@ object UserCfQueries {
        |    ${ds("CASE WHEN w IS NOT NULL THEN abs(w) ELSE 0.0 END")} AS den
        |  FROM matched GROUP BY user_id, business_id)
        |SELECT s.user_id, s.business_id,
-       |  round((CASE WHEN s.den > 0.0 AND u.uavg IS NOT NULL
-       |         THEN u.uavg + s.num / s.den ELSE 0.0 END) + 1e-9, 6) AS pred
+       |  (round((CASE WHEN s.den > 0.0 AND u.uavg IS NOT NULL
+       |         THEN u.uavg + s.num / s.den ELSE 0.0 END) + 1e-9, 6) + 0.0) AS pred
        |FROM scored s LEFT JOIN uavg2 u ON s.user_id = u.user_id
        |ORDER BY s.user_id, s.business_id""".stripMargin) { (spark, dir) =>
     val r = Tables.reviews(spark, dir)
