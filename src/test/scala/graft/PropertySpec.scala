@@ -92,4 +92,56 @@ class PropertySpec extends SparkSpec {
       Prop(got == expected) :| s"got=$got expected=$expected"
     }, minSuccessful = 15)
   }
+
+  test("zValue is a bijection on the bit range and monotone in each axis at the origin") {
+    check(forAll(Gen.choose(0L, 255L), Gen.choose(0L, 255L)) { (a, b) =>
+      val z = Seq((a, b)).toDF("a", "b")
+        .select(graft.operators.Layout.zValue(col("a"), col("b"), 8))
+        .head().getLong(0)
+      // reconstruct both inputs from the interleaved bits
+      val (ra, rb) = (0 until 8).foldLeft((0L, 0L)) { case ((xa, xb), i) =>
+        (xa | (((z >> (2 * i)) & 1L) << i), xb | (((z >> (2 * i + 1)) & 1L) << i))
+      }
+      Prop(ra == a && rb == b) :| s"z=$z reconstructed ($ra,$rb) != ($a,$b)" &&
+        Prop(z >= 0 && z < (1L << 16)) :| "range"
+    }, minSuccessful = 30)
+  }
+
+  test("cdc applyChangeset equals the naive latest-version fold on generated logs") {
+    import graft.operators.Cdc
+    val genChanges = Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(1L, 6L), Gen.choose(0, 99), Gen.prob(0.3)))
+    check(forAll(genChanges) { raw =>
+      // unique (key, version): the contract; dedup generated collisions
+      val changes = raw.groupBy(c => (c._1, c._2)).map(_._2.head).toList
+      val snap = (1L to 4L).map(k => (k, k * 10.0)).toList
+      val got = Cdc.applyChangeset(snap.toDF("k", "v2"),
+          changes.map { case (k, v, p, d) => (k, v, p.toDouble, d) }
+            .toDF("k", "version", "v2", "deleted"), "k", "version")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val expected = snap.flatMap { case (k, p0) =>
+        val log = (0L, p0, false) +: changes.collect { case (ck, v, p, d) if ck == k => (v, p.toDouble, d) }
+        val (v, p, d) = log.maxBy(_._1)
+        if (d) None else Some(k -> ((v, p)))
+      }.toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }, minSuccessful = 15)
+  }
+
+  test("packOffsets bins partition the token stream for any sizes") {
+    val genSizes = Gen.listOfN(20, Gen.choose(0L, 9L))
+    check(forAll(genSizes, Gen.choose(4L, 16L)) { (sizes, binSize) =>
+      val docs = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val out = graft.operators.Packing.packOffsets(
+          docs.toDF("id", "ntok"), col("id"), col("ntok"), binSize, bucketSize = 8L)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val total = sizes.sum
+      val prefix = sizes.scanLeft(0L)(_ + _)
+      Prop(out.map(_._2).toSeq == prefix.init) :| "starts are the exact prefix sums" &&
+        Prop(out.forall { case (n, st, bf, bl) => bf == st / binSize &&
+          bl == (st + math.max(n, 1) - 1) / binSize }) :| "bin arithmetic" &&
+        Prop(out.lastOption.forall { case (n, st, _, _) => st + n == total }) :| "total"
+    }, minSuccessful = 15)
+  }
 }
