@@ -42,4 +42,44 @@ object Features {
     }
     out.drop("n" +: cols.flatMap(c => Seq(s"s_$c", s"q_$c")): _*)
   }
+
+  /** Winsorize: clip each column to its [pLo, pHi] quantile range —
+    * the outlier-taming step before training on heavy-tailed features.
+    * Appends `w_<col>` (clipped value); a row was clipped low iff
+    * `w_<col> > <col>`, high iff `w_<col> < <col>`, so consumers need no
+    * side-channel for the bounds.
+    *
+    * One aggregate pass computes every column's two bounds, the one-row
+    * bound table broadcasts, and each clip is a codegen'd per-row
+    * `least/greatest` (the [[standardize]] shape). `relativeError = 0`
+    * (default) uses the exact interpolated percentile — DuckDB's
+    * `quantile_cont` computes the identical rank statistic, which is what
+    * makes the gate hash-verifiable; bounds are 6-dp rounded on both
+    * sides so the comparison operands are bit-identical. Exact percentile
+    * state is O(distinct values) per column — at 100 TB pass a positive
+    * `relativeError` to switch to `approx_percentile` (a Greenwald-Khanna
+    * style sketch, bounded state, map-side combinable); same plan shape,
+    * no longer oracle-exact. */
+  def winsorize(df: DataFrame, cols: Seq[String], pLo: Double, pHi: Double,
+      relativeError: Double = 0.0): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val aggs = cols.map { c =>
+      val q =
+        if (relativeError == 0.0)
+          expr(s"percentile($c, array($pLo, $pHi))")
+        else
+          percentile_approx(col(c), array(lit(pLo), lit(pHi)),
+            lit(math.max(1, (1.0 / relativeError).toInt)))
+      q.as(s"b_$c")
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val out = cols.foldLeft(df.crossJoin(broadcast(m))) { (acc, c) =>
+      val lo = Cross.r6(col(s"b_$c").getItem(0).cast("double"))
+      val hi = Cross.r6(col(s"b_$c").getItem(1).cast("double"))
+      acc.withColumn(s"w_$c", least(greatest(col(c).cast("double"), lo), hi))
+    }
+    out.drop(cols.map(c => s"b_$c"): _*)
+  }
 }

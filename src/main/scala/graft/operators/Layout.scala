@@ -45,4 +45,39 @@ object Layout {
     val z = zValue(a, b, bits)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
+
+  /** Bucketed table write: hash-bucket `df` on `key` into `buckets`
+    * files per partition, sorted by `key` within each — Spark's
+    * co-located-join layout. Two tables bucketed on their join key with
+    * the SAME bucket count join WITHOUT a shuffle (the Exchange is
+    * elided because both sides already satisfy the join's required
+    * HashClusteredDistribution) — at 100 TB that turns every repeated
+    * fact-to-fact join on the bucket key into a map-side merge.
+    * PlanSpec asserts the zero-Exchange plan. */
+  def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Data-skipping report — the measurable payoff of [[zorder]]: lay
+    * `df` out in fixed-width Z-ranges (file = zValue >> shiftBits, the
+    * deterministic analog of zorder's equi-depth ranges), then emit each
+    * file's footer stats (row count, min/max of both dimensions) plus
+    * whether a scan with predicate `a BETWEEN aLo AND aHi` could skip
+    * the file entirely on its min/max alone. The skipped-file fraction
+    * IS the fraction of 100 TB a z-laid-out scan never reads; because a
+    * Z-range bounds BOTH dimensions, the same layout prunes predicates
+    * on b too — run the report with (b, a) swapped to see that side.
+    * Pure integer arithmetic end to end (engine-bit-identical). */
+  def skippingReport(df: DataFrame, a: Column, b: Column, bits: Int,
+      shiftBits: Int, aLo: Long, aHi: Long): DataFrame = {
+    require(shiftBits >= 0 && shiftBits < 2 * bits,
+      s"need 0 <= shiftBits < ${2 * bits}, got $shiftBits")
+    df.select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .withColumn("file", shiftright(zValue(col("a"), col("b"), bits), shiftBits))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+      .withColumn("skipped", col("max_a") < aLo || col("min_a") > aHi)
+  }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.TextFns
+
+/** N-gram language-model scoring for corpus quality filtering — the
+  * distributed form of the "perplexity filter" stage of LLM data
+  * curation (a KenLM-style score, built from the corpus itself instead
+  * of a shipped binary model; generalizes the reference's token
+  * statistics surface, models/content_based_model.py:84-117, from
+  * counting to scoring).
+  *
+  * The model is an interpolated bigram LM with add-alpha smoothing:
+  *
+  *   P(b | a) = lambda * (c(a,b) + alpha) / (c_prefix(a) + alpha * V)
+  *            + (1 - lambda) * c(b) / T
+  *
+  * where c_prefix(a) = number of bigrams starting with a (so the
+  * conditional rows to 1 over the vocabulary), V = |vocab|, T = total
+  * tokens. A document's score is the mean log2 P over its bigram
+  * positions — low scores flag gibberish/boilerplate.
+  *
+  * Scale shape: three count tables (bigram, prefix, unigram) are all
+  * map-side-combinable aggregations; the scoring pass joins the
+  * document's bigrams against them on their natural keys (shuffle on
+  * token keys, never a cartesian) and the two global scalars (T, V)
+  * ride along as a broadcast single row. Everything is
+  * `org.apache.spark.sql.functions` — no UDF, whole-stage codegen end
+  * to end. Per-term log2 values are decimal-rounded before the sum
+  * ([[Cross.dsum]]) so the result is addition-order- and
+  * engine-independent.
+  */
+object Lm {
+
+  /** Bigram list (a, b) of a token-array column, empty when fewer than
+    * two tokens. */
+  private def bigramsOf(toks: Column): Column =
+    arrays_zip(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+
+  /** Score every document of `docs` (doc_id, text) against the corpus
+    * bigram LM. Returns (doc_id, n_bigrams, avg_logprob) — one row per
+    * document with >= 2 tokens, ordered by the caller.
+    *
+    * Self-training on the scored corpus is the standard bootstrap; to
+    * score against a held-out reference corpus, pass its counts via
+    * `train`. */
+  def bigramScore(docs: DataFrame, lambda: Double, alpha: Double,
+      train: Option[DataFrame] = None): DataFrame = {
+    // scored bigrams feed the probability join; when self-training they
+    // ALSO feed the count tables — cache the one relation instead of
+    // re-tokenizing per consumer (the decontaminateFuzzy precedent)
+    val pairs = bigrams(docs).cache()
+    val trainPairs = train.map(bigrams).getOrElse(pairs)
+    val bgc = trainPairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val pre = bgc.groupBy("a").agg(sum("cab").as("ca"))
+    val ug = tokens(train.getOrElse(docs)).groupBy("t").agg(count(lit(1)).as("cb"))
+    // T and V reduce the (already tiny) unigram table, not the corpus
+    val scalars = ug.agg(sum("cb").as("tt"), count(lit(1)).as("v"))
+    val mix =
+      lit(lambda) * (col("cab") + lit(alpha)).cast("double") /
+        (col("ca") + lit(alpha) * col("v")).cast("double") +
+      lit(1.0 - lambda) * col("cb").cast("double") / col("tt").cast("double")
+    // left joins + zero-fill: a bigram unseen in training still gets its
+    // smoothed mass (alpha / (c_prefix + alpha*V), the point of add-alpha)
+    // instead of silently vanishing from the document's score
+    pairs
+      .join(bgc, Seq("a", "b"), "left")
+      .join(pre, Seq("a"), "left")
+      .join(ug.withColumnRenamed("t", "b"), Seq("b"), "left")
+      .na.fill(0L, Seq("cab", "ca", "cb"))
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(Cross.dsum(log(2.0, mix), 6).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Cross.r6(col("s") / col("n_bigrams").cast("double")).as("avg_logprob"))
+  }
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+
+  /** (doc_id, a, b) bigram rows. */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("z"))
+      .select(col("doc_id"), col("z.0").as("a"), col("z.1").as("b"))
+}

@@ -126,6 +126,36 @@ object MlQueries {
       .orderBy("user_id", "business_id")
   }
 
+  /** S-family, ORC leg (ModelIO.saveOrc/loadOrc): the q79 discipline for
+    * the second columnar format — longs, a decimal-scaled double, and a
+    * string survive Spark → ORC → read, and the aggregate over the
+    * round-tripped table must still hash-match DuckDB computing it from
+    * the base parquet. The filter runs on the ORC SCAN (pushed into the
+    * vectorized reader), so the gate also exercises ORC pushdown. */
+  val q130 = QueryDef(
+    "q130_orc_roundtrip",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${graft.core.Cross.r6Sql(
+           s"${graft.core.Cross.dsumSql("o_totalprice", 2)} / COUNT(*)::DOUBLE")} AS avg_price
+       |FROM orders
+       |WHERE o_custkey % 7 = 0
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    graft.sources.ModelIO.saveOrc(
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+      s"$tmp/orders_orc")
+    graft.sources.ModelIO.loadOrc(spark, s"$tmp/orders_orc")
+      .filter(pmod(col("o_custkey"), lit(7)) === 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Cross.dsum(col("o_totalprice"), 2).as("s"))
+      .select(col("o_orderstatus"), col("n"),
+        graft.core.Cross.r6(col("s") / col("n").cast("double")).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A10/R2: ALS over string-keyed reviews (StringIndexer id assignment in
     * front — reference scripts/train_als.py:55-57; rows-only like q80). */
   val q83 = QueryDef.rowsOnly("q83_als_string_ids") { (spark, dir) =>
@@ -314,5 +344,5 @@ object MlQueries {
     Incremental.merge(partials).orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130)
 }

@@ -473,6 +473,59 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Bucketed co-located join (Layout.bucketedWrite): both fact tables
+    * land hash-bucketed and sorted on the join key, then the join runs
+    * WITHOUT a shuffle (PlanSpec asserts zero Exchange under the join) —
+    * Spark's answer to "this 100 TB join repeats every day; stop paying
+    * its shuffle". The gate round-trips through the bucketed tables and
+    * must still hash-match DuckDB computing from the base parquet —
+    * verifying the bucketed write/read path loses nothing. */
+  val q131 = QueryDef(
+    "q131_bucketed_join",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Cross.dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.operators.Layout
+    Layout.bucketedWrite(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
+      "graft_bkt_orders", "o_orderkey", 8)
+    Layout.bucketedWrite(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "graft_bkt_lineitem", "l_orderkey", 8)
+    spark.table("graft_bkt_orders").hint("merge")
+      .join(spark.table("graft_bkt_lineitem").hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Z-order data-skipping report (Layout.skippingReport): per-Z-range
+    * footer stats plus the could-skip flag for a range predicate on the
+    * FIRST dimension — the measurable payoff of q117's layout key. The
+    * oracle mirrors the identical shift/mask arithmetic, so every
+    * min/max and every skip decision hash-matches. */
+  val q132 = QueryDef(
+    "q132_skipping_report",
+    s"""WITH d AS (
+       |  SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b FROM lineitem),
+       |f AS (
+       |  SELECT a, b, ${graft.operators.Layout.zValueSql("a", "b", 10)} // ${1L << 14} AS file
+       |  FROM d)
+       |SELECT file, COUNT(*) AS n,
+       |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b,
+       |  (MAX(a) < 100 OR MIN(a) > 199) AS skipped
+       |FROM f GROUP BY file
+       |ORDER BY file""".stripMargin) { (spark, dir) =>
+    graft.operators.Layout.skippingReport(
+        Tables.lineitem(spark, dir),
+        pmod(col("l_partkey"), lit(1024)), pmod(col("l_suppkey"), lit(1024)),
+        bits = 10, shiftBits = 14, aLo = 100L, aHi = 199L)
+      .orderBy("file")
+  }
+
   /** CDC merge (Cdc.applyChangeset): snapshot + three change waves —
     * an update, a delete tombstone, and a second-generation update on a
     * subset of the first — compacted to latest-version-wins in one
@@ -580,7 +633,45 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Winsorization (Features.winsorize): clip l_extendedprice to its
+    * exact [p1, p99] quantile range, then per-flag clip counts and the
+    * clipped mean. Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` compute the same interpolated rank statistic
+    * (h = (n-1)·p, linear between the two neighbors); both bounds are
+    * 6-dp rounded on both sides before comparing, so the clip operands
+    * are bit-identical. Clip flags need no bound side-channel:
+    * clipped-low iff w > x, clipped-high iff w < x. */
+  val q129 = QueryDef(
+    "q129_winsorize",
+    s"""WITH b AS (
+       |  SELECT ${Cross.r6Sql("quantile_cont(l_extendedprice, 0.01)")} AS lo,
+       |         ${Cross.r6Sql("quantile_cont(l_extendedprice, 0.99)")} AS hi
+       |  FROM lineitem),
+       |c AS (
+       |  SELECT l_returnflag, l_extendedprice AS x,
+       |         LEAST(GREATEST(l_extendedprice::DOUBLE, lo), hi) AS w
+       |  FROM lineitem CROSS JOIN b)
+       |SELECT l_returnflag,
+       |  COUNT(CASE WHEN w > x THEN 1 END) AS n_lo,
+       |  COUNT(CASE WHEN w < x THEN 1 END) AS n_hi,
+       |  ${Cross.r6Sql(s"${Cross.dsumSql("w", 6)} / COUNT(*)::DOUBLE")} AS avg_w
+       |FROM c
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val w = graft.operators.Features.winsorize(Tables.lineitem(spark, dir),
+      Seq("l_extendedprice"), pLo = 0.01, pHi = 0.99)
+    val x = col("l_extendedprice")
+    val ww = col("w_l_extendedprice")
+    w.groupBy("l_returnflag")
+      .agg(count(when(ww > x, 1)).as("n_lo"),
+        count(when(ww < x, 1)).as("n_hi"),
+        Cross.dsum(ww, 6).as("s"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n_lo"), col("n_hi"),
+        Cross.r6(col("s") / col("n").cast("double")).as("avg_w"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
-    q111, q117, q118, q121, q125)
+    q111, q117, q118, q121, q125, q129, q131, q132)
 }

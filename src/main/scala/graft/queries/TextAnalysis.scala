@@ -373,5 +373,51 @@ object TextAnalysis {
     graft.operators.Sketches.heavyHitters(keys, depth = 4, width = 64, k = 20)
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124)
+  /** Interpolated bigram LM scoring (Lm.bigramScore): the perplexity
+    * quality filter of LLM curation, self-trained on the corpus. The
+    * oracle rebuilds the identical counts and mixture in SQL — integer
+    * counts make every probability term bit-exact across engines, and
+    * the per-position log2 terms are decimal-rounded before summing
+    * (dsum) so addition order can't skew the mean. Docs with < 2 tokens
+    * have no bigram positions and drop out in both formulations. */
+  private val lmLambda = 0.7
+  private val lmAlpha = 1.0
+  // rendered from the SAME Scala doubles the Spark side folds in: Scala's
+  // 1.0 - 0.7 is 0.30000000000000004, not the SQL literal 0.3, and
+  // Double.toString round-trips, so DuckDB parses bit-identical constants
+  // every constant is ::DOUBLE — DuckDB types bare decimal literals as
+  // DECIMAL (exact arithmetic), which would diverge from Spark's doubles
+  private val lmMixSql =
+    s"log2($lmLambda::DOUBLE * (cab + $lmAlpha::DOUBLE) / (ca + $lmAlpha::DOUBLE * v) + " +
+      s"${1.0 - lmLambda}::DOUBLE * cb / tt)"
+
+  val q128 = QueryDef(
+    "q128_bigram_lm",
+    s"""WITH tl AS (SELECT doc_id, $toks AS ts FROM documents),
+       |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tl),
+       |bg AS (SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM pos),
+       |bgc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+       |pre AS (SELECT a, SUM(cab) AS ca FROM bgc GROUP BY a),
+       |ug AS (SELECT t, COUNT(*) AS cb
+       |       FROM (SELECT unnest(ts) AS t FROM tl) GROUP BY t),
+       |sc AS (SELECT SUM(cb) AS tt, COUNT(*) AS v FROM ug),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ${Cross.dsumSql(lmMixSql, 6)} AS s,
+       |    COUNT(*) AS n_bigrams
+       |  FROM bg
+       |  JOIN bgc USING (a, b) JOIN pre USING (a)
+       |  JOIN ug ON ug.t = bg.b
+       |  CROSS JOIN sc
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  ${Cross.r6Sql("s / n_bigrams::DOUBLE")} AS avg_logprob
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Lm.bigramScore(Tables.documents(spark, dir),
+        lambda = lmLambda, alpha = lmAlpha)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128)
 }

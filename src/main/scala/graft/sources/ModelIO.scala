@@ -49,6 +49,17 @@ object ModelIO {
   def loadCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** ORC sink/scan — the second columnar format of the source surface
+    * (beyond-reference; Spark ships native vectorized ORC). Same
+    * predicate-pushdown/column-pruning properties as the parquet path,
+    * so a warehouse standardized on ORC can run every operator here
+    * unchanged. */
+  def saveOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S9: the reference's sparse-profile artifact format — one JSON line
     * per entity holding SparseVector triples `(size, indices[], values[])`
     * (models/content_based_model.py:404-418 persists, 463-469 reloads).
