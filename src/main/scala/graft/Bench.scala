@@ -21,6 +21,10 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-run warehouse: managed-table gates (bucketed joins) never see
+      // another run's leftovers, and the repo never accumulates litter
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs session/codegen/JIT initialization so the
@@ -39,7 +43,9 @@ object Bench {
             failed ::= name
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      SessionHygiene.reset(spark)
+      name -> (if (ok) sec else -1.0)
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")

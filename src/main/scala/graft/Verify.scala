@@ -18,9 +18,14 @@ object Verify {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-run warehouse: managed-table gates (bucketed joins) never see
+      // another run's leftovers, and the repo never accumulates litter
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var errors = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -28,7 +33,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors ::= (name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
+      SessionHygiene.reset(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -45,6 +52,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A crashing query leaves no parquet dir and would silently vanish
+    // from the correctness report (q131 was invisible in round 3 until
+    // cross-referenced against the bench). Leave an explicit marker the
+    // driver — or a human — can pick up.
+    val errJson = errors.reverse
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: " +
+        errors.map(_._1).sorted.mkString(", "))
     spark.stop()
   }
 }

@@ -53,10 +53,23 @@ object Layout {
     * elided because both sides already satisfy the join's required
     * HashClusteredDistribution) — at 100 TB that turns every repeated
     * fact-to-fact join on the bucket key into a map-side merge.
-    * PlanSpec asserts the zero-Exchange plan. */
-  def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * PlanSpec asserts the zero-Exchange plan through this exact helper.
+    *
+    * Idempotent across JVMs: `saveAsTable` alone is not — a fresh
+    * session starts with an empty in-memory catalog, but a previous
+    * run's managed-table directory survives in the warehouse, and the
+    * CREATE then refuses the stale location (LOCATION_ALREADY_EXISTS).
+    * So drop both the catalog entry and any on-disk leftovers first. */
+  def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** Data-skipping report — the measurable payoff of [[zorder]]: lay
     * `df` out in fixed-width Z-ranges (file = zValue >> shiftBits, the

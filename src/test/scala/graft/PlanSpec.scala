@@ -94,21 +94,24 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      // a fresh JVM has an empty in-memory catalog but the managed-table
-      // directories survive in the warehouse dir — clear both
-      for (t <- Seq("graft_bucket_a", "graft_bucket_b")) {
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val d = new java.io.File(s"/tmp/graft_warehouse/$t")
-        if (d.exists()) {
-          d.listFiles().foreach(_.delete()); d.delete()
-        }
-      }
+      // bucketedWrite owns cross-JVM idempotency (stale catalog entry +
+      // leftover warehouse dir) — this test goes through the helper so
+      // both its write path and its cleanup are what's asserted
+      // plant the exact cross-JVM failure state q131 died on: a stale
+      // warehouse directory with NO catalog entry (a bare saveAsTable
+      // refuses it with LOCATION_ALREADY_EXISTS)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      val stale = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        "graft_bucket_a")
+      stale.mkdirs()
+      java.nio.file.Files.writeString(
+        stale.toPath.resolve("leftover.parquet"), "stale")
       val r = graft.model.Recommender.dedupReviews(Tables.reviews(spark, sf()))
-      r.write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
-        .saveAsTable("graft_bucket_a")
-      r.groupBy("user_id").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
-        .saveAsTable("graft_bucket_b")
+      graft.operators.Layout.bucketedWrite(r, "graft_bucket_a", "user_id", 8)
+      graft.operators.Layout.bucketedWrite(
+        r.groupBy("user_id").agg(count(lit(1)).as("n")),
+        "graft_bucket_b", "user_id", 8)
       val j = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "user_id")
       val plan = j.queryExecution.executedPlan.toString
       // co-located by bucket id: the join consumes both sides with NO
