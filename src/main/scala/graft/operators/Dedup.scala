@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Cross
+import graft.core.{Caching, Cross}
 import graft.functions.{HashFns, TextFns}
 
 /** Document deduplication operators for large-scale training-data pipelines:
@@ -63,15 +63,20 @@ object Dedup {
     * verification over the shingle sets (X9 + X11). */
   def minhashNearDups(spark: SparkSession, docs: DataFrame,
       k: Int, rowsPerBand: Int, shingleN: Int = 3): DataFrame = {
-    val sh = shingleSet(docs, shingleN).cache()
-    val bands = bandTable(minhashSignatures(spark, docs, k, shingleN), rowsPerBand)
-    val a = bands.as("a"); val b = bands.as("b")
-    val cands = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(cands, sh)
+    // the shingle set feeds signatures AND Jaccard verification — cached
+    // for the duration of the computation, released before returning
+    // (Caching.releasing: pairs out are tiny next to the shingle index)
+    val sh = shingleSet(docs, shingleN)
+    Caching.releasing(sh) {
+      val bands = bandTable(minhashSignatures(spark, docs, k, shingleN), rowsPerBand)
+      val a = bands.as("a"); val b = bands.as("b")
+      val cands = a.join(b,
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      withJaccard(cands, sh)
+    }
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
@@ -89,16 +94,18 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, minJaccard: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val shAll = shingleSet(docs, shingleN)
-    val sh = (if (maxShingleDf == Long.MaxValue) shAll
+    val sh = if (maxShingleDf == Long.MaxValue) shAll
       else shAll.join(
         shAll.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf).select("sh"),
-        "sh")).cache()
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    attachJaccard(inter, sh).filter(col("jaccard") >= minJaccard)
+        "sh")
+    Caching.releasing(sh) {
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      attachJaccard(inter, sh).filter(col("jaccard") >= minJaccard)
+    }
   }
 
   /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set.
@@ -165,35 +172,37 @@ object Dedup {
   def decontaminateFuzzy(spark: SparkSession, docs: DataFrame, bench: DataFrame,
       k: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double): DataFrame = {
     // the shingle relations feed three consumers each (signatures,
-    // intersection, sizes) — cache them once instead of re-tokenizing
-    // the corpus per consumer (the Lsh.candidatePairs precedent)
-    val dSh = shingleSet(docs, shingleN).cache()
+    // intersection, sizes) — cached for the computation, released before
+    // returning (the matched pairs out are tiny next to either index)
+    val dSh = shingleSet(docs, shingleN)
     val bSh = shingleSet(bench, shingleN)
-      .select(col("doc_id").as("bench_id"), col("sh")).cache()
-    val dBands = Lsh.bands(Lsh.signatures(spark,
-      dSh.select(col("doc_id").as("id"), col("sh").as("token")), k), rowsPerBand)
-    val bBands = Lsh.bands(Lsh.signatures(spark,
-      bSh.select(col("bench_id").as("id"), col("sh").as("token")), k), rowsPerBand)
-    val cands = dBands.join(
-        broadcast(bBands.withColumnRenamed("id", "bench_id")), Seq("band", "bkey"))
-      .select(col("id").as("doc_id"), col("bench_id"))
-      .distinct()
-    val inter = cands
-      .join(dSh, "doc_id")
-      .join(broadcast(bSh), Seq("bench_id", "sh"))
-      .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("i"))
-    val na = dSh.groupBy("doc_id").agg(count(lit(1)).as("na"))
-    val nb = bSh.groupBy("bench_id").agg(count(lit(1)).as("nb"))
-    cands
-      .join(inter, Seq("doc_id", "bench_id"), "left")
-      .na.fill(0, Seq("i"))
-      .join(na, "doc_id")
-      .join(broadcast(nb), "bench_id")
-      .select(col("doc_id"), col("bench_id"),
-        Cross.r6(col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    Caching.releasing(dSh, bSh) {
+      val dBands = Lsh.bands(Lsh.signatures(spark,
+        dSh.select(col("doc_id").as("id"), col("sh").as("token")), k), rowsPerBand)
+      val bBands = Lsh.bands(Lsh.signatures(spark,
+        bSh.select(col("bench_id").as("id"), col("sh").as("token")), k), rowsPerBand)
+      val cands = dBands.join(
+          broadcast(bBands.withColumnRenamed("id", "bench_id")), Seq("band", "bkey"))
+        .select(col("id").as("doc_id"), col("bench_id"))
+        .distinct()
+      val inter = cands
+        .join(dSh, "doc_id")
+        .join(broadcast(bSh), Seq("bench_id", "sh"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("i"))
+      val na = dSh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+      val nb = bSh.groupBy("bench_id").agg(count(lit(1)).as("nb"))
+      cands
+        .join(inter, Seq("doc_id", "bench_id"), "left")
+        .na.fill(0, Seq("i"))
+        .join(na, "doc_id")
+        .join(broadcast(nb), "bench_id")
+        .select(col("doc_id"), col("bench_id"),
+          Cross.r6(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    }
   }
 
   /** 60-bit SimHash per doc (width = HashFns.simhashBits): token-hash bit

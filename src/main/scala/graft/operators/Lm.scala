@@ -52,32 +52,38 @@ object Lm {
   def bigramScore(docs: DataFrame, lambda: Double, alpha: Double,
       train: Option[DataFrame] = None): DataFrame = {
     // scored bigrams feed the probability join; when self-training they
-    // ALSO feed the count tables — cache the one relation instead of
-    // re-tokenizing per consumer (the decontaminateFuzzy precedent)
-    val pairs = bigrams(docs).cache()
-    val trainPairs = train.map(bigrams).getOrElse(pairs)
-    val bgc = trainPairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-    val pre = bgc.groupBy("a").agg(sum("cab").as("ca"))
-    val ug = tokens(train.getOrElse(docs)).groupBy("t").agg(count(lit(1)).as("cb"))
-    // T and V reduce the (already tiny) unigram table, not the corpus
-    val scalars = ug.agg(sum("cb").as("tt"), count(lit(1)).as("v"))
-    val mix =
-      lit(lambda) * (col("cab") + lit(alpha)).cast("double") /
-        (col("ca") + lit(alpha) * col("v")).cast("double") +
-      lit(1.0 - lambda) * col("cb").cast("double") / col("tt").cast("double")
-    // left joins + zero-fill: a bigram unseen in training still gets its
-    // smoothed mass (alpha / (c_prefix + alpha*V), the point of add-alpha)
-    // instead of silently vanishing from the document's score
-    pairs
-      .join(bgc, Seq("a", "b"), "left")
-      .join(pre, Seq("a"), "left")
-      .join(ug.withColumnRenamed("t", "b"), Seq("b"), "left")
-      .na.fill(0L, Seq("cab", "ca", "cb"))
-      .crossJoin(broadcast(scalars))
-      .groupBy("doc_id")
-      .agg(Cross.dsum(log(2.0, mix), 6).as("s"), count(lit(1)).as("n_bigrams"))
-      .select(col("doc_id"), col("n_bigrams"),
-        Cross.r6(col("s") / col("n_bigrams").cast("double")).as("avg_logprob"))
+    // ALSO feed the count tables — cache the one relation for the
+    // computation and release it before returning (the per-doc scores
+    // out are ~1000x smaller than the exploded bigram relation). With a
+    // separate training corpus every relation has one consumer: stay
+    // fully lazy, nothing to cache.
+    val pairs = bigrams(docs)
+    def plan: DataFrame = {
+      val trainPairs = train.map(bigrams).getOrElse(pairs)
+      val bgc = trainPairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      val pre = bgc.groupBy("a").agg(sum("cab").as("ca"))
+      val ug = tokens(train.getOrElse(docs)).groupBy("t").agg(count(lit(1)).as("cb"))
+      // T and V reduce the (already tiny) unigram table, not the corpus
+      val scalars = ug.agg(sum("cb").as("tt"), count(lit(1)).as("v"))
+      val mix =
+        lit(lambda) * (col("cab") + lit(alpha)).cast("double") /
+          (col("ca") + lit(alpha) * col("v")).cast("double") +
+        lit(1.0 - lambda) * col("cb").cast("double") / col("tt").cast("double")
+      // left joins + zero-fill: a bigram unseen in training still gets its
+      // smoothed mass (alpha / (c_prefix + alpha*V), the point of add-alpha)
+      // instead of silently vanishing from the document's score
+      pairs
+        .join(bgc, Seq("a", "b"), "left")
+        .join(pre, Seq("a"), "left")
+        .join(ug.withColumnRenamed("t", "b"), Seq("b"), "left")
+        .na.fill(0L, Seq("cab", "ca", "cb"))
+        .crossJoin(broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(Cross.dsum(log(2.0, mix), 6).as("s"), count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Cross.r6(col("s") / col("n_bigrams").cast("double")).as("avg_logprob"))
+    }
+    if (train.isEmpty) graft.core.Caching.releasing(pairs)(plan) else plan
   }
 
   private def tokens(docs: DataFrame): DataFrame =

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Cross
+import graft.core.{Caching, Cross}
 import graft.functions.HashFns
 
 /** Generic MinHash + banded LSH over an (id, token) relation — the
@@ -50,7 +50,19 @@ object Lsh {
     * the token sets attached; keeps pairs with jaccard ≥ minJaccard. */
   def candidatePairs(spark: SparkSession, items: DataFrame,
       k: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val it = items.distinct().cache()
+    // the distinct token table feeds signatures, verification, and sizes
+    // — cached for the computation, released before returning
+    val it = items.distinct()
+    Caching.releasing(it)(candidatePairsPlan(spark, it, k, rowsPerBand, minJaccard))
+  }
+
+  /** The lazy plan behind [[candidatePairs]], over an already-distinct
+    * (id, token) relation. Package-visible so PlanSpec can assert the
+    * join shape (band equi-join, never a cartesian) — the public API
+    * materializes through a checkpoint, which truncates the plan the
+    * assertion needs to see. */
+  private[graft] def candidatePairsPlan(spark: SparkSession, it: DataFrame,
+      k: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val bt = bands(signatures(spark, it, k), rowsPerBand)
     val cands = bt.as("a").join(bt.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -117,7 +117,9 @@ object MlQueries {
     val slice = Recommender.dedupReviews(Tables.reviews(spark, dir))
       .filter(pmod(col("user_id"), lit(97)) === 0)
       .select(col("user_id"), col("business_id"), col("stars").as("pred"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+    // fixed path + overwrite, NOT createTempDirectory: a fresh dir per
+    // invocation would accumulate a corpus copy on every gate/bench run
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_io_gate"
     graft.sources.ModelIO.savePredictionsJson(slice, s"$tmp/json")
     val viaJson = graft.sources.ModelIO.loadPredictionsJson(spark, s"$tmp/json")
     graft.sources.ModelIO.saveCsv(viaJson, s"$tmp/csv")
@@ -141,7 +143,9 @@ object MlQueries {
        |WHERE o_custkey % 7 = 0
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    // fixed path + overwrite, NOT createTempDirectory: a fresh dir per
+    // invocation would accumulate an orders copy on every gate/bench run
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_gate"
     graft.sources.ModelIO.saveOrc(
       Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),

@@ -121,8 +121,8 @@ object MultimodalQueries {
     * 4-byte hex grams vote on the shared 60-bit sketch. The oracle
     * replays the identical doubled-offset gram slicing and vote sums,
     * so every sketch bit is byte-true. */
-  val q128 = QueryDef(
-    "q128_payload_simhash",
+  val q133 = QueryDef(
+    "q133_payload_simhash",
     s"""WITH p AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
        |         octet_length(encode(text)) AS n
@@ -140,5 +140,5 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q128)
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q133)
 }

@@ -37,9 +37,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH candidate generation never plans a cartesian product") {
-    val pairs = graft.operators.Lsh.candidatePairs(spark,
+    // assert on the lazy inner plan: the public candidatePairs
+    // materializes through a checkpoint (cache-release discipline),
+    // which truncates the plan this assertion needs to see
+    val pairs = graft.operators.Lsh.candidatePairsPlan(spark,
       Tables.documents(spark, sf()).select(col("doc_id").as("id"),
-        explode(graft.functions.TextFns.tokens(col("text"))).as("token")),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("token")).distinct(),
       k = 8, rowsPerBand = 2, minJaccard = 0.5)
     assert(!planOf(pairs).contains("CartesianProduct"))
   }
