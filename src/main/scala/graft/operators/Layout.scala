@@ -71,6 +71,38 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 
+  /** Write `df`'s (a, b) projection z-laid-out to real parquet at `path`
+    * with DETERMINISTIC file boundaries: file = zValue >> shiftBits, one
+    * directory partition per fixed-width Z-range (the deterministic
+    * analog of [[zorder]]'s sampled equi-depth ranges — reproducible by
+    * any engine, so a read-back gate can hash-verify the physical layout
+    * against arithmetic computed from the base table). Each Z-range
+    * bounds BOTH dimensions, so the written files prune scans on either
+    * column's predicate. */
+  def zorderWrite(df: DataFrame, a: Column, b: Column, bits: Int,
+      shiftBits: Int, path: String): Unit = {
+    require(shiftBits >= 0 && shiftBits < 2 * bits,
+      s"need 0 <= shiftBits < ${2 * bits}, got $shiftBits")
+    df.select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .withColumn("file", shiftright(zValue(col("a"), col("b"), bits), shiftBits))
+      .repartition(col("file"))
+      .write.mode("overwrite").partitionBy("file").parquet(path)
+  }
+
+  /** Per-file stats over a [[zorderWrite]] table as READ BACK from disk
+    * — same output shape as [[skippingReport]], but every row count and
+    * min/max comes from the physical files, so hash-equality against the
+    * arithmetic oracle proves the written layout lost nothing and that
+    * the skip decisions a footer-stats pruner would make on these real
+    * files match the prediction. */
+  def fileStats(laid: DataFrame, aLo: Long, aHi: Long): DataFrame =
+    laid
+      .groupBy(col("file").cast("long").as("file"))
+      .agg(count(lit(1)).as("n"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+      .withColumn("skipped", col("max_a") < aLo || col("min_a") > aHi)
+
   /** Data-skipping report — the measurable payoff of [[zorder]]: lay
     * `df` out in fixed-width Z-ranges (file = zValue >> shiftBits, the
     * deterministic analog of zorder's equi-depth ranges), then emit each

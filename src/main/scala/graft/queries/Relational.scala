@@ -526,6 +526,36 @@ object Relational {
       .orderBy("file")
   }
 
+  /** Real-file Z-order round-trip (Layout.zorderWrite + fileStats):
+    * orders lands on disk as ACTUAL parquet partitioned into
+    * deterministic Z-ranges, is read back, and the per-file row counts /
+    * min-max stats / skip decisions must hash-match DuckDB computing the
+    * same layout arithmetically from the base table — q132 verifies the
+    * skipping ARITHMETIC; this verifies the physical WRITE/READ path
+    * loses nothing. PlanSpec separately asserts that a range predicate
+    * on these real files prunes row groups at the scan. */
+  val q134 = QueryDef(
+    "q134_zorder_files",
+    s"""WITH d AS (
+       |  SELECT o_custkey % 1024 AS a, o_orderkey % 1024 AS b FROM orders),
+       |f AS (
+       |  SELECT a, b, ${graft.operators.Layout.zValueSql("a", "b", 10)} // ${1L << 14} AS file
+       |  FROM d)
+       |SELECT file, COUNT(*) AS n,
+       |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b,
+       |  (MAX(a) < 100 OR MIN(a) > 199) AS skipped
+       |FROM f GROUP BY file
+       |ORDER BY file""".stripMargin) { (spark, dir) =>
+    import graft.operators.Layout
+    // fixed path + overwrite (the q130 discipline): no per-run litter
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_gate"
+    Layout.zorderWrite(Tables.orders(spark, dir),
+      pmod(col("o_custkey"), lit(1024)), pmod(col("o_orderkey"), lit(1024)),
+      bits = 10, shiftBits = 14, path)
+    Layout.fileStats(spark.read.parquet(path), aLo = 100L, aHi = 199L)
+      .orderBy("file")
+  }
+
   /** CDC merge (Cdc.applyChangeset): snapshot + three change waves —
     * an update, a delete tombstone, and a second-generation update on a
     * subset of the first — compacted to latest-version-wins in one
@@ -673,5 +703,5 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
-    q111, q117, q118, q121, q125, q129, q131, q132)
+    q111, q117, q118, q121, q125, q129, q131, q132, q134)
 }

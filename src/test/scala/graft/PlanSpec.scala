@@ -124,6 +124,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-ordered parquet prunes row groups on a single-dimension predicate") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_test").toString
+    val d = Tables.lineitem(spark, sf())
+      .select(pmod(col("l_partkey"), lit(1024)).as("a"),
+        pmod(col("l_suppkey"), lit(1024)).as("b"))
+    // 16 real files, range-partitioned and sorted by the z-value — each
+    // file's parquet footer then bounds BOTH a and b
+    graft.operators.Layout.zorder(d, col("a"), col("b"), bits = 10, numFiles = 16)
+      .write.mode("overwrite").parquet(tmp)
+    val total = spark.read.parquet(tmp).count()
+    val rd = spark.read.parquet(tmp).filter(col("a").between(100, 199))
+    rd.collect()
+    val scans = rd.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, rd.queryExecution.executedPlan.toString)
+    // numOutputRows on the scan counts rows the reader actually surfaced
+    // — row groups whose a-min/max exclude [100, 199] are skipped on
+    // footer stats alone, so a z-laid-out table must read well under
+    // the full row count (the measurable payoff of the layout)
+    val rowsRead = scans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsRead < total * 6 / 10,
+      s"z-order row-group pruning ineffective: read $rowsRead of $total")
+  }
+
   test("curation operators keep their scale shapes") {
     val docs = Tables.documents(spark, sf())
     // decontamination probes the benchmark as a broadcast, never a shuffle
