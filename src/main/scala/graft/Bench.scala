@@ -25,6 +25,9 @@ object Bench {
       // another run's leftovers, and the repo never accumulates litter
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+      // broadcast/shuffle cleanup needs GC (see SessionHygiene.reset);
+      // 1 min keeps long individual gates from accumulating mid-flight
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs session/codegen/JIT initialization so the

@@ -19,12 +19,22 @@ object SessionHygiene {
     * (localCheckpoints and any persist the cache manager doesn't track),
     * and session-scoped temp views. Managed tables are left alone —
     * bucketed-table gates own their lifecycle via
-    * [[graft.operators.Layout.bucketedWrite]]'s idempotent overwrite. */
+    * [[graft.operators.Layout.bucketedWrite]]'s idempotent overwrite.
+    *
+    * The explicit GC is load-bearing, not hygiene theater: broadcast
+    * blobs and shuffle state are only released when the ContextCleaner
+    * processes their weak references, WHICH REQUIRES A GC — and Spark's
+    * own safety-net GC (spark.cleaner.periodicGC.interval) defaults to
+    * 30 MINUTES, longer than the whole suite. Without it, 130+ queries'
+    * broadcast join relations accumulate in an 8 GiB heap and mid-suite
+    * gates measure 5-6x their isolated cost from memory pressure alone
+    * (round-4 measurement: q32 274 s in-suite vs ~45 s isolated). */
   def reset(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.catalog.listTables().collect()
       .filter(_.isTemporary)
       .foreach(t => spark.catalog.dropTempView(t.name))
+    System.gc()
   }
 }

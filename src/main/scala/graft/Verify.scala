@@ -22,6 +22,9 @@ object Verify {
       // another run's leftovers, and the repo never accumulates litter
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft_wh_").toString)
+      // broadcast/shuffle cleanup needs GC (see SessionHygiene.reset);
+      // 1 min keeps long individual gates from accumulating mid-flight
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

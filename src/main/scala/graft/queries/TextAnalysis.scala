@@ -419,5 +419,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128)
+  /** Token-budget corpus selection (Curation.selectUnderBudget): keep
+    * the highest-quality docs (stopword-ratio score, the q23 formula)
+    * until a global 20k-token budget is exhausted — greedy prefix of the
+    * (quality DESC, doc_id) order. The Spark side runs the banded
+    * two-level prefix sum; the oracle computes the same cumulative sum
+    * with one flat window, so hash-equality proves the distributed scan
+    * reproduces the global order exactly. */
+  val q135 = QueryDef(
+    "q135_budget_select",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id, len(tk)::BIGINT AS ntok,
+       |    CASE WHEN len(tk) > 0 THEN (round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) + 0.0) ELSE 0.0 END AS quality
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, quality, ntok,
+       |    COALESCE(SUM(ntok) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM q)
+       |SELECT doc_id, quality, ntok, cum_before,
+       |  (cum_before + ntok <= 20000) AS selected
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("ntok"),
+        when(size(col("tk")) > 0,
+          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double")))
+          .otherwise(0.0).as("quality"))
+    graft.operators.Curation.selectUnderBudget(d,
+        col("doc_id"), col("quality"), col("ntok"), budget = 20000L, bands = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135)
 }

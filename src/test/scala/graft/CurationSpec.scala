@@ -145,4 +145,55 @@ class CurationSpec extends SparkSpec {
     assert(est(None) == 3L, s"null key must estimate its true count, got $est")
     assert((0 until 5).forall(i => est(Some(s"k$i")) == 1L))
   }
+
+  test("selectUnderBudget takes the exact greedy prefix of the quality order") {
+    import graft.operators.Curation
+    // quality order: id2 (0.9) → id4 (0.5) → id1 (0.5, tie broken by id;
+    // 4 < 1 is false — ascending id wins, so id1 before id4) → id3 (0.1)
+    val docs = Seq(
+      (1L, 0.5, 30L), (2L, 0.9, 40L), (3L, 0.1, 50L), (4L, 0.5, 40L)
+    ).toDF("doc_id", "q", "ntok")
+    val out = Curation.selectUnderBudget(docs,
+        col("doc_id"), col("q"), col("ntok"), budget = 100L, bands = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    // order: 2 (cum 0), 1 (cum 40), 4 (cum 70), 3 (cum 110)
+    assert(out(2L) == ((0L, true)))
+    assert(out(1L) == ((40L, true)))
+    // doc 4 needs 70+40=110 > 100: rejected, NOT back-filled
+    assert(out(4L) == ((70L, false)))
+    assert(out(3L) == ((110L, false)))
+    // partitioning independence: the two-level scan must produce the
+    // same cumulative sums under any layout
+    val again = Curation.selectUnderBudget(docs.repartition(7),
+        col("doc_id"), col("q"), col("ntok"), budget = 100L, bands = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out == again)
+  }
+
+  test("selectUnderBudget handles out-of-range quality and zero-token docs") {
+    import graft.operators.Curation
+    val docs = Seq((1L, 1.7, 10L), (2L, -0.3, 0L), (3L, 0.5, 10L))
+      .toDF("doc_id", "q", "ntok")
+    val out = Curation.selectUnderBudget(docs,
+        col("doc_id"), col("q"), col("ntok"), budget = 10L, bands = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    // clamping only affects banding; ordering uses the raw score
+    assert(out(1L) == ((0L, true)))
+    assert(out(3L) == ((10L, false)))
+    // the zero-token doc sits past the exhausted budget: cum 20 > 10,
+    // so even zero more tokens don't admit it (pure prefix rule)
+    assert(out(2L) == ((20L, false)))
+  }
+
+  test("bestPerCluster keeps the highest-quality doc, ties to the min id") {
+    import graft.operators.Curation
+    val cl = Seq(
+      (10L, 0L, 0.3), (11L, 0L, 0.8), (12L, 0L, 0.8), // tie at 0.8 → 11
+      (20L, 1L, 0.0)                                  // singleton
+    ).toDF("doc_id", "cluster", "quality")
+    val out = Curation.bestPerCluster(cl)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((11L, 0.8, 3L)))
+    assert(out(1L) == ((20L, 0.0, 1L)))
+  }
 }
