@@ -26,8 +26,16 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       // broadcast/shuffle cleanup needs GC (see SessionHygiene.reset);
-      // 1 min keeps long individual gates from accumulating mid-flight
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // the between-gate System.gc() covers gate boundaries, this bounds
+      // accumulation inside a single long gate without firing mid-query
+      // every minute
+      .config("spark.cleaner.periodicGC.interval", "5min")
+      // TypedImperativeAggregates (TopKPairs) run under
+      // ObjectHashAggregateExec, which falls back to SORT-based
+      // aggregation after only 128 hash-map keys — with 10^4+ groups per
+      // partition that serializes every heap through a sort. 64k keys of
+      // k-bounded heaps is still tiny state; keep the hash path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs session/codegen/JIT initialization so the

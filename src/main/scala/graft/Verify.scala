@@ -23,8 +23,12 @@ object Verify {
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft_wh_").toString)
       // broadcast/shuffle cleanup needs GC (see SessionHygiene.reset);
-      // 1 min keeps long individual gates from accumulating mid-flight
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // the between-gate System.gc() covers gate boundaries, this bounds
+      // accumulation inside a single long gate without firing mid-query
+      // every minute
+      .config("spark.cleaner.periodicGC.interval", "5min")
+      // keep TopKPairs heaps on the hash-aggregation path (see Bench)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -205,6 +205,42 @@ object Dedup {
     }
   }
 
+  /** Static corpus LSH index for [[streamNearDupCandidates]]:
+    * (corpus_id, band, bkey) via the exploded batch signature path —
+    * built offline once, broadcast to every probe. */
+  def corpusBandIndex(spark: SparkSession, corpus: DataFrame,
+      k: Int, rowsPerBand: Int, shingleN: Int): DataFrame =
+    bandTable(minhashSignatures(spark, corpus, k, shingleN), rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_id")
+
+  /** Streaming near-dup flagging: each arriving document is checked
+    * against a STATIC corpus LSH index ([[corpusBandIndex]]) — the
+    * "have we already got this?" probe an ingestion pipeline runs before
+    * admitting a document. Returns (doc_id, corpus_id, n_bands) for
+    * every corpus doc sharing >= 1 LSH band (self-matches excluded).
+    *
+    * Scale shape — the part that makes this streamable: the probe side
+    * computes its MinHash signature ENTIRELY inside one projection
+    * ([[Lsh.bandStructs]] over the per-row shingle array — zero shuffle,
+    * no state), then map-side joins the broadcast index; the only
+    * stateful operator is the final per-pair band count. Band keys are
+    * byte-identical to the batch [[bandTable]] scheme, so probe and
+    * index agree exactly and the whole flow hash-matches a batch LSH
+    * self-join oracle. Works identically on a batch DataFrame. */
+  def streamNearDupCandidates(docs: DataFrame, corpusBands: DataFrame,
+      k: Int, rowsPerBand: Int, shingleN: Int): DataFrame = {
+    val probe = docs
+      .withColumn("shx",
+        Lsh.tokenHashes(TextFns.shingles(TextFns.tokens(col("text")), shingleN)))
+      .filter(size(col("shx")) > 0)
+      .select(col("doc_id"), explode(Lsh.bandStructs(col("shx"), k, rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    probe.join(broadcast(corpusBands), Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .groupBy("doc_id", "corpus_id")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** 60-bit SimHash per doc (width = HashFns.simhashBits): token-hash bit
     * votes weighted by multiplicity (integer sums → deterministic), bit
     * set where the vote is positive. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Caching, Cross}
@@ -35,6 +35,43 @@ object Lsh {
     }
     wide.select(col("id"), explode(array(longForm: _*)).as("s"))
       .select(col("id"), col("s.h_idx").as("h_idx"), col("s.sig").as("sig"))
+  }
+
+  /** Hashed token array for the expression-level signature path: distinct
+    * tokens → the shared 31-bit hash, all inside one projection. */
+  def tokenHashes(tokens: Column): Column =
+    transform(array_distinct(tokens), t => Cross.hash31(t.cast("string")))
+
+  /** Expression-level MinHash signatures over a PER-ROW hashed token
+    * array ([[tokenHashes]]): sig_i = min over the array of
+    * (a_i·x + b_i) mod P — exactly the minima [[signatures]] computes
+    * from the exploded (id, token) relation, but with ZERO shuffle: the
+    * whole signature is one codegen'd projection. This is the right
+    * shape whenever a row already carries its full token set (documents
+    * do), and the only shape a STREAM can use statelessly. Empty arrays
+    * yield null sigs — filter `size(tokens) > 0` first, mirroring the
+    * exploded path where such docs simply have no rows. */
+  def signatureColsFromHashes(hx: Column, k: Int): Seq[Column] =
+    HashFns.minhashParams(k).map { case (i, a, b) =>
+      array_min(transform(hx, x => pmod(lit(a) * x + lit(b), lit(HashFns.P))))
+        .as(s"sig$i")
+    }
+
+  /** Per-row LSH band keys from the expression signature path: an array
+    * of (band, bkey) structs, bkey = comma-joined sig values in h_idx
+    * order within the band — byte-identical strings to [[bands]], so an
+    * expression-path probe joins a [[bands]]-built index directly. */
+  def bandStructs(hx: Column, k: Int, rowsPerBand: Int): Column = {
+    require(k % rowsPerBand == 0, s"k=$k must be a multiple of rowsPerBand=$rowsPerBand")
+    val sigs = HashFns.minhashParams(k).map { case (_, a, b) =>
+      array_min(transform(hx, x => pmod(lit(a) * x + lit(b), lit(HashFns.P))))
+    }
+    array((0 until k / rowsPerBand).map { bi =>
+      struct(
+        lit(bi.toLong).as("band"),
+        concat_ws(",", sigs.slice(bi * rowsPerBand, (bi + 1) * rowsPerBand)
+          .map(_.cast("string")): _*).as("bkey"))
+    }: _*)
   }
 
   /** Band table (id, band, bkey): band key = sig values in h_idx order. */

@@ -40,6 +40,14 @@ import org.apache.spark.sql.types._
   * window forms stay hash-equal (gate q77). NaN weights ARE ranked, and
   * identically on both paths: Double.compare and Spark's window sort
   * both treat NaN as greater than any value (pinned by TopKAggSpec).
+  *
+  * Memory/planning contract: this runs under ObjectHashAggregateExec,
+  * whose default sort-based fallback triggers after only 128 hash-map
+  * keys (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`) —
+  * a many-group top-k then serializes every heap through a sort and
+  * loses the point of the bounded aggregate. State is k-bounded
+  * (~16·k bytes per group), so sessions running many-group top-k should
+  * raise the threshold (Bench/Verify set 65536).
   */
 case class TopKPairs(
     wExpr: Expression,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Cross
 import graft.functions.{HashFns, TextFns, TextSql}
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, Lsh}
 
 /** Dedup gate queries over `documents` (beyond-reference LLM-pipeline
   * surface; LSH machinery shared with the recommender's user-CF path,
@@ -299,6 +299,66 @@ object DedupQueries {
       .orderBy("cluster")
   }
 
+  /** Expression-level MinHash signatures (Lsh.signatureColsFromHashes):
+    * the whole signature computed inside ONE projection over the per-row
+    * shingle array — zero shuffle, vs the exploded groupBy path q31
+    * gates. Same oracle as q31, so hash-equality proves the two
+    * implementations compute identical minima. */
+  val q138 = QueryDef(
+    "q138_minhash_expr",
+    s"""WITH $shingleCte,
+       |$sigCte
+       |SELECT doc_id, h_idx, sig FROM sigs WHERE doc_id < 32
+       |ORDER BY doc_id, h_idx""".stripMargin) { (spark, dir) =>
+    val sigCols = Lsh.signatureColsFromHashes(col("shx"), K)
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 32)
+      .withColumn("shx",
+        Lsh.tokenHashes(TextFns.shingles(TextFns.tokens(col("text")), ShingleN)))
+      .filter(size(col("shx")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(array((0 until K).map(i =>
+        struct(lit(i).as("h_idx"), col(s"sig$i").as("sig"))): _*)).as("s"))
+      .select(col("doc_id"), col("s.h_idx").as("h_idx"), col("s.sig").as("sig"))
+      .orderBy("doc_id", "h_idx")
+  }
+
+  /** Streaming near-dup ingestion probe (Dedup.streamNearDupCandidates):
+    * documents REPLAYED AS A STREAM are checked against the static
+    * corpus LSH index — probe signatures are a stateless per-row
+    * projection (the q138 expression path), the index is a broadcast,
+    * and only the final per-pair band count keeps state. The result set
+    * is replay-order independent, so the batch band self-join oracle
+    * hash-matches it exactly. */
+  val q137 = QueryDef(
+    "q137_stream_neardup",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R)
+       |SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id, COUNT(*) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, corpus_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val docs = graft.core.Tables.documents(spark, dir)
+    val idx = Dedup.corpusBandIndex(spark, docs, K, R, ShingleN)
+    val docsStream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    graft.streaming.EventStreams.runToCompletion(spark,
+        Dedup.streamNearDupCandidates(docsStream, idx, K, R, ShingleN),
+        "q137_out")
+      .orderBy("doc_id", "corpus_id")
+  }
+
   /** The SelfSimilarityJoin logical operator (custom Catalyst node +
     * optimizer expansion rule) over document shingles, thresholded —
     * same oracle algebra as q32 plus the jaccard cut. */
@@ -401,5 +461,5 @@ object DedupQueries {
       .orderBy("doc_id", "bench_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136)
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138)
 }

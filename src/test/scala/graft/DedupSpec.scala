@@ -170,4 +170,40 @@ class DedupSpec extends SparkSpec {
     assert(got.head.getLong(0) == 10L && got.head.getLong(1) == 20L)
     assert(got.head.getDouble(2) == 1.0)
   }
+
+  test("expression-path signatures and band keys equal the exploded path") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "totally different words entirely here now"),
+      (3L, "xy")).toDF("doc_id", "text")
+    val k = 8; val r = 2; val n = 3
+    // exploded/groupBy path (what the q31/q32 oracles gate)
+    val batch = Dedup.minhashSignatures(spark, docs, k, n)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getLong(2)).toMap
+    // expression path: one projection, no shuffle
+    val sigCols = Lsh.signatureColsFromHashes(col("shx"), k)
+    val exprPath = docs
+      .withColumn("shx", Lsh.tokenHashes(
+        graft.functions.TextFns.shingles(graft.functions.TextFns.tokens(col("text")), n)))
+      .filter(size(col("shx")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+      .collect().flatMap(row =>
+        (0 until k).map(i => (row.getLong(0), i) -> row.getLong(i + 1))).toMap
+    assert(exprPath == batch)
+    // band keys byte-identical too, so an expression-path probe can join
+    // a bands-built index directly
+    val batchBands = Dedup.bandTable(Dedup.minhashSignatures(spark, docs, k, n), r)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getString(2)).toMap
+    val exprBands = docs
+      .withColumn("shx", Lsh.tokenHashes(
+        graft.functions.TextFns.shingles(graft.functions.TextFns.tokens(col("text")), n)))
+      .filter(size(col("shx")) > 0)
+      .select(col("doc_id"), explode(Lsh.bandStructs(col("shx"), k, r)).as("bs"))
+      .collect().map(x => {
+        val bs = x.getStruct(1)
+        (x.getLong(0), bs.getLong(0)) -> bs.getString(1)
+      }).toMap
+    assert(exprBands == batchBands)
+  }
 }
