@@ -71,6 +71,49 @@ object Repetition {
         frac(col("n_dup_spans"), col("n_spans")).as("dup_frac"))
   }
 
+  /** Exact substring dedup at fixed span width — the TRANSFORM behind
+    * [[duplicatedSpanFraction]]'s statistic: every token position of a
+    * non-keeper document covered by a cross-document duplicated w-token
+    * span is REMOVED, and the surviving tokens reassemble in order
+    * ("Deduplicating Training Data Makes Language Models Better"-style
+    * substring dedup, at a fixed width instead of suffix arrays). The
+    * keeper (min doc_id containing the span) keeps its text; every other
+    * doc loses the covered positions. Returns
+    * (doc_id, n_kept, n_removed, kept_text) — kept_text is the
+    * reassembled TOKEN stream (tokenization is not invertible).
+    *
+    * Scale shape: the span-frequency table is one row per DISTINCT span
+    * (distinct doc membership first, so in-doc repetition can't inflate
+    * it); flagged spans explode to ≤ w covered positions each; the
+    * removal is a positional left-anti equi-join; reassembly sorts only
+    * within each doc's own rows. No span-pair or doc-pair join anywhere
+    * — cost Σ spans + w·|flagged|, never Σ df². */
+  def removeDuplicatedSpans(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val tok = tk.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+    val spans = tk.select(col("doc_id"),
+      posexplode(TextFns.shingles(col("tk"), w)).as(Seq("spos", "sp")))
+    val spanDf = spans.select("doc_id", "sp").distinct()
+      .groupBy("sp").agg(count(lit(1)).as("nd"), min("doc_id").as("keeper"))
+    val covered = spans.join(spanDf, "sp")
+      .filter(col("nd") >= 2 && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + lit(w - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          s => s.getField("t"))).as("kept_text"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .na.fill("", Seq("kept_text"))
+      .select(col("doc_id"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"), col("kept_text"))
+  }
+
   private def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
     Cross.r6(when(den === 0L, lit(0.0))
       .otherwise(num.cast("double") / den.cast("double")))

@@ -185,6 +185,23 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((20L, false)))
   }
 
+  test("removeDuplicatedSpans drops covered positions in non-keeper docs only") {
+    import graft.operators.Repetition
+    val docs = Seq(
+      (0L, "a b c d e"),     // keeper of every shared span (min doc_id)
+      (1L, "x a b c y"),     // shares span "a b c" → loses positions 1..3
+      (2L, "q w e r t"),     // nothing shared
+      (3L, "a b c d q")      // spans "a b c" AND "b c d" shared → union covers 0..3
+    ).toDF("doc_id", "text")
+    val out = Repetition.removeDuplicatedSpans(docs, w = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((5L, 0L, "a b c d e")), "keeper must keep its text")
+    assert(out(1L) == ((2L, 3L, "x y")))
+    assert(out(2L) == ((5L, 0L, "q w e r t")))
+    // overlapping flagged spans cover the UNION of their positions
+    assert(out(3L) == ((1L, 4L, "q")))
+  }
+
   test("bestPerCluster keeps the highest-quality doc, ties to the min id") {
     import graft.operators.Curation
     val cl = Seq(

@@ -173,6 +173,14 @@ class PlanSpec extends SparkSpec {
       docs.select(col("doc_id"), length(col("text")).cast("long").as("ntok")),
       col("doc_id"), col("ntok"), binSize = 512, bucketSize = 64)
     assert(planOf(pk).contains("windowspecdefinition(bucket"), planOf(pk))
+    // budget selection's per-row window partitions on the quality band —
+    // the global prefix sum never becomes a single-task sort
+    val sel = graft.operators.Curation.selectUnderBudget(
+      docs.select(col("doc_id"),
+        (length(col("text")) % 100).cast("double").divide(100.0).as("q"),
+        length(col("text")).cast("long").as("n")),
+      col("doc_id"), col("q"), col("n"), budget = 1000L, bands = 16)
+    assert(planOf(sel).contains("windowspecdefinition(band"), planOf(sel))
   }
 
   test("whole-stage codegen covers the scalar hot path") {

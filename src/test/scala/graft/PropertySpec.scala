@@ -144,4 +144,57 @@ class PropertySpec extends SparkSpec {
         Prop(out.lastOption.forall { case (n, st, _, _) => st + n == total }) :| "total"
     }, minSuccessful = 15)
   }
+
+  test("selectUnderBudget equals the flat in-memory greedy prefix for any input") {
+    import graft.operators.Curation
+    val genDocs = Gen.listOfN(25, Gen.zip(
+      Gen.choose(0.0, 1.0).map(q => math.rint(q * 100) / 100.0),
+      Gen.choose(0L, 50L)))
+    check(forAll(genDocs, Gen.choose(0L, 600L), Gen.choose(1, 16)) {
+      (docs, budget, bands) =>
+      val df = docs.zipWithIndex.map { case ((q, n), i) => (i.toLong, q, n) }
+        .toDF("id", "q", "ntok")
+      val got = Curation.selectUnderBudget(df, col("id"), col("q"), col("ntok"),
+          budget, bands)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      // flat reference: sort by (quality desc, id), running prefix sum
+      val order = docs.zipWithIndex
+        .map { case ((q, n), i) => (i.toLong, q, n) }
+        .sortBy { case (i, q, _) => (-q, i) }
+      var cum = 0L
+      val want = order.map { case (i, _, n) =>
+        val r = i -> ((cum, cum + n <= budget)); cum += n; r
+      }.toMap
+      Prop(got == want) :| s"banded scan must equal flat order (bands=$bands)"
+    }, minSuccessful = 15)
+  }
+
+  test("removeDuplicatedSpans equals the brute-force reference for any corpus") {
+    import graft.operators.Repetition
+    // tiny vocab so cross-doc span collisions actually occur
+    val genDoc = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    check(forAll(Gen.listOfN(5, genDoc), Gen.choose(2, 3)) { (texts, w) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Repetition.removeDuplicatedSpans(df, w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+      val toks = texts.map(_.split(" ").toSeq)
+      val spanDocs = toks.zipWithIndex
+        .flatMap { case (ts, d) => ts.sliding(w).filter(_.size == w)
+          .map(sp => (sp.mkString(" "), d.toLong)).toSeq.distinct }
+        .groupBy(_._1).map { case (sp, xs) =>
+          sp -> (xs.map(_._2).distinct.size, xs.map(_._2).min) }
+      val want = toks.zipWithIndex.map { case (ts, d) =>
+        val covered = ts.sliding(w).zipWithIndex.collect {
+          case (sp, j) if sp.size == w &&
+            spanDocs.get(sp.mkString(" ")).exists { case (nd, keeper) =>
+              nd >= 2 && keeper != d.toLong } =>
+            (j until j + w)
+        }.flatten.toSet
+        val kept = ts.zipWithIndex.collect { case (t, j) if !covered(j) => t }
+        d.toLong -> ((kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      Prop(got == want) :| "distributed removal must equal brute force"
+    }, minSuccessful = 15)
+  }
 }
