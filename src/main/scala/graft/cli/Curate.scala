@@ -1,0 +1,118 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cross, Tables}
+import graft.functions.TextFns
+import graft.operators.{Curation, Dedup}
+
+/** End-to-end corpus curation CLI — the LLM-data-pipeline operators
+  * composed the way a data release actually runs them:
+  *
+  *   1. exact dedup (md5 groups, min-id keeper);
+  *   2. MinHash-LSH near-dup clusters → QUALITY-aware survivor per
+  *      cluster (stopword-ratio score, ties to min id);
+  *   3. optional benchmark decontamination (distinct-shingle overlap
+  *      against a broadcast eval corpus);
+  *   4. greedy token-budget selection over the survivors
+  *      (quality-descending prefix);
+  *   5. curated corpus written as parquet + a stage-by-stage row/token
+  *      accounting JSON.
+  *
+  * Every stage is an already-gated operator (q30, q38/q136, q107, q135)
+  * — this main adds only composition and accounting. Usage:
+  *
+  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir]
+  *
+  * benchDir, when given, points at a second documents.parquet directory
+  * whose contents are treated as the held-out benchmark.
+  */
+object Curate {
+
+  final case class Stats(
+      nInput: Long, nAfterExact: Long, nAfterNearDup: Long,
+      nDecontaminated: Long, nSelected: Long, tokensSelected: Long,
+      tokenBudget: Long)
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val budget = args.lift(2).map(_.toLong).getOrElse(50000L)
+    val benchDir = args.lift(3)
+    val spark = Cli.session()
+    val s = run(spark, sfDir, outDir, budget, benchDir)
+    println(f"[curate] input=${s.nInput} exact=${s.nAfterExact} " +
+      f"neardup=${s.nAfterNearDup} decontaminated=${s.nDecontaminated} " +
+      f"selected=${s.nSelected} tokens=${s.tokensSelected}/${s.tokenBudget}")
+    spark.stop()
+  }
+
+  /** Run the full pipeline; returns the per-stage accounting (also
+    * written to `outDir/stats.json`, corpus to `outDir/corpus`). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      budget: Long, benchDir: Option[String] = None): Stats = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nInput = docs.count()
+
+    // 1. exact dedup: keep each md5 group's min-id doc
+    val exactSurvivors = docs.join(
+      Dedup.exactGroups(docs).select(col("keeper").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nExact = exactSurvivors.count()
+
+    // 2. near-dup clusters; each cluster keeps its BEST-quality doc
+    val scored = exactSurvivors
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        size(col("tk")).cast("long").as("ntok"),
+        when(size(col("tk")) > 0,
+          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double")))
+          .otherwise(0.0).as("quality"))
+    val clusters = Dedup.dedupClusters(spark, exactSurvivors,
+      k = 16, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5)
+    val nearSurvivors = scored.join(
+      Curation.bestPerCluster(
+          clusters.join(scored.select("doc_id", "quality"), "doc_id"))
+        .select(col("survivor").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nNear = nearSurvivors.count()
+
+    // 3. optional benchmark decontamination (broadcast eval shingles)
+    val clean = benchDir match {
+      case Some(bd) =>
+        val bench = Tables.documents(spark, bd).select("doc_id", "text")
+        nearSurvivors.join(
+          Dedup.decontaminate(nearSurvivors, bench, shingleN = 3, minOverlap = 1)
+            .filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => nearSurvivors
+    }
+    val nClean = clean.count()
+
+    // 4. greedy token-budget selection over the clean survivors
+    val selected = Curation.selectUnderBudget(clean,
+        col("doc_id"), col("quality"), col("ntok"), budget)
+      .filter(col("selected"))
+      .withColumnRenamed("id", "doc_id")
+    val corpus = selected
+      .join(docs, "doc_id")
+      .select("doc_id", "text", "quality", "ntok", "cum_before")
+    corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
+    val stats = Stats(nInput, nExact, nNear, nNear - nClean,
+      agg.getLong(0), agg.getLong(1), budget)
+
+    val json =
+      s"""{"n_input":${stats.nInput},"n_after_exact":${stats.nAfterExact},
+         |"n_after_neardup":${stats.nAfterNearDup},
+         |"n_decontaminated":${stats.nDecontaminated},
+         |"n_selected":${stats.nSelected},
+         |"tokens_selected":${stats.tokensSelected},
+         |"token_budget":${stats.tokenBudget}}""".stripMargin.replace("\n", "")
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "stats.json"), json)
+    stats
+  }
+}

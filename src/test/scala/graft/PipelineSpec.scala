@@ -382,4 +382,25 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     got.foreach { case (q, n) => assert(n == q + 100000L) }
   }
+
+  test("Curate pipeline: stage accounting is monotone and budget is respected") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val s = graft.cli.Curate.run(spark, sf(), out, budget = 5000L)
+    assert(s.nInput >= s.nAfterExact && s.nAfterExact >= s.nAfterNearDup)
+    assert(s.nSelected <= s.nAfterNearDup - s.nDecontaminated)
+    assert(s.tokensSelected <= s.tokenBudget)
+    assert(s.nSelected > 0, "a 5k-token budget must admit at least one doc")
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() == s.nSelected)
+    // the written corpus carries the ORIGINAL text of selected docs only
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val orig = Tables.documents(spark, sf())
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.select("doc_id", "text").collect()
+      .foreach(r => assert(orig(r.getLong(0)) == r.getString(1)))
+    val statsJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "stats.json"))
+    assert(statsJson.contains(s""""n_selected":${s.nSelected}"""))
+  }
 }
