@@ -260,38 +260,92 @@ object EmbeddingQueries {
     * rounds relationally (assign by r6-rounded squared distance, per-dim
     * decimal mean, r6 each round), so the gate verifies the whole
     * training trajectory, not just the final table shape. */
+  /** Shared oracle fragments for the Lloyd-trained-IVF gates (q49,
+    * q140): seed-centroid VALUES rows and one (assign → recenter)
+    * round over the long-form `emb` relation. */
+  private def lloydSeedVals: String =
+    (0 until Cells).flatMap { c =>
+      HashFns.litVector(s"centroid-$c", Dims).zipWithIndex.map {
+        case (v, i) => s"($c, ${i + 1}, ${v})"
+      }
+    }.mkString(", ")
+
+  private def lloydRound(prev: String, n: Int): String =
+    s"""d$n AS (
+       |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
+       |  FROM emb JOIN $prev USING (dim) GROUP BY vec_id, cell),
+       |a$n AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM d$n) t WHERE rn = 1),
+       |c$n AS (
+       |  SELECT cell, dim, ${Cross.r6Sql(Cross.davgSql("e", 9))} AS v
+       |  FROM a$n JOIN emb USING (vec_id) GROUP BY cell, dim)""".stripMargin
+
+  private def lloydEmbCte: String =
+    s"""emb AS (
+       |  SELECT vec_id, dim, embedding[dim]::DOUBLE AS e
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS dim) dd)""".stripMargin
+
   val q49 = QueryDef(
-    "q49_ivf_train", {
-      val seedVals = (0 until Cells).flatMap { c =>
-        HashFns.litVector(s"centroid-$c", Dims).zipWithIndex.map {
-          case (v, i) => s"($c, ${i + 1}, ${v})"
-        }
-      }.mkString(", ")
-      def round(prev: String, n: Int): String =
-        s"""d$n AS (
-           |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
-           |  FROM emb JOIN $prev USING (dim) GROUP BY vec_id, cell),
-           |a$n AS (SELECT vec_id, cell FROM (
-           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-           |  FROM d$n) t WHERE rn = 1),
-           |c$n AS (
-           |  SELECT cell, dim, ${Cross.r6Sql(Cross.davgSql("e", 9))} AS v
-           |  FROM a$n JOIN emb USING (vec_id) GROUP BY cell, dim)""".stripMargin
-      s"""WITH emb AS (
-         |  SELECT vec_id, dim, embedding[dim]::DOUBLE AS e
-         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS dim) dd),
-         |c0(cell, dim, v) AS (VALUES $seedVals),
-         |${round("c0", 1)},
-         |${round("c1", 2)}
-         |SELECT cell, dim, v FROM c2
-         |ORDER BY cell, dim""".stripMargin
-    }) { (spark, dir) =>
+    "q49_ivf_train",
+    s"""WITH $lloydEmbCte,
+       |c0(cell, dim, v) AS (VALUES $lloydSeedVals),
+       |${lloydRound("c0", 1)},
+       |${lloydRound("c1", 2)}
+       |SELECT cell, dim, v FROM c2
+       |ORDER BY cell, dim""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val cents = SimilaritySearch.ivfTrain(Tables.embeddings(spark, dir), Cells, Dims, iters = 2)
     cents.zipWithIndex.flatMap { case (w, c) =>
       w.zipWithIndex.map { case (v, i) => (c, i + 1, v) }
     }.toSeq.toDF("cell", "dim", "v")
       .orderBy("cell", "dim")
+  }
+
+  /** IVF index persistence round-trip (ModelIO.saveCentroids /
+    * loadCentroids): the trained quantizer is written to parquet,
+    * reloaded, and the search runs against the RELOADED centroids — the
+    * deploy-time lifecycle (train once, every search job reloads). The
+    * oracle re-trains relationally (the q49 unroll), assigns against
+    * the trained centroids, and searches within cells (the q45 shape) —
+    * hash-equality proves the artifact round-trip loses not one bit of
+    * the quantizer. */
+  val q140 = QueryDef(
+    "q140_ivf_persist",
+    s"""WITH $lloydEmbCte,
+       |c0(cell, dim, v) AS (VALUES $lloydSeedVals),
+       |${lloydRound("c0", 1)},
+       |${lloydRound("c1", 2)},
+       |d3 AS (
+       |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
+       |  FROM emb JOIN c2 USING (dim) GROUP BY vec_id, cell),
+       |a3 AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM d3) t WHERE rn = 1),
+       |assigned AS (
+       |  SELECT a3.vec_id, e.embedding, a3.cell
+       |  FROM a3 JOIN embeddings e USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
+       |      FROM assigned WHERE vec_id < 32),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
+       |  FROM q JOIN assigned a USING (cell) WHERE query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cents = SimilaritySearch.ivfTrain(emb, Cells, Dims, iters = 2)
+    // fixed path + overwrite (the q130 discipline): no per-run litter
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_gate"
+    graft.sources.ModelIO.saveCentroids(spark, cents, path)
+    val loaded = graft.sources.ModelIO.loadCentroids(spark, path)
+    SimilaritySearch.ivfTopKTrained(emb.filter(col("vec_id") < 32), emb, 3, loaded)
+      .orderBy("query_id", "rank")
   }
 
   /** Symmetric int8 quantization of the embedding corpus — the 4×
@@ -342,5 +396,5 @@ object EmbeddingQueries {
     SimilaritySearch.rerank(scored, 3).orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140)
 }

@@ -85,6 +85,31 @@ object ModelIO {
       .join(vocabIndex, "idx")
       .select("entity_id", "term", "w")
 
+  /** IVF centroid artifact: one flat parquet of (cell, dim, v) cells —
+    * the trained coarse quantizer an ANN deployment persists once and
+    * every search job reloads. Doubles round-trip bit-exact through
+    * parquet, so search-after-reload plans the identical centroid
+    * literals and returns hash-identical results (gate q140). */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Double]],
+      path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (w, c) =>
+      w.zipWithIndex.map { case (v, i) => (c, i, v) }
+    }.toSeq.toDF("cell", "dim", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read [[saveCentroids]] back to the driver-side k×dims array (tiny:
+    * nCells·dims doubles). */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path).select("cell", "dim", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(rows.nonEmpty, s"no centroid cells at $path")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
   /** S7-analog for the driver-side MLP head (reference np.save of
     * hybridMLP.model, scripts/train_hybrid.py:107): one flat parquet of
     * (layer, row, col, v) weight cells, biases at col = -1, layer sizes
