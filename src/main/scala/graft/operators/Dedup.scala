@@ -206,12 +206,20 @@ object Dedup {
   }
 
   /** Static corpus LSH index for [[streamNearDupCandidates]]:
-    * (corpus_id, band, bkey) via the exploded batch signature path —
-    * built offline once, broadcast to every probe. */
+    * (corpus_id, band, bkey), built offline once and broadcast to every
+    * probe. Uses the zero-shuffle expression signature path — one
+    * projection + explode, no groupBy anywhere; band keys are
+    * byte-identical to [[bandTable]]'s (DedupSpec pins the equality), so
+    * the index interoperates with every exploded-path consumer. */
   def corpusBandIndex(spark: SparkSession, corpus: DataFrame,
       k: Int, rowsPerBand: Int, shingleN: Int): DataFrame =
-    bandTable(minhashSignatures(spark, corpus, k, shingleN), rowsPerBand)
-      .withColumnRenamed("doc_id", "corpus_id")
+    corpus
+      .withColumn("shx",
+        Lsh.tokenHashes(TextFns.shingles(TextFns.tokens(col("text")), shingleN)))
+      .filter(size(col("shx")) > 0)
+      .select(col("doc_id").as("corpus_id"),
+        explode(Lsh.bandStructs(col("shx"), k, rowsPerBand)).as("bs"))
+      .select(col("corpus_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
 
   /** Streaming near-dup flagging: each arriving document is checked
     * against a STATIC corpus LSH index ([[corpusBandIndex]]) — the

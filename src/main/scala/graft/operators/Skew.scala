@@ -30,6 +30,27 @@ object Skew {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Key-skew diagnosis report — the measurement that DECIDES the
+    * mitigation above: per-key row counts for the `topK` hottest keys,
+    * each with its share of all rows and its multiple of the average
+    * key's count (`skew_vs_avg` ≈ the saltFactor a [[saltedEquiJoin]]
+    * would want; ≲ a few means AQE alone is fine). One map-side-
+    * combinable count aggregate plus a global top-k over the already
+    * tiny per-key table — run it on 100 TB before committing to a join
+    * strategy, not after the straggler appears. */
+  def keySkewReport(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+      .select(col("key"), col("n"),
+        graft.core.Cross.r6(col("n").cast("double") / col("total").cast("double")).as("share"),
+        graft.core.Cross.r6(col("n").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double")).as("skew_vs_avg"))
+  }
+
   /** Bloom-prefiltered equi-join on a long key: ONE aggregate pass builds
     * a Bloom filter over the build side's keys, the broadcast filter
     * drops probe rows that cannot match BEFORE they shuffle, then the

@@ -494,5 +494,24 @@ object EventQueries {
     Incremental.merge(p).orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123)
+  /** Key-skew diagnosis (Skew.keySkewReport): the hottest join keys
+    * with row share and multiple-of-average — the measurement that
+    * picks between a plain join, AQE, and an explicit salt BEFORE the
+    * straggler appears. Oracle recomputes counts, totals, and both
+    * ratios with the same rounding. */
+  val q141 = QueryDef(
+    "q141_skew_report",
+    s"""WITH c AS (SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY user_id),
+       |t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
+       |SELECT key, n,
+       |  ${graft.core.Cross.r6Sql("n::DOUBLE / total::DOUBLE")} AS share,
+       |  ${graft.core.Cross.r6Sql("n::DOUBLE * n_keys::DOUBLE / total::DOUBLE")} AS skew_vs_avg
+       |FROM c CROSS JOIN t
+       |ORDER BY n DESC, key LIMIT 20""".stripMargin) { (spark, dir) =>
+    graft.operators.Skew.keySkewReport(
+        Tables.events(spark, dir), col("user_id"), topK = 20)
+      .orderBy(col("n").desc, col("key"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141)
 }
