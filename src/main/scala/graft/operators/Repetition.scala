@@ -88,19 +88,45 @@ object Repetition {
     * removal is a positional left-anti equi-join; reassembly sorts only
     * within each doc's own rows. No span-pair or doc-pair join anywhere
     * — cost Σ spans + w·|flagged|, never Σ df². */
-  def removeDuplicatedSpans(docs: DataFrame, w: Int): DataFrame = {
+  def removeDuplicatedSpans(docs: DataFrame, w: Int): DataFrame =
+    removeDuplicatedSpans(docs, w, minRun = w)
+
+  /** [[removeDuplicatedSpans]] with a MINIMUM-RUN threshold: covered
+    * positions are first merged into maximal contiguous runs
+    * (gaps-and-islands: pos − rank is constant within a run), and only
+    * runs of at least `minRun` tokens are removed — the production
+    * policy ("drop duplicated substrings of ≥ L tokens") instead of
+    * removing every incidental w-gram collision. `minRun = w` degrades
+    * to the unconditional form. The island pass adds one window over
+    * each doc's own covered positions (bounded by doc length) and one
+    * tiny per-run aggregate — nothing corpus-global. */
+  def removeDuplicatedSpans(docs: DataFrame, w: Int, minRun: Int): DataFrame = {
     require(w >= 1, s"span width must be >= 1, got $w")
+    require(minRun >= w, s"minRun must be >= span width $w, got $minRun")
     val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
     val tok = tk.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
     val spans = tk.select(col("doc_id"),
       posexplode(TextFns.shingles(col("tk"), w)).as(Seq("spos", "sp")))
     val spanDf = spans.select("doc_id", "sp").distinct()
       .groupBy("sp").agg(count(lit(1)).as("nd"), min("doc_id").as("keeper"))
-    val covered = spans.join(spanDf, "sp")
+    val coveredAll = spans.join(spanDf, "sp")
       .filter(col("nd") >= 2 && col("doc_id") =!= col("keeper"))
       .select(col("doc_id"),
         explode(sequence(col("spos"), col("spos") + lit(w - 1))).as("pos"))
       .distinct()
+    val covered =
+      if (minRun == w) coveredAll
+      else {
+        val wIsl = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        coveredAll
+          .withColumn("island", col("pos") - row_number().over(wIsl))
+          .withColumn("run_len",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id", "island")))
+          .filter(col("run_len") >= minRun)
+          .select("doc_id", "pos")
+      }
     val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),

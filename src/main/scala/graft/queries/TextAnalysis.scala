@@ -496,5 +496,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139)
+  /** Minimum-run substring dedup (Repetition.removeDuplicatedSpans with
+    * minRun): covered positions merge into maximal runs
+    * (gaps-and-islands) and only runs of >= 5 tokens are removed — the
+    * production threshold policy. The oracle replays the identical
+    * island construction (pos - row_number is constant within a run)
+    * so run boundaries, lengths, and the final reassembled strings all
+    * hash-match. */
+  val q142 = QueryDef(
+    "q142_span_dedup_runs",
+    s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+       |tokpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk),
+       |tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS t FROM tokpos),
+       |sps AS (SELECT doc_id, ${TextSql.shingles("tk", 3)} AS sl FROM tk),
+       |spspos AS (SELECT doc_id, sl, unnest(range(1, len(sl) + 1)) AS i FROM sps),
+       |sp AS (SELECT doc_id, i - 1 AS spos, sl[i] AS sp FROM spspos),
+       |d AS (SELECT sp, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+       |      FROM sp GROUP BY sp),
+       |flag AS (
+       |  SELECT DISTINCT sp.doc_id, sp.spos + o.o AS pos
+       |  FROM sp JOIN d USING (sp)
+       |  CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o
+       |  WHERE d.nd >= 2 AND sp.doc_id <> d.keeper),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM flag),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |         COUNT(*) OVER (PARTITION BY doc_id, island) AS run_len
+       |  FROM isl),
+       |cov AS (SELECT doc_id, pos FROM runs WHERE run_len >= 5),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.pos, tok.t
+       |  FROM tok ANTI JOIN cov USING (doc_id, pos)),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(t, ' ' ORDER BY pos) AS kept_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       |  COALESCE(agg.n_kept, 0) AS n_kept,
+       |  len(tk.tk) - COALESCE(agg.n_kept, 0) AS n_removed,
+       |  COALESCE(agg.kept_text, '') AS kept_text
+       |FROM tk LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Repetition.removeDuplicatedSpans(
+        Tables.documents(spark, dir), w = 3, minRun = 5)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142)
 }

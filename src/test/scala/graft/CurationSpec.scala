@@ -202,6 +202,25 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((1L, 4L, "q")))
   }
 
+  test("removeDuplicatedSpans minRun keeps short collision runs intact") {
+    import graft.operators.Repetition
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      // shares "a b c" (island 1..3, len 3) and "d e f"+"e f g"
+      // (island 5..8, len 4) with the keeper
+      (1L, "x a b c y d e f g z")
+    ).toDF("doc_id", "text")
+    def out(minRun: Int) = Repetition.removeDuplicatedSpans(docs, w = 3, minRun)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // minRun 4: only the 4-token run is removed; the 3-token run stays
+    assert(out(4)(1L) == "x a b c y z")
+    // minRun 5: neither run reaches the threshold — nothing removed
+    assert(out(5)(1L) == "x a b c y d e f g z")
+    // minRun = w: unconditional removal (the q139 semantics)
+    assert(out(3)(1L) == "x y z")
+    assert(out(4)(0L) == "a b c d e f g h", "keeper never loses text")
+  }
+
   test("bestPerCluster keeps the highest-quality doc, ties to the min id") {
     import graft.operators.Curation
     val cl = Seq(
