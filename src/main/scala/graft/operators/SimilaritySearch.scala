@@ -222,4 +222,72 @@ object SimilaritySearch {
       .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
     rerank(scored, k)
   }
+
+  // ---- Product quantization (PQ): the compression tier below int8 ----
+  // The vector splits into m subspaces; each subspace has its own tiny
+  // codebook, and a vector's code is m small integers (m bytes at
+  // k ≤ 256) instead of dims floats — the billion-vector memory lever.
+  // Search is ADC (asymmetric distance computation): the query stays
+  // float, each encoded row's approximate distance is the sum of its
+  // subspace centroids' distances to the query's subvectors.
+
+  /** Deterministic seed codebooks: m × k centroids of `subDims` dims
+    * (literal vectors, shared with the oracle). */
+  def pqSeedCodebooks(m: Int, k: Int, subDims: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, k)((s, c) => HashFns.litVector(s"pq-$s-$c", subDims))
+
+  /** Per-subspace Lloyd-trained codebooks: [[ivfTrain]] run on each
+    * subvector slice independently (the PQ training recipe). */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int, subDims: Int,
+      iters: Int): Array[Array[Array[Double]]] =
+    (0 until m).map { s =>
+      ivfTrain(corpus.select(col("vec_id"),
+        slice(col("embedding"), s * subDims + 1, subDims).as("embedding")), k, subDims, iters)
+    }.toArray
+
+  /** Argmin centroid of subspace `s` — same (d, cell) struct-min total
+    * order as [[nearestCellOf]] (r6 distance, ties → lowest code). */
+  private def pqCode(emb: Column, s: Int, cents: Array[Array[Double]],
+      subDims: Int): Column = {
+    val sub = slice(emb, s * subDims + 1, subDims)
+    array_min(array(cents.zipWithIndex.map { case (w, c) =>
+      struct(Cross.r6(VectorFns.sqDistLit(sub, w)).as("d"), lit(c).as("cell"))
+    }: _*)).getField("cell")
+  }
+
+  /** Encode the corpus: (vec_id, c0 … c(m−1)) — one small integer per
+    * subspace, all inside a single codegen'd projection (no shuffle,
+    * the [[Lsh.signatureColsFromHashes]] discipline). */
+  def pqEncode(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+      subDims: Int): DataFrame =
+    corpus.select(col("vec_id") +: cb.zipWithIndex.map { case (cents, s) =>
+      pqCode(col("embedding"), s, cents, subDims).as(s"c$s")
+    }.toIndexedSeq: _*)
+
+  /** ADC top-k over an encoded corpus: per (query, encoded row), the
+    * approximate distance is Σ_s sqDist(query subvector, centroid of
+    * code c_s) — each subspace term r6-rounded, the sum accumulated in
+    * DECIMAL so it is order-free and engine-exact. The sweep is a
+    * broadcast-queries scan of the m-byte codes (never the floats), and
+    * the top-k is the bounded [[graft.plans.TopKAgg]] heap (negated
+    * distance: largest weight ≡ smallest distance, ties → smallest
+    * neighbor id — the oracle's (adist, neighbor_id) order). */
+  def pqAdcTopK(queries: DataFrame, encoded: DataFrame,
+      cb: Array[Array[Array[Double]]], subDims: Int, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val joined = q.crossJoin(encoded.withColumnRenamed("vec_id", "neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val terms = cb.zipWithIndex.map { case (cents, s) =>
+      val sub = slice(col("qe"), s * subDims + 1, subDims)
+      coalesce(cents.zipWithIndex.map { case (w, c) =>
+        when(col(s"c$s") === c, Cross.r6(VectorFns.sqDistLit(sub, w)))
+      }: _*)
+    }
+    val dist = terms
+      .map(_.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .reduce(_ + _).cast("double")
+    rerank(joined.withColumn("cos", -dist), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        Cross.r6(-col("cos")).as("adist"))
+  }
 }

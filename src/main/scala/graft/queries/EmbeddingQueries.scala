@@ -396,5 +396,77 @@ object EmbeddingQueries {
     SimilaritySearch.rerank(scored, 3).orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140)
+  // Product-quantization gate constants: 64 dims → 4 subspaces of 16,
+  // 4 centroids per subspace (tiny on purpose — the gate verifies the
+  // encode/ADC algebra, not recall).
+  private val PqM = 4
+  private val PqSub = Dims / PqM
+  private val PqK = 4
+
+  /** The m×k "distance of every vector's subvector to every subspace
+    * centroid" arms — shared by the q143 encode oracle and q144's ADC
+    * (query rows are the same relation filtered). */
+  private def pqArmsSql: String =
+    (0 until PqM).flatMap { s =>
+      val sub = s"(embedding[${s * PqSub + 1}:${(s + 1) * PqSub}])"
+      (0 until PqK).map { c =>
+        val w = HashFns.litVector(s"pq-$s-$c", PqSub)
+        s"SELECT vec_id, $s AS s, $c AS c, ${Cross.r6Sql(VectorSql.sqDistLit(sub, w))} AS d FROM embeddings"
+      }
+    }.mkString("\nUNION ALL\n")
+
+  /** PQ encode (SimilaritySearch.pqEncode): every vector compresses to
+    * m small integers — argmin centroid per subspace, computed in ONE
+    * codegen'd projection (no shuffle). The oracle recomputes all m×k
+    * subspace distances and takes each argmin relationally, so every
+    * single code is hash-verified. */
+  val q143 = QueryDef(
+    "q143_pq_encode",
+    s"""WITH encd AS (
+       |$pqArmsSql)
+       |SELECT vec_id, s, c AS code FROM (
+       |  SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |  FROM encd) t WHERE rn = 1
+       |ORDER BY vec_id, s""".stripMargin) { (spark, dir) =>
+    val cb = SimilaritySearch.pqSeedCodebooks(PqM, PqK, PqSub)
+    SimilaritySearch.pqEncode(Tables.embeddings(spark, dir), cb, PqSub)
+      .select(col("vec_id"),
+        posexplode(array((0 until PqM).map(s => col(s"c$s")): _*)).as(Seq("s", "code")))
+      .orderBy("vec_id", "s")
+  }
+
+  /** PQ ADC search (SimilaritySearch.pqAdcTopK): queries stay float,
+    * the corpus is only its m-integer codes; each pair's approximate
+    * distance is the DECIMAL-exact sum of r6-rounded subspace terms, so
+    * every rank and every distance hash-matches. Completes the
+    * compression ladder: float (q40) → int8 (q98) → PQ codes. */
+  val q144 = QueryDef(
+    "q144_pq_adc_topk",
+    s"""WITH encd AS (
+       |$pqArmsSql),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |    FROM encd) t WHERE rn = 1),
+       |qd AS (SELECT vec_id AS query_id, s, c, d FROM encd WHERE vec_id < 8),
+       |adc AS (
+       |  SELECT qd.query_id, cd.vec_id AS neighbor_id,
+       |         ${Cross.r6Sql("(SUM(qd.d::DECIMAL(18,6)))::DOUBLE")} AS adist
+       |  FROM codes cd JOIN qd ON qd.s = cd.s AND qd.c = cd.code AND qd.query_id <> cd.vec_id
+       |  GROUP BY qd.query_id, cd.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id, adist
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cb = SimilaritySearch.pqSeedCodebooks(PqM, PqK, PqSub)
+    SimilaritySearch.pqAdcTopK(emb.filter(col("vec_id") < 8),
+        SimilaritySearch.pqEncode(emb, cb, PqSub), cb, PqSub, 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144)
 }

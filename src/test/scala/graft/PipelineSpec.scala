@@ -383,6 +383,29 @@ class PipelineSpec extends SparkSpec {
     got.foreach { case (q, n) => assert(n == q + 100000L) }
   }
 
+  test("PQ: duplicates share codes; ADC rank-1 distance is the code-optimal one") {
+    val base = Tables.embeddings(spark, sf()).limit(6)
+    val dup = base.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val cb = SimilaritySearch.pqSeedCodebooks(4, 4, 16)
+    val enc = SimilaritySearch.pqEncode(base.unionByName(dup), cb, 16)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt).toList).toMap
+    // identical vectors encode identically
+    codes.keys.filter(_ < 100000L).foreach(id =>
+      assert(codes(id) == codes(id + 100000L)))
+    // a query's duplicate carries the query's own argmin codes, so its
+    // ADC distance is the minimum any code word can achieve — rank 1
+    // must sit at exactly that distance
+    val all1 = SimilaritySearch.pqAdcTopK(base, enc, cb, 16, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val dupOnly = SimilaritySearch.pqAdcTopK(base,
+        enc.filter(col("vec_id") >= 100000L), cb, 16, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    all1.foreach { case (q, d) => assert(d == dupOnly(q),
+      s"query $q: rank-1 adist $d != duplicate's ${dupOnly(q)}") }
+  }
+
   test("Curate pipeline: stage accounting is monotone and budget is respected") {
     val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
     val s = graft.cli.Curate.run(spark, sf(), out, budget = 5000L)
