@@ -271,15 +271,21 @@ object EmbeddingQueries {
     }.mkString(", ")
 
   private def lloydRound(prev: String, n: Int): String =
-    s"""d$n AS (
+    lloydRoundOn("emb", prev, n, "")
+
+  /** One Lloyd (assign → recenter) round over an arbitrary long-form
+    * embedding relation, with a CTE-name suffix so several independent
+    * trainings (the PQ subspaces) can unroll side by side. */
+  private def lloydRoundOn(embRel: String, prev: String, n: Int, sfx: String): String =
+    s"""d$n$sfx AS (
        |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
-       |  FROM emb JOIN $prev USING (dim) GROUP BY vec_id, cell),
-       |a$n AS (SELECT vec_id, cell FROM (
+       |  FROM $embRel JOIN $prev USING (dim) GROUP BY vec_id, cell),
+       |a$n$sfx AS (SELECT vec_id, cell FROM (
        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-       |  FROM d$n) t WHERE rn = 1),
-       |c$n AS (
+       |  FROM d$n$sfx) t WHERE rn = 1),
+       |c$n$sfx AS (
        |  SELECT cell, dim, ${Cross.r6Sql(Cross.davgSql("e", 9))} AS v
-       |  FROM a$n JOIN emb USING (vec_id) GROUP BY cell, dim)""".stripMargin
+       |  FROM a$n$sfx JOIN $embRel USING (vec_id) GROUP BY cell, dim)""".stripMargin
 
   private def lloydEmbCte: String =
     s"""emb AS (
@@ -468,5 +474,49 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144)
+  /** Trained-PQ encode (SimilaritySearch.pqTrain + pqEncode): each
+    * subspace's codebook Lloyd-trains independently on its own
+    * subvector slice (2 rounds from the shared seed family), then the
+    * corpus encodes against the TRAINED codebooks. The oracle unrolls
+    * all four trainings side by side (the q49 trajectory discipline,
+    * suffixed per subspace) and recomputes every argmin — training,
+    * slicing, and encode are verified end to end. */
+  val q145 = QueryDef(
+    "q145_pq_train_encode", {
+      val seedVals = (0 until PqK).flatMap { c =>
+        HashFns.litVector(s"centroid-$c", PqSub).zipWithIndex.map {
+          case (v, i) => s"($c, ${i + 1}, ${v})"
+        }
+      }.mkString(", ")
+      val subspaces = (0 until PqM).map { s =>
+        val lo = s * PqSub + 1
+        s"""embs$s AS (
+           |  SELECT vec_id, dim - ${lo - 1} AS dim, e FROM emb
+           |  WHERE dim BETWEEN $lo AND ${lo + PqSub - 1}),
+           |c0s$s(cell, dim, v) AS (VALUES $seedVals),
+           |${lloydRoundOn(s"embs$s", s"c0s$s", 1, s"s$s")},
+           |${lloydRoundOn(s"embs$s", s"c1s$s", 2, s"s$s")},
+           |enc$s AS (
+           |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
+           |  FROM embs$s JOIN c2s$s USING (dim) GROUP BY vec_id, cell),
+           |code$s AS (
+           |  SELECT vec_id, $s AS s, cell AS code FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+           |    FROM enc$s) t WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lloydEmbCte,
+         |$subspaces
+         |SELECT vec_id, s, code
+         |FROM (${(0 until PqM).map(s => s"SELECT * FROM code$s").mkString(" UNION ALL ")})
+         |ORDER BY vec_id, s""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cb = SimilaritySearch.pqTrain(emb, PqM, PqK, PqSub, iters = 2)
+    SimilaritySearch.pqEncode(emb, cb, PqSub)
+      .select(col("vec_id"),
+        posexplode(array((0 until PqM).map(s => col(s"c$s")): _*)).as(Seq("s", "code")))
+      .orderBy("vec_id", "s")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145)
 }
