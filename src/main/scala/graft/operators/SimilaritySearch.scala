@@ -264,6 +264,64 @@ object SimilaritySearch {
       pqCode(col("embedding"), s, cents, subDims).as(s"c$s")
     }.toIndexedSeq: _*)
 
+  /** IVF-PQ encode — the composite index layout of billion-scale ANN
+    * deployments: each vector stores its coarse cell (the [[ivfAssign]]
+    * quantizer) plus the PQ codes of its RESIDUAL (vector minus its
+    * cell's centroid). Residuals concentrate around zero, so the same
+    * tiny codebooks quantize them far more accurately than raw vectors
+    * — at search time a query visits a cell's inverted list and scores
+    * the residual codes. Still one codegen'd projection per row: coarse
+    * argmin (per-row literal fold), residual (zip_with against the
+    * assigned centroid literal), and m subspace argmins — no shuffle
+    * anywhere. Returns (vec_id, cell, c0 … c(m−1)). */
+  def ivfPqEncode(corpus: DataFrame, nCells: Int, dims: Int,
+      cb: Array[Array[Array[Double]]], subDims: Int): DataFrame = {
+    val coarse = seedCentroids(nCells, dims)
+    val resid = coalesce(coarse.zipWithIndex.map { case (w, c) =>
+      when(col("cell") === c,
+        zip_with(col("embedding"), typedLit(w), (x, y) => x.cast("double") - y))
+    }: _*)
+    corpus
+      .withColumn("cell", nearestCentroid(col("embedding"), nCells, dims).getField("cell"))
+      .withColumn("res", resid)
+      .select(col("vec_id") +: col("cell") +: cb.zipWithIndex.map { case (cents, s) =>
+        pqCode(col("res"), s, cents, subDims).as(s"c$s")
+      }.toIndexedSeq: _*)
+  }
+
+  /** IVF-PQ search: the query assigns to its coarse cell, takes its own
+    * RESIDUAL against that cell's centroid, and ADC-scores only the
+    * cell's inverted list (the [[ivfPqEncode]] codes) — cell equi-join
+    * plus code scan, the two-level pruning that makes billion-vector
+    * search tractable. Same decimal-exact ADC arithmetic as
+    * [[pqAdcTopK]]. */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame, nCells: Int,
+      dims: Int, cb: Array[Array[Array[Double]]], subDims: Int, k: Int): DataFrame = {
+    val coarse = seedCentroids(nCells, dims)
+    val qres = coalesce(coarse.zipWithIndex.map { case (w, c) =>
+      when(col("cell") === c,
+        zip_with(col("embedding"), typedLit(w), (x, y) => x.cast("double") - y))
+    }: _*)
+    val qb = broadcast(queries
+      .withColumn("cell", nearestCentroid(col("embedding"), nCells, dims).getField("cell"))
+      .withColumn("qres", qres)
+      .select(col("vec_id").as("query_id"), col("cell"), col("qres")))
+    val joined = qb.join(encoded.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val terms = cb.zipWithIndex.map { case (cents, s) =>
+      val sub = slice(col("qres"), s * subDims + 1, subDims)
+      coalesce(cents.zipWithIndex.map { case (w, c) =>
+        when(col(s"c$s") === c, Cross.r6(VectorFns.sqDistLit(sub, w)))
+      }: _*)
+    }
+    val dist = terms
+      .map(_.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .reduce(_ + _).cast("double")
+    rerank(joined.withColumn("cos", -dist), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        Cross.r6(-col("cos")).as("adist"))
+  }
+
   /** ADC top-k over an encoded corpus: per (query, encoded row), the
     * approximate distance is Σ_s sqDist(query subvector, centroid of
     * code c_s) — each subspace term r6-rounded, the sum accumulated in

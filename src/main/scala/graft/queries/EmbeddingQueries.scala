@@ -518,5 +518,135 @@ object EmbeddingQueries {
       .orderBy("vec_id", "s")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145)
+  /** IVF-PQ encode (SimilaritySearch.ivfPqEncode): coarse cell + PQ
+    * codes of the RESIDUAL — the composite billion-scale index layout.
+    * The oracle recomputes the coarse argmin (raw distances, the
+    * q44/q45 convention), subtracts the assigned centroid per
+    * dimension, re-bases dims into subspaces, and takes every residual
+    * argmin against a flat (s, c, dim, wv) codebook relation — cell and
+    * all m codes hash-verified per vector. */
+  val q146 = QueryDef(
+    "q146_ivfpq_encode", {
+      val coarseArms = (0 until Cells).map { c =>
+        val w = HashFns.litVector(s"centroid-$c", Dims)
+        s"SELECT vec_id, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      val coarseVals = (0 until Cells).flatMap { c =>
+        HashFns.litVector(s"centroid-$c", Dims).zipWithIndex.map {
+          case (v, i) => s"($c, ${i + 1}, ${v})"
+        }
+      }.mkString(", ")
+      val pqwVals = (0 until PqM).flatMap { s =>
+        (0 until PqK).flatMap { c =>
+          HashFns.litVector(s"pq-$s-$c", PqSub).zipWithIndex.map {
+            case (v, i) => s"($s, $c, ${i + 1}, ${v})"
+          }
+        }
+      }.mkString(", ")
+      s"""WITH $lloydEmbCte,
+         |cd AS (
+         |$coarseArms),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM cd) t WHERE rn = 1),
+         |cc(cell, dim, v) AS (VALUES $coarseVals),
+         |r AS (
+         |  SELECT emb.vec_id, emb.dim, emb.e - cc.v AS e
+         |  FROM emb JOIN assigned USING (vec_id)
+         |  JOIN cc ON cc.cell = assigned.cell AND cc.dim = emb.dim),
+         |rsub AS (
+         |  SELECT vec_id, (dim - 1) // $PqSub AS s, ((dim - 1) % $PqSub) + 1 AS dim, e
+         |  FROM r),
+         |pqw(s, c, dim, wv) AS (VALUES $pqwVals),
+         |ad AS (
+         |  SELECT rsub.vec_id, pqw.s, pqw.c,
+         |         ${Cross.r6Sql("SUM((e - wv) * (e - wv))")} AS d
+         |  FROM rsub JOIN pqw ON pqw.s = rsub.s AND pqw.dim = rsub.dim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, s, c AS code FROM (
+         |  SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+         |  FROM ad) t WHERE rn = 1)
+         |SELECT a.vec_id, a.cell, codes.s, codes.code
+         |FROM assigned a JOIN codes USING (vec_id)
+         |ORDER BY vec_id, s""".stripMargin
+    }) { (spark, dir) =>
+    val cb = SimilaritySearch.pqSeedCodebooks(PqM, PqK, PqSub)
+    SimilaritySearch.ivfPqEncode(Tables.embeddings(spark, dir), Cells, Dims, cb, PqSub)
+      .select(col("vec_id"), col("cell"),
+        posexplode(array((0 until PqM).map(s => col(s"c$s")): _*)).as(Seq("s", "code")))
+      .orderBy("vec_id", "s")
+  }
+
+  /** IVF-PQ search (SimilaritySearch.ivfPqTopK): queries take their own
+    * residual against their coarse cell and ADC-score only that cell's
+    * inverted list — the two-level pruning of billion-vector search.
+    * The oracle chains the q146 encode with the q144 ADC algebra over
+    * query residuals, so every rank and distance hash-matches. */
+  val q147 = QueryDef(
+    "q147_ivfpq_topk", {
+      val coarseArms = (0 until Cells).map { c =>
+        val w = HashFns.litVector(s"centroid-$c", Dims)
+        s"SELECT vec_id, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      val coarseVals = (0 until Cells).flatMap { c =>
+        HashFns.litVector(s"centroid-$c", Dims).zipWithIndex.map {
+          case (v, i) => s"($c, ${i + 1}, ${v})"
+        }
+      }.mkString(", ")
+      val pqwVals = (0 until PqM).flatMap { s =>
+        (0 until PqK).flatMap { c =>
+          HashFns.litVector(s"pq-$s-$c", PqSub).zipWithIndex.map {
+            case (v, i) => s"($s, $c, ${i + 1}, ${v})"
+          }
+        }
+      }.mkString(", ")
+      s"""WITH $lloydEmbCte,
+         |cd AS (
+         |$coarseArms),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM cd) t WHERE rn = 1),
+         |cc(cell, dim, v) AS (VALUES $coarseVals),
+         |r AS (
+         |  SELECT emb.vec_id, emb.dim, emb.e - cc.v AS e
+         |  FROM emb JOIN assigned USING (vec_id)
+         |  JOIN cc ON cc.cell = assigned.cell AND cc.dim = emb.dim),
+         |rsub AS (
+         |  SELECT vec_id, (dim - 1) // $PqSub AS s, ((dim - 1) % $PqSub) + 1 AS dim, e
+         |  FROM r),
+         |pqw(s, c, dim, wv) AS (VALUES $pqwVals),
+         |ad AS (
+         |  SELECT rsub.vec_id, pqw.s, pqw.c,
+         |         ${Cross.r6Sql("SUM((e - wv) * (e - wv))")} AS d
+         |  FROM rsub JOIN pqw ON pqw.s = rsub.s AND pqw.dim = rsub.dim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, s, c AS code FROM (
+         |  SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+         |  FROM ad) t WHERE rn = 1),
+         |adc AS (
+         |  SELECT qa.vec_id AS query_id, cdn.vec_id AS neighbor_id,
+         |         ${Cross.r6Sql("(SUM(qd.d::DECIMAL(18,6)))::DOUBLE")} AS adist
+         |  FROM codes cdn
+         |  JOIN assigned an ON an.vec_id = cdn.vec_id
+         |  JOIN assigned qa ON qa.cell = an.cell AND qa.vec_id < 8
+         |  JOIN ad qd ON qd.vec_id = qa.vec_id AND qd.s = cdn.s AND qd.c = cdn.code
+         |  WHERE qa.vec_id <> cdn.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, neighbor_id, adist
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cb = SimilaritySearch.pqSeedCodebooks(PqM, PqK, PqSub)
+    SimilaritySearch.ivfPqTopK(emb.filter(col("vec_id") < 8),
+        SimilaritySearch.ivfPqEncode(emb, Cells, Dims, cb, PqSub),
+        Cells, Dims, cb, PqSub, 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147)
 }
