@@ -13,44 +13,52 @@ import graft.operators.{Curation, Dedup}
   *   1. exact dedup (md5 groups, min-id keeper);
   *   2. MinHash-LSH near-dup clusters → QUALITY-aware survivor per
   *      cluster (stopword-ratio score, ties to min id);
-  *   3. optional benchmark decontamination (distinct-shingle overlap
+  *   3. optional substring dedup (spanMinRun > 0): duplicated token
+  *      runs of >= spanMinRun are removed from non-keeper docs and the
+  *      surviving token stream becomes the document's text;
+  *   4. optional benchmark decontamination (distinct-shingle overlap
   *      against a broadcast eval corpus);
-  *   4. greedy token-budget selection over the survivors
-  *      (quality-descending prefix);
-  *   5. curated corpus written as parquet + a stage-by-stage row/token
+  *   5. greedy token-budget selection over the survivors
+  *      (quality-descending prefix, scored on the post-dedup text);
+  *   6. curated corpus written as parquet + a stage-by-stage row/token
   *      accounting JSON.
   *
-  * Every stage is an already-gated operator (q30, q38/q136, q107, q135)
-  * — this main adds only composition and accounting. Usage:
+  * Every stage is an already-gated operator (q30, q38/q136, q142, q107,
+  * q135) — this main adds only composition and accounting. Usage:
   *
-  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir]
+  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun]
   *
   * benchDir, when given, points at a second documents.parquet directory
-  * whose contents are treated as the held-out benchmark.
+  * whose contents are treated as the held-out benchmark ("-" skips it).
   */
 object Curate {
 
   final case class Stats(
       nInput: Long, nAfterExact: Long, nAfterNearDup: Long,
-      nDecontaminated: Long, nSelected: Long, tokensSelected: Long,
-      tokenBudget: Long)
+      tokensSpanRemoved: Long, nDecontaminated: Long,
+      nSelected: Long, tokensSelected: Long, tokenBudget: Long)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val budget = args.lift(2).map(_.toLong).getOrElse(50000L)
-    val benchDir = args.lift(3)
+    val benchDir = args.lift(3).filter(_ != "-")
+    val spanMinRun = args.lift(4).map(_.toInt).getOrElse(0)
     val spark = Cli.session()
-    val s = run(spark, sfDir, outDir, budget, benchDir)
+    val s = run(spark, sfDir, outDir, budget, benchDir, spanMinRun)
     println(f"[curate] input=${s.nInput} exact=${s.nAfterExact} " +
-      f"neardup=${s.nAfterNearDup} decontaminated=${s.nDecontaminated} " +
+      f"neardup=${s.nAfterNearDup} span_removed_tokens=${s.tokensSpanRemoved} " +
+      f"decontaminated=${s.nDecontaminated} " +
       f"selected=${s.nSelected} tokens=${s.tokensSelected}/${s.tokenBudget}")
     spark.stop()
   }
 
   /** Run the full pipeline; returns the per-stage accounting (also
-    * written to `outDir/stats.json`, corpus to `outDir/corpus`). */
+    * written to `outDir/stats.json`, corpus to `outDir/corpus`).
+    * `spanMinRun > 0` enables the substring-dedup stage at that
+    * minimum-run threshold (span width 3). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      budget: Long, benchDir: Option[String] = None): Stats = {
+      budget: Long, benchDir: Option[String] = None,
+      spanMinRun: Int = 0): Stats = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nInput = docs.count()
 
@@ -61,51 +69,56 @@ object Curate {
     val nExact = exactSurvivors.count()
 
     // 2. near-dup clusters; each cluster keeps its BEST-quality doc
-    val scored = exactSurvivors
-      .withColumn("tk", TextFns.tokens(col("text")))
-      .select(col("doc_id"), col("text"),
-        size(col("tk")).cast("long").as("ntok"),
-        when(size(col("tk")) > 0,
-          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
-            size(col("tk")).cast("double")))
-          .otherwise(0.0).as("quality"))
     val clusters = Dedup.dedupClusters(spark, exactSurvivors,
       k = 16, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5)
-    val nearSurvivors = scored.join(
+    val nearSurvivors = exactSurvivors.join(
       Curation.bestPerCluster(
-          clusters.join(scored.select("doc_id", "quality"), "doc_id"))
+          clusters.join(score(exactSurvivors).select("doc_id", "quality"), "doc_id"))
         .select(col("survivor").as("doc_id")),
       Seq("doc_id"), "left_semi")
     val nNear = nearSurvivors.count()
 
-    // 3. optional benchmark decontamination (broadcast eval shingles)
+    // 3. optional substring dedup: the kept token stream becomes the
+    // document text; quality/ntok below are scored on the REWRITE
+    val (deduped, spanRemoved) =
+      if (spanMinRun <= 0) (nearSurvivors, 0L)
+      else {
+        val sd = graft.operators.Repetition
+          .removeDuplicatedSpans(nearSurvivors, w = 3, minRun = spanMinRun)
+        val removed = sd.agg(coalesce(sum("n_removed"), lit(0L))).head().getLong(0)
+        (sd.select(col("doc_id"), col("kept_text").as("text")), removed)
+      }
+    val scored = score(deduped)
+
+    // 4. optional benchmark decontamination (broadcast eval shingles)
     val clean = benchDir match {
       case Some(bd) =>
         val bench = Tables.documents(spark, bd).select("doc_id", "text")
-        nearSurvivors.join(
-          Dedup.decontaminate(nearSurvivors, bench, shingleN = 3, minOverlap = 1)
+        scored.join(
+          Dedup.decontaminate(deduped, bench, shingleN = 3, minOverlap = 1)
             .filter(!col("contaminated")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case None => nearSurvivors
+      case None => scored
     }
     val nClean = clean.count()
 
-    // 4. greedy token-budget selection over the clean survivors
+    // 5. greedy token-budget selection over the clean survivors
     val selected = Curation.selectUnderBudget(clean,
         col("doc_id"), col("quality"), col("ntok"), budget)
       .filter(col("selected"))
       .withColumnRenamed("id", "doc_id")
     val corpus = selected
-      .join(docs, "doc_id")
+      .join(deduped, "doc_id")
       .select("doc_id", "text", "quality", "ntok", "cum_before")
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
-    val stats = Stats(nInput, nExact, nNear, nNear - nClean,
+    val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
       agg.getLong(0), agg.getLong(1), budget)
 
     val json =
       s"""{"n_input":${stats.nInput},"n_after_exact":${stats.nAfterExact},
          |"n_after_neardup":${stats.nAfterNearDup},
+         |"tokens_span_removed":${stats.tokensSpanRemoved},
          |"n_decontaminated":${stats.nDecontaminated},
          |"n_selected":${stats.nSelected},
          |"tokens_selected":${stats.tokensSelected},
@@ -115,4 +128,16 @@ object Curate {
       java.nio.file.Paths.get(outDir, "stats.json"), json)
     stats
   }
+
+  /** (doc_id, text, ntok, quality) — the stopword-ratio score the
+    * cluster-survivor and budget stages share. */
+  private def score(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        size(col("tk")).cast("long").as("ntok"),
+        when(size(col("tk")) > 0,
+          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double")))
+          .otherwise(0.0).as("quality"))
 }

@@ -425,5 +425,14 @@ class PipelineSpec extends SparkSpec {
     val statsJson = java.nio.file.Files.readString(
       java.nio.file.Paths.get(out, "stats.json"))
     assert(statsJson.contains(s""""n_selected":${s.nSelected}"""))
+    // with the substring-dedup stage on, selection runs over the
+    // rewritten text: accounting still monotone, budget still holds,
+    // and the corpus text is the kept token stream (tokens only)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_curate2").toString
+    val s2 = graft.cli.Curate.run(spark, sf(), out2, budget = 5000L,
+      spanMinRun = 4)
+    assert(s2.tokensSpanRemoved >= 0 && s2.tokensSelected <= s2.tokenBudget)
+    assert(s2.nAfterNearDup == s.nAfterNearDup,
+      "span dedup rewrites text, it must not change the survivor set")
   }
 }

@@ -183,6 +183,29 @@ class PlanSpec extends SparkSpec {
     assert(planOf(sel).contains("windowspecdefinition(band"), planOf(sel))
   }
 
+  test("PQ and IVF-PQ encode are single projections — no Exchange") {
+    val emb = Tables.embeddings(spark, sf())
+    val cb = graft.operators.SimilaritySearch.pqSeedCodebooks(4, 4, 16)
+    for (df <- Seq(
+        graft.operators.SimilaritySearch.pqEncode(emb, cb, 16),
+        graft.operators.SimilaritySearch.ivfPqEncode(emb, 4, 64, cb, 16))) {
+      val plan = planOf(df)
+      // coarse argmin, residual, and all subspace argmins are per-row
+      // expression folds — a shuffle here would mean the encode stopped
+      // being a map-only pass over 100 TB
+      assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    }
+    // the streaming probe's band computation is the same discipline
+    val probe = Tables.documents(spark, sf())
+      .withColumn("shx", graft.operators.Lsh.tokenHashes(
+        graft.functions.TextFns.shingles(
+          graft.functions.TextFns.tokens(col("text")), 3)))
+      .filter(size(col("shx")) > 0)
+      .select(col("doc_id"),
+        explode(graft.operators.Lsh.bandStructs(col("shx"), 16, 2)).as("bs"))
+    assert(!planOf(probe).contains("Exchange"), planOf(probe))
+  }
+
   test("whole-stage codegen covers the scalar hot path") {
     val df = Tables.documents(spark, sf())
       .select(graft.core.Cross.hash64(col("text")).as("h"))
