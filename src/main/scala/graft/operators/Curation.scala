@@ -71,6 +71,24 @@ object Curation {
         (col("cum_before") + col("ntok") <= budget).as("selected"))
   }
 
+  /** Curriculum shard assignment: every doc gets its GLOBAL rank in
+    * (quality DESC, id ASC) order and a contiguous shard id
+    * ((rank−1)·nShards div total) — shard 0 holds the best docs, the
+    * ordering a quality-curriculum training run consumes shard by
+    * shard. The rank is [[selectUnderBudget]]'s banded two-level prefix
+    * scan counting rows instead of tokens, so no global single-task
+    * sort ever happens; the total rides along as one broadcast row. */
+  def curriculumShards(docs: DataFrame, id: Column, quality: Column,
+      nShards: Int, bands: Int = 1024): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val ranked = selectUnderBudget(docs.select(id.as("id"), quality.as("q")),
+        col("id"), col("q"), lit(1L), budget = Long.MaxValue, bands)
+      .select(col("id"), col("quality"), (col("cum_before") + 1L).as("rank"))
+    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("total"))))
+      .select(col("id"), col("quality"), col("rank"),
+        expr(s"((rank - 1) * $nShards) div total").as("shard"))
+  }
+
   /** Quality-aware dedup survivor selection: for each near-dup cluster,
     * keep the single best document by (quality DESC, id ASC) — the
     * curation policy that replaces "keep the min-id doc" once quality

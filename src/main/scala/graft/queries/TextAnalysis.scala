@@ -545,5 +545,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142)
+  /** Curriculum shards (Curation.curriculumShards): global
+    * quality-descending rank + contiguous shard id per doc, computed by
+    * the banded two-level prefix scan — the oracle's flat row_number
+    * window must hash-match every rank and shard, proving the
+    * distributed rank reproduces the exact global order. */
+  val q148 = QueryDef(
+    "q148_curriculum_shards",
+    s"""WITH t0 AS (SELECT doc_id, $toks AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) > 0 THEN (round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) + 0.0) ELSE 0.0 END AS quality
+       |  FROM t0),
+       |r AS (
+       |  SELECT doc_id, quality,
+       |         row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+       |  FROM q),
+       |t AS (SELECT COUNT(*) AS total FROM r)
+       |SELECT doc_id, quality, rank, ((rank - 1) * 8) // total AS shard
+       |FROM r CROSS JOIN t
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        when(size(col("tk")) > 0,
+          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double")))
+          .otherwise(0.0).as("quality"))
+    graft.operators.Curation.curriculumShards(d,
+        col("doc_id"), col("quality"), nShards = 8, bands = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148)
 }

@@ -202,6 +202,17 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((1L, 4L, "q")))
   }
 
+  test("curriculumShards ranks globally and shards contiguously") {
+    import graft.operators.Curation
+    val docs = Seq((1L, 0.9), (2L, 0.1), (3L, 0.5), (4L, 0.7)).toDF("doc_id", "q")
+    val out = Curation.curriculumShards(docs, col("doc_id"), col("q"),
+        nShards = 2, bands = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // quality order 1 > 4 > 3 > 2; shard = (rank-1)*2 div 4
+    assert(out(1L) == ((1L, 0L)) && out(4L) == ((2L, 0L)))
+    assert(out(3L) == ((3L, 1L)) && out(2L) == ((4L, 1L)))
+  }
+
   test("removeDuplicatedSpans minRun keeps short collision runs intact") {
     import graft.operators.Repetition
     val docs = Seq(
