@@ -23,37 +23,67 @@ import org.apache.spark.sql.functions._
   * [[Packing]]-style two-level scan, with quality BANDS as the outer
   * level:
   *
-  *   1. band each doc by floor(quality * bands) (monotone in quality, so
-  *      band-desc order refines to quality-desc order) and aggregate
-  *      per-band token totals — map-side combinable, one small shuffle;
+  *   1. band each doc by a band key monotone (non-decreasing) in
+  *      quality — default floor(quality * bands) for [0, 1] scores —
+  *      and aggregate per-band token totals: map-side combinable, one
+  *      small shuffle;
   *   2. prefix-sum the band totals — `bands` rows, single-partition
   *      window is safe at any corpus size;
   *   3. broadcast the band offsets back and window WITHIN each band
   *      (partitioned by band → parallel, each sort bounded by the
   *      band's rows).
   *
-  * Quality is clamped into [0, 1] for banding only (clamping keeps the
-  * band monotone in quality); the ordering itself uses the raw score.
-  * Skew note: a point-mass quality distribution (many docs with one
-  * exact score) concentrates one band — size `bands` so the densest
-  * score bucket fits an executor, or pre-jitter scores at the caller.
+  * Banding affects EXECUTION only, never the answer: any monotone band
+  * key yields the identical (quality DESC, id) global order, so the
+  * selected set is band-independent. Skew: the default fixed-width
+  * bands degrade when the score distribution is a point mass (every
+  * real-world stopword-ratio corpus clusters around 0.3–0.6) — one band
+  * absorbs most rows and its in-band sort approaches the global sort.
+  * [[selectUnderBudgetEquiDepth]] derives boundaries from
+  * approx_percentile instead, so the densest score region is split
+  * across bands by construction.
+  *
+  * Quality must be non-null and non-NaN: NaN orders above every real
+  * score in a descending sort while banding would send it to band 0,
+  * breaking the band-refines-order invariant — the projection raises
+  * (`raise_error`, per-row, codegen-friendly) on the first offender
+  * rather than silently mis-summing.
   */
 object Curation {
+
+  /** Quality column guarded against null/NaN (raises at execution time
+    * with the offending id — cheaper than a validation pass, and the
+    * error names the row). */
+  private def guardedQuality(id: Column, quality: Column): Column = {
+    val q = quality.cast("double")
+    when(q.isNull || isnan(q),
+      raise_error(concat(lit("Curation: null/NaN quality for id "),
+        id.cast("string"))).cast("double"))
+      .otherwise(q)
+  }
 
   /** Greedy selection of `docs` under a global `budget` of tokens.
     * Returns (id, quality, ntok, cum_before, selected) — one row per
     * input doc; `cum_before` is the exact token mass of all
     * strictly-earlier docs in (quality DESC, id ASC) order. Integer
     * arithmetic end to end, so results are partitioning-independent and
-    * engine-portable. */
+    * engine-portable.
+    *
+    * `bandBy` overrides the band key (default: fixed-width
+    * floor(quality*bands) clamped to [0, bands), which assumes quality
+    * in [0, 1]). Any override must be a LONG-castable expression over
+    * `docs`' columns, monotone non-decreasing in quality; the output is
+    * identical for every valid choice — only parallelism changes. */
   def selectUnderBudget(docs: DataFrame, id: Column, quality: Column,
-      ntok: Column, budget: Long, bands: Int = 1024): DataFrame = {
+      ntok: Column, budget: Long, bands: Int = 1024,
+      bandBy: Option[Column] = None): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    val d = docs.select(id.as("id"), quality.cast("double").as("quality"),
-        ntok.cast("long").as("ntok"))
-      .withColumn("band", least(greatest(
-        floor(col("quality") * bands).cast("long"), lit(0L)), lit(bands - 1L)))
+    val q = guardedQuality(id, quality)
+    val bandCol = bandBy.getOrElse(
+      least(greatest(floor(q * bands).cast("long"), lit(0L)), lit(bands - 1L)))
+    val d = docs.select(id.as("id"), q.as("quality"),
+      ntok.cast("long").as("ntok"), bandCol.cast("long").as("band"))
     val bandTotals = d.groupBy("band").agg(sum("ntok").as("btot"))
     // one row per occupied band — tiny by construction
     val wBand = Window.orderBy(col("band").desc)
@@ -71,6 +101,88 @@ object Curation {
         (col("cum_before") + col("ntok") <= budget).as("selected"))
   }
 
+  /** Equi-depth band key for `quality` over `docs`, safe for the
+    * banded scan's order-refinement invariant AND balanced under skew.
+    *
+    * Base key: boundaries from one approx_percentile pass, band =
+    * #{b : b <= q} + #{b : b < q}. The double count is deliberate —
+    * it gives every exact boundary VALUE its own (odd) band while open
+    * intervals get the even bands between, so a point-mass score (the
+    * skew case fixed-width banding dies on: 40% of a real corpus at
+    * stopword-ratio 0.42 is ONE fat band) lands isolated in a
+    * single-valued band instead of dragging its interval neighbors in.
+    *
+    * Heavy-value split: a boundary value appearing m >= 2 times among
+    * the raw quantiles covers >= ~1/bands of the corpus. Rows at such a
+    * value all share one exact score, so within them the global order
+    * is purely (id ASC) — which makes an ID-QUANTILE sub-band (its own
+    * approx_percentile over just the point-mass rows, monotone in id)
+    * a valid refinement: band = base*subBands + (subBands-1 - idSub)
+    * sorts DESC as (quality DESC, id ASC) exactly. Rows outside heavy
+    * values keep a constant sub-slot. Requires a numeric id; with a
+    * non-numeric id heavy values stay unsplit (documented limitation —
+    * the base key alone still isolates them).
+    *
+    * Both percentile passes produce driver-side loop-control state
+    * (<= bands + heavy*subBands doubles, same class as IVF centroids)
+    * baked into literals — no per-row driver traffic. Banding affects
+    * execution only: ANY output of this function yields the identical
+    * selected set. */
+  def equiDepthBandColumn(docs: DataFrame, quality: Column, bands: Int,
+      id: Option[Column] = None, subBands: Int = 16): Column = {
+    require(bands >= 1 && bands <= 65536, s"bands out of range: $bands")
+    require(subBands >= 1 && subBands <= 65536, s"subBands out of range: $subBands")
+    if (bands == 1) return lit(0L)
+    val q = quality.cast("double")
+    val probs = (1 until bands).map(i => i.toDouble / bands).toArray
+    val row = docs.agg(percentile_approx(q, typedLit(probs), lit(10000)).as("bs")).head()
+    val raw =
+      if (row.isNullAt(0)) Seq.empty[Double]
+      else row.getSeq[Double](0).filterNot(_.isNaN)
+    val bounds = raw.distinct.sorted
+    if (bounds.isEmpty) return lit(0L)
+    val base = aggregate(typedLit(bounds.toArray), lit(0L), (acc, b) =>
+      acc + when(q >= b, 1L).otherwise(0L) + when(q > b, 1L).otherwise(0L))
+    // point-mass values: >= 2 raw quantiles collapsed onto one value
+    val heavy = raw.groupBy(identity).collect { case (v, hits) if hits.size >= 2 => v }
+      .toSeq.sorted
+    val numericId = id.exists(c => docs.select(c).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (heavy.isEmpty || !numericId || subBands == 1) return base
+    val idc = id.get.cast("double")
+    val subProbs = (1 until subBands).map(i => i.toDouble / subBands).toArray
+    // one grouped pass over just the point-mass rows for id boundaries
+    val idBounds: Map[Double, Seq[Double]] = docs
+      .filter(q.isin(heavy: _*))
+      .groupBy(q.as("hv"))
+      .agg(percentile_approx(idc, typedLit(subProbs), lit(10000)).as("ib"))
+      .collect()
+      .map(r => r.getDouble(0) -> Option(r.getSeq[Double](1)).getOrElse(Seq.empty)
+        .filterNot(_.isNaN).distinct.sorted)
+      .toMap
+    val slot = heavy.foldLeft(lit(subBands - 1L)) { (acc, v) =>
+      val ib = idBounds.getOrElse(v, Seq.empty)
+      if (ib.isEmpty) acc
+      else {
+        val idSub = aggregate(typedLit(ib.toArray), lit(0L),
+          (a, b) => a + when(idc >= b, 1L).otherwise(0L))
+        when(q === v, lit(subBands - 1L) - idSub).otherwise(acc)
+      }
+    }
+    base * subBands + slot
+  }
+
+  /** [[selectUnderBudget]] with equi-depth banding — identical output
+    * (banding never changes the selected set), skew-proof execution on
+    * clustered AND point-mass quality distributions. Costs one
+    * approx_percentile pass over `docs` plus one over the point-mass
+    * subset when one exists. */
+  def selectUnderBudgetEquiDepth(docs: DataFrame, id: Column,
+      quality: Column, ntok: Column, budget: Long,
+      bands: Int = 64, subBands: Int = 16): DataFrame =
+    selectUnderBudget(docs, id, quality, ntok, budget, bands,
+      bandBy = Some(equiDepthBandColumn(docs, quality, bands, Some(id), subBands)))
+
   /** Curriculum shard assignment: every doc gets its GLOBAL rank in
     * (quality DESC, id ASC) order and a contiguous shard id
     * ((rank−1)·nShards div total) — shard 0 holds the best docs, the
@@ -79,10 +191,11 @@ object Curation {
     * scan counting rows instead of tokens, so no global single-task
     * sort ever happens; the total rides along as one broadcast row. */
   def curriculumShards(docs: DataFrame, id: Column, quality: Column,
-      nShards: Int, bands: Int = 1024): DataFrame = {
+      nShards: Int, bands: Int = 1024,
+      bandBy: Option[Column] = None): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val ranked = selectUnderBudget(docs.select(id.as("id"), quality.as("q")),
-        col("id"), col("q"), lit(1L), budget = Long.MaxValue, bands)
+    val ranked = selectUnderBudget(docs, id, quality, lit(1L),
+        budget = Long.MaxValue, bands, bandBy)
       .select(col("id"), col("quality"), (col("cum_before") + 1L).as("rank"))
     ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("total"))))
       .select(col("id"), col("quality"), col("rank"),
@@ -92,19 +205,23 @@ object Curation {
   /** Quality-aware dedup survivor selection: for each near-dup cluster,
     * keep the single best document by (quality DESC, id ASC) — the
     * curation policy that replaces "keep the min-id doc" once quality
-    * scores exist. One max_by aggregate per cluster (bounded state, no
+    * scores exist. One min_by aggregate per cluster (bounded state, no
     * per-group sort), shuffling one row per doc. Returns
-    * (cluster, survivor, quality, n_docs). */
+    * (cluster, survivor, quality, n_docs).
+    *
+    * The argmin key is struct(-quality, id): negating the NUMERIC
+    * quality flips its order while `id` stays un-negated, so the
+    * struct's lexicographic MIN is exactly (quality DESC, id ASC) for
+    * ANY orderable id type — string doc ids included. Quality must be
+    * numeric and non-NaN (NaN negates to NaN, which a descending pick
+    * would never select). */
   def bestPerCluster(clusters: DataFrame, id: String = "doc_id",
       cluster: String = "cluster", quality: String = "quality"): DataFrame = {
-    // lexicographic struct max: higher quality wins, then LOWER id
-    // (negated so the max picks it) — a total order, so the survivor is
-    // unique and deterministic regardless of partitioning
-    val key = struct(col(quality), (-col(id)).as("nid"))
+    val key = struct((-col(quality)).as("nq"), col(id).as("tid"))
     clusters.groupBy(cluster)
       .agg(
-        max_by(col(id), key).as("survivor"),
-        max_by(col(quality), key).as("best_quality"),
+        min_by(col(id), key).as("survivor"),
+        max(col(quality)).as("best_quality"),
         count(lit(1)).as("n_docs"))
   }
 }

@@ -233,69 +233,47 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Quality-aware survivor selection (Curation.bestPerCluster): the
-    * q38 clusters, but the kept document per cluster is the HIGHEST
-    * QUALITY one (stopword-ratio score, the q23 formula; ties → min
-    * doc_id) instead of the min id — the curation policy a real
-    * pipeline applies once quality scores exist. One max_by aggregate
-    * per cluster, no per-group sort. The oracle recomputes the closure
-    * AND the argmax with a window, so survivor identity, its score, and
-    * cluster sizes all hash-match. */
+  /** Quality-aware survivor selection (Curation.bestPerCluster): keep
+    * the HIGHEST QUALITY document per cluster (ties → min doc_id) —
+    * the curation policy a real pipeline applies once quality scores
+    * exist. One min_by aggregate per cluster (bounded state, no
+    * per-group sort).
+    *
+    * The cluster table is fixture-derived (doc_id div 10 → uniform
+    * 10-doc clusters) rather than the full q38 LSH→CC chain the gate
+    * ran through round 4: the chain is already gated by q38 and the
+    * composed clusters→bestPerCluster pipeline by the Curate CLI +
+    * PipelineSpec, so re-running ~200 s of LSH here verified nothing
+    * new. Quality is deliberately COARSE (2 decimals, pure-IEEE floor
+    * arithmetic — no round() latitude) so in-cluster ties are common
+    * and the (quality DESC, id ASC) tie-break is exercised on every
+    * row; the oracle recomputes the argmax with a window. */
   val q136 = QueryDef(
     "q136_best_per_cluster",
-    s"""WITH RECURSIVE $shingleCte,
-       |$sigCte,
-       |bands AS (
-       |  SELECT doc_id, h_idx // $R AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
-       |  FROM sigs GROUP BY doc_id, h_idx // $R),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-       |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |edges0 AS (
-       |  SELECT c.doc_a AS a, c.doc_b AS b
-       |  FROM cand c
-       |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-       |  JOIN sizes sa ON c.doc_a = sa.doc_id
-       |  JOIN sizes sb ON c.doc_b = sb.doc_id
-       |  WHERE (round((COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE) + 1e-9, 6) + 0.0) >= 0.5),
-       |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+    s"""WITH t AS (SELECT doc_id, ${TextSql.tokens("text")} AS tk FROM documents),
        |q AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(tk) > 0 THEN (round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) + 0.0) ELSE 0.0 END AS quality
-       |  FROM tok),
+       |  SELECT doc_id, doc_id // 10 AS cluster,
+       |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 100.0 + 0.5001) / 100.0 ELSE 0.0 END AS quality
+       |  FROM t),
        |j AS (
-       |  SELECT cl.cluster, cl.doc_id, q.quality,
-       |    row_number() OVER (PARTITION BY cl.cluster
-       |                       ORDER BY q.quality DESC, cl.doc_id) AS rn
-       |  FROM cl JOIN q USING (doc_id)),
-       |nd AS (SELECT cluster, COUNT(*) AS n_docs FROM cl GROUP BY cluster)
+       |  SELECT cluster, doc_id, quality,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY quality DESC, doc_id) AS rn
+       |  FROM q),
+       |nd AS (SELECT cluster, COUNT(*) AS n_docs FROM q GROUP BY cluster)
        |SELECT j.cluster, j.doc_id AS survivor, j.quality AS best_quality, nd.n_docs
        |FROM j JOIN nd USING (cluster)
        |WHERE rn = 1
        |ORDER BY j.cluster""".stripMargin) { (spark, dir) =>
     val docs = graft.core.Tables.documents(spark, dir)
-    val clusters = Dedup.dedupClusters(spark, docs, K, R, ShingleN, minJaccard = 0.5)
-    val quality = docs.withColumn("tk", TextFns.tokens(col("text")))
+    val clustered = docs.withColumn("tk", TextFns.tokens(col("text")))
       .select(col("doc_id"),
+        floor(col("doc_id") / 10).cast("long").as("cluster"),
         when(size(col("tk")) > 0,
-          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
-            size(col("tk")).cast("double")))
+          floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double") * 100.0 + 0.5001) / 100.0)
           .otherwise(0.0).as("quality"))
-    Curation.bestPerCluster(clusters.join(quality, "doc_id"))
+    Curation.bestPerCluster(clustered)
       .orderBy("cluster")
   }
 

@@ -424,20 +424,29 @@ object TextAnalysis {
     * until a global 20k-token budget is exhausted — greedy prefix of the
     * (quality DESC, doc_id) order. The Spark side runs the banded
     * two-level prefix sum; the oracle computes the same cumulative sum
-    * with one flat window, so hash-equality proves the distributed scan
-    * reproduces the global order exactly. */
+    * as a join-based "sum over strictly-earlier docs", so hash-equality
+    * proves the distributed scan reproduces the global order exactly.
+    *
+    * Hardened after the round-4 driver-only hash divergence (green
+    * locally under a cpus=1/4/32 × codegen/interpreted sweep): quality
+    * is floor(ratio*1e6 + 0.5001)/1e6 — division, multiply, add, floor,
+    * division, ALL correctly-rounded IEEE ops with zero implementation
+    * latitude — instead of round(), whose BigDecimal-HALF_UP (Spark) vs
+    * fp-rounding (DuckDB, version-dependent) semantics are the one
+    * engine-latitude surface this gate had; and the oracle avoids
+    * window-frame semantics entirely. */
   val q135 = QueryDef(
     "q135_budget_select",
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
        |q AS (
        |  SELECT doc_id, len(tk)::BIGINT AS ntok,
-       |    CASE WHEN len(tk) > 0 THEN (round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) + 0.0) ELSE 0.0 END AS quality
+       |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 ELSE 0.0 END AS quality
        |  FROM t),
        |c AS (
-       |  SELECT doc_id, quality, ntok,
-       |    COALESCE(SUM(ntok) OVER (ORDER BY quality DESC, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-       |  FROM q)
+       |  SELECT a.doc_id, a.quality, a.ntok, COALESCE(SUM(b.ntok), 0) AS cum_before
+       |  FROM q a LEFT JOIN q b
+       |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
+       |  GROUP BY a.doc_id, a.quality, a.ntok)
        |SELECT doc_id, quality, ntok, cum_before,
        |  (cum_before + ntok <= 20000) AS selected
        |FROM c
@@ -447,11 +456,49 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("ntok"),
         when(size(col("tk")) > 0,
-          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
-            size(col("tk")).cast("double")))
+          floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double") * 1e6 + 0.5001) / 1e6)
           .otherwise(0.0).as("quality"))
     graft.operators.Curation.selectUnderBudget(d,
         col("doc_id"), col("quality"), col("ntok"), budget = 20000L, bands = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Equi-depth-banded budget selection (selectUnderBudgetEquiDepth):
+    * same greedy prefix as q135 at a different budget, with band
+    * boundaries from approx_percentile instead of fixed width. The
+    * oracle is banding-blind — hash-equality against the flat
+    * join-based prefix sum PROVES the equi-depth execution plan picks
+    * the identical set (banding is execution parallelism, never
+    * semantics), which is the skew-mitigation contract for point-mass
+    * quality distributions at 100 TB. */
+  val q149 = QueryDef(
+    "q149_budget_select_equidepth",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id, len(tk)::BIGINT AS ntok,
+       |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 ELSE 0.0 END AS quality
+       |  FROM t),
+       |c AS (
+       |  SELECT a.doc_id, a.quality, a.ntok, COALESCE(SUM(b.ntok), 0) AS cum_before
+       |  FROM q a LEFT JOIN q b
+       |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
+       |  GROUP BY a.doc_id, a.quality, a.ntok)
+       |SELECT doc_id, quality, ntok, cum_before,
+       |  (cum_before + ntok <= 60000) AS selected
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("ntok"),
+        when(size(col("tk")) > 0,
+          floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double") * 1e6 + 0.5001) / 1e6)
+          .otherwise(0.0).as("quality"))
+    graft.operators.Curation.selectUnderBudgetEquiDepth(d,
+        col("doc_id"), col("quality"), col("ntok"), budget = 60000L, bands = 16)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
@@ -555,12 +602,13 @@ object TextAnalysis {
     s"""WITH t0 AS (SELECT doc_id, $toks AS tk FROM documents),
        |q AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(tk) > 0 THEN (round((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) + 1e-9, 6) + 0.0) ELSE 0.0 END AS quality
+       |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 ELSE 0.0 END AS quality
        |  FROM t0),
        |r AS (
-       |  SELECT doc_id, quality,
-       |         row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
-       |  FROM q),
+       |  SELECT a.doc_id, a.quality, 1 + COUNT(b.doc_id) AS rank
+       |  FROM q a LEFT JOIN q b
+       |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
+       |  GROUP BY a.doc_id, a.quality),
        |t AS (SELECT COUNT(*) AS total FROM r)
        |SELECT doc_id, quality, rank, ((rank - 1) * 8) // total AS shard
        |FROM r CROSS JOIN t
@@ -569,8 +617,8 @@ object TextAnalysis {
       .withColumn("tk", TextFns.tokens(col("text")))
       .select(col("doc_id"),
         when(size(col("tk")) > 0,
-          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
-            size(col("tk")).cast("double")))
+          floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double") * 1e6 + 0.5001) / 1e6)
           .otherwise(0.0).as("quality"))
     graft.operators.Curation.curriculumShards(d,
         col("doc_id"), col("quality"), nShards = 8, bands = 64)
@@ -578,5 +626,5 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149)
 }

@@ -243,4 +243,88 @@ class CurationSpec extends SparkSpec {
     assert(out(0L) == ((11L, 0.8, 3L)))
     assert(out(1L) == ((20L, 0.0, 1L)))
   }
+
+  test("bestPerCluster tie-break works for STRING doc ids") {
+    import graft.operators.Curation
+    // round-4 verdict: the old (-col(id)) key cast string ids to null,
+    // making the survivor nondeterministic — the struct(-quality, id)
+    // argmin must order any orderable id type
+    val cl = Seq(
+      ("doc-b", 0L, 0.8), ("doc-a", 0L, 0.8), ("doc-z", 0L, 0.3),
+      ("only", 1L, 0.5)
+    ).toDF("doc_id", "cluster", "quality")
+    val out = Curation.bestPerCluster(cl)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("doc-a", 0.8, 3L)), "tie at 0.8 → lexicographically-min id")
+    assert(out(1L) == (("only", 0.5, 1L)))
+  }
+
+  test("selectUnderBudget raises on NaN/null quality instead of mis-summing") {
+    import graft.operators.Curation
+    // NaN sorts above every real score in a DESC sort but bands to 0 —
+    // the band-refines-order invariant would break silently, so the
+    // guarded projection must raise, naming the offending id
+    val docs = Seq((1L, 0.5, 10L), (2L, Double.NaN, 10L)).toDF("doc_id", "q", "ntok")
+    val e = intercept[Exception] {
+      Curation.selectUnderBudget(docs, col("doc_id"), col("q"), col("ntok"),
+        budget = 100L, bands = 4).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(e).contains("null/NaN quality"), chain(e))
+    val docsNull = Seq((1L, Some(0.5), 10L), (2L, None, 10L)).toDF("doc_id", "q", "ntok")
+    val e2 = intercept[Exception] {
+      Curation.selectUnderBudget(docsNull, col("doc_id"), col("q"), col("ntok"),
+        budget = 100L, bands = 4).collect()
+    }
+    assert(chain(e2).contains("null/NaN quality"), chain(e2))
+  }
+
+  test("equi-depth banding balances a point-mass distribution without changing the answer") {
+    import graft.operators.Curation
+    // 180 of 200 docs share EXACTLY one score — the distribution the
+    // round-4 verdict called out: fixed-width bands put all of them in
+    // one band whose in-band sort is the global sort the design avoids
+    val docs = (0L until 200L).map { i =>
+      val q = if (i % 10 == 0) 0.05 + (i.toDouble / 1000.0) else 0.42
+      (i, q, 5L)
+    }.toDF("doc_id", "q", "ntok")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val fixed = canon(Curation.selectUnderBudget(docs,
+      col("doc_id"), col("q"), col("ntok"), budget = 300L, bands = 16))
+    val equi = canon(Curation.selectUnderBudgetEquiDepth(docs,
+      col("doc_id"), col("q"), col("ntok"), budget = 300L, bands = 8, subBands = 8))
+    assert(fixed == equi, "banding must never change the selected set")
+    // and the equi-depth key actually splits the point mass: the id
+    // sub-bands cap the densest band far below the 180-row pile
+    val bcol = Curation.equiDepthBandColumn(docs, col("q"), bands = 8,
+      id = Some(col("doc_id")), subBands = 8)
+    val counts = docs.select(bcol.as("b")).groupBy("b").count()
+      .collect().map(_.getLong(1))
+    assert(counts.max <= 60, s"densest band ${counts.max} of ${counts.sum}")
+    assert(counts.sum == 200L)
+    // fixed-width control: the same distribution concentrates one band
+    val fw = docs.select(least(greatest(floor(col("q") * 8).cast("long"), lit(0L)),
+        lit(7L)).as("b")).groupBy("b").count().collect().map(_.getLong(1))
+    assert(fw.max >= 180L, "control: fixed-width must concentrate the point mass")
+  }
+
+  test("equi-depth selection matches fixed-width across repartitionings") {
+    import graft.operators.Curation
+    val docs = (0L until 120L).map(i => (i, (i % 7).toDouble / 7.0, (i % 5) + 1L))
+      .toDF("doc_id", "q", "ntok")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val base = canon(Curation.selectUnderBudget(docs,
+      col("doc_id"), col("q"), col("ntok"), budget = 150L, bands = 4))
+    for (parts <- Seq(1, 3, 13)) {
+      val d2 = docs.repartition(parts, col("ntok"))
+      assert(canon(Curation.selectUnderBudget(d2, col("doc_id"), col("q"),
+        col("ntok"), budget = 150L, bands = 32)) == base)
+      assert(canon(Curation.selectUnderBudgetEquiDepth(d2, col("doc_id"), col("q"),
+        col("ntok"), budget = 150L, bands = 5, subBands = 4)) == base)
+    }
+  }
 }

@@ -206,4 +206,30 @@ class DedupSpec extends SparkSpec {
       }).toMap
     assert(exprBands == batchBands)
   }
+
+  test("streamNearDupCandidates shuffled fallback matches the broadcast path") {
+    val k = 8; val r = 2; val n = 3
+    val idx = Dedup.corpusBandIndex(spark, docs, k, r, n)
+    def run(limit: Long) =
+      Dedup.streamNearDupCandidates(docs, idx, k, r, n, broadcastRowLimit = limit)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    val viaBroadcast = run(Long.MaxValue)
+    assert(viaBroadcast.nonEmpty, "fixture must produce near-dup candidates")
+    // docs 0/1 are exact dups: all bands collide both ways
+    assert(viaBroadcast.contains((0L, 1L, (k / r).toLong)))
+    // force the size gate past the limit AND stop the planner from
+    // re-broadcasting the small side, so the shuffled (band,bkey)
+    // equi-join — the only shape possible at a 100 TB corpus — runs
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Dedup.streamNearDupCandidates(docs, idx, k, r, n,
+        broadcastRowLimit = 0L)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"fallback must not broadcast:\n$plan")
+      val got = shuffled.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+      assert(got == viaBroadcast, "join strategy must never change the answer")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
