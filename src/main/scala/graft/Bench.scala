@@ -13,6 +13,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-run warehouse: managed-table gates (bucketed joins) never see
+    // another run's leftovers; registered for recursive delete at exit
+    // so /tmp accumulates nothing either
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_wh_")
+    graft.core.TempPaths.register(warehouse)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,10 +26,7 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // per-run warehouse: managed-table gates (bucketed joins) never see
-      // another run's leftovers, and the repo never accumulates litter
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       // broadcast/shuffle cleanup needs GC (see SessionHygiene.reset);
       // the between-gate System.gc() covers gate boundaries, this bounds
       // accumulation inside a single long gate without firing mid-query
@@ -42,7 +44,14 @@ object Bench {
     // first measured query isn't charged for it.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     var failed = List.empty[String]
+    // Per-gate GC seconds + peak heap ride along with each wall time:
+    // rounds 3/4 saw 8x driver-vs-builder swings on unchanged plans that
+    // could only be ARGUED to be GC/memory pressure — now each row
+    // carries the evidence. (Result must be materialized before
+    // SessionHygiene.reset — see its ordering invariant.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SessionHygiene.resetHeapPeaks()
+      val gc0 = SessionHygiene.gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
@@ -55,15 +64,24 @@ object Bench {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcS = (SessionHygiene.gcMillis() - gc0) / 1e3
+      val peakMb = SessionHygiene.peakHeapMb()
       SessionHygiene.reset(spark)
-      name -> (if (ok) sec else -1.0)
+      (name, if (ok) sec else -1.0, gcS, peakMb)
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val peaks = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val totalGc = results.map(_._3).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""gc_s":$gcs,"peak_mb":$peaks,"total_gc_s":$totalGc,""" +
+      s""""session":${SessionHygiene.sessionInfoJson(spark)},"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but stdout scraping has
     // truncated past per-query maps — the same JSON also lands in a file
     // (SPARK_GRAFT_BENCH_OUT, default ./BENCH_LOCAL.json) so all entries

@@ -21,6 +21,14 @@ object SessionHygiene {
     * bucketed-table gates own their lifecycle via
     * [[graft.operators.Layout.bucketedWrite]]'s idempotent overwrite.
     *
+    * ORDERING INVARIANT (load-bearing): a gate's result must be FULLY
+    * MATERIALIZED (counted by Bench, written by Verify) before reset is
+    * called. Unpersisting includes localCheckpoint blocks, whose
+    * lineage is truncated — a checkpointed DataFrame consumed after a
+    * reset fails with block-not-found instead of recomputing. Both
+    * harness loops satisfy this by construction (act, then reset);
+    * never reorder them.
+    *
     * The explicit GC is load-bearing, not hygiene theater: broadcast
     * blobs and shuffle state are only released when the ContextCleaner
     * processes their weak references, WHICH REQUIRES A GC — and Spark's
@@ -36,5 +44,50 @@ object SessionHygiene {
       .filter(_.isTemporary)
       .foreach(t => spark.catalog.dropTempView(t.name))
     System.gc()
+  }
+
+  /** Effective session configuration as one JSON object — emitted next
+    * to every Verify dump and inside the Bench JSON so a
+    * driver-vs-local divergence (correctness OR wall-time) diffs in one
+    * look instead of being argued from memory. */
+  def sessionInfoJson(spark: SparkSession): String = {
+    def c(k: String) = try spark.conf.get(k) catch { case _: Exception => "" }
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    s"""{"spark_version":"${spark.version}"""" +
+      s""","master":"${spark.sparkContext.master}"""" +
+      s""","java":"${System.getProperty("java.vm.version")}"""" +
+      s""","heap_max_mb":$heapMb""" +
+      s""","default_parallelism":${spark.sparkContext.defaultParallelism}""" +
+      s""","shuffle_partitions":"${c("spark.sql.shuffle.partitions")}"""" +
+      s""","aqe":"${c("spark.sql.adaptive.enabled")}"""" +
+      s""","whole_stage_codegen":"${c("spark.sql.codegen.wholeStage")}"""" +
+      s""","auto_broadcast_threshold":"${c("spark.sql.autoBroadcastJoinThreshold")}"""" +
+      s""","object_hash_fallback":"${c("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")}"""" +
+      s""","timezone":"${c("spark.sql.session.timeZone")}"}"""
+  }
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors. */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Reset per-pool peak-usage watermarks (call before a gate). */
+  def resetHeapPeaks(): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .foreach(p => try p.resetPeakUsage() catch { case _: Exception => () })
+  }
+
+  /** Peak heap MiB since the last [[resetHeapPeaks]] (sum across heap
+    * pools — eden+survivor+old peaks need not coincide in time, so this
+    * slightly over-reads, uniformly; fine for attribution). */
+  def peakHeapMb(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
   }
 }

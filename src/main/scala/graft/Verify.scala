@@ -10,6 +10,11 @@ object Verify {
     // driver always runs the full set)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-run warehouse: managed-table gates (bucketed joins) never see
+    // another run's leftovers; registered for recursive delete at exit
+    // so /tmp accumulates nothing either
+    val warehouse = Files.createTempDirectory("graft_wh_")
+    graft.core.TempPaths.register(warehouse)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,10 +23,7 @@ object Verify {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // per-run warehouse: managed-table gates (bucketed joins) never see
-      // another run's leftovers, and the repo never accumulates litter
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft_wh_").toString)
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       // broadcast/shuffle cleanup needs GC (see SessionHygiene.reset);
       // the between-gate System.gc() covers gate boundaries, this bounds
       // accumulation inside a single long gate without firing mid-query
@@ -32,6 +34,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Effective session config beside the dumps: when a driver-run
+    // result diverges from a local run of the same commit (the round-4
+    // q135 mystery), the first diff to take is this file, not memory.
+    Files.writeString(Paths.get(s"$outDir/_session.json"),
+      SessionHygiene.sessionInfoJson(spark))
     var errors = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -27,9 +27,19 @@ import graft.operators.{Curation, Dedup}
   * q135) — this main adds only composition and accounting. Usage:
   *
   *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun]
+  *   runMain graft.cli.Curate ingest <incomingDir> <corpusDir> <outDir> [minBandHits]
   *
   * benchDir, when given, points at a second documents.parquet directory
   * whose contents are treated as the held-out benchmark ("-" skips it).
+  *
+  * `ingest` is the ALWAYS-ON dual of the batch pass: incoming documents
+  * are REPLAYED AS A STREAM and probed against the previously-curated
+  * corpus (exact digests + LSH band index, the
+  * [[graft.streaming.Ingest]] operator); novel docs are admitted to
+  * `outDir/admitted` and the corpus token statistics are updated
+  * INCREMENTALLY — partial aggregate states ([[Incremental]], the
+  * q123/q127 machinery) merge the admitted batch into the base stats
+  * without re-scanning the corpus.
   */
 object Curate {
 
@@ -38,7 +48,25 @@ object Curate {
       tokensSpanRemoved: Long, nDecontaminated: Long,
       nSelected: Long, tokensSelected: Long, tokenBudget: Long)
 
+  final case class IngestStats(
+      nIncoming: Long, nExactDup: Long, nNearDup: Long, nAdmitted: Long,
+      totalDocs: Long, totalTokens: Long)
+
+  // memory-sink names must be unique per streaming query within a JVM
+  private val ingestRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ingest")) {
+      val Array(_, incomingDir, corpusDir, outDir) = args.take(4)
+      val minBandHits = args.lift(4).map(_.toInt).getOrElse(1)
+      val spark = Cli.session()
+      val s = runIngest(spark, incomingDir, corpusDir, outDir, minBandHits)
+      println(f"[curate-ingest] incoming=${s.nIncoming} exact_dup=${s.nExactDup} " +
+        f"near_dup=${s.nNearDup} admitted=${s.nAdmitted} " +
+        f"corpus_now=${s.totalDocs} docs/${s.totalTokens} tokens")
+      spark.stop()
+      return
+    }
     val Array(sfDir, outDir) = args.take(2)
     val budget = args.lift(2).map(_.toLong).getOrElse(50000L)
     val benchDir = args.lift(3).filter(_ != "-")
@@ -111,6 +139,12 @@ object Curate {
       .join(deduped, "doc_id")
       .select("doc_id", "text", "quality", "ntok", "cum_before")
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    // base partial aggregate state for incremental maintenance: the
+    // ingest mode merges admitted batches into these without ever
+    // re-scanning the corpus (q123/q127 machinery)
+    graft.operators.Incremental
+      .partials(corpus, lit("all"), lit("base"), col("ntok"), scale = 0)
+      .write.mode("overwrite").parquet(s"$outDir/partials")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
     val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
       agg.getLong(0), agg.getLong(1), budget)
@@ -126,6 +160,77 @@ object Curate {
     new java.io.File(outDir).mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "stats.json"), json)
+    stats
+  }
+
+  /** Ingestion mode: replay `incomingDir`'s documents as a stream,
+    * probe each against the curated corpus at `corpusDir` (built by
+    * [[run]]), admit the novel ones to `outDir/admitted`, and update
+    * the corpus token stats incrementally via partial-state merge.
+    * Returns the admission accounting (also `outDir/ingest_stats.json`).
+    *
+    * The streaming leg produces per-doc verdicts
+    * ([[graft.streaming.Ingest.admissionVerdicts]] — stateless probe
+    * projection, stream-static joins, ONE aggregation); the admitted
+    * corpus write and stats merge are the batch epilogue over those
+    * verdicts, exactly how an always-on probe service hands admissions
+    * to a downstream writer. */
+  def runIngest(spark: SparkSession, incomingDir: String, corpusDir: String,
+      outDir: String, minBandHits: Int = 1): IngestStats = {
+    import org.apache.spark.sql.types._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus").select("doc_id", "text")
+    // incoming may be a bare dir of parquet or an sf-layout dir with a
+    // documents.parquet inside
+    val srcPath = {
+      val sub = java.nio.file.Paths.get(incomingDir, "documents.parquet")
+      if (java.nio.file.Files.exists(sub)) sub.toString else incomingDir
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcPath)
+      .select("doc_id", "text")
+    val verdicts = graft.streaming.EventStreams.runToCompletion(spark,
+      graft.streaming.Ingest.admissionVerdicts(stream, corpus,
+        k = 16, rowsPerBand = 2, shingleN = 3, minBandHits),
+      s"graft_ingest_verdicts_${ingestRuns.incrementAndGet()}")
+    val counts = verdicts.agg(
+      count(lit(1)),
+      count(when(col("exact_dup"), 1)),
+      count(when(!col("exact_dup") && !col("admitted"), 1)),
+      count(when(col("admitted"), 1))).head()
+    val admitted = score(
+      spark.read.schema(schema).parquet(srcPath).select("doc_id", "text")
+        .join(verdicts.filter(col("admitted")).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted")
+    // incremental stats: base partials from the batch run (recomputed
+    // from the corpus if absent) + one new partial row for this batch;
+    // merging partials replaces re-aggregating the whole corpus
+    val basePartials = {
+      val p = java.nio.file.Paths.get(corpusDir, "partials")
+      if (java.nio.file.Files.exists(p)) spark.read.parquet(p.toString)
+      else graft.operators.Incremental.partials(
+        spark.read.parquet(s"$corpusDir/corpus"),
+        lit("all"), lit("base"), col("ntok"), scale = 0)
+    }
+    val newPartials = graft.operators.Incremental.partials(
+      spark.read.parquet(s"$outDir/admitted"),
+      lit("all"), lit("ingest"), col("ntok"), scale = 0)
+    // materialize before writing: outDir may equal corpusDir, and a
+    // lazy read-then-overwrite of the same path would corrupt it
+    val allPartials = basePartials.unionByName(newPartials).localCheckpoint(true)
+    allPartials.write.mode("overwrite").parquet(s"$outDir/partials")
+    val tot = graft.operators.Incremental.merge(allPartials)
+      .select(col("n"), col("sum").cast("long")).head()
+    val stats = IngestStats(counts.getLong(0), counts.getLong(1),
+      counts.getLong(2), counts.getLong(3), tot.getLong(0), tot.getLong(1))
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "ingest_stats.json"),
+      s"""{"n_incoming":${stats.nIncoming},"n_exact_dup":${stats.nExactDup},""" +
+        s""""n_near_dup":${stats.nNearDup},"n_admitted":${stats.nAdmitted},""" +
+        s""""total_docs":${stats.totalDocs},"total_tokens":${stats.totalTokens}}""")
     stats
   }
 

@@ -25,14 +25,16 @@ import org.apache.spark.sql.functions._
   *      (partitioned by bucket → parallel across executors, each sort
   *      bounded by the bucket's rows).
   *
-  * PRECONDITION — ids must be reasonably dense: the bucket count is
-  * idRange/bucketSize, NOT rows/bucketSize, so sparse ids (e.g. raw
-  * 60-bit content hashes) degenerate to one doc per bucket and the
-  * step-2 table is O(n) — the exact single-task bottleneck this operator
-  * exists to avoid. Size `bucketSize` to the id RANGE (aim for ≤ ~10^6
-  * buckets and ≥ ~10^3 rows per bucket). [[Sampling.shardShuffle]]
-  * positions are the canonical dense-id source: shard the corpus, then
-  * pack each shard by `pos`.
+  * PRECONDITION (fixed-width mode) — ids must be reasonably dense: the
+  * bucket count is idRange/bucketSize, NOT rows/bucketSize, so sparse
+  * ids (e.g. raw 60-bit content hashes) degenerate to one doc per
+  * bucket and the step-2 table is O(n) — the exact single-task
+  * bottleneck this operator exists to avoid. Size `bucketSize` to the
+  * id RANGE (aim for ≤ ~10^6 buckets and ≥ ~10^3 rows per bucket).
+  * [[Sampling.shardShuffle]] positions are the canonical dense-id
+  * source: shard the corpus, then pack each shard by `pos`. OR use
+  * [[Packing.packOffsetsEquiDepth]], which derives quantile buckets
+  * from the actual id distribution and has no density precondition.
   *
   * Offsets are exact integer arithmetic, so the result is independent of
   * partitioning and engine-portable (the gate's oracle computes the same
@@ -45,11 +47,13 @@ object Packing {
     * are still assigned the bin at their offset). Returns
     * (id, ntok, start, bin_first, bin_last, spans_boundary). */
   def packOffsets(docs: DataFrame, id: Column, ntok: Column,
-      binSize: Long, bucketSize: Long = 1L << 20): DataFrame = {
+      binSize: Long, bucketSize: Long = 1L << 20,
+      bucketBy: Option[Column] = None): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     require(bucketSize > 0, "bucketSize must be positive")
+    val bucketCol = bucketBy.getOrElse(expr(s"id div ${bucketSize}L"))
     val d = docs.select(id.cast("long").as("id"), ntok.cast("long").as("ntok"))
-      .withColumn("bucket", expr(s"id div ${bucketSize}L"))
+      .withColumn("bucket", bucketCol.cast("long"))
     val bucketTotals = d.groupBy("bucket").agg(sum("ntok").as("btot"))
     // step 2: one row per bucket — tiny by construction, single-partition
     // window is safe and the result broadcasts
@@ -67,5 +71,35 @@ object Packing {
         // an empty doc sits entirely at its offset: last = first
         expr(s"(start + greatest(ntok, 1L) - 1L) div ${binSize}L").as("bin_last"))
       .withColumn("spans_boundary", col("bin_first") =!= col("bin_last"))
+  }
+
+  /** [[packOffsets]] with EQUI-DEPTH id buckets: boundaries from one
+    * approx_percentile pass over the ids, bucket = #(bounds <= id) —
+    * monotone in id, so the offsets are bit-identical to the fixed-width
+    * path (bucketing is execution parallelism, never semantics), but
+    * balanced for ANY id distribution. This removes the documented
+    * dense-id precondition: raw 60-bit content-hash ids (sparse,
+    * clustered) pack exactly as well as dense ones, at the cost of one
+    * extra aggregation pass. The boundary array is driver-side
+    * loop-control state (<= buckets longs) baked into a literal. */
+  def packOffsetsEquiDepth(docs: DataFrame, id: Column, ntok: Column,
+      binSize: Long, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20), s"buckets out of range: $buckets")
+    val bucketBy =
+      if (buckets == 1) lit(0L)
+      else {
+        val probs = (1 until buckets).map(i => i.toDouble / buckets).toArray
+        val row = docs
+          .agg(percentile_approx(id.cast("long"), typedLit(probs), lit(10000)).as("bs"))
+          .head()
+        val bounds =
+          if (row.isNullAt(0)) Seq.empty[Long]
+          else row.getSeq[Long](0).distinct.sorted
+        if (bounds.isEmpty) lit(0L)
+        else aggregate(typedLit(bounds.toArray), lit(0L),
+          // resolved post-normalization, where the id column is "id"
+          (acc, b) => acc + when(col("id") >= b, 1L).otherwise(0L))
+      }
+    packOffsets(docs, id, ntok, binSize, bucketSize = 1L, Some(bucketBy))
   }
 }

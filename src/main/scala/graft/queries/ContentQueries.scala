@@ -381,7 +381,9 @@ object ContentQueries {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("max_tfidf").desc, col("term"))) - 1)
       .select("term", "idx").cache()
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sparse").toString
+    // pid-keyed path + overwrite (TempPaths): stable within a run, safe
+    // across concurrent runs, deleted at exit
+    val tmp = graft.core.TempPaths.gatePath("sparse_gate")
     ModelIO.saveSparseArtifact(
       uprof.select(col("user_id").as("entity_id"), col("term"), col("uw").as("w")),
       vocabIndex, V, s"$tmp/profiles")

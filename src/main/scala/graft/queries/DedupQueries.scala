@@ -439,5 +439,53 @@ object DedupQueries {
       .orderBy("doc_id", "bench_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138)
+  /** Streaming corpus admission (Ingest.admissionVerdicts): every doc
+    * replayed as a stream and probed against a static curated corpus
+    * (here the doc_id % 5 = 0 slice) — exact digest + LSH band
+    * collisions → admit-or-reject verdict per doc. The probe is the
+    * stateless expression-MinHash projection, both corpus sides are
+    * materialized size-gated stream-static joins, and ONE aggregation
+    * produces the verdict (the only stateful-op budget Structured
+    * Streaming allows). The oracle recomputes digests, band collisions,
+    * and the admission rule relationally, so the full ingestion
+    * decision — not just the candidate pairs — is hash-verified. */
+  val q150 = QueryDef(
+    "q150_ingest_verdicts",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |cd AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 5 = 0),
+       |ex AS (SELECT d.doc_id, (COUNT(c.dg) > 0) AS exact_dup
+       |       FROM documents d LEFT JOIN cd c ON md5(d.text) = c.dg
+       |       GROUP BY d.doc_id),
+       |hits AS (SELECT p.doc_id, COUNT(*) AS nh
+       |         FROM bands p JOIN cb ON p.band = cb.band AND p.bkey = cb.bkey
+       |         GROUP BY p.doc_id)
+       |SELECT d.doc_id, ex.exact_dup,
+       |  COALESCE(hits.nh, 0) AS n_band_hits,
+       |  (NOT ex.exact_dup AND COALESCE(hits.nh, 0) < 1) AS admitted
+       |FROM documents d JOIN ex USING (doc_id) LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val corpus = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    graft.streaming.EventStreams.runToCompletion(spark,
+        graft.streaming.Ingest.admissionVerdicts(stream, corpus,
+          k = K, rowsPerBand = R, shingleN = ShingleN),
+        "q150_out")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150)
 }

@@ -346,8 +346,9 @@ object EmbeddingQueries {
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     val cents = SimilaritySearch.ivfTrain(emb, Cells, Dims, iters = 2)
-    // fixed path + overwrite (the q130 discipline): no per-run litter
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_gate"
+    // pid-keyed path + overwrite (TempPaths): stable within a run, safe
+    // across concurrent runs, deleted at exit
+    val path = graft.core.TempPaths.gatePath("ivf_gate")
     graft.sources.ModelIO.saveCentroids(spark, cents, path)
     val loaded = graft.sources.ModelIO.loadCentroids(spark, path)
     SimilaritySearch.ivfTopKTrained(emb.filter(col("vec_id") < 32), emb, 3, loaded)

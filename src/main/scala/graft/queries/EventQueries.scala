@@ -140,7 +140,9 @@ object EventQueries {
       |WHERE (floor(epoch(ts))::BIGINT // 86400) % 10 = 3
       |GROUP BY day, event_type
       |ORDER BY day, event_type""".stripMargin) { (spark, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    // pid-keyed path + overwrite (TempPaths): stable within a run, safe
+    // across concurrent runs, deleted at exit
+    val tmp = graft.core.TempPaths.gatePath("part_gate")
     Tables.events(spark, dir)
       .withColumn("day", expr("sec div 86400"))
       .write.mode("overwrite").partitionBy("day").parquet(s"$tmp/events_by_day")

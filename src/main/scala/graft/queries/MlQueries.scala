@@ -117,9 +117,10 @@ object MlQueries {
     val slice = Recommender.dedupReviews(Tables.reviews(spark, dir))
       .filter(pmod(col("user_id"), lit(97)) === 0)
       .select(col("user_id"), col("business_id"), col("stars").as("pred"))
-    // fixed path + overwrite, NOT createTempDirectory: a fresh dir per
-    // invocation would accumulate a corpus copy on every gate/bench run
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_io_gate"
+    // pid-keyed path + overwrite (TempPaths): stable within a run — a
+    // fresh dir per invocation would accumulate a corpus copy per gate
+    // run — but safe across concurrent runs, and deleted at exit
+    val tmp = graft.core.TempPaths.gatePath("io_gate")
     graft.sources.ModelIO.savePredictionsJson(slice, s"$tmp/json")
     val viaJson = graft.sources.ModelIO.loadPredictionsJson(spark, s"$tmp/json")
     graft.sources.ModelIO.saveCsv(viaJson, s"$tmp/csv")
@@ -143,9 +144,10 @@ object MlQueries {
        |WHERE o_custkey % 7 = 0
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
-    // fixed path + overwrite, NOT createTempDirectory: a fresh dir per
-    // invocation would accumulate an orders copy on every gate/bench run
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_gate"
+    // pid-keyed path + overwrite (TempPaths): stable within a run — a
+    // fresh dir per invocation would accumulate an orders copy per gate
+    // run — but safe across concurrent runs, and deleted at exit
+    val tmp = graft.core.TempPaths.gatePath("orc_gate")
     graft.sources.ModelIO.saveOrc(
       Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),

@@ -547,8 +547,9 @@ object Relational {
        |FROM f GROUP BY file
        |ORDER BY file""".stripMargin) { (spark, dir) =>
     import graft.operators.Layout
-    // fixed path + overwrite (the q130 discipline): no per-run litter
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_gate"
+    // pid-keyed path + overwrite (TempPaths): stable within a run, safe
+    // across concurrent runs, deleted at exit
+    val path = graft.core.TempPaths.gatePath("zorder_gate")
     Layout.zorderWrite(Tables.orders(spark, dir),
       pmod(col("o_custkey"), lit(1024)), pmod(col("o_orderkey"), lit(1024)),
       bits = 10, shiftBits = 14, path)

@@ -88,7 +88,10 @@ object EventStreams {
     * rows-only check. */
   def replayOrdered(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // unique per call (two replay streams can be live in one query, so a
+    // stable overwrite path is unsafe here) but deleted at JVM exit
     val tmp = java.nio.file.Files.createTempDirectory("graft_events_replay")
+    graft.core.TempPaths.register(tmp)
     spark.read.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("sec", expr("ts div 1000000000"))

@@ -193,7 +193,10 @@ object Sessionize {
     val maxSec = maxRow.getLong(0)
     val flush = events.select("user_id").distinct()
       .select(col("user_id"), lit(-1L).as("event_id"), lit(maxSec + gapSeconds + 1).as("sec"))
+    // unique per call (replay source stays live for the query) but
+    // deleted at JVM exit
     val tmp = java.nio.file.Files.createTempDirectory("graft_sess_replay")
+    graft.core.TempPaths.register(tmp)
     events.toDF().unionByName(flush).write.mode("overwrite").parquet(tmp.toString)
     val replay = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Event].schema)

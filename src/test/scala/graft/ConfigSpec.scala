@@ -8,6 +8,7 @@ class ConfigSpec extends SparkSpec {
 
   private def write(json: String): String = {
     val f = Files.createTempFile("graft_cfg", ".json")
+    f.toFile.deleteOnExit() // tests must not litter /tmp across runs
     Files.writeString(f, json)
     f.toString
   }

@@ -202,6 +202,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((1L, 4L, "q")))
   }
 
+  test("packOffsetsEquiDepth matches the flat scan on sparse content-hash ids") {
+    import graft.operators.Packing
+    // a dense cluster plus huge-gap sparse ids — the distribution the
+    // fixed-width mode's density precondition excludes
+    val ids = (0 until 40).map(i => (1L << 45) + i) ++
+      (0 until 24).map(i => (1L << 58) + i * 999999937L)
+    val docs = ids.zipWithIndex.map { case (id, i) => (id, (i * 7L) % 13L) }
+      .toDF("doc_id", "ntok")
+    val out = Packing.packOffsetsEquiDepth(docs, col("doc_id"), col("ntok"),
+        binSize = 16L, buckets = 8)
+      .orderBy("id").collect()
+    var acc = 0L
+    val sorted = ids.zipWithIndex.map { case (id, i) => (id, (i * 7L) % 13L) }
+      .sortBy(_._1)
+    assert(out.length == sorted.length)
+    out.zip(sorted).foreach { case (r, (id, ntok)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == ntok)
+      assert(r.getLong(2) == acc, s"id $id: start ${r.getLong(2)} != flat $acc")
+      acc += ntok
+    }
+  }
+
   test("curriculumShards ranks globally and shards contiguously") {
     import graft.operators.Curation
     val docs = Seq((1L, 0.9), (2L, 0.1), (3L, 0.5), (4L, 0.7)).toDF("doc_id", "q")

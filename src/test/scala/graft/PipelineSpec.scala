@@ -81,7 +81,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("csv round-trip and per-decision rmse breakdown") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val dir = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_csv")).toString
     val w = Seq((1L, 2L, 0.5)).toDF("biz_a", "biz_b", "w")
     graft.sources.ModelIO.saveCsv(w, s"$dir/w")
     assert(graft.sources.ModelIO.loadCsv(spark, s"$dir/w").count() == 1)
@@ -94,7 +94,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("Evaluate CLI emits the per-decision breakdown end-to-end") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cli_e2e").toString
+    val dir = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_cli_e2e")).toString
     graft.cli.Train.runWith(spark, "content", sf(), s"$dir/model", Map.empty)
     graft.cli.Predict.run(spark, "content", sf(), s"$dir/model", s"$dir/preds")
     val out = graft.cli.Evaluate.run(spark, s"$dir/preds", sf())
@@ -141,7 +141,7 @@ class PipelineSpec extends SparkSpec {
     val xs = Array.fill(64)(Array.fill(3)(rnd.nextDouble() * 4 + 1))
     val ys = xs.map(x => (x(0) + x(1) + x(2)) / 3)
     val m = MlpRegressor.fit(xs, ys, MlpRegressor.Params(epochs = 3))
-    val dir = java.nio.file.Files.createTempDirectory("graft_mlp").toString
+    val dir = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_mlp")).toString
     graft.sources.ModelIO.saveMlp(spark, m, s"$dir/mlp")
     val m2 = graft.sources.ModelIO.loadMlp(spark, s"$dir/mlp")
     assert(m2.sizes.toSeq == m.sizes.toSeq)
@@ -211,7 +211,7 @@ class PipelineSpec extends SparkSpec {
 
   test("streaming dedup state survives a checkpoint restart (exactly-once keys)") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val base = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_chk")).toString
     val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
     new java.io.File(in).mkdirs()
     def runOnce(): Unit = {
@@ -240,7 +240,7 @@ class PipelineSpec extends SparkSpec {
 
   test("event-time timeout flushes the idle session without a flush sentinel") {
     import graft.streaming.Sessionize
-    val in = java.nio.file.Files.createTempDirectory("graft_tmo").toString
+    val in = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_tmo")).toString
     // batch 1: user 7's burst; batch 2 (separate file → separate
     // microbatch): an unrelated user far in the future, advancing the
     // watermark past user 7's gap so the EventTimeTimeout fires
@@ -407,7 +407,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("Curate pipeline: stage accounting is monotone and budget is respected") {
-    val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val out = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_curate")).toString
     val s = graft.cli.Curate.run(spark, sf(), out, budget = 5000L)
     assert(s.nInput >= s.nAfterExact && s.nAfterExact >= s.nAfterNearDup)
     assert(s.nSelected <= s.nAfterNearDup - s.nDecontaminated)
@@ -428,11 +428,52 @@ class PipelineSpec extends SparkSpec {
     // with the substring-dedup stage on, selection runs over the
     // rewritten text: accounting still monotone, budget still holds,
     // and the corpus text is the kept token stream (tokens only)
-    val out2 = java.nio.file.Files.createTempDirectory("graft_curate2").toString
+    val out2 = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_curate2")).toString
     val s2 = graft.cli.Curate.run(spark, sf(), out2, budget = 5000L,
       spanMinRun = 4)
     assert(s2.tokensSpanRemoved >= 0 && s2.tokensSelected <= s2.tokenBudget)
     assert(s2.nAfterNearDup == s.nAfterNearDup,
       "span dedup rewrites text, it must not change the survivor set")
+  }
+
+  test("Curate ingest mode admits only novel docs and updates stats incrementally") {
+    import spark.implicits._
+    val base = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_ing_base")).toString
+    val s = graft.cli.Curate.run(spark, sf(), base, budget = 5000L)
+    // incoming batch: an exact replay of a corpus doc, a near-dup of it
+    // (one appended token — shingle sets nearly identical, so LSH bands
+    // collide), and two genuinely novel docs
+    val donor = spark.read.parquet(s"$base/corpus")
+      .orderBy(col("ntok").desc).select("text").head().getString(0)
+    val incoming = Seq(
+      (9000001L, donor),
+      (9000002L, donor + " zzz"),
+      (9000003L, "entirely unrelated columnar ingestion probe fixture text one"),
+      (9000004L, "another fully novel streaming admission fixture document two")
+    ).toDF("doc_id", "text")
+    val in = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_ing_in")).toString
+    incoming.coalesce(1).write.mode("overwrite").parquet(s"$in/documents.parquet")
+    val out = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_ing_out")).toString
+    val st = graft.cli.Curate.runIngest(spark, in, base, out)
+    assert(st.nIncoming == 4, st)
+    assert(st.nExactDup == 1, st)
+    assert(st.nNearDup == 1, st)
+    assert(st.nAdmitted == 2, st)
+    val admitted = spark.read.parquet(s"$out/admitted")
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(9000003L, 9000004L))
+    // incremental merge must equal base corpus + admitted, exactly —
+    // that equivalence is the partial-state contract (q123/q127)
+    val baseTok = spark.read.parquet(s"$base/corpus")
+      .agg(sum("ntok")).head().getLong(0)
+    val admTok = admitted.agg(sum("ntok")).head().getLong(0)
+    assert(st.totalDocs == s.nSelected + 2, st)
+    assert(st.totalTokens == baseTok + admTok, st)
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "ingest_stats.json"))
+    assert(json.contains(s""""n_admitted":2"""), json)
   }
 }

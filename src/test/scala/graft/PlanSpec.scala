@@ -82,7 +82,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("day-partitioned writes prune partitions at the scan") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part_test").toString
+    val tmp = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_part_test")).toString
     Tables.events(spark, sf()).withColumn("day", expr("sec div 86400"))
       .write.mode("overwrite").partitionBy("day").parquet(s"$tmp/e")
     val days = spark.read.parquet(s"$tmp/e").select("day").distinct()
@@ -126,7 +126,7 @@ class PlanSpec extends SparkSpec {
 
   test("z-ordered parquet prunes row groups on a single-dimension predicate") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_test").toString
+    val tmp = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_zorder_test")).toString
     val d = Tables.lineitem(spark, sf())
       .select(pmod(col("l_partkey"), lit(1024)).as("a"),
         pmod(col("l_suppkey"), lit(1024)).as("b"))
