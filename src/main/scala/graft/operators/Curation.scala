@@ -71,19 +71,27 @@ object Curation {
     *
     * `bandBy` overrides the band key (default: fixed-width
     * floor(quality*bands) clamped to [0, bands), which assumes quality
-    * in [0, 1]). Any override must be a LONG-castable expression over
-    * `docs`' columns, monotone non-decreasing in quality; the output is
-    * identical for every valid choice — only parallelism changes. */
+    * in [0, 1]). An override must be a LONG-castable expression over
+    * the NORMALIZED columns col("id")/col("quality")/col("ntok") —
+    * NOT the caller's raw expressions — and monotone non-decreasing in
+    * quality; the output is identical for every valid choice, only
+    * parallelism changes. The normalization projection is deliberate:
+    * a band key with many comparison terms referencing a non-cheap
+    * quality expression would otherwise have that expression inlined
+    * into EVERY term by the optimizer (measured 12x on q149 before the
+    * restructure); referencing the projected attribute keeps the score
+    * computed once per row, because CollapseProject refuses to
+    * duplicate non-cheap exprs into multi-reference sites. */
   def selectUnderBudget(docs: DataFrame, id: Column, quality: Column,
       ntok: Column, budget: Long, bands: Int = 1024,
       bandBy: Option[Column] = None): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    val q = guardedQuality(id, quality)
-    val bandCol = bandBy.getOrElse(
-      least(greatest(floor(q * bands).cast("long"), lit(0L)), lit(bands - 1L)))
-    val d = docs.select(id.as("id"), q.as("quality"),
-      ntok.cast("long").as("ntok"), bandCol.cast("long").as("band"))
+    val base = docs.select(id.as("id"),
+      guardedQuality(id, quality).as("quality"), ntok.cast("long").as("ntok"))
+    val bandCol = bandBy.getOrElse(least(greatest(
+      floor(col("quality") * bands).cast("long"), lit(0L)), lit(bands - 1L)))
+    val d = base.withColumn("band", bandCol.cast("long"))
     val bandTotals = d.groupBy("band").agg(sum("ntok").as("btot"))
     // one row per occupied band — tiny by construction
     val wBand = Window.orderBy(col("band").desc)
@@ -141,8 +149,8 @@ object Curation {
       else row.getSeq[Double](0).filterNot(_.isNaN)
     val bounds = raw.distinct.sorted
     if (bounds.isEmpty) return lit(0L)
-    val base = aggregate(typedLit(bounds.toArray), lit(0L), (acc, b) =>
-      acc + when(q >= b, 1L).otherwise(0L) + when(q > b, 1L).otherwise(0L))
+    val base = boundCount(bounds, b => (q >= b).cast("long") + (q > b).cast("long"),
+      (acc, b) => acc + when(q >= b, 1L).otherwise(0L) + when(q > b, 1L).otherwise(0L))
     // point-mass values: >= 2 raw quantiles collapsed onto one value
     val heavy = raw.groupBy(identity).collect { case (v, hits) if hits.size >= 2 => v }
       .toSeq.sorted
@@ -164,13 +172,26 @@ object Curation {
       val ib = idBounds.getOrElse(v, Seq.empty)
       if (ib.isEmpty) acc
       else {
-        val idSub = aggregate(typedLit(ib.toArray), lit(0L),
+        val idSub = boundCount(ib, b => (idc >= b).cast("long"),
           (a, b) => a + when(idc >= b, 1L).otherwise(0L))
         when(q === v, lit(subBands - 1L) - idSub).otherwise(acc)
       }
     }
     base * subBands + slot
   }
+
+  /** Count-of-boundaries expression: a flat SUM OF COMPARISONS for
+    * small boundary sets — pure codegen'd arithmetic, cheap even when
+    * the optimizer inlines the band key into groupBy keys, exchange
+    * partitioning, and join conditions (measured 8x on q149: the
+    * `aggregate` higher-order fold is CodegenFallback, and its
+    * interpreted eval multiplied across every inlined site) — with the
+    * HOF fold kept only for boundary sets too large to inline. */
+  private def boundCount(bounds: Seq[Double],
+      inline: Double => Column,
+      fold: (Column, Column) => Column): Column =
+    if (bounds.size <= 128) bounds.map(inline).reduce(_ + _)
+    else aggregate(typedLit(bounds.toArray), lit(0L), fold)
 
   /** [[selectUnderBudget]] with equi-depth banding — identical output
     * (banding never changes the selected set), skew-proof execution on
@@ -179,9 +200,16 @@ object Curation {
     * subset when one exists. */
   def selectUnderBudgetEquiDepth(docs: DataFrame, id: Column,
       quality: Column, ntok: Column, budget: Long,
-      bands: Int = 64, subBands: Int = 16): DataFrame =
-    selectUnderBudget(docs, id, quality, ntok, budget, bands,
-      bandBy = Some(equiDepthBandColumn(docs, quality, bands, Some(id), subBands)))
+      bands: Int = 64, subBands: Int = 16): DataFrame = {
+    // normalize FIRST so every boundary comparison in the band key
+    // references the projected quality/id attributes, never the
+    // caller's (possibly expensive) scoring expressions
+    val base = docs.select(id.as("id"),
+      quality.cast("double").as("quality"), ntok.cast("long").as("ntok"))
+    selectUnderBudget(base, col("id"), col("quality"), col("ntok"), budget,
+      bands, bandBy = Some(equiDepthBandColumn(base, col("quality"), bands,
+        Some(col("id")), subBands)))
+  }
 
   /** Curriculum shard assignment: every doc gets its GLOBAL rank in
     * (quality DESC, id ASC) order and a contiguous shard id

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Caching, Cross}
@@ -105,6 +106,58 @@ object Dedup {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("i"))
       attachJaccard(inter, sh).filter(col("jaccard") >= minJaccard)
+    }
+  }
+
+  /** Exact set-similarity self-join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family): all pairs with shingle-set Jaccard >=
+    * `minJaccard`, deterministically and with ZERO false negatives —
+    * the exact complement to the probabilistic MinHash-LSH path, for
+    * pipelines that cannot tolerate a missed near-dup.
+    *
+    * Candidate rule: order each doc's shingles by global rarity
+    * (df ASC, shingle — a total order) and keep only the PREFIX of
+    * length |s| − ceil(t·|s|) + 1. Two sets with Jaccard >= t must
+    * overlap in >= t·max(|a|,|b|) shingles, which is more than either
+    * suffix holds, so their prefixes must intersect (the prefix-filter
+    * theorem) — the candidate join runs only over prefix shingles, the
+    * RAREST in the corpus, so its Σ df² is a small fraction of the
+    * full inverted index the naive join pays. A length prune drops
+    * size-incompatible pairs (min/max < t) before verification; it
+    * compares the correctly-rounded RATIO against t (monotone IEEE
+    * rounding → never prunes a boundary pair; `min >= t·max` in
+    * doubles would). Verification is the candidate-filtered exact
+    * Jaccard, never the full inverted self-join. The per-doc prefix
+    * window partitions by doc_id — bounded by one doc's shingle count,
+    * parallel across the corpus. */
+  def prefixJaccardJoin(docs: DataFrame, shingleN: Int,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val sh = shingleSet(docs, shingleN)
+    Caching.releasing(sh) {
+      val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+      val pref = sh.join(dfs, "sh")
+        .withColumn("pos", row_number().over(wDoc))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        // |s| − floor(t·|s|) + 1, not the textbook ceil: double ceil can
+        // overshoot the exact value at representation boundaries
+        // (ceil(0.3·10) = ceil(3.0000000000000004) = 4), silently
+        // SHORTENING the prefix below the safe length. floor is always
+        // <= the exact ceil — at most one extra prefix token, never a
+        // lost pair.
+        .filter(col("pos") <=
+          col("sz") - floor(lit(minJaccard) * col("sz")) + lit(1))
+        .select("doc_id", "sh", "sz")
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") /
+            greatest(col("a.sz"), col("b.sz")).cast("double") >= minJaccard)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      withJaccard(cand, sh).filter(col("jaccard") >= minJaccard)
     }
   }
 

@@ -95,9 +95,15 @@ object Packing {
         val bounds =
           if (row.isNullAt(0)) Seq.empty[Long]
           else row.getSeq[Long](0).distinct.sorted
+        // resolved post-normalization, where the id column is "id";
+        // small boundary sets inline as a codegen'd comparison sum —
+        // the HOF fold is CodegenFallback and its interpreted eval
+        // multiplies across every site the optimizer inlines the
+        // bucket key into (see Curation.boundCount)
         if (bounds.isEmpty) lit(0L)
+        else if (bounds.size <= 128)
+          bounds.map(b => (col("id") >= b).cast("long")).reduce(_ + _)
         else aggregate(typedLit(bounds.toArray), lit(0L),
-          // resolved post-normalization, where the id column is "id"
           (acc, b) => acc + when(col("id") >= b, 1L).otherwise(0L))
       }
     packOffsets(docs, id, ntok, binSize, bucketSize = 1L, Some(bucketBy))

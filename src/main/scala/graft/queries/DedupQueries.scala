@@ -487,5 +487,33 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150)
+  /** Exact prefix-filtered similarity self-join (Dedup.prefixJaccardJoin):
+    * every pair at Jaccard >= 0.3, found via rarity-ordered prefix
+    * candidates + exact verification. The oracle computes the FULL
+    * exact pairwise Jaccard with no prefix pruning, so hash-equality
+    * proves the prefix-filter theorem held on real data: zero false
+    * negatives — the guarantee the probabilistic LSH path (q36, same
+    * oracle algebra) cannot give by construction. */
+  val q151 = QueryDef(
+    "q151_prefix_jaccard_join",
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT i.da AS doc_a, i.db AS doc_b,
+       |    (round((i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE) + 1e-9, 6) + 0.0) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON i.da = sa.doc_id
+       |  JOIN sizes sb ON i.db = sb.doc_id) t
+       |WHERE jaccard >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.prefixJaccardJoin(graft.core.Tables.documents(spark, dir),
+        ShingleN, minJaccard = 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151)
 }

@@ -207,6 +207,23 @@ class DedupSpec extends SparkSpec {
     assert(exprBands == batchBands)
   }
 
+  test("prefixJaccardJoin equals the unpruned exact join at any threshold") {
+    // ngramJaccardPairs (no df cap) IS the exhaustive exact join; the
+    // prefix-filtered path must reproduce it bit-for-bit — completeness
+    // of the prefix candidates plus identical verification
+    for (t <- Seq(0.2, 0.3, 0.5, 0.9)) {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(x => (x._1, x._2)).toSeq
+      val exact = canon(Dedup.ngramJaccardPairs(docs, shingleN = 3, minJaccard = t))
+      val pref = canon(Dedup.prefixJaccardJoin(docs, shingleN = 3, minJaccard = t))
+      assert(pref == exact, s"threshold $t: prefix join diverged")
+    }
+    // the exact-dup pair must surface at jaccard 1.0 even at t = 1.0
+    val ones = Dedup.prefixJaccardJoin(docs, 3, minJaccard = 1.0).collect()
+    assert(ones.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
   test("streamNearDupCandidates shuffled fallback matches the broadcast path") {
     val k = 8; val r = 2; val n = 3
     val idx = Dedup.corpusBandIndex(spark, docs, k, r, n)
