@@ -104,7 +104,6 @@ object Repetition {
     require(w >= 1, s"span width must be >= 1, got $w")
     require(minRun >= w, s"minRun must be >= span width $w, got $minRun")
     val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-    val tok = tk.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
     val spans = tk.select(col("doc_id"),
       posexplode(TextFns.shingles(col("tk"), w)).as(Seq("spos", "sp")))
     val spanDf = spans.select("doc_id", "sp").distinct()
@@ -114,6 +113,48 @@ object Repetition {
       .select(col("doc_id"),
         explode(sequence(col("spos"), col("spos") + lit(w - 1))).as("pos"))
       .distinct()
+    reassemble(tk, coveredAll, w, minRun)
+  }
+
+  /** INTRA-document repetition removal: within each doc, any `w`-token
+    * span occurring more than once keeps its FIRST occurrence and every
+    * LATER occurrence's positions are removed (union over all repeated
+    * spans) — the self-repetition scrub (boilerplate loops, copy-paste
+    * stutter) that complements the cross-document
+    * [[removeDuplicatedSpans]]. `minRun` merges covered positions into
+    * maximal runs and only removes runs of >= minRun tokens, exactly as
+    * in the cross-doc form. Returns the same
+    * (doc_id, n_kept, n_removed, kept_text) shape.
+    *
+    * Scale shape: one groupBy on (doc_id, span) for first-occurrence
+    * positions — map-side combinable, keyed WITHIN documents so corpus
+    * growth adds keys, not key size; covered positions explode to <= w
+    * rows per later occurrence; no pair joins of any kind. */
+  def removeSelfRepetition(docs: DataFrame, w: Int): DataFrame =
+    removeSelfRepetition(docs, w, minRun = w)
+
+  def removeSelfRepetition(docs: DataFrame, w: Int, minRun: Int): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    require(minRun >= w, s"minRun must be >= span width $w, got $minRun")
+    val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val spans = tk.select(col("doc_id"),
+      posexplode(TextFns.shingles(col("tk"), w)).as(Seq("spos", "sp")))
+    val firsts = spans.groupBy("doc_id", "sp")
+      .agg(count(lit(1)).as("n"), min("spos").as("first"))
+    val coveredAll = spans.join(firsts, Seq("doc_id", "sp"))
+      .filter(col("n") >= 2 && col("spos") > col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + lit(w - 1))).as("pos"))
+      .distinct()
+    reassemble(tk, coveredAll, w, minRun)
+  }
+
+  /** Shared tail of the span-removal transforms: optional min-run
+    * island merge over the covered positions, positional left-anti
+    * removal, in-order token reassembly. */
+  private def reassemble(tk: DataFrame, coveredAll: DataFrame,
+      w: Int, minRun: Int): DataFrame = {
+    val tok = tk.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
     val covered =
       if (minRun == w) coveredAll
       else {

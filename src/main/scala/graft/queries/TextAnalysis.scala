@@ -543,6 +543,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition removal (Repetition.removeSelfRepetition):
+    * within each doc, every 3-token span that occurs more than once
+    * keeps its first occurrence and loses the positions of every later
+    * occurrence — the self-repetition scrub dual to the cross-doc q139.
+    * The oracle recomputes per-doc first occurrences, later-occurrence
+    * coverage, and reassembly relationally, hash-matching every kept
+    * token and string. */
+  val q152 = QueryDef(
+    "q152_self_repetition",
+    s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+       |tokpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk),
+       |tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS t FROM tokpos),
+       |sps AS (SELECT doc_id, ${TextSql.shingles("tk", 3)} AS sl FROM tk),
+       |spspos AS (SELECT doc_id, sl, unnest(range(1, len(sl) + 1)) AS i FROM sps),
+       |sp AS (SELECT doc_id, i - 1 AS spos, sl[i] AS sp FROM spspos),
+       |f AS (SELECT doc_id, sp, COUNT(*) AS n, MIN(spos) AS first
+       |      FROM sp GROUP BY doc_id, sp),
+       |flag AS (
+       |  SELECT DISTINCT sp.doc_id, sp.spos + o.o AS pos
+       |  FROM sp JOIN f USING (doc_id, sp)
+       |  CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o
+       |  WHERE f.n >= 2 AND sp.spos > f.first),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.pos, tok.t
+       |  FROM tok ANTI JOIN flag USING (doc_id, pos)),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(t, ' ' ORDER BY pos) AS kept_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       |  COALESCE(agg.n_kept, 0) AS n_kept,
+       |  len(tk.tk) - COALESCE(agg.n_kept, 0) AS n_removed,
+       |  COALESCE(agg.kept_text, '') AS kept_text
+       |FROM tk LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Repetition.removeSelfRepetition(
+        Tables.documents(spark, dir), w = 3)
+      .orderBy("doc_id")
+  }
+
   /** Minimum-run substring dedup (Repetition.removeDuplicatedSpans with
     * minRun): covered positions merge into maximal runs
     * (gaps-and-islands) and only runs of >= 5 tokens are removed — the
@@ -626,5 +666,5 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152)
 }

@@ -235,6 +235,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L)) && out(2L) == ((4L, 1L)))
   }
 
+  test("removeSelfRepetition keeps first occurrences, drops later ones") {
+    import graft.operators.Repetition
+    val docs = Seq(
+      // "a b" repeats at 0,2,4 → later occurrences cover 2..5
+      (0L, "a b a b a b"),
+      // no intra-doc repeats (cross-doc dups are NOT this operator's job)
+      (1L, "a b a c a d"),
+      (2L, "x y z x y z x y z")
+    ).toDF("doc_id", "text")
+    val out = Repetition.removeSelfRepetition(docs, w = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(out(0L) == ((2L, "a b")))
+    assert(out(1L) == ((6L, "a b a c a d")))
+    // "x y z x y z x y z": later-occurrence coverage is positions 3..8
+    // (xy→{3,4,6,7}, yz→{4,5,7,8}, zx→{5,6}) → "x y z" survives
+    assert(out(2L) == ((3L, "x y z")))
+    // minRun above the longest covered run → nothing removed
+    val strict = Repetition.removeSelfRepetition(docs, w = 2, minRun = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict(0L) == 0L && strict(2L) == 0L)
+  }
+
   test("removeDuplicatedSpans minRun keeps short collision runs intact") {
     import graft.operators.Repetition
     val docs = Seq(

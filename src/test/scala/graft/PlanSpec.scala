@@ -206,6 +206,20 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(probe).contains("Exchange"), planOf(probe))
   }
 
+  test("ingest admission verdicts shuffle exactly once") {
+    // the whole admission probe — signature projection, digest join,
+    // band-index join — must stay map-side; the ONLY shuffle allowed is
+    // the final per-doc verdict aggregation. More would mean the probe
+    // re-shuffles 100 TB of arriving documents per micro-batch.
+    val docs = Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val v = graft.streaming.Ingest.admissionVerdicts(
+      docs.select("doc_id", "text"), corpus, k = 16, rowsPerBand = 2, shingleN = 3)
+    val plan = v.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar hot path") {
     val df = Tables.documents(spark, sf())
       .select(graft.core.Cross.hash64(col("text")).as("h"))
