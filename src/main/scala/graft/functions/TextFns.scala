@@ -50,13 +50,14 @@ object TextFns {
     filter(tokens(c), t => !array_contains(lit(stopwords.toArray), t))
 
   /** Word n-shingles: ["a","b","c","d"] with n=3 → ["a b c","b c d"].
-    * Empty when the doc has fewer than n tokens. */
+    * Empty when the doc has fewer than n tokens. Computed by the native
+    * [[graft.plans.WordShingles]] expression (byte-identical strings to
+    * the interpreted transform/concat_ws formulation it replaced — see
+    * its scaladoc for the measured 10 s/corpus-pass motivation);
+    * coalesce preserves the old null-input → empty-array behavior. */
   def shingles(toks: Column, n: Int): Column = {
     require(n >= 1)
-    val body = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
-    when(size(toks) >= n, body).otherwise(array())
+    coalesce(graft.plans.WordShingles.of(toks, n), array().cast("array<string>"))
   }
 
   /** Number of tokens from `toks` found in `lexicon` (with multiplicity). */

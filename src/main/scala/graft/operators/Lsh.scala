@@ -51,11 +51,15 @@ object Lsh {
     * do), and the only shape a STREAM can use statelessly. Empty arrays
     * yield null sigs — filter `size(tokens) > 0` first, mirroring the
     * exploded path where such docs simply have no rows. */
-  def signatureColsFromHashes(hx: Column, k: Int): Seq[Column] =
-    HashFns.minhashParams(k).map { case (i, a, b) =>
-      array_min(transform(hx, x => pmod(lit(a) * x + lit(b), lit(HashFns.P))))
-        .as(s"sig$i")
-    }
+  def signatureColsFromHashes(hx: Column, k: Int): Seq[Column] = {
+    // one native pass for all K minima (plans.MinHashSigs) — the
+    // array_min(transform(...)) HOF formulation is byte-identical but
+    // interpreted, measured ~4 ms/doc at K=16 (20 s per full-corpus
+    // pass at sf0.1); codegen'd subexpression elimination shares the
+    // single sigs array across the K projections
+    val sigs = graft.plans.MinHashSigs.sigs(hx, k)
+    (0 until k).map(i => sigs.getItem(i).as(s"sig$i"))
+  }
 
   /** Per-row LSH band keys from the expression signature path: an array
     * of (band, bkey) structs, bkey = comma-joined sig values in h_idx
@@ -63,14 +67,12 @@ object Lsh {
     * expression-path probe joins a [[bands]]-built index directly. */
   def bandStructs(hx: Column, k: Int, rowsPerBand: Int): Column = {
     require(k % rowsPerBand == 0, s"k=$k must be a multiple of rowsPerBand=$rowsPerBand")
-    val sigs = HashFns.minhashParams(k).map { case (_, a, b) =>
-      array_min(transform(hx, x => pmod(lit(a) * x + lit(b), lit(HashFns.P))))
-    }
+    val sigs = graft.plans.MinHashSigs.sigs(hx, k)
     array((0 until k / rowsPerBand).map { bi =>
       struct(
         lit(bi.toLong).as("band"),
-        concat_ws(",", sigs.slice(bi * rowsPerBand, (bi + 1) * rowsPerBand)
-          .map(_.cast("string")): _*).as("bkey"))
+        concat_ws(",", (bi * rowsPerBand until (bi + 1) * rowsPerBand)
+          .map(j => sigs.getItem(j).cast("string")): _*).as("bkey"))
     }: _*)
   }
 
