@@ -49,6 +49,14 @@ object VectorFns {
       zip_with(a, typedLit(w), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Squared L2 distance between two vector columns (left-to-right
+    * fold, mirrored by [[VectorSql.sqDist]]). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Per-vector symmetric int8 quantization: scale = max|xᵢ|/127, code =
     * round(xᵢ/scale) ∈ [−127, 127] — the 4× footprint lever that turns a
     * float32 corpus into a tinyint corpus for billion-vector ANN (rerank
@@ -113,6 +121,9 @@ object VectorSql {
     val lits = w.mkString("[", ", ", "]")
     s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - ($lits)[i]) * ($a[i]::DOUBLE - ($lits)[i])))"
   }
+
+  def sqDist(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))"
 
   /** Mirrors of [[VectorFns.quantizeI8]]'s scale and codes. */
   def quantScale(a: String): String =

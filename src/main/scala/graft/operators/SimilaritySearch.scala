@@ -330,6 +330,32 @@ object SimilaritySearch {
     * the top-k is the bounded [[graft.plans.TopKAgg]] heap (negated
     * distance: largest weight ≡ smallest distance, ties → smallest
     * neighbor id — the oracle's (adist, neighbor_id) order). */
+  /** ADC shortlist + EXACT re-rank — the "refine" step that completes
+    * a production PQ pipeline: the cheap code-only ADC sweep nominates
+    * `shortlist` candidates per query, then ONLY those rows join back
+    * to the float corpus and re-rank by exact squared L2. At scale the
+    * expensive float vectors are touched for |queries|·shortlist rows
+    * instead of the whole corpus (a shuffled equi-join on neighbor_id,
+    * shortlist ≪ corpus), which is the entire point of encoding the
+    * corpus in the first place. Ranks/ties follow the same
+    * (dist, neighbor_id) order as every other kNN gate. */
+  def pqAdcRefineTopK(queries: DataFrame, encoded: DataFrame,
+      corpus: DataFrame, cb: Array[Array[Array[Double]]], subDims: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = pqAdcTopK(queries, encoded, cb, subDims, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = short
+      .join(corpus.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        "neighbor_id")
+      .withColumn("cos", -Cross.r6(VectorFns.sqDist(col("qe"), col("ne"))))
+    rerank(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        Cross.r6(-col("cos")).as("dist"))
+  }
+
   def pqAdcTopK(queries: DataFrame, encoded: DataFrame,
       cb: Array[Array[Array[Double]]], subDims: Int, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))

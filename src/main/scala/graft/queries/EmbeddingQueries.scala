@@ -475,6 +475,53 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** ADC + exact refine (SimilaritySearch.pqAdcRefineTopK): the q144
+    * ADC sweep nominates an 8-deep shortlist per query, then only
+    * those rows join back to the float corpus and re-rank by EXACT
+    * squared L2 — the FAISS-style refine step that completes the PQ
+    * pipeline. The oracle chains the q144 ADC algebra with the exact
+    * re-rank, so shortlist membership, every exact distance, and the
+    * final ranks all hash-match. */
+  val q153 = QueryDef(
+    "q153_pq_refine_topk",
+    s"""WITH encd AS (
+       |$pqArmsSql),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |    FROM encd) t WHERE rn = 1),
+       |qd AS (SELECT vec_id AS query_id, s, c, d FROM encd WHERE vec_id < 8),
+       |adc AS (
+       |  SELECT qd.query_id, cd.vec_id AS neighbor_id,
+       |         ${Cross.r6Sql("(SUM(qd.d::DECIMAL(18,6)))::DOUBLE")} AS adist
+       |  FROM codes cd JOIN qd ON qd.s = cd.s AND qd.c = cd.code AND qd.query_id <> cd.vec_id
+       |  GROUP BY qd.query_id, cd.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |    FROM adc) t WHERE rn <= 8),
+       |ex AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |         ${Cross.r6Sql(VectorSql.sqDist("qa.embedding", "nb.embedding"))} AS dist
+       |  FROM short sh
+       |  JOIN embeddings qa ON qa.vec_id = sh.query_id
+       |  JOIN embeddings nb ON nb.vec_id = sh.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM ex)
+       |SELECT query_id, rank, neighbor_id, dist
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cb = SimilaritySearch.pqSeedCodebooks(PqM, PqK, PqSub)
+    SimilaritySearch.pqAdcRefineTopK(emb.filter(col("vec_id") < 8),
+        SimilaritySearch.pqEncode(emb, cb, PqSub), emb, cb, PqSub,
+        shortlist = 8, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Trained-PQ encode (SimilaritySearch.pqTrain + pqEncode): each
     * subspace's codebook Lloyd-trains independently on its own
     * subvector slice (2 rounds from the shared seed family), then the
@@ -649,5 +696,5 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153)
 }
