@@ -211,6 +211,44 @@ object Curation {
         Some(col("id")), subBands)))
   }
 
+  /** Per-key token-budget selection — the DATA-MIXTURE curation step:
+    * every key (domain, source, language) runs its own independent
+    * greedy quality-prefix under its own budget ("30 B tokens of code,
+    * 10 B of forums, 1 B default per long-tail domain"). One pass, not
+    * one job per domain: the banded scan's every level simply extends
+    * with the key — per-(key, band) totals, per-key offset prefix sums
+    * (bands rows per key, broadcastable), per-(key, band) in-band
+    * windows. Unknown keys get `defaultBudget` (0 = drop).
+    * Returns (key, id, quality, ntok, cum_before, selected) with
+    * cum_before counted WITHIN the key. */
+  def selectUnderBudgetPerKey(docs: DataFrame, key: Column, id: Column,
+      quality: Column, ntok: Column, budgets: Map[String, Long],
+      defaultBudget: Long = 0L, bands: Int = 1024): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "budgets must be >= 0")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val base = docs.select(key.cast("string").as("key"), id.as("id"),
+      guardedQuality(id, quality).as("quality"), ntok.cast("long").as("ntok"))
+    val d = base.withColumn("band", least(greatest(
+      floor(col("quality") * bands).cast("long"), lit(0L)), lit(bands - 1L)))
+    val bandTotals = d.groupBy("key", "band").agg(sum("ntok").as("btot"))
+    val wBand = Window.partitionBy("key").orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("boff", coalesce(sum("btot").over(wBand), lit(0L)))
+      .select("key", "band", "boff")
+    val wIn = Window.partitionBy("key", "band")
+      .orderBy(col("quality").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgetCol =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(element_at(typedLit(budgets), col("key")), lit(defaultBudget))
+    d.join(broadcast(offsets), Seq("key", "band"))
+      .withColumn("cum_before", col("boff") + coalesce(sum("ntok").over(wIn), lit(0L)))
+      .select(col("key"), col("id"), col("quality"), col("ntok"), col("cum_before"),
+        (col("cum_before") + col("ntok") <= budgetCol).as("selected"))
+  }
+
   /** Curriculum shard assignment: every doc gets its GLOBAL rank in
     * (quality DESC, id ASC) order and a contiguous shard id
     * ((rank−1)·nShards div total) — shard 0 holds the best docs, the

@@ -503,6 +503,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-domain token-budget selection (Curation.selectUnderBudgetPerKey):
+    * every source domain keeps its own highest-quality prefix under its
+    * own budget — the data-mixture step ("5k tokens of src1, 2k of
+    * src2, 1k per long-tail domain"). The oracle computes each
+    * domain's cumulative sum with a per-key join-based prefix, so
+    * per-domain ordering, budgets, and the default fallback all
+    * hash-match. */
+  val q154 = QueryDef(
+    "q154_budget_by_domain",
+    s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id, source AS key, len(tk)::BIGINT AS ntok,
+       |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 ELSE 0.0 END AS quality
+       |  FROM t),
+       |c AS (
+       |  SELECT a.doc_id, a.key, a.quality, a.ntok, COALESCE(SUM(b.ntok), 0) AS cum_before
+       |  FROM q a LEFT JOIN q b
+       |    ON b.key = a.key AND
+       |       (b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id))
+       |  GROUP BY a.doc_id, a.key, a.quality, a.ntok)
+       |SELECT doc_id, key, quality, ntok, cum_before,
+       |  (cum_before + ntok <=
+       |    CASE key WHEN 'src1' THEN 5000 WHEN 'src2' THEN 2000 ELSE 1000 END) AS selected
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("ntok"),
+        when(size(col("tk")) > 0,
+          floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double") * 1e6 + 0.5001) / 1e6)
+          .otherwise(0.0).as("quality"))
+    graft.operators.Curation.selectUnderBudgetPerKey(d,
+        col("source"), col("doc_id"), col("quality"), col("ntok"),
+        budgets = Map("src1" -> 5000L, "src2" -> 2000L),
+        defaultBudget = 1000L, bands = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Exact substring dedup at fixed width
     * (Repetition.removeDuplicatedSpans): cross-document duplicated
     * 3-token spans are removed from every non-keeper doc and the
@@ -666,5 +707,5 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154)
 }

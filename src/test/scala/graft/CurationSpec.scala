@@ -355,6 +355,35 @@ class CurationSpec extends SparkSpec {
     assert(fw.max >= 180L, "control: fixed-width must concentrate the point mass")
   }
 
+  test("selectUnderBudgetPerKey runs one independent prefix per key") {
+    import graft.operators.Curation
+    val docs = Seq(
+      ("web", 1L, 0.9, 50L), ("web", 2L, 0.5, 60L), ("web", 3L, 0.7, 40L),
+      ("code", 4L, 0.8, 80L), ("code", 5L, 0.6, 30L),
+      ("tail", 6L, 0.4, 10L), ("tail", 7L, 0.3, 15L)
+    ).toDF("src", "doc_id", "q", "ntok")
+    val out = Curation.selectUnderBudgetPerKey(docs, col("src"), col("doc_id"),
+        col("q"), col("ntok"), budgets = Map("web" -> 100L, "code" -> 80L),
+        defaultBudget = 12L, bands = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    // web order 1(.9) → 3(.7) → 2(.5): cum 0, 50, 90; budget 100
+    assert(out(1L) == ((0L, true)))
+    assert(out(3L) == ((50L, true)))
+    assert(out(2L) == ((90L, false)))
+    // code order 4(.8) → 5(.6): cum 0, 80; budget 80 admits only doc 4
+    assert(out(4L) == ((0L, true)))
+    assert(out(5L) == ((80L, false)))
+    // tail uses the default budget 12: doc 6 (10) fits, doc 7 (10+15) not
+    assert(out(6L) == ((0L, true)))
+    assert(out(7L) == ((10L, false)))
+    // layout independence
+    val again = Curation.selectUnderBudgetPerKey(docs.repartition(5, col("ntok")),
+        col("src"), col("doc_id"), col("q"), col("ntok"),
+        budgets = Map("web" -> 100L, "code" -> 80L), defaultBudget = 12L, bands = 32)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out == again)
+  }
+
   test("equi-depth selection matches fixed-width across repartitionings") {
     import graft.operators.Curation
     val docs = (0L until 120L).map(i => (i, (i % 7).toDouble / 7.0, (i % 5) + 1L))
