@@ -149,15 +149,43 @@ object Dedup {
         // lost pair.
         .filter(col("pos") <=
           col("sz") - floor(lit(minJaccard) * col("sz")) + lit(1))
-        .select("doc_id", "sh", "sz")
+        .select("doc_id", "sh", "pos", "sz")
+      // positional filter (the PPJoin refinement): a match at prefix
+      // positions (pos_a, pos_b) can contribute at most
+      // 1 + min(remaining_a, remaining_b) overlapping shingles, which
+      // must reach the Jaccard-equivalent overlap t/(1+t)·(|a|+|b|).
+      // The 1e-9 slack keeps exact-boundary pairs (conservative: never
+      // prunes a qualifying pair, only admits a few extra candidates).
+      val alpha = minJaccard / (1.0 + minJaccard)
       val cand = pref.as("a").join(pref.as("b"),
           col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")).cast("double") /
-            greatest(col("a.sz"), col("b.sz")).cast("double") >= minJaccard)
+            greatest(col("a.sz"), col("b.sz")).cast("double") >= minJaccard &&
+          (lit(1L) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")))
+            .cast("double") >=
+            lit(alpha) * (col("a.sz") + col("b.sz")).cast("double") - lit(1e-9))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      withJaccard(cand, sh).filter(col("jaccard") >= minJaccard)
+      // verification: one native set-intersection per candidate pair
+      // against per-doc sorted shingle arrays — |pairs| rows each doing
+      // an O(|a|+|b|) array_intersect, instead of re-exploding every
+      // pair through the (pair × shingle) double join. Exact i, same
+      // Jaccard arithmetic as withJaccard.
+      val sets = sh.groupBy("doc_id")
+        .agg(array_sort(collect_list(col("sh"))).as("set"),
+          count(lit(1)).as("n"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+          col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          Cross.r6(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            (col("na") + col("nb") -
+              size(array_intersect(col("sa"), col("sb")))).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
     }
   }
 
