@@ -145,6 +145,14 @@ object Curate {
     graft.operators.Incremental
       .partials(corpus, lit("all"), lit("base"), col("ntok"), scale = 0)
       .write.mode("overwrite").parquet(s"$outDir/partials")
+    // probe-state artifacts: the LSH band index and exact-digest set of
+    // the curated corpus. Together with the partials these are the ONLY
+    // state ingestion needs — each admitted batch appends to them, so
+    // the corpus text is never re-read after this build.
+    Dedup.corpusBandIndex(spark, corpus, k = 16, rowsPerBand = 2, shingleN = 3)
+      .write.mode("overwrite").parquet(s"$outDir/band_index")
+    corpus.select(md5(col("text")).as("digest")).distinct()
+      .write.mode("overwrite").parquet(s"$outDir/digests")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
     val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
       agg.getLong(0), agg.getLong(1), budget)
@@ -178,7 +186,19 @@ object Curate {
   def runIngest(spark: SparkSession, incomingDir: String, corpusDir: String,
       outDir: String, minBandHits: Int = 1): IngestStats = {
     import org.apache.spark.sql.types._
-    val corpus = spark.read.parquet(s"$corpusDir/corpus").select("doc_id", "text")
+    def artifact(dir: String, name: String): Option[org.apache.spark.sql.DataFrame] = {
+      val p = java.nio.file.Paths.get(dir, name)
+      if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    // probe state: the persisted band-index + digest artifacts when the
+    // corpus was built (or already ingested into) by this CLI — the
+    // corpus text is then never read at all; the parquet corpus is only
+    // the fallback for corpora curated elsewhere
+    val bandIdx = artifact(corpusDir, "band_index")
+    val digests = artifact(corpusDir, "digests")
+    lazy val corpus = spark.read.parquet(s"$corpusDir/corpus").select("doc_id", "text")
+    val corpusForFallback =
+      if (bandIdx.isDefined && digests.isDefined) spark.emptyDataFrame else corpus
     // incoming may be a bare dir of parquet or an sf-layout dir with a
     // documents.parquet inside
     val srcPath = {
@@ -191,8 +211,9 @@ object Curate {
       .option("pathGlobFilter", "*.parquet").parquet(srcPath)
       .select("doc_id", "text")
     val verdicts = graft.streaming.EventStreams.runToCompletion(spark,
-      graft.streaming.Ingest.admissionVerdicts(stream, corpus,
-        k = 16, rowsPerBand = 2, shingleN = 3, minBandHits),
+      graft.streaming.Ingest.admissionVerdicts(stream, corpusForFallback,
+        k = 16, rowsPerBand = 2, shingleN = 3, minBandHits,
+        corpusBands = bandIdx, corpusDigests = digests),
       s"graft_ingest_verdicts_${ingestRuns.incrementAndGet()}")
     val counts = verdicts.agg(
       count(lit(1)),
@@ -204,6 +225,27 @@ object Curate {
         .join(verdicts.filter(col("admitted")).select("doc_id"),
           Seq("doc_id"), "left_semi"))
     admitted.write.mode("overwrite").parquet(s"$outDir/admitted")
+    // incremental probe-state maintenance: admitted docs' bands and
+    // digests APPEND to the artifacts, so the next ingest run probes
+    // against the updated corpus without ever touching its text
+    // (localCheckpoint first: outDir may equal corpusDir, and a lazy
+    // read-then-overwrite of the same path would corrupt it)
+    val admittedDocs = spark.read.parquet(s"$outDir/admitted")
+      .select("doc_id", "text")
+    val updatedBands = bandIdx
+      .getOrElse(Dedup.corpusBandIndex(spark, corpus, k = 16, rowsPerBand = 2, shingleN = 3))
+      .unionByName(Dedup.corpusBandIndex(spark, admittedDocs,
+        k = 16, rowsPerBand = 2, shingleN = 3)
+        .select("corpus_id", "band", "bkey"))
+      .localCheckpoint(true)
+    updatedBands.write.mode("overwrite").parquet(s"$outDir/band_index")
+    val updatedDigests = digests
+      .getOrElse(corpus.select(md5(col("text")).as("digest")).distinct())
+      .select("digest")
+      .unionByName(admittedDocs.select(md5(col("text")).as("digest")))
+      .distinct()
+      .localCheckpoint(true)
+    updatedDigests.write.mode("overwrite").parquet(s"$outDir/digests")
     // incremental stats: base partials from the batch run (recomputed
     // from the corpus if absent) + one new partial row for this batch;
     // merging partials replaces re-aggregating the whole corpus

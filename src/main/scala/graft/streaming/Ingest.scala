@@ -39,11 +39,22 @@ object Ingest {
     * `minBandHits` tunes near-dup strictness: 1 = classic LSH OR-rule
     * (any band collision rejects); higher values require more
     * colliding (band, corpus_doc) pairs, trading recall for
-    * precision. */
+    * precision.
+    *
+    * `corpusBands` / `corpusDigests` override the derived probe state
+    * with PRE-BUILT artifacts — (corpus_id, band, bkey) per
+    * [[Dedup.corpusBandIndex]] and one distinct md5 `digest` column —
+    * which is what makes ingestion INCREMENTAL: the probe state is the
+    * only corpus-derived input, it persists as two parquet artifacts,
+    * and each admitted batch appends to it, so the corpus text is
+    * never re-read after the initial build (see
+    * [[graft.cli.Curate.runIngest]]). */
   def admissionVerdicts(docs: DataFrame, corpus: DataFrame,
       k: Int, rowsPerBand: Int, shingleN: Int,
       minBandHits: Int = 1,
-      broadcastRowLimit: Long = 2000000L): DataFrame = {
+      broadcastRowLimit: Long = 2000000L,
+      corpusBands: Option[DataFrame] = None,
+      corpusDigests: Option[DataFrame] = None): DataFrame = {
     require(minBandHits >= 1, s"minBandHits must be >= 1, got $minBandHits")
     val spark = corpus.sparkSession
     // static probes, materialized once (never recomputed per micro-batch)
@@ -51,10 +62,12 @@ object Ingest {
       val m = df.localCheckpoint(true)
       if (m.count() <= broadcastRowLimit) broadcast(m) else m
     }
-    val digests = gated(corpus
-      .select(md5(col("text")).as("digest")).distinct()
+    val digests = gated(corpusDigests
+      .getOrElse(corpus.select(md5(col("text")).as("digest")).distinct())
+      .select(col("digest"))
       .withColumn("exact", lit(true)))
-    val idx = gated(Dedup.corpusBandIndex(spark, corpus, k, rowsPerBand, shingleN))
+    val idx = gated(corpusBands.getOrElse(
+      Dedup.corpusBandIndex(spark, corpus, k, rowsPerBand, shingleN)))
     val probe = docs
       .withColumn("digest", md5(col("text")))
       .withColumn("shx",

@@ -475,5 +475,19 @@ class PipelineSpec extends SparkSpec {
     val json = java.nio.file.Files.readString(
       java.nio.file.Paths.get(out, "ingest_stats.json"))
     assert(json.contains(s""""n_admitted":2"""), json)
+    // the probe-state artifacts (band index + digests + partials) were
+    // updated with the admitted docs — replaying the SAME batch against
+    // them must now reject everything, without ever reading the corpus
+    // text (the artifacts ARE the probe state)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "band_index")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "digests")))
+    val out2 = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_ing_out2")).toString
+    val st2 = graft.cli.Curate.runIngest(spark, in, out, out2)
+    assert(st2.nIncoming == 4, st2)
+    assert(st2.nAdmitted == 0, s"replay must admit nothing: $st2")
+    assert(st2.nExactDup == 3, s"previously admitted docs are now exact dups: $st2")
+    assert(st2.totalDocs == st.totalDocs && st2.totalTokens == st.totalTokens,
+      s"stats must be unchanged by an all-rejected batch: $st2 vs $st")
   }
 }
