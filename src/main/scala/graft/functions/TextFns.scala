@@ -41,13 +41,15 @@ object TextFns {
   /** X1+X2: lowercase, collapse non-alphanumerics to spaces, split, drop
     * empties. Equivalent to the reference's punctuation expansion + split. */
   def tokens(c: Column): Column =
-    filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "), _ =!= lit(""))
+    graft.plans.LexiconMatch.drop(
+      split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "), Seq(""))
 
-  /** Tokens with stopwords removed (P2). Uses a higher-order filter, not
-    * `array_except`, which has set semantics and would drop repeated
-    * non-stopword tokens (breaking TF counts). */
+  /** Tokens with stopwords removed (P2). Set-DROP per token (native
+    * [[graft.plans.LexiconMatch]]), not `array_except`, which has set
+    * semantics and would drop repeated non-stopword tokens (breaking TF
+    * counts). */
   def contentTokens(c: Column): Column =
-    filter(tokens(c), t => !array_contains(lit(stopwords.toArray), t))
+    graft.plans.LexiconMatch.drop(tokens(c), stopwords)
 
   /** Word n-shingles: ["a","b","c","d"] with n=3 → ["a b c","b c d"].
     * Empty when the doc has fewer than n tokens. Computed by the native
@@ -60,9 +62,10 @@ object TextFns {
     coalesce(graft.plans.WordShingles.of(toks, n), array().cast("array<string>"))
   }
 
-  /** Number of tokens from `toks` found in `lexicon` (with multiplicity). */
+  /** Number of tokens from `toks` found in `lexicon` (with
+    * multiplicity) — one native hash-set probe per token. */
   def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
-    size(filter(toks, t => array_contains(lit(lexicon.toArray), t)))
+    graft.plans.LexiconMatch.count(toks, lexicon)
 
   /** Stopword-overlap language-ID: argmax of lexicon hit counts, ties to
     * the earliest language in [[langLexicons]], no hits → "und". */

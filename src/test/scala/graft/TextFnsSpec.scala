@@ -86,4 +86,28 @@ class TextFnsSpec extends SparkSpec {
     val got = one("hi there 42!").select(TextFns.bpeishCount(col("text"))).head().getInt(0)
     assert(got == 5) // hi, there, 4, 2, !
   }
+
+  test("LexiconMatch equals the higher-order filter formulation") {
+    import graft.plans.LexiconMatch
+    // mixed tokens incl. repeats and a null element — the native set
+    // probe must reproduce filter(array_contains(...)) exactly:
+    // multiplicity preserved, nulls contribute nothing to count/keep
+    // and are dropped by drop (null predicate drops in both directions)
+    val lex = Seq("the", "a", "of")
+    val df = Seq(Tuple1(Seq[String]("the", "cat", "the", null, "of", "dog")))
+      .toDF("tk")
+    val native = df.select(
+      LexiconMatch.count(col("tk"), lex).as("c"),
+      LexiconMatch.keep(col("tk"), lex).as("k"),
+      LexiconMatch.drop(col("tk"), lex).as("d")).head()
+    val hof = df.select(
+      size(filter(col("tk"), t => array_contains(lit(lex.toArray), t))).as("c"),
+      filter(col("tk"), t => array_contains(lit(lex.toArray), t)).as("k"),
+      filter(col("tk"), t => !array_contains(lit(lex.toArray), t)).as("d")).head()
+    assert(native.getInt(0) == 3 && native.getInt(0) == hof.getInt(0))
+    assert(native.getSeq[String](1) == hof.getSeq[String](1))
+    assert(native.getSeq[String](2) == hof.getSeq[String](2))
+    assert(native.getSeq[String](1) == Seq("the", "the", "of"))
+    assert(native.getSeq[String](2) == Seq("cat", "dog"))
+  }
 }
