@@ -49,7 +49,12 @@ object Bench {
     // could only be ARGUED to be GC/memory pressure — now each row
     // carries the evidence. (Result must be materialized before
     // SessionHygiene.reset — see its ordering invariant.)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional positional args: run only the named gates (dev loop for
+    // timing one query without paying the full suite)
+    val only = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    val results = selected.map { case (name, fn) =>
       SessionHygiene.resetHeapPeaks()
       val gc0 = SessionHygiene.gcMillis()
       val t0 = System.nanoTime()
@@ -86,11 +91,17 @@ object Bench {
     // truncated past per-query maps — the same JSON also lands in a file
     // (SPARK_GRAFT_BENCH_OUT, default ./BENCH_LOCAL.json) so all entries
     // always survive for round-over-round comparison.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // A name-filtered run must NOT clobber the full-suite record: only
+    // full runs default to BENCH_LOCAL.json; filtered runs write only
+    // when SPARK_GRAFT_BENCH_OUT is set explicitly.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_LOCAL.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     println(json)
     spark.stop()
   }

@@ -135,21 +135,33 @@ object Dedup {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val sh = shingleSet(docs, shingleN)
-    Caching.releasing(sh) {
-      val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-      val pref = sh.join(dfs, "sh")
-        .withColumn("pos", row_number().over(wDoc))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-        // |s| − floor(t·|s|) + 1, not the textbook ceil: double ceil can
-        // overshoot the exact value at representation boundaries
-        // (ceil(0.3·10) = ceil(3.0000000000000004) = 4), silently
-        // SHORTENING the prefix below the safe length. floor is always
-        // <= the exact ceil — at most one extra prefix token, never a
-        // lost pair.
-        .filter(col("pos") <=
-          col("sz") - floor(lit(minJaccard) * col("sz")) + lit(1))
-        .select("doc_id", "sh", "pos", "sz")
+    // ONE per-doc aggregation replaces the old two window passes plus a
+    // separate verification-sets build (three doc_id shuffles + window
+    // sorts → one shuffle): sorting (df, sh) structs per doc yields the
+    // global rarity order (struct ordering = field order = df ASC, sh
+    // ASC, exactly the old window orderBy), the raw shingle list rides
+    // along in the same agg for verification (array_intersect hashes —
+    // it needs no sorted input), and sizes come from the array.
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val docArr = sh.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"),
+        collect_list("sh").as("set"))
+      .withColumn("sz", size(col("arr")))
+    Caching.releasing(docArr) {
+      // |s| − floor(t·|s|) + 1, not the textbook ceil: double ceil can
+      // overshoot the exact value at representation boundaries
+      // (ceil(0.3·10) = ceil(3.0000000000000004) = 4), silently
+      // SHORTENING the prefix below the safe length. floor is always
+      // <= the exact ceil — at most one extra prefix token, never a
+      // lost pair. slice caps at the array end when prefLen = sz + 1.
+      val pref = docArr
+        .select(col("doc_id"), col("sz"),
+          posexplode(slice(col("arr"), lit(1),
+            (col("sz") - floor(lit(minJaccard) * col("sz")) + lit(1))
+              .cast("int"))))
+        .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
+          col("col.sh").as("sh"))
       // positional filter (the PPJoin refinement): a match at prefix
       // positions (pos_a, pos_b) can contribute at most
       // 1 + min(remaining_a, remaining_b) overlapping shingles, which
@@ -157,6 +169,19 @@ object Dedup {
       // The 1e-9 slack keeps exact-boundary pairs (conservative: never
       // prunes a qualifying pair, only admits a few extra candidates).
       val alpha = minJaccard / (1.0 + minJaccard)
+      // Candidate aggregation (the PPJoin refinement, aggregated form):
+      // instead of distinct-ing matches into pairs, count each pair's
+      // prefix matches (pc) and keep the positions of its LAST match.
+      // Because per-doc positions follow one GLOBAL shingle order
+      // (df ASC, shingle), every shared shingle not matched in both
+      // prefixes is strictly after the last prefix match in that order,
+      // so it must occupy one of the (sz − lastPos) later slots in EACH
+      // doc. Hence overlap <= pc + min(sza − mpa, szb − mpb): any pair
+      // whose bound misses the Jaccard-equivalent overlap
+      // alpha·(sza+szb) is pruned BEFORE the array_intersect
+      // verification — same shuffle as the old distinct (one groupBy on
+      // the pair key), strictly fewer pairs verified. The 1e-9 slack
+      // keeps exact-boundary pairs (conservative, never lossy).
       val cand = pref.as("a").join(pref.as("b"),
           col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -165,21 +190,28 @@ object Dedup {
           (lit(1L) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")))
             .cast("double") >=
             lit(alpha) * (col("a.sz") + col("b.sz")).cast("double") - lit(1e-9))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("pc"),
+          max("pa").as("mpa"), max("pb").as("mpb"),
+          max("sza").as("sza2"), max("szb").as("szb2"))
+        .filter((col("pc") +
+            least(col("sza2") - col("mpa"), col("szb2") - col("mpb")))
+          .cast("double") >=
+          lit(alpha) * (col("sza2") + col("szb2")).cast("double") - lit(1e-9))
+        .select("doc_a", "doc_b")
       // verification: one native set-intersection per candidate pair
-      // against per-doc sorted shingle arrays — |pairs| rows each doing
-      // an O(|a|+|b|) array_intersect, instead of re-exploding every
-      // pair through the (pair × shingle) double join. Exact i, same
-      // Jaccard arithmetic as withJaccard.
-      val sets = sh.groupBy("doc_id")
-        .agg(array_sort(collect_list(col("sh"))).as("set"),
-          count(lit(1)).as("n"))
+      // against the per-doc shingle arrays already built — |pairs| rows
+      // each doing an O(|a|+|b|) array_intersect, instead of
+      // re-exploding every pair through the (pair × shingle) double
+      // join. Exact i, same Jaccard arithmetic as withJaccard.
       cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
-          col("n").as("na")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
-          col("n").as("nb")), "doc_b")
+        .join(docArr.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+          col("sz").as("na")), "doc_a")
+        .join(docArr.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+          col("sz").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           Cross.r6(size(array_intersect(col("sa"), col("sb"))).cast("double") /
             (col("na") + col("nb") -
