@@ -138,6 +138,11 @@ object TextSql {
   def lexiconHits(toks: String, lexicon: Seq[String]): String =
     s"len(list_filter($toks, x -> list_contains(${strList(lexicon)}, x)))"
 
+  /** DISTINCT lexicon members present in `toks` (mirror of Spark
+    * `size(array_intersect(...))` — both engines dedup). */
+  def distinctLexiconHits(toks: String, lexicon: Seq[String]): String =
+    s"len(list_intersect($toks, ${strList(lexicon)}))"
+
   def langId(toks: String): String = {
     val scores = TextFns.langLexicons.map { case (lang, lex) => lang -> lexiconHits(toks, lex) }
     val best = scores.map(_._2).mkString("greatest(", ", ", ")")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.{Caching, Cross}
+
 /** Corpus curation under a global token budget: keep the highest-quality
   * documents, in descending quality order, until the budget is spent —
   * the "data selection" step a pre-training pipeline runs after scoring
@@ -289,5 +291,41 @@ object Curation {
         min_by(col(id), key).as("survivor"),
         max(col(quality)).as("best_quality"),
         count(lit(1)).as("n_docs"))
+  }
+
+  /** Temperature-scaled domain mixture: per-domain token budgets
+    * B_d = floor(B · w_d) where w_d ∝ p_d^tau and p_d is the domain's
+    * token share — the standard reweighting that upsamples low-resource
+    * domains (tau < 1 flattens the natural distribution; tau = 1 keeps
+    * it; tau = 0 is uniform). The budgets feed
+    * [[selectUnderBudgetPerKey]] to realize the mixture.
+    *
+    * Returns one row per domain: (key, n_docs, n_tok, p, w,
+    * budget_tokens). Determinism across engines: p and p^tau are
+    * micro-rounded (floor(x·1e6 + 0.5001)/1e6 — correctly-rounded IEEE
+    * ops only, absorbing the pow() last-ulp divergence between libm
+    * implementations), and the normalizer Z accumulates the rounded
+    * shares in DECIMAL (exact, order-independent). Scale: one
+    * algebraic groupBy over the corpus; everything after operates on
+    * |domains| rows with 1-row broadcasts. */
+  def temperatureBudgets(docs: DataFrame, key: Column, ntok: Column,
+      tau: Double, totalBudget: Long): DataFrame = {
+    require(tau >= 0.0, s"tau must be >= 0, got $tau")
+    require(totalBudget >= 0L, s"totalBudget must be >= 0, got $totalBudget")
+    def micro(c: Column): Column = floor(c * 1e6 + 0.5001) / 1e6
+    val dom = docs.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(ntok.cast("long")).as("n_tok"))
+    val tot = dom.agg(sum("n_tok").as("t_tok"))
+    val scored = dom.crossJoin(broadcast(tot))
+      .withColumn("p", micro(col("n_tok").cast("double") / col("t_tok").cast("double")))
+      .withColumn("s", micro(pow(col("p"), lit(tau))))
+    Caching.releasing(scored) {
+      val z = scored.agg(Cross.dsum(col("s")).as("z"))
+      scored.crossJoin(broadcast(z))
+        .select(col("key"), col("n_docs"), col("n_tok"), col("p"),
+          micro(col("s") / col("z")).as("w"),
+          floor(lit(totalBudget.toDouble) * micro(col("s") / col("z")))
+            .cast("long").as("budget_tokens"))
+    }
   }
 }

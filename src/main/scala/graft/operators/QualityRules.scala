@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.TextFns
+
+/** Rule-based document quality screening — the Gopher/C4-style heuristic
+  * bundle a pre-training pipeline applies before any model-based
+  * scoring: token-count bounds, mean token length bounds, minimum
+  * distinct-stopword evidence (a cheap "is this prose" test), a
+  * most-frequent-token repetition cap, and a digit-token share cap.
+  *
+  * Thresholds are caller-supplied because they are corpus policy, not
+  * algorithm. Output: one row per doc with the raw metrics, one boolean
+  * per rule, and the conjunction (`pass`).
+  *
+  * Scale shape: everything except the repetition ratio is a per-row
+  * projection over the token array (native [[graft.plans.LexiconMatch]]
+  * probes, no token explosion). The repetition ratio needs each doc's
+  * modal token count — computed by exploding tokens into a (doc, term)
+  * count and taking max per doc: two algebraic aggregations keyed by
+  * doc, shuffle volume O(distinct (doc, term)), no collect anywhere.
+  */
+object QualityRules {
+
+  final case class Thresholds(
+      minTokens: Long = 10L,
+      maxTokens: Long = 100000L,
+      minMeanTokLen: Double = 2.0,
+      maxMeanTokLen: Double = 12.0,
+      minDistinctStopwords: Int = 2,
+      maxTopTokenRatio: Double = 0.25,
+      maxDigitTokenRatio: Double = 0.3)
+
+  /** Apply the rule bundle to `docs`; `id` identifies rows, `toks` is
+    * the token-array expression. Ratios are 6-dp rounded (Cross.r6)
+    * for cross-engine determinism. */
+  def screen(docs: DataFrame, id: Column, toks: Column,
+      t: Thresholds = Thresholds()): DataFrame = {
+    val base = docs
+      .select(id.as("id"), toks.as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("ntok"))
+    // one exploded pass feeds both the modal-token count and the
+    // digit-token tally (regex once per DISTINCT (doc, term), not per
+    // occurrence)
+    val withTop = base
+      .select(col("id"), explode(col("tk")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("n"))
+      .groupBy("id").agg(max("n").as("top_n"),
+        sum(when(col("term").rlike("^[0-9]+$"), col("n")).otherwise(0L))
+          .as("n_digit"))
+    val nonEmpty = col("ntok") > 0L
+    base
+      // left join + zero fill: a zero-token doc must still appear (and
+      // fail), not vanish because it has no modal token
+      .join(withTop, Seq("id"), "left")
+      .na.fill(0L, Seq("top_n", "n_digit"))
+      .select(col("id"), col("ntok"),
+        when(nonEmpty, Cross.r6(TextFns.tokenChars(col("tk")).cast("double") /
+          col("ntok").cast("double"))).otherwise(0.0).as("mean_tok_len"),
+        size(array_intersect(col("tk"),
+          typedLit(TextFns.stopwords))).cast("long").as("n_stop_distinct"),
+        when(nonEmpty, Cross.r6(col("top_n").cast("double") /
+          col("ntok").cast("double"))).otherwise(0.0).as("top_tok_ratio"),
+        when(nonEmpty, Cross.r6(col("n_digit").cast("double") /
+          col("ntok").cast("double"))).otherwise(0.0).as("digit_tok_ratio"))
+      .select(col("id"), col("ntok"), col("mean_tok_len"),
+        col("n_stop_distinct"), col("top_tok_ratio"), col("digit_tok_ratio"),
+        (col("ntok") >= t.minTokens && col("ntok") <= t.maxTokens).as("ok_len"),
+        (col("mean_tok_len") >= t.minMeanTokLen &&
+          col("mean_tok_len") <= t.maxMeanTokLen).as("ok_mean_len"),
+        (col("n_stop_distinct") >= t.minDistinctStopwords).as("ok_stop"),
+        (col("top_tok_ratio") <= t.maxTopTokenRatio).as("ok_rep"),
+        (col("digit_tok_ratio") <= t.maxDigitTokenRatio).as("ok_digit"))
+      .withColumn("pass",
+        col("ok_len") && col("ok_mean_len") && col("ok_stop") &&
+          col("ok_rep") && col("ok_digit"))
+  }
+}

@@ -707,5 +707,105 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154)
+  /** Windowed skip-gram co-occurrence + PPMI (Cooccur.pairCounts/ppmi):
+    * forward window 2, pairs with count >= 2. The oracle regenerates
+    * every (i, i+j) pair with list arithmetic and recomputes the
+    * marginals/total relationally, so the window-lead pair generation,
+    * count aggregation, and the log2 scoring all hash-match. */
+  val q155 = QueryDef(
+    "q155_ppmi",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |pr AS (
+       |  SELECT struct_extract(p, 'a') AS a, struct_extract(p, 'b') AS b FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, len(tk) + 1), i ->
+       |      list_transform(range(i + 1, least(i + 2, len(tk)) + 1), j ->
+       |        ${"{'a': tk[i], 'b': tk[j]}"})))) AS p
+       |    FROM t) s),
+       |pc AS (SELECT a, b, COUNT(*)::BIGINT AS n_ab FROM pr GROUP BY a, b),
+       |na AS (SELECT a, SUM(n_ab)::BIGINT AS n_a FROM pc GROUP BY a),
+       |nb AS (SELECT b, SUM(n_ab)::BIGINT AS n_b FROM pc GROUP BY b),
+       |tot AS (SELECT SUM(n_ab)::BIGINT AS n_tot FROM pc)
+       |SELECT pc.a, pc.b, pc.n_ab,
+       |  ${Cross.r6Sql("greatest(0.0, log2((pc.n_ab::DOUBLE * n_tot::DOUBLE) / (na.n_a::DOUBLE * nb.n_b::DOUBLE)))")} AS ppmi
+       |FROM pc JOIN na USING (a) JOIN nb USING (b) CROSS JOIN tot
+       |WHERE n_ab >= 2
+       |ORDER BY a, b""".stripMargin) { (spark, dir) =>
+    graft.operators.Cooccur.ppmi(
+        graft.operators.Cooccur.pairCounts(Tables.documents(spark, dir),
+          col("doc_id"), TextFns.tokens(col("text")), window = 2),
+        minCount = 2L)
+      .orderBy("a", "b")
+  }
+
+  /** Temperature-scaled domain mixture (Curation.temperatureBudgets):
+    * per-domain token budgets B_d = floor(B·w_d), w_d ∝ p_d^0.7 — the
+    * low-resource-domain upsampling step ahead of the per-key budget
+    * selection (q154). Shares, powers, and the normalizer follow the
+    * hardened micro-round + decimal-sum pattern, so every double is
+    * reproduced bit-for-bit by the oracle. */
+  val q156 = QueryDef(
+    "q156_temperature_mix",
+    s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+       |dom AS (SELECT source AS key, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(len(tk))::BIGINT AS n_tok FROM t GROUP BY source),
+       |tot AS (SELECT SUM(n_tok)::BIGINT AS t_tok FROM dom),
+       |sc AS (
+       |  SELECT key, n_docs, n_tok,
+       |    floor((n_tok::DOUBLE / t_tok::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 AS p
+       |  FROM dom CROSS JOIN tot),
+       |sc2 AS (SELECT *, floor(pow(p, 0.7) * 1000000.0 + 0.5001) / 1000000.0 AS s FROM sc),
+       |z AS (SELECT ${Cross.dsumSql("s")} AS z FROM sc2)
+       |SELECT key, n_docs, n_tok, p,
+       |  floor((s / z) * 1000000.0 + 0.5001) / 1000000.0 AS w,
+       |  floor(100000.0 * (floor((s / z) * 1000000.0 + 0.5001) / 1000000.0))::BIGINT AS budget_tokens
+       |FROM sc2 CROSS JOIN z
+       |ORDER BY key""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+    graft.operators.Curation.temperatureBudgets(d,
+        col("source"), size(col("tk")), tau = 0.7, totalBudget = 100000L)
+      .orderBy("key")
+  }
+
+  /** Gopher/C4-style rule screening (QualityRules.screen): token-count
+    * bounds, mean-token-length bounds, >=2 distinct stopwords,
+    * modal-token repetition cap, digit-token share cap — metrics,
+    * per-rule verdicts, and the conjunction, all hash-verified. */
+  val q157 = QueryDef(
+    "q157_quality_rules",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |tc AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS n FROM (
+       |    SELECT doc_id, unnest(tk) AS term FROM t) s GROUP BY doc_id, term),
+       |top AS (
+       |  SELECT doc_id, MAX(n) AS top_n,
+       |    COALESCE(SUM(CASE WHEN regexp_matches(term, '^[0-9]+${"$"}') THEN n ELSE 0 END), 0)::BIGINT AS n_digit
+       |  FROM tc GROUP BY doc_id),
+       |m AS (
+       |  SELECT t.doc_id, len(tk)::BIGINT AS ntok,
+       |    CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql(TextSql.tokenChars("tk") + "::DOUBLE / len(tk)::DOUBLE")} ELSE 0.0 END AS mean_tok_len,
+       |    ${TextSql.distinctLexiconHits("tk", TextFns.stopwords)}::BIGINT AS n_stop_distinct,
+       |    CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql("COALESCE(top_n, 0)::DOUBLE / len(tk)::DOUBLE")} ELSE 0.0 END AS top_tok_ratio,
+       |    CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql("COALESCE(n_digit, 0)::DOUBLE / len(tk)::DOUBLE")} ELSE 0.0 END AS digit_tok_ratio
+       |  FROM t LEFT JOIN top ON t.doc_id = top.doc_id)
+       |SELECT doc_id, ntok, mean_tok_len, n_stop_distinct, top_tok_ratio,
+       |  digit_tok_ratio,
+       |  (ntok >= 10 AND ntok <= 100000) AS ok_len,
+       |  (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0) AS ok_mean_len,
+       |  (n_stop_distinct >= 2) AS ok_stop,
+       |  (top_tok_ratio <= 0.25) AS ok_rep,
+       |  (digit_tok_ratio <= 0.3) AS ok_digit,
+       |  ((ntok >= 10 AND ntok <= 100000) AND
+       |   (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0) AND
+       |   (n_stop_distinct >= 2) AND (top_tok_ratio <= 0.25) AND
+       |   (digit_tok_ratio <= 0.3)) AS pass
+       |FROM m
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.QualityRules.screen(Tables.documents(spark, dir),
+        col("doc_id"), TextFns.tokens(col("text")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157)
 }
