@@ -807,5 +807,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157)
+  /** Perplexity-filtered corpus selection (the CCNet-style composition):
+    * every doc's quality is its mean log2 probability under the
+    * self-trained bigram LM (q128's scoring, already 6-dp
+    * engine-identical), and the highest-scoring docs are kept under a
+    * global token budget via the equi-depth banded prefix scan — LM
+    * scores cluster tightly, exactly the point-mass shape fixed-width
+    * bands degrade on. Docs with < 2 tokens have no LM score and drop
+    * out (both sides). The oracle recomputes the LM chain AND the flat
+    * join-based prefix sum, so scoring and selection hash-match end to
+    * end. */
+  val q158 = QueryDef(
+    "q158_perplexity_select",
+    s"""WITH tl AS (SELECT doc_id, $toks AS ts FROM documents),
+       |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tl),
+       |bg AS (SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM pos),
+       |bgc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+       |pre AS (SELECT a, SUM(cab) AS ca FROM bgc GROUP BY a),
+       |ug AS (SELECT t, COUNT(*) AS cb
+       |       FROM (SELECT unnest(ts) AS t FROM tl) GROUP BY t),
+       |sc AS (SELECT SUM(cb) AS tt, COUNT(*) AS v FROM ug),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ${Cross.dsumSql(lmMixSql, 6)} AS s,
+       |    COUNT(*) AS n_bigrams
+       |  FROM bg
+       |  JOIN bgc USING (a, b) JOIN pre USING (a)
+       |  JOIN ug ON ug.t = bg.b
+       |  CROSS JOIN sc
+       |  GROUP BY doc_id),
+       |q AS (
+       |  SELECT s.doc_id,
+       |    ${Cross.r6Sql("s.s / s.n_bigrams::DOUBLE")} AS quality,
+       |    len(tl.ts)::BIGINT AS ntok
+       |  FROM scored s JOIN tl ON s.doc_id = tl.doc_id),
+       |c AS (
+       |  SELECT a.doc_id, a.quality, a.ntok, COALESCE(SUM(b.ntok), 0) AS cum_before
+       |  FROM q a LEFT JOIN q b
+       |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
+       |  GROUP BY a.doc_id, a.quality, a.ntok)
+       |SELECT doc_id, quality, ntok, cum_before,
+       |  (cum_before + ntok <= 20000) AS selected
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.operators.Lm.bigramScore(docs,
+      lambda = lmLambda, alpha = lmAlpha)
+    val withTok = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+    graft.operators.Curation.selectUnderBudgetEquiDepth(
+        scored.join(withTok, "doc_id"),
+        col("doc_id"), col("avg_logprob"), col("ntok"),
+        budget = 20000L, bands = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158)
 }
