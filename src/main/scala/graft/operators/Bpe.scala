@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Byte-pair-encoding vocabulary induction — distributed tokenizer
+  * training (Sennrich-style word-level BPE, the subword algorithm behind
+  * most LLM tokenizers' training loop).
+  *
+  * Scale shape (the part that matters at 100 TB): ONE corpus-wide pass
+  * aggregates tokens into a frequency-weighted word vocabulary; every
+  * merge iteration after that touches only the vocab-sized relation
+  * (distinct words × their current segmentation), never the corpus —
+  * the classic trick that makes BPE training corpus-size-independent
+  * after the first shuffle. Per iteration: adjacent-pair counts are one
+  * algebraic aggregation; the winning pair (count DESC, pair ASC — a
+  * total order, so ties are deterministic) is ONE collected row of
+  * driver loop control (the CC/Lloyd pattern); the merge applies as a
+  * left-to-right greedy fold over each word's symbol array. The
+  * segmentation is localCheckpoint-ed every few rounds so lineage never
+  * grows with merge count.
+  *
+  * No end-of-word marker is appended (a policy choice, not an
+  * algorithmic one — callers wanting '</w>' semantics can suffix words
+  * before training).
+  */
+object Bpe {
+
+  /** Frequency-weighted word vocabulary of a document corpus: one row
+    * per distinct token with its corpus count. */
+  def wordFreq(docs: DataFrame, toks: Column): DataFrame =
+    docs.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Left-to-right greedy merge of adjacent (a, b) into the
+    * concatenated symbol, as a pure fold expression (no UDF): state is
+    * (accumulated symbols, pending previous symbol); each step either
+    * completes a merge, flushes the pending symbol, or starts a new
+    * pending one. "aaa" under merge (a,a) → ["aa", "a"], exactly the
+    * reference greedy semantics. */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val empty = array().cast("array<string>")
+    aggregate(
+      syms,
+      struct(empty.as("acc"), lit(null).cast("string").as("prev")),
+      (st, s) =>
+        when(st.getField("prev").isNotNull &&
+            st.getField("prev") === a && s === b,
+          struct(concat(st.getField("acc"), array(lit(a + b))).as("acc"),
+            lit(null).cast("string").as("prev")))
+        .otherwise(struct(
+          when(st.getField("prev").isNotNull,
+            concat(st.getField("acc"), array(st.getField("prev"))))
+            .otherwise(st.getField("acc")).as("acc"),
+          s.as("prev"))),
+      st =>
+        when(st.getField("prev").isNotNull,
+          concat(st.getField("acc"), array(st.getField("prev"))))
+          .otherwise(st.getField("acc")))
+  }
+
+  /** Train `nMerges` BPE merges over the corpus' word vocabulary.
+    * Returns (rank, a, b, merged, pair_count) ordered by rank — the
+    * merge table a tokenizer consumes — stopping early when no adjacent
+    * pair reaches `minPairFreq`. */
+  def train(docs: DataFrame, toks: Column, nMerges: Int,
+      minPairFreq: Long = 2L): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // initial segmentation: one symbol per character
+    var seg = wordFreq(docs, toks)
+      .select(col("freq"), split(col("word"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      // adjacent pairs weighted by word frequency (overlapping
+      // occurrences all count, as in the reference implementation)
+      val best = seg
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))))).as("z"))
+        .select(col("z.0").as("a"), col("z.1").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      best.headOption.filter(_._3 >= minPairFreq) match {
+        case Some((a, b, n)) =>
+          merges += ((rank, a, b, n))
+          val next = seg.select(col("freq"), applyMerge(col("syms"), a, b).as("syms"))
+          // truncate lineage every few merges (CC/PageRank discipline);
+          // eager checkpoint also materializes before the old blocks
+          // could be cleaned
+          seg = if ((rank + 1) % 4 == 0) next.localCheckpoint(true) else next
+          rank += 1
+        case None => done = true
+      }
+    }
+    merges.toSeq.toDF("rank", "a", "b", "pair_count")
+      .select(col("rank"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("pair_count"))
+  }
+
+  /** Segment the word vocabulary with a trained merge table: re-applies
+    * the merges in rank order to the initial character segmentation.
+    * Returns (word, freq, syms). `mergeTable` must be small (it is
+    * nMerges rows by construction) — it is collected to drive the fold,
+    * never joined. */
+  def segment(docs: DataFrame, toks: Column, mergeTable: DataFrame): DataFrame = {
+    val ms = mergeTable.select("rank", "a", "b")
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val init = wordFreq(docs, toks)
+      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+    ms.foldLeft(init) { case (d, (a, b)) =>
+      d.select(col("word"), col("freq"), applyMerge(col("syms"), a, b).as("syms"))
+    }
+  }
+}

@@ -863,5 +863,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158)
+  /** BPE training-oracle SQL: `rounds` unrolled merge iterations. Each
+    * round r derives pair counts from seg(r-1), picks the argmax pair
+    * under the (count DESC, a, b) total order, and applies the same
+    * left-to-right greedy fold the Spark side runs
+    * (Bpe.applyMerge ↔ list_reduce with (acc, prev) struct state; the
+    * final pending symbol flushes outside the fold since list_reduce
+    * has no finish lambda). */
+  private def bpeOracle(rounds: Int): String = {
+    def pairs(seg: String) =
+      s"""(SELECT syms[i] AS a, syms[i + 1] AS b, freq
+         |   FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $seg))""".stripMargin
+    // The fold state is ONE VARCHAR — "acc-joined-by-chr(31)" || chr(30)
+    // || "pending symbol" — because DuckDB v1.0.0's list_reduce
+    // mis-evaluates struct states holding LIST fields (an accumulator
+    // list silently loses elements; reproduced on 1.0.0 with a plain
+    // append fold). Symbols are [a-z0-9] so the separators can't
+    // collide; empty acc segments are stripped at decode.
+    def mergeCte(prev: String, best: String, out: String) =
+      s"""$out AS (
+         |  SELECT freq,
+         |    list_concat(
+         |      list_filter(string_split(split_part(fin, chr(30), 1), chr(31)), x -> x <> ''),
+         |      CASE WHEN split_part(fin, chr(30), 2) = '' THEN []::VARCHAR[]
+         |           ELSE [split_part(fin, chr(30), 2)] END) AS syms
+         |  FROM (
+         |    SELECT freq, list_reduce(
+         |      list_prepend(chr(30), list_transform(syms, x -> chr(30) || x)),
+         |      (st, el) -> CASE
+         |        WHEN split_part(st, chr(30), 2) = ba AND split_part(el, chr(30), 2) = bb
+         |          THEN split_part(st, chr(30), 1) || chr(31) || ba || bb || chr(30)
+         |        WHEN split_part(st, chr(30), 2) = ''
+         |          THEN split_part(st, chr(30), 1) || chr(30) || split_part(el, chr(30), 2)
+         |        ELSE split_part(st, chr(30), 1) || chr(31) || split_part(st, chr(30), 2) ||
+         |             chr(30) || split_part(el, chr(30), 2)
+         |      END) AS fin
+         |    FROM $prev CROSS JOIN $best))""".stripMargin
+    val ctes = new StringBuilder(
+      s"""WITH seg0 AS (
+         |  SELECT COUNT(*)::BIGINT AS freq, string_split_regex(word, '') AS syms
+         |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY word)""".stripMargin)
+    for (r <- 1 to rounds) {
+      ctes ++= s""",
+        |best$r AS (SELECT a AS ba, b AS bb, SUM(freq)::BIGINT AS n FROM ${pairs(s"seg${r - 1}")}
+        |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+        |${mergeCte(s"seg${r - 1}", s"best$r", s"seg$r")}""".stripMargin
+    }
+    ctes ++= (1 to rounds).map(r =>
+        s"SELECT ${r - 1} AS rank, ba AS a, bb AS b, ba || bb AS merged, n AS pair_count FROM best$r")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+    ctes.toString
+  }
+
+  /** Distributed BPE vocabulary induction (Bpe.train): 8 merges over the
+    * corpus word vocabulary. The oracle re-runs the full training loop
+    * in DuckDB — unrolled rounds, identical argmax tie-break, identical
+    * greedy fold — so every rank's chosen pair AND its count
+    * hash-match: the iterative training dynamics are verified, not just
+    * the final table's shape. */
+  val q159 = QueryDef("q159_bpe_train", bpeOracle(8)) { (spark, dir) =>
+    graft.operators.Bpe.train(Tables.documents(spark, dir),
+        TextFns.tokens(col("text")), nMerges = 8)
+      .orderBy("rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159)
 }
