@@ -222,15 +222,25 @@ object Dedup {
   }
 
   /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set.
-    * Intersections are computed candidate-filtered (cost O(|pairs|·set
-    * size)), never via the full Σ df² inverted self-join. */
+    * Verification is one native array_intersect per pair against
+    * per-doc shingle arrays (cost O(|pairs|·set size) in ONE row per
+    * pair), never the (pair × shingle) re-explosion and never the full
+    * Σ df² inverted self-join. A pair with empty intersection scores
+    * 0 naturally (size(array_intersect) = 0), matching the old
+    * left-join + zero-fill. */
   private def withJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
-    attachJaccard(pairs.join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0, Seq("i")), sh)
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Cross.r6(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (col("na") + col("nb") -
+            size(array_intersect(col("sa"), col("sb")))).cast("double"))
+          .as("jaccard"))
   }
 
   private def attachJaccard(pairsWithI: DataFrame, sh: DataFrame): DataFrame = {

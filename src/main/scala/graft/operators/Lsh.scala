@@ -109,22 +109,25 @@ object Lsh {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Intersections only for LSH candidates — the full inverted-index
-    // self-join is Σ df² and dwarfs everything else; candidate filtering
-    // makes verification cost O(|candidates| · set size).
-    val inter = cands
-      .join(it.select(col("id").as("id_a"), col("token")), "id_a")
-      .join(it.select(col("id").as("id_b"), col("token")), Seq("id_b", "token"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("i"))
-    val sizes = it.groupBy("id").agg(count(lit(1)).as("n"))
+    // self-join is Σ df² and dwarfs everything else. Verification is one
+    // native array_intersect per candidate pair against per-id token
+    // arrays (cost O(|candidates| · set size) in ONE row per pair),
+    // never the (pair × token) re-explosion — same row-product, but the
+    // explosion pays it in join/shuffle machinery (2x measured on the
+    // q151 twin of this path). Array sizes are bounded by one item's
+    // token count, the same per-key bound the explosion had.
+    val sets = it.groupBy("id")
+      .agg(collect_list(col("token")).as("set"), count(lit(1)).as("n"))
     cands
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0, Seq("i"))
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa"),
+        col("n").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb"),
+        col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        Cross.r6(col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+        Cross.r6(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (col("na") + col("nb") -
+            size(array_intersect(col("sa"), col("sb")))).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }
