@@ -214,7 +214,13 @@ object ContentQueries {
   private def sharedInputs(spark: SparkSession, dir: String) = {
     val tfidf = ContentBased.bizTfidf(bizTextDF(spark, dir)).cache()
     val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V)).cache()
-    val reviews = Tables.reviews(spark, dir)
+    // reviews is a lineitem⋈orders join referenced from FOUR separate
+    // subtrees of the q76 plan (user profiles, user avg, biz avg, the
+    // dedup'd ground truth) — Catalyst does not dedupe common subtrees
+    // across joins, so uncached it pays the join four times (measured
+    // ~2 s of q76's 10 s). 600k × 3 narrow columns; SessionHygiene
+    // releases it between gates.
+    val reviews = Tables.reviews(spark, dir).cache()
     val userProf = ContentBased.userProfiles(reviews, bizProf).cache()
     // Capped test grid: strides alone would scale the grid quadratically
     // with SF (1M pairs at sf0.1 — a test set should not outgrow the
