@@ -221,6 +221,75 @@ object Dedup {
     }
   }
 
+  /** Directed containment self-join: all ordered pairs (a, b), a ≠ b,
+    * with |A∩B| / |A| >= `minContainment` — the PARTIAL-duplicate
+    * detector (quotes, excerpts, a doc embedded in a larger one).
+    * Jaccard-calibrated LSH structurally misses these: a small doc
+    * fully contained in a big one has tiny Jaccard, so banding never
+    * collides them. Exact, zero false negatives.
+    *
+    * Prefix theorem, asymmetric form: overlap >= ceil(t·|A|) while A's
+    * rarity-ordered suffix of length ceil(t·|A|) − 1 cannot hold it all
+    * — so some overlap shingle lies in A's prefix of length
+    * |A| − ceil(t·|A|) + 1 (floor form, same boundary-safety argument
+    * as [[prefixJaccardJoin]]). Only the CONTAINED side prunes to a
+    * prefix; the container side indexes fully (with positions, so the
+    * per-match positional bound 1 + min(remaining) >= t·|A| and its
+    * aggregated last-match form still prune). A size prune keeps only
+    * |B| >= t·|A| (division form — never prunes a boundary pair).
+    * Verification is one array_intersect per candidate. */
+  def containmentJoin(docs: DataFrame, shingleN: Int,
+      minContainment: Double): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val t = minContainment
+    val sh = shingleSet(docs, shingleN)
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val docArr = sh.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"),
+        collect_list("sh").as("set"))
+      .withColumn("sz", size(col("arr")))
+    Caching.releasing(docArr) {
+      val pref = docArr
+        .select(col("doc_id"), col("sz"),
+          posexplode(slice(col("arr"), lit(1),
+            (col("sz") - floor(lit(t) * col("sz")) + lit(1)).cast("int"))))
+        .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
+          col("col.sh").as("sh"))
+      val full = docArr
+        .select(col("doc_id"), col("sz"), posexplode(col("arr")))
+        .select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+          (col("pos") + 1).as("pb"), col("col.sh").as("shb"))
+      val cand = pref.as("a").join(full,
+          col("a.sh") === col("shb") &&
+          col("a.doc_id") =!= col("doc_b") &&
+          col("szb").cast("double") / col("a.sz").cast("double") >= t &&
+          (lit(1L) + least(col("a.sz") - col("a.pos"), col("szb") - col("pb")))
+            .cast("double") >= lit(t) * col("a.sz").cast("double") - lit(1e-9))
+        .select(col("a.doc_id").as("doc_a"), col("doc_b"),
+          col("a.pos").as("pa"), col("pb"),
+          col("a.sz").as("sza"), col("szb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("pc"),
+          max("pa").as("mpa"), max("pb").as("mpb"),
+          max("sza").as("sza2"), max("szb").as("szb2"))
+        .filter((col("pc") +
+            least(col("sza2") - col("mpa"), col("szb2") - col("mpb")))
+          .cast("double") >= lit(t) * col("sza2").cast("double") - lit(1e-9))
+        .select("doc_a", "doc_b")
+      cand
+        .join(docArr.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+          col("sz").as("na")), "doc_a")
+        .join(docArr.select(col("doc_id").as("doc_b"), col("set").as("sb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          Cross.r6(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            col("na").cast("double")).as("containment"))
+        .filter(col("containment") >= t)
+    }
+  }
+
   /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set.
     * Verification is one native array_intersect per pair against
     * per-doc shingle arrays (cost O(|pairs|·set size) in ONE row per

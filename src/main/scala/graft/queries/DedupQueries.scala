@@ -515,5 +515,32 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151)
+  /** Directed containment self-join (Dedup.containmentJoin): every
+    * ordered pair with |A∩B|/|A| >= 0.5 — the partial-duplicate
+    * (quote/excerpt) detector Jaccard-banded LSH structurally misses
+    * for small-in-big pairs. The oracle computes FULL pairwise
+    * containment with no prefix pruning, so hash-equality proves the
+    * asymmetric prefix-filter theorem (contained-side prefix ×
+    * fully-indexed container side) lost no pair. */
+  val q160 = QueryDef(
+    "q160_containment_join",
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, containment FROM (
+       |  SELECT i.da AS doc_a, i.db AS doc_b,
+       |    ${Cross.r6Sql("i.i::DOUBLE / sa.n::DOUBLE")} AS containment
+       |  FROM inter i
+       |  JOIN sizes sa ON i.da = sa.doc_id) t
+       |WHERE containment >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.containmentJoin(graft.core.Tables.documents(spark, dir),
+        ShingleN, minContainment = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160)
 }

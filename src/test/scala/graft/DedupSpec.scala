@@ -249,4 +249,23 @@ class DedupSpec extends SparkSpec {
       assert(got == viaBroadcast, "join strategy must never change the answer")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("containmentJoin is directed and finds small-in-big pairs") {
+    // doc 10's shingles are a strict subset of doc 11's (an excerpt):
+    // containment(10 in 11) = 1.0 while Jaccard is far below any usual
+    // near-dup threshold — the pair Jaccard banding structurally misses
+    val cdocs = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (12L, "unrelated words entirely here about columnar engines")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(cdocs, 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((10L, 11L, 1.0)))
+    // sanity: the same pair's Jaccard is small (2 of 12 shingles shared)
+    val jac = Dedup.ngramJaccardPairs(cdocs, 3, minJaccard = 0.0)
+      .filter(col("doc_a") === 10L && col("doc_b") === 11L)
+      .head().getDouble(2)
+    assert(jac < 0.2)
+  }
 }
