@@ -228,4 +228,30 @@ class PlanSpec extends SparkSpec {
     // executed plan's toString
     assert(planOf(df).contains("*(1)"), planOf(df))
   }
+
+  test("lexicon-probe tokenization stays inside whole-stage codegen") {
+    // contentTokens = tokens + stopword drop, both LexiconMatch probes;
+    // if either fell back to interpreted eval the projection would
+    // leave the codegen stage (the round-5 HOF regression class)
+    val df = Tables.documents(spark, sf())
+      .select(graft.functions.TextFns.contentTokens(col("text")).as("tk"))
+      .select(size(col("tk")).as("n"))
+      .filter(col("n") > 0)
+    assert(planOf(df).contains("*(1)"), planOf(df))
+  }
+
+  test("skip-gram pair generation is one window pass, no positions self-join") {
+    // all `window` leads must come from a single Exchange+Sort (one
+    // window pass per doc); a positions self-join would plan a second
+    // hashpartitioning Exchange before the count aggregation's own
+    val pc = graft.operators.Cooccur.pairCounts(
+      Tables.documents(spark, sf()), col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")), window = 3)
+    val plan = pc.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one Exchange for the window (by doc_id), one for the (a, b) count
+    assert(shuffles == 2, s"expected 2 shuffles (window + count), got $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"pair generation must not join:\n$plan")
+  }
 }
