@@ -99,8 +99,14 @@ object ContentBased {
     * Output long form (entity_id, term, w): the dense 0-padding of the
     * reference is representational only — cosines over the long form are
     * identical and nothing materializes V columns per row at scale. */
-  def encodedProfiles(entityTokens: DataFrame, vocab: DataFrame, encoding: String): DataFrame = {
-    val present = entityTokens.select("entity_id", "term").distinct()
+  def encodedProfiles(entityTokens: DataFrame, vocab: DataFrame, encoding: String,
+      assumeDistinct: Boolean = false): DataFrame = {
+    // assumeDistinct: callers feeding an already-(entity_id, term)-
+    // distinct relation (e.g. a cached token table shared by several
+    // encoding arms) skip the set-semantics shuffle — four arms over
+    // the same cached input otherwise pay four redundant distincts
+    val base = entityTokens.select("entity_id", "term")
+    val present = (if (assumeDistinct) base else base.distinct())
       .join(vocab, "term")
     encoding match {
       case "onehot" =>

@@ -349,15 +349,19 @@ object ContentQueries {
       .join(vocab.select("term"), "term")
       .distinct()
       .cache()
+    // distinct ONCE at build (a user rating two businesses sharing a
+    // term duplicates (user, term)); the arms then pass
+    // assumeDistinct — four per-arm set-semantics shuffles become one
     val userTok = graft.model.Recommender.dedupReviews(Tables.reviews(spark, dir))
       .select(col("user_id"), col("business_id"))
       .join(bizTok.select(col("entity_id").as("business_id"), col("term")), "business_id")
       .select(col("user_id").as("entity_id"), col("term"))
+      .distinct()
       .cache()
     val arms = for {
       enc <- Seq("onehot", "continuous")
       (kind, toks) <- Seq("biz" -> bizTok, "user" -> userTok)
-    } yield ContentBased.encodedProfiles(toks, vocab, enc)
+    } yield ContentBased.encodedProfiles(toks, vocab, enc, assumeDistinct = true)
       .select(lit(enc).as("encoding"), lit(kind).as("kind"),
         col("entity_id"), col("term"), col("w"))
     arms.reduce(_ union _).orderBy("encoding", "kind", "entity_id", "term")
