@@ -86,6 +86,68 @@ object Lm {
     if (train.isEmpty) graft.core.Caching.releasing(pairs)(plan) else plan
   }
 
+  /** Interpolated Kneser-Ney bigram probability from the count columns
+    * (cab, ca, n1pa, n1pb, ntypes):
+    *
+    *   P_KN(b | a) = max(c(a,b) - D, 0) / c(a.)
+    *               + D * N1+(a.) / c(a.) * N1+(.b) / N_types
+    *
+    * where N1+(a.) = distinct continuations of a, N1+(.b) = distinct
+    * left-contexts of b, N_types = distinct bigram types. For any seen
+    * prefix a the conditional sums to exactly 1 over the vocabulary
+    * (the discounted mass D*N1+(a.)/c(a.) is redistributed by the
+    * continuation unigram) — LmSpec pins that invariant. Exposed so the
+    * gate's Spark side and the spec share one formula. */
+  def knMix(discount: Double): Column =
+    greatest(col("cab").cast("double") - lit(discount), lit(0.0)) /
+      col("ca").cast("double") +
+    lit(discount) * col("n1pa").cast("double") / col("ca").cast("double") *
+      (col("n1pb").cast("double") / col("ntypes").cast("double"))
+
+  /** Score every document against an interpolated Kneser-Ney bigram LM
+    * (absolute discount `discount`, continuation-unigram backoff — the
+    * Chen-Goodman formulation KenLM implements, which is the de-facto
+    * perplexity filter of LLM corpus curation). Self-trained on `docs`
+    * unless a held-out `train` corpus is given. Returns
+    * (doc_id, n_bigrams, avg_logprob) for docs with >= 2 tokens.
+    *
+    * Scale shape mirrors [[bigramScore]]: three map-side-combinable
+    * count aggregations (all O(distinct bigrams), not O(corpus)), then
+    * one join pass of the document bigrams against them on natural
+    * keys; the single-row type count broadcasts. Self-trained scoring
+    * means every scored bigram exists in the count tables, so the
+    * joins are inner and c(a.) > 0 always; a held-out `train` corpus
+    * uses the same inner joins, dropping unseen bigrams from the score
+    * (KN assigns them mass only through higher-order backoff, which a
+    * bigram-only model doesn't have). */
+  def kneserNeyScore(docs: DataFrame, discount: Double,
+      train: Option[DataFrame] = None): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    val pairs = bigrams(docs)
+    def plan: DataFrame = {
+      val trainPairs = train.map(bigrams).getOrElse(pairs)
+      val bgc = trainPairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      // prefix table carries both the token count and the distinct-
+      // continuation fanout of a — one pass over the (tiny) bigram-type
+      // relation, same for the right-context fanout of b
+      val pre = bgc.groupBy("a").agg(sum("cab").as("ca"), count(lit(1)).as("n1pa"))
+      val cont = bgc.groupBy("b").agg(count(lit(1)).as("n1pb"))
+      val scalars = bgc.agg(count(lit(1)).as("ntypes"))
+      pairs
+        .join(bgc, Seq("a", "b"))
+        .join(pre, Seq("a"))
+        .join(cont, Seq("b"))
+        .crossJoin(broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(Cross.dsum(log(2.0, knMix(discount)), 6).as("s"),
+          count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Cross.r6(col("s") / col("n_bigrams").cast("double")).as("avg_logprob"))
+    }
+    if (train.isEmpty) graft.core.Caching.releasing(pairs)(plan) else plan
+  }
+
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
 

@@ -419,6 +419,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Lm.kneserNeyScore): the
+    * KenLM-style perplexity filter with absolute discounting and
+    * continuation-unigram backoff, self-trained on the corpus. All four
+    * count tables (bigram, prefix count + continuation fanout,
+    * right-context fanout, type total) are exact integers, so the
+    * probability expression is the same IEEE double arithmetic on both
+    * engines; per-position log2 terms decimal-round before the sum
+    * (q128 discipline). Self-training makes every scored bigram seen,
+    * so the joins are inner on both sides. */
+  private val knDiscount = 0.75
+  private val knMixSql =
+    s"log2(greatest(cab::DOUBLE - $knDiscount::DOUBLE, 0.0::DOUBLE) / ca::DOUBLE + " +
+      s"$knDiscount::DOUBLE * n1pa::DOUBLE / ca::DOUBLE * (n1pb::DOUBLE / ntypes::DOUBLE))"
+
+  val q162 = QueryDef(
+    "q162_kneser_ney",
+    s"""WITH tl AS (SELECT doc_id, $toks AS ts FROM documents),
+       |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tl),
+       |bg AS (SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM pos),
+       |bgc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+       |pre AS (SELECT a, SUM(cab) AS ca, COUNT(*) AS n1pa FROM bgc GROUP BY a),
+       |cont AS (SELECT b, COUNT(*) AS n1pb FROM bgc GROUP BY b),
+       |sc AS (SELECT COUNT(*) AS ntypes FROM bgc),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ${Cross.dsumSql(knMixSql, 6)} AS s,
+       |    COUNT(*) AS n_bigrams
+       |  FROM bg
+       |  JOIN bgc USING (a, b) JOIN pre USING (a) JOIN cont USING (b)
+       |  CROSS JOIN sc
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  ${Cross.r6Sql("s / n_bigrams::DOUBLE")} AS avg_logprob
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Lm.kneserNeyScore(Tables.documents(spark, dir),
+        discount = knDiscount)
+      .orderBy("doc_id")
+  }
+
   /** Token-budget corpus selection (Curation.selectUnderBudget): keep
     * the highest-quality docs (stopword-ratio score, the q23 formula)
     * until a global 20k-token budget is exhausted — greedy prefix of the
@@ -927,5 +967,5 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q162)
 }

@@ -51,6 +51,44 @@ class LmSpec extends SparkSpec {
       s"got ${out(0).getDouble(2)}, want $exp")
   }
 
+  test("Kneser-Ney conditional sums to 1 over the vocabulary for every seen prefix") {
+    // skewed corpus so counts, fanouts, and discounted mass all differ per prefix
+    val docs = Seq(
+      (1L, "a b a b a c"), (2L, "b c b a a a"), (3L, "c a c c b")).toDF("doc_id", "text")
+    val pairs = Lm.bigrams(docs)
+    val bgc = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val pre = bgc.groupBy("a").agg(sum("cab").as("ca"), count(lit(1)).as("n1pa"))
+    val cont = bgc.groupBy("b").agg(count(lit(1)).as("n1pb"))
+    val scalars = bgc.agg(count(lit(1)).as("ntypes"))
+    // full prefix x continuation-vocab cross, unseen pairs at cab=0: the
+    // discounted conditional must distribute exactly all of each prefix's mass
+    val sums = pre.crossJoin(cont)
+      .join(bgc, Seq("a", "b"), "left").na.fill(0L, Seq("cab"))
+      .crossJoin(scalars)
+      .groupBy("a").agg(sum(Lm.knMix(0.75)).as("psum"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sums.keySet == Set("a", "b", "c"))
+    sums.foreach { case (a, s) =>
+      assert(math.abs(s - 1.0) < 1e-12, s"P(.|$a) sums to $s, want 1")
+    }
+  }
+
+  test("kneserNeyScore matches hand-computed discounted probabilities") {
+    // corpus "a b a b": bigrams ab x2, ba x1. cab(a,b)=2, cab(b,a)=1;
+    // ca(a)=2 n1pa(a)=1; ca(b)=1 n1pa(b)=1; n1pb(b)=1, n1pb(a)=1; ntypes=2
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = Lm.kneserNeyScore(docs, discount = 0.75).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 3)
+    val pAB = (2.0 - 0.75) / 2.0 + 0.75 * 1.0 / 2.0 * (1.0 / 2.0) // P(b|a)
+    val pBA = (1.0 - 0.75) / 1.0 + 0.75 * 1.0 / 1.0 * (1.0 / 2.0) // P(a|b)
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val exp = BigDecimal((Seq(pAB, pBA, pAB).map(v =>
+      BigDecimal(l2(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum / 3).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0).getDouble(2) - exp) < 2e-6,
+      s"got ${out(0).getDouble(2)}, want $exp")
+  }
+
   test("bigrams emits adjacent pairs in order and skips sub-2-token docs") {
     val docs = Seq((1L, "one two three"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
     val got = Lm.bigrams(docs).orderBy("doc_id", "a").collect()
