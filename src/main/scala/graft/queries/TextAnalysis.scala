@@ -910,7 +910,17 @@ object TextAnalysis {
     * (Bpe.applyMerge ↔ list_reduce with (acc, prev) struct state; the
     * final pending symbol flushes outside the fold since list_reduce
     * has no finish lambda). */
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeOracle(rounds: Int): String =
+    bpeCtes(rounds) + (1 to rounds).map(r =>
+        s"SELECT ${r - 1} AS rank, ba AS a, bb AS b, ba || bb AS merged, n AS pair_count FROM best$r")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** The unrolled BPE training CTE chain: seg0..segN (word, freq, syms)
+    * and best1..bestN (ba, bb, n) — shared by the training gate (q159,
+    * reads the bests) and the segmentation gate (q161, reads the final
+    * seg). Carrying `word` through the merge folds costs the training
+    * oracle nothing: seg rows are per-word from seg0 on. */
+  private def bpeCtes(rounds: Int): String = {
     def pairs(seg: String) =
       s"""(SELECT syms[i] AS a, syms[i + 1] AS b, freq
          |   FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $seg))""".stripMargin
@@ -922,13 +932,13 @@ object TextAnalysis {
     // collide; empty acc segments are stripped at decode.
     def mergeCte(prev: String, best: String, out: String) =
       s"""$out AS (
-         |  SELECT freq,
+         |  SELECT word, freq,
          |    list_concat(
          |      list_filter(string_split(split_part(fin, chr(30), 1), chr(31)), x -> x <> ''),
          |      CASE WHEN split_part(fin, chr(30), 2) = '' THEN []::VARCHAR[]
          |           ELSE [split_part(fin, chr(30), 2)] END) AS syms
          |  FROM (
-         |    SELECT freq, list_reduce(
+         |    SELECT word, freq, list_reduce(
          |      list_prepend(chr(30), list_transform(syms, x -> chr(30) || x)),
          |      (st, el) -> CASE
          |        WHEN split_part(st, chr(30), 2) = ba AND split_part(el, chr(30), 2) = bb
@@ -941,7 +951,7 @@ object TextAnalysis {
          |    FROM $prev CROSS JOIN $best))""".stripMargin
     val ctes = new StringBuilder(
       s"""WITH seg0 AS (
-         |  SELECT COUNT(*)::BIGINT AS freq, string_split_regex(word, '') AS syms
+         |  SELECT word, COUNT(*)::BIGINT AS freq, string_split_regex(word, '') AS syms
          |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY word)""".stripMargin)
     for (r <- 1 to rounds) {
       ctes ++= s""",
@@ -949,9 +959,6 @@ object TextAnalysis {
         |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
         |${mergeCte(s"seg${r - 1}", s"best$r", s"seg$r")}""".stripMargin
     }
-    ctes ++= (1 to rounds).map(r =>
-        s"SELECT ${r - 1} AS rank, ba AS a, bb AS b, ba || bb AS merged, n AS pair_count FROM best$r")
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
     ctes.toString
   }
 
@@ -967,5 +974,30 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q162)
+  /** BPE segmentation with the trained merge table (Bpe.segment) — the
+    * encode half of the tokenizer lifecycle: train the 8-merge table
+    * (q159's loop), then re-apply the merges in rank order to every
+    * vocabulary word. The oracle extends the q159 unroll to its final
+    * segmentation state, so every word's symbol sequence — the greedy
+    * left-to-right fold under all 8 merges — hash-matches, proving
+    * train and encode agree on the merge semantics. */
+  val q161 = QueryDef(
+    "q161_bpe_segment",
+    bpeCtes(8) +
+      """
+        |SELECT word, freq, len(syms)::BIGINT AS n_syms,
+        |  array_to_string(syms, ' ') AS encoded
+        |FROM seg8
+        |ORDER BY word""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toksCol = TextFns.tokens(col("text"))
+    val mt = graft.operators.Bpe.train(docs, toksCol, nMerges = 8)
+    graft.operators.Bpe.segment(docs, toksCol, mt)
+      .select(col("word"), col("freq"),
+        size(col("syms")).cast("long").as("n_syms"),
+        concat_ws(" ", col("syms")).as("encoded"))
+      .orderBy("word")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162)
 }
