@@ -459,6 +459,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weights (Dsir.importanceWeights): every document
+    * scored by the log likelihood ratio of the English-subset hashed
+    * n-gram distribution vs the full pool — importance resampling by
+    * these weights shifts the pool toward the target. 128 hash buckets;
+    * the oracle rebuilds the identical bucket counts (one conditional
+    * aggregation), smoothed log probs, and decimal-rounded per-feature
+    * sums, so the whole distribution-matching chain hash-matches. */
+  private val dsirBuckets = 128
+  val q165 = QueryDef(
+    "q165_dsir_weights",
+    s"""WITH d AS (SELECT doc_id, (lang = 'en') AS is_target, $toks AS tk FROM documents),
+       |feats AS (
+       |  SELECT doc_id, is_target, ${Cross.hash31Sql("x")} % $dsirBuckets AS f
+       |  FROM (SELECT doc_id, is_target,
+       |          unnest(list_concat(tk, ${TextSql.shingles("tk", 2)})) AS x FROM d)),
+       |counts AS (
+       |  SELECT f, COUNT(*) AS nr,
+       |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS nt
+       |  FROM feats GROUP BY f),
+       |sc AS (SELECT SUM(nr) AS tr, SUM(nt) AS tt FROM counts),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_feats,
+       |    ${Cross.dsumSql(
+             s"log2((nt + 1)::DOUBLE / ((tt + $dsirBuckets)::DOUBLE)) - " +
+               s"log2((nr + 1)::DOUBLE / ((tr + $dsirBuckets)::DOUBLE))", 6)} AS s
+       |  FROM feats JOIN counts USING (f) CROSS JOIN sc
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_feats, ${Cross.r6Sql("s")} AS log_weight
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Dsir.importanceWeights(Tables.documents(spark, dir),
+        col("doc_id"), TextFns.tokens(col("text")), col("lang") === "en",
+        buckets = dsirBuckets)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Token-budget corpus selection (Curation.selectUnderBudget): keep
     * the highest-quality docs (stopword-ratio score, the q23 formula)
     * until a global 20k-token budget is exhausted — greedy prefix of the
@@ -999,5 +1036,5 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165)
 }
