@@ -65,4 +65,34 @@ object Retrieval {
       .select(col("doc_id"), col("n_hit_terms"), Cross.r6(col("ssum")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked shortlists:
+    * each input is (id, rank) with rank 1-based; the fused score is
+    *
+    *   rrf(id) = sum over lists containing id of 1 / (k + rank)
+    *
+    * — the standard way to combine a lexical arm (BM25) with a dense
+    * ANN arm without score calibration. Returns (id, n_lists, rrf),
+    * unordered (callers sort by the fused score).
+    *
+    * Scale shape: RRF is defined over top-N shortlists, so every input
+    * is bounded at N rows by construction — the outer-join chain and
+    * the fused sort all run on O(N * lists) rows regardless of corpus
+    * size (produce the shortlists with bounded top-k operators, e.g.
+    * [[bm25]].limit or [[SimilaritySearch]]'s re-rank). Contributions
+    * add in fixed list order, so the double sum is deterministic. */
+  def rrf(lists: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    require(k >= 1, s"rrf constant must be >= 1, got $k")
+    val contribs = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("id"),
+        (lit(1.0) / (lit(k.toLong) + col("rank")).cast("double")).as(s"c$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val cs = lists.indices.map(i => col(s"c$i"))
+    joined.select(
+      col("id"),
+      cs.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _).as("n_lists"),
+      Cross.r6(cs.map(c => coalesce(c, lit(0.0))).reduce(_ + _)).as("rrf"))
+  }
 }

@@ -696,5 +696,67 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153)
+  /** Hybrid retrieval by reciprocal-rank fusion (Retrieval.rrf): the
+    * BM25 lexical shortlist (q112's scoring, top 50) fused with a dense
+    * cosine shortlist against vec 0's embedding (top 50), rrf constant
+    * 60 — the calibration-free lexical+dense combiner of modern RAG
+    * stacks. Ranks are integers over engine-identical scores (BM25 is
+    * decimal-summed and rounded before ranking; cosine is the shared
+    * fold of q40), so 1/(60+rank) contributions are bit-exact; they add
+    * in fixed arm order. The oracle rebuilds both arms, both row_number
+    * ranks, and the outer-join fusion. */
+  val q163 = QueryDef(
+    "q163_rrf_fusion",
+    s"""WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextSql.tokens("text")}) AS t FROM documents),
+       |stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tok FROM tok),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |qt AS (SELECT doc_id, t FROM tok WHERE t IN ('spark', 'query', 'window')),
+       |df AS (SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM qt) d GROUP BY t),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM qt GROUP BY doc_id, t),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.5 /
+       |      (tf + 1.5 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (n_tok::DOUBLE / n_docs::DOUBLE))) AS s
+       |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |agg AS (
+       |  SELECT doc_id, (round((${Cross.dsumSql("s", 6)}) + 1e-9, 6) + 0.0) AS score
+       |  FROM scored GROUP BY doc_id),
+       |lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM agg),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |dcos AS (
+       |  SELECT vec_id AS id, ${VectorSql.cosine("qe", "embedding")} AS cos
+       |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+       |den AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r FROM dcos),
+       |fused AS (
+       |  SELECT COALESCE(l.id, d.id) AS doc_id,
+       |    (CASE WHEN l.r IS NOT NULL THEN 1 ELSE 0 END) +
+       |    (CASE WHEN d.r IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+       |    (round((COALESCE(1.0::DOUBLE / (60 + l.r)::DOUBLE, 0.0::DOUBLE) +
+       |            COALESCE(1.0::DOUBLE / (60 + d.r)::DOUBLE, 0.0::DOUBLE)) + 1e-9, 6) + 0.0) AS rrf
+       |  FROM (SELECT * FROM lex WHERE r <= 50) l
+       |  FULL OUTER JOIN (SELECT * FROM den WHERE r <= 50) d ON l.id = d.id)
+       |SELECT doc_id, n_lists, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin) { (spark, dir) =>
+    val lexTop = graft.operators.Retrieval.bm25(Tables.documents(spark, dir),
+        Seq("spark", "query", "window"), k1 = 1.5, b = 0.75)
+      .limit(50)
+    val lex = lexTop
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val denTop = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"), VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+    val den = denTop
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("id"), col("rank"))
+    graft.operators.Retrieval.rrf(Seq(lex, den), k = 60)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("rrf").desc, col("doc_id")).limit(25)
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163)
 }

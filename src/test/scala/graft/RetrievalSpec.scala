@@ -78,4 +78,20 @@ class RetrievalSpec extends SparkSpec {
     // idcg table caps at k entries and matches the gains cumsum
     assert(Ranking.idcg(5).last._2 == Ranking.gains(5).map(x => BigDecimal(x._2)).sum.toDouble)
   }
+
+  test("rrf fuses ranked lists, crediting single-list ids their one term") {
+    val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val den = Seq((11L, 1), (10L, 2), (13L, 3)).toDF("id", "rank")
+    val out = Retrieval.rrf(Seq(lex, den), k = 60)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    def c(r: Int) = 1.0 / (60 + r)
+    def r6(x: Double) = BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out(10L) == (2, r6(c(1) + c(2))))
+    assert(out(11L) == (2, r6(c(2) + c(1))))
+    assert(out(12L) == (1, r6(c(3))), "lexical-only id keeps its single term")
+    assert(out(13L) == (1, r6(c(3))), "dense-only id keeps its single term")
+    // both-lists ids always beat a single-list id at equal best rank
+    assert(out(10L)._2 > out(12L)._2)
+  }
 }
