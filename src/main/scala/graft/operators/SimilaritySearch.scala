@@ -183,6 +183,45 @@ object SimilaritySearch {
     rerank(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication with LEARNED blocking
+    * (Abbas et al. 2023): cluster the corpus with the Lloyd-trained
+    * coarse quantizer, then call a vector a duplicate iff some
+    * lower-id cell-mate's cosine reaches `tau` — min-id survivor, the
+    * library-wide dedup convention. Complements the label-blocked path
+    * (q41): this is the recipe when no blocking key exists.
+    *
+    * Scale shape: the k-means cells bound the quadratic — within-cell
+    * pairing is a self-equi-join on cell id, so total pair work is
+    * sum(cell²) not N²; size nCells ~ N / targetCellSize to hold the
+    * per-cell candidate set constant as the corpus grows (the same cap
+    * discipline as the LSH band joins). Assignment is a per-row
+    * literal fold (no shuffle); centroids are k×dims driver loop
+    * state, never data. Returns one row per vector:
+    * (vec_id, cell, n_dups_below, keep). */
+  def semanticDedup(corpus: DataFrame, cents: Array[Array[Double]],
+      tau: Double): DataFrame = {
+    val cellStructs = array(cents.zipWithIndex.map { case (w, c) =>
+      struct(Cross.r6(VectorFns.sqDistLit(col("embedding"), w)).as("d"), lit(c).as("cell"))
+    }: _*)
+    val assigned = corpus.select(col("vec_id"),
+      array_min(cellStructs).getField("cell").as("cell"), col("embedding"))
+    def plan: DataFrame = {
+      val a = assigned.select(col("cell"), col("vec_id"), col("embedding").as("ea"))
+      val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val dups = a.join(b, Seq("cell"))
+        .filter(col("vec_b") < col("vec_id") &&
+          VectorFns.cosine(col("ea"), col("eb")) >= lit(tau))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_dups_below"))
+      assigned.join(dups, Seq("vec_id"), "left")
+        .na.fill(0L, Seq("n_dups_below"))
+        .select(col("vec_id"), col("cell"), col("n_dups_below"),
+          (col("n_dups_below") === 0L).as("keep"))
+    }
+    // assignment feeds both sides of the pair join and the final output
+    graft.core.Caching.releasing(assigned)(plan)
+  }
+
   /** IVF coarse assignment: nearest of `nCells` fixed seed centroids by
     * squared L2 (ties → lowest cell id). */
   def ivfAssign(corpus: DataFrame, nCells: Int, dims: Int): DataFrame = {

@@ -696,6 +696,46 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Semantic dedup with LEARNED blocking (SimilaritySearch
+    * .semanticDedup) — the SemDeDup recipe: Lloyd-trained k-means cells
+    * bound the pairwise cosine work, min-id survivor within a cell at
+    * cosine >= 0.35 (the q41 threshold — these synthetic embeddings are
+    * near-uniform, so production-style 0.9+ proves nothing). Unlike the
+    * label-blocked q41, the blocking key here is learned, so the oracle
+    * re-trains the quantizer (the q49 unroll), re-assigns, and mines
+    * within-cell pairs — training, assignment, and dedup hash-match as
+    * one chain. */
+  val q164 = QueryDef(
+    "q164_semantic_dedup",
+    s"""WITH $lloydEmbCte,
+       |c0(cell, dim, v) AS (VALUES $lloydSeedVals),
+       |${lloydRound("c0", 1)},
+       |${lloydRound("c1", 2)},
+       |d3 AS (
+       |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
+       |  FROM emb JOIN c2 USING (dim) GROUP BY vec_id, cell),
+       |a3 AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM d3) t WHERE rn = 1),
+       |assigned AS (
+       |  SELECT a3.vec_id, a3.cell, e.embedding
+       |  FROM a3 JOIN embeddings e USING (vec_id)),
+       |dups AS (
+       |  SELECT a.vec_id, COUNT(*) AS n_dups_below
+       |  FROM assigned a JOIN assigned b USING (cell)
+       |  WHERE b.vec_id < a.vec_id
+       |    AND ${VectorSql.cosine("a.embedding", "b.embedding")} >= 0.35::DOUBLE
+       |  GROUP BY a.vec_id)
+       |SELECT v.vec_id, v.cell, COALESCE(d.n_dups_below, 0)::BIGINT AS n_dups_below,
+       |  (COALESCE(d.n_dups_below, 0) = 0) AS keep
+       |FROM assigned v LEFT JOIN dups d USING (vec_id)
+       |ORDER BY v.vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cents = SimilaritySearch.ivfTrain(emb, Cells, Dims, iters = 2)
+    SimilaritySearch.semanticDedup(emb, cents, tau = 0.35)
+      .orderBy("vec_id")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Retrieval.rrf): the
     * BM25 lexical shortlist (q112's scoring, top 50) fused with a dense
     * cosine shortlist against vec 0's embedding (top 50), rrf constant
@@ -758,5 +798,5 @@ object EmbeddingQueries {
       .orderBy(col("rrf").desc, col("doc_id")).limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164)
 }

@@ -44,6 +44,23 @@ class GraphSpec extends SparkSpec {
     assert(out(4L) == ((4L, true)), "label blocking keeps cross-label dups apart")
   }
 
+  test("semanticDedup blocks by nearest learned cell and keeps min-id survivors") {
+    import graft.operators.SimilaritySearch
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),       // cell 0
+      (1L, Array(1.0f, 0.001f)),     // cell 0, near-dup of 0 → dropped
+      (2L, Array(-1.0f, 0.05f)),     // cell 1, alone there despite cos≈-1 to 0/1
+      (3L, Array(0.9f, 0.9f))        // cell 0 (ties to distance), cos to 0 ≈ 0.707 < tau
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.semanticDedup(emb, cents, tau = 0.95)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((0, 0L, true)))
+    assert(out(1L) == ((0, 1L, false)), "near-dup of a lower id in the same cell")
+    assert(out(2L) == ((1, 0L, true)), "cell blocking shields the far cluster")
+    assert(out(3L) == ((0, 0L, true)), "sub-threshold cell-mate survives")
+  }
+
   test("incremental partial-then-merge equals direct aggregation and extends by a day") {
     import graft.operators.Incremental
     val day1 = Seq(("a", 1L, 1.25), ("a", 1L, 2.50), ("b", 1L, 9.75)).toDF("k", "day", "v")
