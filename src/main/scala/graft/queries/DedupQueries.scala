@@ -542,5 +542,73 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160)
+  /** ROUGE-N verification of the LSH candidate pairs (TextOverlap
+    * .rouge): the q32 blocker's candidates re-scored with clipped
+    * unigram/bigram overlap — Jaccard (q32) judges distinct-shingle
+    * sets, ROUGE adds multiplicity and per-side precision/recall, the
+    * dedup-policy view ("how much of the SHORTER doc is covered").
+    * Clipped overlaps are integer min-sums; P/R/F are single integer
+    * divisions (F1 = 2o/(na+nb) exactly), so the whole metric is
+    * engine-exact. The oracle rebuilds blocking AND both gram orders. */
+  val q166 = QueryDef(
+    "q166_rouge_pairs",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |c1 AS (SELECT doc_id, g, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(${TextSql.shingles("tk", 1)}) AS g FROM tok)
+       |       GROUP BY doc_id, g),
+       |s1 AS (SELECT doc_id, SUM(c)::BIGINT AS sz FROM c1 GROUP BY doc_id),
+       |ov1 AS (
+       |  SELECT c.doc_a, c.doc_b, SUM(LEAST(a.c, b.c))::BIGINT AS o
+       |  FROM cand c
+       |  JOIN c1 a ON a.doc_id = c.doc_a
+       |  JOIN c1 b ON b.doc_id = c.doc_b AND b.g = a.g
+       |  GROUP BY 1, 2),
+       |c2 AS (SELECT doc_id, g, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(${TextSql.shingles("tk", 2)}) AS g FROM tok)
+       |       GROUP BY doc_id, g),
+       |s2 AS (SELECT doc_id, SUM(c)::BIGINT AS sz FROM c2 GROUP BY doc_id),
+       |ov2 AS (
+       |  SELECT c.doc_a, c.doc_b, SUM(LEAST(a.c, b.c))::BIGINT AS o
+       |  FROM cand c
+       |  JOIN c2 a ON a.doc_id = c.doc_a
+       |  JOIN c2 b ON b.doc_id = c.doc_b AND b.g = a.g
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  COALESCE(v1.o, 0)::BIGINT AS o1,
+       |  ${Cross.r6Sql("CASE WHEN COALESCE(sa1.sz, 0) > 0 THEN COALESCE(v1.o, 0)::DOUBLE / sa1.sz::DOUBLE ELSE 0.0 END")} AS rouge1_p,
+       |  ${Cross.r6Sql("CASE WHEN COALESCE(sb1.sz, 0) > 0 THEN COALESCE(v1.o, 0)::DOUBLE / sb1.sz::DOUBLE ELSE 0.0 END")} AS rouge1_r,
+       |  ${Cross.r6Sql("CASE WHEN COALESCE(sa1.sz, 0) + COALESCE(sb1.sz, 0) > 0 THEN (COALESCE(v1.o, 0) * 2)::DOUBLE / (COALESCE(sa1.sz, 0) + COALESCE(sb1.sz, 0))::DOUBLE ELSE 0.0 END")} AS rouge1_f,
+       |  COALESCE(v2.o, 0)::BIGINT AS o2,
+       |  ${Cross.r6Sql("CASE WHEN COALESCE(sa2.sz, 0) + COALESCE(sb2.sz, 0) > 0 THEN (COALESCE(v2.o, 0) * 2)::DOUBLE / (COALESCE(sa2.sz, 0) + COALESCE(sb2.sz, 0))::DOUBLE ELSE 0.0 END")} AS rouge2_f
+       |FROM cand c
+       |LEFT JOIN ov1 v1 ON v1.doc_a = c.doc_a AND v1.doc_b = c.doc_b
+       |LEFT JOIN ov2 v2 ON v2.doc_a = c.doc_a AND v2.doc_b = c.doc_b
+       |LEFT JOIN s1 sa1 ON sa1.doc_id = c.doc_a
+       |LEFT JOIN s1 sb1 ON sb1.doc_id = c.doc_b
+       |LEFT JOIN s2 sa2 ON sa2.doc_id = c.doc_a
+       |LEFT JOIN s2 sb2 ON sb2.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
+    val d = graft.core.Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNearDups(spark, d, K, R, ShingleN)
+      .select("doc_a", "doc_b")
+    graft.core.Caching.releasing(pairs) {
+      val r1 = graft.operators.TextOverlap.rouge(pairs, d, 1)
+        .select(col("doc_a"), col("doc_b"), col("o").as("o1"),
+          col("p").as("rouge1_p"), col("r").as("rouge1_r"), col("f").as("rouge1_f"))
+      val r2 = graft.operators.TextOverlap.rouge(pairs, d, 2)
+        .select(col("doc_a"), col("doc_b"), col("o").as("o2"), col("f").as("rouge2_f"))
+      r1.join(r2, Seq("doc_a", "doc_b")).orderBy("doc_a", "doc_b")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166)
 }

@@ -94,4 +94,30 @@ class RetrievalSpec extends SparkSpec {
     // both-lists ids always beat a single-list id at equal best rank
     assert(out(10L)._2 > out(12L)._2)
   }
+
+  test("rouge computes clipped n-gram overlap with exact integer ratios") {
+    import graft.operators.TextOverlap
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // 'the' twice
+      (2L, "the cat the cat sat"),    // clipped: the=2, cat=1->min 1? counts: the=2 cat=2 sat=1
+      (3L, "zz")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val r1 = TextOverlap.rouge(pairs, docs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // doc1 counts: the=2 cat=1 sat=1 on=1 mat=1 (n=6); doc2: the=2 cat=2 sat=1 (n=5)
+    // clipped overlap: min(2,2)+min(1,2)+min(1,1) = 4
+    val p12 = r1((1L, 2L))
+    assert(p12.getLong(2) == 4L)
+    def r6(x: Double) = BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p12.getDouble(3) == r6(4.0 / 6.0) && p12.getDouble(4) == r6(4.0 / 5.0))
+    assert(p12.getDouble(5) == r6(8.0 / 11.0))
+    val p13 = r1((1L, 3L)) // no shared tokens
+    assert(p13.getLong(2) == 0L && p13.getDouble(5) == 0.0)
+    // bigram order: doc1 has 'the cat' once, doc2 once -> o2 = 1 + ('cat sat')
+    val r2 = TextOverlap.rouge(pairs, docs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r2((1L, 2L)) == 2L, "'the cat' and 'cat sat' are shared bigrams")
+    assert(r2((1L, 3L)) == 0L)
+  }
 }
