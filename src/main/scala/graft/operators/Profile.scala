@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Cross
+import graft.functions.TextFns
+
+/** Per-source corpus profiling — the "dataset card" report every
+  * training-data pipeline publishes alongside its shards: volume, token
+  * mass, language mix, exact-duplication rate, and mean lexical quality
+  * per provenance slice. The per-slice numbers are what drives mixture
+  * decisions ([[Sampling.mixtureSample]], q154/q156) and flags a bad
+  * source before it trains.
+  *
+  * Scale shape: ONE row-level projection (hash, token count, quality —
+  * all per-row CPU, no shuffle), then two map-side-combinable grouped
+  * aggregations over it (per-source stats; per-(source,lang) counts
+  * whose per-source argmax is a window over the tiny language table).
+  * Distinct-counts are exact (the dedup ledger must be), which at
+  * 100 TB is a shuffle of one md5 per doc — same cost class as the
+  * exact-dedup operator itself.
+  */
+object Profile {
+
+  /** Per-source card over the standard documents schema
+    * (doc_id, text, lang, source). Returns one row per source:
+    * (source, n_docs, n_tokens, mean_ntok, n_langs, top_lang,
+    * exact_dup_docs, mean_quality); top_lang ties resolve
+    * lexicographically, quality is the q23 stopword-ratio. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val d = docs.select(col("source"), col("lang"),
+      md5(col("text")).as("h"),
+      size(tk).cast("long").as("ntok"),
+      when(size(tk) > 0,
+        Cross.r6(TextFns.lexiconHits(tk, TextFns.stopwords).cast("double") /
+          size(tk).cast("double")))
+        .otherwise(0.0).as("q"))
+    def plan: DataFrame = {
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        countDistinct("h").as("n_distinct"),
+        countDistinct("lang").as("n_langs"),
+        Cross.r6(Cross.davg(col("q"), 6)).as("mean_quality"))
+      val top = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          Cross.r6(col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_ntok"),
+          col("n_langs"), col("top_lang"),
+          (col("n_docs") - col("n_distinct")).as("exact_dup_docs"),
+          col("mean_quality"))
+    }
+    // the projected row table feeds both aggregations
+    graft.core.Caching.releasing(d)(plan)
+  }
+}

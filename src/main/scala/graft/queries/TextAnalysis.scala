@@ -459,6 +459,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE fertility by source (Bpe.train + Bpe.segment composed with the
+    * corpus token stream): mean subword pieces per word under the
+    * trained 8-merge tokenizer, per document source — the standard
+    * tokenizer-quality metric (high fertility = the vocab fits that
+    * slice poorly). The per-word segmentation joins back to the
+    * exploded corpus tokens on the word key, so frequency weighting is
+    * implicit; counts are integers, fertility one exact division. */
+  val q167 = QueryDef(
+    "q167_bpe_fertility",
+    bpeCtes(8) +
+      s""",
+        |dw AS (SELECT source, unnest($toks) AS word FROM documents)
+        |SELECT source, COUNT(*) AS n_words, SUM(len(syms))::BIGINT AS n_pieces,
+        |  ${Cross.r6Sql("SUM(len(syms))::DOUBLE / COUNT(*)::DOUBLE")} AS fertility
+        |FROM dw JOIN seg8 USING (word)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toksCol = TextFns.tokens(col("text"))
+    val mt = graft.operators.Bpe.train(docs, toksCol, nMerges = 8)
+    val seg = graft.operators.Bpe.segment(docs, toksCol, mt)
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    docs.select(col("source"), explode(toksCol).as("word"))
+      .join(seg, Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        Cross.r6(col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy("source")
+  }
+
+  /** Per-source corpus card (Profile.corpusCard): the dataset-card
+    * report — docs, token mass, language mix with deterministic modal
+    * language, exact-dup ledger, mean stopword-quality — per
+    * provenance slice. Counts and distincts are exact integers; the
+    * two means are decimal-accumulated; the modal language is a
+    * row_number argmax with lexicographic ties, mirrored 1:1. */
+  val q168 = QueryDef(
+    "q168_corpus_card",
+    s"""WITH t0 AS (SELECT source, lang, text, $toks AS tk FROM documents),
+       |t AS (
+       |  SELECT source, lang, md5(text) AS h, len(tk)::BIGINT AS ntok,
+       |    CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql(TextSql.lexiconHits("tk", TextFns.stopwords) + "::DOUBLE / len(tk)::DOUBLE")} ELSE 0.0 END AS q
+       |  FROM t0),
+       |base AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+       |    COUNT(DISTINCT h) AS n_distinct, COUNT(DISTINCT lang) AS n_langs,
+       |    ${Cross.r6Sql(Cross.davgSql("q", 6))} AS mean_quality
+       |  FROM t GROUP BY source),
+       |lc AS (SELECT source, lang, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       |top AS (SELECT source, lang AS top_lang FROM (
+       |  SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+       |  FROM lc) z WHERE rn = 1)
+       |SELECT b.source, n_docs, n_tokens,
+       |  ${Cross.r6Sql("n_tokens::DOUBLE / n_docs::DOUBLE")} AS mean_ntok,
+       |  n_langs, top_lang, (n_docs - n_distinct)::BIGINT AS exact_dup_docs,
+       |  mean_quality
+       |FROM base b JOIN top USING (source)
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.corpusCard(Tables.documents(spark, dir))
+      .orderBy("source")
+  }
+
   /** DSIR importance weights (Dsir.importanceWeights): every document
     * scored by the log likelihood ratio of the English-subset hashed
     * n-gram distribution vs the full pool — importance resampling by
@@ -1036,5 +1100,5 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168)
 }
