@@ -560,6 +560,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-weighted corpus selection: the q165 importance weights as the
+    * quality key of the equi-depth banded budget scan — the full DSIR
+    * recipe (score against the target distribution, keep the best under
+    * a token budget; greedy-by-weight is its deterministic
+    * counterpart). Feature-less docs have no weight and drop out, as in
+    * q158's LM analogue. The oracle recomputes the weight chain AND the
+    * flat join-based prefix sum, so scoring and selection hash-match
+    * end to end. */
+  val q169 = QueryDef(
+    "q169_dsir_select",
+    s"""WITH d AS (SELECT doc_id, (lang = 'en') AS is_target, $toks AS tk FROM documents),
+       |feats AS (
+       |  SELECT doc_id, is_target, ${Cross.hash31Sql("x")} % $dsirBuckets AS f
+       |  FROM (SELECT doc_id, is_target,
+       |          unnest(list_concat(tk, ${TextSql.shingles("tk", 2)})) AS x FROM d)),
+       |counts AS (
+       |  SELECT f, COUNT(*) AS nr,
+       |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS nt
+       |  FROM feats GROUP BY f),
+       |sc AS (SELECT SUM(nr) AS tr, SUM(nt) AS tt FROM counts),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ${Cross.dsumSql(
+             s"log2((nt + 1)::DOUBLE / ((tt + $dsirBuckets)::DOUBLE)) - " +
+               s"log2((nr + 1)::DOUBLE / ((tr + $dsirBuckets)::DOUBLE))", 6)} AS s
+       |  FROM feats JOIN counts USING (f) CROSS JOIN sc
+       |  GROUP BY doc_id),
+       |q AS (
+       |  SELECT s.doc_id, ${Cross.r6Sql("s.s")} AS quality, len(d.tk)::BIGINT AS ntok
+       |  FROM scored s JOIN d ON s.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT a.doc_id, a.quality, a.ntok, COALESCE(SUM(b.ntok), 0) AS cum_before
+       |  FROM q a LEFT JOIN q b
+       |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
+       |  GROUP BY a.doc_id, a.quality, a.ntok)
+       |SELECT doc_id, quality, ntok, cum_before,
+       |  (cum_before + ntok <= 20000) AS selected
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val w = graft.operators.Dsir.importanceWeights(docs, col("doc_id"),
+        TextFns.tokens(col("text")), col("lang") === "en", buckets = dsirBuckets)
+      .withColumnRenamed("id", "doc_id")
+    val withTok = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+    graft.operators.Curation.selectUnderBudgetEquiDepth(
+        w.join(withTok, "doc_id"),
+        col("doc_id"), col("log_weight"), col("ntok"),
+        budget = 20000L, bands = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Token-budget corpus selection (Curation.selectUnderBudget): keep
     * the highest-quality docs (stopword-ratio score, the q23 formula)
     * until a global 20k-token budget is exhausted — greedy prefix of the
@@ -1100,5 +1153,5 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169)
 }
