@@ -222,6 +222,54 @@ object SimilaritySearch {
     graft.core.Caching.releasing(assigned)(plan)
   }
 
+  /** Contrastive triplet mining over the trained coarse quantizer —
+    * training-data prep for embedding models: every vector becomes an
+    * anchor with its hardest in-cell positive (top-1 cosine among
+    * cell-mates) and a hard negative mined from its SECOND-nearest
+    * cell (close enough to be confusable, guaranteed outside the
+    * anchor's own neighborhood). Both candidate sets are cell-bounded,
+    * so the pair work is sum(cell²) like [[semanticDedup]], and both
+    * top-1s run through the bounded-heap re-rank — no global sort, no
+    * cartesian. Anchors alone in their cell drop (no positive exists).
+    * Returns (vec_id, pos_id, pos_cos, neg_id, neg_cos, margin). */
+  def contrastiveTriplets(corpus: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(cents.length >= 2, "need >= 2 cells to mine a negative cell")
+    val cellStructs = array(cents.zipWithIndex.map { case (w, c) =>
+      struct(Cross.r6(VectorFns.sqDistLit(col("embedding"), w)).as("d"), lit(c).as("cell"))
+    }: _*)
+    val sorted = array_sort(cellStructs)
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      element_at(sorted, 1).getField("cell").as("cell1"),
+      element_at(sorted, 2).getField("cell").as("cell2"))
+    def plan: DataFrame = {
+      val mates = assigned.select(col("cell1").as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val posScored = assigned
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cell1").as("cell"))
+        .join(mates, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+      val pos = rerank(posScored, 1).select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("pos_id"), col("cos").as("pos_cos"))
+      // the negative pool is the second cell's MEMBERS (their cell1):
+      // never contains the anchor, so no self-filter needed
+      val negScored = assigned
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cell2").as("cell"))
+        .join(mates, Seq("cell"))
+        .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+      val neg = rerank(negScored, 1).select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("neg_id"), col("cos").as("neg_cos"))
+      pos.join(neg, Seq("vec_id"))
+        .select(col("vec_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          Cross.r6(col("pos_cos") - col("neg_cos")).as("margin"))
+    }
+    graft.core.Caching.releasing(assigned)(plan)
+  }
+
   /** IVF coarse assignment: nearest of `nCells` fixed seed centroids by
     * squared L2 (ties → lowest cell id). */
   def ivfAssign(corpus: DataFrame, nCells: Int, dims: Int): DataFrame = {

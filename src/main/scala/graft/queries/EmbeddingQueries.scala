@@ -736,6 +736,55 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
+  /** Contrastive triplet mining (SimilaritySearch.contrastiveTriplets):
+    * anchor + hardest in-cell positive + hard negative from the
+    * second-nearest cell, over the Lloyd-trained quantizer — the
+    * embedding-model training-data prep. The oracle re-trains, ranks
+    * BOTH cells per vector (rn=1/rn=2 of the same distance order the
+    * assignment uses), and mines both top-1s with the identical
+    * (cos DESC, id) tie order; margins subtract the already-rounded
+    * cosines, mirroring the Spark column order exactly. */
+  val q170 = QueryDef(
+    "q170_contrastive_triplets",
+    s"""WITH $lloydEmbCte,
+       |c0(cell, dim, v) AS (VALUES $lloydSeedVals),
+       |${lloydRound("c0", 1)},
+       |${lloydRound("c1", 2)},
+       |d3 AS (
+       |  SELECT vec_id, cell, ${Cross.r6Sql("SUM((e - v) * (e - v))")} AS d
+       |  FROM emb JOIN c2 USING (dim) GROUP BY vec_id, cell),
+       |ranked AS (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM d3),
+       |asg AS (
+       |  SELECT r1.vec_id, r1.cell AS cell1, r2.cell AS cell2, e.embedding
+       |  FROM (SELECT vec_id, cell FROM ranked WHERE rn = 1) r1
+       |  JOIN (SELECT vec_id, cell FROM ranked WHERE rn = 2) r2 USING (vec_id)
+       |  JOIN embeddings e USING (vec_id)),
+       |posr AS (
+       |  SELECT vec_id, pos_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, pos_id) AS rn
+       |  FROM (
+       |    SELECT a.vec_id, b.vec_id AS pos_id,
+       |           ${VectorSql.cosine("a.embedding", "b.embedding")} AS cos
+       |    FROM asg a JOIN asg b ON a.cell1 = b.cell1 AND a.vec_id <> b.vec_id) t),
+       |negr AS (
+       |  SELECT vec_id, neg_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rn
+       |  FROM (
+       |    SELECT a.vec_id, b.vec_id AS neg_id,
+       |           ${VectorSql.cosine("a.embedding", "b.embedding")} AS cos
+       |    FROM asg a JOIN asg b ON a.cell2 = b.cell1) t)
+       |SELECT p.vec_id, p.pos_id, (round((p.cos) + 1e-9, 6) + 0.0) AS pos_cos,
+       |  n.neg_id, (round((n.cos) + 1e-9, 6) + 0.0) AS neg_cos,
+       |  ${Cross.r6Sql("(round((p.cos) + 1e-9, 6) + 0.0) - (round((n.cos) + 1e-9, 6) + 0.0)")} AS margin
+       |FROM (SELECT * FROM posr WHERE rn = 1) p
+       |JOIN (SELECT * FROM negr WHERE rn = 1) n USING (vec_id)
+       |ORDER BY p.vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cents = SimilaritySearch.ivfTrain(emb, Cells, Dims, iters = 2)
+    SimilaritySearch.contrastiveTriplets(emb, cents)
+      .orderBy("vec_id")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Retrieval.rrf): the
     * BM25 lexical shortlist (q112's scoring, top 50) fused with a dense
     * cosine shortlist against vec 0's embedding (top 50), rrf constant
@@ -798,5 +847,5 @@ object EmbeddingQueries {
       .orderBy(col("rrf").desc, col("doc_id")).limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170)
 }
