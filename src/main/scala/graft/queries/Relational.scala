@@ -702,7 +702,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Blocked fuzzy self-join over the part-name dictionary
+    * (FuzzyJoin.fuzzyNamePairs): head-noun blocking, edit distance <= 2
+    * verified within blocks, weights joined back from the fact rows —
+    * the alias-consolidation operator. Levenshtein is integer DP, so
+    * nothing needs rounding; the oracle mirrors the blocking, the free
+    * length prune, and the distance verification 1:1. */
+  val q171 = QueryDef(
+    "q171_fuzzy_name_join",
+    """WITH n AS (
+      |  SELECT p_name, split_part(p_name, ' ', 2) AS blk, COUNT(*) AS cnt
+      |  FROM part GROUP BY 1, 2)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name)::BIGINT AS dist,
+      |  a.cnt AS cnt_a, b.cnt AS cnt_b
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin) { (spark, dir) =>
+    graft.operators.FuzzyJoin.fuzzyNamePairs(Tables.part(spark, dir),
+        col("p_name"),
+        coalesce(get(split(col("p_name"), " "), lit(1)), lit("")),
+        maxDist = 2)
+      .orderBy("name_a", "name_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
-    q111, q117, q118, q121, q125, q129, q131, q132, q134)
+    q111, q117, q118, q121, q125, q129, q131, q132, q134, q171)
 }
