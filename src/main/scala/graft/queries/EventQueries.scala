@@ -515,5 +515,29 @@ object EventQueries {
       .orderBy(col("n").desc, col("key"))
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141)
+  /** Next-event training examples (Examples.nextEventExamples): each
+    * user's event stream becomes (3-event history → next event) pairs,
+    * ramp-up rows dropped — sequence-model example generation. Ordered
+    * by event_id (the engine-stable sequence key; raw timestamps
+    * differ in precision across engines). The bounded window frame is
+    * the point: per-entity state is 3 rows, not the whole history. */
+  val q172 = QueryDef(
+    "q172_next_event_examples",
+    """WITH h AS (
+      |  SELECT user_id, event_id, event_type,
+      |    list(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS hist
+      |  FROM events)
+      |SELECT user_id, event_id, array_to_string(hist, ' ') AS history,
+      |  event_type AS label
+      |FROM h WHERE len(hist) = 3
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Examples.nextEventExamples(Tables.events(spark, dir),
+        col("user_id"), col("event_id"), col("event_type"), histLen = 3)
+      .withColumnRenamed("entity", "user_id")
+      .withColumnRenamed("seq", "event_id")
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172)
 }
