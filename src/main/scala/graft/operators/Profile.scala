@@ -61,4 +61,32 @@ object Profile {
     // the projected row table feeds both aggregations
     graft.core.Caching.releasing(d)(plan)
   }
+
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many DISTINCT texts they share verbatim (md5 identity), plus the
+    * overlap coefficient shared / min(|a|, |b|) — the "is slice X a
+    * re-crawl of slice Y" diagnostic that decides whether two sources
+    * may both enter a mixture. One distinct-(source, hash) projection,
+    * a self-equi-join on the hash (each hash's source list is tiny, so
+    * the join fans out per duplicated text, not per row), and a
+    * broadcast of the per-source distinct counts. Emits only pairs
+    * that actually share text. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), md5(col("text")).as("h")).distinct()
+    def plan: DataFrame = {
+      val sizes = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = d.select(col("h"), col("source").as("source_a"))
+      val b = d.select(col("h"), col("source").as("source_b"))
+      a.join(b, Seq("h"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared_texts"))
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("shared_texts"),
+          col("n_a"), col("n_b"),
+          Cross.r6(col("shared_texts").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double")).as("overlap_coef"))
+    }
+    graft.core.Caching.releasing(d)(plan)
+  }
 }

@@ -523,6 +523,40 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Cross-source contamination matrix (Profile.sourceOverlap): distinct
+    * verbatim texts shared between every source pair, with the overlap
+    * coefficient — the re-crawl detector that complements the
+    * per-source dup ledger in q168. The synthetic sources share no
+    * verbatim text, so the gate unions in a 'recrawl' slice re-labeling
+    * src0/src1 (the q112 injection pattern) — the matrix must report
+    * exactly those two overlaps and their coefficients. Exact counts,
+    * one division. */
+  val q173 = QueryDef(
+    "q173_source_overlap",
+    s"""WITH corpus AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT 'recrawl' AS source, text FROM documents WHERE source IN ('src0', 'src1')),
+       |d AS (SELECT DISTINCT source, md5(text) AS h FROM corpus),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_texts
+       |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, shared_texts, sa.n AS n_a, sb.n AS n_b,
+       |  ${Cross.r6Sql("shared_texts::DOUBLE / LEAST(sa.n, sb.n)::DOUBLE")} AS overlap_coef
+       |FROM pairs
+       |JOIN sizes sa ON sa.source = pairs.source_a
+       |JOIN sizes sb ON sb.source = pairs.source_b
+       |ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.select(col("source"), col("text"))
+      .unionAll(docs.filter(col("source").isin("src0", "src1"))
+        .select(lit("recrawl").as("source"), col("text")))
+    graft.operators.Profile.sourceOverlap(corpus)
+      .orderBy("source_a", "source_b")
+  }
+
   /** DSIR importance weights (Dsir.importanceWeights): every document
     * scored by the log likelihood ratio of the English-subset hashed
     * n-gram distribution vs the full pool — importance resampling by
@@ -1153,5 +1187,5 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173)
 }
