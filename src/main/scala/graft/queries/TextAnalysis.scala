@@ -557,6 +557,29 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Deterministic token dropout (Augment.tokenDropout): position-keyed
+    * hash dropout at expected 10% — augmentation without an RNG, so the
+    * expanded corpus is partitioning- and engine-reproducible. The
+    * oracle mirrors the indexed lambda (DuckDB list positions are
+    * 1-based; the Spark side shifts its 0-based index to match). */
+  val q174 = QueryDef(
+    "q174_token_dropout",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |a AS (
+       |  SELECT doc_id, len(tk)::BIGINT AS n_orig,
+       |    list_filter(tk, (x, i) ->
+       |      ${Cross.hash31Sql("doc_id::VARCHAR || ':' || i::VARCHAR")} % 10 <> 0) AS kept
+       |  FROM t)
+       |SELECT doc_id, n_orig, len(kept)::BIGINT AS n_kept,
+       |  array_to_string(kept, ' ') AS augmented
+       |FROM a
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Augment.tokenDropout(Tables.documents(spark, dir),
+        col("doc_id"), TextFns.tokens(col("text")), m = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance weights (Dsir.importanceWeights): every document
     * scored by the log likelihood ratio of the English-subset hashed
     * n-gram distribution vs the full pool — importance resampling by
@@ -1187,5 +1210,5 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174)
 }
