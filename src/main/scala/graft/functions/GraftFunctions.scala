@@ -58,6 +58,10 @@ object GraftFunctions {
         litInt(es(1), "chunkSize"), litInt(es(2), "overlap"))),
     ("graft_shingles", "(tokens, n)", 2,
       es => TextFns.shingles(c(es(0)), litInt(es(1), "n"))),
+    ("graft_shingle_hashes", "(tokens)", 1,
+      es => graft.operators.Lsh.tokenHashes(c(es(0)))),
+    ("graft_minhash_sigs", "(hashes, k)", 2,
+      es => graft.plans.MinHashSigs.sigs(c(es(0)), litInt(es(1), "k"))),
     ("graft_top_k", "(w, id, k) aggregate", 3,
       es => graft.plans.TopKAgg.topK(c(es(0)), c(es(1)), litInt(es(2), "k"))),
     ("graft_zvalue", "(a, b, bits)", 3,

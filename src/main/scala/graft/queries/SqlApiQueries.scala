@@ -85,5 +85,48 @@ object SqlApiQueries {
         |ORDER BY event_id""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126)
+  /** LSH banding from pure SQL: the native zero-shuffle signature
+    * expression (graft_shingle_hashes → graft_minhash_sigs, the q138
+    * path) driven entirely through the function registry, band keys cut
+    * from the signature ARRAY with slice (no ordered aggregation
+    * needed — array order IS h_idx order), then the q32 band-bucket
+    * self-join. Proves a SQL-only user can run the dedup blocker
+    * end-to-end; the oracle is the q32 exploded-relation formulation,
+    * so the two formulations' equivalence is re-proven through the SQL
+    * surface. */
+  val q175 = QueryDef(
+    "q175_sql_lsh_candidates",
+    s"""WITH tok AS (SELECT doc_id, ${TextSql.tokens("text")} AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${TextSql.shingles("tk", 3)}) AS s FROM tok),
+       |hx AS (SELECT doc_id, ${Cross.hash31Sql("s")} AS x FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, h_idx, MIN(${graft.functions.HashFns.happlySql}) AS sig
+       |  FROM hx CROSS JOIN ${graft.functions.HashFns.minhashParamsSql(16)}
+       |  GROUP BY doc_id, h_idx),
+       |bands AS (
+       |  SELECT doc_id, h_idx // 2 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // 2)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs")
+    spark.sql(
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    graft_minhash_sigs(graft_shingle_hashes(graft_shingles(graft_tokens(text), 3)), 16) AS sig
+        |  FROM graft_docs
+        |  WHERE size(graft_shingles(graft_tokens(text), 3)) > 0),
+        |bands AS (
+        |  SELECT doc_id, band, concat_ws(',', slice(sig, band * 2 + 1, 2)) AS bkey
+        |  FROM sigs LATERAL VIEW explode(sequence(0, 7)) b AS band)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175)
 }
