@@ -56,22 +56,33 @@ object Dsir {
       isTarget: Column, buckets: Int): DataFrame = {
     val feats = docs.select(id.as("id"), isTarget.as("is_target"),
       explode(hashedFeatures(toks, buckets)).as("f"))
-    def plan: DataFrame = {
-      // one pass, both corpora: raw count + conditional target count
-      val counts = feats.groupBy("f").agg(
-        count(lit(1)).as("nr"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"))
-      val scalars = counts.agg(sum("nr").as("tr"), sum("nt").as("tt"))
-      val lt = log(2.0, (col("nt") + lit(1L)).cast("double") /
-        (col("tt") + lit(buckets.toLong)).cast("double"))
-      val lr = log(2.0, (col("nr") + lit(1L)).cast("double") /
-        (col("tr") + lit(buckets.toLong)).cast("double"))
-      feats.join(broadcast(counts.crossJoin(scalars)), Seq("f"))
-        .groupBy("id")
-        .agg(count(lit(1)).as("n_feats"), Cross.dsum(lt - lr, 6).as("s"))
-        .select(col("id"), col("n_feats"), Cross.r6(col("s")).as("log_weight"))
-    }
     // the exploded feature relation has two consumers (counts + scoring)
-    graft.core.Caching.releasing(feats)(plan)
+    graft.core.Caching.releasing(feats)(weightsFromFeatures(feats, buckets))
+  }
+
+  /** The lazy scoring plan over an (id, is_target, f) feature relation —
+    * the uncheckpointed form for plan inspection and composition
+    * (PlanSpec pins the broadcast of the B-row count table here). */
+  def importanceWeightsPlan(docs: DataFrame, id: Column, toks: Column,
+      isTarget: Column, buckets: Int): DataFrame =
+    weightsFromFeatures(
+      docs.select(id.as("id"), isTarget.as("is_target"),
+        explode(hashedFeatures(toks, buckets)).as("f")),
+      buckets)
+
+  private def weightsFromFeatures(feats: DataFrame, buckets: Int): DataFrame = {
+    // one pass, both corpora: raw count + conditional target count
+    val counts = feats.groupBy("f").agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"))
+    val scalars = counts.agg(sum("nr").as("tr"), sum("nt").as("tt"))
+    val lt = log(2.0, (col("nt") + lit(1L)).cast("double") /
+      (col("tt") + lit(buckets.toLong)).cast("double"))
+    val lr = log(2.0, (col("nr") + lit(1L)).cast("double") /
+      (col("tr") + lit(buckets.toLong)).cast("double"))
+    feats.join(broadcast(counts.crossJoin(scalars)), Seq("f"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), Cross.dsum(lt - lr, 6).as("s"))
+      .select(col("id"), col("n_feats"), Cross.r6(col("s")).as("log_weight"))
   }
 }

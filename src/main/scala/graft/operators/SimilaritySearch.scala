@@ -200,26 +200,37 @@ object SimilaritySearch {
     * (vec_id, cell, n_dups_below, keep). */
   def semanticDedup(corpus: DataFrame, cents: Array[Array[Double]],
       tau: Double): DataFrame = {
+    val assigned = cellAssigned(corpus, cents)
+    // assignment feeds both sides of the pair join and the final output
+    graft.core.Caching.releasing(assigned)(semanticDedupFrom(assigned, tau))
+  }
+
+  /** Uncheckpointed [[semanticDedup]] plan for inspection/composition. */
+  def semanticDedupPlan(corpus: DataFrame, cents: Array[Array[Double]],
+      tau: Double): DataFrame =
+    semanticDedupFrom(cellAssigned(corpus, cents), tau)
+
+  private def cellAssigned(corpus: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
     val cellStructs = array(cents.zipWithIndex.map { case (w, c) =>
       struct(Cross.r6(VectorFns.sqDistLit(col("embedding"), w)).as("d"), lit(c).as("cell"))
     }: _*)
-    val assigned = corpus.select(col("vec_id"),
+    corpus.select(col("vec_id"),
       array_min(cellStructs).getField("cell").as("cell"), col("embedding"))
-    def plan: DataFrame = {
-      val a = assigned.select(col("cell"), col("vec_id"), col("embedding").as("ea"))
-      val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
-      val dups = a.join(b, Seq("cell"))
-        .filter(col("vec_b") < col("vec_id") &&
-          VectorFns.cosine(col("ea"), col("eb")) >= lit(tau))
-        .groupBy("vec_id").agg(count(lit(1)).as("n_dups_below"))
-      assigned.join(dups, Seq("vec_id"), "left")
-        .na.fill(0L, Seq("n_dups_below"))
-        .select(col("vec_id"), col("cell"), col("n_dups_below"),
-          (col("n_dups_below") === 0L).as("keep"))
-    }
-    // assignment feeds both sides of the pair join and the final output
-    graft.core.Caching.releasing(assigned)(plan)
+  }
+
+  private def semanticDedupFrom(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("vec_b") < col("vec_id") &&
+        VectorFns.cosine(col("ea"), col("eb")) >= lit(tau))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_dups_below"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_dups_below"))
+      .select(col("vec_id"), col("cell"), col("n_dups_below"),
+        (col("n_dups_below") === 0L).as("keep"))
   }
 
   /** Contrastive triplet mining over the trained coarse quantizer —
@@ -234,40 +245,51 @@ object SimilaritySearch {
     * Returns (vec_id, pos_id, pos_cos, neg_id, neg_cos, margin). */
   def contrastiveTriplets(corpus: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
+    val assigned = twoCellAssigned(corpus, cents)
+    graft.core.Caching.releasing(assigned)(tripletsFrom(assigned))
+  }
+
+  /** Uncheckpointed [[contrastiveTriplets]] plan for inspection. */
+  def contrastiveTripletsPlan(corpus: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    tripletsFrom(twoCellAssigned(corpus, cents))
+
+  private def twoCellAssigned(corpus: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
     require(cents.length >= 2, "need >= 2 cells to mine a negative cell")
     val cellStructs = array(cents.zipWithIndex.map { case (w, c) =>
       struct(Cross.r6(VectorFns.sqDistLit(col("embedding"), w)).as("d"), lit(c).as("cell"))
     }: _*)
     val sorted = array_sort(cellStructs)
-    val assigned = corpus.select(col("vec_id"), col("embedding"),
+    corpus.select(col("vec_id"), col("embedding"),
       element_at(sorted, 1).getField("cell").as("cell1"),
       element_at(sorted, 2).getField("cell").as("cell2"))
-    def plan: DataFrame = {
-      val mates = assigned.select(col("cell1").as("cell"),
-        col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-      val posScored = assigned
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("cell1").as("cell"))
-        .join(mates, Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
-      val pos = rerank(posScored, 1).select(col("query_id").as("vec_id"),
-        col("neighbor_id").as("pos_id"), col("cos").as("pos_cos"))
-      // the negative pool is the second cell's MEMBERS (their cell1):
-      // never contains the anchor, so no self-filter needed
-      val negScored = assigned
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("cell2").as("cell"))
-        .join(mates, Seq("cell"))
-        .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
-      val neg = rerank(negScored, 1).select(col("query_id").as("vec_id"),
-        col("neighbor_id").as("neg_id"), col("cos").as("neg_cos"))
-      pos.join(neg, Seq("vec_id"))
-        .select(col("vec_id"), col("pos_id"), col("pos_cos"),
-          col("neg_id"), col("neg_cos"),
-          Cross.r6(col("pos_cos") - col("neg_cos")).as("margin"))
-    }
-    graft.core.Caching.releasing(assigned)(plan)
+  }
+
+  private def tripletsFrom(assigned: DataFrame): DataFrame = {
+    val mates = assigned.select(col("cell1").as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val posScored = assigned
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell1").as("cell"))
+      .join(mates, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+    val pos = rerank(posScored, 1).select(col("query_id").as("vec_id"),
+      col("neighbor_id").as("pos_id"), col("cos").as("pos_cos"))
+    // the negative pool is the second cell's MEMBERS (their cell1):
+    // never contains the anchor, so no self-filter needed
+    val negScored = assigned
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell2").as("cell"))
+      .join(mates, Seq("cell"))
+      .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+    val neg = rerank(negScored, 1).select(col("query_id").as("vec_id"),
+      col("neighbor_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("vec_id"))
+      .select(col("vec_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        Cross.r6(col("pos_cos") - col("neg_cos")).as("margin"))
   }
 
   /** IVF coarse assignment: nearest of `nCells` fixed seed centroids by

@@ -220,6 +220,45 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n$plan")
   }
 
+  test("DSIR scoring joins the bucket-bounded count table by broadcast") {
+    val docs = Tables.documents(spark, sf())
+    val w = graft.operators.Dsir.importanceWeightsPlan(docs, col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")), col("lang") === "en", buckets = 128)
+    val plan = planOf(w)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=B-row probability table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cell-blocked embedding operators never plan a cartesian") {
+    val emb = Tables.embeddings(spark, sf())
+    val cents = Array.tabulate(4, 64)((c, d) => (c * 64 + d) / 1000.0)
+    for (df <- Seq(
+        graft.operators.SimilaritySearch.semanticDedupPlan(emb, cents, tau = 0.35),
+        graft.operators.SimilaritySearch.contrastiveTripletsPlan(emb, cents))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"cell blocking must become an equi-join:\n$plan")
+    }
+  }
+
+  test("fuzzy dictionary join blocks on the key, never a cartesian") {
+    val pairs = graft.operators.FuzzyJoin.fuzzyNamePairs(
+      Tables.part(spark, sf()), col("p_name"),
+      coalesce(get(split(col("p_name"), " "), lit(1)), lit("")), maxDist = 2)
+    val plan = planOf(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"blocked fuzzy join must be an equi-join on the block key:\n$plan")
+  }
+
+  test("token dropout is a pure projection — no Exchange") {
+    val out = graft.operators.Augment.tokenDropout(Tables.documents(spark, sf()),
+      col("doc_id"), graft.functions.TextFns.tokens(col("text")), m = 10)
+    val plan = planOf(out)
+    assert(!plan.contains("Exchange"),
+      s"augmentation must stay map-side:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar hot path") {
     val df = Tables.documents(spark, sf())
       .select(graft.core.Cross.hash64(col("text")).as("h"))
