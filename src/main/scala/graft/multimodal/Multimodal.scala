@@ -103,6 +103,48 @@ object Multimodal {
     Array(s0.toDouble / n, s1.toDouble / n, mn.toDouble, mx.toDouble)
   }
 
+  /** Media near-duplicate pairs by sampled-frame fingerprint overlap —
+    * the video-dedup shape: re-encodes/cuts of the same media share
+    * most byte-identical frames, so two items pair when their DISTINCT
+    * frame sets intersect in at least `minShared` frames; Jaccard and
+    * containment (shared / smaller set) quantify the match. No decode:
+    * fingerprints are the raw frame bytes (hex), sampled every
+    * `everyK`-th `frameBytes` frame by [[sampleFrames]].
+    *
+    * Scale shape: the q33 inverted-index discipline on frames —
+    * candidates come from an equi-join on the frame fingerprint, so
+    * pair work is sum over frames of df², bounded by sampling stride
+    * and frame size (a production build adds the hot-frame df cap for
+    * stock-footage intros exactly as the shingle path caps stopword
+    * shingles). Returns
+    * (doc_a, doc_b, shared_frames, n_a, n_b, jaccard, containment). */
+  def frameNearDups(payloads: DataFrame, frameBytes: Int, everyK: Int,
+      minShared: Long): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val d = sampleFrames(payloads, frameBytes, everyK)
+      .select(col("doc_id"), lower(hex(col("frame"))).as("fh"))
+      .distinct()
+    def plan: DataFrame = {
+      val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = d.select(col("fh"), col("doc_id").as("doc_a"))
+      val b = d.select(col("fh"), col("doc_id").as("doc_b"))
+      val shared = a.join(b, Seq("fh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= minShared)
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("shared_frames"),
+          col("n_a"), col("n_b"),
+          graft.core.Cross.r6(col("shared_frames").cast("double") /
+            (col("n_a") + col("n_b") - col("shared_frames")).cast("double")).as("jaccard"),
+          graft.core.Cross.r6(col("shared_frames").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+    }
+    graft.core.Caching.releasing(d)(plan)
+  }
+
   /** Batched feature extraction over typed payload rows. */
   def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._

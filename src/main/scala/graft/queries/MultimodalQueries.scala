@@ -140,5 +140,49 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q133)
+  /** Frame-fingerprint media near-dup pairs (Multimodal.frameNearDups):
+    * the video-dedup composition — q99's sampled frames as byte-true
+    * fingerprints, inverted-index pair mining, Jaccard + containment.
+    * The synthetic corpus shares only incidental frames, so the gate
+    * unions in 5-byte-truncated copies of ten payloads (a "cut
+    * re-encode"), which must surface as high-containment pairs against
+    * their originals; incidental low-overlap pairs are kept too
+    * (shared >= 2), proving the scores separate the two. */
+  val q176 = QueryDef(
+    "q176_frame_neardups",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, length(text) - 5) AS text
+       |  FROM documents WHERE doc_id < 10),
+       |b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx, octet_length(encode(text)) AS n
+       |  FROM corpus),
+       |f AS (
+       |  SELECT DISTINCT doc_id, substr(hx, fi * 32 + 1, LEAST(16, n - fi * 16) * 2) AS fh
+       |  FROM b, unnest(range(0, GREATEST(n, 0), 3)) AS g(fi)
+       |  WHERE fi * 16 < n),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS shared_frames
+       |  FROM f a JOIN f b2 ON a.fh = b2.fh AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT doc_a, doc_b, shared_frames, sa.n AS n_a, sb.n AS n_b,
+       |  ${Cross.r6Sql("shared_frames::DOUBLE / (sa.n + sb.n - shared_frames)::DOUBLE")} AS jaccard,
+       |  ${Cross.r6Sql("shared_frames::DOUBLE / LEAST(sa.n, sb.n)::DOUBLE")} AS containment
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = shared.doc_a
+       |JOIN sizes sb ON sb.doc_id = shared.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 5).as("text")))
+    Multimodal.frameNearDups(Multimodal.withPayload(corpus),
+        frameBytes = 16, everyK = 3, minShared = 2L)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q133, q176)
 }

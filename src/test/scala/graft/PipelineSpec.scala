@@ -306,6 +306,30 @@ class PipelineSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("frame near-dups rank a truncated copy above incidental overlap") {
+    import spark.implicits._
+    // doc 2 = doc 1 cut mid-way (a re-encode/cut); doc 3 shares two
+    // aligned 8-byte frames with doc 1 but diverges elsewhere
+    val base = "aaaaaaaabbbbbbbbccccccccddddddddeeeeeeeeffffffff"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.take(40)),
+      (3L, base.take(16) + "x" * 32),
+      (4L, "z" * 48)
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameNearDups(Multimodal.withPayload(docs),
+        frameBytes = 8, everyK = 1, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(6)))).toMap
+    // frames(1) = 6 distinct 8-byte frames; frames(2) = first 5 → containment 1.0
+    assert(out((1L, 2L))._1 == 5L && out((1L, 2L))._2 == 1.0)
+    assert(out((1L, 3L))._1 == 2L)
+    assert(out((1L, 2L))._2 > out((1L, 3L))._2,
+      "the cut copy must outrank incidental frame sharing")
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "disjoint payloads never pair")
+  }
+
   test("IVF probing all cells is exhaustive: equals brute-force top-k") {
     val emb = Tables.embeddings(spark, sf())
     val q = emb.filter(col("vec_id") < 32)
