@@ -62,6 +62,27 @@ object Profile {
     graft.core.Caching.releasing(d)(plan)
   }
 
+  /** Streaming-legal per-source running stats — the always-on form of
+    * the corpus card: every aggregate is algebraic (count/sum/min/max +
+    * the decimal quality sum; no distincts, no windows), so the SAME
+    * plan runs as the single stateful aggregation of a document stream
+    * (complete mode, state = one row per source) or as a batch query —
+    * which is exactly how the gate verifies it: stream-folded state
+    * must equal the batch formula. */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    docs.select(col("source"),
+        size(tk).cast("long").as("ntok"),
+        when(size(tk) > 0,
+          Cross.r6(TextFns.lexiconHits(tk, TextFns.stopwords).cast("double") /
+            size(tk).cast("double")))
+          .otherwise(0.0).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+        min("ntok").as("min_ntok"), max("ntok").as("max_ntok"),
+        Cross.r6(Cross.davg(col("q"), 6)).as("mean_quality"))
+  }
+
   /** Cross-source contamination matrix: for every pair of sources, how
     * many DISTINCT texts they share verbatim (md5 identity), plus the
     * overlap coefficient shared / min(|a|, |b|) — the "is slice X a

@@ -580,6 +580,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Streaming corpus profile (Profile.sourceStats over a replayed
+    * document stream): the per-source running stats fold as ONE
+    * stateful streaming aggregation (state = a row per source) and the
+    * final state must equal the batch formula — the q119/q127
+    * stream-equals-batch discipline applied to the profiling tier. */
+  val q177 = QueryDef(
+    "q177_stream_profile",
+    s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+       |q AS (
+       |  SELECT source, len(tk)::BIGINT AS ntok,
+       |    CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql(TextSql.lexiconHits("tk", TextFns.stopwords) + "::DOUBLE / len(tk)::DOUBLE")} ELSE 0.0 END AS q
+       |  FROM t)
+       |SELECT source, COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+       |  MIN(ntok) AS min_ntok, MAX(ntok) AS max_ntok,
+       |  ${Cross.r6Sql(Cross.davgSql("q", 6))} AS mean_quality
+       |FROM q GROUP BY source
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.streaming.EventStreams.runToCompletion(spark,
+        graft.operators.Profile.sourceStats(stream), "q177_out")
+      .orderBy("source")
+  }
+
   /** DSIR importance weights (Dsir.importanceWeights): every document
     * scored by the log likelihood ratio of the English-subset hashed
     * n-gram distribution vs the full pool — importance resampling by
@@ -1210,5 +1239,5 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177)
 }
