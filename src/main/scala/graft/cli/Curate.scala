@@ -28,6 +28,12 @@ import graft.operators.{Curation, Dedup}
   *
   *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun]
   *   runMain graft.cli.Curate ingest <incomingDir> <corpusDir> <outDir> [minBandHits]
+  *   runMain graft.cli.Curate profile <sfDir> <outDir>
+  *
+  * `profile` publishes the dataset card beside the data: the per-source
+  * corpus card (q168) and the cross-source contamination matrix (q173)
+  * as parquet artifacts plus a one-line total — the release report a
+  * curated corpus ships with.
   *
   * benchDir, when given, points at a second documents.parquet directory
   * whose contents are treated as the held-out benchmark ("-" skips it).
@@ -52,6 +58,26 @@ object Curate {
       nIncoming: Long, nExactDup: Long, nNearDup: Long, nAdmitted: Long,
       totalDocs: Long, totalTokens: Long)
 
+  final case class ProfileStats(
+      nSources: Long, nDocs: Long, nTokens: Long, nExactDups: Long,
+      nOverlapPairs: Long)
+
+  /** Publish the dataset card for a documents directory: per-source
+    * corpus card to `outDir/card`, cross-source contamination matrix to
+    * `outDir/overlap`, totals returned (and printed by main). */
+  def runProfile(spark: SparkSession, sfDir: String, outDir: String): ProfileStats = {
+    val docs = Tables.documents(spark, sfDir)
+    val card = graft.operators.Profile.corpusCard(docs).orderBy("source")
+    card.write.mode("overwrite").parquet(s"$outDir/card")
+    val overlap = graft.operators.Profile.sourceOverlap(docs)
+      .orderBy("source_a", "source_b")
+    overlap.write.mode("overwrite").parquet(s"$outDir/overlap")
+    val written = spark.read.parquet(s"$outDir/card")
+    val tot = written.agg(sum("n_docs"), sum("n_tokens"), sum("exact_dup_docs")).head()
+    ProfileStats(written.count(), tot.getLong(0), tot.getLong(1), tot.getLong(2),
+      spark.read.parquet(s"$outDir/overlap").count())
+  }
+
   // memory-sink names must be unique per streaming query within a JVM
   private val ingestRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -64,6 +90,16 @@ object Curate {
       println(f"[curate-ingest] incoming=${s.nIncoming} exact_dup=${s.nExactDup} " +
         f"near_dup=${s.nNearDup} admitted=${s.nAdmitted} " +
         f"corpus_now=${s.totalDocs} docs/${s.totalTokens} tokens")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("profile")) {
+      val Array(_, sfDir, outDir) = args.take(3)
+      val spark = Cli.session()
+      val s = runProfile(spark, sfDir, outDir)
+      println(f"[curate-profile] sources=${s.nSources} docs=${s.nDocs} " +
+        f"tokens=${s.nTokens} exact_dups=${s.nExactDups} " +
+        f"overlapping_pairs=${s.nOverlapPairs}")
       spark.stop()
       return
     }

@@ -306,6 +306,21 @@ class PipelineSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("Curate profile publishes card + overlap artifacts with consistent totals") {
+    val out = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_profile_e2e")).toString
+    val s = graft.cli.Curate.runProfile(spark, sf(), out)
+    val docs = Tables.documents(spark, sf())
+    assert(s.nDocs == docs.count(), "card totals must account for every doc")
+    assert(s.nSources == docs.select("source").distinct().count())
+    assert(s.nTokens > 0)
+    val card = spark.read.parquet(s"$out/card")
+    assert(card.columns.toSeq == Seq("source", "n_docs", "n_tokens", "mean_ntok",
+      "n_langs", "top_lang", "exact_dup_docs", "mean_quality"))
+    // synthetic sources share no verbatim text → empty matrix, zero rows
+    assert(s.nOverlapPairs == 0)
+  }
+
   test("frame near-dups rank a truncated copy above incidental overlap") {
     import spark.implicits._
     // doc 2 = doc 1 cut mid-way (a re-encode/cut); doc 3 shares two
