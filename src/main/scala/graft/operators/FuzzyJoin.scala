@@ -40,4 +40,23 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"), col("cnt_a"), col("cnt_b"))
   }
+
+  /** Canonical-name dictionary: the fuzzy pairs become edges of a
+    * name graph and each connected component collapses to its
+    * lexicographically-smallest member (min-label CC — the same
+    * fixpoint as the dedup clusters, generic over string ids). This is
+    * entity resolution end-to-end: (name, canonical, is_canonical),
+    * ready to join back onto the fact rows as a normalization map.
+    * Transitivity is the point — "smal ring" ~ "small ring" ~
+    * "smalll ring" all map to one canonical even when the ends exceed
+    * maxDist from each other. */
+  def canonicalize(rows: DataFrame, name: Column, block: Column,
+      maxDist: Int): DataFrame = {
+    val nodes = rows.select(name.as("id")).distinct()
+    val edges = fuzzyNamePairs(rows, name, block, maxDist)
+      .select(col("name_a").as("a"), col("name_b").as("b"))
+    Dedup.connectedComponents(nodes, edges)
+      .select(col("id").as("name"), col("cluster").as("canonical"),
+        (col("id") === col("cluster")).as("is_canonical"))
+  }
 }

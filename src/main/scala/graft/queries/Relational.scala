@@ -727,7 +727,38 @@ object Relational {
       .orderBy("name_a", "name_b")
   }
 
+  /** Alias canonicalization (FuzzyJoin.canonicalize): the q171 fuzzy
+    * pairs as edges of a min-label connected-components fixpoint over
+    * the name dictionary — every name maps to its component's
+    * lexicographic minimum, transitively (chains of single edits
+    * collapse to one canonical even when the chain's ends exceed
+    * maxDist). The oracle is the recursive-CTE fixpoint, the q38/q122
+    * discipline over string ids. */
+  val q178 = QueryDef(
+    "q178_alias_canonicalize",
+    """WITH RECURSIVE n AS (
+      |  SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM part GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT a.p_name AS a, b.p_name AS b
+      |  FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      |    AND levenshtein(a.p_name, b.p_name) <= 2),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |reach(src, dst) AS (
+      |  SELECT p_name, p_name FROM (SELECT DISTINCT p_name FROM part) d
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT src AS name, MIN(dst) AS canonical, (src = MIN(dst)) AS is_canonical
+      |FROM reach GROUP BY src
+      |ORDER BY name""".stripMargin) { (spark, dir) =>
+    graft.operators.FuzzyJoin.canonicalize(Tables.part(spark, dir),
+        col("p_name"),
+        coalesce(get(split(col("p_name"), " "), lit(1)), lit("")),
+        maxDist = 2)
+      .orderBy("name")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
-    q111, q117, q118, q121, q125, q129, q131, q132, q134, q171)
+    q111, q117, q118, q121, q125, q129, q131, q132, q134, q171, q178)
 }
