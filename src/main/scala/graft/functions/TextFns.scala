@@ -117,6 +117,26 @@ object TextFns {
 
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", tokens(c)))
+
+  /** Deterministic text cleanup — the ftfy-lite normalization pass a
+    * crawl corpus needs before tokenization: CR/CRLF → LF, control
+    * characters stripped (tab and newline survive), tab/space runs
+    * collapsed to one space, spaces trimmed around newlines, 3+ blank
+    * lines squeezed to one, outer whitespace trimmed. Pure per-row
+    * regex chain (RE2-compatible subset, codegen'd, zero shuffle);
+    * every step is mirrored in [[TextSql.cleanText]] so the cleaned
+    * STRING hash-matches cross-engine. */
+  def cleanText(c: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(c, "\\r\\n?", "\n"),
+              "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+            "[ \\t]+", " "),
+          " ?\\n ?", "\n"),
+        "\\n{3,}", "\n\n"))
 }
 
 /** DuckDB mirrors of [[TextFns]]; `t` is the text column SQL expression. */
@@ -174,4 +194,13 @@ object TextSql {
 
   def fingerprint(t: String): String =
     s"md5(array_to_string(${tokens(t)}, ' '))"
+
+  /** Mirror of [[TextFns.cleanText]] (same regex chain, RE2 dialect). */
+  def cleanText(t: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       | regexp_replace($t, '\\r\\n?', chr(10), 'g'),
+       | '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       | '[ \\t]+', ' ', 'g'),
+       | ' ?\\n ?', chr(10), 'g'),
+       | '\\n{3,}', chr(10) || chr(10), 'g'), ' ')""".stripMargin.replace("\n ", "")
 }

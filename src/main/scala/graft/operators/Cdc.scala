@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture compaction: apply a keyed changeset (upserts +
@@ -45,6 +46,32 @@ object Cdc {
         struct((Seq(version, "deleted") ++ payload).map(col): _*)).as("w"))
       .select(col(key) +: (Seq(version) ++ payload :+ "deleted").map(c => col(s"w.$c").as(c)): _*)
       .filter(!col("deleted"))
+      .drop("deleted")
+  }
+
+  /** Type-2 (SCD2) history from the same keyed change log
+    * [[applyChangeset]] compacts: instead of keeping only the latest
+    * version, every version becomes a validity interval. Output is one
+    * row per SURVIVING version: (key, version, payload...,
+    * valid_to, is_current) where `valid_to` is the version that
+    * superseded it (null while current) and a delete tombstone closes
+    * the preceding interval without opening one of its own.
+    *
+    * Scale shape: one window per key ordered by version — per-key state
+    * is that key's version count (CDC logs are shallow per key), and the
+    * partitionBy parallelizes across keys, so no global sort and no
+    * driver state at any corpus size. Contrast with the compaction's
+    * `max_by`: SCD2 genuinely needs every version, so a window is the
+    * minimal shape, not a missed optimization. */
+  def scd2History(changes: DataFrame, key: String, version: String): DataFrame = {
+    val payload = changes.columns
+      .filterNot(c => c == key || c == version || c == "deleted")
+    val w = Window.partitionBy(key).orderBy(version)
+    changes
+      .withColumn("valid_to", lead(col(version), 1).over(w))
+      .filter(!col("deleted"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((Seq(key, version) ++ payload ++ Seq("valid_to", "is_current")).map(col): _*)
       .drop("deleted")
   }
 }

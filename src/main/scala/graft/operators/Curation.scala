@@ -270,6 +270,39 @@ object Curation {
         expr(s"((rank - 1) * $nShards) div total").as("shard"))
   }
 
+  /** Per-key quantile (rank) normalization of quality scores — the
+    * calibration step BEFORE cross-source curation: raw quality scores
+    * from different sources live on incomparable scales (a perplexity
+    * from one LM vs a rule score), so a global budget select over raw
+    * scores silently implements "whichever source scores higher wins".
+    * Mapping each doc to its within-source quantile makes the scores
+    * comparable: qnorm = (total − rank) / (total − 1) ∈ [0, 1], 1 =
+    * the source's best doc, each source uniform by construction. Feed
+    * `qnorm` to [[selectUnderBudget]] and the global budget draws
+    * proportionally from every source's own quality ordering.
+    *
+    * Scale shape: the per-key rank is [[selectUnderBudgetPerKey]]'s
+    * banded two-level scan counting rows (no global or per-key
+    * single-task sort — a hot source splits across its quality bands),
+    * and the per-key totals broadcast back. Integer rank arithmetic →
+    * partitioning-independent; the one double division is the same
+    * int-to-double op on both engines.
+    * Returns (key, id, quality, rank, total, qnorm). */
+  def quantileNormalizeByKey(docs: DataFrame, key: Column, id: Column,
+      quality: Column, bands: Int = 1024): DataFrame = {
+    val ranked = selectUnderBudgetPerKey(docs, key, id, quality, lit(1L),
+        budgets = Map.empty, defaultBudget = Long.MaxValue, bands = bands)
+      .select(col("key"), col("id"), col("quality"),
+        (col("cum_before") + 1L).as("rank"))
+    val totals = ranked.groupBy("key").agg(count(lit(1)).as("total"))
+    ranked.join(broadcast(totals), "key")
+      .select(col("key"), col("id"), col("quality"), col("rank"), col("total"),
+        Cross.r6(when(col("total") > 1L,
+            (col("total") - col("rank")).cast("double") /
+              (col("total") - 1L).cast("double"))
+          .otherwise(lit(1.0))).as("qnorm"))
+  }
+
   /** Quality-aware dedup survivor selection: for each near-dup cluster,
     * keep the single best document by (quality DESC, id ASC) — the
     * curation policy that replaces "keep the min-id doc" once quality

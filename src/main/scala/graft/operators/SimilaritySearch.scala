@@ -78,6 +78,36 @@ object SimilaritySearch {
     rerank(scored, k)
   }
 
+  /** Matryoshka-style prefix-dim evaluation: exact top-k under the
+    * FIRST `kDims` dimensions (sliced + cosine on the prefix, the
+    * matryoshka-representation-learning deployment trick) scored as
+    * recall against the full-dim top-k, per query. Returns
+    * (query_id, n_common, recall).
+    *
+    * Why it earns its place at 100 TB: a 16-of-64 prefix scan reads a
+    * quarter of the vector bytes and fits 4x more candidates per
+    * executor, so prefix-dim search is the cheap first tier above
+    * int8/PQ — IF the prefix ranking agrees with the full ranking.
+    * This operator measures that agreement exactly, which is the
+    * number that decides the knob. Truncation is a pure projection
+    * (`slice`) — no shuffle beyond the underlying searches. */
+  def prefixDimRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+      kDims: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kDims >= 1, s"kDims must be >= 1, got $kDims")
+    def trunc(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, kDims).as("embedding"))
+    val full = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pre = bruteForceTopK(trunc(queries), trunc(corpus), k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    full.join(pre, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_common"))
+      .select(col("query_id"), col("n_common"),
+        Cross.r6(col("n_common") / lit(k.toDouble)).as("recall"))
+  }
+
   /** Sign-LSH bucket id from `nPlanes` fixed hyperplanes (bit p set iff
     * the dot with plane p is positive). Pure per-row fold — no shuffle. */
   def bucketCol(emb: Column, nPlanes: Int, dims: Int): Column =

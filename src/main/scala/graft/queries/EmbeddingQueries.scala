@@ -847,5 +847,47 @@ object EmbeddingQueries {
       .orderBy(col("rrf").desc, col("doc_id")).limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170)
+  /** Matryoshka prefix-dim recall (SimilaritySearch.prefixDimRecall):
+    * top-5 under the first 16 of 64 dims, scored for exact overlap
+    * against the full-dim top-5 per query. The oracle runs both brute
+    * searches (the q40 shape, once on `embedding`, once on the
+    * `embedding[1:16]` slice) and counts the intersection through the
+    * same left join. Proves the truncation path end to end: slicing,
+    * prefix cosine, ranking, and the recall accounting. */
+  val q181 = QueryDef(
+    "q181_matryoshka_recall",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |fs AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         ${VectorSql.cosine("qe", "embedding")} AS cos
+       |  FROM q CROSS JOIN embeddings WHERE query_id <> vec_id),
+       |fr AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM fs),
+       |f AS (SELECT query_id, neighbor_id FROM fr WHERE rank <= 5),
+       |tc AS (SELECT vec_id, embedding[1:16] AS te FROM embeddings),
+       |tq AS (SELECT vec_id AS query_id, te AS qe FROM tc WHERE vec_id < 8),
+       |ps AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         ${VectorSql.cosine("qe", "te")} AS cos
+       |  FROM tq CROSS JOIN tc WHERE query_id <> vec_id),
+       |pr AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM ps),
+       |p AS (SELECT query_id, neighbor_id FROM pr WHERE rank <= 5)
+       |SELECT f.query_id, COUNT(p.neighbor_id) AS n_common,
+       |       (round((COUNT(p.neighbor_id)::DOUBLE / 5.0) + 1e-9, 6) + 0.0) AS recall
+       |FROM f LEFT JOIN p
+       |  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+       |GROUP BY f.query_id
+       |ORDER BY query_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.prefixDimRecall(emb.filter(col("vec_id") < 8), emb,
+        k = 5, kDims = 16)
+      .orderBy("query_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181)
 }

@@ -601,6 +601,53 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SCD2 history (Cdc.scd2History) over the SAME change log q118
+    * compacts: every surviving version becomes a validity interval,
+    * the tombstone wave closes its keys' current interval without
+    * opening one, and twice-updated keys carry a three-row history.
+    * The oracle replays the log with the identical per-key lead
+    * window. Together with q118 the pair proves the log supports both
+    * consumption modes (latest-state AND full history) from one pass
+    * shape. */
+  val q179 = QueryDef(
+    "q179_scd2_history",
+    """WITH log AS (
+      |  SELECT o_orderkey, 0::BIGINT AS version, o_totalprice, o_orderstatus,
+      |         FALSE AS del FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 1::BIGINT, o_totalprice + 1000.0, 'U', FALSE
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 1::BIGINT, o_totalprice, o_orderstatus, TRUE
+      |  FROM orders WHERE o_orderkey % 10 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey, 2::BIGINT, o_totalprice + 2000.0, 'V', FALSE
+      |  FROM orders WHERE o_orderkey % 100 = 3),
+      |h AS (SELECT *, lead(version) OVER (PARTITION BY o_orderkey
+      |                                    ORDER BY version) AS valid_to FROM log)
+      |SELECT o_orderkey, version, o_totalprice, o_orderstatus, valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM h WHERE NOT del
+      |ORDER BY o_orderkey, version""".stripMargin) { (spark, dir) =>
+    import graft.operators.Cdc
+    val o = Tables.orders(spark, dir)
+    val log = o.select(col("o_orderkey"), lit(0L).as("version"),
+        col("o_totalprice"), col("o_orderstatus"), lit(false).as("deleted"))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit(1L).as("version"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), lit(false).as("deleted")))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 4)
+        .select(col("o_orderkey"), lit(1L).as("version"), col("o_totalprice"),
+          col("o_orderstatus"), lit(true).as("deleted")))
+      .unionByName(o.filter(col("o_orderkey") % 100 === 3)
+        .select(col("o_orderkey"), lit(2L).as("version"),
+          (col("o_totalprice") + 2000.0).as("o_totalprice"),
+          lit("V").as("o_orderstatus"), lit(false).as("deleted")))
+    Cdc.scd2History(log, "o_orderkey", "version")
+      .orderBy("o_orderkey", "version")
+  }
+
   /** PageRank (Graph.pagerank), 3 iterations at d=0.85 over a 50-node
     * graph derived from orders. The oracle unrolls all three rounds
     * relationally with the same decimal-sum + epsilon-round at every
@@ -758,7 +805,37 @@ object Relational {
       .orderBy("name")
   }
 
+  /** Unpivot/melt (Dataset.unpivot): wide fact metrics to the long
+    * (id, metric, value) shape feature stores and per-metric profiling
+    * consume. Spark's native unpivot is a zero-shuffle projection —
+    * each input row expands to one output row per value column inside
+    * the scan stage, so at 100 TB it is scan-bound with no exchange
+    * (the sort here is the gate's determinism tail on the small
+    * filtered result, not part of the operator). The oracle is the
+    * UNION ALL expansion, engine-portable where DuckDB's UNPIVOT
+    * keyword need not be. */
+  val q180 = QueryDef(
+    "q180_unpivot_melt",
+    """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+      |SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |         l_quantity AS value FROM src
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src) t
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
-    q111, q117, q118, q121, q125, q129, q131, q132, q134, q171, q178)
+    q111, q117, q118, q121, q125, q129, q131, q132, q134, q171, q178, q179,
+    q180)
 }

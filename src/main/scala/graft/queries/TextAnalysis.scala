@@ -237,6 +237,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Text cleanup (TextFns.cleanText) with injected mess — CRLF, a BEL
+    * control char, tab runs, space-padded newlines, a 4-newline blank
+    * block, outer padding — so the gate proves every rule fires (the
+    * q39 injection pattern; raw crawl text is the one input the clean
+    * testdata can't simulate). The full cleaned STRING hash-matches,
+    * not just its length. */
+  val q183 = QueryDef(
+    "q183_text_clean",
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    '  ' || chr(9) || text || chr(13) || chr(10) || chr(7) || '  tail'
+       |      || chr(9) || chr(9) || 'x' || chr(10) || ' ' || chr(10) || chr(10)
+       |      || chr(10) || 'y  ' AS t
+       |  FROM documents)
+       |SELECT doc_id, ${TextSql.cleanText("t")} AS cleaned,
+       |       length(t) AS len_before,
+       |       length(${TextSql.cleanText("t")}) AS len_after
+       |FROM injected
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("  \t"), col("text"), lit("\r\n\u0007  tail\t\tx\n \n\n\ny  "))
+          .as("t"))
+      .select(col("doc_id"), TextFns.cleanText(col("t")).as("cleaned"),
+        length(col("t")).as("len_before"),
+        length(TextFns.cleanText(col("t"))).as("len_after"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing (Packing.packOffsets): every doc's global token
     * start offset and bin span under concat-and-split packing at 512
     * tokens/bin. The engine computes the prefix sum as a two-level
@@ -824,6 +853,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source quantile normalization (Curation.quantileNormalizeByKey):
+    * every doc's raw stopword-ratio quality maps to its within-source
+    * quantile (1 = the source's best), making scores comparable across
+    * sources whose raw scales differ — the calibration step before any
+    * cross-source budget select. The operator computes the per-source
+    * rank through the banded two-level scan (no per-key single-task
+    * sort); the oracle is the flat row_number window — hash-equality
+    * proves the banded rank IS the dense (quality DESC, id) rank per
+    * source, and the qnorm division matches bit-for-bit. */
+  val q182 = QueryDef(
+    "q182_quantile_normalize",
+    s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id, source AS key,
+       |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 ELSE 0.0 END AS quality
+       |  FROM t),
+       |r AS (
+       |  SELECT key, doc_id, quality,
+       |    row_number() OVER (PARTITION BY key ORDER BY quality DESC, doc_id) AS rank,
+       |    COUNT(*) OVER (PARTITION BY key) AS total
+       |  FROM q)
+       |SELECT key, doc_id, quality, rank, total,
+       |  (round((CASE WHEN total > 1
+       |          THEN (total - rank)::DOUBLE / (total - 1)::DOUBLE
+       |          ELSE 1.0 END) + 1e-9, 6) + 0.0) AS qnorm
+       |FROM r
+       |ORDER BY key, doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        when(size(col("tk")) > 0,
+          floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double") * 1e6 + 0.5001) / 1e6)
+          .otherwise(0.0).as("quality"))
+    graft.operators.Curation.quantileNormalizeByKey(d,
+        col("source"), col("doc_id"), col("quality"), bands = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("key", "doc_id")
+  }
+
   /** Exact substring dedup at fixed width
     * (Repetition.removeDuplicatedSpans): cross-document duplicated
     * 3-token spans are removed from every non-keeper doc and the
@@ -1239,5 +1308,5 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183)
 }
