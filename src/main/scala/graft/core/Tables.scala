@@ -25,16 +25,40 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as a raw long (legacy nanosAsLong) and
-    * expose `sec` = floored epoch seconds, which is also what the DuckDB
-    * oracle reduces to (`floor(epoch(ts))`) — sub-second precision never
-    * participates in query semantics. */
+  /** Floored-epoch-seconds expression over the raw `ts` column,
+    * dispatched on its PHYSICAL type — the driver testdata has shipped
+    * `events.ts` both as int64 nanoseconds (read via legacy nanosAsLong)
+    * and as timestamp[us] (read as TIMESTAMP_NTZ), and the engine must
+    * not care. Both arms are pure integer arithmetic reducing to the
+    * oracle's `floor(epoch(ts))`: the subtract-pmod floor-division is
+    * exact for pre-1970 instants too, and the NTZ→LTZ cast is wall-clock
+    * identity because every harness session pins timeZone=UTC — the same
+    * naive-as-UTC reading DuckDB's epoch() uses. */
+  def floorEpochSec(tsType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("(ts - pmod(ts, 1000000000)) div 1000000000")
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        expr("(unix_micros(cast(ts as timestamp)) - " +
+          "pmod(unix_micros(cast(ts as timestamp)), 1000000)) div 1000000")
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected int64-nanos or timestamp, got $other")
+    }
+  }
+
+  /** Events with `sec` = floored epoch seconds in place of the raw `ts`,
+    * which is also what the DuckDB oracle reduces to (`floor(epoch(ts))`)
+    * — sub-second precision never participates in query semantics.
+    * nanosAsLong is set for the legacy int64-nanos encoding; harmless
+    * when the file carries micros timestamps. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val raw = t(spark, dir, "events")
+    raw.withColumn("sec", floorEpochSec(raw.schema("ts").dataType))
       .drop("ts")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")

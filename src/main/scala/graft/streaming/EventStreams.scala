@@ -4,34 +4,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.Cross
+import graft.core.{Cross, Tables}
 
 /** Structured Streaming surface (net-new vs the reference — SURVEY.md
   * §2.11): the batch event operators (EventQueries) re-expressed as
   * streams. The file source replays the events parquet; in production the
   * same plans run against Kafka/files with `trigger` and checkpointing.
   *
-  * The nanosecond `ts` is read as a long (same as Tables.events) and
-  * floored to epoch seconds; event-time columns are derived casts.
+  * `ts` is reduced to floored epoch seconds via the same physical-type
+  * dispatch as Tables.events (int64-nanos and timestamp[us] testdata
+  * generations both work); event-time columns are derived casts.
   */
 object EventStreams {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Actual on-disk schema of dir/events.parquet (footer-only read) —
+    * the file source needs an explicit schema, and hardcoding one broke
+    * the day the testdata generator switched ts encodings. */
+  def eventsFileSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+  }
 
   /** Streaming read of the events table (file source replay). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsFileSchema(spark, dir)
     spark.readStream
-      .schema(eventsSchema)
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("sec", Tables.floorEpochSec(schema("ts").dataType))
       .withColumn("etime", col("sec").cast("timestamp"))
   }
 
@@ -87,16 +88,17 @@ object EventStreams {
     * which is what lets q91 carry a full hash oracle instead of a
     * rows-only check. */
   def replayOrdered(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsFileSchema(spark, dir)
     // unique per call (two replay streams can be live in one query, so a
     // stable overwrite path is unsafe here) but deleted at JVM exit
     val tmp = java.nio.file.Files.createTempDirectory("graft_events_replay")
     graft.core.TempPaths.register(tmp)
-    spark.read.schema(eventsSchema)
+    val ordered = spark.read.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("sec", Tables.floorEpochSec(schema("ts").dataType))
+      .drop("ts")
       .orderBy("sec", "event_id")
-      .coalesce(1)
+    ordered.coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     // the determinism argument requires ONE mapper: a file larger than
     // the scan split size would be read by several tasks and the
@@ -112,7 +114,7 @@ object EventStreams {
         s"replay is $bytes bytes vs maxPartitionBytes=$split — raise " +
         "spark.sql.files.maxPartitionBytes or replay a smaller slice")
     spark.readStream
-      .schema(StructType(eventsSchema.fields :+ StructField("sec", LongType)))
+      .schema(ordered.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(tmp.toString)
       .withColumn("etime", col("sec").cast("timestamp"))

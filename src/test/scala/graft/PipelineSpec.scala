@@ -277,11 +277,9 @@ class PipelineSpec extends SparkSpec {
     val events = Sessionize.eventsDataset(spark, sf())
     val batch = Sessionize.sessionizeBatch(events).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val q = Sessionize.sessionizedStream(events.sparkSession.readStream
-        .schema(graft.streaming.EventStreams.eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf())
-        .withColumn("sec", expr("ts div 1000000000"))
-        .select(col("user_id"), col("event_id"), col("sec")).as[Sessionize.Event])
+    val q = Sessionize.sessionizedStream(
+        graft.streaming.EventStreams.readEvents(spark, sf())
+          .select(col("user_id"), col("event_id"), col("sec")).as[Sessionize.Event])
       .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("sess_stream").collect()
