@@ -882,7 +882,7 @@ object EmbeddingQueries {
        |FROM f LEFT JOIN p
        |  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
        |GROUP BY f.query_id
-       |ORDER BY query_id""".stripMargin) { (spark, dir) =>
+       |ORDER BY f.query_id""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     SimilaritySearch.prefixDimRecall(emb.filter(col("vec_id") < 8), emb,
         k = 5, kDims = 16)
