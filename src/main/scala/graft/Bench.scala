@@ -57,6 +57,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       SessionHygiene.resetHeapPeaks()
       val gc0 = SessionHygiene.gcMillis()
+      val cpu0 = SessionHygiene.processCpuMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
@@ -70,22 +71,32 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcS = (SessionHygiene.gcMillis() - gc0) / 1e3
+      // Process CPU seconds attribute wall-time swings that GC can't:
+      // identical plans with identical cpu_s but 3x wall are STARVED
+      // (host contention / CPU steal), not slower — the round-4 open
+      // question driver-vs-builder benches couldn't answer from gc_s
+      // and peak_mb alone.
+      val cpuS = (SessionHygiene.processCpuMillis() - cpu0) / 1e3
       val peakMb = SessionHygiene.peakHeapMb()
       SessionHygiene.reset(spark)
-      (name, if (ok) sec else -1.0, gcS, peakMb)
+      (name, if (ok) sec else -1.0, gcS, peakMb, cpuS)
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, g, _, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val peaks = results.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
+    val peaks = results.map { case (k, _, _, p, _) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val cpus_ = results.map { case (k, _, _, _, c) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val totalGc = results.map(_._3).sum
+    val totalCpu = results.map(_._5).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""gc_s":$gcs,"peak_mb":$peaks,"total_gc_s":$totalGc,""" +
+      s""""gc_s":$gcs,"peak_mb":$peaks,"cpu_s":$cpus_,"total_gc_s":$totalGc,""" +
+      s""""total_cpu_s":$totalCpu,""" +
       s""""session":${SessionHygiene.sessionInfoJson(spark)},"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but stdout scraping has
     // truncated past per-query maps — the same JSON also lands in a file

@@ -66,6 +66,15 @@ object SessionHygiene {
       s""","timezone":"${c("spark.sql.session.timeZone")}"}"""
   }
 
+  /** Cumulative process CPU milliseconds (all threads). -1-returning
+    * platforms degrade to 0 rather than poisoning deltas. */
+  def processCpuMillis(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        math.max(0L, os.getProcessCpuTime) / 1000000L
+      case _ => 0L
+    }
+
   /** Cumulative stop-the-world GC milliseconds across all collectors. */
   def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

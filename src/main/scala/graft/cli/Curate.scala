@@ -29,6 +29,14 @@ import graft.operators.{Curation, Dedup}
   *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun]
   *   runMain graft.cli.Curate ingest <incomingDir> <corpusDir> <outDir> [minBandHits]
   *   runMain graft.cli.Curate profile <sfDir> <outDir>
+  *   runMain graft.cli.Curate mix <sfDir> <outDir> <totalBudget> [tau]
+  *
+  * `mix` is the CROSS-SOURCE mixture pass (the q182+q156+q154 operators
+  * composed): raw per-doc quality scores are calibrated to within-source
+  * quantiles (sources' raw scales are incomparable), the total budget
+  * splits across sources by temperature-scaled token share (tau < 1
+  * upsamples low-resource sources), and each source keeps its own
+  * calibrated-quality greedy prefix under its own budget.
   *
   * `profile` publishes the dataset card beside the data: the per-source
   * corpus card (q168) and the cross-source contamination matrix (q173)
@@ -62,6 +70,54 @@ object Curate {
       nSources: Long, nDocs: Long, nTokens: Long, nExactDups: Long,
       nOverlapPairs: Long)
 
+  final case class MixStats(
+      nInput: Long, nSources: Long, totalBudget: Long,
+      nSelected: Long, tokensSelected: Long)
+
+  /** Cross-source mixture curation: calibrate per-source quality to
+    * quantiles ([[Curation.quantileNormalizeByKey]], gate q182), split
+    * `totalBudget` across sources by temperature-scaled token share
+    * ([[Curation.temperatureBudgets]], gate q156), then run each
+    * source's own calibrated-quality greedy prefix under its budget
+    * ([[Curation.selectUnderBudgetPerKey]], gate q154). The per-source
+    * budget map is |sources| rows of driver loop-control state — the
+    * IVF-centroid class, never per-row traffic. Writes the selected
+    * corpus to `outDir/corpus`, the per-source mixture report
+    * (share, weight, budget, realized tokens) to `outDir/mixture`. */
+  def runMix(spark: SparkSession, sfDir: String, outDir: String,
+      totalBudget: Long, tau: Double): MixStats = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val scored = score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    val budgetsDf = Curation.temperatureBudgets(scored, col("source"),
+      col("ntok"), tau, totalBudget)
+    val budgets = budgetsDf.select("key", "budget_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cal = Curation.quantileNormalizeByKey(scored, col("source"),
+        col("doc_id"), col("quality"))
+      .select(col("key"), col("id").as("doc_id"), col("qnorm"))
+      .join(scored.select("doc_id", "ntok"), "doc_id")
+    val sel = Curation.selectUnderBudgetPerKey(cal, col("key"), col("doc_id"),
+        col("qnorm"), col("ntok"), budgets, defaultBudget = 0L)
+      .filter(col("selected"))
+      .select(col("key").as("source"), col("id").as("doc_id"),
+        col("quality").as("qnorm"), col("ntok"), col("cum_before"))
+    val corpus = sel.join(docs.select("doc_id", "text"), "doc_id")
+    corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    val realized = spark.read.parquet(s"$outDir/corpus")
+      .groupBy("source").agg(count(lit(1)).as("sel_docs"),
+        coalesce(sum("ntok"), lit(0L)).as("sel_tokens"))
+    budgetsDf.withColumnRenamed("key", "source")
+      .join(realized, Seq("source"), "left")
+      .na.fill(0L, Seq("sel_docs", "sel_tokens"))
+      .orderBy("source")
+      .write.mode("overwrite").parquet(s"$outDir/mixture")
+    val mix = spark.read.parquet(s"$outDir/mixture")
+    val tot = mix.agg(coalesce(sum("sel_docs"), lit(0L)),
+      coalesce(sum("sel_tokens"), lit(0L))).head()
+    MixStats(scored.count(), mix.count(), totalBudget,
+      tot.getLong(0), tot.getLong(1))
+  }
+
   /** Publish the dataset card for a documents directory: per-source
     * corpus card to `outDir/card`, cross-source contamination matrix to
     * `outDir/overlap`, totals returned (and printed by main). */
@@ -90,6 +146,17 @@ object Curate {
       println(f"[curate-ingest] incoming=${s.nIncoming} exact_dup=${s.nExactDup} " +
         f"near_dup=${s.nNearDup} admitted=${s.nAdmitted} " +
         f"corpus_now=${s.totalDocs} docs/${s.totalTokens} tokens")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("mix")) {
+      val Array(_, sfDir, outDir, budgetStr) = args.take(4)
+      val tau = args.lift(4).map(_.toDouble).getOrElse(0.7)
+      val spark = Cli.session()
+      val s = runMix(spark, sfDir, outDir, budgetStr.toLong, tau)
+      println(f"[curate-mix] sources=${s.nSources} docs=${s.nInput} " +
+        f"tau=$tau selected=${s.nSelected} " +
+        f"tokens=${s.tokensSelected}/${s.totalBudget}")
       spark.stop()
       return
     }

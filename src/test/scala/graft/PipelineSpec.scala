@@ -473,6 +473,52 @@ class PipelineSpec extends SparkSpec {
       "span dedup rewrites text, it must not change the survivor set")
   }
 
+  test("Curate mix mode realizes temperature budgets per source with calibrated prefixes") {
+    import graft.operators.Curation
+    val out = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_mix")).toString
+    val s = graft.cli.Curate.runMix(spark, sf(), out, totalBudget = 5000L, tau = 0.5)
+    assert(s.nSelected > 0 && s.tokensSelected <= s.totalBudget)
+    val mix = spark.read.parquet(s"$out/mixture").collect()
+    assert(mix.length == s.nSources && s.nSources > 1)
+    // every source respects its own temperature budget
+    mix.foreach { r =>
+      val (src, budget, selTok) = (r.getAs[String]("source"),
+        r.getAs[Long]("budget_tokens"), r.getAs[Long]("sel_tokens"))
+      assert(selTok <= budget, s"source $src: $selTok tokens > budget $budget")
+    }
+    // the selected set per source is EXACTLY the greedy (qnorm DESC, id)
+    // prefix under that source's budget — recomputed independently here
+    val docs = Tables.documents(spark, sf()).select("doc_id", "source", "text")
+    val scored = docs.withColumn("tk", graft.functions.TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("ntok"),
+        when(size(col("tk")) > 0,
+          graft.core.Cross.r6(graft.functions.TextFns
+            .lexiconHits(col("tk"), graft.functions.TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double")))
+          .otherwise(0.0).as("quality"))
+    val cal = Curation.quantileNormalizeByKey(scored, col("source"),
+        col("doc_id"), col("quality"))
+      .select(col("key"), col("id"), col("qnorm")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ntok = scored.select("doc_id", "ntok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val budgets = mix.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("budget_tokens")).toMap
+    val expected = cal.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy { case (_, id, q) => (-q, id) }.toSeq.flatMap { case (_, id, _) =>
+        val t = ntok(id)
+        if (cum + t <= budgets(src)) { cum += t; Some(id) } else { cum += t; None }
+      }
+    }.toSet
+    val got = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"mix selection diverged: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("Curate ingest mode admits only novel docs and updates stats incrementally") {
     import spark.implicits._
     val base = graft.core.TempPaths.registered(
