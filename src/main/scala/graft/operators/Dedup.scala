@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -587,6 +587,58 @@ object Dedup {
     val out = labels.select(col("id"), col("lbl").as("cluster")).localCheckpoint()
     labels.unpersist()
     out
+  }
+
+  /** Cross-document UNIT dedup — the paragraph/line-level boilerplate
+    * scrub (C4's "discard duplicate paragraphs" / RefinedWeb line-dedup
+    * policy, at corpus scope). The caller supplies the unit split as an
+    * array column (paragraphs, lines, sentences — splitting policy is
+    * not this operator's business); a unit is DUPLICATED when its
+    * normalized (trimmed, lowercased) text occurs in at least `minDf`
+    * distinct documents. `keepFirst = true` retains the globally
+    * earliest occurrence (minimal (id, position)) and removes the rest;
+    * `keepFirst = false` removes every occurrence — the boilerplate
+    * policy: a nav-bar line appearing on 10^6 pages should survive
+    * nowhere. Returns (id, n_units, n_kept, kept_text) with kept units
+    * rejoined by `sep` in original order; a doc whose units all vanish
+    * keeps an empty kept_text row (dropping empties is the caller's
+    * call).
+    *
+    * Scale shape: unit occurrences explode once; the df table is one
+    * row per DISTINCT unit hash (per-doc-distinct first, so in-doc
+    * repetition can't inflate df; map-side combinable); occurrences
+    * meet it on the hash equi-key; reassembly aggregates each doc's
+    * own rows. No doc-pair or unit-pair join anywhere — cost Σ units,
+    * never Σ df². The hottest unit hashes (the boilerplate itself) are
+    * exactly the rows the df aggregation REDUCES, not multiplies. */
+  def dedupUnits(docs: DataFrame, id: Column, units: Column,
+      minDf: Int = 2, keepFirst: Boolean = true,
+      sep: String = "\n\n"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val u = docs.select(id.as("id"), posexplode(units).as(Seq("idx", "u")))
+      .withColumn("h", Cross.hash64(lower(trim(col("u")))))
+    val dfTab = u.select(col("id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    val occ = u.join(dfTab, "h")
+    val flagged =
+      if (keepFirst) {
+        val keepers = u.groupBy("h")
+          .agg(min(struct(col("id"), col("idx"))).as("k"))
+        occ.join(keepers, "h")
+          .withColumn("removed",
+            col("nd") >= minDf && struct(col("id"), col("idx")) =!= col("k"))
+      } else occ.withColumn("removed", col("nd") >= minDf)
+    val kept = flagged.filter(!col("removed"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("idx"), col("u")))),
+            s => s.getField("u"))).as("kept_text"))
+    docs.select(id.as("id"), size(units).cast("long").as("n_units"))
+      .join(kept, Seq("id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .na.fill("", Seq("kept_text"))
+      .select(col("id"), col("n_units"), col("n_kept"), col("kept_text"))
   }
 
   /** Cluster-level dedup: docs → LSH near-dup pairs → components →

@@ -610,5 +610,69 @@ object DedupQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166)
+  /** Cross-document paragraph dedup (Dedup.dedupUnits): the C4-style
+    * boilerplate scrub at corpus scope. Documents are split into
+    * 20-token paragraphs and a boilerplate paragraph is INJECTED into
+    * every third doc (the flat testdata has no real paragraph structure
+    * — the q39/q183 injection pattern); any paragraph appearing in >= 2
+    * docs keeps only its globally-earliest occurrence. The boilerplate
+    * must survive exactly once (in the smallest injected doc_id) and
+    * every incidental 20-token collision resolves the same way; the
+    * oracle replays the full df/keeper/reassembly pipeline, with the
+    * keeper's (id, idx) struct-min expressed as a scalar min over
+    * id·10^6+idx (equivalent while idx < 10^6). */
+  val q184 = QueryDef(
+    "q184_paragraph_dedup",
+    s"""WITH t AS (SELECT doc_id, ${TextSql.tokens("text")} AS tk FROM documents),
+       |p0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      list_transform(range(0, cast(floor((len(tk) - 1) / 20.0) as bigint) + 1),
+       |        i -> array_to_string(tk[cast(i * 20 + 1 as bigint):cast(least((i + 1) * 20, len(tk)) as bigint)], ' '))
+       |    ELSE cast([] as varchar[]) END AS paras0
+       |  FROM t),
+       |pi AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN list_append(paras0, 'subscribe to our newsletter for daily updates')
+       |      ELSE paras0 END AS paras
+       |  FROM p0),
+       |u AS (SELECT doc_id, unnest(paras) AS u0, unnest(range(len(paras))) AS idx FROM pi),
+       |hx AS (SELECT doc_id, idx, u0, ${Cross.hash64Sql("lower(trim(u0))")} AS h FROM u),
+       |dfh AS (SELECT h, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, h FROM hx) d GROUP BY h),
+       |kp AS (SELECT h, MIN(doc_id * 1000000 + idx) AS kk FROM hx GROUP BY h),
+       |fl AS (
+       |  SELECT hx.doc_id, hx.idx, hx.u0,
+       |    (dfh.nd >= 2 AND (hx.doc_id * 1000000 + hx.idx) <> kp.kk) AS removed
+       |  FROM hx JOIN dfh USING (h) JOIN kp USING (h)),
+       |kept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(u0, ' ' ORDER BY idx) AS kept_text
+       |  FROM fl WHERE NOT removed GROUP BY doc_id)
+       |SELECT pi.doc_id, len(pi.paras)::BIGINT AS n_units,
+       |       COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+       |       COALESCE(k.kept_text, '') AS kept_text
+       |FROM pi LEFT JOIN kept k USING (doc_id)
+       |ORDER BY pi.doc_id""".stripMargin) { (spark, dir) =>
+    val P = 20
+    val boiler = "subscribe to our newsletter for daily updates"
+    val withParas = graft.core.Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+      .withColumn("paras0",
+        when(size(col("tk")) > 0,
+          transform(
+            sequence(lit(0), floor((size(col("tk")) - 1) / P).cast("int")),
+            i => concat_ws(" ", slice(col("tk"), i * P + 1, lit(P)))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("paras",
+        when(col("doc_id") % 3 === 0,
+          concat(col("paras0"), array(lit(boiler))))
+          .otherwise(col("paras0")))
+    Dedup.dedupUnits(withParas, col("doc_id"), col("paras"),
+        minDf = 2, keepFirst = true, sep = " ")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184)
 }

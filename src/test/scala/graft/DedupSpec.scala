@@ -268,4 +268,33 @@ class DedupSpec extends SparkSpec {
       .head().getDouble(2)
     assert(jac < 0.2)
   }
+
+  test("dedupUnits keeps the earliest duplicate paragraph or scrubs boilerplate everywhere") {
+    // para "NAV" appears in docs 1,2,3 (doc 2 twice); "unique N" are singletons;
+    // normalization makes " nav " and "NAV" collide
+    val pdocs = Seq(
+      (1L, Seq("unique one", "NAV", "unique two")),
+      (2L, Seq(" nav ", "unique three", "nav")),
+      (3L, Seq("unique four", "Nav")),
+      (4L, Seq("unique five"))
+    ).toDF("id", "paras")
+    val first = Dedup.dedupUnits(pdocs, col("id"), col("paras"), minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // earliest occurrence is (1, idx 1): doc 1 keeps all three paras
+    assert(first(1L) == ((3L, 3L, "unique one\n\nNAV\n\nunique two")))
+    assert(first(2L) == ((3L, 1L, "unique three")), "both of doc 2's navs must go")
+    assert(first(3L) == ((2L, 1L, "unique four")))
+    assert(first(4L) == ((1L, 1L, "unique five")))
+    val scrub = Dedup.dedupUnits(pdocs, col("id"), col("paras"),
+        minDf = 2, keepFirst = false, sep = " ")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(scrub(1L) == "unique one unique two", "boilerplate policy keeps no occurrence")
+    assert(scrub(2L) == "unique three")
+    // a doc of only boilerplate survives as an accounted empty row
+    val allBoiler = Seq((5L, Seq("NAV")), (6L, Seq("nav"))).toDF("id", "paras")
+    val e = Dedup.dedupUnits(allBoiler, col("id"), col("paras"),
+        minDf = 2, keepFirst = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(e.toSet == Set((5L, 1L, 0L, ""), (6L, 1L, 0L, "")))
+  }
 }

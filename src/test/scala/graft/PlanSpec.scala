@@ -251,6 +251,16 @@ class PlanSpec extends SparkSpec {
       s"blocked fuzzy join must be an equi-join on the block key:\n$plan")
   }
 
+  test("paragraph dedup joins only on the unit hash — no pair joins") {
+    val docs = Tables.documents(spark, sf())
+      .withColumn("paras",
+        split(col("text"), " the ")) // any split works for the plan shape
+    val out = graft.operators.Dedup.dedupUnits(docs, col("doc_id"), col("paras"))
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"unit dedup must meet the df/keeper tables on the hash equi-key only:\n$plan")
+  }
+
   test("token dropout is a pure projection — no Exchange") {
     val out = graft.operators.Augment.tokenDropout(Tables.documents(spark, sf()),
       col("doc_id"), graft.functions.TextFns.tokens(col("text")), m = 10)
