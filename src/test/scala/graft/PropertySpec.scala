@@ -197,4 +197,26 @@ class PropertySpec extends SparkSpec {
       Prop(got == want) :| "distributed removal must equal brute force"
     }, minSuccessful = 15)
   }
+
+  test("floorEpochSec agrees across the two ts physical encodings for any instant") {
+    // the testdata generator has shipped events.ts both as int64 nanos and
+    // as timestamp[us]; the loader dispatches on type and BOTH arms must
+    // floor to the identical epoch second — including pre-1970 instants,
+    // where truncating division would round the wrong way
+    check(forAll(Gen.listOfN(smallN,
+        Gen.chooseNum(-4102444800000000L, 4102444800000000L))) { micros =>
+      val asNanos = micros.map(_ * 1000L).toDF("ts")
+        .select(graft.core.Tables.floorEpochSec(
+          org.apache.spark.sql.types.LongType).as("sec"))
+        .collect().map(_.getLong(0)).toSeq
+      val asTs = micros.toDF("us")
+        .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+        .select(graft.core.Tables.floorEpochSec(
+          org.apache.spark.sql.types.TimestampNTZType).as("sec"))
+        .collect().map(_.getLong(0)).toSeq
+      val want = micros.map(u => Math.floorDiv(u, 1000000L))
+      Prop(asNanos == want) :| s"nanos arm: $asNanos != $want" &&
+        Prop(asTs == want) :| s"timestamp arm: $asTs != $want"
+    }, minSuccessful = 10)
+  }
 }
