@@ -13,6 +13,9 @@ import graft.operators.{Curation, Dedup}
   *   1. exact dedup (md5 groups, min-id keeper);
   *   2. MinHash-LSH near-dup clusters → QUALITY-aware survivor per
   *      cluster (stopword-ratio score, ties to min id);
+  *   2.5 optional paragraph-level boilerplate scrub (paraMinDf > 0):
+  *      blank-line paragraphs appearing in >= paraMinDf documents are
+  *      removed from every document (C4-style, gate q184);
   *   3. optional substring dedup (spanMinRun > 0): duplicated token
   *      runs of >= spanMinRun are removed from non-keeper docs and the
   *      surviving token stream becomes the document's text;
@@ -26,7 +29,7 @@ import graft.operators.{Curation, Dedup}
   * Every stage is an already-gated operator (q30, q38/q136, q142, q107,
   * q135) — this main adds only composition and accounting. Usage:
   *
-  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun]
+  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun] [paraMinDf]
   *   runMain graft.cli.Curate ingest <incomingDir> <corpusDir> <outDir> [minBandHits]
   *   runMain graft.cli.Curate profile <sfDir> <outDir>
   *   runMain graft.cli.Curate mix <sfDir> <outDir> <totalBudget> [tau]
@@ -60,7 +63,8 @@ object Curate {
   final case class Stats(
       nInput: Long, nAfterExact: Long, nAfterNearDup: Long,
       tokensSpanRemoved: Long, nDecontaminated: Long,
-      nSelected: Long, tokensSelected: Long, tokenBudget: Long)
+      nSelected: Long, tokensSelected: Long, tokenBudget: Long,
+      parasRemoved: Long = 0L)
 
   final case class IngestStats(
       nIncoming: Long, nExactDup: Long, nNearDup: Long, nAdmitted: Long,
@@ -174,10 +178,12 @@ object Curate {
     val budget = args.lift(2).map(_.toLong).getOrElse(50000L)
     val benchDir = args.lift(3).filter(_ != "-")
     val spanMinRun = args.lift(4).map(_.toInt).getOrElse(0)
+    val paraMinDf = args.lift(5).map(_.toInt).getOrElse(0)
     val spark = Cli.session()
-    val s = run(spark, sfDir, outDir, budget, benchDir, spanMinRun)
+    val s = run(spark, sfDir, outDir, budget, benchDir, spanMinRun, paraMinDf)
     println(f"[curate] input=${s.nInput} exact=${s.nAfterExact} " +
-      f"neardup=${s.nAfterNearDup} span_removed_tokens=${s.tokensSpanRemoved} " +
+      f"neardup=${s.nAfterNearDup} paras_removed=${s.parasRemoved} " +
+      f"span_removed_tokens=${s.tokensSpanRemoved} " +
       f"decontaminated=${s.nDecontaminated} " +
       f"selected=${s.nSelected} tokens=${s.tokensSelected}/${s.tokenBudget}")
     spark.stop()
@@ -189,7 +195,7 @@ object Curate {
     * minimum-run threshold (span width 3). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       budget: Long, benchDir: Option[String] = None,
-      spanMinRun: Int = 0): Stats = {
+      spanMinRun: Int = 0, paraMinDf: Int = 0): Stats = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nInput = docs.count()
 
@@ -209,13 +215,30 @@ object Curate {
       Seq("doc_id"), "left_semi")
     val nNear = nearSurvivors.count()
 
+    // 2.5 optional paragraph-level boilerplate scrub (paraMinDf > 0):
+    // blank-line paragraphs appearing in >= paraMinDf docs are removed
+    // EVERYWHERE (keepFirst=false — a nav bar should survive nowhere);
+    // the kept paragraphs become the document text downstream
+    val (paraDocs, parasRemoved) =
+      if (paraMinDf <= 0) (nearSurvivors, 0L)
+      else {
+        val units = Dedup.dedupUnits(nearSurvivors, col("doc_id"),
+          split(col("text"), "\\n{2,}"),
+          minDf = paraMinDf, keepFirst = false, sep = "\n\n")
+        val removed = units
+          .agg(coalesce(sum(col("n_units") - col("n_kept")), lit(0L)))
+          .head().getLong(0)
+        (units.select(col("id").as("doc_id"), col("kept_text").as("text")),
+          removed)
+      }
+
     // 3. optional substring dedup: the kept token stream becomes the
     // document text; quality/ntok below are scored on the REWRITE
     val (deduped, spanRemoved) =
-      if (spanMinRun <= 0) (nearSurvivors, 0L)
+      if (spanMinRun <= 0) (paraDocs, 0L)
       else {
         val sd = graft.operators.Repetition
-          .removeDuplicatedSpans(nearSurvivors, w = 3, minRun = spanMinRun)
+          .removeDuplicatedSpans(paraDocs, w = 3, minRun = spanMinRun)
         val removed = sd.agg(coalesce(sum("n_removed"), lit(0L))).head().getLong(0)
         (sd.select(col("doc_id"), col("kept_text").as("text")), removed)
       }
@@ -258,11 +281,12 @@ object Curate {
       .write.mode("overwrite").parquet(s"$outDir/digests")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
     val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
-      agg.getLong(0), agg.getLong(1), budget)
+      agg.getLong(0), agg.getLong(1), budget, parasRemoved)
 
     val json =
       s"""{"n_input":${stats.nInput},"n_after_exact":${stats.nAfterExact},
          |"n_after_neardup":${stats.nAfterNearDup},
+         |"paras_removed":${stats.parasRemoved},
          |"tokens_span_removed":${stats.tokensSpanRemoved},
          |"n_decontaminated":${stats.nDecontaminated},
          |"n_selected":${stats.nSelected},

@@ -473,6 +473,31 @@ class PipelineSpec extends SparkSpec {
       "span dedup rewrites text, it must not change the survivor set")
   }
 
+  test("Curate paragraph scrub removes corpus-wide boilerplate before selection") {
+    // build a corpus dir whose documents carry a shared boilerplate
+    // paragraph (the flat testdata has no paragraph structure)
+    val dir = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_paradocs")).toString
+    Tables.documents(spark, sf()).select("doc_id", "text").limit(30)
+      .withColumn("text",
+        concat(lit("follow us on social media for updates\n\n"), col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_parascrub")).toString
+    val s = graft.cli.Curate.run(spark, dir, out, budget = 100000L,
+      paraMinDf = 2)
+    // every near-dup survivor loses exactly its boilerplate paragraph
+    assert(s.parasRemoved == s.nAfterNearDup,
+      s"expected one scrubbed paragraph per survivor, got ${s.parasRemoved} of ${s.nAfterNearDup}")
+    val corpus = spark.read.parquet(s"$out/corpus").select("text").collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(!r.getString(0).contains("follow us"),
+      "boilerplate must survive in no document"))
+    val statsJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "stats.json"))
+    assert(statsJson.contains(s""""paras_removed":${s.parasRemoved}"""))
+  }
+
   test("Curate mix mode realizes temperature budgets per source with calibrated prefixes") {
     import graft.operators.Curation
     val out = graft.core.TempPaths.registered(
