@@ -350,5 +350,30 @@ object MlQueries {
     Incremental.merge(partials).orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130)
+  /** LEFT-OUTER stream-stream interval join
+    * (EventStreams.clickViewLeftOuter): q96's matched pairs PLUS one
+    * null-view row per click with no same-user view in its 1-hour
+    * look-back. Outer rows only exist because the watermark passed each
+    * click's window — the sentinel replay pushes it past every real
+    * event — so hash-equality against the batch LEFT JOIN proves the
+    * eviction-driven null emission is exactly the inner join's
+    * complement, with no click dropped and none emitted twice. */
+  val q185 = QueryDef(
+    "q185_stream_outer_join",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |c AS (SELECT user_id, event_id AS click_event, sec AS click_sec
+      |      FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id AS v_user, event_id AS view_event, sec AS view_sec
+      |      FROM e WHERE event_type = 'view')
+      |SELECT c.user_id, c.click_event, c.click_sec, v.view_event, v.view_sec
+      |FROM c LEFT JOIN v
+      |  ON c.user_id = v.v_user
+      | AND v.view_sec BETWEEN c.click_sec - 3600 AND c.click_sec
+      |ORDER BY c.user_id, c.click_event, v.view_event NULLS FIRST""".stripMargin) { (spark, dir) =>
+    EventStreams.clickViewLeftOuterComplete(spark, dir, "q185_out")
+      .orderBy("user_id", "click_event", "view_event")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185)
 }

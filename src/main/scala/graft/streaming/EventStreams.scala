@@ -145,6 +145,78 @@ object EventStreams {
       .select("user_id", "click_event", "click_sec", "view_event", "view_sec")
   }
 
+  /** LEFT-OUTER stream-stream interval join — [[clickViewJoin]] plus
+    * the attribution answer an inner join cannot give: a click with NO
+    * same-user view in its 1-hour look-back emits exactly one row with
+    * null view columns. Null emission is WATERMARK-DRIVEN — a click can
+    * only be declared viewless once the view-side watermark passes its
+    * window, so unbounded streams emit outers continuously and a FINITE
+    * replay must push the watermark past every real window (see
+    * [[clickViewLeftOuterComplete]]'s sentinel discipline). The result
+    * SET is still replay-order independent: matched rows are the inner
+    * join, and the viewless-click set is its exact complement. */
+  def clickViewLeftOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event"),
+        col("sec").as("click_sec"), col("etime").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
+        col("sec").as("view_sec"), col("etime").as("view_time"))
+      .withWatermark("view_time", "1 hour")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_time") >= col("click_time") - expr("INTERVAL 1 HOUR") &&
+          col("view_time") <= col("click_time"),
+        "leftOuter")
+      .select("user_id", "click_event", "click_sec", "view_event", "view_sec")
+  }
+
+  /** Finite-replay runner for [[clickViewLeftOuter]]: rewrites the
+    * events table plus ONE far-future sentinel event per side (a click
+    * for the left watermark, a view for the right) to a temp parquet,
+    * streams it, and lets Spark's no-new-data batch evict every real
+    * click's state — so each viewless click's null row actually reaches
+    * the sink before processAllAvailable returns. Sentinels carry
+    * negative user ids and filter back out; their own state never
+    * crosses the final watermark, so they cannot leak into the result. */
+  def clickViewLeftOuterComplete(spark: SparkSession, dir: String,
+      queryName: String = "clicks_outer"): DataFrame = {
+    val base = graft.core.Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "sec")
+    val maxRow = base.agg(max("sec")).head()
+    if (maxRow.isNullAt(0)) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Nil))
+    val maxSec = maxRow.getLong(0)
+    // 10 days past the data: the exact eviction threshold is
+    // watermark − join-range (boundary-tight at small margins); a
+    // sentinel is not data, so take a margin no strictness rule can eat
+    val flushSec = maxSec + 10L * 86400L
+    val sentinels = spark.range(1).select(
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        lit("click").as("event_type"), lit(flushSec).as("sec"))
+      .unionByName(spark.range(1).select(
+        lit(-2L).as("user_id"), lit(-2L).as("event_id"),
+        lit("view").as("event_type"), lit(flushSec).as("sec")))
+    val replayed = base.unionByName(sentinels)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_outer_replay")
+    graft.core.TempPaths.register(tmp)
+    replayed.write.mode("overwrite").parquet(tmp.toString)
+    val stream = spark.readStream.schema(replayed.schema).parquet(tmp.toString)
+      .withColumn("etime", col("sec").cast("timestamp"))
+    // The sentinel filter runs on the MATERIALIZED result, not inside
+    // the streaming plan: a pre-sink filter(user_id >= 0) would be
+    // pushed below the join into BOTH scans (the equi-key lets Catalyst
+    // infer it for the view side too), deleting the sentinels before
+    // they can advance the watermark — no eviction batch, and the
+    // newest real click's null row is never emitted. Measured, not
+    // hypothetical.
+    runToCompletion(spark, clickViewLeftOuter(stream), queryName,
+        mode = "append")
+      .filter(col("user_id") >= 0L)
+  }
+
   /** Streaming keyed dedup: first event per (user, type) within the
     * watermark — dropDuplicatesWithinWatermark analog of batch q53. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
