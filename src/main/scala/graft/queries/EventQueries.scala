@@ -70,6 +70,43 @@ object EventQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Native session_window sessionization pinned against q51's oracle:
+    * Spark's built-in gap-session operator must produce the IDENTICAL
+    * session partition as the hand-rolled lag+flag+running-sum form
+    * (and q92's stateful streaming fold) — same gap rule at the exact
+    * boundary (a 1800-second gap continues the session, 1801 starts a
+    * new one), same per-session aggregates. The ordinal session_id the
+    * oracle carries is reconstructed from the window starts. */
+  val q186 = QueryDef(
+    "q186_session_window",
+    """WITH e AS (
+      |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       MIN(sec) AS start_sec, MAX(sec) AS end_sec
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("sec"), col("sec").cast("timestamp").as("etime"))
+    e.groupBy(col("user_id"), session_window(col("etime"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min("sec").as("start_sec"), max("sec").as("end_sec"))
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("sw.start"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_sec"), col("end_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Semi-structured JSON extraction from the props column. */
   val q52 = QueryDef(
     "q52_json_extract",
@@ -539,5 +576,5 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186)
 }
