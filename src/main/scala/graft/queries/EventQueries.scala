@@ -15,8 +15,9 @@ import graft.operators.{Skew, TemporalJoins}
   * streaming surface at all (SURVEY.md §2.11), so this is the
   * beyond-reference design space.
   *
-  * Timestamps: the parquet column is nanosecond-precision; Spark truncates
-  * to micros on read. All queries therefore reduce time to whole epoch
+  * Timestamps: the parquet ts column's physical type has varied across
+  * testdata generations (int64 nanos, timestamp[us]); Tables.events
+  * dispatches on the actual type. All queries reduce time to whole epoch
   * seconds (floor) *before* any arithmetic or comparison so both engines
   * agree; outputs carry epoch seconds or formatted strings, never raw
   * timestamps.
