@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Distributed suffix array over the token streams of a document corpus,
+  * built by prefix doubling (Manber–Myers), plus exact
+  * longest-duplicated-substring detection from sparse-table LCPs — the
+  * machinery behind suffix-array substring dedup ("Deduplicating Training
+  * Data Makes Language Models Better"), complementing the fixed-width
+  * span transforms in [[Repetition]]: spans answer "is this exact w-gram
+  * duplicated", the suffix array answers "how LONG is the longest
+  * duplicated substring starting here" for arbitrary lengths in one
+  * build.
+  *
+  * Scale shape — why prefix doubling and not "sort the suffixes":
+  * materializing suffix strings is Σ len(doc)² bytes (a 100 TB corpus
+  * becomes zettabytes); a single global sort of them is the non-starter
+  * twice over. Prefix doubling keeps O(N) state per round — one integer
+  * rank per token position — and runs ceil(log2 maxDocLen) rounds, each
+  * a co-keyed self-join (rank at pos, rank at pos+2^k) plus a
+  * distributed dense-rank of the distinct rank pairs. Suffixes never
+  * cross document boundaries (equivalent to the paper's
+  * concatenate-with-separators corpus), so the doubling radius is the
+  * LONGEST DOCUMENT, not the corpus.
+  *
+  * The distributed dense rank reuses the repo's two-level banded scan
+  * (see [[Curation]]): band by a monotone prefix of the sort key (first
+  * code point for the vocabulary round, the previous rank — already
+  * near-uniform on [1, N] — for doubling rounds), dense-rank within
+  * bands in parallel, prefix-sum the per-band distinct counts (≤ bands
+  * rows) and add the offsets back. No global single-task sort at any
+  * step.
+  *
+  * Determinism: all arithmetic is integer; ranks compare token sequences
+  * in exact lexicographic order (a shorter suffix that is a prefix of a
+  * longer one sorts first, via a 0 sentinel below all real ranks), which
+  * equals byte order of the space-joined suffix strings because every
+  * token character sorts above the space separator — the property the
+  * DuckDB oracles rely on.
+  */
+object SuffixArray {
+
+  /** Per-corpus suffix ranks: one row per token position,
+    * (doc_id, pos, rank) with `rank` the 1-based DENSE rank of the
+    * suffix starting at 0-based `pos` among all suffixes of all
+    * documents, ordered lexicographically by token sequence. Identical
+    * suffixes (duplicated tails) share a rank. */
+  def suffixRanks(docs: DataFrame, bands: Int = 256): DataFrame = {
+    val (_, levels) = rankLevels(docs, bands)
+    levels.head._2.select(col("doc_id"), col("pos"), col("r").as("rank"))
+  }
+
+  /** Per-document longest duplicated substring:
+    * (doc_id, n_suffixes, max_dup_len) where max_dup_len is the length
+    * in tokens of the longest substring of the document that also occurs
+    * anywhere else in the corpus — another document or another position
+    * of the same document. Exact for arbitrary lengths: the longest
+    * prefix any suffix shares with ANY other suffix is achieved at a
+    * suffix-array neighbor, so it is max(LCP with rank−1, LCP with
+    * rank+1), plus the full tail length when the suffix itself is
+    * duplicated (rank tie).
+    *
+    * LCPs come from the doubling levels as a sparse table: descend the
+    * levels largest-first, advancing both cursors by 2^k whenever the
+    * level-k ranks match — O(log maxDocLen) rounds of two equi-joins
+    * over one row per DISTINCT rank (adjacent ties share their LCP, so
+    * only one representative per rank is ever walked). */
+  def longestDuplicatedSubstring(docs: DataFrame, bands: Int = 256): DataFrame = {
+    val (tok, levels) = rankLevels(docs, bands)
+    val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val ranked = levels.head._2.join(lens, "doc_id")
+      .select(col("doc_id"), col("pos"), col("r").as("rank"),
+        (col("dlen") - col("pos")).as("slen"))
+
+    // one representative (min doc, pos) per distinct rank; ties are
+    // identical suffixes, hence identical slen and identical LCPs
+    val reps = ranked.groupBy("rank")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"),
+        count(lit(1)).as("n"), min("slen").as("slen"))
+      .select(col("rank"), col("rep.doc_id").as("d"), col("rep.pos").as("p"),
+        col("n"), col("slen"))
+
+    // adjacent-rank pairs, then the sparse-table LCP descent
+    var pairs = reps.select(col("rank").as("ra"), col("d").as("da"),
+        col("p").as("pa"))
+      .join(reps.select((col("rank") - 1L).as("ra"), col("d").as("db"),
+        col("p").as("pb")), "ra")
+      .withColumn("acc", lit(0L))
+    levels.foreach { case (plen, rdf) =>
+      val la = rdf.select(col("doc_id").as("la_d"), col("pos").as("la_p"),
+        col("r").as("xra"))
+      val lb = rdf.select(col("doc_id").as("lb_d"), col("pos").as("lb_p"),
+        col("r").as("xrb"))
+      pairs = pairs
+        .join(la, col("da") === col("la_d") &&
+          col("la_p") === col("pa") + col("acc"), "left")
+        .join(lb, col("db") === col("lb_d") &&
+          col("lb_p") === col("pb") + col("acc"), "left")
+        .withColumn("acc", col("acc") +
+          when(col("xra").isNotNull && col("xra") === col("xrb"), lit(plen))
+            .otherwise(lit(0L)))
+        .drop("la_d", "la_p", "lb_d", "lb_p", "xra", "xrb")
+        .localCheckpoint()
+    }
+    val lcp = pairs.select(col("ra"), col("acc").as("lcp"))
+
+    val lcpNext = lcp.select(col("ra").as("rank"), col("lcp").as("lcp_next"))
+    val lcpPrev = lcp.select((col("ra") + 1L).as("rank"), col("lcp").as("lcp_prev"))
+    val rdup = reps
+      .join(lcpNext, Seq("rank"), "left")
+      .join(lcpPrev, Seq("rank"), "left")
+      .select(col("rank"), greatest(
+        when(col("n") >= 2L, col("slen")).otherwise(lit(0L)),
+        coalesce(col("lcp_next"), lit(0L)),
+        coalesce(col("lcp_prev"), lit(0L))).as("dup"))
+
+    val perDoc = ranked.join(rdup, "rank")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_suffixes"), max("dup").as("max_dup_len"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_suffixes", "max_dup_len"))
+  }
+
+  /** Tokenize and run the doubling rounds. Returns the token table
+    * (doc_id, pos, t) and the rank levels, NEWEST FIRST, as
+    * (prefixLen, (doc_id, pos, r)): level (L, r) means r is the dense
+    * rank of the first min(L, slen) tokens of each suffix. The head
+    * level has prefixLen >= maxDocLen, i.e. final suffix ranks. */
+  private def rankLevels(docs: DataFrame, bands: Int)
+      : (DataFrame, List[(Long, DataFrame)]) = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val tok = docs.select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+      .localCheckpoint()
+    // loop-control scalars (same class as the CC round bound)
+    val stats = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L)).as("maxLen"),
+        coalesce(sum("n"), lit(0L)).as("total")).head()
+    val maxLen = stats.getLong(0)
+    val total = stats.getLong(1)
+    if (total == 0L)
+      return (tok, List((1L, tok.select(col("doc_id"), col("pos"), lit(1L).as("r")))))
+
+    // round 0: vocabulary ranks, banded by first code point (monotone
+    // prefix of string order; tokens are non-empty lowercase alnum)
+    val vocab = tok.select("t").distinct()
+      .withColumn("band", ascii(substring(col("t"), 1, 1)).cast("long"))
+    val r0 = tok.join(bandedDenseRank(vocab, col("t")), "t")
+      .select(col("doc_id"), col("pos"), col("r"))
+
+    var levels = List((1L, r0.localCheckpoint()))
+    var gap = 1L
+    while (gap < maxLen) {
+      val cur = levels.head._2
+      val shifted = cur.select(col("doc_id"), (col("pos") - gap).as("pos"),
+        col("r").as("r2"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r").as("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      // distinct rank pairs, banded by r1: dense on [1, total] by
+      // construction, so fixed-width bands stay balanced
+      val width = math.max(1L, (total + bands - 1) / bands)
+      val dp = paired.select("r1", "r2").distinct()
+        .withColumn("band", (col("r1") / width).cast("long"))
+      val next = paired
+        .join(bandedDenseRank(dp, col("r1"), col("r2")), Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("r"))
+      levels = (gap * 2L, next.localCheckpoint()) :: levels
+      gap *= 2L
+    }
+    (tok, levels)
+  }
+
+  /** Two-level distributed dense rank of DISTINCT rows by `keys` order:
+    * requires a `band` column that is a monotone non-decreasing function
+    * of the key order; dense-ranks within bands in parallel and adds
+    * prefix-summed per-band distinct counts (the ≤-bands offset table is
+    * the only single-partition window). Returns the input columns plus
+    * `r`, the 1-based global dense rank. */
+  private def bandedDenseRank(distinctRows: DataFrame, keys: Column*): DataFrame = {
+    val wIn = Window.partitionBy("band").orderBy(keys: _*)
+    val inBand = distinctRows.withColumn("dr", dense_rank().over(wIn).cast("long"))
+    val wOff = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = distinctRows.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("band", "boff")
+    inBand.join(broadcast(offsets), "band")
+      .withColumn("r", col("boff") + col("dr"))
+      .drop("band", "dr", "boff")
+  }
+}

@@ -1308,5 +1308,67 @@ object TextAnalysis {
       .orderBy("word")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183)
+  /** Distributed suffix array (SuffixArray.suffixRanks): the dense rank
+    * of every suffix of every document's token stream, built by prefix
+    * doubling — O(log maxDocLen) shuffle rounds, O(N) rank state, no
+    * suffix strings and no global single-task sort. The oracle
+    * materializes every suffix STRING and dense-ranks them directly
+    * (affordable at sf0.01 only because Σlen² is small there); the two
+    * orders coincide because every token character sorts above the
+    * space joiner. Hash-matching all ~27k (doc, pos, rank) rows pins
+    * the whole doubling trajectory: one wrong rank at any level skews
+    * every later level's pair keys. */
+  val q187 = QueryDef(
+    "q187_suffix_ranks",
+    s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sfx AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:], ' ') AS s
+       |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk))
+       |SELECT doc_id, pos, dense_rank() OVER (ORDER BY s) AS rank
+       |FROM sfx ORDER BY doc_id, pos""".stripMargin) { (spark, dir) =>
+    graft.operators.SuffixArray.suffixRanks(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rank"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Longest duplicated substring per document
+    * (SuffixArray.longestDuplicatedSubstring): the exact length of the
+    * longest token run appearing anywhere else in the corpus, from
+    * sparse-table LCPs over the doubling levels — the arbitrary-length
+    * substring-dedup signal the fixed-width q139/q142 spans approximate.
+    * The oracle recomputes adjacent-suffix LCPs by direct token
+    * comparison over the string-sorted suffixes (first-mismatch scan),
+    * plus full tail length on rank ties. */
+  val q188 = QueryDef(
+    "q188_longest_dup_substring",
+    s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sfx AS (SELECT doc_id, i, len(tk) - i + 1 AS slen, array_to_string(tk[i:], ' ') AS s
+       |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk)),
+       |ranked AS (SELECT doc_id, i, slen, dense_rank() OVER (ORDER BY s) AS rank FROM sfx),
+       |reps AS (SELECT rank, doc_id, i, slen, n FROM (
+       |  SELECT rank, doc_id, i, slen, count(*) OVER (PARTITION BY rank) AS n,
+       |         row_number() OVER (PARTITION BY rank ORDER BY doc_id, i) AS rn
+       |  FROM ranked) WHERE rn = 1),
+       |pairs AS (SELECT a.rank AS ra, ta.tk AS ta, a.i AS pa, a.slen AS la,
+       |                 tb.tk AS tb, b.i AS pb, b.slen AS lb
+       |          FROM reps a JOIN reps b ON b.rank = a.rank + 1
+       |          JOIN tk ta ON ta.doc_id = a.doc_id JOIN tk tb ON tb.doc_id = b.doc_id),
+       |lcp AS (SELECT ra,
+       |          coalesce(nullif(list_position(list_transform(range(1, least(la, lb) + 1),
+       |            j -> ta[pa + j - 1] <> tb[pb + j - 1]), true), 0) - 1, least(la, lb)) AS lcp
+       |        FROM pairs),
+       |rdup AS (SELECT r.rank,
+       |           greatest(CASE WHEN r.n >= 2 THEN r.slen ELSE 0 END,
+       |                    coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS dup
+       |         FROM reps r LEFT JOIN lcp ln ON ln.ra = r.rank
+       |                     LEFT JOIN lcp lp ON lp.ra = r.rank - 1),
+       |perpos AS (SELECT k.doc_id, d.dup FROM ranked k JOIN rdup d ON d.rank = k.rank)
+       |SELECT t.doc_id, count(p.dup) AS n_suffixes,
+       |       coalesce(max(p.dup), 0) AS max_dup_len
+       |FROM tk t LEFT JOIN perpos p ON p.doc_id = t.doc_id
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.SuffixArray.longestDuplicatedSubstring(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188)
 }
