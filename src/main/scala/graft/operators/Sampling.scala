@@ -65,6 +65,27 @@ object Sampling {
       evalBuckets, denom)
   }
 
+  /** Leakage-safe train/eval assignment keyed on the DEDUP CLUSTER id
+    * rather than the document id: every member of a near-duplicate
+    * cluster lands on the same side, closing the contamination path a
+    * doc-keyed split leaves open (a near-copy of a training document
+    * scoring as "held-out" eval). `cluster` is any cluster label —
+    * [[graft.operators.Dedup.dedupClusters]]' min-reachable-id, a
+    * semantic-dedup cluster, or a fixture — and singleton clusters
+    * degrade to the plain [[hashSplit]] behavior. Pure per-row
+    * projection over an already-clustered table: no shuffle, no join;
+    * the clustering pass is the only corpus-scale work and is shared
+    * with dedup itself. Returns the input plus a `part` column
+    * ('train' | 'eval'). */
+  def clusterSplit(clustered: DataFrame, cluster: Column,
+      evalBuckets: Int, denom: Int): DataFrame = {
+    require(evalBuckets > 0 && evalBuckets < denom,
+      s"need 0 < evalBuckets < denom, got $evalBuckets/$denom (both splits must be non-empty)")
+    clustered.withColumn("part",
+      when(hashBucket(cluster, denom) < evalBuckets, lit("eval"))
+        .otherwise(lit("train")))
+  }
+
   /** Deterministic domain-mixture resampling — the "hit the target data
     * mixture" step of corpus curation: each domain keeps a `num/denom`
     * fraction of its rows (an unlisted domain falls back to `default`),

@@ -674,5 +674,27 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184)
+  /** Leakage-safe cluster split (Sampling.clusterSplit): train/eval
+    * assignment keyed on the DEDUP CLUSTER id so near-duplicates can
+    * never straddle the split — the decontaminated-holdout policy a
+    * doc-keyed split (q16) cannot give. Clusters are fixture-derived
+    * (doc_id div 10, the q136 convention — the real LSH→CC chain is
+    * gated by q38 and the composition by the Curate CLI); the oracle
+    * recomputes the md5 bucket of the CLUSTER key per row, so both the
+    * assignment and its all-members-agree property are hash-verified. */
+  val q189 = QueryDef(
+    "q189_cluster_split",
+    s"""WITH c AS (SELECT doc_id, doc_id // 10 AS cluster FROM documents)
+       |SELECT doc_id, cluster,
+       |       CASE WHEN ${graft.core.Cross.hash64Sql("cluster::VARCHAR")} % 10 < 2
+       |            THEN 'eval' ELSE 'train' END AS part
+       |FROM c ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val clustered = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), floor(col("doc_id") / 10).cast("long").as("cluster"))
+    graft.operators.Sampling.clusterSplit(clustered, col("cluster"),
+        evalBuckets = 2, denom = 10)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189)
 }

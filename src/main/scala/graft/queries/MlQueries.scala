@@ -375,5 +375,29 @@ object MlQueries {
       .orderBy("user_id", "click_event", "view_event")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185)
+  /** Per-key tumbling-window admission quota on the transformWithState
+    * arbitrary-state API (Spark 4's successor to flatMapGroupsWithState:
+    * typed state handles + TTL, RocksDB-backed) — each user admits its
+    * first 3 events per hour in (sec, event_id) order, the ingestion
+    * throttle ahead of expensive scoring. Deterministic via the q91
+    * ordered replay, so the admitted set and indexes hash-match the
+    * batch row_number oracle. */
+  val q190 = QueryDef(
+    "q190_stream_quota",
+    """WITH e AS (
+      |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, sec, sec - (sec % 3600) AS win_start,
+      |    row_number() OVER (PARTITION BY user_id, sec - (sec % 3600)
+      |                       ORDER BY sec, event_id) AS admit_idx
+      |  FROM e)
+      |SELECT user_id, event_id, sec, win_start, admit_idx
+      |FROM w WHERE admit_idx <= 3
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.Quota.admittedComplete(spark, dir,
+        quota = 3, windowSec = 3600, name = "q190_out")
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190)
 }

@@ -37,6 +37,22 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 10)
   }
 
+  test("clusterSplit never splits a cluster and agrees with the cluster-key hash") {
+    check(forAll(Gen.listOfN(smallN,
+        Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 12L))),
+        Gen.choose(1, 7)) { (rows, evalBuckets) =>
+      val df = rows.toDF("doc_id", "cluster").cache()
+      val got = Sampling.clusterSplit(df, col("cluster"), evalBuckets, 8)
+        .select("doc_id", "cluster", "part")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      df.unpersist()
+      val byCluster = got.groupBy(_._2).values
+      Prop(got.length == rows.length) :| "exhaustive" &&
+        Prop(byCluster.forall(_.map(_._3).distinct.length == 1)) :| "no cluster straddles" &&
+        Prop(got.forall(r => r._3 == "train" || r._3 == "eval")) :| "valid parts"
+    }, minSuccessful = 10)
+  }
+
   test("chunkTokens covers every token; overlap and bounds hold for any doc") {
     val genToks = Gen.listOfN(30, Gen.identifier.map(_.take(4))).map(_.mkString(" "))
     check(forAll(genToks, Gen.choose(2, 8), Gen.choose(0, 1)) { (text, size, ovRaw) =>
