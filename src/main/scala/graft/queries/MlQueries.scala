@@ -399,5 +399,50 @@ object MlQueries {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190)
+  /** Point-in-time SCD2 stream enrichment
+    * (EventStreams.pointInTimeEnrichedCounts): the customer dimension
+    * gets a second version (segment suffixed _V2) for custkey % 10 = 3
+    * from the event-time midpoint T1 on, and each streamed event joins
+    * the version valid AT ITS OWN EVENT TIME — events before T1 keep the
+    * original segment, later ones see the update; a plain equi-join
+    * (q94) would retroactively relabel history. T1 is derived from the
+    * events table min/max (driver scalar on the Spark side, scalar
+    * subquery in the oracle — identical integer arithmetic). */
+  val q191 = QueryDef(
+    "q191_stream_scd2_enrich",
+    """WITH e AS (
+      |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+      |t1 AS (SELECT MIN(sec) + (MAX(sec) - MIN(sec)) // 2 AS t FROM e),
+      |dim AS (
+      |  SELECT c_custkey AS key, c_mktsegment AS segment,
+      |         0::BIGINT AS valid_from,
+      |         CASE WHEN c_custkey % 10 = 3 THEN (SELECT t FROM t1) END AS valid_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment || '_V2', (SELECT t FROM t1), NULL
+      |  FROM customer WHERE c_custkey % 10 = 3)
+      |SELECT segment, event_type, COUNT(*) AS n
+      |FROM e JOIN dim ON user_id = key
+      |  AND sec >= valid_from AND (valid_to IS NULL OR sec < valid_to)
+      |GROUP BY 1, 2
+      |ORDER BY segment, event_type""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val mm = ev.agg(min("sec").as("lo"), max("sec").as("hi")).head()
+    val t1 = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L
+    val c = Tables.customer(spark, dir)
+    val dim = c.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"), lit(0L).as("valid_from"),
+        when(col("c_custkey") % 10 === 3, lit(t1)).cast("long").as("valid_to"))
+      .unionByName(c.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey").as("key"),
+          concat(col("c_mktsegment"), lit("_V2")).as("segment"),
+          lit(t1).as("valid_from"), lit(null).cast("long").as("valid_to")))
+    EventStreams.runToCompletion(spark,
+        EventStreams.pointInTimeEnrichedCounts(
+          EventStreams.readEvents(spark, dir), dim),
+        "q191_out")
+      .orderBy("segment", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191)
 }

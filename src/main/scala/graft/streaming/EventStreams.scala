@@ -78,6 +78,25 @@ object EventStreams {
       .groupBy("c_nationkey", "event_type")
       .agg(count(lit(1)).as("n"))
 
+  /** Point-in-time (SCD2) stream enrichment: each event joins the
+    * dimension VERSION that was valid at the event's own time —
+    * `sec ∈ [valid_from, valid_to)`, open-ended current rows with null
+    * valid_to — then aggregates per (segment, event_type). The
+    * correctness property a plain stream-static equi-join (q94) cannot
+    * give: a dimension update must not retroactively relabel events that
+    * happened before it. The static history side is planned like any
+    * batch relation (broadcast when small); the range predicate rides on
+    * the equi-key join, so state stays the aggregation's only stateful
+    * piece. */
+  def pointInTimeEnrichedCounts(events: DataFrame, dimHistory: DataFrame): DataFrame =
+    events
+      .join(dimHistory,
+        events("user_id") === dimHistory("key") &&
+        events("sec") >= dimHistory("valid_from") &&
+        (dimHistory("valid_to").isNull || events("sec") < dimHistory("valid_to")))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"))
+
   /** Deterministic ordered replay of the events table: rewritten as ONE
     * parquet file globally sorted by event time (sec, event_id), so file-
     * source arrival order IS event order — single-split scans read a file
