@@ -146,10 +146,17 @@ object SuffixArray {
     if (total == 0L)
       return (tok, List((1L, tok.select(col("doc_id"), col("pos"), lit(1L).as("r")))))
 
-    // round 0: vocabulary ranks, banded by first code point (monotone
-    // prefix of string order; tokens are non-empty lowercase alnum)
+    // round 0: vocabulary ranks, banded by the first TWO code points
+    // (monotone prefix of string order for single-byte tokens; a
+    // missing second char reads as 0, which sorts a 1-char token
+    // before its extensions exactly as lexicographic order does).
+    // One char alone is ~36 bands over [a-z0-9] and the densest letter
+    // would hold a large fraction of a web-scale vocabulary in one
+    // sort task; two chars give ~36² near-uniform bands.
     val vocab = tok.select("t").distinct()
-      .withColumn("band", ascii(substring(col("t"), 1, 1)).cast("long"))
+      .withColumn("band",
+        ascii(substring(col("t"), 1, 1)).cast("long") * 128L +
+          ascii(substring(col("t"), 2, 1)).cast("long"))
     val r0 = tok.join(bandedDenseRank(vocab, col("t")), "t")
       .select(col("doc_id"), col("pos"), col("r"))
 
