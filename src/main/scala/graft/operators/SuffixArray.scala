@@ -163,24 +163,32 @@ object SuffixArray {
     var levels = List((1L, r0.localCheckpoint()))
     var gap = 1L
     while (gap < maxLen) {
-      val cur = levels.head._2
-      val shifted = cur.select(col("doc_id"), (col("pos") - gap).as("pos"),
-        col("r").as("r2"))
-      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r").as("r1"),
-          coalesce(col("r2"), lit(0L)).as("r2"))
-      // distinct rank pairs, banded by r1: dense on [1, total] by
-      // construction, so fixed-width bands stay balanced
-      val width = math.max(1L, (total + bands - 1) / bands)
-      val dp = paired.select("r1", "r2").distinct()
-        .withColumn("band", (col("r1") / width).cast("long"))
-      val next = paired
-        .join(bandedDenseRank(dp, col("r1"), col("r2")), Seq("r1", "r2"))
-        .select(col("doc_id"), col("pos"), col("r"))
-      levels = (gap * 2L, next.localCheckpoint()) :: levels
+      levels = (gap * 2L,
+        doublingRound(levels.head._2, gap, total, bands).localCheckpoint()) :: levels
       gap *= 2L
     }
     (tok, levels)
+  }
+
+  /** One prefix-doubling round over the current rank table (doc_id, pos,
+    * r) — the uncheckpointed plan, exposed for PlanSpec to pin the
+    * banded-window shape. Composes the shifted self-join (rank at pos,
+    * rank at pos+gap, 0 sentinel past the end) with a banded dense rank
+    * of the distinct pairs; r1 is dense on [1, total] by construction,
+    * so fixed-width bands stay balanced. */
+  private[graft] def doublingRound(cur: DataFrame, gap: Long, total: Long,
+      bands: Int): DataFrame = {
+    val shifted = cur.select(col("doc_id"), (col("pos") - gap).as("pos"),
+      col("r").as("r2"))
+    val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("r").as("r1"),
+        coalesce(col("r2"), lit(0L)).as("r2"))
+    val width = math.max(1L, (total + bands - 1) / bands)
+    val dp = paired.select("r1", "r2").distinct()
+      .withColumn("band", (col("r1") / width).cast("long"))
+    paired
+      .join(bandedDenseRank(dp, col("r1"), col("r2")), Seq("r1", "r2"))
+      .select(col("doc_id"), col("pos"), col("r"))
   }
 
   /** Two-level distributed dense rank of DISTINCT rows by `keys` order:

@@ -303,4 +303,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"pair generation must not join:\n$plan")
   }
+
+  test("suffix-array doubling round: banded windows, equi-joins only") {
+    // the per-round dense rank must window WITHIN bands (the global
+    // prefix-sum of band counts is the only single-partition window,
+    // over <= bands rows), and the shifted self-join must stay an
+    // equi-join — a cartesian or nested loop here would be quadratic
+    // in corpus size every round
+    val docs = Tables.documents(spark, sf())
+    val ranks = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), (col("pos") % 7 + 1).cast("long").as("r"))
+    val nxt = graft.operators.SuffixArray.doublingRound(
+      ranks, gap = 1L, total = 1000L, bands = 16)
+    val p = planOf(nxt)
+    assert(p.contains("windowspecdefinition(band"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
