@@ -34,4 +34,55 @@ object Augment {
         size(col("kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("kept")).as("augmented"))
   }
+
+  /** T5-style span-corruption example generation: the denoising
+    * objective's (input, target) pairs — contiguous token spans replaced
+    * by numbered sentinels in the input, the masked spans (each led by
+    * its sentinel, plus a closing sentinel) forming the target.
+    *
+    * Deterministic variant of the usual Poisson-span sampler: positions
+    * partition into fixed windows of `window` tokens, and each FULL
+    * window masks exactly one `spanLen`-token span starting at
+    * hash31(id:w) mod (window − spanLen + 1) — an exact
+    * spanLen/window corruption rate, spans never adjacent (so sentinel
+    * runs never merge), and the whole example a pure function of
+    * (id, tokens) through the shared md5 family: reproducible across
+    * runs, partitionings, and engines. The tail window (< `window`
+    * tokens) stays unmasked.
+    *
+    * Returns (id, n_tokens, n_masked, input_text, target_text); docs
+    * shorter than one window pass through with an empty target. One
+    * per-row array expression — zero shuffle, a map pass at any scale. */
+  def spanCorruption(docs: DataFrame, id: Column, toks: Column,
+      window: Int, spanLen: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(spanLen >= 1 && spanLen < window,
+      s"need 1 <= spanLen < window, got $spanLen/$window")
+    def startOf(w: Column): Column =
+      pmod(Cross.hash31(concat(id.cast("string"), lit(":"), w.cast("string"))),
+        lit((window - spanLen + 1).toLong))
+    val nfull = floor(size(toks) / window).cast("long")
+    val repl = transform(toks, (t, i) => {
+      val wi = floor(i / window).cast("long")
+      val o = pmod(i, lit(window)).cast("long")
+      val s = startOf(wi)
+      when(wi < nfull && o >= s && o < s + spanLen,
+        when(o === s,
+          concat(lit("<extra_id_"), wi.cast("string"), lit(">")))
+          .otherwise(lit(null)))
+        .otherwise(t)
+    })
+    val spans = when(nfull > 0,
+      transform(sequence(lit(0L), nfull - 1), w =>
+        concat(lit("<extra_id_"), w.cast("string"), lit("> "),
+          concat_ws(" ",
+            slice(toks, (w * window + startOf(w) + 1).cast("int"), lit(spanLen))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(id.as("id"), size(toks).cast("long").as("n_tokens"),
+        (nfull * spanLen).as("n_masked"),
+        concat_ws(" ", filter(repl, x => x.isNotNull)).as("input_text"),
+        when(nfull > 0, concat(concat_ws(" ", spans),
+          lit(" <extra_id_"), nfull.cast("string"), lit(">")))
+          .otherwise(lit("")).as("target_text"))
+  }
 }

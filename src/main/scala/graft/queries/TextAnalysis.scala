@@ -1308,6 +1308,48 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** T5-style span corruption (Augment.spanCorruption): denoising
+    * (input, target) pairs with numbered sentinels — each full
+    * 16-token window masks one 3-token span starting at
+    * hash31(id:w) mod 14, so the example is a pure function of the
+    * document through the shared md5 family. The oracle rebuilds both
+    * strings with indexed list lambdas (1-based in DuckDB, shifted to
+    * match), hash-matching every sentinel number, span placement, and
+    * the closing sentinel. */
+  val q192 = {
+    val sExpr = Cross.hash31Sql("doc_id::VARCHAR || ':' || ((i - 1) // 16)::VARCHAR") + " % 14"
+    val swExpr = Cross.hash31Sql("doc_id::VARCHAR || ':' || w::VARCHAR") + " % 14"
+    QueryDef(
+      "q192_span_corruption",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |a AS (SELECT doc_id, tk, len(tk)::BIGINT AS n_tokens,
+         |             (len(tk) // 16)::BIGINT AS nfull FROM t),
+         |b AS (
+         |  SELECT doc_id, n_tokens, nfull,
+         |    list_filter(list_transform(tk, (x, i) ->
+         |      CASE WHEN (i - 1) // 16 < nfull
+         |             AND (i - 1) % 16 >= $sExpr
+         |             AND (i - 1) % 16 < $sExpr + 3
+         |           THEN CASE WHEN (i - 1) % 16 = $sExpr
+         |                THEN '<extra_id_' || ((i - 1) // 16)::VARCHAR || '>' END
+         |           ELSE x END), y -> y IS NOT NULL) AS inp,
+         |    list_transform(range(0, nfull), w ->
+         |      '<extra_id_' || w::VARCHAR || '> ' ||
+         |      array_to_string(tk[w * 16 + $swExpr + 1 : w * 16 + $swExpr + 3], ' ')) AS spans
+         |  FROM a)
+         |SELECT doc_id, n_tokens, nfull * 3 AS n_masked,
+         |  array_to_string(inp, ' ') AS input_text,
+         |  CASE WHEN nfull > 0
+         |       THEN array_to_string(spans, ' ') || ' <extra_id_' || nfull::VARCHAR || '>'
+         |       ELSE '' END AS target_text
+         |FROM b ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      graft.operators.Augment.spanCorruption(Tables.documents(spark, dir),
+          col("doc_id"), TextFns.tokens(col("text")), window = 16, spanLen = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Distributed suffix array (SuffixArray.suffixRanks): the dense rank
     * of every suffix of every document's token stream, built by prefix
     * doubling — O(log maxDocLen) shuffle rounds, O(N) rank state, no
@@ -1370,5 +1412,5 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192)
 }
