@@ -362,6 +362,34 @@ object SimilaritySearch {
     rerank(scored, k)
   }
 
+  /** IVF probe over a CELL-CO-LOCATED physical layout: corpus and probe
+    * batch both persist bucketed BY CELL ([[Layout.bucketedWrite]]), so
+    * the inverted-list join meets bucket-to-bucket with ZERO Exchange —
+    * "the inverted list IS the partition". This is the layout a 100 TB
+    * ANN index wants: the per-probe-batch cost becomes a merge of
+    * co-sorted buckets plus the bounded re-rank, and neither the corpus
+    * nor the candidate stream ever reshuffles; only the ≤ k-per-query
+    * re-rank aggregation exchanges (keyed on query, inherently). Search
+    * results are identical to [[ivfTopK]] at nProbe=1 — the layout
+    * changes WHERE the join happens, never what it returns. */
+  def ivfTopKBucketed(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int, dims: Int, buckets: Int = 8,
+      tablePrefix: String = "graft_ivf_bkt"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cell = nearestCentroid(col("embedding"), nCells, dims).getField("cell")
+    Layout.bucketedWrite(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), cell.as("cell")),
+      s"${tablePrefix}_corpus", "cell", buckets)
+    Layout.bucketedWrite(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), cell.as("cell")),
+      s"${tablePrefix}_queries", "cell", buckets)
+    val scored = spark.table(s"${tablePrefix}_queries").hint("merge")
+      .join(spark.table(s"${tablePrefix}_corpus").hint("merge"), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+    rerank(scored, k)
+  }
+
   // ---- Product quantization (PQ): the compression tier below int8 ----
   // The vector splits into m subspaces; each subspace has its own tiny
   // codebook, and a vector's code is m small integers (m bytes at

@@ -183,37 +183,55 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
+  /** Shared nProbe=1 IVF oracle (q45 and the bucketed-layout q193 must
+    * return the identical result — the layout changes where the join
+    * happens, never what it returns). */
+  private def ivfNprobe1Oracle: String = {
+    val arms = (0 until Cells).map { c =>
+      val w = HashFns.litVector(s"centroid-$c", Dims)
+      s"SELECT vec_id, embedding, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dists AS (
+       |$arms),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM dists) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
+       |      FROM assigned WHERE vec_id < 32),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
+       |  FROM q JOIN assigned a USING (cell) WHERE query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF search (nProbe=1): top-3 by exact cosine within the query's own
     * centroid cell — completes the ANN tier ladder (brute → LSH → IVF). */
   val q45 = QueryDef(
-    "q45_ivf_topk", {
-      val arms = (0 until Cells).map { c =>
-        val w = HashFns.litVector(s"centroid-$c", Dims)
-        s"SELECT vec_id, embedding, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH dists AS (
-         |$arms),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT vec_id, embedding, cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |    FROM dists) t WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
-         |      FROM assigned WHERE vec_id < 32),
-         |scored AS (
-         |  SELECT query_id, a.vec_id AS neighbor_id,
-         |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
-         |  FROM q JOIN assigned a USING (cell) WHERE query_id <> a.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
-         |FROM ranked WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin
-    }) { (spark, dir) =>
+    "q45_ivf_topk", ivfNprobe1Oracle) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 32), emb, 3, Cells, Dims)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF probe over the cell-CO-LOCATED bucketed layout
+    * (SimilaritySearch.ivfTopKBucketed): corpus and probe batch persist
+    * bucketed by cell, the inverted-list join meets bucket-to-bucket
+    * with zero Exchange (PlanSpec pins the plan), and the results are
+    * byte-identical to q45 — same oracle. */
+  val q193 = QueryDef(
+    "q193_ivf_bucketed", ivfNprobe1Oracle) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.ivfTopKBucketed(emb.filter(col("vec_id") < 32), emb,
+        3, Cells, Dims)
       .orderBy("query_id", "rank")
   }
 
@@ -889,5 +907,5 @@ object EmbeddingQueries {
       .orderBy("query_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193)
 }

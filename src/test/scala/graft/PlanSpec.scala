@@ -304,6 +304,24 @@ class PlanSpec extends SparkSpec {
       s"pair generation must not join:\n$plan")
   }
 
+  test("cell-bucketed IVF probe joins without an exchange before the re-rank") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = Tables.embeddings(spark, sf())
+      val res = graft.operators.SimilaritySearch.ivfTopKBucketed(
+        emb.filter(col("vec_id") < 8), emb, k = 2, nCells = 4, dims = 64,
+        tablePrefix = "graft_ivf_bkt_test")
+      val plan = res.queryExecution.executedPlan.toString
+      // both sides bucketed on cell: the probe join consumes them
+      // shuffle-free; the only hash exchange is the re-rank's own
+      // per-query aggregation (inherently keyed on query_id)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 1, s"expected only the re-rank exchange, got $shuffles:\n$plan")
+      assert(res.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("suffix-array doubling round: banded windows, equi-joins only") {
     // the per-round dense rank must window WITHIN bands (the global
     // prefix-sum of band counts is the only single-partition window,
