@@ -1308,6 +1308,101 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** Shared CTE chain for the logistic-regression gates: features from
+    * the documents table (stopword ratio, capped length, distinct-token
+    * fraction — all exact 6-dp), label = (lang = 'en'), then `iters`
+    * UNROLLED full-batch GD steps mirroring Classifier.logisticTrain
+    * term by term: the same micro-rounded sigmoid, the same
+    * decimal-factor product sums, the same fixed-association z and
+    * update arithmetic, each round's weights r6-rounded in-engine. */
+  private def logisticCtes(iters: Int, lr: Double): String = {
+    val feat =
+      s"""feat AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    ${Cross.r6Sql(s"CASE WHEN len(tk) > 0 THEN ${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE ELSE 0.0 END")} AS x0,
+         |    ${Cross.r6Sql("least(len(tk), 200)::DOUBLE / 200.0")} AS x1,
+         |    ${Cross.r6Sql("CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE ELSE 0.0 END")} AS x2
+         |  FROM (SELECT doc_id, lang, $toks AS tk FROM documents) t),
+         |w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS wb, 0.0 AS wc)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val sig = graft.operators.Classifier.sigmoidSqlCols(
+        Seq("w.b", "w.wa", "w.wb", "w.wc"), Seq("f.x0", "f.x1", "f.x2"))
+      val err = s"($sig - f.y)"
+      s"""g$k AS (
+         |  SELECT COUNT(*)::BIGINT AS n,
+         |    MIN(w.b) AS pb, MIN(w.wa) AS pwa, MIN(w.wb) AS pwb, MIN(w.wc) AS pwc,
+         |    ${Cross.dsumSql(err)} AS s0,
+         |    ${Cross.dxsumSql(err, "f.x0")} AS s1,
+         |    ${Cross.dxsumSql(err, "f.x1")} AS s2,
+         |    ${Cross.dxsumSql(err, "f.x2")} AS s3
+         |  FROM feat f CROSS JOIN w${k - 1} w),
+         |w$k AS (
+         |  SELECT ${Cross.r6Sql(s"pb - $lr * (s0 / n)")} AS b,
+         |         ${Cross.r6Sql(s"pwa - $lr * (s1 / n)")} AS wa,
+         |         ${Cross.r6Sql(s"pwb - $lr * (s2 / n)")} AS wb,
+         |         ${Cross.r6Sql(s"pwc - $lr * (s3 / n)")} AS wc
+         |  FROM g$k)""".stripMargin
+    }
+    (feat +: rounds).mkString("WITH ", ",\n", "")
+  }
+
+  private def logitFeatures(): (Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) = {
+    val tk = TextFns.tokens(col("text"))
+    val n = size(tk)
+    val x0 = Cross.r6(when(n > 0,
+      TextFns.lexiconHits(tk, TextFns.stopwords).cast("double") / n.cast("double"))
+      .otherwise(0.0))
+    val x1 = Cross.r6(least(n, lit(200)).cast("double") / lit(200.0))
+    val x2 = Cross.r6(when(n > 0,
+      size(array_distinct(tk)).cast("double") / n.cast("double")).otherwise(0.0))
+    (Seq(x0, x1, x2), (col("lang") === "en").cast("int"))
+  }
+
+  /** Distributed-trained quality classifier, the TRAINING DYNAMICS
+    * (Classifier.logisticTrain): 3 full-batch GD steps from zero on
+    * (stopword ratio, capped length, distinct fraction) → (lang='en'),
+    * the fastText-style trainability filter trained IN the engine. The
+    * oracle re-runs the full unrolled loop, so every round's weight
+    * vector — not just the final one — hash-matches: one wrong
+    * gradient term at any round skews every later round. */
+  val q194 = QueryDef(
+    "q194_logistic_train",
+    logisticCtes(3, 0.5) + "\n" + (0 to 3).map(k =>
+      s"SELECT $k AS iter, b, wa AS w_stop, wb AS w_len, wc AS w_distinct FROM w$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY iter")) { (spark, dir) =>
+    import spark.implicits._
+    val (xs, y) = logitFeatures()
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Classifier.logisticTrain(docs, xs, y, iters = 3, lr = 0.5)
+      .map { case (it, w) => (it, w(0), w(1), w(2), w(3)) }
+      .toDF("iter", "b", "w_stop", "w_len", "w_distinct")
+      .orderBy("iter")
+  }
+
+  /** The trained classifier APPLIED (Classifier.logisticScore): per-doc
+    * admission probability under the q194 round-3 weights and the
+    * keep/drop verdict at 0.5 — the scoring pass a curation pipeline
+    * runs corpus-wide after training. Pure per-row projection once the
+    * weights exist. */
+  val q195 = QueryDef(
+    "q195_quality_classifier",
+    logisticCtes(3, 0.5) + "\n" +
+      s"""SELECT f.doc_id,
+         |  ${graft.operators.Classifier.sigmoidSqlCols(
+              Seq("w.b", "w.wa", "w.wb", "w.wc"), Seq("f.x0", "f.x1", "f.x2"))} AS p,
+         |  (${graft.operators.Classifier.sigmoidSqlCols(
+              Seq("w.b", "w.wa", "w.wb", "w.wc"), Seq("f.x0", "f.x1", "f.x2"))} >= 0.5) AS keep
+         |FROM feat f CROSS JOIN w3 w
+         |ORDER BY f.doc_id""".stripMargin) { (spark, dir) =>
+    val (xs, y) = logitFeatures()
+    val docs = Tables.documents(spark, dir)
+    val w = graft.operators.Classifier.logisticTrain(docs, xs, y,
+      iters = 3, lr = 0.5).last._2
+    val p = graft.operators.Classifier.logisticScore(xs, w)
+    docs.select(col("doc_id"), p.as("p"), (p >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** T5-style span corruption (Augment.spanCorruption): denoising
     * (input, target) pairs with numbered sentinels — each full
     * 16-token window masks one 3-token span starting at
@@ -1412,5 +1507,5 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195)
 }
