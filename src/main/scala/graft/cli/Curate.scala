@@ -29,7 +29,7 @@ import graft.operators.{Curation, Dedup}
   * Every stage is an already-gated operator (q30, q38/q136, q142, q107,
   * q135) — this main adds only composition and accounting. Usage:
   *
-  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun] [paraMinDf]
+  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun] [paraMinDf] [stopword|classifier]
   *   runMain graft.cli.Curate ingest <incomingDir> <corpusDir> <outDir> [minBandHits]
   *   runMain graft.cli.Curate profile <sfDir> <outDir>
   *   runMain graft.cli.Curate mix <sfDir> <outDir> <totalBudget> [tau]
@@ -179,8 +179,12 @@ object Curate {
     val benchDir = args.lift(3).filter(_ != "-")
     val spanMinRun = args.lift(4).map(_.toInt).getOrElse(0)
     val paraMinDf = args.lift(5).map(_.toInt).getOrElse(0)
+    val qualityMode = args.lift(6).getOrElse("stopword")
+    require(qualityMode == "stopword" || qualityMode == "classifier",
+      s"quality mode must be stopword|classifier, got $qualityMode")
     val spark = Cli.session()
-    val s = run(spark, sfDir, outDir, budget, benchDir, spanMinRun, paraMinDf)
+    val s = run(spark, sfDir, outDir, budget, benchDir, spanMinRun, paraMinDf,
+      classifierQuality = qualityMode == "classifier")
     println(f"[curate] input=${s.nInput} exact=${s.nAfterExact} " +
       f"neardup=${s.nAfterNearDup} paras_removed=${s.parasRemoved} " +
       f"span_removed_tokens=${s.tokensSpanRemoved} " +
@@ -195,9 +199,29 @@ object Curate {
     * minimum-run threshold (span width 3). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       budget: Long, benchDir: Option[String] = None,
-      spanMinRun: Int = 0, paraMinDf: Int = 0): Stats = {
+      spanMinRun: Int = 0, paraMinDf: Int = 0,
+      classifierQuality: Boolean = false): Stats = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nInput = docs.count()
+
+    // quality scorer for the survivor and budget stages: the stopword
+    // ratio by default, or the in-engine logistic classifier
+    // (Classifier.logisticTrain on the corpus's own lang='en' labels —
+    // the fastText-style trainability filter) — trained ONCE here, a
+    // pure projection at every use
+    val scoreDocs: DataFrame => DataFrame =
+      if (!classifierQuality) score
+      else {
+        import graft.operators.Classifier
+        val full = Tables.documents(spark, sfDir)
+        val w = Classifier.logisticTrain(full,
+          Classifier.docFeatures(col("text")),
+          (col("lang") === "en").cast("int"), iters = 3, lr = 0.5).last._2
+        d => d.select(col("doc_id"), col("text"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"),
+          Classifier.logisticScore(
+            Classifier.docFeatures(col("text")), w).as("quality"))
+      }
 
     // 1. exact dedup: keep each md5 group's min-id doc
     val exactSurvivors = docs.join(
@@ -210,7 +234,7 @@ object Curate {
       k = 16, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5)
     val nearSurvivors = exactSurvivors.join(
       Curation.bestPerCluster(
-          clusters.join(score(exactSurvivors).select("doc_id", "quality"), "doc_id"))
+          clusters.join(scoreDocs(exactSurvivors).select("doc_id", "quality"), "doc_id"))
         .select(col("survivor").as("doc_id")),
       Seq("doc_id"), "left_semi")
     val nNear = nearSurvivors.count()
@@ -242,7 +266,7 @@ object Curate {
         val removed = sd.agg(coalesce(sum("n_removed"), lit(0L))).head().getLong(0)
         (sd.select(col("doc_id"), col("kept_text").as("text")), removed)
       }
-    val scored = score(deduped)
+    val scored = scoreDocs(deduped)
 
     // 4. optional benchmark decontamination (broadcast eval shingles)
     val clean = benchDir match {

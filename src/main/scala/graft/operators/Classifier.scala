@@ -87,4 +87,20 @@ object Classifier {
   /** Per-row probability under fixed weights (bias first). */
   def logisticScore(features: Seq[Column], w: Array[Double]): Column =
     sigmoid(w, features)
+
+  /** The document trainability features the quality gates and the
+    * Curate classifier mode share: stopword ratio, length capped at 200
+    * tokens, distinct-token fraction — all exact 6-dp values. */
+  def docFeatures(text: Column): Seq[Column] = {
+    import graft.functions.TextFns
+    val tk = TextFns.tokens(text)
+    val n = size(tk)
+    Seq(
+      Cross.r6(when(n > 0,
+        TextFns.lexiconHits(tk, TextFns.stopwords).cast("double") / n.cast("double"))
+        .otherwise(0.0)),
+      Cross.r6(least(n, lit(200)).cast("double") / lit(200.0)),
+      Cross.r6(when(n > 0,
+        size(array_distinct(tk)).cast("double") / n.cast("double")).otherwise(0.0)))
+  }
 }

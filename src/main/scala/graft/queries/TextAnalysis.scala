@@ -1346,17 +1346,9 @@ object TextAnalysis {
     (feat +: rounds).mkString("WITH ", ",\n", "")
   }
 
-  private def logitFeatures(): (Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) = {
-    val tk = TextFns.tokens(col("text"))
-    val n = size(tk)
-    val x0 = Cross.r6(when(n > 0,
-      TextFns.lexiconHits(tk, TextFns.stopwords).cast("double") / n.cast("double"))
-      .otherwise(0.0))
-    val x1 = Cross.r6(least(n, lit(200)).cast("double") / lit(200.0))
-    val x2 = Cross.r6(when(n > 0,
-      size(array_distinct(tk)).cast("double") / n.cast("double")).otherwise(0.0))
-    (Seq(x0, x1, x2), (col("lang") === "en").cast("int"))
-  }
+  private def logitFeatures(): (Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) =
+    (graft.operators.Classifier.docFeatures(col("text")),
+      (col("lang") === "en").cast("int"))
 
   /** Distributed-trained quality classifier, the TRAINING DYNAMICS
     * (Classifier.logisticTrain): 3 full-batch GD steps from zero on

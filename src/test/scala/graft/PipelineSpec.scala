@@ -473,6 +473,27 @@ class PipelineSpec extends SparkSpec {
       "span dedup rewrites text, it must not change the survivor set")
   }
 
+  test("Curate classifier-quality mode trains in-engine and keeps invariants") {
+    val out = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_curate_clf")).toString
+    val s = graft.cli.Curate.run(spark, sf(), out, budget = 5000L,
+      classifierQuality = true)
+    assert(s.nSelected > 0 && s.tokensSelected <= s.tokenBudget)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() == s.nSelected)
+    // quality is now a probability: every selected doc scores in [0, 1]
+    corpus.select("quality").collect().foreach { r =>
+      val q = r.getDouble(0)
+      assert(q >= 0.0 && q <= 1.0, s"classifier quality out of range: $q")
+    }
+    // the scorer changes WHICH docs survive clusters, never HOW MANY:
+    // survivor count equals cluster count, invariant across scorers
+    val base = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_curate_sw")).toString
+    val sw = graft.cli.Curate.run(spark, sf(), base, budget = 5000L)
+    assert(s.nAfterNearDup == sw.nAfterNearDup)
+  }
+
   test("Curate paragraph scrub removes corpus-wide boilerplate before selection") {
     // build a corpus dir whose documents carry a shared boilerplate
     // paragraph (the flat testdata has no paragraph structure)
