@@ -696,5 +696,33 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189)
+  /** MOSS-style winnowed-fingerprint overlap pairs: documents sharing >= 2
+    * distinct winnowed fingerprints, with containment = shared / min set
+    * size — the local-overlap blocker that guarantees any shared run of
+    * w+k-1 tokens surfaces the pair (position-robust, unlike span digests;
+    * contiguity-aware, unlike MinHash). df-capped at 64 docs per
+    * fingerprint before pairing (hot boilerplate fingerprints carry no
+    * pair signal and would df^2-blow the join); set sizes counted before
+    * the cap so containment stays a document property. */
+  val q197 = QueryDef(
+    "q197_winnow_overlap",
+    s"""WITH ${TextAnalysis.winnowSelSql(3, 4)},
+       |fp AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |sz AS (SELECT doc_id, COUNT(*) AS s FROM fp GROUP BY doc_id),
+       |ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 64),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |       FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+       |       WHERE a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT doc_a, doc_b, shared, sa.s AS na, sb.s AS nb,
+       |       ${graft.core.Cross.r6Sql("shared::DOUBLE / LEAST(sa.s, sb.s)::DOUBLE")} AS containment
+       |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+       |        JOIN sz sb ON sb.doc_id = pr.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    graft.operators.Winnow.overlapPairs(graft.core.Tables.documents(spark, dir),
+        k = 3, w = 4, minShared = 2L, maxFpDf = 64L)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197)
 }

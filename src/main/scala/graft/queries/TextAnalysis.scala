@@ -1499,5 +1499,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195)
+  /** Shared oracle stencil for [[graft.operators.Winnow]]: CTE chain
+    * ending in `sel(doc_id, pos, fp)` — the winnowed fingerprint set.
+    * Mirrors the lag/lead nearest-blocker formulation bit-exactly
+    * (same Cross.hash31 k-gram hash, same window arithmetic). */
+  private[queries] def winnowSelSql(k: Int, w: Int): String = {
+    val dprev = (1 until w)
+      .map(d => s"CASE WHEN lag(h, $d) OVER o < h THEN $d END")
+      .mkString("COALESCE(", ", ", s", $w)")
+    val dnext = (1 until w)
+      .map(d => s"CASE WHEN lead(h, $d) OVER o <= h THEN $d END")
+      .mkString("COALESCE(", ", ", s", $w)")
+    s"""wt AS (SELECT doc_id, ${TextSql.shingles(toks, k)} AS sh FROM documents),
+       |wg AS (SELECT doc_id, len(sh) AS n, unnest(range(len(sh))) AS pos,
+       |              unnest(sh) AS gram FROM wt),
+       |wh AS (SELECT doc_id, n, pos, ${Cross.hash31Sql("gram")} AS h FROM wg),
+       |wd AS (SELECT doc_id, n, pos, h, $dprev AS dprev, $dnext AS dnext,
+       |              LEAST($w, n) AS weff
+       |       FROM wh WINDOW o AS (PARTITION BY doc_id ORDER BY pos)),
+       |sel AS (SELECT doc_id, pos, h AS fp FROM wd
+       |        WHERE GREATEST(pos - dprev + 1, pos - weff + 1, 0)
+       |           <= LEAST(pos, pos + dnext - weff, n - weff))""".stripMargin
+  }
+
+  /** Winnowing fingerprints (SIGMOD'03 robust winnowing, k-gram hashes,
+    * rightmost-min window rule) — the position-robust local fingerprint
+    * the MOSS overlap detector builds on. */
+  val q196 = QueryDef(
+    "q196_winnow_fingerprints",
+    s"""WITH ${winnowSelSql(3, 4)}
+       |SELECT doc_id, pos, fp FROM sel
+       |ORDER BY doc_id, pos""".stripMargin) { (spark, dir) =>
+    graft.operators.Winnow.fingerprints(Tables.documents(spark, dir), k = 3, w = 4)
+      .orderBy("doc_id", "pos")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196)
 }
