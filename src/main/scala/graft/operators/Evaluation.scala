@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Cross
+
+/** Threshold-sweep evaluation of a binary scorer — the measurement side
+  * of quality filtering: once a classifier ([[Classifier]], q194/q195) or
+  * heuristic ([[QualityRules]]) scores a corpus, the curation decision is
+  * "which threshold", and that needs the exact precision/recall trade-off
+  * at EVERY distinct score, not a sampled approximation.
+  *
+  * Scale shape: all three operators first collapse the corpus to one row
+  * per DISTINCT score (or bin) with an algebraic groupBy — the only
+  * corpus-sized shuffle. The cumulative counts a threshold sweep needs are
+  * then the [[Curation.selectUnderBudget]] banded two-level prefix scan
+  * (per-band totals → tiny single-partition offset window → per-band
+  * in-band windows) rather than a global single-task `ORDER BY score`
+  * window, so a 100 TB corpus with billions of distinct scores still
+  * prefix-sums in parallel. Banding affects execution only, never values.
+  *
+  * Counts are integers end-to-end; the Mann-Whitney rank sum doubles the
+  * midrank to STAY integer (2·midrank = 2·cum_before + n + 1) and
+  * accumulates in DECIMAL, so every statistic is bit-reproducible across
+  * partitionings and engines — the final ratios are single int-to-double
+  * divisions under [[Cross.r6]].
+  */
+object Evaluation {
+
+  private def guardedLabel(label: Column): Column = {
+    val y = label.cast("long")
+    when(y === 0L || y === 1L, y)
+      .otherwise(raise_error(concat(lit("Evaluation: label must be 0/1, got "),
+        y.cast("string"))).cast("long"))
+  }
+
+  private def guardedScore(score: Column): Column = {
+    val s = score.cast("double")
+    when(s.isNull || isnan(s),
+      raise_error(lit("Evaluation: null/NaN score")).cast("double"))
+      .otherwise(s)
+  }
+
+  /** Distinct-score table (score, n, npos) with banded descending
+    * cumulative counts attached: pred_pos = rows with score >= s,
+    * tp = positives with score >= s, plus corpus totals t_n / t_p. */
+  private def swept(scored: DataFrame, score: Column, label: Column,
+      bands: Int): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val g = scored.select(guardedScore(score).as("score"),
+      guardedLabel(label).as("y"))
+    val per = g.groupBy("score").agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    val banded = per.withColumn("band", least(greatest(
+      floor(col("score") * bands).cast("long"), lit(0L)), lit(bands - 1L)))
+    val bt = banded.groupBy("band").agg(sum("n").as("bn"), sum("npos").as("bp"))
+    val wB = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt
+      .withColumn("o_n", coalesce(sum("bn").over(wB), lit(0L)))
+      .withColumn("o_p", coalesce(sum("bp").over(wB), lit(0L)))
+      .select("band", "o_n", "o_p")
+    val tot = g.agg(count(lit(1)).as("t_n"),
+      coalesce(sum("y"), lit(0L)).as("t_p"))
+    val wIn = Window.partitionBy("band").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(off), "band")
+      .withColumn("pred_pos", col("o_n") + sum("n").over(wIn))
+      .withColumn("tp", col("o_p") + sum("npos").over(wIn))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Exact PR curve: one row per distinct score value s, with the full
+    * confusion at threshold "predict positive iff score >= s" and
+    * precision / recall / F1. Returns (threshold, tp, fp, fn, tn,
+    * precision, recall, f1); recall of an all-negative corpus is 0. */
+  def prCurve(scored: DataFrame, score: Column, label: Column,
+      bands: Int = 1024): DataFrame =
+    swept(scored, score, label, bands)
+      .select(col("score").as("threshold"), col("tp"),
+        (col("pred_pos") - col("tp")).as("fp"),
+        (col("t_p") - col("tp")).as("fn"),
+        (col("t_n") - col("pred_pos") - col("t_p") + col("tp")).as("tn"),
+        Cross.r6(col("tp").cast("double") / col("pred_pos").cast("double"))
+          .as("precision"),
+        Cross.r6(when(col("t_p") > 0L,
+            col("tp").cast("double") / col("t_p").cast("double"))
+          .otherwise(0.0)).as("recall"),
+        Cross.r6((col("tp") * 2L).cast("double") /
+          (col("pred_pos") + col("t_p")).cast("double")).as("f1"))
+
+  /** Exact ROC-AUC via the Mann-Whitney U statistic with midrank tie
+    * handling: AUC = (R_pos − P(P+1)/2) / (P·N) where R_pos is the sum of
+    * positive midranks in ascending score order. Computed from the same
+    * distinct-score sweep — 2·midrank(s) = 2·(rows below s) + n(s) + 1
+    * stays integer, the weighted sum accumulates in DECIMAL (exact at any
+    * corpus size), and one final division produces the double. A corpus
+    * with no positives or no negatives has undefined AUC → 0.5 by
+    * convention. Returns one row (pos, neg, auc). */
+  def rocAuc(scored: DataFrame, score: Column, label: Column,
+      bands: Int = 1024): DataFrame = {
+    val s = swept(scored, score, label, bands)
+    // ascending rows-below = t_n - pred_pos; 2*midrank = 2*below + n + 1
+    val two = s.select(col("t_n"), col("t_p"),
+      (col("npos") * ((col("t_n") - col("pred_pos")) * 2L + col("n") + 1L))
+        .cast(DecimalType(38, 0)).as("r2"))
+    two.groupBy("t_n", "t_p")
+      .agg(sum("r2").as("rs2"))
+      .select(col("t_p").as("pos"), (col("t_n") - col("t_p")).as("neg"),
+        Cross.r6(when(col("t_p") > 0L && col("t_n") > col("t_p"),
+            (col("rs2") - (col("t_p") * (col("t_p") + 1L)).cast(DecimalType(38, 0)))
+              .cast("double") /
+              (col("t_p") * (col("t_n") - col("t_p")) * 2L).cast("double"))
+          .otherwise(0.5)).as("auc"))
+  }
+
+  /** Calibration (reliability) table: scores bucketed into `bins`
+    * fixed-width bins over [0, 1], each with its row count, mean score
+    * (exact decimal accumulation) and empirical positive fraction —
+    * bins where frac_pos tracks mean_score are calibrated. Returns
+    * (bin, n, n_pos, mean_score, frac_pos). */
+  def calibrationBins(scored: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    scored
+      .select(guardedScore(score).as("score"), guardedLabel(label).as("y"))
+      .groupBy(least(greatest(floor(col("score") * bins).cast("long"), lit(0L)),
+        lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        Cross.r6(Cross.davg(col("score"))).as("mean_score"))
+      .withColumn("frac_pos",
+        Cross.r6(col("n_pos").cast("double") / col("n").cast("double")))
+  }
+}

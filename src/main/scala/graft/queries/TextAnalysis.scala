@@ -1534,5 +1534,87 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196)
+  /** Shared scored-corpus CTE for the Evaluation gates: the q23
+    * stop-ratio as a deterministic [0,1] score, labeled by the corpus's
+    * own `lang` column (the stopword lexicon is English, so the score IS
+    * a weak English detector — exactly the scorer/label pairing a
+    * threshold sweep evaluates). */
+  private val scoredSql: String =
+    s"""sc AS (SELECT
+       |  CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql(
+             s"${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE")}
+       |       ELSE 0.0 END AS score,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, $toks AS tk FROM documents))""".stripMargin
+
+  private def scoredDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text")))
+    d.select(
+      when(size(col("tk")) > 0,
+        Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+          size(col("tk")).cast("double")))
+        .otherwise(0.0).as("score"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+  }
+
+  /** Exact PR curve of the stop-ratio scorer at every distinct score
+    * threshold — the curation "which threshold" sweep, banded-scan
+    * cumulative counts, integer confusion cells. */
+  val q198 = QueryDef(
+    "q198_pr_curve",
+    s"""WITH $scoredSql,
+       |per AS (SELECT score, COUNT(*) AS n, SUM(y) AS npos FROM sc GROUP BY score),
+       |cum AS (SELECT score, n, npos,
+       |          SUM(n) OVER (ORDER BY score DESC) AS pred_pos,
+       |          SUM(npos) OVER (ORDER BY score DESC) AS tp
+       |        FROM per),
+       |tot AS (SELECT COUNT(*) AS t_n, SUM(y) AS t_p FROM sc)
+       |SELECT score AS threshold, tp, pred_pos - tp AS fp, t_p - tp AS fn,
+       |       t_n - pred_pos - t_p + tp AS tn,
+       |       ${Cross.r6Sql("tp::DOUBLE / pred_pos::DOUBLE")} AS precision,
+       |       ${Cross.r6Sql("CASE WHEN t_p > 0 THEN tp::DOUBLE / t_p::DOUBLE ELSE 0.0 END")} AS recall,
+       |       ${Cross.r6Sql("(tp * 2)::DOUBLE / (pred_pos + t_p)::DOUBLE")} AS f1
+       |FROM cum, tot
+       |ORDER BY threshold""".stripMargin) { (spark, dir) =>
+    graft.operators.Evaluation.prCurve(scoredDf(spark, dir), col("score"), col("y"))
+      .orderBy("threshold")
+  }
+
+  /** Exact ROC-AUC (Mann-Whitney with midrank ties) of the same scorer —
+    * integer rank arithmetic in DECIMAL, one final division. */
+  val q199 = QueryDef(
+    "q199_roc_auc",
+    s"""WITH $scoredSql,
+       |per AS (SELECT score, COUNT(*) AS n, SUM(y) AS npos FROM sc GROUP BY score),
+       |cum AS (SELECT score, n, npos,
+       |          SUM(n) OVER (ORDER BY score DESC) AS pred_pos
+       |        FROM per),
+       |tot AS (SELECT COUNT(*) AS t_n, SUM(y) AS t_p FROM sc),
+       |r AS (SELECT SUM(npos * (2 * (t_n - pred_pos) + n + 1)) AS rs2
+       |      FROM cum, tot)
+       |SELECT t_p AS pos, t_n - t_p AS neg,
+       |       ${Cross.r6Sql("CASE WHEN t_p > 0 AND t_n > t_p THEN " +
+              "(rs2 - t_p * (t_p + 1))::DOUBLE / (t_p * (t_n - t_p) * 2)::DOUBLE " +
+              "ELSE 0.5 END")} AS auc
+       |FROM r, tot""".stripMargin) { (spark, dir) =>
+    graft.operators.Evaluation.rocAuc(scoredDf(spark, dir), col("score"), col("y"))
+  }
+
+  /** Calibration (reliability) bins of the same scorer: 10 fixed-width
+    * score bins with exact mean score and empirical positive fraction. */
+  val q200 = QueryDef(
+    "q200_calibration",
+    s"""WITH $scoredSql
+       |SELECT LEAST(GREATEST(FLOOR(score * 10)::BIGINT, 0), 9) AS bin,
+       |       COUNT(*) AS n, SUM(y) AS n_pos,
+       |       ${Cross.r6Sql(Cross.davgSql("score"))} AS mean_score,
+       |       ${Cross.r6Sql("SUM(y)::DOUBLE / COUNT(*)::DOUBLE")} AS frac_pos
+       |FROM sc GROUP BY bin
+       |ORDER BY bin""".stripMargin) { (spark, dir) =>
+    graft.operators.Evaluation.calibrationBins(scoredDf(spark, dir),
+        col("score"), col("y"), bins = 10)
+      .orderBy("bin")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200)
 }

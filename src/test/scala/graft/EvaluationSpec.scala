@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Evaluation
+
+/** Evaluation sweep vs brute-force definitions on small data, plus the
+  * banding-independence invariant (bands change execution, never values). */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private val data: Seq[(Double, Long)] = (0 until 300).map { _ =>
+    // coarse grid forces heavy score ties -> exercises midrank handling
+    val s = rnd.nextInt(21) / 20.0
+    val y = if (rnd.nextDouble() < s) 1L else 0L
+    (s, y)
+  }
+
+  test("prCurve matches brute-force confusion at every distinct threshold") {
+    val df = data.toDF("score", "y")
+    val got = Evaluation.prCurve(df, col("score"), col("y"))
+      .collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val thresholds = data.map(_._1).distinct
+    assert(got.keySet === thresholds.toSet)
+    for (t <- thresholds) {
+      val tp = data.count { case (s, y) => s >= t && y == 1L }.toLong
+      val fp = data.count { case (s, y) => s >= t && y == 0L }.toLong
+      val fn = data.count { case (s, y) => s < t && y == 1L }.toLong
+      val tn = data.count { case (s, y) => s < t && y == 0L }.toLong
+      assert(got(t) === ((tp, fp, fn, tn)), s"confusion at t=$t")
+    }
+  }
+
+  test("rocAuc equals brute-force pair probability with half-credit ties") {
+    val df = data.toDF("score", "y")
+    val row = Evaluation.rocAuc(df, col("score"), col("y")).collect().head
+    val pos = data.filter(_._2 == 1L).map(_._1)
+    val neg = data.filter(_._2 == 0L).map(_._1)
+    assert(row.getLong(0) === pos.size.toLong && row.getLong(1) === neg.size.toLong)
+    val credit = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = credit / (pos.size.toDouble * neg.size.toDouble)
+    assert(math.abs(row.getDouble(2) - want) < 1e-6)
+  }
+
+  test("degenerate corpora get AUC 0.5 by convention") {
+    val allPos = Seq((0.2, 1L), (0.9, 1L)).toDF("score", "y")
+    assert(Evaluation.rocAuc(allPos, col("score"), col("y"))
+      .collect().head.getDouble(2) === 0.5)
+  }
+
+  test("calibration bins partition the corpus and track fractions") {
+    val df = data.toDF("score", "y")
+    val bins = Evaluation.calibrationBins(df, col("score"), col("y"), 10).collect()
+    assert(bins.map(_.getLong(1)).sum === data.size.toLong)
+    for (b <- bins) {
+      val (bin, n, np) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      val want = data.filter { case (s, _) =>
+        math.min(math.max(math.floor(s * 10).toLong, 0L), 9L) == bin }
+      assert(n === want.size.toLong)
+      assert(np === want.count(_._2 == 1L).toLong)
+      assert(math.abs(b.getDouble(4) - np.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("banding never changes any value") {
+    val df = data.toDF("score", "y")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(
+      canon(Evaluation.prCurve(df, col("score"), col("y"), bands = 1).collect()) ===
+      canon(Evaluation.prCurve(df, col("score"), col("y"), bands = 1024).collect()))
+    assert(
+      Evaluation.rocAuc(df, col("score"), col("y"), bands = 1).collect().head ===
+      Evaluation.rocAuc(df, col("score"), col("y"), bands = 512).collect().head)
+  }
+}
