@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,5 +109,58 @@ object Profile {
             least(col("n_a"), col("n_b")).cast("double")).as("overlap_coef"))
     }
     graft.core.Caching.releasing(d)(plan)
+  }
+
+  /** Type-token (Heap's law) growth curve: corpus volume and DISTINCT
+    * vocabulary size after ingesting every document with doc_id <= c,
+    * for each cutoff c — the "is this source adding new language or
+    * repeating itself" diagnostic (a healthy crawl grows vocabulary
+    * ~ N^beta; a template farm flatlines). Cutoffs are ingestion-order
+    * doc-id thresholds (batch boundaries in practice); cutoffs beyond
+    * the corpus simply saturate.
+    *
+    * Scale shape: vocabulary never materializes per cutoff. Each
+    * distinct token reduces to its FIRST doc_id (one algebraic
+    * min-aggregate — the only token-scale shuffle), each first-doc /
+    * doc lands in its cutoff interval via a flat comparison sum (the
+    * [[Curation]] boundCount trick), and the per-interval counts
+    * prefix-sum on the |cutoffs|-row table — a single-partition window
+    * over a deliberately tiny relation. Returns one row per cutoff:
+    * (cutoff, n_docs, n_tokens, vocab). */
+  def vocabGrowth(docs: DataFrame, cutoffs: Seq[Long]): DataFrame = {
+    require(cutoffs.nonEmpty, "need at least one cutoff")
+    require(cutoffs == cutoffs.distinct.sorted, "cutoffs must be distinct ascending")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // interval index = count of cutoffs strictly below the value; rows
+    // beyond the last cutoff get index |cutoffs| and fall out of every
+    // prefix (they are not yet ingested at any cutoff)
+    def interval(v: Column): Column =
+      cutoffs.map(c => when(v > c, 1L).otherwise(0L)).reduce(_ + _)
+    val tk = TextFns.tokens(col("text"))
+    val d = docs.select(col("doc_id"), size(tk).cast("long").as("ntok"),
+      explode_outer(tk).as("term"))
+    def byInterval(grouped: DataFrame): DataFrame =
+      grouped.groupBy("iv").agg(
+        coalesce(sum("dn"), lit(0L)).as("dn"),
+        coalesce(sum("tn"), lit(0L)).as("tn"),
+        coalesce(sum("vn"), lit(0L)).as("vn"))
+    // per-doc rows (counted once) and per-distinct-term first appearances
+    val docRows = docs.select(interval(col("doc_id")).as("iv"),
+      lit(1L).as("dn"), size(tk).cast("long").as("tn"), lit(0L).as("vn"))
+    val termRows = d.filter(col("term").isNotNull)
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+      .select(interval(col("first_doc")).as("iv"),
+        lit(0L).as("dn"), lit(0L).as("tn"), lit(1L).as("vn"))
+    val per = byInterval(docRows.unionByName(termRows))
+    val w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = cutoffs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("iv", "cutoff")
+    cdf.join(per, Seq("iv"), "left").na.fill(0L, Seq("dn", "tn", "vn"))
+      .select(col("iv"), col("cutoff"), col("dn"), col("tn"), col("vn"))
+      .select(col("cutoff"),
+        sum("dn").over(w).as("n_docs"),
+        sum("tn").over(w).as("n_tokens"),
+        sum("vn").over(w).as("vocab"))
   }
 }

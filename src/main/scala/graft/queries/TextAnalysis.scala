@@ -1616,5 +1616,58 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200)
+  /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
+    * vocabulary never materializes per cutoff: one min-aggregate to each
+    * term's first doc, flat interval assignment, prefix sum over the
+    * |cutoffs|-row table. Cutoffs beyond the corpus saturate (constant
+    * tail rows), so the same gate is meaningful at every SF. */
+  val q201 = {
+    val cutoffs = Seq(50L, 100L, 200L, 300L, 400L, 800L)
+    QueryDef(
+      "q201_vocab_growth",
+      s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+         |fd AS (SELECT term, MIN(doc_id) AS first_doc
+         |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk) GROUP BY term),
+         |c AS (SELECT unnest(${cutoffs.mkString("[", ", ", "]")}) AS cutoff)
+         |SELECT cutoff,
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id <= cutoff) AS n_docs,
+         |  (SELECT COALESCE(SUM(len(tk)), 0) FROM tk WHERE doc_id <= cutoff) AS n_tokens,
+         |  (SELECT COUNT(*) FROM fd WHERE first_doc <= cutoff) AS vocab
+         |FROM c ORDER BY cutoff""".stripMargin) { (spark, dir) =>
+      graft.operators.Profile.vocabGrowth(Tables.documents(spark, dir), cutoffs)
+        .orderBy("cutoff")
+    }
+  }
+
+  /** Token-anchored phrase blocklist verdicts: inverted-index join of the
+    * corpus token table against the broadcast phrase-token table; a
+    * candidate start is a match iff all np phrase tokens land at
+    * consecutive positions (grouped count = np). */
+  val q202 = {
+    val phrases = Seq("key agg row", "slow fast", "the line sort", "spark")
+    val maxHits = 2L
+    val valueRows = graft.operators.Blocklist.phraseRows(phrases)
+      .map { case (pid, j, t, np) => s"($pid, $j, '$t', $np)" }
+      .mkString(", ")
+    QueryDef(
+      "q202_blocklist",
+      s"""WITH tok AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS term
+         |             FROM (SELECT doc_id, $toks AS tk FROM documents)),
+         |m AS (SELECT doc_id, pos - j AS start, pid
+         |      FROM tok JOIN (VALUES $valueRows) p(pid, j, ptok, np) ON term = ptok
+         |      WHERE pos >= j
+         |      GROUP BY doc_id, pos - j, pid, np
+         |      HAVING COUNT(*) = np),
+         |h AS (SELECT doc_id, COUNT(*) AS hits FROM m GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(h.hits, 0) AS hits,
+         |       COALESCE(h.hits, 0) > $maxHits AS blocked
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      graft.operators.Blocklist.verdicts(Tables.documents(spark, dir),
+          phrases, maxHits = maxHits)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202)
 }
