@@ -10,6 +10,9 @@ import graft.operators.{Curation, Dedup}
 /** End-to-end corpus curation CLI — the LLM-data-pipeline operators
   * composed the way a data release actually runs them:
   *
+  *   0. optional phrase-blocklist safety pass (token-anchored inverted-
+  *      index match, gate q202): blocked docs drop before any dedup
+  *      work is spent on them;
   *   1. exact dedup (md5 groups, min-id keeper);
   *   2. MinHash-LSH near-dup clusters → QUALITY-aware survivor per
   *      cluster (stopword-ratio score, ties to min id);
@@ -29,7 +32,7 @@ import graft.operators.{Curation, Dedup}
   * Every stage is an already-gated operator (q30, q38/q136, q142, q107,
   * q135) — this main adds only composition and accounting. Usage:
   *
-  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun] [paraMinDf] [stopword|classifier]
+  *   runMain graft.cli.Curate <sfDir> <outDir> [tokenBudget] [benchDir] [spanMinRun] [paraMinDf] [stopword|classifier] [blockPhrases(comma-sep)]
   *   runMain graft.cli.Curate ingest <incomingDir> <corpusDir> <outDir> [minBandHits]
   *   runMain graft.cli.Curate profile <sfDir> <outDir>
   *   runMain graft.cli.Curate mix <sfDir> <outDir> <totalBudget> [tau]
@@ -64,7 +67,7 @@ object Curate {
       nInput: Long, nAfterExact: Long, nAfterNearDup: Long,
       tokensSpanRemoved: Long, nDecontaminated: Long,
       nSelected: Long, tokensSelected: Long, tokenBudget: Long,
-      parasRemoved: Long = 0L)
+      parasRemoved: Long = 0L, nBlocked: Long = 0L)
 
   final case class IngestStats(
       nIncoming: Long, nExactDup: Long, nNearDup: Long, nAdmitted: Long,
@@ -182,10 +185,14 @@ object Curate {
     val qualityMode = args.lift(6).getOrElse("stopword")
     require(qualityMode == "stopword" || qualityMode == "classifier",
       s"quality mode must be stopword|classifier, got $qualityMode")
+    val blockPhrases = args.lift(7).filter(_ != "-")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
     val spark = Cli.session()
     val s = run(spark, sfDir, outDir, budget, benchDir, spanMinRun, paraMinDf,
-      classifierQuality = qualityMode == "classifier")
-    println(f"[curate] input=${s.nInput} exact=${s.nAfterExact} " +
+      classifierQuality = qualityMode == "classifier",
+      blockPhrases = blockPhrases)
+    println(f"[curate] input=${s.nInput} blocked=${s.nBlocked} " +
+      f"exact=${s.nAfterExact} " +
       f"neardup=${s.nAfterNearDup} paras_removed=${s.parasRemoved} " +
       f"span_removed_tokens=${s.tokensSpanRemoved} " +
       f"decontaminated=${s.nDecontaminated} " +
@@ -200,9 +207,21 @@ object Curate {
   def run(spark: SparkSession, sfDir: String, outDir: String,
       budget: Long, benchDir: Option[String] = None,
       spanMinRun: Int = 0, paraMinDf: Int = 0,
-      classifierQuality: Boolean = false): Stats = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val nInput = docs.count()
+      classifierQuality: Boolean = false,
+      blockPhrases: Seq[String] = Nil): Stats = {
+    val allDocs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nInput = allDocs.count()
+
+    // 0. optional phrase-blocklist safety pass (q202): any token-anchored
+    // occurrence of a banned phrase drops the document before any dedup
+    // work is spent on it
+    val docs =
+      if (blockPhrases.isEmpty) allDocs
+      else allDocs.join(
+        graft.operators.Blocklist.verdicts(allDocs, blockPhrases)
+          .filter(!col("blocked")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val nBlocked = if (blockPhrases.isEmpty) 0L else nInput - docs.count()
 
     // quality scorer for the survivor and budget stages: the stopword
     // ratio by default, or the in-engine logistic classifier
@@ -305,10 +324,11 @@ object Curate {
       .write.mode("overwrite").parquet(s"$outDir/digests")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
     val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
-      agg.getLong(0), agg.getLong(1), budget, parasRemoved)
+      agg.getLong(0), agg.getLong(1), budget, parasRemoved, nBlocked)
 
     val json =
-      s"""{"n_input":${stats.nInput},"n_after_exact":${stats.nAfterExact},
+      s"""{"n_input":${stats.nInput},"n_blocked":${stats.nBlocked},
+         |"n_after_exact":${stats.nAfterExact},
          |"n_after_neardup":${stats.nAfterNearDup},
          |"paras_removed":${stats.parasRemoved},
          |"tokens_span_removed":${stats.tokensSpanRemoved},

@@ -519,6 +519,36 @@ class PipelineSpec extends SparkSpec {
     assert(statsJson.contains(s""""paras_removed":${s.parasRemoved}"""))
   }
 
+  test("Curate blocklist stage drops offending docs before any dedup work") {
+    // plant a banned phrase into a known slice of the corpus
+    val dir = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_blockdocs")).toString
+    Tables.documents(spark, sf()).select("doc_id", "text").limit(30)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("Buy Cheap-Pills now! "), col("text")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_blockout")).toString
+    val s = graft.cli.Curate.run(spark, dir, out, budget = 100000L,
+      blockPhrases = Seq("cheap pills"))
+    assert(s.nBlocked == 6L, s"expected 6 blocked docs, got ${s.nBlocked}")
+    assert(s.nAfterExact <= s.nInput - s.nBlocked)
+    val ids = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ % 5 != 0),
+      "no blocked doc may reach the curated corpus")
+    val statsJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "stats.json"))
+    assert(statsJson.contains(""""n_blocked":6"""))
+    // an absent blocklist is a true no-op: identical accounting
+    val out2 = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_blockoff")).toString
+    val s2 = graft.cli.Curate.run(spark, dir, out2, budget = 100000L)
+    assert(s2.nBlocked == 0L && s2.nInput == s.nInput)
+  }
+
   test("Curate mix mode realizes temperature budgets per source with calibrated prefixes") {
     import graft.operators.Curation
     val out = graft.core.TempPaths.registered(
