@@ -63,6 +63,14 @@ object Cross {
 
   def r6Sql(e: String): String = s"(round(($e) + 1e-9, 6) + 0.0)"
 
+  /** 9-dp variant of [[r6]] for terms whose magnitude sits near 1e-5
+    * (per-token probability masses): 6-dp rounding would flatten them
+    * to zero before accumulation. Same boundary-shift construction,
+    * scaled down. */
+  def r9(c: Column): Column = round(c + lit(1e-12), 9) + lit(0.0)
+
+  def r9Sql(e: String): String = s"(round(($e) + 1e-12, 9) + 0.0)"
+
   /** Deterministic Pearson correlation of two double columns, built from
     * exact decimal moments (built-in `corr` streams doubles and is
     * order-sensitive). Mirrors reference utils/metrics.py:72-94 (M2). */

@@ -74,4 +74,34 @@ object Cdc {
       .select((Seq(key, version) ++ payload ++ Seq("valid_to", "is_current")).map(col): _*)
       .drop("deleted")
   }
+
+  /** Corpus snapshot diff — the data-release audit: what changed
+    * between yesterday's corpus and today's, per provenance slice. Rows
+    * match on `key`; content identity is the md5 of `payload` (the text
+    * never shuffles, only one digest per row). Returns one row per
+    * (slice, status) with status ∈ added | removed | changed |
+    * unchanged and its count — the governance table a release report
+    * prints, and the drift signal that catches a source silently
+    * rewriting its archive (high `changed` with stable counts).
+    *
+    * Scale shape: two digest projections and ONE full-outer hash join
+    * on the key, then an algebraic count — no windows, no pair joins;
+    * the slice column rides from whichever side exists. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String, payload: String, slice: String): DataFrame = {
+    def digests(df: DataFrame, side: String): DataFrame =
+      df.select(col(key).as(s"k_$side"), col(slice).as(s"s_$side"),
+        md5(col(payload).cast("string")).as(s"h_$side"))
+    val o = digests(oldSnap, "old")
+    val n = digests(newSnap, "new")
+    o.join(n, col("k_old") === col("k_new"), "full_outer")
+      .select(
+        coalesce(col("s_new"), col("s_old")).as(slice),
+        when(col("k_old").isNull, lit("added"))
+          .when(col("k_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(slice, "status")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -326,6 +326,56 @@ object Curation {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Proportional domain-interleaved training order — the reading
+    * SCHEDULE that follows mixture selection: a training run that
+    * consumes one domain in a burst then the next destabilizes
+    * optimization, so the curated docs must interleave with each domain
+    * appearing at a rate proportional to its weight. The classic
+    * deterministic construction (SMOOTH round-robin / virtual-time
+    * scheduling): domain k's i-th doc (in ascending `id` order) gets
+    * virtual time v = i / w_k; the global order is ascending (v, id).
+    * A domain with twice the weight appears twice as often, uniformly,
+    * from the very first documents. Returns
+    * (key, id, r, vt, position) — r the doc's 1-based rank within its
+    * domain, position the 1-based global slot.
+    *
+    * Scale shape: both ranks run as the banded two-level prefix scan —
+    * the per-domain rank through [[selectUnderBudgetPerKey]]'s per-key
+    * banding (counting rows), the global rank over virtual time through
+    * [[selectUnderBudget]] with EQUI-DEPTH banding (virtual times are
+    * unbounded, so fixed-width [0,1] bands don't apply) — no global
+    * single-task sort at either level. The virtual time is one integer-
+    * to-double division per row (correctly-rounded IEEE, engine-
+    * portable); ties across domains break on `id`, so the order is
+    * total. Weights must be positive; unknown keys get
+    * `defaultWeight`. */
+  def interleaveSchedule(docs: DataFrame, key: Column, id: Column,
+      weights: Map[String, Long], defaultWeight: Long = 1L,
+      bands: Int = 1024): DataFrame = {
+    require(weights.values.forall(_ > 0L) && defaultWeight > 0L,
+      "weights must be > 0")
+    val ranked = selectUnderBudgetPerKey(docs, key, id, lit(0.0), lit(1L),
+        budgets = Map.empty, defaultBudget = Long.MaxValue, bands = 1)
+      .select(col("key"), col("id"), (col("cum_before") + 1L).as("r"))
+    val wCol =
+      if (weights.isEmpty) lit(defaultWeight)
+      else coalesce(element_at(typedLit(weights), col("key")), lit(defaultWeight))
+    val vt = ranked.withColumn("vt",
+      col("r").cast("double") / wCol.cast("double"))
+    // normalize BEFORE deriving the equi-depth key so its boundary
+    // comparisons reference the projected quality attribute (the
+    // selectUnderBudgetEquiDepth discipline)
+    val base = vt.select(col("id"), (-col("vt")).as("quality"),
+      lit(1L).as("ntok"))
+    val pos = selectUnderBudget(base, col("id"), col("quality"), col("ntok"),
+        budget = Long.MaxValue, bands = bands,
+        bandBy = Some(equiDepthBandColumn(base, col("quality"), bands)))
+      .select(col("id"), (col("cum_before") + 1L).as("position"))
+    vt.join(pos, "id")
+      .select(col("key"), col("id"), col("r"), Cross.r6(col("vt")).as("vt"),
+        col("position"))
+  }
+
   /** Temperature-scaled domain mixture: per-domain token budgets
     * B_d = floor(B · w_d) where w_d ∝ p_d^tau and p_d is the domain's
     * token share — the standard reweighting that upsamples low-resource

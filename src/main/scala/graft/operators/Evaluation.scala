@@ -133,4 +133,46 @@ object Evaluation {
       .withColumn("frac_pos",
         Cross.r6(col("n_pos").cast("double") / col("n").cast("double")))
   }
+
+  /** Cohen's kappa between two categorical labelers — chance-corrected
+    * agreement, the standard check that a cheap heuristic labeler (a
+    * lang-ID rule, a quality screen) actually tracks the reference
+    * labels before it gates a corpus: raw accuracy flatters any labeler
+    * on a skewed class mix; kappa = (po − pe)/(1 − pe) subtracts what
+    * agreement the marginals alone would produce. Multiclass, any
+    * castable label type. Returns one row (n, po, pe, kappa);
+    * degenerate marginals (pe = 1: both labelers constant) yield
+    * kappa 0 by convention.
+    *
+    * Scale shape: ONE algebraic groupBy collapses the corpus to its
+    * confusion matrix (|classes|² rows — tiny forever after); marginals,
+    * the diagonal sum, and the kappa arithmetic all run over that.
+    * Products of marginal counts accumulate in DECIMAL (a 100 TB corpus
+    * squares row counts past 2^63), cast to double once. */
+  def cohenKappa(df: DataFrame, pred: Column, label: Column): DataFrame = {
+    val cm = df.select(pred.cast("string").as("p"), label.cast("string").as("l"))
+      .groupBy("p", "l").agg(count(lit(1)).as("c"))
+    val tot = cm.agg(sum("c").as("n"),
+      sum(when(col("p") === col("l"), col("c")).otherwise(0L)).as("agree"))
+    val rowt = cm.groupBy("p").agg(sum("c").as("rp"))
+    val colt = cm.groupBy("l").agg(sum("c").as("rl"))
+    // classes absent from one side contribute rp·0 — the inner join drops
+    // them, which IS the correct pe term
+    val peNum = rowt.join(colt, rowt("p") === colt("l"))
+      .agg(coalesce(sum(col("rp").cast(DecimalType(38, 0)) *
+        col("rl").cast(DecimalType(38, 0))), lit(0L).cast(DecimalType(38, 0)))
+        .as("pe_num"))
+    tot.crossJoin(peNum)
+      .select(col("n"),
+        Cross.r6(col("agree").cast("double") / col("n").cast("double")).as("po"),
+        Cross.r6(col("pe_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("pe"),
+        (col("agree").cast("double") / col("n").cast("double")).as("po_raw"),
+        (col("pe_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("pe_raw"))
+      .select(col("n"), col("po"), col("pe"),
+        Cross.r6(when(col("pe_raw") >= 1.0, lit(0.0))
+          .otherwise((col("po_raw") - col("pe_raw")) / (lit(1.0) - col("pe_raw"))))
+          .as("kappa"))
+  }
 }

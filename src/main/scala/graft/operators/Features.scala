@@ -82,4 +82,39 @@ object Features {
     }
     out.drop(cols.map(c => s"b_$c"): _*)
   }
+
+  /** Centroid-distance outlier screen for embeddings: flag vectors whose
+    * L2 distance to the corpus centroid z-scores past `zThresh` — the
+    * pre-ANN sanity filter that catches encoder-fleet stragglers,
+    * corrupted rows, and off-manifold junk before they skew centroid
+    * training or similarity thresholds. (An L2-NORM screen is the naive
+    * version — useless on the common case of unit-normalized vectors,
+    * where every norm is 1; centroid distance still separates.) Returns
+    * (id, dist, z, outlier); a degenerate corpus (constant distances →
+    * NaN z, surfaced by [[standardize]]) flags nothing.
+    *
+    * Scale shape: the centroid is ONE per-dimension exact-decimal mean
+    * pass (map-side combinable; `dims` doubles of driver loop-control
+    * state baked into a literal — the IVF-centroid pattern), the
+    * distance is a codegen'd per-row fold against that literal, and the
+    * moments/z are [[standardize]]'s one-aggregate-pass shape — two
+    * data passes end to end, no joins wider than a 1-row broadcast. */
+  def centroidOutliers(emb: DataFrame, id: String, vec: String,
+      dims: Int, zThresh: Double = 3.0): DataFrame = {
+    require(zThresh > 0.0, s"zThresh must be > 0, got $zThresh")
+    val mu: Array[Double] = emb
+      .select(posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(Cross.dsum(col("v").cast("double"), 9).as("s"), count(lit(1)).as("c"))
+      .select(col("pos"), (col("s") / col("c")).as("mu"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    require(mu.length == dims,
+      s"expected $dims dims, found ${mu.length} — ragged or mis-sized vectors")
+    val d = emb.select(col(id),
+      Cross.r6(sqrt(graft.functions.VectorFns.sqDistLit(col(vec), mu))).as("dist"))
+    standardize(d, Seq("dist"), scale = 6)
+      .select(col(id), col("dist"), col("z_dist").as("z"),
+        when(isnan(col("z_dist")), lit(false))
+          .otherwise(abs(col("z_dist")) > zThresh).as("outlier"))
+  }
 }

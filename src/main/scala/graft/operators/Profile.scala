@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Cross
+import graft.core.{Caching, Cross}
 import graft.functions.TextFns
 
 /** Per-source corpus profiling — the "dataset card" report every
@@ -162,5 +162,111 @@ object Profile {
         sum("dn").over(w).as("n_docs"),
         sum("tn").over(w).as("n_tokens"),
         sum("vn").over(w).as("vocab"))
+  }
+
+  /** Per-document shingle novelty: the fraction of a doc's DISTINCT word
+    * n-shingles that occur in no other document — the inverse of the
+    * near-dup signal, and the positive selection criterion "how much of
+    * this doc is new text" that boilerplate-heavy sources score low on
+    * even when no single pair crosses a dedup threshold. Returns
+    * (doc_id, n_shingles, n_novel, novelty); shingle-less docs (shorter
+    * than n tokens) score 0.0 over 0 shingles.
+    *
+    * Scale shape: the shingle explosion feeds one df aggregation (map-
+    * side combinable; the inverted index every dedup op here already
+    * builds) and one hash equi-join back — cost Σ shingles, never a
+    * doc-pair join. Boilerplate mega-df shingles REDUCE in the df agg;
+    * nothing squares. */
+  def shingleNovelty(docs: DataFrame, shingleN: Int): DataFrame = {
+    val sh = Dedup.shingleSet(docs, shingleN)
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        when(col("n_shingles") > 0L,
+          Cross.r6(col("n_novel").cast("double") / col("n_shingles").cast("double")))
+          .otherwise(0.0).as("novelty"))
+  }
+
+  /** Pairwise KL divergence between per-domain unigram token
+    * distributions — the mixture-design diagnostic: which sources are
+    * near-duplicates of each other distributionally (low KL, merge
+    * their budgets) and which are the outliers a temperature mix will
+    * flatten. Add-one smoothing over the SHARED vocabulary, so a term
+    * absent from one domain contributes a finite, well-defined term.
+    * Returns every ordered pair (key_a, key_b, kl) — KL is asymmetric
+    * by definition, both directions reported.
+    *
+    * Scale shape: token counts collapse to one (domain, term) row each
+    * (map-side combinable); the smoothed grid is |domains| × |vocab|
+    * rows and the pair join multiplies by |domains| − 1 — linear in
+    * vocab, quadratic ONLY in the domain count, which is tens at most.
+    * The vocab size is one driver scalar (loop-control class). Each
+    * p·log2(p/q) term is micro-rounded at 9 dp ([[Cross.r9]] — the
+    * terms live near 1e-5, where 6-dp rounding would zero them) and
+    * accumulated in exact decimal. */
+  def domainKl(docs: DataFrame, key: Column, toks: Column): DataFrame = {
+    val t = docs.select(key.cast("string").as("key"), explode(toks).as("term"))
+    val counts = t.groupBy("key", "term").agg(count(lit(1)).as("c"))
+    Caching.releasing(counts) {
+      val nk = counts.groupBy("key").agg(sum("c").as("n"))
+      val vocab = counts.select("term").distinct()
+      val vSize = vocab.count()
+      val grid = nk.crossJoin(vocab)
+        .join(counts, Seq("key", "term"), "left")
+        .na.fill(0L, Seq("c"))
+        .select(col("key"), col("term"),
+          ((col("c") + 1L).cast("double") /
+            (col("n") + vSize).cast("double")).as("p"))
+      grid.as("a").join(grid.as("b"),
+          col("a.term") === col("b.term") && col("a.key") =!= col("b.key"))
+        .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+        .agg(Cross.r6(Cross.dsum(
+          Cross.r9(col("a.p") * log(2.0, col("a.p") / col("b.p"))), 9)).as("kl"))
+    }
+  }
+
+  /** Per-document character n-gram Shannon entropy — the
+    * gibberish/degeneracy signal: natural text in any language lands in
+    * a characteristic band, while mojibake, base64 blobs, and key-mash
+    * spam sit far above it and template/repetition spam far below.
+    * H = log2(m) − (Σ c·log2 c)/m over the doc's m character n-grams
+    * (sliding window over the RAW text, multiplicity counted). Returns
+    * (doc_id, n_grams, entropy); docs shorter than n characters score
+    * 0.0 over 0 grams.
+    *
+    * Scale shape: the gram explosion is the corpus's char count ×1 rows,
+    * immediately collapsed by TWO map-side-combinable aggregations
+    * ((doc, gram) counts → per-doc fold); nothing else shuffles.
+    * Determinism: each c·log2 c term is micro-rounded ([[Cross.r6]])
+    * then accumulated in exact decimal ([[Cross.dsum]]), the same
+    * engine-portable sum-of-logs contract the DSIR and LM gates pin. */
+  def charNgramEntropy(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs
+      // pre-filter: sequence(1, len−n+1) on a doc shorter than n would
+      // DESCEND (Spark defaults step −1 when stop < start); short docs
+      // rejoin with zero grams via the left join below
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(n)).as("g"))
+    val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val per = counts.groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        Cross.dsum(Cross.r6(col("c").cast("double") *
+          log(2.0, col("c").cast("double")))).as("clc"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams"))
+      .select(col("doc_id"), col("n_grams"),
+        when(col("n_grams") > 0L,
+          Cross.r6(log(2.0, col("n_grams").cast("double")) -
+            col("clc") / col("n_grams").cast("double")))
+          .otherwise(0.0).as("entropy"))
   }
 }

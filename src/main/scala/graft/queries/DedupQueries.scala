@@ -724,5 +724,73 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197)
+  /** Incremental near-dup maintenance (Dedup.incrementalNearDups): the
+    * corpus splits into an existing 80% and a 20% delta (doc_id % 5),
+    * the corpus contributes only its persisted band index
+    * (corpusBandIndex), and the operator emits the verified pairs a
+    * full recompute would ADD. The oracle IS the full recompute (the
+    * q32 SQL over all documents) restricted to pairs touching the
+    * delta — hash-equality proves the incremental path reproduces the
+    * batch semantics exactly, pair for pair and Jaccard for Jaccard. */
+  val q203 = QueryDef(
+    "q203_incremental_neardup",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  ${Cross.r6Sql("COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))::DOUBLE")} AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |JOIN sizes sa ON c.doc_a = sa.doc_id
+       |JOIN sizes sb ON c.doc_b = sb.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
+    val docs = graft.core.Tables.documents(spark, dir)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val cBands = Dedup.corpusBandIndex(spark, corpus, K, R, ShingleN)
+    Dedup.incrementalNearDups(spark, corpus, delta, cBands, K, R, ShingleN)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc shingle novelty (Profile.shingleNovelty): fraction of each
+    * document's distinct 3-shingles appearing in no other doc — the
+    * "how much of this doc is new text" curation signal. The oracle
+    * recomputes the df table and per-doc fold flat. */
+  val q205 = QueryDef(
+    "q205_novelty",
+    s"""WITH $shingleCte,
+       |dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles,
+       |         SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+       |  FROM sh JOIN dfs USING (s) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_shingles, 0) AS n_shingles,
+       |  COALESCE(per.n_novel, 0) AS n_novel,
+       |  CASE WHEN COALESCE(per.n_shingles, 0) > 0
+       |    THEN ${Cross.r6Sql("per.n_novel::DOUBLE / per.n_shingles::DOUBLE")}
+       |    ELSE 0.0 END AS novelty
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.shingleNovelty(
+        graft.core.Tables.documents(spark, dir), ShingleN)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205)
 }

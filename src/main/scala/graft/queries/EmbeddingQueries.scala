@@ -907,5 +907,43 @@ object EmbeddingQueries {
       .orderBy("query_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193)
+  /** Centroid-distance outlier screen (Features.centroidOutliers): flag
+    * vectors whose distance to the corpus centroid z-scores past ±2 —
+    * the pre-ANN sanity filter (the naive L2-NORM screen is blind on
+    * this corpus: unit-normalized vectors all have norm 1). The oracle
+    * recomputes the per-dim exact-decimal centroid, the in-order
+    * distance fold, and the identical moment/z arithmetic, so z-scores
+    * hash-match bit for bit. */
+  val q207 = QueryDef(
+    "q207_centroid_outliers",
+    s"""WITH dimsum AS (
+       |  SELECT dim,
+       |         ${Cross.dsumSql("embedding[dim]::DOUBLE", 9)} / COUNT(*) AS mu
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS dim) dd
+       |  GROUP BY dim),
+       |muv AS (SELECT list(mu ORDER BY dim) AS m FROM dimsum),
+       |d AS (
+       |  SELECT vec_id,
+       |    ${Cross.r6Sql(
+             s"sqrt(list_sum(list_transform(range(1, ${Dims + 1}), " +
+               "i -> (embedding[i]::DOUBLE - m[i]) * (embedding[i]::DOUBLE - m[i]))))")} AS dist
+       |  FROM embeddings CROSS JOIN muv),
+       |mo AS (
+       |  SELECT COUNT(*) AS n,
+       |         ${Cross.dsumSql("dist")} AS s,
+       |         ${Cross.dxsumSql("dist", "dist")} AS q
+       |  FROM d)
+       |SELECT vec_id, dist,
+       |  ${Cross.r6Sql(
+             "(dist - s / n) / (sqrt(n::DOUBLE * q - s * s) / n::DOUBLE)")} AS z,
+       |  (abs(${Cross.r6Sql(
+             "(dist - s / n) / (sqrt(n::DOUBLE * q - s * s) / n::DOUBLE)")}) > 2.0) AS outlier
+       |FROM d CROSS JOIN mo
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Features.centroidOutliers(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", Dims, zThresh = 2.0)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207)
 }

@@ -834,8 +834,40 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "metric")
   }
 
+  /** Corpus snapshot diff (Cdc.snapshotDiff): two synthetic snapshots
+    * derive from `documents` (drops by doc_id % 7 / % 11, a text rewrite
+    * at % 5), so the diff exercises added, removed, changed, and
+    * unchanged rows in every source slice; the oracle recomputes the
+    * full-outer digest comparison flat. */
+  val q210 = QueryDef(
+    "q210_corpus_diff",
+    """WITH o AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+      |n AS (SELECT doc_id, source,
+      |        CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |      FROM documents WHERE doc_id % 11 <> 0),
+      |j AS (
+      |  SELECT COALESCE(n.source, o.source) AS source,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT source, status, COUNT(*) AS n FROM j
+      |GROUP BY source, status
+      |ORDER BY source, status""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .select("doc_id", "source", "text")
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.Cdc.snapshotDiff(oldSnap, newSnap, "doc_id", "text", "source")
+      .orderBy("source", "status")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
     q111, q117, q118, q121, q125, q129, q131, q132, q134, q171, q178, q179,
-    q180)
+    q180, q210)
 }

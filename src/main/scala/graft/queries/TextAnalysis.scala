@@ -1669,5 +1669,121 @@ object TextAnalysis {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202)
+  /** Cohen's kappa (Evaluation.cohenKappa) between the lang-ID heuristic
+    * (q24's predictor) and the labeled `lang` column — chance-corrected
+    * agreement over the multiclass confusion matrix. Integer marginal
+    * products accumulate in DECIMAL; the oracle mirrors the marginal
+    * join and the same division order. */
+  val q204 = QueryDef(
+    "q204_cohen_kappa",
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+       |pl AS (SELECT ${TextSql.langId("tk")} AS p, lang AS l FROM t),
+       |cm AS (SELECT p, l, COUNT(*) AS c FROM pl GROUP BY p, l),
+       |tot AS (
+       |  SELECT SUM(c) AS n,
+       |         SUM(CASE WHEN p = l THEN c ELSE 0 END) AS agree
+       |  FROM cm),
+       |rt AS (SELECT p, SUM(c) AS rp FROM cm GROUP BY p),
+       |ct AS (SELECT l, SUM(c) AS rl FROM cm GROUP BY l),
+       |pe AS (
+       |  SELECT COALESCE(SUM(rp::DECIMAL(38,0) * rl::DECIMAL(38,0)), 0) AS pe_num
+       |  FROM rt JOIN ct ON rt.p = ct.l)
+       |SELECT n,
+       |  ${Cross.r6Sql("agree::DOUBLE / n::DOUBLE")} AS po,
+       |  ${Cross.r6Sql("pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)")} AS pe,
+       |  ${Cross.r6Sql(
+             "CASE WHEN pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE) >= 1.0 THEN 0.0 " +
+               "ELSE (agree::DOUBLE / n::DOUBLE - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)) / " +
+               "(1.0 - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)) END")} AS kappa
+       |FROM tot CROSS JOIN pe""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text")))
+    graft.operators.Evaluation.cohenKappa(d,
+      TextFns.langId(col("tk")), col("lang"))
+  }
+
+  /** Character 3-gram Shannon entropy per doc (Profile.charNgramEntropy)
+    * — the gibberish/degeneracy quality signal. The oracle folds the
+    * same micro-rounded c·log2 c terms through exact decimal sums, so
+    * hash-equality pins the distributed two-level aggregation to the
+    * flat computation bit for bit. */
+  val q206 = QueryDef(
+    "q206_char_entropy",
+    s"""WITH g AS (
+       |  SELECT doc_id, substr(text, i, 3) AS g
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+       |        FROM documents WHERE length(text) >= 3)),
+       |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+       |per AS (
+       |  SELECT doc_id, SUM(c) AS n_grams,
+       |         ${Cross.dsumSql(Cross.r6Sql("c::DOUBLE * log2(c::DOUBLE)"))} AS clc
+       |  FROM c GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_grams, 0) AS n_grams,
+       |  CASE WHEN COALESCE(per.n_grams, 0) > 0
+       |    THEN ${Cross.r6Sql("log2(per.n_grams::DOUBLE) - per.clc / per.n_grams::DOUBLE")}
+       |    ELSE 0.0 END AS entropy
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.charNgramEntropy(
+        Tables.documents(spark, dir), n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Proportional domain-interleaved training order
+    * (Curation.interleaveSchedule): smooth round-robin by virtual time
+    * r/w_k — the reading schedule that realizes a mixture without
+    * domain bursts. The oracle computes both ranks with flat windows;
+    * hash-equality proves the two banded scans (per-key and global
+    * equi-depth over unbounded virtual times) reproduce the total
+    * (vt, id) order exactly. */
+  val q208 = QueryDef(
+    "q208_interleave",
+    s"""WITH r AS (
+       |  SELECT source AS key, doc_id AS id,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+       |  FROM documents),
+       |v AS (
+       |  SELECT key, id, r,
+       |    r::DOUBLE / (CASE key WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+       |                 WHEN 'src2' THEN 2 ELSE 1 END)::DOUBLE AS vt
+       |  FROM r)
+       |SELECT key, id, r, ${Cross.r6Sql("vt")} AS vt,
+       |       row_number() OVER (ORDER BY vt, id) AS position
+       |FROM v
+       |ORDER BY id""".stripMargin) { (spark, dir) =>
+    graft.operators.Curation.interleaveSchedule(
+        Tables.documents(spark, dir), col("source"), col("doc_id"),
+        weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L),
+        defaultWeight = 1L, bands = 16)
+      .orderBy("id")
+  }
+
+  /** Pairwise domain KL divergence (Profile.domainKl): add-one-smoothed
+    * unigram distributions per source over the shared vocabulary, every
+    * ordered pair scored — the mixture-design diagnostic. The oracle
+    * rebuilds the dense grid and folds the identical micro-rounded
+    * p·log2(p/q) terms through exact decimal sums. */
+  val q209 = QueryDef(
+    "q209_domain_kl",
+    s"""WITH t AS (SELECT source AS key, unnest($toks) AS term FROM documents),
+       |c AS (SELECT key, term, COUNT(*) AS c FROM t GROUP BY key, term),
+       |nk AS (SELECT key, SUM(c) AS n FROM c GROUP BY key),
+       |v AS (SELECT DISTINCT term FROM c),
+       |vs AS (SELECT COUNT(*) AS vsz FROM v),
+       |grid AS (
+       |  SELECT nk.key, v.term,
+       |    (COALESCE(c.c, 0) + 1)::DOUBLE / (nk.n + vs.vsz)::DOUBLE AS p
+       |  FROM nk CROSS JOIN v CROSS JOIN vs
+       |  LEFT JOIN c ON c.key = nk.key AND c.term = v.term)
+       |SELECT a.key AS key_a, b.key AS key_b,
+       |  ${Cross.r6Sql(Cross.dsumSql(Cross.r9Sql("a.p * log2(a.p / b.p)"), 9))} AS kl
+       |FROM grid a JOIN grid b ON a.term = b.term AND a.key <> b.key
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.domainKl(Tables.documents(spark, dir),
+        col("source"), TextFns.tokens(col("text")))
+      .orderBy("key_a", "key_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209)
 }

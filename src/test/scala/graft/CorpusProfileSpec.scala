@@ -59,4 +59,64 @@ class CorpusProfileSpec extends SparkSpec {
       .collect().head
     assert(v.getLong(1) === 3L && v.getBoolean(2))
   }
+
+  test("shingleNovelty matches brute-force df=1 fractions, short docs score 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" with 2
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota kappa"),     // fully novel
+      (4L, "tiny doc")                        // < 3 tokens -> no shingles
+    ).toDF("doc_id", "text")
+    val got = Profile.shingleNovelty(docs, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: shingles {abg, bgd}; abg df=2 -> 1 novel of 2
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+  }
+
+  test("domainKl: zero against itself-alike, asymmetric, positive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "d1"),
+      (2L, "alpha beta gamma", "d2"),        // identical distribution to d1
+      (3L, "zeta zeta zeta eta", "d3"))      // skewed, disjoint vocab
+      .toDF("doc_id", "text", "src")
+    val kl = Profile.domainKl(docs, col("src"),
+        graft.functions.TextFns.tokens(col("text")))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(kl.size === 6)
+    assert(kl(("d1", "d2")) === 0.0 && kl(("d2", "d1")) === 0.0)
+    assert(kl(("d1", "d3")) > 0.0 && kl(("d3", "d1")) > 0.0)
+    // asymmetry: d3 is more concentrated, so the two directions differ
+    assert(kl(("d1", "d3")) !== kl(("d3", "d1")))
+  }
+
+  test("charNgramEntropy matches a brute-force fold; short docs score 0") {
+    val docs = Seq(
+      (1L, "aaaa"),       // grams aaa, aaa -> H = 0
+      (2L, "abcd"),       // grams abc, bcd -> H = 1
+      (3L, "ab")          // shorter than n
+    ).toDF("doc_id", "text")
+    val got = Profile.charNgramEntropy(docs, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((2L, 0.0)))
+    assert(got(2L) === ((2L, 1.0)))
+    assert(got(3L) === ((0L, 0.0)))
+    // cross-check a mixed doc against the scala-side formula
+    val text = "abababcc"
+    val grams = text.sliding(3).toSeq
+    val m = grams.size.toDouble
+    val want = (math.log(m) / math.log(2)) -
+      grams.groupBy(identity).values.map { g =>
+        val c = g.size.toDouble
+        BigDecimal(c * math.log(c) / math.log(2) + 1e-9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum / m
+    val gotMixed = Profile.charNgramEntropy(
+        Seq((9L, text)).toDF("doc_id", "text"), 3)
+      .collect().head.getDouble(2)
+    assert(math.abs(gotMixed - want) < 1e-5)
+  }
 }

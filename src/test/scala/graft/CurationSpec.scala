@@ -400,4 +400,38 @@ class CurationSpec extends SparkSpec {
         col("ntok"), budget = 150L, bands = 5, subBands = 4)) == base)
     }
   }
+
+  test("interleaveSchedule realizes proportional smooth round-robin") {
+    import graft.operators.Curation
+    // domain a weight 2, domain b weight 1, 4 docs each:
+    // vt(a) = 0.5, 1.0, 1.5, 2.0; vt(b) = 1.0, 2.0, 3.0, 4.0
+    val docs = (0 until 4).map(i => ("a", i.toLong)) ++
+      (0 until 4).map(i => ("b", 10L + i))
+    val df = docs.toDF("src", "id")
+    val got = Curation.interleaveSchedule(df, col("src"), col("id"),
+        weights = Map("a" -> 2L, "b" -> 1L), bands = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+      .sortBy(_._5)
+    // expected order by (vt, id): a0(.5) a1(1) b10(1) a2(1.5) a3(2)
+    // b11(2) b12(3) b13(4)
+    assert(got.map(_._2).toSeq === Seq(0L, 1L, 10L, 2L, 3L, 11L, 12L, 13L))
+    assert(got.map(_._5).toSeq === (1L to 8L))
+    // within every prefix, domain a appears at >= its share until its
+    // docs run out (smoothness, not just proportionality)
+    assert(got.take(5).count(_._1 == "a") === 4)
+  }
+
+  test("interleaveSchedule position order is partitioning-independent") {
+    import graft.operators.Curation
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 120).map { i =>
+      (s"s${rnd.nextInt(4)}", i.toLong)
+    }.toDF("src", "id")
+    def canon(parts: Int): Seq[(Long, Long)] =
+      Curation.interleaveSchedule(docs.repartition(parts), col("src"),
+          col("id"), weights = Map("s0" -> 3L, "s1" -> 2L), bands = 8)
+        .collect().map(r => (r.getLong(1), r.getLong(4))).sortBy(_._1).toSeq
+    assert(canon(1) === canon(13))
+  }
 }

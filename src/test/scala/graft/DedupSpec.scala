@@ -297,4 +297,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(e.toSet == Set((5L, 1L, 0L, ""), (6L, 1L, 0L, "")))
   }
+
+  test("incrementalNearDups equals the full recompute restricted to delta pairs") {
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "pack my box with five dozen liquor jugs before the storm arrives tonight",
+      "sphinx of black quartz judge my vow under the ancient temple ruins",
+      "how vexingly quick daft zebras jump across the frozen mountain stream")
+    // 12 docs: four base texts, each with an exact dup and a near dup,
+    // scattered so dup pairs cross the corpus/delta split both ways
+    val all = (0 until 12).map { i =>
+      val t = base(i % 4)
+      val tt = if (i >= 8) t.replace("the", "a") else t
+      (i.toLong, tt)
+    }.toDF("doc_id", "text")
+    val delta = all.filter(col("doc_id") >= 9L)
+    val corpus = all.filter(col("doc_id") < 9L)
+    val (k, r, n) = (16, 2, 3)
+    val got = Dedup.incrementalNearDups(spark, corpus, delta,
+        Dedup.corpusBandIndex(spark, corpus, k, r, n), k, r, n)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val full = Dedup.minhashNearDups(spark, all, k, r, n)
+      .filter(col("doc_a") >= 9L || col("doc_b") >= 9L)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(got === full)
+    assert(full.nonEmpty, "fixture must actually produce cross-split pairs")
+    // corpus-internal pairs never re-emitted
+    assert(!got.keys.exists { case (a, b) => a < 9L && b < 9L })
+  }
 }

@@ -78,4 +78,36 @@ class EvaluationSpec extends SparkSpec {
       Evaluation.rocAuc(df, col("score"), col("y"), bands = 1).collect().head ===
       Evaluation.rocAuc(df, col("score"), col("y"), bands = 512).collect().head)
   }
+
+  test("cohenKappa matches the textbook formula on a multiclass matrix") {
+    val rows = Seq.fill(25)(("a", "a")) ++ Seq.fill(10)(("a", "b")) ++
+      Seq.fill(15)(("b", "a")) ++ Seq.fill(50)(("b", "b"))
+    val r = Evaluation.cohenKappa(rows.toDF("p", "l"), col("p"), col("l"))
+      .collect().head
+    assert(r.getLong(0) === 100L)
+    assert(r.getDouble(1) === 0.75)                        // po = (25+50)/100
+    assert(r.getDouble(2) === 0.53)                        // pe = (35·40 + 65·60)/100²
+    assert(math.abs(r.getDouble(3) - (0.75 - 0.53) / (1 - 0.53)) < 1e-6)
+  }
+
+  test("cohenKappa: perfect agreement is 1, a constant labeler is 0") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("p", "l")
+    assert(Evaluation.cohenKappa(perfect, col("p"), col("l"))
+      .collect().head.getDouble(3) === 1.0)
+    // pred constant "x": pe = po exactly when labels are uniform over
+    // {x,y}; the convention guard only fires at pe = 1 (both constant)
+    val bothConst = Seq(("x", "x"), ("x", "x")).toDF("p", "l")
+    assert(Evaluation.cohenKappa(bothConst, col("p"), col("l"))
+      .collect().head.getDouble(3) === 0.0)
+  }
+
+  test("cohenKappa counts classes missing from one side in the marginals") {
+    // pred never says "c", labels never say "b" — pe must only cross
+    // classes present on BOTH sides
+    val rows = Seq(("a", "a"), ("a", "c"), ("b", "a"), ("b", "b")).toDF("p", "l")
+    val r = Evaluation.cohenKappa(rows, col("p"), col("l")).collect().head
+    assert(r.getDouble(1) === 0.5)                         // agree: (a,a), (b,b)
+    // pe = (rp_a·rl_a + rp_b·rl_b)/n² = (2·2 + 2·1)/16
+    assert(r.getDouble(2) === 0.375)
+  }
 }

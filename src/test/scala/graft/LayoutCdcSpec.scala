@@ -73,4 +73,20 @@ class LayoutCdcSpec extends SparkSpec {
     assert(plan.contains("max_by") || plan.contains("HashAggregate") ||
       plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("snapshotDiff classifies added, removed, changed, unchanged per slice") {
+    val oldS = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"))
+      .toDF("id", "src", "text")
+    val newS = Seq(
+      (1L, "s1", "alpha"),          // unchanged
+      (2L, "s1", "beta v2"),        // changed
+      (4L, "s2", "delta"))          // added; 3 removed
+      .toDF("id", "src", "text")
+    val got = Cdc.snapshotDiff(oldS, newS, "id", "text", "src")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("s1", "unchanged") -> 1L, ("s1", "changed") -> 1L,
+      ("s2", "removed") -> 1L, ("s2", "added") -> 1L))
+  }
 }

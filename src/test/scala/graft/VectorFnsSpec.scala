@@ -61,4 +61,25 @@ class VectorFnsSpec extends SparkSpec {
       .agg(min("c"), max("c")).head()
     assert(bounds.getByte(0) >= -127 && bounds.getByte(1) <= 127)
   }
+
+  test("centroidOutliers flags the off-manifold vector and only it") {
+    // 20 unit-ish vectors near e1 plus one far outlier: every inlier's
+    // centroid distance is small and tight, the outlier z-scores out
+    val inliers = (0 until 20).map { i =>
+      (i.toLong, Seq(1f, (i % 3 - 1) * 0.01f, 0f))
+    }
+    val rows = inliers :+ (99L, Seq(-5f, 4f, 3f))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Features.centroidOutliers(
+        df, "vec_id", "embedding", dims = 3, zThresh = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got(99L))
+    assert(inliers.forall { case (id, _) => !got(id) })
+    // degenerate corpus: all-identical vectors -> NaN z, nothing flagged
+    val const = (0 until 4).map(i => (i.toLong, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val g2 = graft.operators.Features.centroidOutliers(
+        const, "vec_id", "embedding", dims = 2, zThresh = 2.0)
+      .collect()
+    assert(g2.forall(!_.getBoolean(3)))
+  }
 }
