@@ -484,16 +484,16 @@ object Dedup {
   def incrementalNearDups(spark: SparkSession, corpus: DataFrame,
       delta: DataFrame, corpusBands: DataFrame,
       k: Int, rowsPerBand: Int, shingleN: Int): DataFrame = {
-    val dSh = shingleSet(delta, shingleN)
-    Caching.releasing(dSh) {
-      // delta bands via the zero-shuffle expression path — byte-identical
-      // keys to corpusBandIndex/bandTable (DedupSpec pins the equality)
-      val dBands = delta
-        .withColumn("shx",
-          Lsh.tokenHashes(TextFns.shingles(TextFns.tokens(col("text")), shingleN)))
-        .filter(size(col("shx")) > 0)
-        .select(col("doc_id"), explode(Lsh.bandStructs(col("shx"), k, rowsPerBand)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    // delta bands via the zero-shuffle expression path — byte-identical
+    // keys to corpusBandIndex/bandTable (DedupSpec pins the equality);
+    // cached because the index probe AND the delta self-join consume them
+    val dBands = delta
+      .withColumn("shx",
+        Lsh.tokenHashes(TextFns.shingles(TextFns.tokens(col("text")), shingleN)))
+      .filter(size(col("shx")) > 0)
+      .select(col("doc_id"), explode(Lsh.bandStructs(col("shx"), k, rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    Caching.releasing(dBands) {
       // delta × corpus collisions (either orientation → normalize a < b),
       // plus delta × delta collisions; corpus × corpus pairs are by
       // construction already in the index's pair table and never rebuilt
@@ -507,13 +507,15 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       val cands = dc.union(dd).distinct()
       Caching.releasing(cands) {
-        // corpus shingles only for colliding docs: the semi join prunes
-        // the corpus scan BEFORE tokenize/shingle/explode work happens
+        // shingle sets only for colliding docs, on BOTH sides: the semi
+        // join prunes the scans BEFORE tokenize/shingle/explode work
+        // happens on any non-candidate document
         val hit = cands.select(col("doc_a").as("doc_id"))
           .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-        val cShHit = shingleSet(
-          corpus.join(hit, Seq("doc_id"), "left_semi"), shingleN)
-        withJaccard(cands, cShHit.union(dSh).distinct())
+        val hitDocs = corpus.select("doc_id", "text")
+          .unionByName(delta.select("doc_id", "text"))
+          .join(hit, Seq("doc_id"), "left_semi")
+        withJaccard(cands, shingleSet(hitDocs, shingleN))
       }
     }
   }
