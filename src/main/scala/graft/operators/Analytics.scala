@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators (funnel, cohort retention) — the classic
@@ -63,5 +63,54 @@ object Analytics {
     active.join(first, "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Population Stability Index between a reference and a current value
+    * distribution — the drift alarm a production scorer/feature needs:
+    * PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken (the standard
+    * credit-scoring rubric, directly applicable to quality-score and
+    * embedding-norm drift between corpus snapshots). Values bin into
+    * `bins` fixed-width buckets over [lo, hi] (clamped at the edges, so
+    * out-of-range values land in the boundary bins and drift OUTWARD is
+    * visible); both sides get add-one smoothing so an empty bin
+    * contributes a finite term. Returns the per-bin table
+    * (bin, n_ref, n_cur, p_ref, p_cur, term) plus the total as bin −1 —
+    * one relation carries both the diagnostic and the verdict.
+    *
+    * Scale shape: one algebraic groupBy per side over (bin), a
+    * bins-sized join, per-bin arithmetic — the corpora shuffle one
+    * count per bin. Each (p−q)·log2(p/q) term is micro-rounded at 9 dp
+    * and the total accumulates in exact decimal ([[graft.core.Cross]]
+    * contract; log2 not ln — the engines share log2 via the gate-proven
+    * r6/r9 pattern, and the rubric thresholds just rescale by ln 2). */
+  def psi(ref: DataFrame, cur: DataFrame, value: Column,
+      lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    import graft.core.Cross
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.select(least(greatest(
+          floor((value.cast("double") - lo) / ((hi - lo) / bins)).cast("long"),
+          lit(0L)), lit(bins - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val grid = ref.sparkSession.range(0, bins).select(col("id").as("bin"))
+    val per = grid
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = per.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("p_ref", Cross.r9((col("n_ref") + 1L).cast("double") /
+        (col("t_ref") + bins).cast("double")))
+      .withColumn("p_cur", Cross.r9((col("n_cur") + 1L).cast("double") /
+        (col("t_cur") + bins).cast("double")))
+      .withColumn("term", Cross.r9((col("p_cur") - col("p_ref")) *
+        log(2.0, col("p_cur") / col("p_ref"))))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("term"))
+    scored.unionByName(
+      scored.agg(Cross.dsum(col("term"), 9).as("term"))
+        .select(lit(-1L).as("bin"), lit(-1L).as("n_ref"), lit(-1L).as("n_cur"),
+          lit(0.0).as("p_ref"), lit(0.0).as("p_cur"), col("term")))
   }
 }

@@ -577,5 +577,48 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186)
+  /** Population Stability Index (Analytics.psi): value-distribution
+    * drift between two event populations (even vs odd event ids — a
+    * deterministic split with mild real drift), 10 fixed-width bins
+    * over [0, 500) with edge clamping and add-one smoothing; per-bin
+    * table plus the bin −1 total. The oracle recomputes the binning,
+    * the smoothed shares, and the micro-rounded (p−q)·log2(p/q) fold. */
+  val q211 = QueryDef(
+    "q211_psi",
+    s"""WITH r AS (
+       |  SELECT LEAST(GREATEST(floor((value - 0.0) / 50.0)::BIGINT, 0), 9) AS bin,
+       |         COUNT(*) AS n_ref
+       |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+       |c AS (
+       |  SELECT LEAST(GREATEST(floor((value - 0.0) / 50.0)::BIGINT, 0), 9) AS bin,
+       |         COUNT(*) AS n_cur
+       |  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+       |g AS (SELECT unnest(range(0, 10)) AS bin),
+       |per AS (
+       |  SELECT g.bin, COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+       |  FROM g LEFT JOIN r ON g.bin = r.bin LEFT JOIN c ON g.bin = c.bin),
+       |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per),
+       |s AS (
+       |  SELECT bin, n_ref, n_cur,
+       |    ${Cross.r9Sql("(n_ref + 1)::DOUBLE / (t_ref + 10)::DOUBLE")} AS p_ref,
+       |    ${Cross.r9Sql("(n_cur + 1)::DOUBLE / (t_cur + 10)::DOUBLE")} AS p_cur
+       |  FROM per CROSS JOIN tot),
+       |terms AS (
+       |  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+       |    ${Cross.r9Sql("(p_cur - p_ref) * log2(p_cur / p_ref)")} AS term
+       |  FROM s)
+       |SELECT * FROM (
+       |  SELECT bin, n_ref, n_cur, p_ref, p_cur, term FROM terms
+       |  UNION ALL
+       |  SELECT -1, -1, -1, 0.0, 0.0, ${Cross.dsumSql("term", 9)} FROM terms)
+       |ORDER BY bin""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    graft.operators.Analytics.psi(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        col("value"), lo = 0.0, hi = 500.0, bins = 10)
+      .orderBy("bin")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211)
 }

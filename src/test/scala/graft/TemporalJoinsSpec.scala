@@ -120,4 +120,25 @@ class TemporalJoinsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == plain && plain.size == 667)
   }
+
+  test("psi: identical distributions score ~0, a shifted one scores high") {
+    import graft.operators.Analytics
+    val ref = (0 until 200).map(i => (i % 10).toDouble).toDF("v")
+    val same = Analytics.psi(ref, ref, col("v"), lo = 0.0, hi = 10.0, bins = 10)
+      .collect()
+    assert(same.length === 11)
+    val total = same.find(_.getLong(0) == -1L).get.getDouble(5)
+    assert(math.abs(total) < 1e-6, s"identical distributions, psi=$total")
+    // all mass moved to the top bins
+    val cur = (0 until 200).map(i => 8.0 + (i % 2)).toDF("v")
+    val drift = Analytics.psi(ref, cur, col("v"), 0.0, 10.0, 10)
+      .collect().find(_.getLong(0) == -1L).get.getDouble(5)
+    assert(drift > 0.25 / math.log(2), s"shifted distribution, psi=$drift")
+    // out-of-range values clamp to the edge bins instead of vanishing
+    val oob = Seq(-5.0, 15.0).toDF("v")
+    val bins = Analytics.psi(oob, oob, col("v"), 0.0, 10.0, 10)
+      .collect().filter(_.getLong(0) >= 0L)
+    assert(bins.filter(r => r.getLong(0) == 0L || r.getLong(0) == 9L)
+      .map(_.getLong(1)).sum === 2L)
+  }
 }
