@@ -134,6 +134,41 @@ object Evaluation {
         Cross.r6(col("n_pos").cast("double") / col("n").cast("double")))
   }
 
+  /** Operating-point selection from the exact threshold sweep: the
+    * single threshold maximizing the chosen criterion — `"f1"` (the
+    * curation default: balance keeping good docs against admitting
+    * junk) or `"youden"` (J = tpr − fpr, the screening default). Ties
+    * break on the LOWEST threshold (keep more data at equal quality) —
+    * a total, engine-portable order. Returns one row
+    * (threshold, tp, fp, fn, tn, objective).
+    *
+    * Scale shape: the sweep is [[prCurve]]'s banded scan; the argmax is
+    * a TakeOrdered over the distinct-score table (never a global sort
+    * of the corpus). The objective compares 6-dp ROUNDED values — the
+    * same operands both engines hold — so the argmax row is
+    * deterministic cross-engine even when two thresholds differ by an
+    * ulp before rounding. */
+  def bestThreshold(scored: DataFrame, score: Column, label: Column,
+      criterion: String = "f1", bands: Int = 1024): DataFrame = {
+    val pr = prCurve(scored, score, label, bands)
+    val obj = criterion match {
+      case "f1" => col("f1")
+      case "youden" => Cross.r6(
+        when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(0.0) -
+        when(col("fp") + col("tn") > 0L,
+          col("fp").cast("double") / (col("fp") + col("tn")).cast("double"))
+          .otherwise(0.0))
+      case other => throw new IllegalArgumentException(
+        s"criterion must be f1 or youden, got $other")
+    }
+    pr.withColumn("objective", obj)
+      .orderBy(col("objective").desc, col("threshold"))
+      .limit(1)
+      .select("threshold", "tp", "fp", "fn", "tn", "objective")
+  }
+
   /** Cohen's kappa between two categorical labelers — chance-corrected
     * agreement, the standard check that a cheap heuristic labeler (a
     * lang-ID rule, a quality screen) actually tracks the reference

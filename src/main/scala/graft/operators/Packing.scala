@@ -73,6 +73,54 @@ object Packing {
       .withColumn("spans_boundary", col("bin_first") =!= col("bin_last"))
   }
 
+  /** Harmonic size-class packing — the NO-STRADDLE alternative to
+    * concat-and-split ([[packOffsets]]): every document lands whole in
+    * exactly one `binSize`-token bin, the contract attention-mask-free
+    * training and retrieval-chunk serving need. True best-fit packing
+    * is a sequential scan (bin state depends on every earlier doc — the
+    * 100 TB non-starter); the HARMONIC scheme is the classic
+    * parallelizable approximation: class k holds docs with
+    * binSize/(k+1) < ntok <= binSize/k, and a bin of class k packs
+    * exactly k docs — fit is guaranteed by construction (k·binSize/k <=
+    * binSize) and every bin except each class's last is > k/(k+1) full,
+    * the textbook harmonic waste bound. No bin state, no sequential
+    * scan: a doc's bin is pure arithmetic on its within-class rank.
+    *
+    * Classes cap at `classes` (docs smaller than binSize/classes pack
+    * `classes` per bin); docs with ntok > binSize are flagged oversize
+    * (class/bin/slot −1) rather than silently truncated; empty docs
+    * join the smallest class. Returns (id, ntok, size_class, bin, slot)
+    * with bins numbered within each class.
+    *
+    * Scale shape: the within-class rank is [[Curation]]'s banded
+    * per-key prefix scan counting rows — one small shuffle, no global
+    * or per-class single-task sort — and everything after is per-row
+    * arithmetic. */
+  def packHarmonic(docs: DataFrame, id: Column, ntok: Column,
+      binSize: Long, classes: Int = 8): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    require(classes >= 1 && classes <= 4096, s"classes out of range: $classes")
+    val d = docs.select(id.as("id"), ntok.cast("long").as("ntok"))
+      .withColumn("size_class",
+        when(col("ntok") > binSize, lit(-1L))
+          .when(col("ntok") <= 0L, lit(classes.toLong))
+          .otherwise(least(lit(classes.toLong), expr(s"${binSize}L div ntok"))))
+    val packable = Curation.selectUnderBudgetPerKey(
+        d.filter(col("size_class") >= 1L),
+        col("size_class"), col("id"), lit(0.0), lit(1L),
+        budgets = Map.empty, defaultBudget = Long.MaxValue, bands = 1)
+      .select(col("key").cast("long").as("size_class"), col("id"),
+        col("cum_before").as("r0"))
+      .join(d.select(col("id"), col("ntok")), "id")
+      .select(col("id"), col("ntok"), col("size_class"),
+        expr("r0 div size_class").as("bin"),
+        pmod(col("r0"), col("size_class")).as("slot"))
+    packable.unionByName(
+      d.filter(col("size_class") === -1L)
+        .select(col("id"), col("ntok"), col("size_class"),
+          lit(-1L).as("bin"), lit(-1L).as("slot")))
+  }
+
   /** [[packOffsets]] with EQUI-DEPTH id buckets: boundaries from one
     * approx_percentile pass over the ids, bucket = #(bounds <= id) —
     * monotone in id, so the offsets are bit-identical to the fixed-width

@@ -1616,6 +1616,67 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Operating-point selection (Evaluation.bestThreshold): the single
+    * threshold maximizing Youden's J over the exact sweep, ties to the
+    * lowest threshold — the screening operating point. The oracle
+    * recomputes the sweep and takes the same (objective DESC,
+    * threshold ASC) argmax over 6-dp-rounded operands. */
+  val q212 = QueryDef(
+    "q212_best_threshold",
+    s"""WITH $scoredSql,
+       |per AS (SELECT score, COUNT(*) AS n, SUM(y) AS npos FROM sc GROUP BY score),
+       |cum AS (SELECT score, n, npos,
+       |          SUM(n) OVER (ORDER BY score DESC) AS pred_pos,
+       |          SUM(npos) OVER (ORDER BY score DESC) AS tp
+       |        FROM per),
+       |tot AS (SELECT COUNT(*) AS t_n, SUM(y) AS t_p FROM sc),
+       |cells AS (
+       |  SELECT score AS threshold, tp, pred_pos - tp AS fp, t_p - tp AS fn,
+       |         t_n - pred_pos - t_p + tp AS tn
+       |  FROM cum, tot),
+       |obj AS (
+       |  SELECT threshold, tp, fp, fn, tn,
+       |    ${Cross.r6Sql(
+             "CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE ELSE 0.0 END - " +
+               "CASE WHEN fp + tn > 0 THEN fp::DOUBLE / (fp + tn)::DOUBLE ELSE 0.0 END")} AS objective
+       |  FROM cells)
+       |SELECT threshold, tp, fp, fn, tn, objective FROM obj
+       |ORDER BY objective DESC, threshold LIMIT 1""".stripMargin) { (spark, dir) =>
+    graft.operators.Evaluation.bestThreshold(scoredDf(spark, dir),
+      col("score"), col("y"), criterion = "youden")
+  }
+
+  /** Harmonic whole-document packing (Packing.packHarmonic): size-class
+    * bins where class k packs exactly k docs — the no-straddle packing
+    * whose bin assignment is pure rank arithmetic, no sequential bin
+    * state. binSize 64 exercises every class AND the oversize flag on
+    * this corpus (ntok spans 10–99). The oracle recomputes class, rank,
+    * bin, and slot with flat per-class windows. */
+  val q213 = QueryDef(
+    "q213_harmonic_pack",
+    s"""WITH t AS (SELECT doc_id AS id, len($toks)::BIGINT AS ntok FROM documents),
+       |c AS (SELECT id, ntok,
+       |        CASE WHEN ntok > 64 THEN -1
+       |             WHEN ntok <= 0 THEN 8
+       |             ELSE LEAST(8, 64 // ntok) END AS size_class
+       |      FROM t),
+       |r AS (SELECT id, ntok, size_class,
+       |        row_number() OVER (PARTITION BY size_class ORDER BY id) - 1 AS r0
+       |      FROM c WHERE size_class >= 1)
+       |SELECT * FROM (
+       |  SELECT id, ntok, size_class, r0 // size_class AS bin,
+       |         r0 % size_class AS slot
+       |  FROM r
+       |  UNION ALL
+       |  SELECT id, ntok, size_class, -1 AS bin, -1 AS slot
+       |  FROM c WHERE size_class = -1)
+       |ORDER BY id""".stripMargin) { (spark, dir) =>
+    graft.operators.Packing.packHarmonic(
+        Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text"))),
+        col("doc_id"), size(col("tk")), binSize = 64L, classes = 8)
+      .orderBy("id")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -1785,5 +1846,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213)
 }

@@ -401,6 +401,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packHarmonic: every bin fits, class-k bins hold k docs, oversize flagged") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 200).map(i => (i.toLong, rnd.nextInt(140).toLong))
+      .toDF("id", "ntok")
+    val got = Packing.packHarmonic(docs, col("id"), col("ntok"),
+        binSize = 100L, classes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length === 200)
+    val (oversize, packed) = got.partition(_._3 == -1L)
+    assert(oversize.forall(_._2 > 100L) && oversize.nonEmpty)
+    assert(packed.forall(_._2 <= 100L))
+    // fit guarantee: token sum of every (class, bin) <= binSize
+    for (((cls, bin), rows) <- packed.groupBy(r => (r._3, r._4))) {
+      assert(rows.map(_._2).sum <= 100L, s"class $cls bin $bin overflows")
+      assert(rows.length <= cls, s"class $cls bin $bin holds ${rows.length} docs")
+      // slots are 0..k-1 without gaps
+      assert(rows.map(_._5).sorted.toSeq === (0L until rows.length.toLong))
+    }
+    // every class-k bin except the last is exactly full (k docs)
+    for ((cls, rows) <- packed.groupBy(_._3)) {
+      val bins = rows.groupBy(_._4)
+      val lastBin = bins.keys.max
+      for ((b, rs) <- bins if b != lastBin)
+        assert(rs.length === cls.toInt, s"class $cls bin $b not full")
+    }
+  }
+
   test("interleaveSchedule realizes proportional smooth round-robin") {
     import graft.operators.Curation
     // domain a weight 2, domain b weight 1, 4 docs each:

@@ -79,6 +79,32 @@ class EvaluationSpec extends SparkSpec {
       Evaluation.rocAuc(df, col("score"), col("y"), bands = 512).collect().head)
   }
 
+  test("bestThreshold picks the brute-force argmax with lowest-threshold ties") {
+    val df = data.toDF("score", "y")
+    for (crit <- Seq("f1", "youden")) {
+      val row = Evaluation.bestThreshold(df, col("score"), col("y"), crit)
+        .collect().head
+      def r6(x: Double) = BigDecimal(x + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val brute = data.map(_._1).distinct.map { t =>
+        val tp = data.count { case (s, y) => s >= t && y == 1L }.toDouble
+        val fp = data.count { case (s, y) => s >= t && y == 0L }.toDouble
+        val fn = data.count { case (s, y) => s < t && y == 1L }.toDouble
+        val tn = data.count { case (s, y) => s < t && y == 0L }.toDouble
+        val obj =
+          if (crit == "f1") r6(2 * tp / (tp + fp + tp + fn))
+          else r6(tp / (tp + fn) - fp / (fp + tn))
+        (t, obj)
+      }
+      val best = brute.minBy { case (t, o) => (-o, t) }
+      assert(row.getDouble(0) === best._1, s"criterion $crit")
+      assert(row.getDouble(5) === best._2, s"criterion $crit")
+    }
+    intercept[IllegalArgumentException] {
+      Evaluation.bestThreshold(df, col("score"), col("y"), "accuracy")
+    }
+  }
+
   test("cohenKappa matches the textbook formula on a multiclass matrix") {
     val rows = Seq.fill(25)(("a", "a")) ++ Seq.fill(10)(("a", "b")) ++
       Seq.fill(15)(("b", "a")) ++ Seq.fill(50)(("b", "b"))
