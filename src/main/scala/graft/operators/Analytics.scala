@@ -83,20 +83,37 @@ object Analytics {
     * and the total accumulates in exact decimal ([[graft.core.Cross]]
     * contract; log2 not ln — the engines share log2 via the gate-proven
     * r6/r9 pattern, and the rubric thresholds just rescale by ln 2). */
+  /** The clamped fixed-width bin key [[psi]] and its streaming fold
+    * share — one expression, so batch and stream counts agree by
+    * construction. */
+  def psiBin(value: Column, lo: Double, hi: Double, bins: Int): Column =
+    least(greatest(
+      floor((value.cast("double") - lo) / ((hi - lo) / bins)).cast("long"),
+      lit(0L)), lit(bins - 1L))
+
   def psi(ref: DataFrame, cur: DataFrame, value: Column,
       lo: Double, hi: Double, bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"bins must be >= 2, got $bins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
-    import graft.core.Cross
     def binned(df: DataFrame, out: String): DataFrame =
-      df.select(least(greatest(
-          floor((value.cast("double") - lo) / ((hi - lo) / bins)).cast("long"),
-          lit(0L)), lit(bins - 1L)).as("bin"))
+      df.select(psiBin(value, lo, hi, bins).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(out))
-    val grid = ref.sparkSession.range(0, bins).select(col("id").as("bin"))
+    psiFromCounts(binned(ref, "n_ref"), binned(cur, "n_cur"), bins)
+  }
+
+  /** PSI arithmetic over pre-folded per-bin counts — the entry the
+    * STREAMING monitor uses: the stream maintains (bin, n) counts
+    * incrementally (one tiny state row per bin) and this turns the
+    * final fold into the identical per-bin table + total the batch
+    * path emits. `refCounts`/`curCounts` are (bin, n_ref)/(bin, n_cur)
+    * relations; missing bins count zero. */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import graft.core.Cross
+    val grid = refCounts.sparkSession.range(0, bins).select(col("id").as("bin"))
     val per = grid
-      .join(binned(ref, "n_ref"), Seq("bin"), "left")
-      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .join(refCounts, Seq("bin"), "left")
+      .join(curCounts, Seq("bin"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
     val tot = per.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
     val scored = per.crossJoin(broadcast(tot))

@@ -620,5 +620,52 @@ object EventQueries {
       .orderBy("bin")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211)
+  /** Streaming PSI (EventStreams.psiSideCounts + Analytics.psiFromCounts):
+    * the per-(side, bin) counts fold incrementally over the REPLAYED
+    * event stream — state is one count per (side, bin) — and the PSI
+    * arithmetic runs on the completed fold. Same oracle as the batch
+    * q211: hash-equality proves stream fold ≡ batch fold and the shared
+    * arithmetic downstream. */
+  val q214 = QueryDef(
+    "q214_stream_psi",
+    s"""WITH r AS (
+       |  SELECT LEAST(GREATEST(floor((value - 0.0) / 50.0)::BIGINT, 0), 9) AS bin,
+       |         COUNT(*) AS n_ref
+       |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+       |c AS (
+       |  SELECT LEAST(GREATEST(floor((value - 0.0) / 50.0)::BIGINT, 0), 9) AS bin,
+       |         COUNT(*) AS n_cur
+       |  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+       |g AS (SELECT unnest(range(0, 10)) AS bin),
+       |per AS (
+       |  SELECT g.bin, COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+       |  FROM g LEFT JOIN r ON g.bin = r.bin LEFT JOIN c ON g.bin = c.bin),
+       |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per),
+       |s AS (
+       |  SELECT bin, n_ref, n_cur,
+       |    ${Cross.r9Sql("(n_ref + 1)::DOUBLE / (t_ref + 10)::DOUBLE")} AS p_ref,
+       |    ${Cross.r9Sql("(n_cur + 1)::DOUBLE / (t_cur + 10)::DOUBLE")} AS p_cur
+       |  FROM per CROSS JOIN tot),
+       |terms AS (
+       |  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+       |    ${Cross.r9Sql("(p_cur - p_ref) * log2(p_cur / p_ref)")} AS term
+       |  FROM s)
+       |SELECT * FROM (
+       |  SELECT bin, n_ref, n_cur, p_ref, p_cur, term FROM terms
+       |  UNION ALL
+       |  SELECT -1, -1, -1, 0.0, 0.0, ${Cross.dsumSql("term", 9)} FROM terms)
+       |ORDER BY bin""".stripMargin) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val counts = EventStreams.psiSideCounts(
+      EventStreams.readEvents(spark, dir),
+      pmod(col("event_id"), lit(2)), col("value"), lo = 0.0, hi = 500.0, bins = 10)
+    val folded = EventStreams.runToCompletion(spark, counts, "q214_counts")
+    graft.operators.Analytics.psiFromCounts(
+        folded.filter(col("side") === 0L).select(col("bin"), col("n").as("n_ref")),
+        folded.filter(col("side") === 1L).select(col("bin"), col("n").as("n_cur")),
+        bins = 10)
+      .orderBy("bin")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214)
 }

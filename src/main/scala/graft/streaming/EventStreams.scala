@@ -243,4 +243,22 @@ object EventStreams {
       .withWatermark("etime", "40 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("sec"))
+
+  /** Streaming drift-monitor fold: per-(population, bin) counts
+    * maintained INCREMENTALLY over the replayed stream — the always-on
+    * half of the PSI drift alarm. State is one count per (side, bin):
+    * bins × populations rows total, regardless of stream length — the
+    * cheapest stateful aggregation Structured Streaming can run. The
+    * bin key is [[graft.operators.Analytics.psiBin]] itself, so the
+    * stream fold and the batch fold agree by construction; feed the
+    * completed counts to `Analytics.psiFromCounts` for the identical
+    * per-bin table + total the batch path emits. */
+  def psiSideCounts(events: DataFrame, side: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, bins: Int): DataFrame =
+    events
+      .select(side.cast("long").as("side"),
+        graft.operators.Analytics.psiBin(value, lo, hi, bins).as("bin"))
+      .groupBy("side", "bin")
+      .agg(count(lit(1)).as("n"))
 }
