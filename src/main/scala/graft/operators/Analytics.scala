@@ -65,6 +65,37 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: counts and row-normalized probabilities of
+    * (prev_type → type) steps in event-time order — the behavioral
+    * fingerprint behind next-event models (q172's examples) and the
+    * session-anomaly baseline. Ordering ties break on `tieBreak`
+    * (an id column), making the sequence — and therefore the matrix —
+    * total-ordered and engine-portable. Returns
+    * (prev_type, event_type, n, p) with p = n / Σ_row n.
+    *
+    * Scale shape: ONE window `lag` partitioned by user (bounded by a
+    * user's own history, parallel across users), then an algebraic
+    * pair count (map-side combinable) and a broadcast-sized row-total
+    * join — no per-user collect, no self-join. */
+  def transitionMatrix(events: DataFrame, user: Column, eventType: Column,
+      time: Column, tieBreak: Column): DataFrame = {
+    import graft.core.Cross
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("t"), col("tb"))
+    val steps = events
+      .select(user.as("u"), eventType.as("event_type"),
+        time.as("t"), tieBreak.as("tb"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = steps.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = counts.groupBy("prev_type").agg(sum("n").as("rt"))
+    counts.join(broadcast(rowTot), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        Cross.r6(col("n").cast("double") / col("rt").cast("double")).as("p"))
+  }
+
   /** Population Stability Index between a reference and a current value
     * distribution — the drift alarm a production scorer/feature needs:
     * PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken (the standard

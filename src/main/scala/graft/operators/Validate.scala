@@ -64,4 +64,24 @@ object Validate {
       .toDF("check", "n_violations", "n_rows")
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the release
+    * check that a published dataset doesn't isolate individuals: every
+    * combination of quasi-identifiers must describe at least `k` rows.
+    * Returns one row per equivalence class (the quasi-id values, its
+    * size, at_risk = n < k) — the classes to suppress or generalize
+    * before release, not just a pass/fail bit.
+    *
+    * Scale shape: ONE algebraic groupBy on the quasi-id tuple — the
+    * same cost class as exact dedup; nothing else shuffles. (The class
+    * table is one row per distinct combination; a high-cardinality
+    * quasi-id set that approaches row count is exactly the failing
+    * audit this exists to catch.) */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
 }

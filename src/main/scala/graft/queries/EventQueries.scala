@@ -667,5 +667,34 @@ object EventQueries {
       .orderBy("bin")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214)
+  /** First-order Markov transition matrix (Analytics.transitionMatrix):
+    * per-user event-time step counts with row-normalized probabilities,
+    * ties on (sec, event_id) so the sequence is total-ordered. The
+    * oracle recomputes the lag pairs and row totals flat. */
+  val q215 = QueryDef(
+    "q215_transition_matrix",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec, event_id
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+       |      AS prev_type
+       |  FROM e),
+       |c AS (
+       |  SELECT prev_type, event_type, COUNT(*) AS n
+       |  FROM s WHERE prev_type IS NOT NULL
+       |  GROUP BY prev_type, event_type),
+       |rt AS (SELECT prev_type, SUM(n) AS rt FROM c GROUP BY prev_type)
+       |SELECT c.prev_type, c.event_type, c.n,
+       |  ${Cross.r6Sql("c.n::DOUBLE / rt.rt::DOUBLE")} AS p
+       |FROM c JOIN rt USING (prev_type)
+       |ORDER BY prev_type, event_type""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    graft.operators.Analytics.transitionMatrix(ev,
+        col("user_id"), col("event_type"), col("sec"), col("event_id"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215)
 }

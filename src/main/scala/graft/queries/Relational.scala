@@ -866,8 +866,23 @@ object Relational {
       .orderBy("source", "status")
   }
 
+  /** k-anonymity audit (Validate.kAnonymity): equivalence classes over
+    * the (c_nationkey, c_mktsegment) quasi-identifier pair with class
+    * sizes and at-risk flags at k = 10 — the release-governance check.
+    * One algebraic groupBy; the oracle recomputes it flat. */
+  val q216 = QueryDef(
+    "q216_k_anonymity",
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n, (COUNT(*) < 10) AS at_risk
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (spark, dir) =>
+    graft.operators.Validate.kAnonymity(Tables.customer(spark, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
     q111, q117, q118, q121, q125, q129, q131, q132, q134, q171, q178, q179,
-    q180, q210)
+    q180, q210, q216)
 }

@@ -121,6 +121,35 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == plain && plain.size == 667)
   }
 
+  test("transitionMatrix counts time-ordered steps with row-normalized p") {
+    import graft.operators.Analytics
+    // user 1: a->b->a ; user 2: a->b ; ties broken by id
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (2L, "a", 10L, 4L), (2L, "b", 10L, 5L) // same sec -> id order
+    ).toDF("u", "t", "sec", "id")
+    val got = Analytics.transitionMatrix(ev, col("u"), col("t"),
+        col("sec"), col("id"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("kAnonymity flags classes smaller than k") {
+    import graft.operators.Validate
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq.fill(1)(("FR", "A"))).toDF("country", "seg")
+    val got = Validate.kAnonymity(df, Seq("country", "seg"), k = 3L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      ("US", "A") -> ((5L, false)),
+      ("US", "B") -> ((2L, true)),
+      ("FR", "A") -> ((1L, true))))
+  }
+
   test("psi: identical distributions score ~0, a shifted one scores high") {
     import graft.operators.Analytics
     val ref = (0 until 200).map(i => (i % 10).toDouble).toDF("v")
