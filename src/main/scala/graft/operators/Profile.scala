@@ -192,6 +192,44 @@ object Profile {
           .otherwise(0.0).as("novelty"))
   }
 
+  /** Zipf rank-frequency slope over the top-`topN` terms — the one-
+    * number lexical-health diagnostic: natural language sits near
+    * slope −1 on the log-log rank-frequency line; template/boilerplate
+    * corpora flatten it, spam and key-mash steepen it, and a sudden
+    * slope shift between snapshots means the token distribution moved
+    * (the vocabulary-level cousin of the PSI alarm). Least-squares fit
+    * of log2(freq) on log2(rank); ranks break count-ties by term, so
+    * the fit is total-ordered and engine-portable. Returns one row
+    * (n_terms, slope, intercept).
+    *
+    * Scale shape: one algebraic term count (the q20 aggregation), a
+    * TakeOrdered top-`topN` (never a global sort), and the regression
+    * over `topN` rows — the window rank orders a driver-bounded table.
+    * Moments are micro-rounded log terms in exact decimal sums (the
+    * dcorr construction), so the slope is bit-reproducible. */
+  def zipfSlope(docs: DataFrame, toks: Column, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val top = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(Cross.r6(log(2.0, col("rank").cast("double"))).as("x"),
+        Cross.r6(log(2.0, col("n").cast("double"))).as("y"))
+    xy.agg(count(lit(1)).as("m"),
+        Cross.dsum(col("x")).as("sx"), Cross.dsum(col("y")).as("sy"),
+        Cross.dxsum(col("x"), col("y")).as("sxy"),
+        Cross.dxsum(col("x"), col("x")).as("sxx"))
+      .select(col("m").as("n_terms"),
+        Cross.r6((col("m").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          (col("m").cast("double") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        Cross.r6((col("sy") - (col("m").cast("double") * col("sxy") -
+            col("sx") * col("sy")) /
+          (col("m").cast("double") * col("sxx") - col("sx") * col("sx")) *
+            col("sx")) / col("m").cast("double")).as("intercept"))
+  }
+
   /** Pairwise KL divergence between per-domain unigram token
     * distributions — the mixture-design diagnostic: which sources are
     * near-duplicates of each other distributionally (low KL, merge

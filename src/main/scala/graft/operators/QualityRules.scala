@@ -78,4 +78,34 @@ object QualityRules {
         col("ok_len") && col("ok_mean_len") && col("ok_stop") &&
           col("ok_rep") && col("ok_digit"))
   }
+
+  /** The typed PII inventory patterns ([[piiReport]]) — the same
+    * RE2-compatible subset as TextFns.scrubPii, so the REPORT counts
+    * exactly what the SCRUB would redact. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url" -> "https?://[^ ]+",
+    "long_number" -> "[0-9]{7,}")
+
+  /** Typed PII inventory: one row per (doc, pii_type) with the match
+    * count — the audit artifact behind the redaction pass: the scrub
+    * (TextFns.scrubPii, q39) destroys the evidence, this REPORTS it,
+    * which is what a release review and a per-source PII-rate dashboard
+    * need. Only non-zero rows emit (sparse — most docs are clean).
+    *
+    * Scale shape: |patterns| regexp_count calls inside ONE per-row
+    * projection (codegen, zero shuffle), an inline explode of the tiny
+    * per-row struct array, one filter. Nothing aggregates; feeding a
+    * per-source rate is one groupBy away. */
+  def piiReport(docs: DataFrame, id: Column, text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val entries = patterns.map { case (name, re) =>
+      struct(lit(name).as("pii_type"),
+        regexp_count(text, lit(re)).cast("long").as("n"))
+    }
+    docs.select(id.as("id"), explode(array(entries: _*)).as("e"))
+      .select(col("id"), col("e.pii_type").as("pii_type"), col("e.n").as("n"))
+      .filter(col("n") > 0L)
+  }
 }

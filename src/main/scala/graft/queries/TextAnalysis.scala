@@ -1677,6 +1677,67 @@ object TextAnalysis {
       .orderBy("id")
   }
 
+  /** Typed PII inventory (QualityRules.piiReport): per-(doc, type)
+    * match counts over the same injected PII q39 scrubs — the report
+    * side of the redaction pass. Only even-id docs get the injection,
+    * so the sparse-output contract (clean docs emit nothing) is
+    * exercised on every other row. */
+  val q217 = QueryDef(
+    "q217_pii_report",
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      text || ' reach me at user' || doc_id || '@mail.example.com or https://ex.com/'
+       |           || doc_id || ' phone 555' || lpad(doc_id::VARCHAR, 7, '0')
+       |    ELSE text END AS t
+       |  FROM documents),
+       |counts AS (
+       |  SELECT doc_id, 'email' AS pii_type,
+       |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n
+       |  FROM injected
+       |  UNION ALL
+       |  SELECT doc_id, 'url', len(regexp_extract_all(t, 'https?://[^ ]+'))::BIGINT FROM injected
+       |  UNION ALL
+       |  SELECT doc_id, 'long_number', len(regexp_extract_all(t, '[0-9]{7,}'))::BIGINT FROM injected)
+       |SELECT doc_id AS id, pii_type, n FROM counts WHERE n > 0
+       |ORDER BY id, pii_type""".stripMargin) { (spark, dir) =>
+    val injected = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" reach me at user"), col("doc_id"),
+            lit("@mail.example.com or https://ex.com/"), col("doc_id"),
+            lit(" phone 555"), lpad(col("doc_id").cast("string"), 7, "0")))
+          .otherwise(col("text")).as("t"))
+    graft.operators.QualityRules.piiReport(injected, col("doc_id"), col("t"))
+      .orderBy("id", "pii_type")
+  }
+
+  /** Zipf rank-frequency slope (Profile.zipfSlope): least-squares fit
+    * of log2 freq on log2 rank over the top-25 terms — the one-number
+    * lexical-health diagnostic. The oracle recomputes rank, the
+    * micro-rounded log terms, and the same moment arithmetic. */
+  val q218 = QueryDef(
+    "q218_zipf_slope",
+    s"""WITH c AS (
+       |  SELECT term, COUNT(*) AS n
+       |  FROM (SELECT unnest($toks) AS term FROM documents)
+       |  GROUP BY term ORDER BY n DESC, term LIMIT 25),
+       |xy AS (
+       |  SELECT ${Cross.r6Sql("log2((row_number() OVER (ORDER BY n DESC, term))::DOUBLE)")} AS x,
+       |         ${Cross.r6Sql("log2(n::DOUBLE)")} AS y
+       |  FROM c),
+       |m AS (
+       |  SELECT COUNT(*) AS m, ${Cross.dsumSql("x")} AS sx, ${Cross.dsumSql("y")} AS sy,
+       |         ${Cross.dxsumSql("x", "y")} AS sxy, ${Cross.dxsumSql("x", "x")} AS sxx
+       |  FROM xy)
+       |SELECT m AS n_terms,
+       |  ${Cross.r6Sql("(m::DOUBLE * sxy - sx * sy) / (m::DOUBLE * sxx - sx * sx)")} AS slope,
+       |  ${Cross.r6Sql("(sy - (m::DOUBLE * sxy - sx * sy) / (m::DOUBLE * sxx - sx * sx) * sx) / m::DOUBLE")} AS intercept
+       |FROM m""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.zipfSlope(Tables.documents(spark, dir),
+      TextFns.tokens(col("text")), topN = 25)
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -1846,5 +1907,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218)
 }

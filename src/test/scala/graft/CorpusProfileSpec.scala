@@ -77,6 +77,32 @@ class CorpusProfileSpec extends SparkSpec {
     assert(got(4L) === ((0L, 0L, 0.0)))
   }
 
+  test("piiReport counts typed matches sparsely") {
+    import graft.operators.QualityRules
+    val docs = Seq(
+      (1L, "contact a@b.com and c@d.org or visit https://x.y now 12345678"),
+      (2L, "totally clean prose with no identifiers at all"),
+      (3L, "short num 123456 is NOT long enough")
+    ).toDF("doc_id", "text")
+    val got = QualityRules.piiReport(docs, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      (1L, "email") -> 2L, (1L, "url") -> 1L, (1L, "long_number") -> 1L))
+  }
+
+  test("zipfSlope recovers the slope of an exact power law") {
+    import graft.operators.Profile
+    // term k repeated floor(1024 / k) times: log2 freq ~ -1 * log2 rank
+    val rows = (1 to 16).flatMap { k =>
+      Seq.fill(1024 / k)((1L, Seq(f"t$k%02d")))
+    }
+    val df = rows.toDF("doc_id", "tk")
+    val r = Profile.zipfSlope(df, col("tk"), topN = 16).collect().head
+    assert(r.getLong(0) === 16L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.01, s"slope=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 10.0) < 0.05, s"intercept=${r.getDouble(2)}")
+  }
+
   test("domainKl: zero against itself-alike, asymmetric, positive") {
     val docs = Seq(
       (1L, "alpha beta gamma", "d1"),
