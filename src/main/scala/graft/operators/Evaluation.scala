@@ -169,6 +169,54 @@ object Evaluation {
       .select("threshold", "tp", "fp", "fn", "tn", "objective")
   }
 
+  /** Poisson(1) inverse-CDF thresholds for the deterministic bootstrap:
+    * replicate count = #{t : u > t} for a uniform u — 0 w.p. e⁻¹, 1
+    * w.p. e⁻¹, …, capped at 8 (P > 8 ≈ 1e-6). Literal doubles, so both
+    * engines compare identical operands. */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Deterministic Poisson bootstrap of a mean — error bars for any
+    * corpus statistic WITHOUT a second pass per replicate or a drop of
+    * real randomness: replicate b resamples each row with multiplicity
+    * Poisson(1), realized as a pure hash of (id, b) against the
+    * inverse-CDF thresholds (the standard streaming-bootstrap trick —
+    * at corpus scale a true multinomial resample is a global shuffle;
+    * Poisson counts are per-row arithmetic). Returns one row per
+    * replicate: (replicate, n_eff, mean) — feed the B means to a
+    * percentile for the CI; B rows are driver-trivial.
+    *
+    * Scale shape: ALL replicates fold in ONE aggregate pass — 2·B
+    * aggregate columns (weighted decimal sum + weight count per
+    * replicate, the MinHash K-column construction), map-side
+    * combinable, zero row expansion. Determinism: the value is 6-dp
+    * micro-rounded, weights are integers, products are exact decimal
+    * ([[Cross.dxsum]]), and the hash is the shared md5 kernel — every
+    * replicate mean is bit-reproducible across engines and
+    * partitionings. */
+  def bootstrapMean(df: DataFrame, id: Column, value: Column,
+      replicates: Int = 32): DataFrame = {
+    require(replicates >= 1 && replicates <= 256,
+      s"replicates out of range: $replicates")
+    val x = Cross.r6(guardedScore(value))
+    def cnt(b: Int): Column = {
+      val u = Cross.hash64(concat(id.cast("string"), lit(s"#b$b")))
+        .cast("double") / lit(1152921504606846976.0)
+      PoissonCdf.map(t => (u > t).cast("long")).reduce(_ + _)
+    }
+    val aggs = (0 until replicates).flatMap { b =>
+      Seq(Cross.dxsum(cnt(b), x).as(s"sx$b"), sum(cnt(b)).as(s"sc$b"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((0 until replicates).map(b =>
+        struct(lit(b.toLong).as("replicate"), col(s"sc$b").as("n_eff"),
+          Cross.r6(when(col(s"sc$b") > 0L, col(s"sx$b") / col(s"sc$b").cast("double"))
+            .otherwise(0.0)).as("mean"))): _*)).as("r"))
+      .select(col("r.replicate"), col("r.n_eff"), col("r.mean"))
+  }
+
   /** Cohen's kappa between two categorical labelers — chance-corrected
     * agreement, the standard check that a cheap heuristic labeler (a
     * lang-ID rule, a quality screen) actually tracks the reference

@@ -192,6 +192,42 @@ object Profile {
           .otherwise(0.0).as("novelty"))
   }
 
+  /** Top-p vocabulary coverage — the tokenizer-design query: the
+    * SMALLEST vocabulary (by greedy frequency order) whose token mass
+    * covers `massFrac` of the corpus; everything outside it is the
+    * long tail a byte-fallback or <unk> policy must absorb. A term is
+    * selected iff the whole-term mass fits: the same greedy prefix
+    * contract as [[Curation.selectUnderBudget]], which runs the scan —
+    * (count DESC, term) order, token masses as the budgeted weight,
+    * budget = floor(massFrac · total). Returns one row per DISTINCT
+    * term: (term, n, cum_before, selected).
+    *
+    * Scale shape: one algebraic term count, then the banded two-level
+    * prefix scan — banding by floor(log2(n)) (monotone in the count,
+    * integer-exact, naturally balanced for Zipfian counts: each band
+    * holds a frequency octave) — no global single-task sort over the
+    * vocabulary. The total mass is one driver scalar (loop-control
+    * class). */
+  def vocabCoverage(docs: DataFrame, toks: Column,
+      massFrac: Double, bands: Int = 64): DataFrame = {
+    require(massFrac >= 0.0 && massFrac <= 1.0,
+      s"massFrac must be in [0, 1], got $massFrac")
+    val counts = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    Caching.releasing(counts) {
+      val total = counts.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      val budget = math.floor(massFrac * total).toLong
+      Curation.selectUnderBudget(counts, col("term"), col("n").cast("double"),
+          col("n"), budget, bands,
+          // octave banding: monotone in the count, never touches the
+          // [0,1] fixed-width assumption the default key carries
+          bandBy = Some(least(floor(log(2.0, col("quality"))).cast("long"),
+            lit(bands - 1L))))
+        .select(col("id").as("term"), col("ntok").as("n"),
+          col("cum_before"), col("selected"))
+    }
+  }
+
   /** Zipf rank-frequency slope over the top-`topN` terms — the one-
     * number lexical-health diagnostic: natural language sits near
     * slope −1 on the log-log rank-frequency line; template/boilerplate

@@ -1738,6 +1738,71 @@ object TextAnalysis {
       TextFns.tokens(col("text")), topN = 25)
   }
 
+  /** Top-p vocabulary coverage (Profile.vocabCoverage): smallest
+    * greedy-by-frequency vocabulary covering 80% of token mass, run as
+    * the banded prefix scan with octave (log2-count) bands. The oracle
+    * is the flat join-based prefix sum over (n DESC, term) — the
+    * q135-style banding-blind check. */
+  val q219 = QueryDef(
+    "q219_vocab_coverage",
+    s"""WITH c AS (
+       |  SELECT term, COUNT(*) AS n
+       |  FROM (SELECT unnest($toks) AS term FROM documents) GROUP BY term),
+       |tot AS (SELECT SUM(n) AS t FROM c),
+       |cum AS (
+       |  SELECT a.term, a.n, COALESCE(SUM(b.n), 0) AS cum_before
+       |  FROM c a LEFT JOIN c b ON b.n > a.n OR (b.n = a.n AND b.term < a.term)
+       |  GROUP BY a.term, a.n)
+       |SELECT term, n, cum_before,
+       |  (cum_before + n <= floor(0.8 * t)::BIGINT) AS selected
+       |FROM cum CROSS JOIN tot
+       |ORDER BY term""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.vocabCoverage(Tables.documents(spark, dir),
+        TextFns.tokens(col("text")), massFrac = 0.8)
+      .orderBy("term")
+  }
+
+  /** Deterministic Poisson bootstrap (Evaluation.bootstrapMean) of the
+    * stop-ratio quality mean: 16 replicates, each row's multiplicity a
+    * pure hash of (doc_id, replicate) against the Poisson(1) inverse
+    * CDF, all replicates folded in ONE aggregate pass. The oracle
+    * recomputes every replicate arm with the identical hash, threshold
+    * literals, and decimal weighted sums. */
+  val q220 = {
+    val b = 16
+    val arms = (0 until b).map { i =>
+      val u = s"(${Cross.hash64Sql(s"doc_id::VARCHAR || '#b$i'")}::DOUBLE / 1152921504606846976.0)"
+      val cb = graft.operators.Evaluation.PoissonCdf
+        .map(t => s"($u > $t)::BIGINT").mkString("(", " + ", ")")
+      s"""SELECT $i AS replicate, SUM(cb) AS n_eff,
+         |  ${Cross.r6Sql(
+              s"CASE WHEN SUM(cb) > 0 THEN ${Cross.dxsumSql("cb", "x")} / SUM(cb)::DOUBLE ELSE 0.0 END")} AS mean
+         |FROM (SELECT doc_id, x, $cb AS cb FROM q)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q220_bootstrap_mean",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql(
+                s"${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE")}
+         |         ELSE 0.0 END AS x
+         |  FROM t)
+         |SELECT * FROM (
+         |$arms)
+         |ORDER BY replicate""".stripMargin) { (spark, dir) =>
+      val d = Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          when(size(col("tk")) > 0,
+            TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+              size(col("tk")).cast("double"))
+            .otherwise(0.0).as("x"))
+      graft.operators.Evaluation.bootstrapMean(d, col("doc_id"), col("x"),
+          replicates = b)
+        .orderBy("replicate")
+    }
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -1907,5 +1972,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220)
 }

@@ -90,6 +90,21 @@ class CorpusProfileSpec extends SparkSpec {
       (1L, "email") -> 2L, (1L, "url") -> 1L, (1L, "long_number") -> 1L))
   }
 
+  test("vocabCoverage selects the greedy frequency prefix under the mass budget") {
+    import graft.operators.Profile
+    // counts: a=6, b=3, c=2, d=1 (total 12); 80% budget = 9 -> {a, b}
+    // (a+b = 9 fits exactly; adding c would need 11 > 9)
+    val docs = Seq(
+      (1L, Seq("a", "a", "a", "b", "b", "c")),
+      (2L, Seq("a", "a", "a", "b", "c", "d"))).toDF("doc_id", "tk")
+    val got = Profile.vocabCoverage(docs, col("tk"), massFrac = 0.8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === Map(
+      "a" -> ((6L, 0L, true)), "b" -> ((3L, 6L, true)),
+      "c" -> ((2L, 9L, false)), "d" -> ((1L, 11L, false))))
+  }
+
   test("zipfSlope recovers the slope of an exact power law") {
     import graft.operators.Profile
     // term k repeated floor(1024 / k) times: log2 freq ~ -1 * log2 rank

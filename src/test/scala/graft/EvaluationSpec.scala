@@ -79,6 +79,24 @@ class EvaluationSpec extends SparkSpec {
       Evaluation.rocAuc(df, col("score"), col("y"), bands = 512).collect().head)
   }
 
+  test("bootstrapMean: replicate means bracket the truth, independent of partitioning") {
+    val df = (0 until 500).map(i => (i.toLong, (i % 100).toDouble / 100.0))
+      .toDF("id", "x")
+    val reps = Evaluation.bootstrapMean(df, col("id"), col("x"), replicates = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(reps.length === 16)
+    // Poisson(1) multiplicities: effective n near 500, means near 0.495
+    assert(reps.forall { case (_, n, _) => n > 380 && n < 620 })
+    val means = reps.map(_._3)
+    assert(means.forall(m => m > 0.44 && m < 0.56))
+    assert(means.distinct.length > 1, "replicates must differ")
+    // partitioning independence: identical table, different layout
+    val reps2 = Evaluation.bootstrapMean(df.repartition(7, col("x")),
+        col("id"), col("x"), replicates = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(reps.sortBy(_._1).toSeq === reps2.sortBy(_._1).toSeq)
+  }
+
   test("bestThreshold picks the brute-force argmax with lowest-threshold ties") {
     val df = data.toDF("score", "y")
     for (crit <- Seq("f1", "youden")) {
