@@ -653,6 +653,33 @@ object Dedup {
     out
   }
 
+  /** Incremental connected components — the clustering dual of
+    * [[incrementalNearDups]]: fold a delta batch's new near-dup edges
+    * into an EXISTING component labeling without re-traversing the old
+    * graph. Each old component collapses to a STAR (every member
+    * virtually linked to its label node), which is a reachability-
+    * preserving summary of all old edges with diameter 2 — so min-label
+    * propagation over (stars ∪ new edges) converges to exactly the
+    * components of (old graph ∪ new edges), in rounds bounded by the
+    * NEW structure's diameter, not the corpus's. `labels` is the prior
+    * (id, cluster) table EXTENDED with (id, id) rows for newly-arrived
+    * docs; `newEdges(a, b)` are the delta's verified pairs. Returns the
+    * updated (id, cluster) labeling — same contract as
+    * [[connectedComponents]], gate-proven equal to the full recompute.
+    *
+    * Scale shape: the star edge set is one row per OLD doc — linear,
+    * already materialized as the label table a dedup pipeline persists
+    * anyway; per-round cost is |stars ∪ new edges| shuffled on the
+    * adjacency key, and the old components' internal pair structure
+    * (potentially quadratic) is never rebuilt. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val stars = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("a"), col("cluster").as("b"))
+    connectedComponents(labels.select("id"),
+      stars.unionByName(newEdges.select(col("a"), col("b"))), maxIter)
+  }
+
   /** Cross-document UNIT dedup — the paragraph/line-level boilerplate
     * scrub (C4's "discard duplicate paragraphs" / RefinedWeb line-dedup
     * policy, at corpus scope). The caller supplies the unit split as an

@@ -792,5 +792,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205)
+  /** Incremental connected components (Dedup.incrementalComponents):
+    * old 5-chains (doc_id steps of 1 within each bucket of 5) collapse
+    * to their label stars, then delta edges (every 25th doc links to
+    * doc+5) merge chains — the updated labeling must equal the full
+    * recompute over (old ∪ delta) edges, which the recursive-CTE
+    * oracle computes from scratch. Edges are arithmetic fixtures so
+    * the gate isolates the INCREMENTAL CONVERGENCE property from the
+    * LSH machinery (q32/q38/q203 gate that). */
+  val q221 = QueryDef(
+    "q221_incremental_components",
+    """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+      |old_e AS (
+      |  SELECT id AS a, id + 1 AS b FROM ids
+      |  WHERE id % 5 <> 4 AND id + 1 IN (SELECT id FROM ids)),
+      |new_e AS (
+      |  SELECT id AS a, id + 5 AS b FROM ids
+      |  WHERE id % 25 = 0 AND id + 5 IN (SELECT id FROM ids)),
+      |edges0 AS (SELECT a, b FROM old_e UNION SELECT a, b FROM new_e),
+      |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM ids
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT src AS id, MIN(dst) AS cluster
+      |FROM reach GROUP BY src
+      |ORDER BY id""".stripMargin) { (spark, dir) =>
+    val ids = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"))
+    val oldE = ids.filter(col("id") % 5 =!= 4)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+    val newE = ids.filter(col("id") % 25 === 0)
+      .select(col("id").as("a"), (col("id") + 5).as("b"))
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+    val oldLabels = Dedup.connectedComponents(ids, oldE)
+    Dedup.incrementalComponents(oldLabels, newE)
+      .orderBy("id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221)
 }

@@ -298,6 +298,22 @@ class DedupSpec extends SparkSpec {
     assert(e.toSet == Set((5L, 1L, 0L, ""), (6L, 1L, 0L, "")))
   }
 
+  test("incrementalComponents equals full CC after star collapse") {
+    val nodes = (0L until 20L).toDF("id")
+    // old: two chains 0-1-2-3 and 10-11-12; rest singletons
+    val oldE = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(nodes, oldE)
+    // delta merges the two chains through a singleton, plus a fresh pair
+    val newE = Seq((3L, 7L), (7L, 10L), (18L, 19L)).toDF("a", "b")
+    val inc = Dedup.incrementalComponents(labels, newE)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(nodes, oldE.unionByName(newE))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc(12L) === 0L && inc(7L) === 0L && inc(19L) === 18L)
+  }
+
   test("incrementalNearDups equals the full recompute restricted to delta pairs") {
     val base = Seq(
       "the quick brown fox jumps over the lazy dog near the river bank today",
