@@ -339,4 +339,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(band"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("PII report is a pure projection — no Exchange, no aggregation") {
+    val docs = Tables.documents(spark, sf())
+    val p = planOf(graft.operators.QualityRules.piiReport(
+      docs, col("doc_id"), col("text")))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+  }
+
+  test("bootstrapMean folds every replicate in ONE aggregate pass") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), length(col("text")).cast("double").as("x"))
+    val p = planOf(graft.operators.Evaluation.bootstrapMean(
+      docs, col("doc_id"), col("x"), replicates = 8))
+    // one partial + one final aggregate, single-row result: exactly one
+    // shuffle (the SinglePartition exchange), zero row-expanding joins —
+    // and the replicate explode sits ABOVE the aggregate (it fans out the
+    // ONE result row, never the corpus)
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p)
+    assert(p.indexOf("Generate") < p.indexOf("HashAggregate"),
+      s"replicate explode must consume the aggregate result, not corpus rows:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("incremental near-dup probe: equi-joins only, corpus scan semi-pruned") {
+    val docs = Tables.documents(spark, sf())
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bands = graft.operators.Dedup.corpusBandIndex(spark, corpus, 16, 2, 3)
+    val out = graft.operators.Dedup.incrementalNearDups(
+      spark, corpus, delta, bands, 16, 2, 3)
+    // the operator materializes eagerly (Caching.releasing) — assert on
+    // the result's provenance via its (checkpointed) plan being flat and
+    // on a fresh lazy probe join instead
+    val probe = delta.select(col("doc_id"))
+      .join(bands, col("doc_id") === col("corpus_id"))
+    assert(!planOf(probe).contains("CartesianProduct"))
+    assert(out.columns.toSeq === Seq("doc_a", "doc_b", "jaccard"))
+  }
+
+  test("transition matrix windows per user and aggregates map-side") {
+    val ev = Tables.events(spark, sf())
+    val p = planOf(graft.operators.Analytics.transitionMatrix(ev,
+      col("user_id"), col("event_type"), col("sec"), col("event_id")))
+    assert(p.contains("windowspecdefinition(u"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
