@@ -322,6 +322,18 @@ object Curate {
       .write.mode("overwrite").parquet(s"$outDir/band_index")
     corpus.select(md5(col("text")).as("digest")).distinct()
       .write.mode("overwrite").parquet(s"$outDir/digests")
+    // 6b. the TRAINING SCHEDULE beside the corpus: a proportional
+    // source-interleaved reading order (q208 — no domain bursts) and a
+    // no-straddle harmonic packing into 512-token bins (q213); both are
+    // gated operators, this just publishes their artifacts
+    val withSrc = corpus.join(
+      Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+    Curation.interleaveSchedule(withSrc, col("source"), col("doc_id"),
+        weights = Map.empty, defaultWeight = 1L)
+      .write.mode("overwrite").parquet(s"$outDir/order")
+    graft.operators.Packing.packHarmonic(corpus, col("doc_id"), col("ntok"),
+        binSize = 512L, classes = 8)
+      .write.mode("overwrite").parquet(s"$outDir/packing")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
     val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
       agg.getLong(0), agg.getLong(1), budget, parasRemoved, nBlocked)

@@ -462,6 +462,20 @@ class PipelineSpec extends SparkSpec {
     val statsJson = java.nio.file.Files.readString(
       java.nio.file.Paths.get(out, "stats.json"))
     assert(statsJson.contains(s""""n_selected":${s.nSelected}"""))
+    // the training-schedule artifacts cover exactly the selected corpus:
+    // the interleave order is a permutation 1..n, and every packed bin
+    // fits its 512-token budget with the class invariant
+    val order = spark.read.parquet(s"$out/order")
+    assert(order.count() == s.nSelected)
+    val positions = order.select("position").collect().map(_.getLong(0)).sorted
+    assert(positions.toSeq == (1L to s.nSelected).toSeq)
+    val packing = spark.read.parquet(s"$out/packing")
+    assert(packing.count() == s.nSelected)
+    val packed = packing.filter(col("size_class") >= 1L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(1)))
+    packed.groupBy(p => (p._1, p._2)).foreach { case ((cls, bin), rows) =>
+      assert(rows.map(_._3).sum <= 512L, s"class $cls bin $bin overflows")
+    }
     // with the substring-dedup stage on, selection runs over the
     // rewritten text: accounting still monotone, budget still holds,
     // and the corpus text is the kept token stream (tokens only)
