@@ -90,6 +90,50 @@ object Multimodal {
       grams.select(col("doc_id"), graft.core.Cross.hash64(col("g")).as("x")))
   }
 
+  /** Energy-based segmentation over the opaque payload — the
+    * silence-detection plumbing an audio pipeline runs before
+    * transcription (trim silence, split on pauses): fixed-size frames,
+    * per-frame energy Σ(byte − 128)², frames under `threshold` are
+    * "silent", and ADJACENT silent frames merge into segments (the
+    * island trick: frame − row_number over silent frames is constant
+    * within a run). As everywhere in this package the byte slicing
+    * stands in for a real codec; the frame/energy/segment-merge shape,
+    * schema, and integer determinism are the contract that survives.
+    * Returns (doc_id, segment, f_start, f_end, n_frames) — silent
+    * segments only; fully-loud docs emit nothing.
+    *
+    * Scale shape: one hex projection, one frame×byte explode collapsed
+    * immediately by an integer map-side-combinable aggregate, one
+    * per-doc window over the doc's own silent frames (bounded by frames
+    * per doc, parallel across docs). */
+  def energySegments(payloads: DataFrame, frameBytes: Int,
+      threshold: Long): DataFrame = {
+    require(frameBytes >= 1, "frameBytes must be >= 1")
+    require(threshold >= 0, "threshold must be >= 0")
+    val bytes = payloads
+      .select(col("doc_id"), lower(hex(col("payload"))).as("hx"),
+        octet_length(col("payload")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, n - 1)")).as("j"), col("hx"))
+      .select(col("doc_id"), (col("j") / frameBytes).cast("long").as("f"),
+        conv(expr("substring(hx, j * 2 + 1, 2)"), 16, 10).cast("long").as("v"))
+    val energy = bytes.groupBy("doc_id", "f")
+      .agg(sum((col("v") - 128L) * (col("v") - 128L)).as("energy"))
+    val silent = energy.filter(col("energy") < threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("f")
+    silent
+      .withColumn("island", col("f") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("f").as("f_start"), max("f").as("f_end"),
+        count(lit(1)).as("n_frames"))
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("f_start")).cast("long").as("segment"),
+        col("f_start"), col("f_end"), col("n_frames"))
+  }
+
   /** STUB decode: deterministic 4-dim "embedding" from byte statistics.
     * Replace with a real decoder (image resize, audio features, frame
     * sampling) — the batch iteration shape is what production code keeps. */

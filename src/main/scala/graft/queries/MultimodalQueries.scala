@@ -184,5 +184,44 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q133, q176)
+  /** Energy-based payload segmentation (Multimodal.energySegments):
+    * 16-byte frames scored by Σ(byte−128)², sub-threshold frames merged
+    * into "silence" segments by the island trick — the audio
+    * trim/split plumbing over the opaque binary column. The oracle
+    * recomputes frames, integer energies, and the run merge from the
+    * same hex bytes. */
+  val q222 = QueryDef(
+    "q222_energy_segments",
+    s"""WITH p AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents),
+       |b AS (SELECT doc_id, unnest(range(0, n)) AS j, hx FROM p WHERE n > 0),
+       |v AS (
+       |  SELECT doc_id, (j // 16)::BIGINT AS f,
+       |         ('0x' || substr(hx, j * 2 + 1, 2))::UBIGINT::BIGINT AS v
+       |  FROM b),
+       |e AS (
+       |  SELECT doc_id, f, SUM((v - 128) * (v - 128)) AS energy
+       |  FROM v GROUP BY doc_id, f),
+       |s AS (
+       |  SELECT doc_id, f,
+       |         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS island
+       |  FROM e WHERE energy < 30000),
+       |g AS (
+       |  SELECT doc_id, island, MIN(f) AS f_start, MAX(f) AS f_end,
+       |         COUNT(*) AS n_frames
+       |  FROM s GROUP BY doc_id, island)
+       |SELECT doc_id,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY f_start) AS segment,
+       |  f_start, f_end, n_frames
+       |FROM g
+       |ORDER BY doc_id, segment""".stripMargin) { (spark, dir) =>
+    Multimodal.energySegments(
+        Multimodal.withPayload(Tables.documents(spark, dir)),
+        frameBytes = 16, threshold = 30000L)
+      .orderBy("doc_id", "segment")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q133, q176, q222)
 }

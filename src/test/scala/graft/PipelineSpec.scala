@@ -304,6 +304,17 @@ class PipelineSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("energySegments merges adjacent silent frames into runs") {
+    // payload crafted frame by frame (frameBytes = 4): 'aaaa' frames are
+    // quiet (4·(97−128)² = 3844), '  ~~' loud (2·9216 + 2·964) — with
+    // threshold 5000: frames 0,1 silent, 2 loud, 3,4 silent, 5 loud
+    val text = "aaaa" + "aaaa" + "    " + "aaaa" + "aaaa" + "    "
+    val p = Multimodal.withPayload(Seq((1L, text)).toDF("doc_id", "text"))
+    val got = Multimodal.energySegments(p, frameBytes = 4, threshold = 5000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 0L, 1L, 2L), (2L, 3L, 4L, 2L)))
+  }
+
   test("Curate profile publishes card + overlap artifacts with consistent totals") {
     val out = graft.core.TempPaths.registered(
       java.nio.file.Files.createTempDirectory("graft_profile_e2e")).toString
