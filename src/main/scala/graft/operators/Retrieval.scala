@@ -66,6 +66,73 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** BM25 for a TABLE of queries — (qid, term) rows — instead of one
+    * literal term list: the batch-retrieval shape behind corpus audits
+    * and RAG context assembly, where thousands of queries score in one
+    * job. Same arithmetic as [[bm25]] (identical idf/norm, decimal
+    * per-(query, doc) sums, 6-dp rounded scores). Returns
+    * (qid, doc_id, n_hit_terms, score, dl) for every (query, doc) pair
+    * sharing ≥ 1 term.
+    *
+    * Scale shape: ONE corpus token pass; the query table joins the
+    * inverted (term → doc) index on the term equi-key, so cost is
+    * Σ_term df(term)·queries(term) — the postings actually touched,
+    * never |queries| × |corpus|. df/stats are corpus-level (shared
+    * across queries) and broadcast. */
+  def bm25PerQuery(docs: DataFrame, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+    val qterms = queries.select(col("qid").cast("string").as("qid"),
+      col("term").as("t")).distinct()
+    val tf = tok.join(qterms.select("t").distinct(), "t")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") /
+        (col("n_tok").cast("double") / col("n_docs").cast("double")))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfT), "t")
+      .crossJoin(broadcast(stats))
+      .join(qterms, "t")
+      .select(col("qid"), col("doc_id"), col("dl"),
+        (idf * col("tf") * lit(k1 + 1.0) / norm).as("s"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), Cross.dsum(col("s"), 6).as("ssum"),
+        max("dl").as("dl"))
+      .select(col("qid"), col("doc_id"), col("n_hit_terms"),
+        Cross.r6(col("ssum")).as("score"), col("dl"))
+  }
+
+  /** Budgeted context assembly — the RAG packing step: per query, keep
+    * the highest-BM25 documents whole until the query's token budget is
+    * spent (greedy score-descending prefix, ties to the lower doc id —
+    * [[Curation.selectUnderBudgetPerKey]]'s engine-portable contract,
+    * with the ROUNDED score as the ordering key so both engines sort
+    * identical operands). Returns (qid, doc_id, score, dl, cum_before,
+    * selected) for every matching pair — the selected rows are the
+    * context set, the rest the audit trail.
+    *
+    * Scale note: raw BM25 scores exceed 1, so the fixed-width band key
+    * clamps most candidates into the top band; the per-(query, band)
+    * window is then bounded by a single query's candidate set, which is
+    * the per-key unit of work here anyway (use equi-depth banding via
+    * Curation directly if single queries match millions of docs). */
+  def contextPack(docs: DataFrame, queries: DataFrame, budgetPerQuery: Long,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(budgetPerQuery >= 0, s"budget must be >= 0, got $budgetPerQuery")
+    val scored = bm25PerQuery(docs, queries, k1, b)
+    Curation.selectUnderBudgetPerKey(scored, col("qid"), col("doc_id"),
+        col("score"), col("dl"), budgets = Map.empty,
+        defaultBudget = budgetPerQuery)
+      .select(col("key").as("qid"), col("id").as("doc_id"),
+        col("quality").as("score"), col("ntok").as("dl"),
+        col("cum_before"), col("selected"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked shortlists:
     * each input is (id, rank) with rank 1-based; the fused score is
     *

@@ -1803,6 +1803,50 @@ object TextAnalysis {
     }
   }
 
+  /** Budgeted context assembly (Retrieval.contextPack): table-of-queries
+    * BM25 (one corpus pass, postings-bounded query join) composed with
+    * the per-key greedy token-budget prefix — the RAG packing step. The
+    * oracle recomputes the per-(query, doc) scores and the per-query
+    * join-based prefix over (score DESC, doc_id). */
+  val q223 = QueryDef(
+    "q223_context_pack",
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS n_tok FROM dl),
+       |q AS (SELECT * FROM (VALUES ('a', 'spark'), ('a', 'query'),
+       |        ('a', 'window'), ('b', 'data'), ('b', 'stream')) v(qid, t)),
+       |tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+       |  WHERE t IN (SELECT t FROM q) GROUP BY doc_id, t),
+       |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |s AS (
+       |  SELECT q.qid, tf.doc_id, dl.dl,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+       |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (n_tok::DOUBLE / n_docs::DOUBLE))) AS s
+       |  FROM tf JOIN dft USING (t) JOIN dl USING (doc_id)
+       |  JOIN q ON q.t = tf.t CROSS JOIN stats),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |    (round((${Cross.dsumSql("s", 6)}) + 1e-9, 6) + 0.0) AS score,
+       |    MAX(dl) AS dl
+       |  FROM s GROUP BY qid, doc_id),
+       |c AS (
+       |  SELECT a.qid, a.doc_id, a.score, a.dl, COALESCE(SUM(b2.dl), 0) AS cum_before
+       |  FROM sc a LEFT JOIN sc b2 ON b2.qid = a.qid AND
+       |    (b2.score > a.score OR (b2.score = a.score AND b2.doc_id < a.doc_id))
+       |  GROUP BY a.qid, a.doc_id, a.score, a.dl)
+       |SELECT qid, doc_id, score, dl, cum_before,
+       |  (cum_before + dl <= 600) AS selected
+       |FROM c
+       |ORDER BY qid, doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val queries = Seq(("a", "spark"), ("a", "query"), ("a", "window"),
+      ("b", "data"), ("b", "stream")).toDF("qid", "term")
+    graft.operators.Retrieval.contextPack(
+        Tables.documents(spark, dir), queries, budgetPerQuery = 600L)
+      .orderBy("qid", "doc_id")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -1972,5 +2016,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223)
 }

@@ -120,4 +120,39 @@ class RetrievalSpec extends SparkSpec {
     assert(r2((1L, 2L)) == 2L, "'the cat' and 'cat sat' are shared bigrams")
     assert(r2((1L, 3L)) == 0L)
   }
+
+  test("bm25PerQuery matches the single-query bm25 arithmetic") {
+    val docs = graft.core.Tables.documents(spark, sf())
+    val terms = Seq("spark", "query", "window")
+    val single = Retrieval.bm25(docs, terms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val multi = Retrieval.bm25PerQuery(docs,
+        terms.map(("q1", _)).toDF("qid", "term"))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(multi === single)
+  }
+
+  test("contextPack keeps whole docs under each query's own budget") {
+    val docs = graft.core.Tables.documents(spark, sf())
+    val queries = Seq(("a", "spark"), ("a", "query"), ("b", "data"))
+      .toDF("qid", "term")
+    val out = Retrieval.contextPack(docs, queries, budgetPerQuery = 400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(5)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === Set("a", "b"))
+    for ((q, rows) <- byQ) {
+      val sel = rows.filter(_._5)
+      assert(sel.nonEmpty, s"query $q selects nothing")
+      assert(sel.map(_._4).sum <= 400L, s"query $q busts its budget")
+      // greedy prefix semantics: walking (score DESC, doc_id) and
+      // accumulating lengths reproduces the selected flags exactly
+      var cum = 0L
+      for (r <- rows.sortBy(x => (-x._3, x._2))) {
+        assert(r._5 === (cum + r._4 <= 400L),
+          s"query $q doc ${r._2}: flag ${r._5} at cum=$cum dl=${r._4}")
+        cum += r._4
+      }
+    }
+  }
 }
