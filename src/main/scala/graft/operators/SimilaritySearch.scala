@@ -120,6 +120,34 @@ object SimilaritySearch {
     corpus.select(col("vec_id"), col("embedding"),
       bucketCol(col("embedding"), nPlanes, dims).as("bucket"))
 
+  /** Semantic benchmark decontamination — the embedding-space analog of
+    * the shingle-overlap screen (Dedup.decontaminate): flag every train
+    * vector whose cosine against ANY eval vector clears `minCos`, with
+    * the best-matching eval id as evidence. EXACT (zero false
+    * negatives — a contamination screen cannot trade recall), which is
+    * affordable for the same reason the text screen is: benchmark sets
+    * are tiny next to the corpus, so the eval side BROADCASTS and the
+    * scan is one map-side pass of |train| × |eval| dot products with an
+    * algebraic per-train argmax — no shuffle wider than one row per
+    * train vector. Ties on cosine resolve to the lowest eval id
+    * (min_by over the rounded score, engine-portable). Returns
+    * (vec_id, eval_id, max_cos, contaminated). */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+      minCos: Double): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0, s"minCos out of range: $minCos")
+    val e = evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    train.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(e))
+      .select(col("vec_id"), col("eval_id"),
+        Cross.r6(VectorFns.cosine(col("embedding"), col("ee"))).as("cos"))
+      .groupBy("vec_id")
+      .agg(
+        min_by(col("eval_id"), struct((-col("cos")).as("nc"),
+          col("eval_id").as("tid"))).as("eval_id"),
+        max("cos").as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= minCos)
+  }
+
   /** ANN top-k: candidates share the LSH bucket; exact cosine re-rank. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int, dims: Int): DataFrame = {

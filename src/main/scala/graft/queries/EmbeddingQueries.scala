@@ -945,5 +945,35 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207)
+  /** Semantic decontamination (SimilaritySearch.semanticDecontaminate):
+    * vectors 0–15 act as the eval set, the rest as the train corpus;
+    * every train vector carries its best-matching eval id, rounded max
+    * cosine, and the >= 0.3 contamination flag. Exact brute scan with
+    * the eval side broadcast — the oracle recomputes the full bipartite
+    * cosine table and the (cos DESC, eval_id) argmax. */
+  val q224 = QueryDef(
+    "q224_semantic_decontaminate",
+    s"""WITH e AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE vec_id < 16),
+       |t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+       |sc AS (
+       |  SELECT t.vec_id, e.eval_id,
+       |         ${Cross.r6Sql(VectorSql.cosine("t.embedding", "e.ee"))} AS cos
+       |  FROM t CROSS JOIN e),
+       |r AS (
+       |  SELECT vec_id, eval_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos DESC, eval_id) AS rn,
+       |         MAX(cos) OVER (PARTITION BY vec_id) AS max_cos
+       |  FROM sc)
+       |SELECT vec_id, eval_id, max_cos, (max_cos >= 0.3) AS contaminated
+       |FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+        minCos = 0.3)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224)
 }
