@@ -376,6 +376,25 @@ object Curation {
         col("position"))
   }
 
+  /** Soft-dedup loss weights — the keep-everything alternative to
+    * survivor selection: every member of a near-dup cluster stays in
+    * the corpus but trains at weight 1/|cluster|, so each distinct
+    * content unit contributes one unit of gradient mass no matter how
+    * many times the crawl found it (the duplication-robust loss
+    * reweighting). Returns (id, cluster, n_dups, weight).
+    *
+    * Scale shape: one algebraic cluster-size count plus one hash
+    * equi-join back — strictly cheaper than the survivor pass it
+    * replaces. */
+  def duplicationWeights(clusters: DataFrame, id: String = "doc_id",
+      cluster: String = "cluster"): DataFrame = {
+    val sizes = clusters.groupBy(cluster).agg(count(lit(1)).as("n_dups"))
+    clusters.select(col(id), col(cluster))
+      .join(sizes, cluster)
+      .select(col(id), col(cluster), col("n_dups"),
+        Cross.r6(lit(1.0) / col("n_dups").cast("double")).as("weight"))
+  }
+
   /** Temperature-scaled domain mixture: per-domain token budgets
     * B_d = floor(B · w_d) where w_d ∝ p_d^tau and p_d is the domain's
     * token share — the standard reweighting that upsamples low-resource

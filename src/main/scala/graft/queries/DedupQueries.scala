@@ -831,5 +831,23 @@ object DedupQueries {
       .orderBy("id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221)
+  /** Soft-dedup loss weights (Curation.duplicationWeights): every
+    * cluster member survives at weight 1/|cluster| — gradient mass per
+    * distinct content unit stays 1. Fixture clusters (doc_id div 10,
+    * the q136 convention — the real LSH→CC chain is gated by q38). */
+  val q225 = QueryDef(
+    "q225_dup_weights",
+    s"""WITH c AS (SELECT doc_id, doc_id // 10 AS cluster FROM documents),
+       |s AS (SELECT cluster, COUNT(*) AS n_dups FROM c GROUP BY cluster)
+       |SELECT c.doc_id, c.cluster, s.n_dups,
+       |  ${Cross.r6Sql("1.0 / n_dups::DOUBLE")} AS weight
+       |FROM c JOIN s USING (cluster)
+       |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+    val clustered = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), floor(col("doc_id") / 10).cast("long").as("cluster"))
+    Curation.duplicationWeights(clustered)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225)
 }

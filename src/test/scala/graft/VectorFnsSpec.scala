@@ -62,6 +62,23 @@ class VectorFnsSpec extends SparkSpec {
     assert(bounds.getByte(0) >= -127 && bounds.getByte(1) <= 127)
   }
 
+  test("semanticDecontaminate flags cosine hits with the best eval match") {
+    import graft.operators.SimilaritySearch
+    val evalSet = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Seq(0.9f, 0.1f, 0f)),   // near eval 1 -> contaminated
+      (11L, Seq(0f, 0f, 1f)),       // orthogonal to both -> clean
+      (12L, Seq(0.1f, 0.9f, 0f))    // near eval 2 -> contaminated
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.semanticDecontaminate(train, evalSet, minCos = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(10L)._1 === 1L && got(10L)._3)
+    assert(got(12L)._1 === 2L && got(12L)._3)
+    assert(!got(11L)._3 && got(11L)._2 === 0.0)
+  }
+
   test("centroidOutliers flags the off-manifold vector and only it") {
     // 20 unit-ish vectors near e1 plus one far outlier: every inlier's
     // centroid distance is small and tight, the outlier z-scores out
