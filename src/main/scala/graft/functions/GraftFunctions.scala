@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{floor, least, lit, when}
 
 import graft.core.Cross
 
@@ -25,6 +26,15 @@ object GraftFunctions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   /** (name, usage, arity, builder). */
@@ -65,7 +75,23 @@ object GraftFunctions {
     ("graft_top_k", "(w, id, k) aggregate", 3,
       es => graft.plans.TopKAgg.topK(c(es(0)), c(es(1)), litInt(es(2), "k"))),
     ("graft_zvalue", "(a, b, bits)", 3,
-      es => graft.operators.Layout.zValue(c(es(0)), c(es(1)), litInt(es(2), "bits"))))
+      es => graft.operators.Layout.zValue(c(es(0)), c(es(1)), litInt(es(2), "bits"))),
+    ("graft_psi_bin", "(value, lo, hi, bins)", 4,
+      es => graft.operators.Analytics.psiBin(c(es(0)),
+        litDouble(es(1), "lo"), litDouble(es(2), "hi"), litInt(es(3), "bins"))),
+    ("graft_pack_class", "(ntok, binSize, classes)", 3,
+      es => {
+        val binSize = litInt(es(1), "binSize").toLong
+        val classes = litInt(es(2), "classes").toLong
+        val n = c(es(0)).cast("long")
+        // classes caps the quotient at a small integer, where the
+        // double floor-division is exact (matches the operator's
+        // integer `div`)
+        when(n > binSize, lit(-1L))
+          .when(n <= 0L, lit(classes))
+          .otherwise(least(lit(classes),
+            floor(lit(binSize.toDouble) / n.cast("double")).cast("long")))
+      }))
 
   /** Pre-built registry triples shared by BOTH hookup paths, with an
     * arity check so a wrong-arity SQL call fails with the function name

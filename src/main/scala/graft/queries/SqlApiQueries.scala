@@ -128,5 +128,46 @@ object SqlApiQueries {
         |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175)
+  /** The drift-bin and pack-class scalars from SQL: a pure-SQL user
+    * bins event values for a PSI table (graft_psi_bin — the same
+    * clamped key q211/q214 fold on) and assigns harmonic size classes
+    * to documents (graft_pack_class — q213's class arithmetic),
+    * cross-tabulated per event type / size class. */
+  val q226 = QueryDef(
+    "q226_sql_drift_pack",
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         LEAST(GREATEST(floor((value - 0.0) / 50.0)::BIGINT, 0), 9) AS bin
+       |  FROM events),
+       |e AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+       |t AS (SELECT doc_id, len(${TextSql.tokens("text")})::BIGINT AS ntok FROM documents),
+       |pc AS (
+       |  SELECT CASE WHEN ntok > 64 THEN -1
+       |              WHEN ntok <= 0 THEN 8
+       |              ELSE LEAST(8, 64 // ntok) END AS size_class,
+       |         COUNT(*) AS n_docs
+       |  FROM t GROUP BY 1)
+       |SELECT 'psi' AS family, event_type AS k, bin AS v, n FROM e
+       |UNION ALL
+       |SELECT 'pack', size_class::VARCHAR, NULL, n_docs FROM pc
+       |ORDER BY family, k, v""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events")
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT event_type, graft_psi_bin(value, 0.0, 500.0, 10) AS bin,
+        |         COUNT(*) AS n
+        |  FROM graft_events GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT graft_pack_class(size(graft_tokens(text)), 64, 8) AS size_class,
+        |         COUNT(*) AS n_docs
+        |  FROM graft_docs GROUP BY 1)
+        |SELECT 'psi' AS family, event_type AS k, bin AS v, n FROM e
+        |UNION ALL
+        |SELECT 'pack', CAST(size_class AS STRING), NULL, n_docs FROM pc
+        |ORDER BY family, k, v""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226)
 }
