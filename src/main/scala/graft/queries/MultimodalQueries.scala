@@ -223,5 +223,32 @@ object MultimodalQueries {
       .orderBy("doc_id", "segment")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q133, q176, q222)
+  /** Binary-file source round-trip (sources.BinarySource): payload
+    * bytes land as REAL files on disk, read back through Spark's
+    * binaryFile format with id-from-filename parsing, digested — the
+    * multimodal ingestion entry. The oracle recomputes byte length and
+    * md5 from the source text the files were written from, so the
+    * round-trip is byte-true end to end. */
+  val q227 = QueryDef(
+    "q227_binaryfile_source",
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+      |       md5(text) AS digest
+      |FROM documents WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val out = graft.core.TempPaths.gatePath("binfile_gate")
+    val d = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(d)
+    Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select("doc_id", "text").collect()
+      .foreach { r =>
+        java.nio.file.Files.write(d.resolve(s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    graft.sources.BinarySource.readWithId(spark, out, "*.bin",
+        idRegex = "doc_(\\d+)\\.bin$")
+      .select(col("doc_id"), col("n_bytes"), md5(col("content")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q99, q133, q176, q222, q227)
 }
