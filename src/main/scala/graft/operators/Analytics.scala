@@ -96,6 +96,45 @@ object Analytics {
         Cross.r6(col("n").cast("double") / col("rt").cast("double")).as("p"))
   }
 
+  /** Ingestion-volume anomaly screen: per-(key, bucket) event counts
+    * z-scored against each key's own TRAILING window of `trailing`
+    * buckets — the feed-health monitor that catches a source going
+    * silent or doubling overnight before the data trains anything.
+    * Buckets with fewer than 2 trailing observations (or zero trailing
+    * variance) emit a null z — explicitly "no baseline yet / degenerate
+    * baseline", never a fabricated score. Returns
+    * (key, bucket, n, trail_mean, z, anomalous).
+    *
+    * Scale shape: one algebraic (key, bucket) count collapses the
+    * corpus; the trailing window then runs over the tiny per-key bucket
+    * series (bounded by #buckets, parallel across keys). The window
+    * frame is a FIXED short row range, so the per-row mean/variance is
+    * arithmetic over an ordered handful of values — deterministic on
+    * any partitioning. */
+  def volumeAnomaly(events: DataFrame, key: Column, bucket: Column,
+      trailing: Int = 3, zThresh: Double = 2.0): DataFrame = {
+    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
+    import graft.core.Cross
+    val per = events.select(key.as("key"), bucket.cast("long").as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy("bucket").rowsBetween(-trailing, -1)
+    val stats = per
+      .withColumn("t_cnt", count(lit(1)).over(w))
+      .withColumn("t_sum", sum("n").over(w))
+      .withColumn("t_sq", sum(col("n") * col("n")).over(w))
+    val mean = col("t_sum").cast("double") / col("t_cnt").cast("double")
+    val varNum = col("t_cnt").cast("double") * col("t_sq").cast("double") -
+      col("t_sum").cast("double") * col("t_sum").cast("double")
+    val std = sqrt(varNum) / col("t_cnt").cast("double")
+    val z = when(col("t_cnt") >= 2L && varNum > 0.0,
+      Cross.r6((col("n").cast("double") - mean) / std))
+    stats.select(col("key"), col("bucket"), col("n"),
+      when(col("t_cnt") >= 1L, Cross.r6(mean)).as("trail_mean"),
+      z.as("z"),
+      coalesce(abs(z) > zThresh, lit(false)).as("anomalous"))
+  }
+
   /** Population Stability Index between a reference and a current value
     * distribution — the drift alarm a production scorer/feature needs:
     * PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken (the standard

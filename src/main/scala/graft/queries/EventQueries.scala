@@ -696,5 +696,40 @@ object EventQueries {
       .orderBy("prev_type", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215)
+  /** Ingestion-volume anomaly screen (Analytics.volumeAnomaly):
+    * per-(type, day) counts z-scored against each type's trailing
+    * 3-day window; buckets without a baseline carry null z. The oracle
+    * mirrors the window frame and the guarded z arithmetic. */
+  val q228 = QueryDef(
+    "q228_volume_anomaly",
+    s"""WITH per AS (
+       |  SELECT event_type AS key, (floor(epoch(ts))::BIGINT // 86400) AS bucket,
+       |         COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT key, bucket, n,
+       |    COUNT(*) OVER w AS t_cnt,
+       |    SUM(n) OVER w AS t_sum,
+       |    SUM(n * n) OVER w AS t_sq
+       |  FROM per
+       |  WINDOW w AS (PARTITION BY key ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+       |SELECT key, bucket, n,
+       |  CASE WHEN t_cnt >= 1 THEN ${Cross.r6Sql("t_sum::DOUBLE / t_cnt::DOUBLE")} END AS trail_mean,
+       |  CASE WHEN t_cnt >= 2 AND (t_cnt::DOUBLE * t_sq::DOUBLE - t_sum::DOUBLE * t_sum::DOUBLE) > 0.0
+       |       THEN ${Cross.r6Sql(
+            "(n::DOUBLE - t_sum::DOUBLE / t_cnt::DOUBLE) / " +
+              "(sqrt(t_cnt::DOUBLE * t_sq::DOUBLE - t_sum::DOUBLE * t_sum::DOUBLE) / t_cnt::DOUBLE)")} END AS z,
+       |  COALESCE(abs(CASE WHEN t_cnt >= 2 AND (t_cnt::DOUBLE * t_sq::DOUBLE - t_sum::DOUBLE * t_sum::DOUBLE) > 0.0
+       |       THEN ${Cross.r6Sql(
+            "(n::DOUBLE - t_sum::DOUBLE / t_cnt::DOUBLE) / " +
+              "(sqrt(t_cnt::DOUBLE * t_sq::DOUBLE - t_sum::DOUBLE * t_sum::DOUBLE) / t_cnt::DOUBLE)")} END) > 2.0, FALSE) AS anomalous
+       |FROM st
+       |ORDER BY key, bucket""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    graft.operators.Analytics.volumeAnomaly(ev,
+        col("event_type"), expr("sec div 86400"), trailing = 3, zThresh = 2.0)
+      .orderBy("key", "bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228)
 }

@@ -137,6 +137,34 @@ class TemporalJoinsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("volumeAnomaly z-scores against the trailing window with null baselines") {
+    import graft.operators.Analytics
+    // key 'a': steady 10/day for 4 days then a 30 spike
+    val ev = ((0 until 4).flatMap(d => Seq.fill(10)(("a", d.toLong))) ++
+      Seq.fill(30)(("a", 4L)) ++ Seq.fill(5)(("b", 0L))).toDF("k", "day")
+    val got = Analytics.volumeAnomaly(ev, col("k"), col("day"),
+        trailing = 3, zThresh = 2.0)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), Option(r.get(4)).map(_ => r.getDouble(4)),
+          r.getBoolean(5)))).toMap
+    // day 0: no trailing rows -> null z, not anomalous
+    assert(got(("a", 0L)) === ((10L, None, false)))
+    // days 1-3: constant trailing counts -> zero variance -> null z
+    assert(got(("a", 2L))._2 === None && !got(("a", 2L))._3)
+    // the spike day has a real baseline only if variance > 0 — constant
+    // 10s give zero variance, so even the spike is null-z here
+    assert(got(("a", 4L))._2 === None)
+    // single-bucket key: never a baseline
+    assert(got(("b", 0L)) === ((5L, None, false)))
+    // non-constant baseline produces a real z and flags the spike
+    val ev2 = (Seq.fill(8)(("c", 0L)) ++ Seq.fill(12)(("c", 1L)) ++
+      Seq.fill(10)(("c", 2L)) ++ Seq.fill(40)(("c", 3L))).toDF("k", "day")
+    val g2 = Analytics.volumeAnomaly(ev2, col("k"), col("day"), 3, 2.0)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(4)).map(_ => r.getDouble(4)), r.getBoolean(5))).toMap
+    assert(g2(3L)._1.exists(_ > 2.0) && g2(3L)._2, s"spike day: ${g2(3L)}")
+  }
+
   test("kAnonymity flags classes smaller than k") {
     import graft.operators.Validate
     val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
