@@ -86,6 +86,60 @@ object Lm {
     if (train.isEmpty) graft.core.Caching.releasing(pairs)(plan) else plan
   }
 
+  /** Deleted-interpolation EM for the bigram/unigram mixing weight —
+    * the LM TUNING step that replaces a hand-picked λ: each EM round
+    * computes every bigram instance's posterior responsibility
+    * γ = λ·p_bi / (λ·p_bi + (1−λ)·p_uni) and sets λ' = mean γ, the
+    * closed-form M-step that monotonically improves corpus likelihood.
+    * Returns the full trajectory (iter, lambda) with iter 0 = λ₀ — the
+    * convergence curve is the evidence the fit worked, same contract as
+    * the logistic trainer (q194).
+    *
+    * Scale shape: the joined bigram-instance relation (instance →
+    * smoothed p_bi, p_uni) is built once and cached across rounds; each
+    * round is ONE algebraic aggregate over it (map-side combinable
+    * decimal sum of micro-rounded posteriors), and λ is the one driver
+    * scalar per round (loop-control class, like IVF centroids).
+    * Determinism: γ is r6-rounded per instance, the mean accumulates in
+    * exact decimal, and each round's λ re-enters as a literal — so the
+    * whole trajectory is bit-reproducible and the oracle can unroll the
+    * identical arithmetic round by round. */
+  def emLambda(docs: DataFrame, alpha: Double, iters: Int,
+      lambda0: Double = 0.5): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    require(lambda0 > 0.0 && lambda0 < 1.0, s"lambda0 must be in (0,1): $lambda0")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val spark = docs.sparkSession
+    val pairs = bigrams(docs)
+    val bgc = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val pre = bgc.groupBy("a").agg(sum("cab").as("ca"))
+    val ug = tokens(docs).groupBy("t").agg(count(lit(1)).as("cb"))
+    val scalars = ug.agg(sum("cb").as("tt"), count(lit(1)).as("v"))
+    // self-trained: every observed bigram exists in its own count
+    // tables, so the joins are inner (mirrors the oracle exactly)
+    val inst = pairs
+      .join(bgc, Seq("a", "b")).join(pre, Seq("a"))
+      .join(ug.withColumnRenamed("t", "b"), Seq("b"))
+      .crossJoin(broadcast(scalars))
+      .select(
+        ((col("cab").cast("double") + lit(alpha)) /
+          (col("ca").cast("double") + lit(alpha) * col("v").cast("double"))).as("pbi"),
+        (col("cb").cast("double") / col("tt").cast("double")).as("puni"))
+    graft.core.Caching.releasing(inst) {
+      var lam = lambda0
+      val rows = scala.collection.mutable.ArrayBuffer((0, lambda0))
+      for (i <- 1 to iters) {
+        val g = Cross.r6(lit(lam) * col("pbi") /
+          (lit(lam) * col("pbi") + lit(1.0 - lam) * col("puni")))
+        lam = inst.agg(Cross.r6(Cross.dsum(g, 6) /
+          count(lit(1)).cast("double"))).head().getDouble(0)
+        rows += ((i, lam))
+      }
+      import spark.implicits._
+      rows.toSeq.toDF("iter", "lambda")
+    }
+  }
+
   /** Interpolated Kneser-Ney bigram probability from the count columns
     * (cab, ca, n1pa, n1pb, ntypes):
     *

@@ -1847,6 +1847,48 @@ object TextAnalysis {
       .orderBy("qid", "doc_id")
   }
 
+  /** Deleted-interpolation EM (Lm.emLambda): three rounds of the
+    * closed-form λ update over the self-trained bigram mix, the full
+    * trajectory emitted. The oracle UNROLLS the identical arithmetic —
+    * each round's λ is a scalar CTE feeding the next round's posterior
+    * expression — so hash-equality pins every round, not just the
+    * fixpoint. */
+  val q229 = {
+    val alpha = 0.1
+    def gamma(lam: String) =
+      Cross.r6Sql(s"$lam * pbi / ($lam * pbi + (1 - $lam) * puni)")
+    def step(lam: String) =
+      Cross.r6Sql(s"${Cross.dsumSql(gamma(lam), 6)} / COUNT(*)::DOUBLE")
+    QueryDef(
+      "q229_lm_em_lambda",
+      s"""WITH tl AS (SELECT doc_id, $toks AS ts FROM documents),
+         |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tl),
+         |bg AS (SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM pos),
+         |bgc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+         |pre AS (SELECT a, SUM(cab) AS ca FROM bgc GROUP BY a),
+         |ug AS (SELECT t, COUNT(*) AS cb
+         |       FROM (SELECT unnest(ts) AS t FROM tl) GROUP BY t),
+         |sc AS (SELECT SUM(cb) AS tt, COUNT(*) AS v FROM ug),
+         |inst AS (
+         |  SELECT (cab::DOUBLE + $alpha) / (ca::DOUBLE + $alpha * v::DOUBLE) AS pbi,
+         |         cb::DOUBLE / tt::DOUBLE AS puni
+         |  FROM bg JOIN bgc USING (a, b) JOIN pre USING (a)
+         |  JOIN ug ON ug.t = bg.b CROSS JOIN sc),
+         |it1 AS (SELECT ${step("0.5")} AS lam FROM inst),
+         |it2 AS (SELECT ${step("it1.lam")} AS lam FROM inst CROSS JOIN it1 GROUP BY it1.lam),
+         |it3 AS (SELECT ${step("it2.lam")} AS lam FROM inst CROSS JOIN it2 GROUP BY it2.lam)
+         |SELECT * FROM (
+         |  SELECT 0 AS iter, 0.5 AS lambda
+         |  UNION ALL SELECT 1, lam FROM it1
+         |  UNION ALL SELECT 2, lam FROM it2
+         |  UNION ALL SELECT 3, lam FROM it3)
+         |ORDER BY iter""".stripMargin) { (spark, dir) =>
+      graft.operators.Lm.emLambda(Tables.documents(spark, dir),
+          alpha = alpha, iters = 3, lambda0 = 0.5)
+        .orderBy("iter")
+    }
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2016,5 +2058,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229)
 }

@@ -95,4 +95,21 @@ class LmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(got == Seq((1L, "one", "two"), (1L, "two", "three")))
   }
+
+  test("emLambda learns a high mixing weight on a strongly bigram corpus") {
+    // rigid phrase structure: bigram model predicts far better than the
+    // unigram, so EM must push lambda well above its 0.5 start
+    val docs = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val traj = Lm.emLambda(docs, alpha = 0.1, iters = 4, lambda0 = 0.5)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(traj.map(_._1).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(traj.head._2 === 0.5)
+    val lams = traj.map(_._2)
+    assert(lams.forall(l => l > 0.0 && l < 1.0))
+    assert(lams.last > 0.8, s"lambda should approach 1, got ${lams.last}")
+    assert(lams.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 },
+      "lambda must not oscillate downward on this corpus")
+  }
 }
