@@ -113,10 +113,21 @@ object Analytics {
     * any partitioning. */
   def volumeAnomaly(events: DataFrame, key: Column, bucket: Column,
       trailing: Int = 3, zThresh: Double = 2.0): DataFrame = {
-    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
-    import graft.core.Cross
     val per = events.select(key.as("key"), bucket.cast("long").as("bucket"))
       .groupBy("key", "bucket").agg(count(lit(1)).as("n"))
+    volumeAnomalyFromCounts(per, trailing, zThresh)
+  }
+
+  /** The z-score half of [[volumeAnomaly]] over pre-folded
+    * (key, bucket, n) counts — the entry the STREAMING monitor uses:
+    * the stream maintains the counts incrementally (one state row per
+    * live (key, bucket) — the [[graft.streaming.EventStreams]] fold)
+    * and the completed fold feeds the identical trailing-window
+    * arithmetic the batch path runs. */
+  def volumeAnomalyFromCounts(per: DataFrame,
+      trailing: Int = 3, zThresh: Double = 2.0): DataFrame = {
+    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
+    import graft.core.Cross
     val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
       .orderBy("bucket").rowsBetween(-trailing, -1)
     val stats = per

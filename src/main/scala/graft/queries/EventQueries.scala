@@ -696,12 +696,10 @@ object EventQueries {
       .orderBy("prev_type", "event_type")
   }
 
-  /** Ingestion-volume anomaly screen (Analytics.volumeAnomaly):
-    * per-(type, day) counts z-scored against each type's trailing
-    * 3-day window; buckets without a baseline carry null z. The oracle
-    * mirrors the window frame and the guarded z arithmetic. */
-  val q228 = QueryDef(
-    "q228_volume_anomaly",
+  /** Shared q228/q230 oracle: per-(type, day) counts z-scored against
+    * the trailing 3-day window — q230's streaming fold must land on the
+    * identical table. */
+  private def volumeAnomalyOracle: String =
     s"""WITH per AS (
        |  SELECT event_type AS key, (floor(epoch(ts))::BIGINT // 86400) AS bucket,
        |         COUNT(*) AS n
@@ -724,12 +722,36 @@ object EventQueries {
             "(n::DOUBLE - t_sum::DOUBLE / t_cnt::DOUBLE) / " +
               "(sqrt(t_cnt::DOUBLE * t_sq::DOUBLE - t_sum::DOUBLE * t_sum::DOUBLE) / t_cnt::DOUBLE)")} END) > 2.0, FALSE) AS anomalous
        |FROM st
-       |ORDER BY key, bucket""".stripMargin) { (spark, dir) =>
+       |ORDER BY key, bucket""".stripMargin
+
+  /** Ingestion-volume anomaly screen (Analytics.volumeAnomaly):
+    * per-(type, day) counts z-scored against each type's trailing
+    * 3-day window; buckets without a baseline carry null z. The oracle
+    * mirrors the window frame and the guarded z arithmetic. */
+  val q228 = QueryDef("q228_volume_anomaly", volumeAnomalyOracle) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
     graft.operators.Analytics.volumeAnomaly(ev,
         col("event_type"), expr("sec div 86400"), trailing = 3, zThresh = 2.0)
       .orderBy("key", "bucket")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228)
+  /** Streaming feed-health monitor (EventStreams.volumeCounts +
+    * Analytics.volumeAnomalyFromCounts): the per-(type, day) counts
+    * fold incrementally over the replayed stream — one state row per
+    * live (key, bucket) — and the completed fold runs the identical
+    * trailing-window z-screen. Same oracle as the batch q228:
+    * hash-equality proves stream fold ≡ batch fold plus the shared
+    * arithmetic downstream. */
+  val q230 = QueryDef("q230_stream_volume_anomaly", volumeAnomalyOracle) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val counts = EventStreams.volumeCounts(
+      EventStreams.readEvents(spark, dir),
+      col("event_type"), expr("sec div 86400"))
+    val folded = EventStreams.runToCompletion(spark, counts, "q230_counts")
+    graft.operators.Analytics.volumeAnomalyFromCounts(folded,
+        trailing = 3, zThresh = 2.0)
+      .orderBy("key", "bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230)
 }

@@ -261,4 +261,16 @@ object EventStreams {
         graft.operators.Analytics.psiBin(value, lo, hi, bins).as("bin"))
       .groupBy("side", "bin")
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming feed-health fold: per-(key, bucket) event counts
+    * maintained incrementally — the state is one count per live
+    * (source, day), and the completed fold feeds
+    * `Analytics.volumeAnomalyFromCounts` for the identical trailing-
+    * window z-screen the batch path runs (q228). */
+  def volumeCounts(events: DataFrame, key: org.apache.spark.sql.Column,
+      bucket: org.apache.spark.sql.Column): DataFrame =
+    events
+      .select(key.as("key"), bucket.cast("long").as("bucket"))
+      .groupBy("key", "bucket")
+      .agg(count(lit(1)).as("n"))
 }
