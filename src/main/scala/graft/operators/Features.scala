@@ -83,6 +83,57 @@ object Features {
     out.drop(cols.map(c => s"b_$c"): _*)
   }
 
+  /** Hashing-trick bag-of-words nearest neighbors — semantic-ish search
+    * over a TEXT corpus with no external embedder: tokens hash into
+    * `dims` buckets (the feature-hashing trick), docs become sparse
+    * integer count vectors, and query docs rank the corpus by cosine.
+    * Everything stays SPARSE and RELATIONAL: the dot product is an
+    * inverted-index join on the bucket key with exact integer
+    * Σ cₐ·c_b, norms are square roots of exact integer Σ c², and only
+    * the final cosine divides — so results are bit-reproducible with
+    * no dense vector ever materialized. Returns (query_id, neighbor_id,
+    * rank, cos) — top `k` per query, ties to the lower neighbor id.
+    *
+    * Scale shape: bucket counts are one map-side-combinable aggregate;
+    * the query-corpus join is Σ_bucket df_q·df_c — bounded by the
+    * QUERY side's bucket postings, not a corpus self-join. Hot buckets
+    * (stop-token mass) are the skew knob: raise `dims` (more, rarer
+    * buckets) exactly like raising LSH band width. The top-k is the
+    * bounded window over each query's scored candidates. */
+  def hashedBowTopK(docs: DataFrame, queries: DataFrame,
+      dims: Int, k: Int): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def counts(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), pmod(Cross.hash31(col("t")), lit(dims)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    val cc = counts(docs)
+    val qc = counts(queries)
+    val cn = cc.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+    val qn = qc.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+    val dots = qc.select(col("doc_id").as("query_id"), col("bucket"),
+        col("c").as("cq"))
+      .join(cc.select(col("doc_id").as("neighbor_id"), col("bucket"),
+        col("c").as("cc")), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("cq") * col("cc")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    dots
+      .join(qn.select(col("doc_id").as("query_id"), col("n2").as("qn2")), "query_id")
+      .join(cn.select(col("doc_id").as("neighbor_id"), col("n2").as("nn2")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Cross.r6(col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Centroid-distance outlier screen for embeddings: flag vectors whose
     * L2 distance to the corpus centroid z-scores past `zThresh` — the
     * pre-ANN sanity filter that catches encoder-fleet stragglers,

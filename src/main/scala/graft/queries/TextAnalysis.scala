@@ -1889,6 +1889,45 @@ object TextAnalysis {
     }
   }
 
+  /** Hashing-trick bag-of-words neighbors (Features.hashedBowTopK):
+    * docs 0–7 query the corpus by sparse hashed-BoW cosine — exact
+    * integer dots and norms through the bucket inverted index, no dense
+    * vector materialized. The oracle rebuilds the same bucket counts
+    * (shared md5 hash kernel) and ranks with a flat window. */
+  val q231 = QueryDef(
+    "q231_hashed_bow_knn",
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |c AS (
+       |  SELECT doc_id, ${Cross.hash31Sql("t")} % 64 AS bucket, COUNT(*) AS c
+       |  FROM tok GROUP BY doc_id, bucket),
+       |n AS (SELECT doc_id, SUM(c * c) AS n2 FROM c GROUP BY doc_id),
+       |q AS (SELECT doc_id, bucket, c FROM c WHERE doc_id < 8),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       |         SUM(q.c * c.c) AS dot
+       |  FROM q JOIN c USING (bucket)
+       |  WHERE q.doc_id <> c.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${Cross.r6Sql(
+             "dot::DOUBLE / (sqrt(qn.n2::DOUBLE) * sqrt(nn.n2::DOUBLE))")} AS cos
+       |  FROM dots
+       |  JOIN n qn ON qn.doc_id = query_id
+       |  JOIN n nn ON nn.doc_id = neighbor_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Features.hashedBowTopK(docs,
+        docs.filter(col("doc_id") < 8), dims = 64, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2058,5 +2097,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231)
 }
