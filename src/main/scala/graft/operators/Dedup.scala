@@ -653,6 +653,53 @@ object Dedup {
     out
   }
 
+  /** Sorted-neighborhood candidate pairs — the entity-resolution
+    * blocking family's third member (alongside LSH banding and SimHash
+    * pigeonhole blocks): sort the corpus by a similarity-preserving
+    * LONG key (a SimHash sketch, a prefix fingerprint), and emit every
+    * pair within `w` positions of each other in that order. Where LSH
+    * trades recall probabilistically, the sorted window trades it
+    * POSITIONALLY — near-dups with close sketches sit adjacent — and
+    * its candidate count is exactly n·w by construction, the tightest
+    * budget of the three.
+    *
+    * Scale shape: the global rank over (key, id) runs as the banded
+    * two-level scan keyed on the sketch's HIGH BITS (integer-exact —
+    * the [[Curation]] double-quality path would corrupt 60-bit keys
+    * past double's 53-bit mantissa): per-band counts, a tiny offset
+    * window, in-band row_numbers. Pairs then meet on a rank-bucket
+    * equi-join (bucket and bucket+1 arms cover every window straddle) —
+    * no global sort, no self-cartesian. Returns
+    * (doc_a, doc_b, rank_a, rank_b) with a < b by rank. */
+  def sortedNeighborhoodPairs(keyed: DataFrame, w: Int,
+      bandShift: Int = 44): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(bandShift >= 0 && bandShift < 63, s"bandShift out of range: $bandShift")
+    val d = keyed.select(col("doc_id"), col("key").cast("long").as("key"))
+      .withColumn("band", expr(s"key div ${1L << bandShift}L"))
+    val bandTotals = d.groupBy("band").agg(count(lit(1)).as("bn"))
+    val wB = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("boff", coalesce(sum("bn").over(wB), lit(0L)))
+      .select("band", "boff")
+    val wIn = Window.partitionBy("band").orderBy("key", "doc_id")
+    val ranked = d.join(broadcast(offsets), "band")
+      .withColumn("rank", col("boff") + row_number().over(wIn))
+      .select(col("doc_id"), col("key"), col("rank"),
+        expr(s"(rank - 1) div ${w}L").as("bucket"))
+    val right = ranked.select(col("doc_id").as("doc_b"), col("rank").as("rank_b"),
+      col("bucket"))
+    val arms = Seq(col("bucket"), col("bucket") + 1L).map { b =>
+      ranked.select(col("doc_id").as("doc_a"), col("rank").as("rank_a"),
+          b.as("bucket"))
+        .join(right, "bucket")
+    }
+    arms.reduce(_ unionByName _)
+      .filter(col("rank_b") > col("rank_a") && col("rank_b") - col("rank_a") <= w)
+      .select("doc_a", "doc_b", "rank_a", "rank_b")
+      .distinct()
+  }
+
   /** Incremental connected components — the clustering dual of
     * [[incrementalNearDups]]: fold a delta batch's new near-dup edges
     * into an EXISTING component labeling without re-traversing the old

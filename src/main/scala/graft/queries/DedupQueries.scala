@@ -849,5 +849,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225)
+  /** Sorted-neighborhood blocking (Dedup.sortedNeighborhoodPairs): the
+    * corpus ranks by its SimHash sketch through the integer banded
+    * scan, every pair within 4 positions emits with its exact Hamming
+    * distance — the n·w-budget third blocking family. The oracle ranks
+    * with a flat window and joins on rank distance. */
+  val q232 = QueryDef(
+    "q232_sorted_neighborhood",
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(${TextSql.tokens("text")}) AS t FROM documents),
+       |hx AS (SELECT doc_id, ${Cross.hash64Sql("t")} AS x FROM tk),
+       |sh AS (SELECT doc_id, ${HashFns.simhashAggSql} AS simhash
+       |       FROM hx GROUP BY doc_id),
+       |r AS (SELECT doc_id, simhash,
+       |        row_number() OVER (ORDER BY simhash, doc_id) AS rank
+       |      FROM sh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       a.rank AS rank_a, b.rank AS rank_b,
+       |       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank <= 4
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val sk = Dedup.simhash(spark, graft.core.Tables.documents(spark, dir))
+    val pairs = Dedup.sortedNeighborhoodPairs(
+      sk.select(col("doc_id"), col("simhash").as("key")), w = 4)
+    pairs
+      .join(sk.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sk.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("rank_a"), col("rank_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232)
 }

@@ -298,6 +298,23 @@ class DedupSpec extends SparkSpec {
     assert(e.toSet == Set((5L, 1L, 0L, ""), (6L, 1L, 0L, "")))
   }
 
+  test("sortedNeighborhoodPairs equals the flat rank-window pairs") {
+    val rnd = new scala.util.Random(5)
+    val keyed = (0 until 200).map(i => (i.toLong, rnd.nextLong() >>> 4))
+      .toDF("doc_id", "key")
+    val got = Dedup.sortedNeighborhoodPairs(keyed, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: rank by (key, id), all pairs within 3 positions
+    val ranked = keyed.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).map(_._2).zipWithIndex
+    val want = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb > ra && rb - ra <= 3
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(got.size === (199 + 198 + 197), "exactly n*w - w*(w+1)/2 pairs")
+  }
+
   test("incrementalComponents equals full CC after star collapse") {
     val nodes = (0L until 20L).toDF("id")
     // old: two chains 0-1-2-3 and 10-11-12; rest singletons
