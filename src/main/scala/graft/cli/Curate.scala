@@ -326,8 +326,13 @@ object Curate {
     // source-interleaved reading order (q208 — no domain bursts) and a
     // no-straddle harmonic packing into 512-token bins (q213); both are
     // gated operators, this just publishes their artifacts
-    val withSrc = corpus.join(
-      Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+    // fixture corpora may carry no provenance column — a single-source
+    // interleave is then the correct degenerate schedule
+    val srcDocs = Tables.documents(spark, sfDir)
+    val withSrc =
+      if (srcDocs.columns.contains("source"))
+        corpus.join(srcDocs.select("doc_id", "source"), "doc_id")
+      else corpus.withColumn("source", lit("all"))
     Curation.interleaveSchedule(withSrc, col("source"), col("doc_id"),
         weights = Map.empty, defaultWeight = 1L)
       .write.mode("overwrite").parquet(s"$outDir/order")
