@@ -79,4 +79,45 @@ object Blocklist {
       .na.fill(0L, Seq("hits"))
       .select(col("doc_id"), col("hits"), (col("hits") > maxHits).as("blocked"))
   }
+
+  /** Closed frequent-phrase mining — the blocklist CANDIDATE generator
+    * (and boilerplate detector): all word n-grams (2 ≤ n ≤ `maxN`)
+    * appearing in at least `minSupport` documents, reduced to the
+    * CLOSED ones — a phrase is dropped when some one-word extension
+    * occurs in exactly the same documents (equal df), because the
+    * longer phrase subsumes it; what survives is the maximal phrase
+    * inventory a reviewer actually reads. Returns (n, phrase, df).
+    *
+    * Scale shape: one shingle explosion per n (distinct per doc, so df
+    * is true document frequency; map-side combinable counts), then the
+    * closed check joins each n-level against level n+1 on the
+    * prefix/suffix phrase string — hash equi-joins on phrase keys,
+    * never a phrase-pair product. The equal-df closed criterion is the
+    * standard conservative one: it can only UNDER-prune (a kept
+    * non-maximal phrase), never lose a maximal phrase. */
+  def closedPhrases(docs: DataFrame, maxN: Int, minSupport: Long): DataFrame = {
+    require(maxN >= 2 && maxN <= 8, s"maxN out of range: $maxN")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val toks = TextFns.tokens(col("text"))
+    def dfTab(n: Int): DataFrame = docs
+      .select(col("doc_id"), explode(TextFns.shingles(toks, n)).as("phrase"))
+      .distinct()
+      .groupBy("phrase").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minSupport)
+      .withColumn("n", lit(n))
+    val levels = (2 to maxN).map(dfTab)
+    val closed = levels.init.zip(levels.tail).map { case (cur, next) =>
+      // a phrase is open iff an equal-df extension exists with it as
+      // prefix (drop last word) or suffix (drop first word)
+      val ext = next.select(
+          regexp_replace(col("phrase"), " [^ ]+$", "").as("phrase"),
+          col("df"))
+        .union(next.select(
+          regexp_replace(col("phrase"), "^[^ ]+ ", "").as("phrase"),
+          col("df")))
+        .distinct()
+      cur.join(ext, Seq("phrase", "df"), "left_anti")
+    } :+ levels.last
+    closed.reduce(_ unionByName _).select("n", "phrase", "df")
+  }
 }

@@ -1928,6 +1928,41 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** Closed frequent-phrase mining (Blocklist.closedPhrases): 2–4-gram
+    * document frequencies at support >= 5, reduced to closed phrases
+    * (no equal-df one-word extension) — the blocklist candidate /
+    * boilerplate inventory. The oracle mirrors the per-level df tables
+    * and the prefix/suffix anti-joins. */
+  val q233 = QueryDef(
+    "q233_closed_phrases",
+    s"""WITH tl AS (SELECT doc_id, $toks AS tk FROM documents),
+       |l2 AS (SELECT phrase, COUNT(*) AS df FROM (
+       |         SELECT DISTINCT doc_id, unnest(${TextSql.shingles("tk", 2)}) AS phrase FROM tl)
+       |       GROUP BY phrase HAVING COUNT(*) >= 5),
+       |l3 AS (SELECT phrase, COUNT(*) AS df FROM (
+       |         SELECT DISTINCT doc_id, unnest(${TextSql.shingles("tk", 3)}) AS phrase FROM tl)
+       |       GROUP BY phrase HAVING COUNT(*) >= 5),
+       |l4 AS (SELECT phrase, COUNT(*) AS df FROM (
+       |         SELECT DISTINCT doc_id, unnest(${TextSql.shingles("tk", 4)}) AS phrase FROM tl)
+       |       GROUP BY phrase HAVING COUNT(*) >= 5),
+       |e3 AS (SELECT DISTINCT regexp_replace(phrase, ' [^ ]+$$', '') AS phrase, df FROM l3
+       |       UNION SELECT DISTINCT regexp_replace(phrase, '^[^ ]+ ', ''), df FROM l3),
+       |e4 AS (SELECT DISTINCT regexp_replace(phrase, ' [^ ]+$$', '') AS phrase, df FROM l4
+       |       UNION SELECT DISTINCT regexp_replace(phrase, '^[^ ]+ ', ''), df FROM l4)
+       |SELECT * FROM (
+       |  SELECT 2 AS n, phrase, df FROM l2
+       |  WHERE NOT EXISTS (SELECT 1 FROM e3 WHERE e3.phrase = l2.phrase AND e3.df = l2.df)
+       |  UNION ALL
+       |  SELECT 3, phrase, df FROM l3
+       |  WHERE NOT EXISTS (SELECT 1 FROM e4 WHERE e4.phrase = l3.phrase AND e4.df = l3.df)
+       |  UNION ALL
+       |  SELECT 4, phrase, df FROM l4)
+       |ORDER BY n, phrase""".stripMargin) { (spark, dir) =>
+    graft.operators.Blocklist.closedPhrases(
+        Tables.documents(spark, dir), maxN = 4, minSupport = 5L)
+      .orderBy("n", "phrase")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2097,5 +2132,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233)
 }

@@ -90,6 +90,24 @@ class CorpusProfileSpec extends SparkSpec {
       (1L, "email") -> 2L, (1L, "url") -> 1L, (1L, "long_number") -> 1L))
   }
 
+  test("closedPhrases keeps maximal phrases and drops subsumed ones") {
+    // "alpha beta gamma" in all 6 docs; "beta gamma delta" in 3 of them.
+    // "alpha beta" (df 6) is subsumed by "alpha beta gamma" (df 6) ->
+    // dropped; "beta gamma" (df 6) has NO equal-df extension (both
+    // 3-gram extensions have df 3 and 6... "alpha beta gamma" df 6 has
+    // "beta gamma" as suffix -> dropped too. "gamma delta" df 3 is
+    // subsumed by "beta gamma delta" df 3.
+    val docs = ((0 until 3).map(i => (i.toLong, "alpha beta gamma delta")) ++
+      (3 until 6).map(i => (i.toLong, "alpha beta gamma"))).toDF("doc_id", "text")
+    val got = Blocklist.closedPhrases(docs, maxN = 3, minSupport = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got((3, "alpha beta gamma")) === 6L)
+    assert(got((3, "beta gamma delta")) === 3L)
+    assert(!got.contains((2, "alpha beta")), "subsumed by equal-df 3-gram")
+    assert(!got.contains((2, "beta gamma")), "suffix of equal-df 3-gram")
+    assert(!got.contains((2, "gamma delta")), "subsumed by equal-df 3-gram")
+  }
+
   test("vocabCoverage selects the greedy frequency prefix under the mass budget") {
     import graft.operators.Profile
     // counts: a=6, b=3, c=2, d=1 (total 12); 80% budget = 9 -> {a, b}
