@@ -86,6 +86,49 @@ object Lm {
     if (train.isEmpty) graft.core.Caching.releasing(pairs)(plan) else plan
   }
 
+  /** Per-document LM confidence statistics — mean AND variance of the
+    * per-bigram log-probability under the interpolated model: the
+    * machine-text / template screen's feature pair. Natural prose has
+    * moderate mean with high variance (surprising words amid common
+    * ones); templated or generated text compresses the variance while
+    * boilerplate pushes the mean up — neither is visible from the mean
+    * alone (q128). Returns (doc_id, n_bigrams, mean_lp, var_lp) for
+    * docs with ≥ 2 tokens.
+    *
+    * Determinism: each log term is r6-micro-rounded, moments accumulate
+    * as exact decimal sums of (products of) the rounded values — the
+    * dcorr construction — and the final mean/variance are single
+    * divisions under r6. One grouped aggregate per doc; the count
+    * tables are the [[bigramScore]] machinery. */
+  def bigramScoreStats(docs: DataFrame, lambda: Double, alpha: Double): DataFrame = {
+    val pairs = bigrams(docs)
+    def plan: DataFrame = {
+      val bgc = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      val pre = bgc.groupBy("a").agg(sum("cab").as("ca"))
+      val ug = tokens(docs).groupBy("t").agg(count(lit(1)).as("cb"))
+      val scalars = ug.agg(sum("cb").as("tt"), count(lit(1)).as("v"))
+      val mix =
+        lit(lambda) * (col("cab") + lit(alpha)).cast("double") /
+          (col("ca") + lit(alpha) * col("v")).cast("double") +
+        lit(1.0 - lambda) * col("cb").cast("double") / col("tt").cast("double")
+      val x = Cross.r6(log(2.0, mix))
+      pairs
+        .join(bgc, Seq("a", "b")).join(pre, Seq("a"))
+        .join(ug.withColumnRenamed("t", "b"), Seq("b"))
+        .crossJoin(broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          Cross.dsum(x, 6).as("sx"), Cross.dxsum(x, x).as("sxx"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Cross.r6(col("sx") / col("n_bigrams").cast("double")).as("mean_lp"),
+          Cross.r6((col("n_bigrams").cast("double") * col("sxx") -
+              col("sx") * col("sx")) /
+            (col("n_bigrams").cast("double") * col("n_bigrams").cast("double")))
+            .as("var_lp"))
+    }
+    graft.core.Caching.releasing(pairs)(plan)
+  }
+
   /** Deleted-interpolation EM for the bigram/unigram mixing weight —
     * the LM TUNING step that replaces a hand-picked λ: each EM round
     * computes every bigram instance's posterior responsibility

@@ -1963,6 +1963,40 @@ object TextAnalysis {
       .orderBy("n", "phrase")
   }
 
+  /** LM confidence statistics (Lm.bigramScoreStats): per-doc mean and
+    * variance of micro-rounded bigram log-probs — the machine-text /
+    * template screen's feature pair; the oracle folds the identical
+    * rounded terms through exact decimal moment sums. */
+  val q234 = QueryDef(
+    "q234_lm_confidence",
+    s"""WITH tl AS (SELECT doc_id, $toks AS ts FROM documents),
+       |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tl),
+       |bg AS (SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM pos),
+       |bgc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+       |pre AS (SELECT a, SUM(cab) AS ca FROM bgc GROUP BY a),
+       |ug AS (SELECT t, COUNT(*) AS cb
+       |       FROM (SELECT unnest(ts) AS t FROM tl) GROUP BY t),
+       |sc AS (SELECT SUM(cb) AS tt, COUNT(*) AS v FROM ug),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    ${Cross.dsumSql(Cross.r6Sql(lmMixSql), 6)} AS sx,
+       |    ${Cross.dxsumSql(Cross.r6Sql(lmMixSql), Cross.r6Sql(lmMixSql))} AS sxx
+       |  FROM bg
+       |  JOIN bgc USING (a, b) JOIN pre USING (a)
+       |  JOIN ug ON ug.t = bg.b
+       |  CROSS JOIN sc
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  ${Cross.r6Sql("sx / n_bigrams::DOUBLE")} AS mean_lp,
+       |  ${Cross.r6Sql(
+            "(n_bigrams::DOUBLE * sxx - sx * sx) / (n_bigrams::DOUBLE * n_bigrams::DOUBLE)")} AS var_lp
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Lm.bigramScoreStats(Tables.documents(spark, dir),
+        lambda = lmLambda, alpha = lmAlpha)
+      .orderBy("doc_id")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2132,5 +2166,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234)
 }
