@@ -125,4 +125,43 @@ object Layout {
         min("b").as("min_b"), max("b").as("max_b"))
       .withColumn("skipped", col("max_a") < aLo || col("min_a") > aHi)
   }
+
+  /** Footer-only table statistics — COUNT/MIN/MAX answered from parquet
+    * metadata without scanning a single data page: the v2 parquet
+    * source's aggregate pushdown turns the 100 TB "how big is this
+    * table / what's its key range" question into a footer read per
+    * file. Returns one row (cnt, min_v, max_v).
+    *
+    * The pushdown needs the V2 read path and the aggregatePushdown
+    * flag; both are session confs, set for the duration of the
+    * (eagerly materialized) computation and restored — the rest of the
+    * session keeps its planner behavior. [[footerStatsPlan]] exposes
+    * the lazy plan under the same confs for inspection (PlanSpec pins
+    * the PushedAggregation evidence). */
+  def footerStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String): DataFrame =
+    withV2Pushdown(spark) { footerStatsPlan(spark, path, column)
+      .localCheckpoint(true) }
+
+  def footerStatsPlan(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String): DataFrame =
+    spark.read.parquet(path)
+      .agg(count(lit(1)).as("cnt"),
+        min(col(column)).as("min_v"), max(col(column)).as("max_v"))
+
+  /** Run `body` with the parquet V2 aggregate-pushdown confs set,
+    * restoring the session's previous values afterwards. */
+  def withV2Pushdown[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.sources.useV1SourceList",
+      "spark.sql.parquet.aggregatePushdown")
+    val olds = keys.map(k => k -> conf.getOption(k))
+    conf.set(keys(0), "")
+    conf.set(keys(1), "true")
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -881,8 +881,22 @@ object Relational {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** Footer-only aggregates (Layout.footerStats): COUNT/MIN/MAX of
+    * lineitem answered from parquet metadata through the V2 pushdown
+    * path — no data pages read (PlanSpec pins the PushedAggregation
+    * evidence); the oracle recomputes the same three aggregates the
+    * slow way. */
+  val q235 = QueryDef(
+    "q235_footer_stats",
+    """SELECT COUNT(*) AS cnt,
+      |       MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    graft.operators.Layout.footerStats(spark, s"$dir/lineitem.parquet",
+      "l_quantity")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
     q111, q117, q118, q121, q125, q129, q131, q132, q134, q171, q178, q179,
-    q180, q210, q216)
+    q180, q210, q216, q235)
 }

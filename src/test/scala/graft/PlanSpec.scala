@@ -340,6 +340,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("footer stats push COUNT/MIN/MAX into the parquet scan") {
+    import graft.operators.Layout
+    Layout.withV2Pushdown(spark) {
+      val df = Layout.footerStatsPlan(spark, s"${sf()}/lineitem.parquet",
+        "l_quantity")
+      val p = df.queryExecution.optimizedPlan.toString +
+        df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation"), p)
+      assert(p.contains("COUNT(*)") || p.contains("count(*)"), p)
+    }
+    // confs restored: the default session still plans parquet as V1
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList", "default") != "")
+  }
+
   test("PII report is a pure projection — no Exchange, no aggregation") {
     val docs = Tables.documents(spark, sf())
     val p = planOf(graft.operators.QualityRules.piiReport(
