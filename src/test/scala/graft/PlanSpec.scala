@@ -354,6 +354,18 @@ class PlanSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.sources.useV1SourceList", "default") != "")
   }
 
+  test("partitioned fact scans carry a dynamic pruning filter from the dim") {
+    val tmp = graft.core.TempPaths.gatePath("dpp_planspec")
+    val ev = Tables.events(spark, sf()).withColumn("day", expr("sec div 86400"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$tmp/ev")
+    val fact = spark.read.parquet(s"$tmp/ev")
+    val dim = ev.select("day").distinct().filter(pmod(col("day"), lit(7)) === 2)
+    val joined = fact.join(dim, "day").groupBy("day").count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$p")
+  }
+
   test("PII report is a pure projection — no Exchange, no aggregation") {
     val docs = Tables.documents(spark, sf())
     val p = planOf(graft.operators.QualityRules.piiReport(
