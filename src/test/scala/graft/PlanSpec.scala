@@ -366,6 +366,40 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning in:\n$p")
   }
 
+  test("a selective dim injects a runtime bloom filter into the fact scan") {
+    // runtime filtering (the shuffle-join analog of DPP): with the
+    // optimizer flag on and a creation-side filter, Spark plants a
+    // BloomFilter subquery on the application side
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val olds = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "10GB")
+    // the default application-side gate is 10GB — local test tables
+    // never qualify; 0 disables the size gate, not the feature
+    spark.conf.set(keys(2), "0")
+    // a broadcastable dim makes the optimizer skip the bloom (broadcast
+    // reuse already filters); force the shuffle-join regime the filter
+    // exists for
+    spark.conf.set(keys(3), "-1")
+    try {
+      val li = Tables.lineitem(spark, sf())
+      val sel = Tables.orders(spark, sf())
+        .filter(col("o_totalprice") > 500000.0).select("o_orderkey")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter in:\n$p")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("PII report is a pure projection — no Exchange, no aggregation") {
     val docs = Tables.documents(spark, sf())
     val p = planOf(graft.operators.QualityRules.piiReport(
