@@ -103,4 +103,58 @@ object Classifier {
       Cross.r6(when(n > 0,
         size(array_distinct(tk)).cast("double") / n.cast("double")).otherwise(0.0)))
   }
+
+  /** χ² feature selection over document terms vs a binary label — the
+    * vocabulary-pruning step before bag-of-words classification: each
+    * term's 2×2 contingency (term presence × label) scores
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), and only the top
+    * discriminative terms feed the model. Presence is per-doc DISTINCT
+    * (multiplicity is the hashing trick's business, not selection's).
+    * Returns the top `k` rows (term, a, b, c, d, chi2) — a = positive
+    * docs containing the term, b = negative containing, c/d = the
+    * absent complements; zero-margin terms (every doc, or label
+    * constant) score 0 by convention. Ties break on the term for a
+    * total order.
+    *
+    * Scale shape: one distinct (doc, term) explosion, one per-term
+    * algebraic count pass against broadcast corpus totals, a
+    * TakeOrdered top-k. The cell COUNTS are exact integers; the χ²
+    * arithmetic runs in doubles with a FIXED operand order — products
+    * of exact-count doubles are correctly rounded identically on both
+    * engines, so the statistic is deterministic (and, unlike a decimal
+    * chain, cannot overflow: N·(ad−bc)² exceeds DECIMAL(38) range
+    * already at ~10^8-doc margins). */
+  def chi2Features(docs: DataFrame, id: Column, toks: Column,
+      label: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = docs.select(id.as("id"), toks.as("tk"),
+      label.cast("long").as("y"))
+    val tot = base.agg(count(lit(1)).as("nn"), sum("y").as("np"))
+    val perTerm = base
+      .select(col("id"), col("y"), explode(col("tk")).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_has"), sum("y").as("a"))
+    val d = (c: Column) => c.cast("double")
+    perTerm.crossJoin(broadcast(tot))
+      .select(col("term"),
+        col("a"),
+        (col("n_has") - col("a")).as("b"),
+        (col("np") - col("a")).as("c"),
+        (col("nn") - col("np") - col("n_has") + col("a")).as("d"),
+        col("nn"))
+      .withColumn("margin",
+        d(col("a") + col("b")) * d(col("c") + col("d")) *
+          d(col("a") + col("c")) * d(col("b") + col("d")))
+      .withColumn("chi2",
+        Cross.r6(when(col("margin") > 0.0,
+          d(col("nn")) *
+            (d(col("a")) * d(col("d")) - d(col("b")) * d(col("c"))) *
+            (d(col("a")) * d(col("d")) - d(col("b")) * d(col("c"))) /
+            col("margin"))
+          .otherwise(0.0)))
+      .select("term", "a", "b", "c", "d", "chi2")
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+  }
 }

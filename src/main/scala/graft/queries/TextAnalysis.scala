@@ -1997,6 +1997,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** χ² feature selection (Classifier.chi2Features): top-20 terms by
+    * 2×2 contingency against the lang='en' label, exact integer cells
+    * and fixed-order double arithmetic. The oracle recomputes cells and
+    * the same expression order. */
+  val q237 = QueryDef(
+    "q237_chi2_features",
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS tk,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |tot AS (SELECT COUNT(*) AS nn, SUM(y) AS np FROM base),
+       |pt AS (
+       |  SELECT term, COUNT(*) AS n_has, SUM(y) AS a FROM (
+       |    SELECT DISTINCT doc_id, y, unnest(tk) AS term FROM base)
+       |  GROUP BY term),
+       |cells AS (
+       |  SELECT term, a, n_has - a AS b, np - a AS c,
+       |         nn - np - n_has + a AS d, nn
+       |  FROM pt CROSS JOIN tot),
+       |scored AS (
+       |  SELECT term, a, b, c, d,
+       |    (a + b)::DOUBLE * (c + d)::DOUBLE * (a + c)::DOUBLE * (b + d)::DOUBLE AS margin,
+       |    ${Cross.r6Sql(
+            "CASE WHEN (a + b)::DOUBLE * (c + d)::DOUBLE * (a + c)::DOUBLE * (b + d)::DOUBLE > 0.0 THEN " +
+              "nn::DOUBLE * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE) * " +
+              "(a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE) / " +
+              "((a + b)::DOUBLE * (c + d)::DOUBLE * (a + c)::DOUBLE * (b + d)::DOUBLE) " +
+              "ELSE 0.0 END")} AS chi2
+       |  FROM cells)
+       |SELECT term, a, b, c, d, chi2 FROM scored
+       |ORDER BY chi2 DESC, term LIMIT 20""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Classifier.chi2Features(docs, col("doc_id"),
+      TextFns.tokens(col("text")),
+      when(col("lang") === "en", 1L).otherwise(0L), k = 20)
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2166,5 +2203,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237)
 }

@@ -42,4 +42,23 @@ class ClassifierSpec extends SparkSpec {
       scored.filter(col("y") === 0).agg(avg("p")).head().getDouble(0)
     assert(auc, "positives must score above negatives on average")
   }
+
+  test("chi2Features ranks perfectly-discriminative terms first") {
+    // 'pos' appears in exactly the positive docs, 'neu' in all docs
+    val docs = ((0 until 10).map(i => (i.toLong, "pos neu filler", 1L)) ++
+      (10 until 20).map(i => (i.toLong, "neu other filler", 0L)))
+      .toDF("doc_id", "text", "y")
+    val got = Classifier.chi2Features(docs, col("doc_id"),
+        split(col("text"), " "), col("y"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val byTerm = got.toMap
+    // 'pos': a=10 b=0 c=0 d=10 -> chi2 = 20*(100)^2/(10*10*10*10) = 20
+    assert(byTerm("pos") === ((10L, 0L, 0L, 10L, 20.0)))
+    assert(got.head._2._5 === 20.0, "a perfect discriminator ranks first")
+    // 'neu' in every doc: (c+d) margin collapses to 0 -> convention 0
+    assert(byTerm("neu")._5 === 0.0)
+    // 'other': the symmetric perfect discriminator
+    assert(byTerm("other")._5 === 20.0)
+  }
 }
