@@ -880,5 +880,41 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232)
+  /** Near-dup provenance matrix: q32's verified pairs grouped by the
+    * UNORDERED source pair — which feeds duplicate each other (mirror
+    * crawls, syndication) vs which self-duplicate. The off-diagonal
+    * mass is the argument for cross-source (not per-source) dedup. */
+  val q238 = QueryDef(
+    "q238_neardup_source_matrix",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT LEAST(sa.source, sb.source) AS src_a,
+       |       GREATEST(sa.source, sb.source) AS src_b,
+       |       COUNT(*) AS n_pairs
+       |FROM cand
+       |JOIN documents sa ON sa.doc_id = cand.doc_a
+       |JOIN documents sb ON sb.doc_id = cand.doc_b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val docs = graft.core.Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNearDups(spark, docs, K, R, ShingleN)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238)
 }
