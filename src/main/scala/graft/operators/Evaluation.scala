@@ -169,6 +169,71 @@ object Evaluation {
       .select("threshold", "tp", "fp", "fn", "tn", "objective")
   }
 
+  /** Per-key operating-point selection — the CALIBRATED-PER-SOURCE
+    * answer to "which threshold": raw scores from different sources
+    * live on different scales (the q182 problem), so one global
+    * threshold over/under-filters per source; this sweeps every key's
+    * own exact curve and picks its own argmax. Same criteria and
+    * tie-break as [[bestThreshold]]. Returns one row per key:
+    * (key, threshold, tp, fp, fn, tn, objective).
+    *
+    * Scale shape: the per-(key, score) collapse is one algebraic
+    * groupBy; cumulative counts run per (key, band) — every level of
+    * the banded scan simply extends with the key, exactly the
+    * [[Curation.selectUnderBudgetPerKey]] construction — and the
+    * per-key argmax is one min_by aggregate over each key's distinct
+    * scores, never a global sort. */
+  def bestThresholdPerKey(scored: DataFrame, key: Column, score: Column,
+      label: Column, criterion: String = "f1", bands: Int = 1024): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val g = scored.select(key.cast("string").as("key"),
+      guardedScore(score).as("score"), guardedLabel(label).as("y"))
+    val per = g.groupBy("key", "score").agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    val banded = per.withColumn("band", least(greatest(
+      floor(col("score") * bands).cast("long"), lit(0L)), lit(bands - 1L)))
+    val bt = banded.groupBy("key", "band").agg(sum("n").as("bn"), sum("npos").as("bp"))
+    val wB = Window.partitionBy("key").orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt
+      .withColumn("o_n", coalesce(sum("bn").over(wB), lit(0L)))
+      .withColumn("o_p", coalesce(sum("bp").over(wB), lit(0L)))
+      .select("key", "band", "o_n", "o_p")
+    val tot = g.groupBy("key").agg(count(lit(1)).as("t_n"),
+      coalesce(sum("y"), lit(0L)).as("t_p"))
+    val wIn = Window.partitionBy("key", "band").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = banded.join(broadcast(off), Seq("key", "band"))
+      .withColumn("pred_pos", col("o_n") + sum("n").over(wIn))
+      .withColumn("tp", col("o_p") + sum("npos").over(wIn))
+      .join(broadcast(tot), "key")
+      .select(col("key"), col("score").as("threshold"), col("tp"),
+        (col("pred_pos") - col("tp")).as("fp"),
+        (col("t_p") - col("tp")).as("fn"),
+        (col("t_n") - col("pred_pos") - col("t_p") + col("tp")).as("tn"))
+    val obj = criterion match {
+      case "f1" => Cross.r6((col("tp") * 2L).cast("double") /
+        (col("tp") + col("fp") + col("tp") + col("fn")).cast("double"))
+      case "youden" => Cross.r6(
+        when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(0.0) -
+        when(col("fp") + col("tn") > 0L,
+          col("fp").cast("double") / (col("fp") + col("tn")).cast("double"))
+          .otherwise(0.0))
+      case other => throw new IllegalArgumentException(
+        s"criterion must be f1 or youden, got $other")
+    }
+    cells.withColumn("objective", obj)
+      .groupBy("key")
+      .agg(min_by(
+        struct(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("objective")),
+        struct((-col("objective")).as("no"), col("threshold").as("t"))).as("w"))
+      .select(col("key"), col("w.threshold").as("threshold"),
+        col("w.tp").as("tp"), col("w.fp").as("fp"), col("w.fn").as("fn"),
+        col("w.tn").as("tn"), col("w.objective").as("objective"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds for the deterministic bootstrap:
     * replicate count = #{t : u > t} for a uniform u — 0 w.p. e⁻¹, 1
     * w.p. e⁻¹, …, capped at 8 (P > 8 ≈ 1e-6). Literal doubles, so both

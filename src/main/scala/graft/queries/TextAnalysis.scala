@@ -2034,6 +2034,57 @@ object TextAnalysis {
       when(col("lang") === "en", 1L).otherwise(0L), k = 20)
   }
 
+  /** Per-source operating points (Evaluation.bestThresholdPerKey):
+    * every source sweeps its own exact stop-ratio curve and picks its
+    * own Youden argmax — the per-source calibration answer. The oracle
+    * computes each key's sweep with flat windows and the identical
+    * (objective DESC, threshold) argmax. */
+  val q239 = QueryDef(
+    "q239_best_threshold_by_source",
+    s"""WITH sc AS (
+       |  SELECT source AS key,
+       |    CASE WHEN len(tk) > 0 THEN ${Cross.r6Sql(
+             s"${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE")}
+       |         ELSE 0.0 END AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT source, lang, $toks AS tk FROM documents)),
+       |per AS (SELECT key, score, COUNT(*) AS n, SUM(y) AS npos
+       |        FROM sc GROUP BY key, score),
+       |cum AS (SELECT key, score, n, npos,
+       |          SUM(n) OVER (PARTITION BY key ORDER BY score DESC) AS pred_pos,
+       |          SUM(npos) OVER (PARTITION BY key ORDER BY score DESC) AS tp
+       |        FROM per),
+       |tot AS (SELECT key, COUNT(*) AS t_n, SUM(y) AS t_p FROM sc GROUP BY key),
+       |cells AS (
+       |  SELECT cum.key, score AS threshold, tp, pred_pos - tp AS fp,
+       |         t_p - tp AS fn, t_n - pred_pos - t_p + tp AS tn
+       |  FROM cum JOIN tot ON cum.key = tot.key),
+       |obj AS (
+       |  SELECT key, threshold, tp, fp, fn, tn,
+       |    ${Cross.r6Sql(
+             "CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE ELSE 0.0 END - " +
+               "CASE WHEN fp + tn > 0 THEN fp::DOUBLE / (fp + tn)::DOUBLE ELSE 0.0 END")} AS objective,
+       |    row_number() OVER (PARTITION BY key
+       |      ORDER BY ${Cross.r6Sql(
+             "CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE ELSE 0.0 END - " +
+               "CASE WHEN fp + tn > 0 THEN fp::DOUBLE / (fp + tn)::DOUBLE ELSE 0.0 END")} DESC,
+       |        threshold) AS rn
+       |  FROM cells)
+       |SELECT key, threshold, tp, fp, fn, tn, objective
+       |FROM obj WHERE rn = 1
+       |ORDER BY key""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir).withColumn("tk", TextFns.tokens(col("text")))
+      .select(col("source"),
+        when(size(col("tk")) > 0,
+          Cross.r6(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double")))
+          .otherwise(0.0).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    graft.operators.Evaluation.bestThresholdPerKey(d, col("source"),
+        col("score"), col("y"), criterion = "youden")
+      .orderBy("key")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2203,5 +2254,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239)
 }

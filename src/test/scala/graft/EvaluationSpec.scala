@@ -123,6 +123,26 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("bestThresholdPerKey equals the global pick on each key's own slice") {
+    val rnd2 = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      val k = s"s${i % 3}"
+      val s = rnd2.nextInt(21) / 20.0
+      val y = if (rnd2.nextDouble() < s) 1L else 0L
+      (k, s, y)
+    }
+    val df = rows.toDF("k", "score", "y")
+    val perKey = Evaluation.bestThresholdPerKey(df, col("k"), col("score"),
+        col("y"), "youden")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(6))).toMap
+    for (k <- Seq("s0", "s1", "s2")) {
+      val slice = df.filter(col("k") === k)
+      val global = Evaluation.bestThreshold(slice, col("score"), col("y"), "youden")
+        .collect().head
+      assert(perKey(k) === ((global.getDouble(0), global.getDouble(5))), s"key $k")
+    }
+  }
+
   test("cohenKappa matches the textbook formula on a multiclass matrix") {
     val rows = Seq.fill(25)(("a", "a")) ++ Seq.fill(10)(("a", "b")) ++
       Seq.fill(15)(("b", "a")) ++ Seq.fill(50)(("b", "b"))
