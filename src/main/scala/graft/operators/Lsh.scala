@@ -130,4 +130,41 @@ object Lsh {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** b-bit MinHash Jaccard estimation (Li & König 2010): keep only the
+    * LOW `b` bits of each signature — a 32/b-fold storage cut for
+    * billion-doc signature stores — and correct the inflated match rate
+    * (two unrelated docs still collide on b bits w.p. ≈ 2⁻ᵇ):
+    *
+    *   Ĵ = (E − C) / (1 − C),  E = matched b-bit fraction, C = 2⁻ᵇ.
+    *
+    * For input pairs, emits the FULL-signature match fraction (the
+    * classic K-hash estimate) alongside the b-bit corrected estimate —
+    * the two columns a storage-tradeoff evaluation compares. Returns
+    * (id_a, id_b, full_est, bbit_est).
+    *
+    * Scale shape: signatures join through the pair list on (id, h_idx)
+    * — O(|pairs|·K) rows, never a signature self-join; both estimates
+    * are integer match counts with one final division. */
+  def bbitEstimates(pairs: DataFrame, sigs: DataFrame, k: Int,
+      b: Int): DataFrame = {
+    require(b >= 1 && b <= 30, s"b out of range: $b")
+    val c = 1.0 / (1L << b).toDouble
+    val mask = lit((1L << b) - 1L)
+    val a = sigs.select(col("id").as("id_a"), col("h_idx"),
+      col("sig").as("sig_a"))
+    val bb = sigs.select(col("id").as("id_b"), col("h_idx"),
+      col("sig").as("sig_b"))
+    pairs.join(a, "id_a").join(bb, Seq("id_b", "h_idx"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("m_full"),
+        sum(when(col("sig_a").bitwiseAND(mask) === col("sig_b").bitwiseAND(mask),
+          1L).otherwise(0L)).as("m_bbit"))
+      .select(col("id_a"), col("id_b"),
+        Cross.r6(col("m_full").cast("double") / lit(k.toDouble)).as("full_est"),
+        Cross.r6(greatest(
+          (col("m_bbit").cast("double") / lit(k.toDouble) - lit(c)) /
+            lit(1.0 - c), lit(0.0))).as("bbit_est"))
+  }
 }

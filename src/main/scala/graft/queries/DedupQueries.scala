@@ -916,5 +916,43 @@ object DedupQueries {
       .orderBy("src_a", "src_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238)
+  /** b-bit MinHash estimation (Lsh.bbitEstimates): all doc pairs under
+    * id 16 score the classic K-hash match fraction AND the 4-bit
+    * corrected estimate side by side — the storage-tradeoff table. The
+    * oracle recomputes both from the shared signature CTE with the
+    * same mask and correction. */
+  val q240 = QueryDef(
+    "q240_bbit_minhash",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id < 16) a
+       |  JOIN (SELECT DISTINCT doc_id FROM sh WHERE doc_id < 16) b
+       |    ON a.doc_id < b.doc_id),
+       |m AS (
+       |  SELECT p.id_a, p.id_b,
+       |    SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS m_full,
+       |    SUM(CASE WHEN sa.sig % 16 = sb.sig % 16 THEN 1 ELSE 0 END) AS m_bbit
+       |  FROM p
+       |  JOIN sigs sa ON sa.doc_id = p.id_a
+       |  JOIN sigs sb ON sb.doc_id = p.id_b AND sb.h_idx = sa.h_idx
+       |  GROUP BY p.id_a, p.id_b)
+       |SELECT id_a, id_b,
+       |  ${Cross.r6Sql(s"m_full::DOUBLE / ${K}.0")} AS full_est,
+       |  ${Cross.r6Sql(
+            s"GREATEST((m_bbit::DOUBLE / ${K}.0 - 0.0625) / 0.9375, 0.0)")} AS bbit_est
+       |FROM m
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val docs = graft.core.Tables.documents(spark, dir)
+    val sigs = Dedup.minhashSignatures(spark, docs, K, ShingleN)
+      .withColumnRenamed("doc_id", "id")
+    val ids = sigs.select("id").distinct().filter(col("id") < 16)
+    val pairs = ids.select(col("id").as("id_a"))
+      .join(ids.select(col("id").as("id_b")), col("id_a") < col("id_b"))
+    Lsh.bbitEstimates(pairs, sigs, K, b = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240)
 }
