@@ -96,6 +96,45 @@ object Analytics {
         Cross.r6(col("n").cast("double") / col("rt").cast("double")).as("p"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over the pooled DISTINCT
+    * values — the PSI's sharper sibling: D = max |F̂₁(x) − F̂₂(x)|, the
+    * largest ECDF gap, sensitive to shape shifts that coarse bins
+    * smear. Exact (no binning): cumulative counts run over the
+    * distinct-value table via a window — at 100 TB reuse the banded
+    * scan the PSI/threshold-sweep family runs; here the distinct-value
+    * relation is the collapsed table, tiny relative to the corpus.
+    * Returns one row (n1, n2, d, d_at) — d_at the smallest value
+    * attaining the max (ties to the lowest value, total order).
+    *
+    * Determinism: counts are integers; each ECDF gap is one pair of
+    * int-to-double divisions under [[graft.core.Cross.r6]]; the argmax
+    * is a min_by over rounded operands. */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, value: Column): DataFrame = {
+    import graft.core.Cross
+    val a = ref.select(value.cast("double").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n1")).withColumn("n2", lit(0L))
+    val b = cur.select(value.cast("double").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n2")).withColumn("n1", lit(0L))
+    val per = a.unionByName(b).groupBy("v")
+      .agg(sum("n1").as("c1"), sum("n2").as("c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = per.agg(sum("c1").as("t1"), sum("c2").as("t2"))
+    val gaps = per
+      .withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("t1"), col("t2"),
+        Cross.r6(abs(col("f1").cast("double") / col("t1").cast("double") -
+          col("f2").cast("double") / col("t2").cast("double"))).as("gap"))
+    gaps.groupBy("t1", "t2")
+      .agg(max("gap").as("d"),
+        min_by(col("v"), struct((-col("gap")).as("ng"), col("v").as("tv")))
+          .as("d_at"))
+      .select(col("t1").as("n1"), col("t2").as("n2"), col("d"), col("d_at"))
+  }
+
   /** Ingestion-volume anomaly screen: per-(key, bucket) event counts
     * z-scored against each key's own TRAILING window of `trailing`
     * buckets — the feed-health monitor that catches a source going

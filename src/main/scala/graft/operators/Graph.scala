@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.Cross
+import graft.core.{Caching, Cross}
 
 /** Iterative graph analytics beyond the connected-components pass in
   * [[Dedup]]: PageRank with a fixed iteration budget.
@@ -52,5 +52,59 @@ object Graph {
     e.unpersist()
     nodes.unpersist()
     pr
+  }
+
+  /** Per-node triangle counts over an undirected edge list — the
+    * cluster-cohesion diagnostic for the near-dup graph: a clique-like
+    * dup cluster is triangle-dense, a hub-and-spokes false-positive
+    * cluster (one template doc banding with everything) is
+    * triangle-poor, so triangles-vs-degree separates real duplication
+    * from LSH noise before survivors are picked. Returns
+    * (id, degree, triangles).
+    *
+    * Scale shape: the classic DEGREE-ORDERED orientation — each edge
+    * points from its lower-(degree, id) endpoint to the higher — makes
+    * every wedge join touch only a node's HIGHER-ranked neighbors, so
+    * the quadratic step is Σ out-degree², with out-degree bounded by
+    * √(2·|E|) on any graph (the arboricity argument): a
+    * million-follower hub contributes its √-bounded out-list, not its
+    * full adjacency square. One wedge equi-join plus one edge
+    * semi-probe; each triangle counts exactly once and is credited to
+    * all three corners. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("id"), col("deg"))
+    Caching.releasing(und, deg) {
+      // orient edges low → high by (degree, id)
+      val withDeg = und
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // wedges around the lowest-ranked corner, closed by the oriented
+      // edge between the two higher corners (either orientation)
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+      // x.dst < y.dst makes (v, w) ordered like und's (a, b): one
+      // equi-probe closes the wedge
+      val tri = wedges.join(und,
+          col("a") === col("v") && col("b") === col("w"))
+        .select(col("u"), col("v"), col("w"))
+      val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("triangles"))
+      deg.join(perNode, Seq("id"), "left")
+        .na.fill(0L, Seq("triangles"))
+        .select(col("id"), col("deg").as("degree"), col("triangles"))
+    }
   }
 }

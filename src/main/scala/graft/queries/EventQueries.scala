@@ -780,5 +780,35 @@ object EventQueries {
       .orderBy("day", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236)
+  /** Two-sample KS statistic (Analytics.ksStatistic): the exact max
+    * ECDF gap between even- and odd-id event values — the sharp drift
+    * test beside the binned PSI (q211). The oracle mirrors the pooled
+    * distinct-value cumulative counts and the (gap DESC, v) argmax. */
+  val q241 = QueryDef(
+    "q241_ks_test",
+    s"""WITH a AS (SELECT value AS v, COUNT(*) AS c1 FROM events
+       |           WHERE event_id % 2 = 0 GROUP BY value),
+       |b AS (SELECT value AS v, COUNT(*) AS c2 FROM events
+       |      WHERE event_id % 2 = 1 GROUP BY value),
+       |per AS (
+       |  SELECT COALESCE(a.v, b.v) AS v, COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+       |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+       |tot AS (SELECT SUM(c1) AS t1, SUM(c2) AS t2 FROM per),
+       |g AS (
+       |  SELECT v, t1, t2,
+       |    ${Cross.r6Sql(
+            "abs((SUM(c1) OVER (ORDER BY v))::DOUBLE / t1::DOUBLE - " +
+              "(SUM(c2) OVER (ORDER BY v))::DOUBLE / t2::DOUBLE)")} AS gap
+       |  FROM per CROSS JOIN tot)
+       |SELECT t1 AS n1, t2 AS n2, MAX(gap) AS d,
+       |       MIN(v) FILTER (WHERE gap = (SELECT MAX(gap) FROM g)) AS d_at
+       |FROM g GROUP BY t1, t2""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    graft.operators.Analytics.ksStatistic(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1),
+      col("value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241)
 }

@@ -105,4 +105,25 @@ class GraphSpec extends SparkSpec {
     assert(k25.subsetOf(k50) && k50.size > k25.size)
     assert(k25.size > 40 && k25.size < 110) // ~75 expected
   }
+
+  test("triangleCounts: triangle, square, and hub-and-spokes") {
+    import graft.operators.Graph
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),            // triangle 1-2-3
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L),  // square, zero triangles
+      (10L, 11L), (10L, 12L), (10L, 13L),      // hub 10, zero triangles
+      (2L, 1L), (1L, 2L)                        // dupes/reversals collapse
+    ).toDF("a", "b")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((2L, 1L)) && got(2L) === ((2L, 1L)) && got(3L) === ((2L, 1L)))
+    assert(Seq(4L, 5L, 6L, 7L).forall(got(_)._2 === 0L))
+    assert(got(10L) === ((3L, 0L)))
+    assert(Seq(11L, 12L, 13L).forall(got(_) === ((1L, 0L))))
+    // clique K4: every node has 3 triangles
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("a", "b")
+    val g4 = Graph.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 4L).forall(g4(_) === 3L))
+  }
 }

@@ -178,6 +178,19 @@ class TemporalJoinsSpec extends SparkSpec {
       ("FR", "A") -> ((1L, true))))
   }
 
+  test("ksStatistic: 0 on identical samples, exact D on a known shift") {
+    import graft.operators.Analytics
+    val a = (0 until 100).map(i => (i % 10).toDouble).toDF("v")
+    val same = Analytics.ksStatistic(a, a, col("v")).collect().head
+    assert(same.getDouble(2) === 0.0)
+    // b = a + 5: ECDF gap peaks at 0.5 where the supports half-overlap
+    val b = (0 until 100).map(i => (i % 10 + 5).toDouble).toDF("v")
+    val r = Analytics.ksStatistic(a, b, col("v")).collect().head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 100L)
+    assert(r.getDouble(2) === 0.5, s"D=${r.getDouble(2)}")
+    assert(r.getDouble(3) === 4.0, "first value attaining the max gap")
+  }
+
   test("psi: identical distributions score ~0, a shifted one scores high") {
     import graft.operators.Analytics
     val ref = (0 until 200).map(i => (i % 10).toDouble).toDF("v")
