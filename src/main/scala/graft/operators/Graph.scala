@@ -107,4 +107,45 @@ object Graph {
         .select(col("id"), col("deg").as("degree"), col("triangles"))
     }
   }
+
+  /** Newman modularity of a clustering against an undirected edge
+    * list — the one-number answer to "did the dedup clustering carve
+    * the graph at its joints": Q = Σ_c (e_c/m − (d_c/2m)²), e_c =
+    * intra-cluster edges, d_c = summed degrees. Q near the +max means
+    * clusters are denser than chance; Q ≈ 0 means the labeling is no
+    * better than random — the quantitative guard before survivor
+    * selection trusts the components. Returns one row
+    * (m, n_clusters, q).
+    *
+    * Scale shape: one labels join per edge endpoint (hash equi-joins),
+    * two algebraic per-cluster aggregates, and a |clusters|-row final
+    * fold in exact decimal over r6-rounded per-cluster terms. */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val la = labels.select(col("id").as("a"), col("cluster").as("ca"))
+    val lb = labels.select(col("id").as("b"), col("cluster").as("cb"))
+    val tagged = und.join(la, "a").join(lb, "b")
+    Caching.releasing(tagged) {
+      val m = tagged.count()
+      require(m > 0, "modularity needs at least one edge")
+      val eIn = tagged.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("cluster")).agg(count(lit(1)).as("e_in"))
+      val degC = tagged
+        .select(explode(array(col("ca"), col("cb"))).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("d_c"))
+      val per = degC.join(eIn, Seq("cluster"), "left")
+        .na.fill(0L, Seq("e_in"))
+        .select(Cross.r6(
+          col("e_in").cast("double") / lit(m.toDouble) -
+            (col("d_c").cast("double") / lit(2.0 * m)) *
+              (col("d_c").cast("double") / lit(2.0 * m))).as("term"))
+      per.agg(count(lit(1)).as("n_clusters"),
+          Cross.r6(Cross.dsum(col("term"), 6)).as("q"))
+        .select(lit(m).as("m"), col("n_clusters"), col("q"))
+    }
+  }
 }

@@ -989,5 +989,46 @@ object DedupQueries {
       .orderBy("id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242)
+  /** Newman modularity (Graph.modularity) of the doc_id-div-5 fixture
+    * clustering against the q221 edge set (5-chains plus sparse
+    * cross-block links): the did-we-carve-at-the-joints guard. The
+    * oracle recomputes intra-edge and degree masses per cluster and the
+    * same rounded fold. */
+  val q243 = QueryDef(
+    "q243_modularity",
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |e1 AS (SELECT id AS a, id + 1 AS b FROM ids
+       |       WHERE id % 5 <> 4 AND id + 1 IN (SELECT id FROM ids)),
+       |e2 AS (SELECT id AS a, id + 5 AS b FROM ids
+       |       WHERE id % 25 = 0 AND id + 5 IN (SELECT id FROM ids)),
+       |und AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2),
+       |t AS (SELECT a, b, a // 5 AS ca, b // 5 AS cb FROM und),
+       |m AS (SELECT COUNT(*) AS m FROM t),
+       |ein AS (SELECT ca AS cluster, COUNT(*) AS e_in FROM t WHERE ca = cb GROUP BY ca),
+       |degc AS (
+       |  SELECT cluster, COUNT(*) AS d_c FROM (
+       |    SELECT ca AS cluster FROM t UNION ALL SELECT cb FROM t)
+       |  GROUP BY cluster),
+       |per AS (
+       |  SELECT ${Cross.r6Sql(
+            "COALESCE(e_in, 0)::DOUBLE / m::DOUBLE - " +
+              "(d_c::DOUBLE / (2.0 * m::DOUBLE)) * (d_c::DOUBLE / (2.0 * m::DOUBLE))")} AS term
+       |  FROM degc LEFT JOIN ein USING (cluster) CROSS JOIN m)
+       |SELECT (SELECT m FROM m) AS m, COUNT(*) AS n_clusters,
+       |       ${Cross.r6Sql(Cross.dsumSql("term", 6))} AS q
+       |FROM per""".stripMargin) { (spark, dir) =>
+    val ids = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"))
+    val e1 = ids.filter(col("id") % 5 =!= 4)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+    val e2 = ids.filter(col("id") % 25 === 0)
+      .select(col("id").as("a"), (col("id") + 5).as("b"))
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+    val labels = ids.select(col("id"),
+      floor(col("id") / 5).cast("long").as("cluster"))
+    graft.operators.Graph.modularity(labels, e1.unionByName(e2))
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243)
 }

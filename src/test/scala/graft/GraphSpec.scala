@@ -106,6 +106,24 @@ class GraphSpec extends SparkSpec {
     assert(k25.size > 40 && k25.size < 110) // ~75 expected
   }
 
+  test("modularity: perfect split scores high, random-ish split near 0") {
+    import graft.operators.Graph
+    // two 4-cliques joined by one bridge edge
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+
+      (4L, 5L)).toDF("a", "b")
+    val goodLabels = (1L to 8L).map(i => (i, if (i <= 4) 0L else 1L))
+      .toDF("id", "cluster")
+    val good = Graph.modularity(goodLabels, edges).collect().head
+    assert(good.getLong(0) === 13L && good.getLong(1) === 2L)
+    assert(good.getDouble(2) > 0.35, s"good split Q=${good.getDouble(2)}")
+    // alternating labels cut every clique edge
+    val badLabels = (1L to 8L).map(i => (i, i % 2)).toDF("id", "cluster")
+    val bad = Graph.modularity(badLabels, edges).collect().head
+    assert(bad.getDouble(2) < 0.05, s"bad split Q=${bad.getDouble(2)}")
+  }
+
   test("triangleCounts: triangle, square, and hub-and-spokes") {
     import graft.operators.Graph
     val edges = Seq(
