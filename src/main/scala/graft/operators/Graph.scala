@@ -148,4 +148,69 @@ object Graph {
         .select(lit(m).as("m"), col("n_clusters"), col("q"))
     }
   }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the symmetrized edge list: positive means hubs link hubs
+    * (social-style), strongly negative means hub-and-spokes — for a
+    * near-dup graph, a sharply negative r is the template-doc smell
+    * (one boilerplate page banding with everything) that triangle
+    * counts corroborate. Returns one row (n_edges, r).
+    *
+    * Scale shape: one degree aggregate, two hash joins to tag endpoint
+    * degrees, and the exact-decimal [[Cross.dcorr]] moment pass —
+    * deterministic on any partitioning. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("id"), col("deg"))
+    sym
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .agg((count(lit(1)) / 2L).cast("long").as("n_edges"),
+        Cross.r6(Cross.dcorr(col("da").cast("double"), col("db").cast("double")))
+          .as("r"))
+  }
+
+  /** Per-cluster conductance — the cut-quality view modularity
+    * aggregates away: φ(c) = boundary(c) / min(vol(c), vol(rest)),
+    * boundary = edges leaving the cluster, vol = summed degrees inside.
+    * Low φ = a well-separated cluster; a dedup cluster with high φ is
+    * bleeding into the rest of the graph (threshold too loose).
+    * Returns (cluster, vol, boundary, phi); singleton-degenerate
+    * clusters (zero volume) emit null φ.
+    *
+    * Scale shape: tag each edge's endpoint clusters (two hash joins),
+    * one per-cluster algebraic aggregate for volume and boundary, one
+    * broadcast total — no pair or cluster-pair join anywhere. */
+  def conductance(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val la = labels.select(col("id").as("a"), col("cluster").as("ca"))
+    val lb = labels.select(col("id").as("b"), col("cluster").as("cb"))
+    val tagged = und.join(la, "a").join(lb, "b")
+    val perEnd = tagged
+      .select(explode(array(
+        struct(col("ca").as("cluster"), (col("ca") =!= col("cb")).as("cut")),
+        struct(col("cb").as("cluster"), (col("ca") =!= col("cb")).as("cut"))))
+        .as("e"))
+      .select(col("e.cluster").as("cluster"), col("e.cut").as("cut"))
+    val per = perEnd.groupBy("cluster")
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("boundary"))
+    val tot = per.agg(sum("vol").as("tvol"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("vol"), col("boundary"),
+        when(least(col("vol"), col("tvol") - col("vol")) > 0L,
+          Cross.r6(col("boundary").cast("double") /
+            least(col("vol"), col("tvol") - col("vol")).cast("double")))
+          .as("phi"))
+  }
 }

@@ -1030,5 +1030,73 @@ object DedupQueries {
     graft.operators.Graph.modularity(labels, e1.unionByName(e2))
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243)
+  /** Shared fixture-edge CTE for the graph-diagnostic gates (q243's
+    * chains + cross-block bridges). */
+  private def fixtureEdgesCte: String =
+    """ids AS (SELECT doc_id AS id FROM documents),
+      |e1 AS (SELECT id AS a, id + 1 AS b FROM ids
+      |       WHERE id % 5 <> 4 AND id + 1 IN (SELECT id FROM ids)),
+      |e2 AS (SELECT id AS a, id + 5 AS b FROM ids
+      |       WHERE id % 25 = 0 AND id + 5 IN (SELECT id FROM ids)),
+      |und AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2)""".stripMargin
+
+  private def fixtureEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val ids = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"))
+    def arm(step: Int) = ids
+      .select(col("id").as("a"), (col("id") + step).as("b"))
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+    arm(1).filter(col("a") % 5 =!= 4)
+      .unionByName(arm(5).filter(col("a") % 25 === 0))
+  }
+
+  /** Degree assortativity (Graph.assortativity): endpoint-degree
+    * Pearson over the fixture chain+bridge graph — the hub-and-spokes
+    * detector. Oracle mirrors the exact-decimal dcorr. */
+  val q244 = QueryDef(
+    "q244_assortativity",
+    s"""WITH $fixtureEdgesCte,
+       |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+       |t AS (
+       |  SELECT da.deg::DOUBLE AS da, db.deg::DOUBLE AS db
+       |  FROM sym JOIN deg da ON da.id = sym.a JOIN deg db ON db.id = sym.b)
+       |SELECT COUNT(*) // 2 AS n_edges,
+       |       ${Cross.r6Sql(Cross.dcorrSql("da", "db"))} AS r
+       |FROM t""".stripMargin) { (spark, dir) =>
+    graft.operators.Graph.assortativity(fixtureEdges(spark, dir))
+  }
+
+  /** Per-cluster conductance (Graph.conductance): boundary over
+    * min-side volume for the doc-div-5 clustering on the fixture graph
+    * — which clusters bleed. Oracle recomputes endpoint tags, volumes,
+    * and the guarded ratio. */
+  val q245 = QueryDef(
+    "q245_conductance",
+    s"""WITH $fixtureEdgesCte,
+       |t AS (SELECT a, b, a // 5 AS ca, b // 5 AS cb FROM und),
+       |pe AS (
+       |  SELECT ca AS cluster, (ca <> cb) AS cut FROM t
+       |  UNION ALL SELECT cb, (ca <> cb) FROM t),
+       |per AS (
+       |  SELECT cluster, COUNT(*) AS vol,
+       |         SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS boundary
+       |  FROM pe GROUP BY cluster),
+       |tot AS (SELECT SUM(vol) AS tvol FROM per)
+       |SELECT cluster, vol, boundary,
+       |  CASE WHEN LEAST(vol, tvol - vol) > 0
+       |    THEN ${Cross.r6Sql("boundary::DOUBLE / LEAST(vol, tvol - vol)::DOUBLE")}
+       |  END AS phi
+       |FROM per CROSS JOIN tot
+       |ORDER BY cluster""".stripMargin) { (spark, dir) =>
+    val ids = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"))
+    val labels = ids.select(col("id"),
+      floor(col("id") / 5).cast("long").as("cluster"))
+    graft.operators.Graph.conductance(labels, fixtureEdges(spark, dir))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245)
 }

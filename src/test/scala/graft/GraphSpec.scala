@@ -124,6 +124,38 @@ class GraphSpec extends SparkSpec {
     assert(bad.getDouble(2) < 0.05, s"bad split Q=${bad.getDouble(2)}")
   }
 
+  test("assortativity: star is perfectly disassortative, cycle undefined->0") {
+    import graft.operators.Graph
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val rs = Graph.assortativity(star).collect().head
+    assert(rs.getLong(0) === 4L)
+    assert(rs.getDouble(1) === -1.0, s"star r=${rs.getDouble(1)}")
+    // a cycle is degree-regular: zero variance -> dcorr convention 0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(Graph.assortativity(cyc).collect().head.getDouble(1) === 0.0)
+  }
+
+  test("conductance: isolated clique 0, split clique bleeds") {
+    import graft.operators.Graph
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+
+      (4L, 5L)).toDF("a", "b")
+    val labels = (1L to 8L).map(i => (i, if (i <= 4) 0L else 1L))
+      .toDF("id", "cluster")
+    val got = Graph.conductance(labels, edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // each side: vol = 2*6 intra-ends + 1 bridge-end = 13, boundary 1
+    assert(got(0L) === ((13L, 1L, BigDecimal(1.0 / 13 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // alternating labels: every clique edge is cut
+    val bad = (1L to 8L).map(i => (i, i % 2)).toDF("id", "cluster")
+    val g2 = Graph.conductance(bad, edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(g2.values.forall(_ > 0.5))
+  }
+
   test("triangleCounts: triangle, square, and hub-and-spokes") {
     import graft.operators.Graph
     val edges = Seq(
