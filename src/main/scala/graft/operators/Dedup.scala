@@ -290,6 +290,38 @@ object Dedup {
     }
   }
 
+  /** Near-dup EVIDENCE: for each candidate pair, the `top` RAREST
+    * shared shingles (df ASC — the most identifying overlap, not the
+    * stop-shingle mush) — the reviewer-facing "why was this pair
+    * flagged" artifact that makes a dedup decision auditable without
+    * re-reading both documents. Returns
+    * (doc_a, doc_b, rank, sh, df) with rank 1 = rarest, ties on the
+    * shingle string.
+    *
+    * Scale shape: shared shingles come from joining the shingle set
+    * THROUGH the pair list (O(|pairs|·set size), the withJaccard
+    * discipline — never an inverted self-join); the df table is the
+    * corpus inverted index reduced to one row per shingle; the top-k
+    * is a bounded per-pair window. */
+  def nearDupEvidence(pairs: DataFrame, docs: DataFrame, shingleN: Int,
+      top: Int): DataFrame = {
+    require(top >= 1, s"top must be >= 1, got $top")
+    val sh = shingleSet(docs, shingleN)
+    Caching.releasing(sh) {
+      val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val shared = pairs.select("doc_a", "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .join(dfs, "sh")
+      val w = Window.partitionBy("doc_a", "doc_b")
+        .orderBy(col("df"), col("sh"))
+      shared
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= top)
+        .select("doc_a", "doc_b", "rank", "sh", "df")
+    }
+  }
+
   /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set.
     * Verification is one native array_intersect per pair against
     * per-doc shingle arrays (cost O(|pairs|·set size) in ONE row per

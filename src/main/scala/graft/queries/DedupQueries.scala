@@ -1098,5 +1098,41 @@ object DedupQueries {
       .orderBy("cluster")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245)
+  /** Near-dup evidence (Dedup.nearDupEvidence): the 3 rarest shared
+    * shingles per q32 candidate pair — the auditable "why flagged"
+    * artifact. The oracle joins shingles through the candidate pairs
+    * and ranks by (df, shingle) flat. */
+  val q246 = QueryDef(
+    "q246_neardup_evidence",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, sa.s AS sh, dfs.df
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  JOIN dfs ON dfs.s = sa.s)
+       |SELECT doc_a, doc_b, rank, sh, df FROM (
+       |  SELECT doc_a, doc_b, sh, df,
+       |         row_number() OVER (PARTITION BY doc_a, doc_b
+       |                            ORDER BY df, sh) AS rank
+       |  FROM shared) t
+       |WHERE rank <= 3
+       |ORDER BY doc_a, doc_b, rank""".stripMargin) { (spark, dir) =>
+    val docs = graft.core.Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNearDups(spark, docs, K, R, ShingleN)
+    Dedup.nearDupEvidence(pairs, docs, ShingleN, top = 3)
+      .orderBy("doc_a", "doc_b", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246)
 }
