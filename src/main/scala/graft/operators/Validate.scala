@@ -84,4 +84,34 @@ object Validate {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", col("n") < k)
   }
+
+  /** Pipeline metrics in the SAME pass as the main job — Spark's
+    * Observation API: named aggregate metrics ride the query's own
+    * execution (zero extra scans, zero extra shuffles), which is how a
+    * 100 TB curation job reports rows-seen / rows-dropped / token-mass
+    * without paying a second pass per counter. `metrics` are named
+    * aggregate Columns; `work` consumes the observed frame (your real
+    * job — a write, a count). Returns the observed values as a
+    * (metric, value) DataFrame once the job ran.
+    *
+    * The values come off the driver's listener — metric-sized
+    * (loop-control class), never data-sized. */
+  def observed(df: DataFrame, metrics: Seq[(String, Column)])(
+      work: DataFrame => Unit): DataFrame = {
+    require(metrics.nonEmpty, "need at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    val observed = df.observe(obs, cols.head, cols.tail: _*)
+    work(observed)
+    val row = obs.get
+    import df.sparkSession.implicits._
+    metrics.map { case (n, _) =>
+      (n, row(n) match {
+        case d: java.lang.Double => d.doubleValue()
+        case l: java.lang.Long => l.toDouble
+        case i: java.lang.Integer => i.toDouble
+        case other => other.toString.toDouble
+      })
+    }.toDF("metric", "value")
+  }
 }

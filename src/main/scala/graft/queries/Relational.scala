@@ -895,8 +895,32 @@ object Relational {
       "l_quantity")
   }
 
+  /** Same-pass pipeline metrics (Validate.observed): rows, revenue
+    * mass, and max quantity observed ON the lineitem scan while the
+    * main job (a count) runs — zero extra passes; the oracle recomputes
+    * the aggregates the slow way. Values are micro-rounded the r6 way
+    * on both sides. */
+  val q247 = QueryDef(
+    "q247_observed_metrics",
+    s"""SELECT * FROM (
+       |  SELECT 'max_qty' AS metric, MAX(l_quantity)::DOUBLE AS value FROM lineitem
+       |  UNION ALL
+       |  SELECT 'n_rows', COUNT(*)::DOUBLE FROM lineitem
+       |  UNION ALL
+       |  SELECT 'revenue', ${Cross.r6Sql(Cross.dsumSql("l_extendedprice * (1.0 - l_discount)", 4))} FROM lineitem)
+       |ORDER BY metric""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    graft.operators.Validate.observed(li, Seq(
+        "n_rows" -> count(lit(1)).cast("double"),
+        "revenue" -> Cross.r6(Cross.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)),
+        "max_qty" -> max(col("l_quantity")).cast("double")))(
+        _.count())
+      .orderBy("metric")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q101, q106,
     q111, q117, q118, q121, q125, q129, q131, q132, q134, q171, q178, q179,
-    q180, q210, q216, q235)
+    q180, q210, q216, q235, q247)
 }
