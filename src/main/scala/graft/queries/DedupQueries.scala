@@ -1134,5 +1134,51 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246)
+  /** IDF-weighted Jaccard (Dedup.weightedJaccard) over the q32
+    * candidates: rarity-weighted overlap that boilerplate padding can't
+    * dilute. The oracle mirrors the rounded idf table, the decimal
+    * masses, and the guarded division. */
+  val q248 = QueryDef(
+    "q248_weighted_jaccard",
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h_idx // $R AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY h_idx) AS bkey
+       |  FROM sigs GROUP BY doc_id, h_idx // $R),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |nn AS (SELECT COUNT(*) AS n FROM documents),
+       |dfs AS (
+       |  SELECT s, ${Cross.r6Sql("log2(n::DOUBLE / COUNT(*)::DOUBLE)")} AS idf
+       |  FROM sh CROSS JOIN nn GROUP BY s, n),
+       |wsh AS (SELECT sh.doc_id, sh.s, dfs.idf FROM sh JOIN dfs USING (s)),
+       |dm AS (SELECT doc_id, ${Cross.dsumSql("idf", 6)} AS w FROM wsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, ${Cross.dsumSql("b2.idf", 6)} AS w_inter
+       |  FROM cand c
+       |  JOIN wsh a2 ON a2.doc_id = c.doc_a
+       |  JOIN wsh b2 ON b2.doc_id = c.doc_b AND b2.s = a2.s
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT c.doc_a, c.doc_b,
+       |  ${Cross.r6Sql("COALESCE(i.w_inter, 0.0)")} AS w_inter,
+       |  ${Cross.r6Sql("wa.w + wb.w - COALESCE(i.w_inter, 0.0)")} AS w_union,
+       |  ${Cross.r6Sql(
+            "CASE WHEN wa.w + wb.w - COALESCE(i.w_inter, 0.0) > 0.0 " +
+              "THEN COALESCE(i.w_inter, 0.0) / (wa.w + wb.w - COALESCE(i.w_inter, 0.0)) " +
+              "ELSE 0.0 END")} AS wjaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN dm wa ON wa.doc_id = c.doc_a
+       |JOIN dm wb ON wb.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
+    val docs = graft.core.Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNearDups(spark, docs, K, R, ShingleN)
+    Dedup.weightedJaccard(pairs, docs, ShingleN)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246, q248)
 }
