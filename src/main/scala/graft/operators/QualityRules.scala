@@ -79,6 +79,36 @@ object QualityRules {
           col("ok_rep") && col("ok_digit"))
   }
 
+  /** Language-mixture profile — the code-switching detector: per doc,
+    * the marker-lexicon hit counts across every language, the total,
+    * and the Shannon entropy of the hit distribution. A clean
+    * monolingual doc has near-zero entropy; a mixed or machine-mangled
+    * doc spreads hits across lexicons — exactly the rows a
+    * single-language corpus policy must route to review rather than
+    * trust the argmax lang-ID on. Returns
+    * (id, n_hits, top_lang, lang_entropy) with top_lang = the q24
+    * lang-ID (ties to the earliest lexicon), entropy in bits.
+    *
+    * Scale shape: |langs| native lexicon probes inside ONE projection
+    * (no token explosion, no shuffle); the entropy is per-row
+    * arithmetic over a handful of integers, micro-rounded terms summed
+    * in fixed lexicon order. */
+  def langMixture(docs: DataFrame, id: Column, toks: Column): DataFrame = {
+    val hits = TextFns.langLexicons.map { case (lang, lex) =>
+      lang -> TextFns.lexiconHits(toks, lex)
+    }
+    val total = hits.map(_._2).reduce(_ + _)
+    val ent = hits.map { case (_, h) =>
+      when(h > 0,
+        Cross.r6(-(h.cast("double") / total.cast("double")) *
+          log(2.0, h.cast("double") / total.cast("double"))))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+    docs.select(id.as("id"), total.as("n_hits"),
+      TextFns.langId(toks).as("top_lang"),
+      when(total > 0, Cross.r6(ent)).otherwise(0.0).as("lang_entropy"))
+  }
+
   /** The typed PII inventory patterns ([[piiReport]]) — the same
     * RE2-compatible subset as TextFns.scrubPii, so the REPORT counts
     * exactly what the SCRUB would redact. */

@@ -2085,6 +2085,50 @@ object TextAnalysis {
       .orderBy("key")
   }
 
+  /** Language-mixture profile (QualityRules.langMixture): per-doc
+    * marker-hit totals, argmax language, and hit-distribution entropy —
+    * the code-switching screen. Mixed docs are synthesized by
+    * concatenating even docs with the following odd doc's text, so real
+    * multi-lexicon rows exercise the entropy. The oracle mirrors the
+    * per-lexicon probes and the fixed-order entropy fold. */
+  val q249 = {
+    val entSql = graft.functions.TextFns.langLexicons.map { case (_, lex) =>
+      val h = TextSql.lexiconHits("tk", lex)
+      s"CASE WHEN $h > 0 THEN ${Cross.r6Sql(
+        s"-($h::DOUBLE / tot::DOUBLE) * log2($h::DOUBLE / tot::DOUBLE)")} ELSE 0.0 END"
+    }.mkString("(", " + ", ")")
+    val totSql = graft.functions.TextFns.langLexicons
+      .map { case (_, lex) => TextSql.lexiconHits("tk", lex) }
+      .mkString("(", " + ", ")")
+    QueryDef(
+      "q249_lang_mixture",
+      s"""WITH mixed AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 2 = 0 AND o.text IS NOT NULL
+         |         THEN d.text || ' ' || o.text ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN documents o ON o.doc_id = d.doc_id + 1),
+         |t AS (SELECT doc_id, $toks AS tk FROM mixed),
+         |h AS (SELECT doc_id, tk, $totSql AS tot FROM t)
+         |SELECT doc_id, tot AS n_hits,
+         |  ${TextSql.langId("tk")} AS top_lang,
+         |  CASE WHEN tot > 0 THEN ${Cross.r6Sql(entSql)} ELSE 0.0 END AS lang_entropy
+         |FROM h
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val o = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val mixed = d.join(o, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0 && col("next_text").isNotNull,
+            concat(col("text"), lit(" "), col("next_text")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.QualityRules.langMixture(mixed, col("doc_id"),
+          TextFns.tokens(col("text")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2254,5 +2298,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249)
 }
