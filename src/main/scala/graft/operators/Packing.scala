@@ -121,6 +121,30 @@ object Packing {
           lit(-1L).as("bin"), lit(-1L).as("slot")))
   }
 
+  /** Materialized packed shards from a [[packHarmonic]] assignment —
+    * the loader-facing artifact: each (size_class, bin) concatenates
+    * its member documents in slot order with `sep` between them, plus
+    * the bookkeeping a trainer needs (doc count, token fill). Oversize
+    * docs (class −1) are excluded — they were never packed. Returns
+    * (size_class, bin, n_docs, n_tokens, shard_text).
+    *
+    * Scale shape: one groupBy on the (class, bin) key; each group is
+    * at most `size_class` docs by construction, so the per-group
+    * collect is bounded by the packing invariant itself — this is the
+    * rare collect_list whose size the OPERATOR guarantees. */
+  def packedShards(packed: DataFrame, docs: DataFrame, id: Column,
+      text: Column, sep: String = "\n\n"): DataFrame = {
+    val d = docs.select(id.as("id"), text.as("text"))
+    packed.filter(col("size_class") >= 1L)
+      .join(d, "id")
+      .groupBy("size_class", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("slot"), col("text")))),
+            s => s.getField("text"))).as("shard_text"))
+  }
+
   /** [[packOffsets]] with EQUI-DEPTH id buckets: boundaries from one
     * approx_percentile pass over the ids, bucket = #(bounds <= id) —
     * monotone in id, so the offsets are bit-identical to the fixed-width

@@ -2129,6 +2129,37 @@ object TextAnalysis {
     }
   }
 
+  /** Materialized packed shards (Packing.packedShards over
+    * packHarmonic): each (class, bin) emits its concatenated member
+    * texts in slot order plus fill bookkeeping — the actual training
+    * shard artifact. The oracle recomputes the harmonic assignment and
+    * the slot-ordered string_agg byte for byte. */
+  val q250 = QueryDef(
+    "q250_packed_shards",
+    s"""WITH t AS (SELECT doc_id AS id, text, len($toks)::BIGINT AS ntok FROM documents),
+       |c AS (SELECT id, text, ntok,
+       |        CASE WHEN ntok > 64 THEN -1
+       |             WHEN ntok <= 0 THEN 8
+       |             ELSE LEAST(8, 64 // ntok) END AS size_class
+       |      FROM t),
+       |r AS (SELECT id, text, ntok, size_class,
+       |        row_number() OVER (PARTITION BY size_class ORDER BY id) - 1 AS r0
+       |      FROM c WHERE size_class >= 1)
+       |SELECT size_class, r0 // size_class AS bin, COUNT(*) AS n_docs,
+       |       SUM(ntok) AS n_tokens,
+       |       string_agg(text, E'\\n\\n' ORDER BY r0 % size_class) AS shard_text
+       |FROM r
+       |GROUP BY size_class, r0 // size_class
+       |ORDER BY size_class, bin""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+    val packed = graft.operators.Packing.packHarmonic(docs,
+      col("doc_id"), size(col("tk")), binSize = 64L, classes = 8)
+    graft.operators.Packing.packedShards(packed, docs, col("doc_id"),
+        col("text"))
+      .orderBy("size_class", "bin")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2298,5 +2329,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250)
 }
