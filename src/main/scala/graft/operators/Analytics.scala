@@ -110,13 +110,20 @@ object Analytics {
     * int-to-double divisions under [[graft.core.Cross.r6]]; the argmax
     * is a min_by over rounded operands. */
   def ksStatistic(ref: DataFrame, cur: DataFrame, value: Column): DataFrame = {
-    import graft.core.Cross
     val a = ref.select(value.cast("double").as("v"))
       .groupBy("v").agg(count(lit(1)).as("n1")).withColumn("n2", lit(0L))
     val b = cur.select(value.cast("double").as("v"))
       .groupBy("v").agg(count(lit(1)).as("n2")).withColumn("n1", lit(0L))
-    val per = a.unionByName(b).groupBy("v")
-      .agg(sum("n1").as("c1"), sum("n2").as("c2"))
+    ksFromCounts(a.unionByName(b).groupBy("v")
+      .agg(sum("n1").as("c1"), sum("n2").as("c2")))
+  }
+
+  /** The ECDF-gap half of [[ksStatistic]] over pre-folded per-value
+    * counts (v, c1, c2) — the streaming monitor's entry: the stream
+    * maintains one count pair per distinct value and the completed fold
+    * feeds the identical gap/argmax arithmetic. */
+  def ksFromCounts(per: DataFrame): DataFrame = {
+    import graft.core.Cross
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

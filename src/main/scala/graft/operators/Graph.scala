@@ -108,6 +108,18 @@ object Graph {
     }
   }
 
+  /** Local clustering coefficients from [[triangleCounts]]:
+    * cc = 2T / (d(d−1)) — how clique-like each node's neighborhood is;
+    * degree-deficient nodes (d < 2) emit null rather than a fabricated
+    * zero. One per-row projection over the triangle table. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame =
+    triangleCounts(edges)
+      .select(col("id"), col("degree"), col("triangles"),
+        when(col("degree") >= 2L,
+          Cross.r6((col("triangles") * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double")))
+          .as("coefficient"))
+
   /** Newman modularity of a clustering against an undirected edge
     * list — the one-number answer to "did the dedup clustering carve
     * the graph at its joints": Q = Σ_c (e_c/m − (d_c/2m)²), e_c =

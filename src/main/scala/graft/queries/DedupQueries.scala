@@ -1180,5 +1180,42 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246, q248)
+  /** Local clustering coefficients (Graph.clusteringCoefficients):
+    * 2T/(d(d−1)) per node over the q242 fixture graph, null below
+    * degree 2 — the per-node clique-likeness view of q242. */
+  val q251 = QueryDef(
+    "q251_clustering_coeff",
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |e1 AS (SELECT id AS a, id + 1 AS b FROM ids
+      |       WHERE id % 5 < 4 AND id + 1 IN (SELECT id FROM ids)),
+      |e2 AS (SELECT id AS a, id + 2 AS b FROM ids
+      |       WHERE id % 5 < 3 AND id + 2 IN (SELECT id FROM ids)),
+      |und AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2),
+      |tri AS (
+      |  SELECT x.a AS u, x.b AS v, y.b AS w
+      |  FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+      |  JOIN und z ON z.a = x.b AND z.b = y.b),
+      |corners AS (
+      |  SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+      |tc AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id),
+      |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a)
+      |SELECT deg.id, deg.degree, COALESCE(tc.triangles, 0) AS triangles,
+      |  CASE WHEN deg.degree >= 2 THEN
+      |    (round(((COALESCE(tc.triangles, 0) * 2)::DOUBLE /
+      |            (deg.degree * (deg.degree - 1))::DOUBLE) + 1e-9, 6) + 0.0)
+      |  END AS coefficient
+      |FROM deg LEFT JOIN tc ON deg.id = tc.id
+      |ORDER BY deg.id""".stripMargin) { (spark, dir) =>
+    val ids = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"))
+    def arm(step: Int, mod: Int) = ids.filter(col("id") % 5 < mod)
+      .select(col("id").as("a"), (col("id") + step).as("b"))
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+    graft.operators.Graph.clusteringCoefficients(
+        arm(1, 4).unionByName(arm(2, 3)))
+      .orderBy("id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246, q248, q251)
 }

@@ -784,8 +784,9 @@ object EventQueries {
     * ECDF gap between even- and odd-id event values — the sharp drift
     * test beside the binned PSI (q211). The oracle mirrors the pooled
     * distinct-value cumulative counts and the (gap DESC, v) argmax. */
-  val q241 = QueryDef(
-    "q241_ks_test",
+  /** Shared q241/q252 oracle — q252's streaming fold must land on the
+    * identical KS row. */
+  private def ksOracle: String =
     s"""WITH a AS (SELECT value AS v, COUNT(*) AS c1 FROM events
        |           WHERE event_id % 2 = 0 GROUP BY value),
        |b AS (SELECT value AS v, COUNT(*) AS c2 FROM events
@@ -802,7 +803,9 @@ object EventQueries {
        |  FROM per CROSS JOIN tot)
        |SELECT t1 AS n1, t2 AS n2, MAX(gap) AS d,
        |       MIN(v) FILTER (WHERE gap = (SELECT MAX(gap) FROM g)) AS d_at
-       |FROM g GROUP BY t1, t2""".stripMargin) { (spark, dir) =>
+       |FROM g GROUP BY t1, t2""".stripMargin
+
+  val q241 = QueryDef("q241_ks_test", ksOracle) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
     graft.operators.Analytics.ksStatistic(
       ev.filter(col("event_id") % 2 === 0),
@@ -810,5 +813,18 @@ object EventQueries {
       col("value"))
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241)
+  /** Streaming KS (EventStreams.ksValueCounts + Analytics.ksFromCounts):
+    * the per-value count pairs fold incrementally over the replayed
+    * stream — one state row per distinct value — and the completed fold
+    * runs the identical exact-KS arithmetic. Same oracle as q241. */
+  val q252 = QueryDef("q252_stream_ks", ksOracle) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val counts = EventStreams.ksValueCounts(
+      EventStreams.readEvents(spark, dir),
+      pmod(col("event_id"), lit(2)), col("value"))
+    val folded = EventStreams.runToCompletion(spark, counts, "q252_counts")
+    graft.operators.Analytics.ksFromCounts(folded)
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252)
 }

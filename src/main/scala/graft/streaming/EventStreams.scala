@@ -273,4 +273,16 @@ object EventStreams {
       .select(key.as("key"), bucket.cast("long").as("bucket"))
       .groupBy("key", "bucket")
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming KS fold: per-(value, population) counts maintained
+    * incrementally — state is one count pair per DISTINCT value; feed
+    * the completed fold to `Analytics.ksFromCounts` for the identical
+    * exact KS the batch path computes (q241). */
+  def ksValueCounts(events: DataFrame, side: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): DataFrame =
+    events
+      .select(side.cast("long").as("side"), value.cast("double").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("c2"))
 }
