@@ -96,6 +96,31 @@ object Analytics {
         Cross.r6(col("n").cast("double") / col("rt").cast("double")).as("p"))
   }
 
+  /** Per-user behavioral entropy — Shannon entropy of each user's
+    * event-type distribution: bots and scripted accounts collapse to
+    * near-zero entropy (one action on repeat), engaged humans spread
+    * across types — the single-number behavioral-diversity feature for
+    * abuse screens and audience segmentation. Returns
+    * (user_id, n_events, n_types, entropy) with the [[graft.core.Cross]]
+    * micro-rounded c·log2 c fold (the q206 construction).
+    *
+    * Scale shape: one (user, type) count, one per-user fold — both
+    * algebraic; a power user's history reduces to at most
+    * |event types| rows before anything shuffles twice. */
+  def behavioralEntropy(events: DataFrame, user: Column,
+      eventType: Column): DataFrame = {
+    import graft.core.Cross
+    events.select(user.as("user_id"), eventType.as("t"))
+      .groupBy("user_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        Cross.dsum(Cross.r6(col("c").cast("double") *
+          log(2.0, col("c").cast("double")))).as("clc"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        Cross.r6(log(2.0, col("n_events").cast("double")) -
+          col("clc") / col("n_events").cast("double")).as("entropy"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over the pooled DISTINCT
     * values — the PSI's sharper sibling: D = max |F̂₁(x) − F̂₂(x)|, the
     * largest ECDF gap, sensitive to shape shifts that coarse bins

@@ -266,6 +266,26 @@ object Profile {
             col("sx")) / col("m").cast("double")).as("intercept"))
   }
 
+  /** Per-source lexical richness: vocabulary size, hapax legomena
+    * (terms occurring exactly once WITHIN the source), and the hapax
+    * fraction — the vocabulary-health companion to the Zipf slope: a
+    * template-generated source has few hapaxes, an OCR-noise source
+    * has a hapax explosion; both hide inside healthy mean-quality
+    * numbers. Returns (source, n_tokens, vocab, hapax, hapax_frac).
+    *
+    * Scale shape: one (source, term) count (map-side combinable), one
+    * per-source fold — nothing wider than the per-source vocabulary
+    * shuffles. */
+  def lexicalRichness(docs: DataFrame, key: Column, toks: Column): DataFrame =
+    docs.select(key.cast("string").as("source"), explode(toks).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("hapax_frac",
+        Cross.r6(col("hapax").cast("double") / col("vocab").cast("double")))
+
   /** Pairwise KL divergence between per-domain unigram token
     * distributions — the mixture-design diagnostic: which sources are
     * near-duplicates of each other distributionally (low KL, merge

@@ -826,5 +826,26 @@ object EventQueries {
     graft.operators.Analytics.ksFromCounts(folded)
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252)
+  /** Per-user behavioral entropy (Analytics.behavioralEntropy): event-
+    * type distribution entropy — the bot/diversity feature, micro-
+    * rounded c·log2 c fold mirrored flat. */
+  val q254 = QueryDef(
+    "q254_behavioral_entropy",
+    s"""WITH c AS (
+       |  SELECT user_id, event_type AS t, COUNT(*) AS c
+       |  FROM events GROUP BY user_id, event_type),
+       |per AS (
+       |  SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+       |    ${Cross.dsumSql(Cross.r6Sql("c::DOUBLE * log2(c::DOUBLE)"))} AS clc
+       |  FROM c GROUP BY user_id)
+       |SELECT user_id, n_events, n_types,
+       |  ${Cross.r6Sql("log2(n_events::DOUBLE) - clc / n_events::DOUBLE")} AS entropy
+       |FROM per
+       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Analytics.behavioralEntropy(Tables.events(spark, dir),
+        col("user_id"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254)
 }

@@ -2160,6 +2160,26 @@ object TextAnalysis {
       .orderBy("size_class", "bin")
   }
 
+  /** Per-source lexical richness (Profile.lexicalRichness): vocabulary,
+    * hapax legomena, hapax fraction — the template/OCR-noise detector
+    * the Zipf slope corroborates. Flat SQL recount. */
+  val q253 = QueryDef(
+    "q253_lexical_richness",
+    s"""WITH c AS (
+       |  SELECT source, term, COUNT(*) AS c FROM (
+       |    SELECT source, unnest($toks) AS term FROM documents)
+       |  GROUP BY source, term)
+       |SELECT source, SUM(c) AS n_tokens, COUNT(*) AS vocab,
+       |  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+       |  ${Cross.r6Sql(
+            "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS hapax_frac
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.lexicalRichness(Tables.documents(spark, dir),
+        col("source"), TextFns.tokens(col("text")))
+      .orderBy("source")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2329,5 +2349,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253)
 }
