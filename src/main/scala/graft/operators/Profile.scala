@@ -286,6 +286,27 @@ object Profile {
       .withColumn("hapax_frac",
         Cross.r6(col("hapax").cast("double") / col("vocab").cast("double")))
 
+  /** Gini coefficient of token mass across sources — the one-number
+    * corpus-balance metric a mixture design watches: 0 = perfectly
+    * even shares, → 1 = one source dominates. Exact mean-absolute-
+    * difference form G = Σᵢⱼ |xᵢ − xⱼ| / (2 n Σx) over the per-source
+    * mass table — the pairwise join runs on |sources|² rows (tens×tens;
+    * the corpus itself contributes one algebraic aggregate). Returns
+    * one row (n_sources, total_tokens, gini). */
+  def sourceGini(docs: DataFrame, key: Column, toks: Column): DataFrame = {
+    val mass = docs.select(key.cast("string").as("source"),
+        size(toks).cast("long").as("ntok"))
+      .groupBy("source").agg(sum("ntok").as("m"))
+    val pairs = mass.as("a").crossJoin(mass.as("b"))
+      .select(abs(col("a.m") - col("b.m")).as("d"))
+    val tot = mass.agg(count(lit(1)).as("n"), sum("m").as("t"))
+    pairs.agg(sum("d").as("sd")).crossJoin(tot)
+      .select(col("n").as("n_sources"), col("t").as("total_tokens"),
+        Cross.r6(col("sd").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("t").cast("double")))
+          .as("gini"))
+  }
+
   /** Pairwise KL divergence between per-domain unigram token
     * distributions — the mixture-design diagnostic: which sources are
     * near-duplicates of each other distributionally (low KL, merge

@@ -79,6 +79,31 @@ object QualityRules {
           col("ok_rep") && col("ok_digit"))
   }
 
+  /** Longest stopword run per document — the template/filler smell the
+    * aggregate stopword RATIO hides: "the of and to in is was…" bursts
+    * score the same ratio as naturally-spread function words, but only
+    * the burst betrays generated filler. Positional island trick over
+    * the exploded token stream (the q222 construction): stopword
+    * positions minus their per-doc rank are constant within a run.
+    * Returns (id, n_tokens, max_stop_run); stopword-free docs score 0.
+    *
+    * Scale shape: one token explosion filtered to stopword positions,
+    * one bounded per-doc window, two algebraic folds. */
+  def maxStopwordRun(docs: DataFrame, id: Column, toks: Column): DataFrame = {
+    val pos = docs.select(id.as("id"), posexplode(toks).as(Seq("i", "t")))
+    val stops = pos
+      .filter(graft.plans.LexiconMatch.count(array(col("t")), TextFns.stopwords) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("i")
+    val runs = stops
+      .withColumn("island", col("i") - row_number().over(w))
+      .groupBy("id", "island").agg(count(lit(1)).as("run"))
+      .groupBy("id").agg(max("run").as("max_stop_run"))
+    docs.select(id.as("id"), size(toks).cast("long").as("n_tokens"))
+      .join(runs, Seq("id"), "left")
+      .na.fill(0L, Seq("max_stop_run"))
+  }
+
   /** Language-mixture profile — the code-switching detector: per doc,
     * the marker-lexicon hit counts across every language, the total,
     * and the Shannon entropy of the hit distribution. A clean

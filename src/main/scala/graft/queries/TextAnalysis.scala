@@ -2180,6 +2180,61 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Source-mass Gini (Profile.sourceGini): corpus-balance inequality
+    * over per-source token masses, exact pairwise form on the tiny
+    * source table. Flat SQL mirror. */
+  val q255 = QueryDef(
+    "q255_source_gini",
+    s"""WITH m AS (
+       |  SELECT source, SUM(len($toks))::BIGINT AS m FROM documents GROUP BY source),
+       |p AS (SELECT SUM(abs(a.m - b.m)) AS sd FROM m a CROSS JOIN m b),
+       |t AS (SELECT COUNT(*) AS n, SUM(m) AS t FROM m)
+       |SELECT n AS n_sources, t AS total_tokens,
+       |  ${Cross.r6Sql("sd::DOUBLE / (2.0 * n::DOUBLE * t::DOUBLE)")} AS gini
+       |FROM p CROSS JOIN t""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.sourceGini(Tables.documents(spark, dir),
+      col("source"), TextFns.tokens(col("text")))
+  }
+
+  /** Longest stopword run (QualityRules.maxStopwordRun): the island
+    * trick over stopword positions — the filler-burst smell the ratio
+    * hides; docs are synthetically burst-injected on every fourth id
+    * so real runs exercise the fold. Flat SQL mirror. */
+  val q256 = QueryDef(
+    "q256_stopword_runs",
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0
+       |      THEN text || ' the of and to in is was for'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |pos0 AS (
+       |  SELECT doc_id, unnest(range(0, len(tk))) AS i, tk
+       |  FROM (SELECT doc_id, $toks AS tk FROM injected)),
+       |pos AS (SELECT doc_id, i, tk[i + 1] AS t FROM pos0),
+       |stops AS (
+       |  SELECT doc_id, i,
+       |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM pos WHERE t IN (${TextFns.stopwords.map(s => s"'$s'").mkString(", ")})),
+       |runs AS (
+       |  SELECT doc_id, MAX(cnt) AS max_stop_run FROM (
+       |    SELECT doc_id, island, COUNT(*) AS cnt FROM stops GROUP BY doc_id, island)
+       |  GROUP BY doc_id),
+       |base AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM injected)
+       |SELECT base.doc_id, base.n_tokens, COALESCE(runs.max_stop_run, 0) AS max_stop_run
+       |FROM base LEFT JOIN runs ON base.doc_id = runs.doc_id
+       |ORDER BY base.doc_id""".stripMargin) { (spark, dir) =>
+    val injected = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" the of and to in is was for")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.QualityRules.maxStopwordRun(injected, col("doc_id"),
+        TextFns.tokens(col("text")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Type-token (Heap's law) growth curve at fixed ingestion cutoffs —
     * vocabulary never materializes per cutoff: one min-aggregate to each
     * term's first doc, flat interval assignment, prefix sum over the
@@ -2349,5 +2404,5 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256)
 }
