@@ -100,6 +100,28 @@ object Cross {
       s"(COUNT(*)::DOUBLE * ${dxsumSql(x, y)} - ${s(x)} * ${s(y)}) / sqrt($prod) END)"
   }
 
+  /** Exact BIGINT twin of an already-quantized double — the value in
+    * integer micro-units (×1e6). Gate OUTPUTS use this instead of
+    * emitting the raw double: a BIGINT leaves the driver's hash
+    * canonicalization zero latitude (round 5 proved a float- or
+    * newline-bearing output column can hash-diverge between a strict
+    * local value compare and the driver's canon even when every value
+    * is identical). The input must already sit on the 1e-6 grid (an
+    * [[r6]] result or a floor(x*1e6+0.5001)/1e6 quantization): x*1e6 is
+    * then within a few ulps of the grid integer, and round() lands on
+    * it identically in both engines (Spark BigDecimal HALF_UP and
+    * DuckDB IEEE round agree everywhere except exact .5 boundaries,
+    * which a grid value never hits). */
+  def micro6(c: Column): Column = round(c.cast("double") * 1e6).cast("long")
+
+  def micro6Sql(e: String): String = s"CAST(round(($e) * 1000000.0) AS BIGINT)"
+
+  /** 9-dp variant of [[micro6]] for [[r9]]-quantized terms (probability
+    * masses near 1e-5 that 6-dp integerization would flatten). */
+  def micro9(c: Column): Column = round(c.cast("double") * 1e9).cast("long")
+
+  def micro9Sql(e: String): String = s"CAST(round(($e) * 1000000000.0) AS BIGINT)"
+
   /** 60-bit positive hash shared bit-for-bit with DuckDB via md5.
     * Oracle mirror: `('0x'||substr(md5(x),1,15))::UBIGINT::BIGINT`. */
   def hash64(c: Column): Column =

@@ -781,7 +781,7 @@ object DedupQueries {
        |  FROM sh JOIN dfs USING (s) GROUP BY doc_id)
        |SELECT d.doc_id,
        |  COALESCE(per.n_shingles, 0) AS n_shingles,
-       |  COALESCE(per.n_novel, 0) AS n_novel,
+       |  COALESCE(per.n_novel, 0)::BIGINT AS n_novel,
        |  CASE WHEN COALESCE(per.n_shingles, 0) > 0
        |    THEN ${Cross.r6Sql("per.n_novel::DOUBLE / per.n_shingles::DOUBLE")}
        |    ELSE 0.0 END AS novelty
@@ -1084,7 +1084,7 @@ object DedupQueries {
        |         SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS boundary
        |  FROM pe GROUP BY cluster),
        |tot AS (SELECT SUM(vol) AS tvol FROM per)
-       |SELECT cluster, vol, boundary,
+       |SELECT cluster, vol, boundary::BIGINT AS boundary,
        |  CASE WHEN LEAST(vol, tvol - vol) > 0
        |    THEN ${Cross.r6Sql("boundary::DOUBLE / LEAST(vol, tvol - vol)::DOUBLE")}
        |  END AS phi

@@ -801,7 +801,7 @@ object EventQueries {
             "abs((SUM(c1) OVER (ORDER BY v))::DOUBLE / t1::DOUBLE - " +
               "(SUM(c2) OVER (ORDER BY v))::DOUBLE / t2::DOUBLE)")} AS gap
        |  FROM per CROSS JOIN tot)
-       |SELECT t1 AS n1, t2 AS n2, MAX(gap) AS d,
+       |SELECT t1::BIGINT AS n1, t2::BIGINT AS n2, MAX(gap) AS d,
        |       MIN(v) FILTER (WHERE gap = (SELECT MAX(gap) FROM g)) AS d_at
        |FROM g GROUP BY t1, t2""".stripMargin
 
@@ -838,7 +838,7 @@ object EventQueries {
        |  SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
        |    ${Cross.dsumSql(Cross.r6Sql("c::DOUBLE * log2(c::DOUBLE)"))} AS clc
        |  FROM c GROUP BY user_id)
-       |SELECT user_id, n_events, n_types,
+       |SELECT user_id, n_events::BIGINT AS n_events, n_types,
        |  ${Cross.r6Sql("log2(n_events::DOUBLE) - clc / n_events::DOUBLE")} AS entropy
        |FROM per
        |ORDER BY user_id""".stripMargin) { (spark, dir) =>

@@ -710,7 +710,7 @@ object TextAnalysis {
        |  FROM q a LEFT JOIN q b
        |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
        |  GROUP BY a.doc_id, a.quality, a.ntok)
-       |SELECT doc_id, quality, ntok, cum_before,
+       |SELECT doc_id, quality, ntok, cum_before::BIGINT AS cum_before,
        |  (cum_before + ntok <= 20000) AS selected
        |FROM c
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -756,7 +756,7 @@ object TextAnalysis {
        |  FROM q a LEFT JOIN q b
        |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
        |  GROUP BY a.doc_id, a.quality, a.ntok)
-       |SELECT doc_id, quality, ntok, cum_before,
+       |SELECT doc_id, quality, ntok, cum_before::BIGINT AS cum_before,
        |  (cum_before + ntok <= 20000) AS selected
        |FROM c
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -794,7 +794,7 @@ object TextAnalysis {
        |  FROM q a LEFT JOIN q b
        |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
        |  GROUP BY a.doc_id, a.quality, a.ntok)
-       |SELECT doc_id, quality, ntok, cum_before,
+       |SELECT doc_id, quality, ntok, cum_before::BIGINT AS cum_before,
        |  (cum_before + ntok <= 60000) AS selected
        |FROM c
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -832,7 +832,7 @@ object TextAnalysis {
        |    ON b.key = a.key AND
        |       (b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id))
        |  GROUP BY a.doc_id, a.key, a.quality, a.ntok)
-       |SELECT doc_id, key, quality, ntok, cum_before,
+       |SELECT doc_id, key, quality, ntok, cum_before::BIGINT AS cum_before,
        |  (cum_before + ntok <=
        |    CASE key WHEN 'src1' THEN 5000 WHEN 'src2' THEN 2000 ELSE 1000 END) AS selected
        |FROM c
@@ -1195,7 +1195,7 @@ object TextAnalysis {
        |  FROM q a LEFT JOIN q b
        |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
        |  GROUP BY a.doc_id, a.quality, a.ntok)
-       |SELECT doc_id, quality, ntok, cum_before,
+       |SELECT doc_id, quality, ntok, cum_before::BIGINT AS cum_before,
        |  (cum_before + ntok <= 20000) AS selected
        |FROM c
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -1569,8 +1569,8 @@ object TextAnalysis {
        |          SUM(npos) OVER (ORDER BY score DESC) AS tp
        |        FROM per),
        |tot AS (SELECT COUNT(*) AS t_n, SUM(y) AS t_p FROM sc)
-       |SELECT score AS threshold, tp, pred_pos - tp AS fp, t_p - tp AS fn,
-       |       t_n - pred_pos - t_p + tp AS tn,
+       |SELECT score AS threshold, tp::BIGINT AS tp, (pred_pos - tp)::BIGINT AS fp,
+       |       (t_p - tp)::BIGINT AS fn, (t_n - pred_pos - t_p + tp)::BIGINT AS tn,
        |       ${Cross.r6Sql("tp::DOUBLE / pred_pos::DOUBLE")} AS precision,
        |       ${Cross.r6Sql("CASE WHEN t_p > 0 THEN tp::DOUBLE / t_p::DOUBLE ELSE 0.0 END")} AS recall,
        |       ${Cross.r6Sql("(tp * 2)::DOUBLE / (pred_pos + t_p)::DOUBLE")} AS f1
@@ -1592,7 +1592,7 @@ object TextAnalysis {
        |tot AS (SELECT COUNT(*) AS t_n, SUM(y) AS t_p FROM sc),
        |r AS (SELECT SUM(npos * (2 * (t_n - pred_pos) + n + 1)) AS rs2
        |      FROM cum, tot)
-       |SELECT t_p AS pos, t_n - t_p AS neg,
+       |SELECT t_p::BIGINT AS pos, (t_n - t_p)::BIGINT AS neg,
        |       ${Cross.r6Sql("CASE WHEN t_p > 0 AND t_n > t_p THEN " +
               "(rs2 - t_p * (t_p + 1))::DOUBLE / (t_p * (t_n - t_p) * 2)::DOUBLE " +
               "ELSE 0.5 END")} AS auc
@@ -1606,7 +1606,7 @@ object TextAnalysis {
     "q200_calibration",
     s"""WITH $scoredSql
        |SELECT LEAST(GREATEST(FLOOR(score * 10)::BIGINT, 0), 9) AS bin,
-       |       COUNT(*) AS n, SUM(y) AS n_pos,
+       |       COUNT(*) AS n, SUM(y)::BIGINT AS n_pos,
        |       ${Cross.r6Sql(Cross.davgSql("score"))} AS mean_score,
        |       ${Cross.r6Sql("SUM(y)::DOUBLE / COUNT(*)::DOUBLE")} AS frac_pos
        |FROM sc GROUP BY bin
@@ -1631,8 +1631,8 @@ object TextAnalysis {
        |        FROM per),
        |tot AS (SELECT COUNT(*) AS t_n, SUM(y) AS t_p FROM sc),
        |cells AS (
-       |  SELECT score AS threshold, tp, pred_pos - tp AS fp, t_p - tp AS fn,
-       |         t_n - pred_pos - t_p + tp AS tn
+       |  SELECT score AS threshold, tp::BIGINT AS tp, (pred_pos - tp)::BIGINT AS fp,
+       |         (t_p - tp)::BIGINT AS fn, (t_n - pred_pos - t_p + tp)::BIGINT AS tn
        |  FROM cum, tot),
        |obj AS (
        |  SELECT threshold, tp, fp, fn, tn,
@@ -1753,7 +1753,7 @@ object TextAnalysis {
        |  SELECT a.term, a.n, COALESCE(SUM(b.n), 0) AS cum_before
        |  FROM c a LEFT JOIN c b ON b.n > a.n OR (b.n = a.n AND b.term < a.term)
        |  GROUP BY a.term, a.n)
-       |SELECT term, n, cum_before,
+       |SELECT term, n, cum_before::BIGINT AS cum_before,
        |  (cum_before + n <= floor(0.8 * t)::BIGINT) AS selected
        |FROM cum CROSS JOIN tot
        |ORDER BY term""".stripMargin) { (spark, dir) =>
@@ -1774,7 +1774,7 @@ object TextAnalysis {
       val u = s"(${Cross.hash64Sql(s"doc_id::VARCHAR || '#b$i'")}::DOUBLE / 1152921504606846976.0)"
       val cb = graft.operators.Evaluation.PoissonCdf
         .map(t => s"($u > $t)::BIGINT").mkString("(", " + ", ")")
-      s"""SELECT $i AS replicate, SUM(cb) AS n_eff,
+      s"""SELECT $i AS replicate, SUM(cb)::BIGINT AS n_eff,
          |  ${Cross.r6Sql(
               s"CASE WHEN SUM(cb) > 0 THEN ${Cross.dxsumSql("cb", "x")} / SUM(cb)::DOUBLE ELSE 0.0 END")} AS mean
          |FROM (SELECT doc_id, x, $cb AS cb FROM q)""".stripMargin
@@ -1835,7 +1835,7 @@ object TextAnalysis {
        |  FROM sc a LEFT JOIN sc b2 ON b2.qid = a.qid AND
        |    (b2.score > a.score OR (b2.score = a.score AND b2.doc_id < a.doc_id))
        |  GROUP BY a.qid, a.doc_id, a.score, a.dl)
-       |SELECT qid, doc_id, score, dl, cum_before,
+       |SELECT qid, doc_id, score, dl, cum_before::BIGINT AS cum_before,
        |  (cum_before + dl <= 600) AS selected
        |FROM c
        |ORDER BY qid, doc_id""".stripMargin) { (spark, dir) =>
@@ -2026,7 +2026,8 @@ object TextAnalysis {
               "((a + b)::DOUBLE * (c + d)::DOUBLE * (a + c)::DOUBLE * (b + d)::DOUBLE) " +
               "ELSE 0.0 END")} AS chi2
        |  FROM cells)
-       |SELECT term, a, b, c, d, chi2 FROM scored
+       |SELECT term, a::BIGINT AS a, b::BIGINT AS b, c::BIGINT AS c,
+       |       d::BIGINT AS d, chi2 FROM scored
        |ORDER BY chi2 DESC, term LIMIT 20""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     graft.operators.Classifier.chi2Features(docs, col("doc_id"),
@@ -2056,8 +2057,9 @@ object TextAnalysis {
        |        FROM per),
        |tot AS (SELECT key, COUNT(*) AS t_n, SUM(y) AS t_p FROM sc GROUP BY key),
        |cells AS (
-       |  SELECT cum.key, score AS threshold, tp, pred_pos - tp AS fp,
-       |         t_p - tp AS fn, t_n - pred_pos - t_p + tp AS tn
+       |  SELECT cum.key, score AS threshold, tp::BIGINT AS tp,
+       |         (pred_pos - tp)::BIGINT AS fp, (t_p - tp)::BIGINT AS fn,
+       |         (t_n - pred_pos - t_p + tp)::BIGINT AS tn
        |  FROM cum JOIN tot ON cum.key = tot.key),
        |obj AS (
        |  SELECT key, threshold, tp, fp, fn, tn,
@@ -2146,7 +2148,7 @@ object TextAnalysis {
        |        row_number() OVER (PARTITION BY size_class ORDER BY id) - 1 AS r0
        |      FROM c WHERE size_class >= 1)
        |SELECT size_class, r0 // size_class AS bin, COUNT(*) AS n_docs,
-       |       SUM(ntok) AS n_tokens,
+       |       SUM(ntok)::BIGINT AS n_tokens,
        |       string_agg(text, E'\\n\\n' ORDER BY r0 % size_class) AS shard_text
        |FROM r
        |GROUP BY size_class, r0 // size_class
@@ -2169,8 +2171,8 @@ object TextAnalysis {
        |  SELECT source, term, COUNT(*) AS c FROM (
        |    SELECT source, unnest($toks) AS term FROM documents)
        |  GROUP BY source, term)
-       |SELECT source, SUM(c) AS n_tokens, COUNT(*) AS vocab,
-       |  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+       |SELECT source, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS vocab,
+       |  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
        |  ${Cross.r6Sql(
             "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS hapax_frac
        |FROM c GROUP BY source
@@ -2189,7 +2191,7 @@ object TextAnalysis {
        |  SELECT source, SUM(len($toks))::BIGINT AS m FROM documents GROUP BY source),
        |p AS (SELECT SUM(abs(a.m - b.m)) AS sd FROM m a CROSS JOIN m b),
        |t AS (SELECT COUNT(*) AS n, SUM(m) AS t FROM m)
-       |SELECT n AS n_sources, t AS total_tokens,
+       |SELECT n AS n_sources, t::BIGINT AS total_tokens,
        |  ${Cross.r6Sql("sd::DOUBLE / (2.0 * n::DOUBLE * t::DOUBLE)")} AS gini
        |FROM p CROSS JOIN t""".stripMargin) { (spark, dir) =>
     graft.operators.Profile.sourceGini(Tables.documents(spark, dir),
@@ -2250,7 +2252,7 @@ object TextAnalysis {
          |c AS (SELECT unnest(${cutoffs.mkString("[", ", ", "]")}) AS cutoff)
          |SELECT cutoff,
          |  (SELECT COUNT(*) FROM documents WHERE doc_id <= cutoff) AS n_docs,
-         |  (SELECT COALESCE(SUM(len(tk)), 0) FROM tk WHERE doc_id <= cutoff) AS n_tokens,
+         |  (SELECT COALESCE(SUM(len(tk)), 0) FROM tk WHERE doc_id <= cutoff)::BIGINT AS n_tokens,
          |  (SELECT COUNT(*) FROM fd WHERE first_doc <= cutoff) AS vocab
          |FROM c ORDER BY cutoff""".stripMargin) { (spark, dir) =>
       graft.operators.Profile.vocabGrowth(Tables.documents(spark, dir), cutoffs)
@@ -2307,7 +2309,7 @@ object TextAnalysis {
        |pe AS (
        |  SELECT COALESCE(SUM(rp::DECIMAL(38,0) * rl::DECIMAL(38,0)), 0) AS pe_num
        |  FROM rt JOIN ct ON rt.p = ct.l)
-       |SELECT n,
+       |SELECT n::BIGINT AS n,
        |  ${Cross.r6Sql("agree::DOUBLE / n::DOUBLE")} AS po,
        |  ${Cross.r6Sql("pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)")} AS pe,
        |  ${Cross.r6Sql(
@@ -2337,7 +2339,7 @@ object TextAnalysis {
        |         ${Cross.dsumSql(Cross.r6Sql("c::DOUBLE * log2(c::DOUBLE)"))} AS clc
        |  FROM c GROUP BY doc_id)
        |SELECT d.doc_id,
-       |  COALESCE(per.n_grams, 0) AS n_grams,
+       |  COALESCE(per.n_grams, 0)::BIGINT AS n_grams,
        |  CASE WHEN COALESCE(per.n_grams, 0) > 0
        |    THEN ${Cross.r6Sql("log2(per.n_grams::DOUBLE) - per.clc / per.n_grams::DOUBLE")}
        |    ELSE 0.0 END AS entropy

@@ -5,8 +5,22 @@ shipped library is Scala — this script just closes the feedback loop).
 Runs graft.Verify via sbt at a given SF dir, then for each dumped query
 result runs the corresponding oracle SQL in DuckDB over the same parquet
 tables and strictly compares (row count, column names, values after sorting
-rows and columns). Strict equality here implies any reasonable driver hash
-also matches.
+rows and columns) at %.12g float precision, and audits the oracle's arrow
+dtypes for driver-canon hazards.
+
+Float canon is %.12g, not full round-trip %.17g, deliberately: q13_pearson
+carries a last-ulp Spark-vs-DuckDB diff (…146 vs …159 at the 17th
+significant digit) and is GREEN on the driver across r4/r5 — so a 17g canon
+would red a driver-green gate. 12g is strictly tighter than the old 10g
+while staying inside the driver's proven tolerance.
+
+Round-5 lesson: strict fetchall() value equality does NOT imply the
+driver's hash matches. DuckDB types bare SUM(bigint) as HUGEINT; Python's
+fetchall() silently converts it to int (equal here), but the driver's
+arrow/pandas fetch renders decimal128 differently from Spark's int64 —
+25 value-identical gates hash-failed on exactly that feature. compare()
+therefore fails any gate whose oracle output carries a decimal/int128/uint
+column or a spark-vs-oracle type-class mismatch (see tools/canon_audit.py).
 
 Usage: python3 tools/check.py [sfdir] [--no-run] [query ...]
 """
@@ -17,6 +31,8 @@ import sys
 from pathlib import Path
 
 import duckdb
+
+import canon_audit
 
 REPO = Path(__file__).resolve().parent.parent
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -37,7 +53,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return f"{v:.12g}"
     if isinstance(v, list):
         return "[" + ",".join(str(canon(x)) for x in v) + "]"
     return str(v)
@@ -63,6 +79,10 @@ def compare(name: str, outdir: Path, sql: str, con) -> str:
     if gs != es:
         bad = next((a, b) for a, b in zip(gs, es) if a != b)
         return f"VALUES: first diff got={bad[0]} want={bad[1]}"
+    # value-equality established — now the driver-canon hazard audit
+    fails, _warns = canon_audit.audit_gate(name, outdir, sql, con)
+    if fails:
+        return "CANON: " + "; ".join(fails)
     return "OK"
 
 
