@@ -146,16 +146,41 @@ object Analytics {
   /** The ECDF-gap half of [[ksStatistic]] over pre-folded per-value
     * counts (v, c1, c2) — the streaming monitor's entry: the stream
     * maintains one count pair per distinct value and the completed fold
-    * feeds the identical gap/argmax arithmetic. */
-  def ksFromCounts(per: DataFrame): DataFrame = {
+    * feeds the identical gap/argmax arithmetic.
+    *
+    * Scale shape: the cumulative counts run as the
+    * [[Curation.selectUnderBudget]] two-level banded prefix scan, with
+    * EQUI-DEPTH value bands (values are unbounded doubles, so the
+    * boundaries come from one approx_percentile pass over the
+    * distinct-value table — the [[Curation.equiDepthBandColumn]]
+    * machinery; v is unique here, so no heavy-value sub-banding is
+    * needed): per-band count totals → a bands-row offset prefix →
+    * per-band in-band windows, each bounded by its band's rows. A
+    * continuous value column at 100 TB has ~corpus-many distinct
+    * values; the previous global `ORDER BY v` window funneled all of
+    * them through a single task. Banding affects execution only — the
+    * f1/f2 cumulative counts, gaps, and argmax are band-independent. */
+  def ksFromCounts(per0: DataFrame, bands: Int = 64): DataFrame = {
     import graft.core.Cross
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    import org.apache.spark.sql.expressions.Window
+    val per = per0.select(col("v").cast("double").as("v"),
+      col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"))
+    val d = per.withColumn("band",
+      Curation.equiDepthBandColumn(per, col("v"), bands).cast("long"))
+    val bt = d.groupBy("band").agg(sum("c1").as("b1"), sum("c2").as("b2"))
+    // bands rows — the only single-partition window, bounded by `bands`
+    val wB = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt
+      .withColumn("o1", coalesce(sum("b1").over(wB), lit(0L)))
+      .withColumn("o2", coalesce(sum("b2").over(wB), lit(0L)))
+      .select("band", "o1", "o2")
+    val wIn = Window.partitionBy("band").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum("c1").as("t1"), sum("c2").as("t2"))
-    val gaps = per
-      .withColumn("f1", sum("c1").over(w))
-      .withColumn("f2", sum("c2").over(w))
+    val gaps = d.join(broadcast(off), "band")
+      .withColumn("f1", col("o1") + sum("c1").over(wIn))
+      .withColumn("f2", col("o2") + sum("c2").over(wIn))
       .crossJoin(broadcast(tot))
       .select(col("v"), col("t1"), col("t2"),
         Cross.r6(abs(col("f1").cast("double") / col("t1").cast("double") -
@@ -195,13 +220,39 @@ object Analytics {
     * live (key, bucket) — the [[graft.streaming.EventStreams]] fold)
     * and the completed fold feeds the identical trailing-window
     * arithmetic the batch path runs. */
-  def volumeAnomalyFromCounts(per: DataFrame,
+  def volumeAnomalyFromCounts(per0: DataFrame,
       trailing: Int = 3, zThresh: Double = 2.0): DataFrame = {
     require(trailing >= 2, s"trailing must be >= 2, got $trailing")
     import graft.core.Cross
+    // Densify each key's bucket series before the window: a fully silent
+    // bucket produces NO (key, bucket) count row, so without the grid the
+    // headline failure — a source going silent — would be invisible, and
+    // the ROWS-based trailing frame would treat gapped buckets as
+    // adjacent. Every key is expected live from its first observed bucket
+    // through the stream's latest bucket anywhere (so end-of-series
+    // silence is flagged too); missing buckets zero-fill and z-score
+    // against the same trailing stats as observed ones. Buckets are
+    // DENSE time indices (days/hours), so the grid is |keys|·span rows —
+    // bounded by calendar time, not corpus size.
+    val per = per0.select(col("key"), col("bucket").cast("long").as("bucket"),
+      col("n").cast("long").as("n"))
+    val gmax = per.agg(max("bucket").as("ghi"))
+    // fresh attribute ids on the grid branch: the grid re-reads `per`
+    // through an aggregate, and a streaming MemorySink view on both
+    // sides of the left join trips Spark's self-join dedup
+    // ("conflicting references") unless one branch is re-keyed
+    val grid = per.groupBy("key").agg(min("bucket").as("lo"))
+      .crossJoin(broadcast(gmax))
+      .select(col("key").as("gkey"),
+        explode(sequence(col("lo"), col("ghi"))).as("gbucket"))
+    val dense = grid
+      .join(per, col("gkey") === col("key") && col("gbucket") === col("bucket"),
+        "left")
+      .select(col("gkey").as("key"), col("gbucket").as("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
       .orderBy("bucket").rowsBetween(-trailing, -1)
-    val stats = per
+    val stats = dense
       .withColumn("t_cnt", count(lit(1)).over(w))
       .withColumn("t_sum", sum("n").over(w))
       .withColumn("t_sq", sum(col("n") * col("n")).over(w))
@@ -237,11 +288,20 @@ object Analytics {
     * r6/r9 pattern, and the rubric thresholds just rescale by ln 2). */
   /** The clamped fixed-width bin key [[psi]] and its streaming fold
     * share — one expression, so batch and stream counts agree by
-    * construction. */
-  def psiBin(value: Column, lo: Double, hi: Double, bins: Int): Column =
+    * construction. Null/NaN values raise (per-row, codegen-friendly —
+    * the [[Curation]] guardedQuality discipline): Spark would floor a
+    * NaN to bin 0 via the NaN→0 long cast while DuckDB's NaN ordering
+    * differs, so a NaN-bearing column would silently diverge between
+    * engines instead of failing loudly. */
+  def psiBin(value: Column, lo: Double, hi: Double, bins: Int): Column = {
+    val v = value.cast("double")
+    val guarded = when(v.isNull || isnan(v),
+      raise_error(lit("Analytics: null/NaN value in psiBin")).cast("double"))
+      .otherwise(v)
     least(greatest(
-      floor((value.cast("double") - lo) / ((hi - lo) / bins)).cast("long"),
+      floor((guarded - lo) / ((hi - lo) / bins)).cast("long"),
       lit(0L)), lit(bins - 1L))
+  }
 
   def psi(ref: DataFrame, cur: DataFrame, value: Column,
       lo: Double, hi: Double, bins: Int = 10): DataFrame = {

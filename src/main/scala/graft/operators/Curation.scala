@@ -195,6 +195,53 @@ object Curation {
     if (bounds.size <= 128) bounds.map(inline).reduce(_ + _)
     else aggregate(typedLit(bounds.toArray), lit(0L), fold)
 
+  /** Per-key equi-depth ID band key for [[selectUnderBudgetPerKey]]
+    * callers whose quality is CONSTANT within each key (pure
+    * rank-by-id uses — [[Packing.packHarmonic]]'s within-class rank):
+    * each key's ids split at their own approx_percentile boundaries,
+    * and the slot is REVERSED ((subBands−1) − #{b : id >= b}) so the
+    * band value DESCENDS as id ascends — exactly the "larger band =
+    * earlier in (quality DESC, id ASC)" contract the per-key offset
+    * prefix iterates by. With constant quality this is always a valid
+    * refinement; with non-constant quality it is NOT (id sub-banding
+    * would split quality ties incorrectly) — use the quality-based
+    * default instead.
+    *
+    * The boundary table is one grouped percentile pass, collected as
+    * driver-side loop-control state (<= maxKeys · subBands doubles,
+    * the IVF-centroid class) and baked into a when-chain literal —
+    * which is why keys must be BOUNDED (size classes, languages;
+    * `maxKeys` guards the contract). Non-numeric ids degrade to the
+    * unbanded key (documented [[equiDepthBandColumn]] limitation). */
+  def equiDepthIdBandPerKey(docs: DataFrame, key: Column, id: Column,
+      subBands: Int, maxKeys: Int = 256): Column = {
+    require(subBands >= 1 && subBands <= 65536,
+      s"subBands out of range: $subBands")
+    if (subBands == 1) return lit(0L)
+    val numericId = docs.select(id).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (!numericId) return lit(0L)
+    val idc = id.cast("double")
+    val probs = (1 until subBands).map(i => i.toDouble / subBands).toArray
+    val rows = docs.groupBy(key.cast("string").as("k"))
+      .agg(percentile_approx(idc, typedLit(probs), lit(10000)).as("ib"))
+      .collect()
+    require(rows.length <= maxKeys,
+      s"equiDepthIdBandPerKey: ${rows.length} keys exceed maxKeys=$maxKeys " +
+        "(the boundary table is driver-side state — bounded keys only)")
+    rows.foldLeft(lit(0L)) { (acc, r) =>
+      val ib = Option(r.getSeq[Double](1)).getOrElse(Seq.empty[Double])
+        .filterNot(_.isNaN).distinct.sorted
+      if (ib.isEmpty) acc
+      else {
+        val sub = boundCount(ib, b => (idc >= b).cast("long"),
+          (a, b) => a + when(idc >= b, 1L).otherwise(0L))
+        when(key.cast("string") === r.getString(0),
+          lit(subBands.toLong - 1L) - sub).otherwise(acc)
+      }
+    }
+  }
+
   /** [[selectUnderBudget]] with equi-depth banding — identical output
     * (banding never changes the selected set), skew-proof execution on
     * clustered AND point-mass quality distributions. Costs one
@@ -222,17 +269,31 @@ object Curation {
     * (bands rows per key, broadcastable), per-(key, band) in-band
     * windows. Unknown keys get `defaultBudget` (0 = drop).
     * Returns (key, id, quality, ntok, cum_before, selected) with
-    * cum_before counted WITHIN the key. */
+    * cum_before counted WITHIN the key.
+    *
+    * `bandBy` overrides the band key (the [[selectUnderBudget]]
+    * discipline, per-key form): an expression over the NORMALIZED
+    * columns col("key")/col("id")/col("quality")/col("ntok") that,
+    * WITHIN each key, is monotone non-increasing along the
+    * (quality DESC, id ASC) order — the offset prefix iterates bands
+    * descending, so a larger band value must mean "earlier in the
+    * key's order". Output is identical for every valid choice; only
+    * parallelism changes (the callers that pass constant quality —
+    * rank-by-id uses like [[Packing.packHarmonic]] — use
+    * [[equiDepthIdBandPerKey]] so a fat key splits across sub-bands
+    * instead of single-task sorting). */
   def selectUnderBudgetPerKey(docs: DataFrame, key: Column, id: Column,
       quality: Column, ntok: Column, budgets: Map[String, Long],
-      defaultBudget: Long = 0L, bands: Int = 1024): DataFrame = {
+      defaultBudget: Long = 0L, bands: Int = 1024,
+      bandBy: Option[Column] = None): DataFrame = {
     require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
       "budgets must be >= 0")
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val base = docs.select(key.cast("string").as("key"), id.as("id"),
       guardedQuality(id, quality).as("quality"), ntok.cast("long").as("ntok"))
-    val d = base.withColumn("band", least(greatest(
+    val bandCol = bandBy.getOrElse(least(greatest(
       floor(col("quality") * bands).cast("long"), lit(0L)), lit(bands - 1L)))
+    val d = base.withColumn("band", bandCol.cast("long"))
     val bandTotals = d.groupBy("key", "band").agg(sum("ntok").as("btot"))
     val wBand = Window.partitionBy("key").orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -290,6 +290,110 @@ object Dedup {
     }
   }
 
+  /** Static CONTAINER index for [[containmentProbe]]: every corpus
+    * doc's distinct shingles in LEXICOGRAPHIC order with 1-based
+    * positions — (corpus_id, szb, pb, shb). Lexicographic, not
+    * df-rarity, order is the deliberate streaming trade: the PROBE side
+    * must build its sorted array STATELESSLY (a micro-batch cannot
+    * re-derive corpus df stats without spending the stream's one
+    * stateful-aggregation budget before the verdict), and the
+    * asymmetric prefix theorem ([[containmentJoin]]) is valid under ANY
+    * total order shared by both sides — rarity ordering only shrinks
+    * the candidate set. Build once, persist like
+    * [[corpusBandIndex]]. */
+  def containerIndex(corpus: DataFrame, shingleN: Int): DataFrame =
+    corpus
+      .select(col("doc_id").as("corpus_id"),
+        sort_array(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), shingleN))).as("set"))
+      .withColumn("szb", size(col("set")))
+      .filter(col("szb") > 0)
+      .select(col("corpus_id"), col("szb"), posexplode(col("set")))
+      .select(col("corpus_id"), col("szb"), (col("pos") + 1).as("pb"),
+        col("col").as("shb"))
+
+  /** Per-doc sorted shingle sets for [[verifyContainment]] —
+    * (id, set, sz), same lexicographic construction as
+    * [[containerIndex]] so verification compares the identical sets. */
+  def containmentSets(docs: DataFrame, shingleN: Int,
+      idName: String = "id"): DataFrame =
+    docs.select(col("doc_id").as(idName),
+        sort_array(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), shingleN))).as("set"))
+      .withColumn("sz", size(col("set")))
+
+  /** STREAMING-LEGAL containment candidates: arriving `docs` (the
+    * CONTAINED side — "is this new document an excerpt of something the
+    * corpus already holds?") probe the static [[containerIndex]] with
+    * q160's asymmetric prefix machinery, composed for Structured
+    * Streaming's one-stateful-op budget:
+    *
+    *   - the probe signature (sorted distinct-shingle array + prefix
+    *     slice + posexplode) is ONE stateless projection per row;
+    *   - the index probe is a stream-static equi-join on the shingle,
+    *     carrying the size prune (|B| >= t·|A|, division form) and the
+    *     per-match positional bound;
+    *   - the ONE streaming aggregation collapses matches into per-pair
+    *     evidence, and the aggregated last-match bound filters above it
+    *     (stateless post-aggregation projection).
+    *
+    * Exactness: zero false negatives by the prefix theorem (under the
+    * shared lexicographic order), false positives removed by
+    * [[verifyContainment]] on the folded output — the q252 discipline
+    * (stream folds evidence, the completed fold feeds identical batch
+    * arithmetic). Returns candidate pairs (doc_id, corpus_id, sza).
+    * Works identically on a batch frame. */
+  def containmentProbe(docs: DataFrame, index: DataFrame, shingleN: Int,
+      minContainment: Double): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val t = minContainment
+    val pref = docs
+      .select(col("doc_id"),
+        sort_array(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), shingleN))).as("set"))
+      .withColumn("sz", size(col("set")))
+      .filter(col("sz") > 0)
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("set"), lit(1),
+          (col("sz") - floor(lit(t) * col("sz")) + lit(1)).cast("int"))))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pa"),
+        col("col").as("sh"))
+    pref.join(index,
+        col("sh") === col("shb") &&
+        col("szb").cast("double") / col("sz").cast("double") >= t &&
+        (lit(1L) + least(col("sz") - col("pa"), col("szb") - col("pb")))
+          .cast("double") >= lit(t) * col("sz").cast("double") - lit(1e-9))
+      .groupBy("doc_id", "corpus_id")
+      .agg(count(lit(1)).as("pc"),
+        max("pa").as("mpa"), max("pb").as("mpb"),
+        max("sz").as("sza2"), max("szb").as("szb2"))
+      .filter((col("pc") +
+          least(col("sza2") - col("mpa"), col("szb2") - col("mpb")))
+        .cast("double") >= lit(t) * col("sza2").cast("double") - lit(1e-9))
+      .select(col("doc_id"), col("corpus_id"), col("sza2").as("sza"))
+  }
+
+  /** Batch verification of [[containmentProbe]] candidates: exact
+    * containment |A ∩ B| / |A| via one array_intersect per pair
+    * (the [[withJaccard]] discipline — never a pair×shingle
+    * re-explosion), thresholded. `probeSets`/`corpusSets` are
+    * [[containmentSets]] tables for the probe and corpus sides.
+    * Returns (doc_id, corpus_id, containment). */
+  def verifyContainment(cands: DataFrame, probeSets: DataFrame,
+      corpusSets: DataFrame, minContainment: Double): DataFrame = {
+    val t = minContainment
+    cands.select("doc_id", "corpus_id")
+      .join(probeSets.select(col("id").as("doc_id"), col("set").as("sa"),
+        col("sz").as("na")), "doc_id")
+      .join(corpusSets.select(col("id").as("corpus_id"), col("set").as("sb")),
+        "corpus_id")
+      .select(col("doc_id"), col("corpus_id"),
+        Cross.r6(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          col("na").cast("double")).as("containment"))
+      .filter(col("containment") >= t)
+  }
+
   /** Near-dup EVIDENCE: for each candidate pair, the `top` RAREST
     * shared shingles (df ASC — the most identifying overlap, not the
     * stop-shingle mush) — the reviewer-facing "why was this pair
@@ -350,11 +454,18 @@ object Dedup {
           Seq("doc_b", "sh"))
         .groupBy("doc_a", "doc_b")
         .agg(Cross.dsum(col("idf"), 6).as("w_inter"))
+      // docMass joins are LEFT + zero-fill like the w_inter side: a
+      // caller-supplied pair whose endpoint has no shingles (doc shorter
+      // than shingleN tokens) must still emit a row — wjaccard 0 via the
+      // zero-union guard — not silently vanish from the output.
       pairs.select("doc_a", "doc_b")
         .join(inter, Seq("doc_a", "doc_b"), "left")
         .na.fill(0.0, Seq("w_inter"))
-        .join(docMass.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
-        .join(docMass.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+        .join(docMass.select(col("doc_id").as("doc_a"), col("w").as("wa")),
+          Seq("doc_a"), "left")
+        .join(docMass.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+          Seq("doc_b"), "left")
+        .na.fill(0.0, Seq("wa", "wb"))
         .select(col("doc_a"), col("doc_b"),
           Cross.r6(col("w_inter")).as("w_inter"),
           Cross.r6(col("wa") + col("wb") - col("w_inter")).as("w_union"),

@@ -95,9 +95,17 @@ object Packing {
     * Scale shape: the within-class rank is [[Curation]]'s banded
     * per-key prefix scan counting rows — one small shuffle, no global
     * or per-class single-task sort — and everything after is per-row
-    * arithmetic. */
+    * arithmetic. `subBands` controls the EQUI-DEPTH ID sub-banding
+    * within each class ([[Curation.equiDepthIdBandPerKey]]): a real
+    * corpus concentrates in one or two size classes (most web docs are
+    * "small"), and without sub-bands that fat class's in-band window
+    * is a single-task sort — the exact skew [[Curation]]'s equi-depth
+    * quality banding fixes, here on the id axis since quality is
+    * constant. Banding never changes the assignment; subBands = 1
+    * restores the per-class single-window path (and is the automatic
+    * fallback for non-numeric ids). */
   def packHarmonic(docs: DataFrame, id: Column, ntok: Column,
-      binSize: Long, classes: Int = 8): DataFrame = {
+      binSize: Long, classes: Int = 8, subBands: Int = 64): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     require(classes >= 1 && classes <= 4096, s"classes out of range: $classes")
     val d = docs.select(id.as("id"), ntok.cast("long").as("ntok"))
@@ -105,10 +113,20 @@ object Packing {
         when(col("ntok") > binSize, lit(-1L))
           .when(col("ntok") <= 0L, lit(classes.toLong))
           .otherwise(least(lit(classes.toLong), expr(s"${binSize}L div ntok"))))
+    // normalized names FIRST so the band key's boundary comparisons
+    // resolve against the projected key/id attributes (the
+    // selectUnderBudgetEquiDepth discipline)
+    val norm = d.filter(col("size_class") >= 1L)
+      .select(col("size_class").cast("string").as("key"), col("id"))
+    val bandBy =
+      if (subBands <= 1) None
+      else Some(Curation.equiDepthIdBandPerKey(norm, col("key"), col("id"),
+        subBands, maxKeys = classes + 1))
     val packable = Curation.selectUnderBudgetPerKey(
         d.filter(col("size_class") >= 1L),
         col("size_class"), col("id"), lit(0.0), lit(1L),
-        budgets = Map.empty, defaultBudget = Long.MaxValue, bands = 1)
+        budgets = Map.empty, defaultBudget = Long.MaxValue, bands = 1,
+        bandBy = bandBy)
       .select(col("key").cast("long").as("size_class"), col("id"),
         col("cum_before").as("r0"))
       .join(d.select(col("id"), col("ntok")), "id")
@@ -143,6 +161,44 @@ object Packing {
         concat_ws(sep,
           transform(array_sort(collect_list(struct(col("slot"), col("text")))),
             s => s.getField("text"))).as("shard_text"))
+  }
+
+  /** Sliding-window token chunking — the RAG / context-window
+    * preprocessing step between curation and packing: each document's
+    * token stream splits into `chunkSize`-token chunks starting every
+    * `stride` tokens (stride < chunkSize ⇒ overlapping chunks, the
+    * retrieval-recall standard; stride = chunkSize ⇒ disjoint). Chunk
+    * starts are 0, stride, 2·stride, …, K·stride with
+    * K = ceil((n − chunkSize)/stride) for n > chunkSize else 0 — every
+    * token lands in at least one chunk, the last chunk may run short,
+    * no chunk is empty. Documents with no tokens emit nothing
+    * (documented: there is no content to chunk). Returns
+    * (doc_id, chunk_idx, n_chunks, start, chunk_len, chunk_text) —
+    * integers and strings only, no canon-hazard columns.
+    *
+    * Scale shape: pure per-row arithmetic — one explode bounded by
+    * n/stride per doc, zero shuffles, zero window functions; the
+    * whole operator stays inside whole-stage codegen. */
+  def chunkSliding(docs: DataFrame, id: Column, toks: Column,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    docs.select(id.as("doc_id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("kmax", when(col("n") <= chunkSize, lit(0L))
+        .otherwise(expr(s"(n - $chunkSize + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("tk"), col("kmax"),
+        explode(sequence(lit(0L), col("kmax"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("kmax") + 1L).as("n_chunks"),
+        (col("chunk_idx") * stride).as("start"),
+        slice(col("tk"), (col("chunk_idx") * stride + 1L).cast("int"),
+          lit(chunkSize)).as("ck"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"), col("start"),
+        size(col("ck")).cast("long").as("chunk_len"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
   }
 
   /** [[packOffsets]] with EQUI-DEPTH id buckets: boundaries from one

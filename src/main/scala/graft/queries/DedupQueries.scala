@@ -487,6 +487,69 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming containment probe (Dedup.containmentProbe +
+    * verifyContainment): synthetic excerpts — every 7th doc truncated
+    * to its first half of tokens — replayed as a stream and probed
+    * against the static lexicographic container index of the full
+    * corpus; candidates fold through the stream's ONE aggregation and
+    * the completed fold is exactly-verified batch-side (the q252
+    * discipline). The oracle computes the FULL exact probe×corpus
+    * containment with no pruning at all, so hash-equality proves the
+    * stateless lexicographic prefix + size/positional/last-match
+    * bounds lost no qualifying pair (zero false negatives) and
+    * verification admitted no junk. Every truncated doc is contained
+    * in its own original by construction (containment 1), so true
+    * positives are guaranteed at every SF. */
+  val q257 = QueryDef(
+    "q257_stream_containment",
+    s"""WITH $shingleCte,
+       |probe AS (
+       |  SELECT doc_id AS pid,
+       |         list_slice(tk, 1, greatest(len(tk) // 2, 1)) AS ptk
+       |  FROM tok WHERE doc_id % 7 = 0),
+       |psh AS (SELECT DISTINCT pid, unnest(${TextSql.shingles("ptk", ShingleN)}) AS s
+       |        FROM probe),
+       |psz AS (SELECT pid, COUNT(*) AS psz FROM psh GROUP BY pid),
+       |inter AS (
+       |  SELECT p.pid, c.doc_id AS cid, COUNT(*) AS i
+       |  FROM psh p JOIN sh c ON p.s = c.s
+       |  GROUP BY 1, 2)
+       |SELECT pid AS doc_id, cid AS corpus_id, containment FROM (
+       |  SELECT i.pid, i.cid,
+       |    ${Cross.r6Sql("i.i::DOUBLE / psz.psz::DOUBLE")} AS containment
+       |  FROM inter i JOIN psz USING (pid)) t(pid, cid, containment)
+       |WHERE containment >= 0.8
+       |ORDER BY doc_id, corpus_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val corpus = graft.core.Tables.documents(spark, dir)
+    val idx = Dedup.containerIndex(corpus, ShingleN).localCheckpoint(true)
+    // tokens are lowercase alnum runs, so re-joining with ' ' and
+    // re-tokenizing round-trips exactly — the truncated "text" carries
+    // precisely the first half of the token stream
+    def truncate(df: org.apache.spark.sql.DataFrame) = {
+      val tk = graft.functions.TextFns.tokens(col("text"))
+      df.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, lit(1),
+            greatest(floor(size(tk) / 2).cast("int"), lit(1)))).as("text"))
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val folded = graft.streaming.EventStreams.runToCompletion(spark,
+      Dedup.containmentProbe(truncate(stream), idx, ShingleN,
+        minContainment = 0.8),
+      "q257_cands")
+    Dedup.verifyContainment(folded,
+        Dedup.containmentSets(truncate(corpus), ShingleN),
+        Dedup.containmentSets(corpus, ShingleN), minContainment = 0.8)
+      .orderBy("doc_id", "corpus_id")
+  }
+
   /** Exact prefix-filtered similarity self-join (Dedup.prefixJaccardJoin):
     * every pair at Jaccard >= 0.3, found via rarity-ordered prefix
     * candidates + exact verification. The oracle computes the FULL
@@ -1217,5 +1280,5 @@ object DedupQueries {
       .orderBy("id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246, q248, q251)
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246, q248, q251, q257)
 }

@@ -696,7 +696,9 @@ object EventQueries {
       .orderBy("prev_type", "event_type")
   }
 
-  /** Shared q228/q230 oracle: per-(type, day) counts z-scored against
+  /** Shared q228/q230 oracle: per-(type, day) counts DENSIFIED to each
+    * key's [first bucket, global max bucket] grid (zero-filled — silent
+    * days must be visible and flagged, not absent) and z-scored against
     * the trailing 3-day window — q230's streaming fold must land on the
     * identical table. */
   private def volumeAnomalyOracle: String =
@@ -704,12 +706,20 @@ object EventQueries {
        |  SELECT event_type AS key, (floor(epoch(ts))::BIGINT // 86400) AS bucket,
        |         COUNT(*) AS n
        |  FROM events GROUP BY 1, 2),
+       |gmax AS (SELECT MAX(bucket) AS ghi FROM per),
+       |grid AS (
+       |  SELECT key, unnest(range(lo, ghi + 1)) AS bucket
+       |  FROM (SELECT key, MIN(bucket) AS lo FROM per GROUP BY key)
+       |  CROSS JOIN gmax),
+       |dense AS (
+       |  SELECT g.key, g.bucket, COALESCE(p.n, 0)::BIGINT AS n
+       |  FROM grid g LEFT JOIN per p ON g.key = p.key AND g.bucket = p.bucket),
        |st AS (
        |  SELECT key, bucket, n,
        |    COUNT(*) OVER w AS t_cnt,
        |    SUM(n) OVER w AS t_sum,
        |    SUM(n * n) OVER w AS t_sq
-       |  FROM per
+       |  FROM dense
        |  WINDOW w AS (PARTITION BY key ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
        |SELECT key, bucket, n,
        |  CASE WHEN t_cnt >= 1 THEN ${Cross.r6Sql("t_sum::DOUBLE / t_cnt::DOUBLE")} END AS trail_mean,

@@ -2406,5 +2406,30 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256)
+  /** Sliding-window token chunking (Packing.chunkSliding): 24-token
+    * chunks every 16 tokens — overlapping RAG-style chunks whose start
+    * grid, tail handling, and text round-trip the oracle recomputes
+    * with flat list_slice arithmetic. Integer/string output only (the
+    * round-6 canon discipline). */
+  val q258 = QueryDef(
+    "q258_chunk_sliding",
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |k AS (
+       |  SELECT doc_id, tk, len(tk)::BIGINT AS n,
+       |    CASE WHEN len(tk) <= 24 THEN 0
+       |         ELSE (len(tk) - 24 + 15) // 16 END AS kmax
+       |  FROM t WHERE len(tk) > 0),
+       |c AS (SELECT doc_id, tk, kmax, unnest(range(0, kmax + 1)) AS i FROM k)
+       |SELECT doc_id, i AS chunk_idx, (kmax + 1)::BIGINT AS n_chunks,
+       |  (i * 16)::BIGINT AS start,
+       |  len(list_slice(tk, i * 16 + 1, i * 16 + 24))::BIGINT AS chunk_len,
+       |  array_to_string(list_slice(tk, i * 16 + 1, i * 16 + 24), ' ') AS chunk_text
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    graft.operators.Packing.chunkSliding(Tables.documents(spark, dir),
+        col("doc_id"), TextFns.tokens(col("text")), chunkSize = 24, stride = 16)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258)
 }

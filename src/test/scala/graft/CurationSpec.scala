@@ -430,6 +430,62 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packHarmonic: equi-depth id sub-banding never changes the assignment") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(11)
+    // clustered sparse ids — the distribution fixed-width banding can't
+    // balance — concentrated into few size classes (the fat-class skew
+    // the sub-bands exist for)
+    val docs = (0 until 300).map { i =>
+      val id = if (i % 2 == 0) i.toLong else 1000000L + i * 997L
+      (id, (10 + rnd.nextInt(20)).toLong)
+    }.toDF("id", "ntok")
+    val banded = Packing.packHarmonic(docs, col("id"), col("ntok"),
+        binSize = 100L, classes = 8, subBands = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val flat = Packing.packHarmonic(docs, col("id"), col("ntok"),
+        binSize = 100L, classes = 8, subBands = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(banded === flat)
+    // string ids: sub-banding degrades gracefully to the unbanded path
+    val sdocs = (0 until 40).map(i => (f"d$i%03d", 10L)).toDF("id", "ntok")
+    val s = Packing.packHarmonic(sdocs, col("id"), col("ntok"), binSize = 100L,
+      classes = 4, subBands = 16).collect()
+    assert(s.length === 40)
+  }
+
+  test("chunkSliding: full coverage, overlap grid, short tail, empty docs drop") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"t$i")),     // 50 toks: chunks at 0,16,32 (K=2)
+      (2L, (1 to 24).map(i => s"u$i")),     // exactly one chunk
+      (3L, (1 to 5).map(i => s"v$i")),      // short doc: one short chunk
+      (4L, Seq.empty[String])               // empty: no rows
+    ).toDF("doc_id", "tk")
+    val got = Packing.chunkSliding(docs, col("doc_id"), col("tk"),
+        chunkSize = 24, stride = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(!got.keySet.exists(_._1 == 4L), "empty doc must emit nothing")
+    assert(got((2L, 0L))._1 === 1L && got((2L, 0L))._3 === 24L)
+    assert(got((3L, 0L)) === ((1L, 0L, 5L, "v1 v2 v3 v4 v5")))
+    // doc 1: K = ceil((50-24)/16) = 2 → 3 chunks at starts 0/16/32
+    assert(got.keySet.filter(_._1 == 1L).map(_._2) === Set(0L, 1L, 2L))
+    assert(got((1L, 1L))._2 === 16L && got((1L, 1L))._3 === 24L)
+    assert(got((1L, 2L))._2 === 32L && got((1L, 2L))._3 === 18L, "short tail")
+    // coverage: every token of doc 1 appears in some chunk
+    val covered = got.collect { case ((1L, _), (_, s, l, _)) =>
+      (s until (s + l)) }.flatten.toSet
+    assert(covered === (0L until 50L).toSet)
+    // overlap: chunk 0 and 1 share tokens 16..23
+    assert(got((1L, 0L))._4.split(" ").toSeq.drop(16) ===
+      got((1L, 1L))._4.split(" ").toSeq.take(8))
+  }
+
   test("interleaveSchedule realizes proportional smooth round-robin") {
     import graft.operators.Curation
     // domain a weight 2, domain b weight 1, 4 docs each:

@@ -269,6 +269,48 @@ class DedupSpec extends SparkSpec {
     assert(jac < 0.2)
   }
 
+  test("containmentProbe + verifyContainment equal the exact probe×corpus containment") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "totally different content that matches nothing else at all here")
+    ).toDF("doc_id", "text")
+    // probes: an excerpt of doc 2, a near-excerpt with one foreign tail
+    // token, and an unrelated doc
+    val probes = Seq(
+      (20L, "one two three four five six seven"),
+      (21L, "alpha beta gamma delta epsilon zulu"),
+      (22L, "no overlap with anything in the corpus whatsoever")
+    ).toDF("doc_id", "text")
+    val t = 0.6
+    val idx = Dedup.containerIndex(corpus, 3)
+    val got = Dedup.verifyContainment(
+        Dedup.containmentProbe(probes, idx, 3, t),
+        Dedup.containmentSets(probes, 3),
+        Dedup.containmentSets(corpus, 3), t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force exact containment over ALL probe×corpus pairs
+    def shingles(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val exact = (for {
+      (pid, pt) <- Seq((20L, "one two three four five six seven"),
+        (21L, "alpha beta gamma delta epsilon zulu"),
+        (22L, "no overlap with anything in the corpus whatsoever"))
+      (cid, ct) <- Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "one two three four five six seven eight nine ten eleven twelve"),
+        (3L, "totally different content that matches nothing else at all here"))
+      a = shingles(pt); b = shingles(ct)
+      c = a.intersect(b).size.toDouble / a.size
+      if c >= t
+    } yield (pid, cid) -> (math.floor(c * 1e6 + 0.5) / 1e6)).toMap
+    assert(got.keySet === exact.keySet, s"got=${got.keySet} want=${exact.keySet}")
+    for ((k, v) <- exact)
+      assert(math.abs(got(k) - v) < 1e-9, s"$k: got ${got(k)} want $v")
+    // the full excerpt must be found with containment 1.0
+    assert(got((20L, 2L)) === 1.0)
+  }
+
   test("dedupUnits keeps the earliest duplicate paragraph or scrubs boilerplate everywhere") {
     // para "NAV" appears in docs 1,2,3 (doc 2 twice); "unique N" are singletons;
     // normalization makes " nav " and "NAV" collide

@@ -211,4 +211,67 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(bins.filter(r => r.getLong(0) == 0L || r.getLong(0) == 9L)
       .map(_.getLong(1)).sum === 2L)
   }
+
+  test("volumeAnomaly: a fully silent bucket is densified in and flagged") {
+    import graft.operators.Analytics
+    // key d runs hot for 4 days then goes SILENT on day 4 (no rows at
+    // all) — the headline feed-health failure. The zero-filled grid row
+    // must exist and z-score strongly negative.
+    val ev = (Seq.fill(10)(("d", 0L)) ++ Seq.fill(12)(("d", 1L)) ++
+      Seq.fill(11)(("d", 2L)) ++ Seq.fill(10)(("d", 3L)) ++
+      Seq.fill(1)(("late", 4L))).toDF("k", "day")
+    val got = Analytics.volumeAnomaly(ev, col("k"), col("day"), 3, 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(4)).map(_ => r.getDouble(4)),
+          r.getBoolean(5))).toMap
+    val silent = got(("d", 4L))
+    assert(silent._1 === 0L, s"silent bucket must zero-fill: $silent")
+    assert(silent._2.exists(_ < -2.0) && silent._3,
+      s"silent bucket must flag against the trailing baseline: $silent")
+  }
+
+  test("ksFromCounts banding never changes the statistic") {
+    import graft.operators.Analytics
+    // 1000 distinct values — many more than the 64 default bands, so the
+    // banded two-level scan genuinely splits; vs bands = 1 (single band =
+    // the flat global scan) the result must be identical.
+    val a = (0 until 1000).map(i => (i.toDouble / 7.0)).toDF("v")
+    val b = (0 until 1000).map(i => (i.toDouble / 7.0 + 30.0)).toDF("v")
+    val banded = Analytics.ksStatistic(a, b, col("v")).collect().head
+    val aC = a.groupBy("v").agg(count(lit(1)).as("c1"))
+      .withColumn("c2", lit(0L))
+    val bC = b.groupBy("v").agg(count(lit(1)).as("c2"))
+      .withColumn("c1", lit(0L))
+    val per = aC.unionByName(bC).groupBy("v")
+      .agg(sum("c1").as("c1"), sum("c2").as("c2"))
+    val flat = Analytics.ksFromCounts(per, bands = 1).collect().head
+    assert(banded === flat, s"banded=$banded flat=$flat")
+  }
+
+  test("psiBin raises on NaN/null values instead of silently binning") {
+    import graft.operators.Analytics
+    val df = Seq(Some(1.0), Some(Double.NaN)).toDF("v")
+    val e = intercept[Exception] {
+      df.select(Analytics.psiBin(col("v"), 0.0, 10.0, 10)).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(e).contains("null/NaN value in psiBin"), chain(e))
+  }
+
+  test("weightedJaccard emits a zero row for pairs with shingle-less docs") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "hi")). // shorter than shingleN=3 tokens: no shingles at all
+      toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.weightedJaccard(pairs, docs, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L)),
+      s"every input pair must emit a row: ${got.keySet}")
+    assert(got((1L, 3L)) === 0.0, "shingle-less endpoint scores 0, not dropped")
+    assert(got((1L, 2L)) > 0.0)
+  }
 }
