@@ -67,6 +67,70 @@ object SimilaritySearch {
         col("e").getField("id").as("neighbor_id"),
         Cross.r6(col("e").getField("w")).as("cos"))
 
+  /** Maximal Marginal Relevance selection — greedy diversity-aware
+    * top-k from a scored candidate pool: round r picks
+    * argmax λ·rel − (1−λ)·max_{s∈selected} cos(ne, ne_s), ties to the
+    * lowest id. The RAG re-ranking answer to "the plain top-k is five
+    * copies of the same passage" (λ = 1 degenerates to relevance
+    * top-k, λ = 0 to pure diversity). Zero-norm vectors are dropped
+    * (no direction to diversify against). Returns one row per pick:
+    * (rank, vec_id, rel, max_sim, mmr).
+    *
+    * Scale shape: k driver-side rounds — k is the OUTPUT size, so the
+    * collected state (k normalized vectors + ids) is the bounded
+    * loop-control class (IVF centroids, BPE merges). Each round is ONE
+    * distributed argmax (TakeOrdered) over the candidate pool, with
+    * the already-selected vectors baked in as literals — max_sim is a
+    * greatest() over ≤ k codegen'd FloatVectorDot folds per row, no
+    * shuffle, no cross join. Total cost k passes over the pool.
+    *
+    * Determinism: rel and every cosine are r6-micro-rounded before the
+    * greatest/argmax compare, vectors normalize through the in-order
+    * fold both engines share, and the selected vectors re-enter as the
+    * SAME Scala doubles — the [[graft.core.Cross]] literal-interpolation
+    * contract. */
+  def mmrSelect(cands: DataFrame, id: Column, emb: Column, rel: Column,
+      k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k out of range: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val base0 = cands
+      .select(id.cast("long").as("vec_id"), emb.as("e"),
+        Cross.r6(rel.cast("double")).as("rel"))
+      .withColumn("nrm", VectorFns.norm2(col("e")))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), col("rel"),
+        transform(col("e"), x => x.cast("double") / col("nrm")).as("ne"))
+    val base = base0.localCheckpoint(true) // reused k times — one materialization
+    var selected = List.empty[(Long, Seq[Double])]
+    var out = List.empty[(Long, Long, Double, Double, Double)]
+    for (r <- 1 to k if selected.size == r - 1) {
+      val simTerms = selected.map { case (_, v) =>
+        Cross.r6(VectorFns.dotLit(col("ne"), v.toArray)) }
+      val maxSim = simTerms match {
+        case Nil => lit(0.0)
+        case one :: Nil => one
+        case many => greatest(many: _*)
+      }
+      val mmr = Cross.r6(lit(lambda) * col("rel") -
+        lit(1.0 - lambda) * maxSim)
+      val pick = base
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("rel"), maxSim.as("max_sim"),
+          mmr.as("mmr"), col("ne"))
+        .orderBy(col("mmr").desc, col("vec_id"))
+        .limit(1).collect()
+      if (pick.nonEmpty) {
+        val row = pick.head
+        selected ::= (row.getLong(0), row.getSeq[Double](4))
+        out ::= ((r.toLong, row.getLong(0), row.getDouble(1),
+          row.getDouble(2), row.getDouble(3)))
+      }
+    }
+    out.reverse.toDF("rank", "vec_id", "rel", "max_sim", "mmr")
+  }
+
   /** Exact top-k cosine neighbors for each query row. `queries` must be
     * small (broadcast); excludes self-matches. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

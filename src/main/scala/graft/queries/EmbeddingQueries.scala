@@ -975,5 +975,72 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224)
+  /** Maximal Marginal Relevance re-ranking (SimilaritySearch.mmrSelect):
+    * 5 greedy rounds of λ·rel − (1−λ)·max-cos-to-selected over the
+    * embedding pool, relevance = cosine to vec 1. The oracle UNROLLS
+    * all five rounds — each a scalar argmax CTE whose max_sim joins the
+    * previous selections — so hash-equality pins every round's pick,
+    * tie-break, and the literal-reentry of selected vectors (the BPE
+    * unroll discipline applied to vector search). */
+  val q259 = {
+    val k = 5
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = "CAST(0.3 AS DOUBLE)"
+    def cosSql(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"s$i")
+      val simTerms = prev.map(p => Cross.r6Sql(cosSql("c.ne", s"$p.ne")))
+      val ms = if (simTerms.size == 1) simTerms.head
+        else s"greatest(${simTerms.mkString(", ")})"
+      val obj = Cross.r6Sql(s"$lam * c.rel - $oneMinus * ($ms)")
+      s"""s$r AS (
+         |  SELECT c.vec_id, c.ne, c.rel, $ms AS max_sim, $obj AS mmr
+         |  FROM c, ${prev.mkString(", ")}
+         |  WHERE ${prev.map(p => s"c.vec_id <> $p.vec_id").mkString(" AND ")}
+         |  ORDER BY $obj DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val arms = (1 to k).map(r =>
+      s"SELECT $r::BIGINT AS rank, vec_id, rel, max_sim, mmr FROM s$r")
+      .mkString("\nUNION ALL ")
+    QueryDef(
+      "q259_mmr_select",
+      s"""WITH nrm AS (
+         |  SELECT vec_id, embedding, ${VectorSql.norm2("embedding")} AS nrm
+         |  FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      i -> embedding[i]::DOUBLE / nrm) AS ne
+         |  FROM nrm WHERE nrm > 0),
+         |q AS (SELECT ne AS qne FROM normed WHERE vec_id = 1),
+         |c AS (
+         |  SELECT vec_id, ne, ${Cross.r6Sql(cosSql("ne", "qne"))} AS rel
+         |  FROM normed, q),
+         |s1 AS (
+         |  SELECT vec_id, ne, rel, 0.0 AS max_sim,
+         |    ${Cross.r6Sql(s"$lam * rel - $oneMinus * 0.0")} AS mmr
+         |  FROM c
+         |  ORDER BY ${Cross.r6Sql(s"$lam * rel - $oneMinus * 0.0")} DESC, vec_id
+         |  LIMIT 1),
+         |$rounds
+         |$arms
+         |ORDER BY rank""".stripMargin) { (spark, dir) =>
+      val normed = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorFns.norm2(col("embedding")))
+        .filter(col("nrm") > 0.0)
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+      val qv = normed.filter(col("vec_id") === 1)
+        .select(col("ne").as("qne"))
+      val cands = normed.crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          VectorFns.dot(col("ne"), col("qne")).as("rel"))
+      graft.operators.SimilaritySearch.mmrSelect(cands,
+          col("vec_id"), col("embedding"), col("rel"), k = k, lambda = 0.7)
+        .orderBy("rank")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259)
 }

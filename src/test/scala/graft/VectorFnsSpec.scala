@@ -99,4 +99,36 @@ class VectorFnsSpec extends SparkSpec {
       .collect()
     assert(g2.forall(!_.getBoolean(3)))
   }
+
+  test("mmrSelect: diversity beats a redundant higher-relevance duplicate") {
+    import graft.operators.SimilaritySearch
+    // query = x-axis; vec 1 (rel .9) and its near-duplicate vec 2
+    // (rel .895, cos(1,2) ≈ 1) vs the diverse vec 3 (rel .6,
+    // cos(1,3) ≈ 0.19). Pure relevance top-2 picks {1, 2}; MMR at
+    // lambda 0.5 must swap the redundant duplicate for vec 3:
+    // mmr(2) = .5·.895 − .5·.9999 < 0 while mmr(3) = .5·.6 − .5·.19 > 0.
+    // (The query must NOT be a candidate: if the first pick equals the
+    // query, rel ≡ max_sim and lambda 0.5 degenerates to all-ties.)
+    val emb = Seq(
+      (1L, Seq(0.9f, 0.436f, 0f)),
+      (2L, Seq(0.895f, 0.446f, 0f)),
+      (3L, Seq(0.6f, -0.8f, 0f)),
+      (4L, Seq(0f, 0f, 0f))). // zero vector must drop
+      toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0, 0.0, 0.0))).toDF("qne")
+    val cands = emb.crossJoin(q)
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.cosine(col("embedding"), col("qne")).as("rel"))
+    val relTop = SimilaritySearch.mmrSelect(cands, col("vec_id"),
+        col("embedding"), col("rel"), k = 2, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(relTop.toSeq === Seq((1L, 1L), (2L, 2L)), relTop.toSeq)
+    val mmr = SimilaritySearch.mmrSelect(cands, col("vec_id"),
+        col("embedding"), col("rel"), k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mmr.head === ((1L, 1L)))
+    assert(mmr(1) === ((2L, 3L)), s"round 2 must pick the diverse vector: ${mmr.toSeq}")
+    assert(mmr(2) === ((3L, 2L)))
+    assert(!mmr.exists(_._2 == 4L), "zero vector must be dropped")
+  }
 }
