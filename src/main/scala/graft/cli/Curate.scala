@@ -339,6 +339,14 @@ object Curate {
     graft.operators.Packing.packHarmonic(corpus, col("doc_id"), col("ntok"),
         binSize = 512L, classes = 8)
       .write.mode("overwrite").parquet(s"$outDir/packing")
+    // 6c. retrieval-grade chunks beside the whole-doc schedule: 256-token
+    // sliding windows with 64-token stride overlap (q258), the unit a
+    // RAG index or context-window loader consumes — pure per-row
+    // arithmetic over the already-selected corpus
+    graft.operators.Packing.chunkSliding(corpus, col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")),
+        chunkSize = 256, stride = 192)
+      .write.mode("overwrite").parquet(s"$outDir/chunks")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
     val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
       agg.getLong(0), agg.getLong(1), budget, parasRemoved, nBlocked)

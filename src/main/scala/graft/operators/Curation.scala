@@ -195,26 +195,32 @@ object Curation {
     if (bounds.size <= 128) bounds.map(inline).reduce(_ + _)
     else aggregate(typedLit(bounds.toArray), lit(0L), fold)
 
-  /** Per-key equi-depth ID band key for [[selectUnderBudgetPerKey]]
-    * callers whose quality is CONSTANT within each key (pure
-    * rank-by-id uses — [[Packing.packHarmonic]]'s within-class rank):
-    * each key's ids split at their own approx_percentile boundaries,
-    * and the slot is REVERSED ((subBands−1) − #{b : id >= b}) so the
-    * band value DESCENDS as id ascends — exactly the "larger band =
-    * earlier in (quality DESC, id ASC)" contract the per-key offset
-    * prefix iterates by. With constant quality this is always a valid
-    * refinement; with non-constant quality it is NOT (id sub-banding
-    * would split quality ties incorrectly) — use the quality-based
-    * default instead.
+  /** REVERSED global equi-depth ID band key for
+    * [[selectUnderBudgetPerKey]] callers whose quality is CONSTANT
+    * within each key (pure rank-by-id uses —
+    * [[Packing.packHarmonic]]'s within-class rank): ids split at
+    * global approx_percentile boundaries, and the slot is REVERSED
+    * ((subBands−1) − #{b : id >= b}) so the band value DESCENDS as id
+    * ascends — exactly the "larger band = earlier in
+    * (quality DESC, id ASC)" contract the per-key offset prefix
+    * iterates by. With constant quality this is always a valid
+    * refinement for EVERY key simultaneously; with non-constant
+    * quality it is NOT (id sub-banding would split quality ties
+    * incorrectly) — use the quality-based default instead.
     *
-    * The boundary table is one grouped percentile pass, collected as
-    * driver-side loop-control state (<= maxKeys · subBands doubles,
-    * the IVF-centroid class) and baked into a when-chain literal —
-    * which is why keys must be BOUNDED (size classes, languages;
-    * `maxKeys` guards the contract). Non-numeric ids degrade to the
-    * unbanded key (documented [[equiDepthBandColumn]] limitation). */
-  def equiDepthIdBandPerKey(docs: DataFrame, key: Column, id: Column,
-      subBands: Int, maxKeys: Int = 256): Column = {
+    * GLOBAL, not per-key, boundaries — deliberately: the pass reads
+    * only the bare id column (column-pruned scan, no dependence on
+    * the caller's possibly-expensive key/ntok expressions — a per-key
+    * grouped percentile through packHarmonic's size_class would
+    * re-tokenize the corpus, measured 3x on q213/q250 at sf0.1).
+    * Per-key balance follows whenever ids are uncorrelated with the
+    * key; the degenerate case (key ≡ id range) only loses
+    * parallelism, never correctness. Boundaries are driver-side
+    * loop-control state (≤ subBands doubles) baked into a literal
+    * comparison sum; non-numeric ids degrade to the unbanded key
+    * (documented [[equiDepthBandColumn]] limitation). */
+  def equiDepthIdBandDesc(docs: DataFrame, id: Column,
+      subBands: Int): Column = {
     require(subBands >= 1 && subBands <= 65536,
       s"subBands out of range: $subBands")
     if (subBands == 1) return lit(0L)
@@ -223,23 +229,15 @@ object Curation {
     if (!numericId) return lit(0L)
     val idc = id.cast("double")
     val probs = (1 until subBands).map(i => i.toDouble / subBands).toArray
-    val rows = docs.groupBy(key.cast("string").as("k"))
-      .agg(percentile_approx(idc, typedLit(probs), lit(10000)).as("ib"))
-      .collect()
-    require(rows.length <= maxKeys,
-      s"equiDepthIdBandPerKey: ${rows.length} keys exceed maxKeys=$maxKeys " +
-        "(the boundary table is driver-side state — bounded keys only)")
-    rows.foldLeft(lit(0L)) { (acc, r) =>
-      val ib = Option(r.getSeq[Double](1)).getOrElse(Seq.empty[Double])
-        .filterNot(_.isNaN).distinct.sorted
-      if (ib.isEmpty) acc
-      else {
-        val sub = boundCount(ib, b => (idc >= b).cast("long"),
-          (a, b) => a + when(idc >= b, 1L).otherwise(0L))
-        when(key.cast("string") === r.getString(0),
-          lit(subBands.toLong - 1L) - sub).otherwise(acc)
-      }
-    }
+    val row = docs.agg(percentile_approx(idc, typedLit(probs), lit(10000)).as("ib"))
+      .head()
+    val ib =
+      if (row.isNullAt(0)) Seq.empty[Double]
+      else row.getSeq[Double](0).filterNot(_.isNaN).distinct.sorted
+    if (ib.isEmpty) return lit(0L)
+    val sub = boundCount(ib, b => (idc >= b).cast("long"),
+      (a, b) => a + when(idc >= b, 1L).otherwise(0L))
+    lit(subBands.toLong - 1L) - sub
   }
 
   /** [[selectUnderBudget]] with equi-depth banding — identical output
@@ -280,7 +278,7 @@ object Curation {
     * key's order". Output is identical for every valid choice; only
     * parallelism changes (the callers that pass constant quality —
     * rank-by-id uses like [[Packing.packHarmonic]] — use
-    * [[equiDepthIdBandPerKey]] so a fat key splits across sub-bands
+    * [[equiDepthIdBandDesc]] so a fat key splits across sub-bands
     * instead of single-task sorting). */
   def selectUnderBudgetPerKey(docs: DataFrame, key: Column, id: Column,
       quality: Column, ntok: Column, budgets: Map[String, Long],

@@ -96,7 +96,7 @@ object Packing {
     * per-key prefix scan counting rows — one small shuffle, no global
     * or per-class single-task sort — and everything after is per-row
     * arithmetic. `subBands` controls the EQUI-DEPTH ID sub-banding
-    * within each class ([[Curation.equiDepthIdBandPerKey]]): a real
+    * within each class ([[Curation.equiDepthIdBandDesc]]): a real
     * corpus concentrates in one or two size classes (most web docs are
     * "small"), and without sub-bands that fat class's in-band window
     * is a single-task sort — the exact skew [[Curation]]'s equi-depth
@@ -113,15 +113,15 @@ object Packing {
         when(col("ntok") > binSize, lit(-1L))
           .when(col("ntok") <= 0L, lit(classes.toLong))
           .otherwise(least(lit(classes.toLong), expr(s"${binSize}L div ntok"))))
-    // normalized names FIRST so the band key's boundary comparisons
-    // resolve against the projected key/id attributes (the
-    // selectUnderBudgetEquiDepth discipline)
-    val norm = d.filter(col("size_class") >= 1L)
-      .select(col("size_class").cast("string").as("key"), col("id"))
+    // the band key's percentile pass reads ONLY the raw id column (a
+    // column-pruned scan of `docs`) — deriving it through size_class
+    // would re-tokenize the corpus for a second full pass; its boundary
+    // comparisons resolve against the normalized "id" attribute inside
+    // the per-key scan (the selectUnderBudgetEquiDepth discipline)
     val bandBy =
       if (subBands <= 1) None
-      else Some(Curation.equiDepthIdBandPerKey(norm, col("key"), col("id"),
-        subBands, maxKeys = classes + 1))
+      else Some(Curation.equiDepthIdBandDesc(docs.select(id.as("id")),
+        col("id"), subBands))
     val packable = Curation.selectUnderBudgetPerKey(
         d.filter(col("size_class") >= 1L),
         col("size_class"), col("id"), lit(0.0), lit(1L),

@@ -487,6 +487,15 @@ class PipelineSpec extends SparkSpec {
     packed.groupBy(p => (p._1, p._2)).foreach { case ((cls, bin), rows) =>
       assert(rows.map(_._3).sum <= 512L, s"class $cls bin $bin overflows")
     }
+    // the chunks artifact covers every selected doc (token counts below
+    // the 256 chunk size → exactly one chunk per doc here) and each
+    // chunk is non-empty with the documented start grid
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.select("doc_id").distinct().count() == s.nSelected)
+    chunks.collect().foreach { r =>
+      assert(r.getAs[Long]("chunk_len") > 0L)
+      assert(r.getAs[Long]("start") == r.getAs[Long]("chunk_idx") * 192L)
+    }
     // with the substring-dedup stage on, selection runs over the
     // rewritten text: accounting still monotone, budget still holds,
     // and the corpus text is the kept token stream (tokens only)
