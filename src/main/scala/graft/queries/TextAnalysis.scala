@@ -2431,5 +2431,28 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258)
+  /** STREAMING chunking: the identical q258 slide grid computed over
+    * the replayed document stream — [[graft.operators.Packing
+    * .chunkSliding]] is pure per-row arithmetic (projection + one
+    * bounded explode, zero state), so it is append-mode streaming-legal
+    * with NO watermark and NO aggregation: the shape an always-on
+    * "ingest → chunk → index" pipeline runs. Same oracle as q258:
+    * hash-equality proves stream ≡ batch for the whole chunk artifact. */
+  val q260 = QueryDef("q260_stream_chunks", q258.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    graft.streaming.EventStreams.runToCompletion(spark,
+        graft.operators.Packing.chunkSliding(stream, col("doc_id"),
+          TextFns.tokens(col("text")), chunkSize = 24, stride = 16),
+        "q260_chunks", mode = "append")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260)
 }

@@ -97,14 +97,28 @@ def main():
         else:
             run_verify(sfdir, str(outdir))
     oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    # a gate that THREW inside Verify leaves no (or a stale) dump and
+    # would otherwise silently vanish from the compare loop — surface
+    # both failure shapes as hard errors
+    errs = json.loads((outdir / "_errors.json").read_text()) \
+        if (outdir / "_errors.json").exists() else {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sfdir}/{t}.parquet')")
     dumped = sorted(p.name for p in outdir.iterdir() if p.is_dir())
     fails = 0
+    for name in sorted(set(oracle) - set(dumped)):
+        if only and name not in only:
+            continue
+        print(f"{name:28s} MISSING-DUMP (verify never wrote it)")
+        fails += 1
     for name in dumped:
         if only and name not in only:
+            continue
+        if name in errs:
+            print(f"{name:28s} VERIFY-ERROR: {errs[name][:160]}")
+            fails += 1
             continue
         if name not in oracle:
             n = con.execute(
