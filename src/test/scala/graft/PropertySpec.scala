@@ -185,6 +185,120 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 15)
   }
 
+  test("chunkSliding laws: coverage, start grid, non-empty chunks, chunk count") {
+    import graft.operators.Packing
+    val genDoc = Gen.choose(0, 60).map(n => (1 to n).map(i => s"t$i"))
+    check(forAll(Gen.listOfN(6, genDoc), Gen.choose(2, 12), Gen.choose(1, 12)) {
+      (docs, chunkSize, strideRaw) =>
+      val stride = math.min(strideRaw, chunkSize)
+      val df = docs.zipWithIndex.map { case (tk, i) => (i.toLong, tk) }
+        .toDF("doc_id", "tk")
+      val got = Packing.chunkSliding(df, col("doc_id"), col("tk"),
+          chunkSize, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+        .groupBy(_._1._1)
+      val props = docs.zipWithIndex.map { case (tk, i) =>
+        val n = tk.size
+        val rows = got.getOrElse(i.toLong, Array.empty).sortBy(_._1._2)
+        if (n == 0) Prop(rows.isEmpty) :| s"doc $i empty -> no chunks"
+        else {
+          val kmax = if (n <= chunkSize) 0L
+            else (n - chunkSize + stride - 1L) / stride
+          val covered = rows.flatMap { case (_, (_, s, l, _)) => s until (s + l) }.toSet
+          Prop(rows.length == kmax + 1) :| s"doc $i chunk count" &&
+            Prop(rows.forall { case ((_, ci), (nc, s, l, txt)) =>
+              nc == kmax + 1 && s == ci * stride && l > 0 &&
+                txt == tk.slice(s.toInt, (s + l).toInt).mkString(" ")
+            }) :| s"doc $i grid/text" &&
+            Prop(covered == (0L until n.toLong).toSet) :| s"doc $i coverage"
+        }
+      }
+      props.reduce(_ && _)
+    }, minSuccessful = 10)
+  }
+
+  test("containmentProbe + verify equals brute-force exact containment") {
+    import graft.operators.Dedup
+    // tiny vocab so cross-doc shingle collisions are common; shingleN=2
+    val genDoc = Gen.listOfN(7, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    check(forAll(Gen.listOfN(5, genDoc), Gen.listOfN(3, genDoc),
+        Gen.oneOf(0.4, 0.6, 0.9)) { (corpusT, probesT, t) =>
+      val corpus = corpusT.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val probes = probesT.zipWithIndex.map { case (s, i) => (100L + i, s) }
+        .toDF("doc_id", "text")
+      val got = Dedup.verifyContainment(
+          Dedup.containmentProbe(probes, Dedup.containerIndex(corpus, 2), 2, t),
+          Dedup.containmentSets(probes, 2),
+          Dedup.containmentSets(corpus, 2), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def sh(s: String): Set[String] =
+        s.split(" ").sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+      val want = (for {
+        (p, pi) <- probesT.zipWithIndex
+        (c, ci) <- corpusT.zipWithIndex
+        a = sh(p); b = sh(c)
+        if a.nonEmpty && b.nonEmpty
+        cont = a.intersect(b).size.toDouble / a.size
+        // mirror the r6 rounding the operator thresholds on (the exact
+        // Spark Round path: shortest-repr BigDecimal, HALF_UP)
+        r = java.math.BigDecimal.valueOf(cont + 1e-9)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if r >= t
+      } yield (100L + pi, ci.toLong)).toSet
+      Prop(got == want) :| s"t=$t got=$got want=$want"
+    }, minSuccessful = 10)
+  }
+
+  test("mmrSelect equals the in-memory greedy for any pool") {
+    import graft.operators.SimilaritySearch
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val genVec = Gen.listOfN(3, Gen.choose(-1.0, 1.0).map(v => math.rint(v * 8) / 8.0))
+    check(forAll(Gen.listOfN(8, genVec), Gen.oneOf(0.3, 0.7)) { (vecs, lam) =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val qv = Seq(Tuple1(Seq(1.0, 0.0, 0.0))).toDF("qne")
+      val cands = df.crossJoin(qv)
+        .select(col("vec_id"), col("embedding"),
+          VectorFns.cosine(col("embedding"), col("qne")).as("rel"))
+      val got = SimilaritySearch.mmrSelect(cands, col("vec_id"),
+          col("embedding"), col("rel"), k = 3, lambda = lam)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // in-memory greedy over the same normalized doubles
+      val normed = vecs.zipWithIndex.flatMap { case (v, i) =>
+        val fv = v.map(_.toFloat.toDouble)
+        val nrm = math.sqrt(fv.map(x => x * x).sum)
+        if (nrm == 0.0) None
+        else Some((i.toLong, fv.map(_ / nrm)))
+      }
+      def dot(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val rel = normed.map { case (i, ne) =>
+        i -> r6(if (ne.isEmpty) 0.0 else ne.head) }.toMap // q = (1,0,0)
+      var sel = List.empty[(Long, Seq[Double])]
+      val want = (1 to 3).flatMap { r =>
+        val rem = normed.filterNot { case (i, _) => sel.exists(_._1 == i) }
+        if (rem.isEmpty) None
+        else {
+          val scored = rem.map { case (i, ne) =>
+            val ms = if (sel.isEmpty) 0.0
+              else sel.map(s => r6(dot(ne, s._2))).max
+            (i, r6(lam * rel(i) - (1.0 - lam) * ms))
+          }
+          val (bi, _) = scored.minBy { case (i, m) => (-m, i) }
+          sel ::= (bi, normed.find(_._1 == bi).get._2)
+          Some((r.toLong, bi))
+        }
+      }
+      Prop(got.toSeq == want) :| s"got=${got.toSeq} want=$want"
+    }, minSuccessful = 8)
+  }
+
   test("removeDuplicatedSpans equals the brute-force reference for any corpus") {
     import graft.operators.Repetition
     // tiny vocab so cross-doc span collisions actually occur
