@@ -2454,5 +2454,63 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260)
+  /** END-TO-END mixture realization: q156's temperature-scaled budgets
+    * (tau 0.7, 100k tokens) REALIZED through the per-key greedy quality
+    * prefix — the two-stage data-mixture pipeline as one gate. The
+    * per-domain budgets are driver-side loop-control state (|domains|
+    * longs, the IVF-centroid class) collected from temperatureBudgets
+    * and fed to selectUnderBudgetPerKey; the oracle inlines BOTH stages
+    * (the full q156 chain as CTEs feeding the q154-style per-key flat
+    * prefix), so hash-equality pins the composition — budget arithmetic,
+    * literal re-entry, per-key ordering, and selection — end to end. */
+  val q261 = QueryDef(
+    "q261_mixture_realize",
+    s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+       |dom AS (SELECT source AS key, SUM(len(tk))::BIGINT AS n_tok
+       |        FROM t GROUP BY source),
+       |tot AS (SELECT SUM(n_tok)::BIGINT AS t_tok FROM dom),
+       |sc2 AS (
+       |  SELECT key,
+       |    floor(pow(floor((n_tok::DOUBLE / t_tok::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0,
+       |              0.7) * 1000000.0 + 0.5001) / 1000000.0 AS s
+       |  FROM dom CROSS JOIN tot),
+       |z AS (SELECT ${Cross.dsumSql("s")} AS z FROM sc2),
+       |bud AS (
+       |  SELECT key,
+       |    floor(100000.0 * (floor((s / z) * 1000000.0 + 0.5001) / 1000000.0))::BIGINT AS budget_tokens
+       |  FROM sc2 CROSS JOIN z),
+       |q AS (
+       |  SELECT doc_id, source AS key, len(tk)::BIGINT AS ntok,
+       |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 ELSE 0.0 END AS quality
+       |  FROM t),
+       |c AS (
+       |  SELECT a.doc_id, a.key, a.quality, a.ntok, COALESCE(SUM(b.ntok), 0) AS cum_before
+       |  FROM q a LEFT JOIN q b
+       |    ON b.key = a.key AND
+       |       (b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id))
+       |  GROUP BY a.doc_id, a.key, a.quality, a.ntok)
+       |SELECT c.doc_id, c.key, c.quality, c.ntok, c.cum_before::BIGINT AS cum_before,
+       |  (c.cum_before + c.ntok <= COALESCE(bud.budget_tokens, 0)) AS selected
+       |FROM c LEFT JOIN bud ON c.key = bud.key
+       |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+    val budgets = graft.operators.Curation.temperatureBudgets(d,
+        col("source"), size(col("tk")), tau = 0.7, totalBudget = 100000L)
+      .select("key", "budget_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scored = d.select(col("doc_id"), col("source"),
+      size(col("tk")).cast("long").as("ntok"),
+      when(size(col("tk")) > 0,
+        floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+          size(col("tk")).cast("double") * 1e6 + 0.5001) / 1e6)
+        .otherwise(0.0).as("quality"))
+    graft.operators.Curation.selectUnderBudgetPerKey(scored,
+        col("source"), col("doc_id"), col("quality"), col("ntok"),
+        budgets = budgets, defaultBudget = 0L, bands = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261)
 }

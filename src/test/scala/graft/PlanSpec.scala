@@ -183,6 +183,19 @@ class PlanSpec extends SparkSpec {
     assert(planOf(sel).contains("windowspecdefinition(band"), planOf(sel))
   }
 
+  test("containment probe meets the index on a shingle equi-join") {
+    val docs = Tables.documents(spark, sf())
+    val probe = graft.operators.Dedup.containmentProbe(
+      docs.filter(col("doc_id") % 7 === 0),
+      graft.operators.Dedup.containerIndex(docs, 3), 3, minContainment = 0.8)
+    val p = planOf(probe)
+    // the shingle match must be the join KEY (hash/sort-merge join with
+    // the size/positional bounds as residual conditions), never a
+    // nested-loop over probe x index
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("sh"), p)
+  }
+
   test("KS scan and harmonic packing window on bands, never one task") {
     val ev = Tables.events(spark, sf())
     // the per-value ECDF window partitions on the equi-depth value band;
