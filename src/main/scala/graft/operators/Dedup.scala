@@ -342,7 +342,17 @@ object Dedup {
     * [[verifyContainment]] on the folded output — the q252 discipline
     * (stream folds evidence, the completed fold feeds identical batch
     * arithmetic). Returns candidate pairs (doc_id, corpus_id, sza).
-    * Works identically on a batch frame. */
+    * Works identically on a batch frame.
+    *
+    * Cost honesty vs the batch [[containmentJoin]]: rarity ordering
+    * steers hot (stop-)shingles OUT of prefixes, lexicographic ordering
+    * cannot — a probe whose prefix happens to hold a corpus-hot shingle
+    * fans out to that shingle's posting list before the positional
+    * bounds prune. That is the price of a stateless probe; when a
+    * corpus's hot shingles are known (one df pass at index-build time),
+    * route sustained-throughput ingestion through the batch join on
+    * micro-batches instead — same verified output, rarity-pruned
+    * candidates. */
   def containmentProbe(docs: DataFrame, index: DataFrame, shingleN: Int,
       minContainment: Double): DataFrame = {
     require(minContainment > 0.0 && minContainment <= 1.0,
