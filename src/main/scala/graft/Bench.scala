@@ -54,32 +54,42 @@ object Bench {
     val only = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    // Warmed mode (SPARK_GRAFT_BENCH_REPEAT=N, default 1): run each gate
+    // N times and keep the FASTEST attempt's whole telemetry row. Rounds
+    // 3-6 kept absorbing 2-8x box noise into round-over-round deltas —
+    // take-min discards one-off JIT/compaction/contention spikes, so a
+    // warmed r(N) vs warmed r(N-1) diff is a CODE diff. The JSON carries
+    // "warmed"/"repeat" so comparisons know which mode produced it.
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt)
     val results = selected.map { case (name, fn) =>
-      SessionHygiene.resetHeapPeaks()
-      val gc0 = SessionHygiene.gcMillis()
-      val cpu0 = SessionHygiene.processCpuMillis()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            // A failing query must be loud: stderr line + a -1 sentinel in
-            // the JSON itself, so a crash-in-0.1s regression can't read as
-            // a speedup to anything consuming only the JSON.
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            failed ::= name
-            false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val gcS = (SessionHygiene.gcMillis() - gc0) / 1e3
-      // Process CPU seconds attribute wall-time swings that GC can't:
-      // identical plans with identical cpu_s but 3x wall are STARVED
-      // (host contention / CPU steal), not slower — the round-4 open
-      // question driver-vs-builder benches couldn't answer from gc_s
-      // and peak_mb alone.
-      val cpuS = (SessionHygiene.processCpuMillis() - cpu0) / 1e3
-      val peakMb = SessionHygiene.peakHeapMb()
-      SessionHygiene.reset(spark)
-      (name, if (ok) sec else -1.0, gcS, peakMb, cpuS)
+      val attempts = (1 to repeat).map { _ =>
+        SessionHygiene.resetHeapPeaks()
+        val gc0 = SessionHygiene.gcMillis()
+        val cpu0 = SessionHygiene.processCpuMillis()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              // A failing query must be loud: stderr line + a -1 sentinel in
+              // the JSON itself, so a crash-in-0.1s regression can't read as
+              // a speedup to anything consuming only the JSON.
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcS = (SessionHygiene.gcMillis() - gc0) / 1e3
+        // Process CPU seconds attribute wall-time swings that GC can't:
+        // identical plans with identical cpu_s but 3x wall are STARVED
+        // (host contention / CPU steal), not slower — the round-4 open
+        // question driver-vs-builder benches couldn't answer from gc_s
+        // and peak_mb alone.
+        val cpuS = (SessionHygiene.processCpuMillis() - cpu0) / 1e3
+        val peakMb = SessionHygiene.peakHeapMb()
+        SessionHygiene.reset(spark)
+        (name, if (ok) sec else -1.0, gcS, peakMb, cpuS)
+      }
+      if (attempts.exists(_._2 < 0)) { failed ::= name; attempts.find(_._2 < 0).get }
+      else attempts.minBy(_._2)
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
@@ -96,7 +106,7 @@ object Bench {
     val totalCpu = results.map(_._5).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""gc_s":$gcs,"peak_mb":$peaks,"cpu_s":$cpus_,"total_gc_s":$totalGc,""" +
-      s""""total_cpu_s":$totalCpu,""" +
+      s""""total_cpu_s":$totalCpu,"warmed":${repeat > 1},"repeat":$repeat,""" +
       s""""session":${SessionHygiene.sessionInfoJson(spark)},"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but stdout scraping has
     // truncated past per-query maps — the same JSON also lands in a file

@@ -34,16 +34,26 @@ object AlsModel {
       .fit(train)
   }
 
-  /** Predict stars for (user_id, business_id) pairs; NaN/missing → 2.5. */
-  def predict(model: ALSModel, pairs: DataFrame): DataFrame = {
+  /** [[predict]] plus the raw cold-start flag: is_cold = the model scored
+    * NaN/null BEFORE the 2.5 repair. With coldStartStrategy "nan" that is
+    * exactly the unseen-user-or-item pair set, so is_cold is
+    * oracle-checkable (NOT IN the training key sets) even though the
+    * scores themselves aren't — the production cold-start-rate telemetry
+    * column, and the q80/q83 driver-verdict hook. */
+  def predictFlagged(model: ALSModel, pairs: DataFrame): DataFrame = {
     val scored = model.transform(pairs.select(
       col("user_id"), col("business_id"),
       col("user_id").cast("int").as("user"),
       col("business_id").cast("int").as("item")))
     scored.select(col("user_id"), col("business_id"),
       when(isnan(col("prediction")) || col("prediction").isNull, 2.5)
-        .otherwise(col("prediction").cast("double")).as("pred"))
+        .otherwise(col("prediction").cast("double")).as("pred"),
+      (isnan(col("prediction")) || col("prediction").isNull).as("is_cold"))
   }
+
+  /** Predict stars for (user_id, business_id) pairs; NaN/missing → 2.5. */
+  def predict(model: ALSModel, pairs: DataFrame): DataFrame =
+    predictFlagged(model, pairs).drop("is_cold")
 
   /** A10: ALS over string-keyed reviews (real Yelp ids are strings).
     * The reference builds contiguous int ids with zipWithIndex into
@@ -67,9 +77,11 @@ object AlsModel {
     StringIdAls(ui, bi, fit(indexed, p))
   }
 
-  /** Predict for string-keyed (user_id, business_id) pairs; unseen ids
-    * and NaN factors fall back to 2.5 like [[predict]]. */
-  def predictStringIds(m: StringIdAls, pairs: DataFrame): DataFrame = {
+  /** [[predictStringIds]] plus the raw cold-start flag (see
+    * [[predictFlagged]]): unseen strings index into the handleInvalid
+    * "keep" bucket, which has no ALS factor, so is_cold is again exactly
+    * the unseen-user-or-item set — checkable from the raw key sets. */
+  def predictStringIdsFlagged(m: StringIdAls, pairs: DataFrame): DataFrame = {
     val idx = m.itemIndex.transform(m.userIndex.transform(pairs))
       .select(col("user_id"), col("business_id"),
         col("user_idx").cast("int").as("user"),
@@ -77,8 +89,14 @@ object AlsModel {
     m.model.transform(idx)
       .select(col("user_id"), col("business_id"),
         when(isnan(col("prediction")) || col("prediction").isNull, 2.5)
-          .otherwise(col("prediction").cast("double")).as("pred"))
+          .otherwise(col("prediction").cast("double")).as("pred"),
+        (isnan(col("prediction")) || col("prediction").isNull).as("is_cold"))
   }
+
+  /** Predict for string-keyed (user_id, business_id) pairs; unseen ids
+    * and NaN factors fall back to 2.5 like [[predict]]. */
+  def predictStringIds(m: StringIdAls, pairs: DataFrame): DataFrame =
+    predictStringIdsFlagged(m, pairs).drop("is_cold")
 
   /** Grid search over rank × regParam on a seeded 90/10 split, best RMSE
     * wins (reference scripts/train_als.py:89-99 greed: rank {40,50} ×

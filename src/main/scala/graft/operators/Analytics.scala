@@ -163,7 +163,15 @@ object Analytics {
   def ksFromCounts(per0: DataFrame, bands: Int = 64): DataFrame = {
     import graft.core.Cross
     import org.apache.spark.sql.expressions.Window
-    val per = per0.select(col("v").cast("double").as("v"),
+    // Fail-loud guard (the psiBin discipline): a null v would drop its
+    // row at the band inner join and NaN lands in band 0 (every boundary
+    // comparison false) while BOTH still count in t1/t2 — silently wrong
+    // ECDF fractions. An ECDF over a value axis with null/NaN has no
+    // defined D; raise instead of diverging.
+    val vg = when(col("v").isNull || isnan(col("v").cast("double")),
+      raise_error(lit("Analytics: null/NaN value in ksFromCounts")).cast("double"))
+      .otherwise(col("v").cast("double"))
+    val per = per0.select(vg.as("v"),
       col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"))
     val d = per.withColumn("band",
       Curation.equiDepthBandColumn(per, col("v"), bands).cast("long"))

@@ -290,22 +290,67 @@ object Dedup {
     }
   }
 
+  /** The K corpus-hottest shingles by document frequency (ties broken
+    * on the shingle string) — the bounded "stop-shingle" set that
+    * [[containerIndex]]/[[containmentProbe]] demote to the END of the
+    * probe order. K is a parameter like a stopword list's length: the
+    * result is driver-collected and broadcast into per-row expressions,
+    * so it must stay small (10²–10⁴) — which is exactly the point: the
+    * fan-out problem is caused by the FEW hottest posting lists, not
+    * the long rarity tail, so a bounded demotion set captures nearly
+    * all of the rarity ordering's pruning value while staying
+    * stateless-probe-compatible (a full df-rank dict would need either
+    * an unbounded broadcast or a second streaming aggregation). One
+    * extra df pass over the corpus at index-build time (batch). */
+  def hotShingles(corpus: DataFrame, shingleN: Int, k: Int): Seq[String] = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    if (k == 0) Nil
+    else corpus
+      .select(explode(array_distinct(
+        TextFns.shingles(TextFns.tokens(col("text")), shingleN))).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh"))
+      .limit(k).select("sh").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Hot-demoted total order over a lexicographically sorted distinct
+    * shingle array: non-hot shingles first (lexicographic), then hot
+    * ones (lexicographic) — i.e. sort key (member-of-hot, shingle).
+    * LexiconMatch keep/drop preserve relative order, so two ordered
+    * concatenated filters realize the order per row with two native
+    * hash-set passes and no sort. With `hot` empty this is the
+    * identity, which keeps the plain-lexicographic path byte-identical
+    * to the pre-parameter behavior. */
+  private def demoted(sortedSet: Column, hot: Seq[String]): Column =
+    if (hot.isEmpty) sortedSet
+    else concat(graft.plans.LexiconMatch.drop(sortedSet, hot),
+      graft.plans.LexiconMatch.keep(sortedSet, hot))
+
   /** Static CONTAINER index for [[containmentProbe]]: every corpus
-    * doc's distinct shingles in LEXICOGRAPHIC order with 1-based
-    * positions — (corpus_id, szb, pb, shb). Lexicographic, not
-    * df-rarity, order is the deliberate streaming trade: the PROBE side
-    * must build its sorted array STATELESSLY (a micro-batch cannot
-    * re-derive corpus df stats without spending the stream's one
-    * stateful-aggregation budget before the verdict), and the
-    * asymmetric prefix theorem ([[containmentJoin]]) is valid under ANY
-    * total order shared by both sides — rarity ordering only shrinks
-    * the candidate set. Build once, persist like
-    * [[corpusBandIndex]]. */
-  def containerIndex(corpus: DataFrame, shingleN: Int): DataFrame =
+    * doc's distinct shingles with 1-based positions —
+    * (corpus_id, szb, pb, shb) — under a STATELESSLY probe-computable
+    * total order. Default order is lexicographic: the probe side must
+    * build its sorted array without a streaming aggregation (a
+    * micro-batch cannot re-derive corpus df stats without spending the
+    * stream's one stateful-aggregation budget before the verdict), and
+    * the asymmetric prefix theorem ([[containmentJoin]]) is valid under
+    * ANY total order shared by both sides — rarity ordering only
+    * shrinks the candidate set.
+    *
+    * `hot` (from [[hotShingles]], persisted beside the index) upgrades
+    * the order to hot-demoted (member-of-hot, shingle): corpus-hot
+    * shingles sort LAST, so probe prefixes — the FIRST
+    * |A| − ceil(t·|A|) + 1 entries — stop containing them unless a doc
+    * is nearly all-hot, killing the hot-posting-list fan-out while the
+    * probe stays a stateless per-row projection (the bounded set
+    * broadcasts into a native hash-set filter like a stopword list).
+    * Build once, persist like [[corpusBandIndex]]. */
+  def containerIndex(corpus: DataFrame, shingleN: Int,
+      hot: Seq[String] = Nil): DataFrame =
     corpus
       .select(col("doc_id").as("corpus_id"),
-        sort_array(array_distinct(
-          TextFns.shingles(TextFns.tokens(col("text")), shingleN))).as("set"))
+        demoted(sort_array(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), shingleN))), hot).as("set"))
       .withColumn("szb", size(col("set")))
       .filter(col("szb") > 0)
       .select(col("corpus_id"), col("szb"), posexplode(col("set")))
@@ -344,36 +389,20 @@ object Dedup {
     * arithmetic). Returns candidate pairs (doc_id, corpus_id, sza).
     * Works identically on a batch frame.
     *
-    * Cost honesty vs the batch [[containmentJoin]]: rarity ordering
-    * steers hot (stop-)shingles OUT of prefixes, lexicographic ordering
-    * cannot — a probe whose prefix happens to hold a corpus-hot shingle
-    * fans out to that shingle's posting list before the positional
-    * bounds prune. That is the price of a stateless probe; when a
-    * corpus's hot shingles are known (one df pass at index-build time),
-    * route sustained-throughput ingestion through the batch join on
-    * micro-batches instead — same verified output, rarity-pruned
-    * candidates. */
+    * Cost honesty vs the batch [[containmentJoin]]: under the DEFAULT
+    * lexicographic order a probe whose prefix happens to hold a
+    * corpus-hot shingle fans out to that shingle's posting list before
+    * the positional bounds prune. Passing the SAME `hot` set the index
+    * was built with switches both sides to the hot-demoted order,
+    * which keeps those shingles out of prefixes — candidate fan-out
+    * drops to near the batch join's rarity-pruned level (measured in
+    * DedupSpec's hot-corpus microbench) while the probe stays a
+    * stateless per-row projection. The exactness argument is
+    * order-independent, so the verified output is identical. */
   def containmentProbe(docs: DataFrame, index: DataFrame, shingleN: Int,
-      minContainment: Double): DataFrame = {
-    require(minContainment > 0.0 && minContainment <= 1.0,
-      s"minContainment must be in (0, 1], got $minContainment")
+      minContainment: Double, hot: Seq[String] = Nil): DataFrame = {
     val t = minContainment
-    val pref = docs
-      .select(col("doc_id"),
-        sort_array(array_distinct(
-          TextFns.shingles(TextFns.tokens(col("text")), shingleN))).as("set"))
-      .withColumn("sz", size(col("set")))
-      .filter(col("sz") > 0)
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(col("set"), lit(1),
-          (col("sz") - floor(lit(t) * col("sz")) + lit(1)).cast("int"))))
-      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pa"),
-        col("col").as("sh"))
-    pref.join(index,
-        col("sh") === col("shb") &&
-        col("szb").cast("double") / col("sz").cast("double") >= t &&
-        (lit(1L) + least(col("sz") - col("pa"), col("szb") - col("pb")))
-          .cast("double") >= lit(t) * col("sz").cast("double") - lit(1e-9))
+    containmentProbeMatches(docs, index, shingleN, minContainment, hot)
       .groupBy("doc_id", "corpus_id")
       .agg(count(lit(1)).as("pc"),
         max("pa").as("mpa"), max("pb").as("mpb"),
@@ -382,6 +411,33 @@ object Dedup {
           least(col("sza2") - col("mpa"), col("szb2") - col("mpb")))
         .cast("double") >= lit(t) * col("sza2").cast("double") - lit(1e-9))
       .select(col("doc_id"), col("corpus_id"), col("sza2").as("sza"))
+  }
+
+  /** The pre-aggregation (probe-prefix × posting-list) match stream of
+    * [[containmentProbe]] — exposed so the hot-demotion fan-out claim
+    * is measurable: its row count IS the join fan-out the demoted
+    * order exists to shrink. */
+  private[graft] def containmentProbeMatches(docs: DataFrame, index: DataFrame,
+      shingleN: Int, minContainment: Double, hot: Seq[String] = Nil): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val t = minContainment
+    val pref = docs
+      .select(col("doc_id"),
+        demoted(sort_array(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), shingleN))), hot).as("set"))
+      .withColumn("sz", size(col("set")))
+      .filter(col("sz") > 0)
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("set"), lit(1),
+          (col("sz") - floor(lit(t) * col("sz")) + lit(1)).cast("int"))))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pa"),
+        col("col").as("sh"))
+    pref.join(index,
+      col("sh") === col("shb") &&
+      col("szb").cast("double") / col("sz").cast("double") >= t &&
+      (lit(1L) + least(col("sz") - col("pa"), col("szb") - col("pb")))
+        .cast("double") >= lit(t) * col("sz").cast("double") - lit(1e-9))
   }
 
   /** Batch verification of [[containmentProbe]] candidates: exact

@@ -500,8 +500,7 @@ object DedupQueries {
     * verification admitted no junk. Every truncated doc is contained
     * in its own original by construction (containment 1), so true
     * positives are guaranteed at every SF. */
-  val q257 = QueryDef(
-    "q257_stream_containment",
+  private val containmentProbeOracleSql =
     s"""WITH $shingleCte,
        |probe AS (
        |  SELECT doc_id AS pid,
@@ -519,10 +518,22 @@ object DedupQueries {
        |    ${Cross.r6Sql("i.i::DOUBLE / psz.psz::DOUBLE")} AS containment
        |  FROM inter i JOIN psz USING (pid)) t(pid, cid, containment)
        |WHERE containment >= 0.8
-       |ORDER BY doc_id, corpus_id""".stripMargin) { (spark, dir) =>
+       |ORDER BY doc_id, corpus_id""".stripMargin
+
+  /** Shared body of q257/q263: stream the synthetic excerpts against a
+    * container index built under the given probe order (`hotK` = 0 →
+    * lexicographic, > 0 → hot-demoted with that many demoted shingles),
+    * fold candidates through the stream's one aggregation, and
+    * exact-verify the completed fold batch-side. The oracle is
+    * order-independent (full unpruned probe×corpus containment), so the
+    * two gates hash-matching the SAME oracle proves the demoted order
+    * changed only the candidate fan-out, never the verified output. */
+  private def containmentProbeGate(hotK: Int, queryName: String)(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     val corpus = graft.core.Tables.documents(spark, dir)
-    val idx = Dedup.containerIndex(corpus, ShingleN).localCheckpoint(true)
+    val hot = Dedup.hotShingles(corpus, ShingleN, hotK)
+    val idx = Dedup.containerIndex(corpus, ShingleN, hot).localCheckpoint(true)
     // tokens are lowercase alnum runs, so re-joining with ' ' and
     // re-tokenizing round-trips exactly — the truncated "text" carries
     // precisely the first half of the token stream
@@ -542,13 +553,29 @@ object DedupQueries {
       .parquet(dir)
     val folded = graft.streaming.EventStreams.runToCompletion(spark,
       Dedup.containmentProbe(truncate(stream), idx, ShingleN,
-        minContainment = 0.8),
-      "q257_cands")
+        minContainment = 0.8, hot = hot),
+      queryName)
     Dedup.verifyContainment(folded,
         Dedup.containmentSets(truncate(corpus), ShingleN),
         Dedup.containmentSets(corpus, ShingleN), minContainment = 0.8)
       .orderBy("doc_id", "corpus_id")
   }
+
+  val q257 = QueryDef("q257_stream_containment", containmentProbeOracleSql)(
+    containmentProbeGate(hotK = 0, queryName = "q257_cands"))
+
+  /** Hot-demoted (rarity-class) streaming containment probe — q257's
+    * machinery with the 64 corpus-hottest shingles demoted to the end
+    * of the shared probe order (Dedup.hotShingles + the demoted
+    * containerIndex/containmentProbe order). Probe prefixes stop
+    * holding corpus-hot shingles, so the candidate fan-out the q257
+    * scaladoc documents as the stateless probe's honest cost drops to
+    * near the batch join's rarity-pruned level (DedupSpec's hot-corpus
+    * microbench pins the drop); the verified output — and therefore
+    * the oracle — is IDENTICAL to q257's, which is the exactness claim
+    * in executable form. */
+  val q263 = QueryDef("q263_containment_probe_rarity", containmentProbeOracleSql)(
+    containmentProbeGate(hotK = 64, queryName = "q263_cands"))
 
   /** Exact prefix-filtered similarity self-join (Dedup.prefixJaccardJoin):
     * every pair at Jaccard >= 0.3, found via rarity-ordered prefix
@@ -1280,5 +1307,5 @@ object DedupQueries {
       .orderBy("id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246, q248, q251, q257)
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q107, q115, q136, q137, q138, q150, q151, q160, q166, q184, q189, q197, q203, q205, q221, q225, q232, q238, q240, q242, q243, q244, q245, q246, q248, q251, q257, q263)
 }

@@ -982,15 +982,25 @@ object EmbeddingQueries {
     * previous selections — so hash-equality pins every round's pick,
     * tie-break, and the literal-reentry of selected vectors (the BPE
     * unroll discipline applied to vector search). */
-  val q259 = {
-    val k = 5
-    val lam = "CAST(0.7 AS DOUBLE)"
-    val oneMinus = "CAST(0.3 AS DOUBLE)"
-    def cosSql(a: String, b: String) =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+  private def mmrCosSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  /** The q259 MMR unroll, shared with q264: k greedy argmax CTEs
+    * (s1..sk) over a CTE named `c` with (vec_id, ne, rel) — each round's
+    * max_sim joins every previous selection — plus the UNION ALL arms
+    * emitting (rank, vec_id, rel, max_sim, mmr). Mirrors
+    * SimilaritySearch.mmrSelect round for round. */
+  private def mmrUnrollSql(k: Int, lam: String, oneMinus: String): (String, String) = {
+    val s1 =
+      s"""s1 AS (
+         |  SELECT vec_id, ne, rel, 0.0 AS max_sim,
+         |    ${Cross.r6Sql(s"$lam * rel - $oneMinus * 0.0")} AS mmr
+         |  FROM c
+         |  ORDER BY ${Cross.r6Sql(s"$lam * rel - $oneMinus * 0.0")} DESC, vec_id
+         |  LIMIT 1)""".stripMargin
     val rounds = (2 to k).map { r =>
       val prev = (1 until r).map(i => s"s$i")
-      val simTerms = prev.map(p => Cross.r6Sql(cosSql("c.ne", s"$p.ne")))
+      val simTerms = prev.map(p => Cross.r6Sql(mmrCosSql("c.ne", s"$p.ne")))
       val ms = if (simTerms.size == 1) simTerms.head
         else s"greatest(${simTerms.mkString(", ")})"
       val obj = Cross.r6Sql(s"$lam * c.rel - $oneMinus * ($ms)")
@@ -999,10 +1009,19 @@ object EmbeddingQueries {
          |  FROM c, ${prev.mkString(", ")}
          |  WHERE ${prev.map(p => s"c.vec_id <> $p.vec_id").mkString(" AND ")}
          |  ORDER BY $obj DESC, c.vec_id LIMIT 1)""".stripMargin
-    }.mkString(",\n")
+    }
     val arms = (1 to k).map(r =>
       s"SELECT $r::BIGINT AS rank, vec_id, rel, max_sim, mmr FROM s$r")
       .mkString("\nUNION ALL ")
+    ((s1 +: rounds).mkString(",\n"), arms)
+  }
+
+  val q259 = {
+    val k = 5
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = "CAST(0.3 AS DOUBLE)"
+    def cosSql(a: String, b: String) = mmrCosSql(a, b)
+    val (roundCtes, arms) = mmrUnrollSql(k, lam, oneMinus)
     QueryDef(
       "q259_mmr_select",
       s"""WITH nrm AS (
@@ -1017,13 +1036,7 @@ object EmbeddingQueries {
          |c AS (
          |  SELECT vec_id, ne, ${Cross.r6Sql(cosSql("ne", "qne"))} AS rel
          |  FROM normed, q),
-         |s1 AS (
-         |  SELECT vec_id, ne, rel, 0.0 AS max_sim,
-         |    ${Cross.r6Sql(s"$lam * rel - $oneMinus * 0.0")} AS mmr
-         |  FROM c
-         |  ORDER BY ${Cross.r6Sql(s"$lam * rel - $oneMinus * 0.0")} DESC, vec_id
-         |  LIMIT 1),
-         |$rounds
+         |$roundCtes
          |$arms
          |ORDER BY rank""".stripMargin) { (spark, dir) =>
       val normed = Tables.embeddings(spark, dir)
@@ -1042,5 +1055,87 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259)
+  /** END-TO-END RAG retrieval pipeline: q258's sliding-window chunking
+    * (24/16 over every 11th doc) → a feature-hashed dense chunk
+    * embedding (tokens hash into 16 count buckets — the in-engine
+    * text→vector path, q135/q78's hashing trick densified) → q259's MMR
+    * diversity selection over the CHUNK pool, relevance = cosine to the
+    * lowest-cid chunk. One gate proving the three pieces compose: the
+    * oracle inlines the ENTIRE chain — slide-grid arithmetic, per-chunk
+    * bucket counts via the shared md5 hash family, normalization, and
+    * the full 5-round MMR unroll — so chunk boundaries, every embedding
+    * coordinate, and every greedy pick hash-match end to end
+    * (PipelineSpec holds the composition law; Curate publishes the same
+    * chunks artifact).
+    *
+    * Scale shape: chunking and embedding are stateless per-row codegen
+    * (zero shuffles before the pool), the per-chunk vector build is
+    * O(dims·tokens) in one projection, and MMR's driver state stays
+    * k-bounded — the whole pipeline inherits its pieces' 100 TB
+    * stories. */
+  val q264 = {
+    val k = 5
+    val D = 16
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = "CAST(0.3 AS DOUBLE)"
+    val (roundCtes, arms) = mmrUnrollSql(k, lam, oneMinus)
+    QueryDef(
+      "q264_rag_chunk_mmr",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS tk
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |k0 AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) <= 24 THEN 0 ELSE (len(tk) - 24 + 15) // 16 END AS kmax
+         |  FROM t WHERE len(tk) > 0),
+         |ch AS (
+         |  SELECT doc_id * 1000000 + i AS cid,
+         |         list_slice(tk, i * 16 + 1, i * 16 + 24) AS ctk
+         |  FROM (SELECT doc_id, tk, unnest(range(0, kmax + 1)) AS i FROM k0)),
+         |vec AS (
+         |  SELECT cid,
+         |    list_transform(range(0, $D), d ->
+         |      len(list_filter(list_transform(ctk, tok -> ${Cross.hash31Sql("tok")} % $D),
+         |                      b -> b = d))::DOUBLE) AS v
+         |  FROM ch),
+         |nr AS (SELECT cid, v, ${VectorSql.norm2("v")} AS nrm FROM vec),
+         |normed AS (
+         |  SELECT cid AS vec_id,
+         |    list_transform(range(1, len(v) + 1), i -> v[i]::DOUBLE / nrm) AS ne
+         |  FROM nr WHERE nrm > 0),
+         |q AS (SELECT ne AS qne FROM normed
+         |      WHERE vec_id = (SELECT MIN(vec_id) FROM normed)),
+         |c AS (
+         |  SELECT vec_id, ne, ${Cross.r6Sql(mmrCosSql("ne", "qne"))} AS rel
+         |  FROM normed, q),
+         |$roundCtes
+         |$arms
+         |ORDER BY rank""".stripMargin) { (spark, dir) =>
+      val chunks = graft.operators.Packing.chunkSliding(
+        Tables.documents(spark, dir).filter(col("doc_id") % 11 === 0),
+        col("doc_id"), graft.functions.TextFns.tokens(col("text")),
+        chunkSize = 24, stride = 16)
+      val withVec = chunks
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+        // chunk_text is space-joined alnum tokens, so re-tokenizing
+        // round-trips the exact token slice (the q257 argument)
+        .withColumn("bs", transform(graft.functions.TextFns.tokens(col("chunk_text")),
+          t => pmod(Cross.hash31(t), lit(D.toLong))))
+        .withColumn("embedding", transform(sequence(lit(0), lit(D - 1)),
+          d => size(filter(col("bs"), b => b === d.cast("long"))).cast("double")))
+        .withColumn("nrm", VectorFns.norm2(col("embedding")))
+        .filter(col("nrm") > 0.0)
+        .withColumn("ne", transform(col("embedding"), x => x / col("nrm")))
+      val qv = withVec.orderBy("cid").limit(1).select(col("ne").as("qne"))
+      val cands = withVec.crossJoin(broadcast(qv))
+        .select(col("cid").as("vec_id"), col("embedding"),
+          VectorFns.dot(col("ne"), col("qne")).as("rel"))
+      SimilaritySearch.mmrSelect(cands,
+          col("vec_id"), col("embedding"), col("rel"), k = k, lambda = 0.7)
+        .orderBy("rank")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264)
 }

@@ -8,41 +8,125 @@ import graft.core.Tables
 import graft.model.{AlsModel, HybridModel, MlpRegressor, Recommender}
 import graft.streaming.EventStreams
 
-/** MLlib-backed + streaming gate queries. ALS/GBT/MinHashLSH internals are
-  * not DuckDB-reproducible, so those are rows-only checks (the driver
-  * verifies cardinality); the streaming tumbling window replays the batch
-  * oracle exactly and keeps its full hash check.
+/** MLlib-backed + streaming gate queries. ALS/GBT/MLP/MinHashLSH model
+  * INTERNALS (factor values, tree scores, murmur bucket ids) are not
+  * DuckDB-reproducible, so those gates emit a checkable REDUCTION instead
+  * of raw scores: the deterministic key set plus every oracle-derivable
+  * invariant of the run (cold-start flags = the unseen-key set, the
+  * feature-join values, hashed-count conservation, exactness of the
+  * reported distances), with the score itself reduced to a finiteness/
+  * monotonicity flag. The driver hash-verifies the full reduction — zero
+  * `no_oracle` entries — and the raw scores stay scalatest-covered
+  * (AlsModelSpec/HybridModelSpec/MlPipelineSpec). The streaming gates
+  * replay their batch oracle exactly and keep full hash checks.
   */
 object MlQueries {
 
+  private val reviewsCte =
+    """reviews AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS business_id,
+      |         CAST((CAST(l_quantity AS BIGINT) % 5) + 1 AS DOUBLE) AS stars
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+
   /** R2/P9: ALS matrix factorization predictions over the pair grid,
-    * NaN cold-start repaired to 2.5. */
-  val q80 = QueryDef.rowsOnly("q80_als_predict") { (spark, dir) =>
+    * NaN cold-start repaired to 2.5. Driver-checked reduction: the pair
+    * grid itself, the cold-start flag (with coldStartStrategy "nan" a
+    * pair is cold iff its user or item never appears in training — an
+    * exact set the oracle re-derives with NOT IN), and repair_ok (the
+    * final score is finite and cold pairs scored exactly 2.5). A model
+    * that dropped factors for a seen id, leaked an id cast, or skipped
+    * the repair reds the hash; the warm scores themselves are covered by
+    * AlsModelSpec + the q262 pinned-RMSE invariant. */
+  val q80 = QueryDef(
+    "q80_als_predict",
+    s"""WITH $reviewsCte,
+       |pairs AS (
+       |  SELECT c_custkey AS user_id, p_partkey AS business_id
+       |  FROM customer CROSS JOIN part
+       |  WHERE c_custkey % 19 = 0 AND p_partkey % 23 = 0)
+       |SELECT p.user_id, p.business_id,
+       |  CAST(p.user_id NOT IN (SELECT user_id FROM reviews)
+       |    OR p.business_id NOT IN (SELECT business_id FROM reviews) AS BIGINT) AS is_cold,
+       |  CAST(1 AS BIGINT) AS repair_ok
+       |FROM pairs p
+       |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
     val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
     val model = AlsModel.fit(r)
     val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(19)) === 0)
       .select(col("c_custkey").as("user_id"))
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
         .select(col("p_partkey").as("business_id")))
-    AlsModel.predict(model, pairs).orderBy("user_id", "business_id")
+    AlsModel.predictFlagged(model, pairs)
+      .select(col("user_id"), col("business_id"),
+        col("is_cold").cast("long").as("is_cold"),
+        (col("pred").isNotNull && !isnan(col("pred")) &&
+          (!col("is_cold") || col("pred") === 2.5)).cast("long").as("repair_ok"))
+      .orderBy("user_id", "business_id")
   }
 
-  /** R5-substitute: hybrid ALS + averages → GBT regressor predictions. */
-  val q81 = QueryDef.rowsOnly("q81_hybrid_predict") { (spark, dir) =>
-    val reviews = Tables.reviews(spark, dir)
-    val fitted = HybridModel.fit(reviews, gbtIter = 5)
-    val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(57)) === 0)
+  /** Hybrid feature-join oracle shared by q81 (GBT head) and q95 (MLP
+    * head): the pair grid plus the exact A15 feature values the head
+    * consumes — user/biz averages with the global-mean fallback,
+    * micro6-integerized — with the head's score reduced to a finiteness
+    * flag. The feature join IS the reference's predict_hybrid.py:120-128
+    * semantics; the head internals stay scalatest-covered. */
+  private val hybridReductionSql =
+    s"""WITH $reviewsCte,
+       |uavg AS (SELECT user_id, ${graft.core.Cross.dsumSql("stars", 2)} / COUNT(*) AS user_avg
+       |         FROM reviews GROUP BY user_id),
+       |bavg AS (SELECT business_id, ${graft.core.Cross.dsumSql("stars", 2)} / COUNT(*) AS biz_avg
+       |         FROM reviews GROUP BY business_id),
+       |g AS (SELECT CAST(SUM(CAST(stars AS BIGINT)) AS DOUBLE) / COUNT(*) AS ga FROM reviews),
+       |pairs AS (
+       |  SELECT c_custkey AS user_id, p_partkey AS business_id
+       |  FROM customer CROSS JOIN part
+       |  WHERE c_custkey % 57 = 0 AND p_partkey % 69 = 0)
+       |SELECT p.user_id, p.business_id,
+       |  ${graft.core.Cross.micro6Sql(graft.core.Cross.r6Sql("COALESCE(user_avg, ga)"))} AS uavg_micro,
+       |  ${graft.core.Cross.micro6Sql(graft.core.Cross.r6Sql("COALESCE(biz_avg, ga)"))} AS bavg_micro,
+       |  CAST(1 AS BIGINT) AS pred_finite
+       |FROM pairs p
+       |LEFT JOIN uavg u ON p.user_id = u.user_id
+       |LEFT JOIN bavg b ON p.business_id = b.business_id
+       |CROSS JOIN g
+       |ORDER BY p.user_id, p.business_id""".stripMargin
+
+  private def hybridPairs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(57)) === 0)
       .select(col("c_custkey").as("user_id"))
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)
         .select(col("p_partkey").as("business_id")))
-    HybridModel.predict(fitted, pairs, reviews).orderBy("user_id", "business_id")
+
+  /** Reduce a hybrid head's predictions to the driver-checkable frame:
+    * keys + exact feature micros + score-finiteness (see
+    * [[hybridReductionSql]]). */
+  private def hybridReduction(preds: org.apache.spark.sql.DataFrame,
+      feats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.core.Cross
+    preds.join(feats, Seq("user_id", "business_id"))
+      .select(col("user_id"), col("business_id"),
+        Cross.micro6(Cross.r6(col("f_uavg"))).as("uavg_micro"),
+        Cross.micro6(Cross.r6(col("f_bavg"))).as("bavg_micro"),
+        (col("pred").isNotNull && !isnan(col("pred"))).cast("long").as("pred_finite"))
+      .orderBy("user_id", "business_id")
+  }
+
+  /** R5-substitute: hybrid ALS + averages → GBT regressor predictions,
+    * reduced per [[hybridReductionSql]]. */
+  val q81 = QueryDef("q81_hybrid_predict", hybridReductionSql) { (spark, dir) =>
+    val reviews = Tables.reviews(spark, dir)
+    val fitted = HybridModel.fit(reviews, gbtIter = 5)
+    val pairs = hybridPairs(spark, dir)
+    hybridReduction(
+      HybridModel.predict(fitted, pairs, reviews),
+      HybridModel.features(pairs, reviews, fitted.als))
   }
 
   /** R5 reference-exact head: the sklearn-shaped (30,10,30) MLP hybrid
     * (scripts/train_hybrid.py:101-110) — closes the last documented
-    * substitution; GBT (q81) stays the distributed default. Rows-only:
-    * ALS + MLP internals are not DuckDB-reproducible. */
-  val q95 = QueryDef.rowsOnly("q95_hybrid_mlp_predict") { (spark, dir) =>
+    * substitution; GBT (q81) stays the distributed default. Same
+    * driver-checked reduction as q81 ([[hybridReductionSql]]). */
+  val q95 = QueryDef("q95_hybrid_mlp_predict", hybridReductionSql) { (spark, dir) =>
     val reviews = Tables.reviews(spark, dir)
     // light params: the gate verifies the head's plumbing (driver fit +
     // broadcast scoring), not model quality
@@ -50,17 +134,52 @@ object MlQueries {
       AlsModel.Params(rank = 4, maxIter = 2),
       MlpRegressor.Params(epochs = 10),
       sampleCap = 1 << 16) // plumbing gate: cap the driver fit at any SF
-    val pairs = Tables.customer(spark, dir).filter(pmod(col("c_custkey"), lit(57)) === 0)
-      .select(col("c_custkey").as("user_id"))
-      .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)
-        .select(col("p_partkey").as("business_id")))
-    HybridModel.predictMlp(fitted, pairs, reviews).orderBy("user_id", "business_id")
+    val pairs = hybridPairs(spark, dir)
+    hybridReduction(
+      HybridModel.predictMlp(fitted, pairs, reviews),
+      HybridModel.features(pairs, reviews, fitted.als))
   }
 
-  /** R4/X10: MLlib MinHashLSH approx similarity self-join over users'
-    * rated-business sets (seed pinned like the reference,
-    * models/item_cf_model.py:127). */
-  val q82 = QueryDef.rowsOnly("q82_mllib_minhash_join") { (spark, dir) =>
+  /** R4/X10/A11: MLlib MinHashLSH over users' rated-business sets with
+    * the REFERENCE-EXACT candidate generation: fit + transform with
+    * numHashTables = 3, seed 12345 (config_item_cf.json N_MIN_HASHES;
+    * item_cf_model.py:126-129), then group by the FULL signature tuple
+    * and emit pairs inside ≥2 groups (item_cf_model.py:131-137's
+    * groupBy(hashes)/combinations, as a relational self-equi-join on
+    * the signature key), then exact-Jaccard verify. The reference never
+    * calls approxSimilarityJoin — and neither does this gate anymore:
+    * the r6 driver bench showed the OR-amplified candidate join's
+    * wide-row `.distinct()` doing 70× suite-relative CPU (123.6 s wall,
+    * 13.6% of suite) with heavy run-to-run JIT/memory variance, while
+    * the reference's AND-amplified full-tuple grouping is one linear
+    * shuffle on the signature key. Threshold-join semantics stay
+    * covered by the engine's own LSH path (q32/q36/q37).
+    *
+    * The candidate SET depends on the seeded hash family (not
+    * DuckDB-reproducible), so the driver-checked reduction pins the
+    * exact invariants: zero_dist_pairs — users with IDENTICAL sets have
+    * identical signatures, so AND-amplification recall on distance-0
+    * pairs is exactly 1, and the oracle counts those pairs
+    * combinatorially (Σ n·(n−1)/2 over identical-set groups; equality
+    * both directions since a candidate with d_exact = 0 IS an
+    * identical-set pair); pairs_above_threshold = 0 (the verify filter
+    * respects the 0.9 radius); sig_len_violations = 0 (transform
+    * emitted exactly 3 hash values per user). A broken hash family,
+    * grouping, or verification reds the hash. */
+  val q82 = QueryDef(
+    "q82_mllib_minhash_join",
+    s"""WITH $reviewsCte,
+       |rdedup AS (SELECT user_id, business_id FROM reviews GROUP BY user_id, business_id),
+       |sets AS (SELECT user_id, array_to_string(list_sort(list(business_id)), ',') AS k
+       |         FROM rdedup GROUP BY user_id HAVING COUNT(*) >= 2),
+       |grp AS (SELECT k, COUNT(*) AS n FROM sets GROUP BY k)
+       |SELECT chk, val FROM (
+       |  SELECT 'pairs_above_threshold' AS chk, CAST(0 AS BIGINT) AS val
+       |  UNION ALL SELECT 'sig_len_violations', CAST(0 AS BIGINT)
+       |  UNION ALL SELECT 'zero_dist_pairs',
+       |    COALESCE((SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM grp), CAST(0 AS BIGINT))
+       |) t ORDER BY chk""".stripMargin) { (spark, dir) =>
+    import graft.core.Cross
     val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
     val dim = r.agg(max("business_id")).first().getLong(0).toInt + 1
     val toVec = udf((idx: Seq[Long]) =>
@@ -69,31 +188,90 @@ object MlQueries {
     val userVecs = r.groupBy("user_id")
       .agg(collect_list("business_id").as("bids"))
       .filter(size(col("bids")) >= 2)
-      .select(col("user_id"), toVec(col("bids")).as("features"))
+      .select(col("user_id"), toVec(col("bids")).as("features"), col("bids"))
     val model = new MinHashLSH()
-      .setNumHashTables(8).setSeed(12345L)
+      .setNumHashTables(3).setSeed(12345L)
       .setInputCol("features").setOutputCol("hashes")
-      .fit(userVecs)
-    model.approxSimilarityJoin(userVecs, userVecs, 0.9, "jaccard_dist")
-      .select(
-        col("datasetA.user_id").as("user_a"),
-        col("datasetB.user_id").as("user_b"),
-        round(col("jaccard_dist"), 6).as("jaccard_dist"))
-      .filter(col("user_a") < col("user_b"))
-      .orderBy("user_a", "user_b")
+      .fit(userVecs.select("user_id", "features"))
+    // reference candidate generation: the full signature tuple is the
+    // grouping key (tuple(h[0] for h in r.hashes)); the interop UDF
+    // mirrors it — MLlib returns array<vector> with one value per table
+    val sigKey = udf((hs: Seq[org.apache.spark.ml.linalg.Vector]) =>
+      hs.map(_(0)).mkString(","))
+    val sigLen = udf((hs: Seq[org.apache.spark.ml.linalg.Vector]) => hs.length)
+    val sigs = model.transform(userVecs.select("user_id", "features"))
+      .select(col("user_id"), sigKey(col("hashes")).as("sig"),
+        sigLen(col("hashes")).as("nsig"))
+      .localCheckpoint(true) // signatures materialize ONCE for both join sides
+    val cands = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+    // exact-Jaccard verification of every candidate from the raw sets
+    val sets = userVecs.select(col("user_id"), array_distinct(col("bids")).as("bset"))
+    val verified = cands
+      .join(sets.select(col("user_id").as("user_a"), col("bset").as("sa")), "user_a")
+      .join(sets.select(col("user_id").as("user_b"), col("bset").as("sb")), "user_b")
+      .withColumn("d_exact",
+        lit(1.0) - size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("d_exact") <= lit(0.9))
+    val sigViol = sigs.agg(
+      coalesce(sum(when(col("nsig") =!= 3, 1L).otherwise(0L)), lit(0L)).as("v"))
+      .first().getLong(0)
+    val agg = verified.agg(
+      coalesce(sum(when(col("d_exact") > 0.9, 1L).otherwise(0L)), lit(0L)).as("pairs_above_threshold"),
+      coalesce(sum(when(col("d_exact") === 0.0, 1L).otherwise(0L)), lit(0L)).as("zero_dist_pairs"))
+    agg.select(explode(array(
+        struct(lit("pairs_above_threshold").as("chk"), col("pairs_above_threshold").as("val")),
+        struct(lit("sig_len_violations").as("chk"), lit(sigViol).as("val")),
+        struct(lit("zero_dist_pairs").as("chk"), col("zero_dist_pairs").as("val")))).as("e"))
+      .select(col("e.chk").as("chk"), col("e.val").as("val"))
+      .orderBy("chk")
   }
 
-  /** R3: MLlib HashingTF + IDF sparse path (rows-only: MLlib's murmur
-    * feature hashing and smoothed-log IDF are not DuckDB-reproducible;
-    * the exact-formula TF-IDF path is hash-gated by q70/q22 instead). */
-  val q78 = QueryDef.rowsOnly("q78_hashing_tfidf") { (spark, dir) =>
+  /** R3: MLlib HashingTF + IDF sparse path. Murmur bucket ids and the
+    * smoothed-log IDF weights are not DuckDB-reproducible, but the
+    * hashed-count CONSERVATION law is: HashingTF sums term counts into
+    * buckets, so per doc Σ tf over buckets == |contentTokens(text)| — the
+    * oracle recomputes that exactly (tf_sum). nnz_ok pins the collision
+    * direction (nonzero buckets ≤ min(numFeatures, distinct terms), and
+    * IDF's minDocFreq zeroing can only shrink the support:
+    * nnz(tfidf) ≤ nnz(tf)). A hashing path that dropped/duplicated
+    * tokens or an IDF that invented support reds the hash; the
+    * exact-formula TF-IDF weights stay hash-gated by q70/q22. */
+  val q78 = QueryDef(
+    "q78_hashing_tfidf",
+    s"""WITH biztext AS (
+       |  SELECT p_partkey AS business_id, d.text AS text
+       |  FROM part JOIN documents d
+       |    ON d.doc_id = p_partkey % (SELECT COUNT(*) FROM documents))
+       |SELECT business_id,
+       |  CAST(len(${graft.functions.TextSql.contentTokens("text")}) AS BIGINT) AS tf_sum,
+       |  CAST(1 AS BIGINT) AS nnz_ok
+       |FROM biztext
+       |ORDER BY business_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.ml.functions.vector_to_array
-    graft.model.ContentBased.hashingTfidf(Tables.bizText(spark, dir), numFeatures = 1024)
-      .select(col("business_id"), posexplode(vector_to_array(col("tfidf"))))
-      .filter(col("col") > 0.0)
-      .select(col("business_id"), col("pos").as("feature_idx"),
-        graft.core.Cross.r6(col("col")).as("w"))
-      .orderBy("business_id", "feature_idx")
+    val bt = Tables.bizText(spark, dir)
+    val tokened = bt.select(col("business_id"),
+      graft.functions.TextFns.contentTokens(col("text")).as("tokens"))
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("tokens").setOutputCol("tf").setNumFeatures(1024)
+      .transform(tokened)
+    val tfStats = tf
+      .select(col("business_id"), col("tokens"), vector_to_array(col("tf")).as("tfa"))
+      .select(col("business_id"),
+        aggregate(col("tfa"), lit(0.0), (a, x) => a + x).cast("long").as("tf_sum"),
+        size(filter(col("tfa"), x => x > 0.0)).as("nnz_tf"),
+        size(array_distinct(col("tokens"))).as("n_distinct"))
+    val tfidfNnz = graft.model.ContentBased.hashingTfidf(bt, numFeatures = 1024)
+      .select(col("business_id"),
+        size(filter(vector_to_array(col("tfidf")), x => x > 0.0)).as("nnz_tfidf"))
+    tfStats.join(tfidfNnz, "business_id")
+      .select(col("business_id"), col("tf_sum"),
+        (col("nnz_tfidf") <= col("nnz_tf") &&
+          col("nnz_tf") <= least(lit(1024), col("n_distinct")) &&
+          (col("n_distinct") === 0 || col("nnz_tf") >= 1)).cast("long").as("nnz_ok"))
+      .orderBy("business_id")
   }
 
   /** S2-S4/S6: ModelIO round-trip with a TRUE oracle — the slice goes
@@ -163,8 +341,27 @@ object MlQueries {
   }
 
   /** A10/R2: ALS over string-keyed reviews (StringIndexer id assignment in
-    * front — reference scripts/train_als.py:55-57; rows-only like q80). */
-  val q83 = QueryDef.rowsOnly("q83_als_string_ids") { (spark, dir) =>
+    * front — reference scripts/train_als.py:55-57). Driver-checked
+    * reduction like q80: a pair is cold iff its STRING key never appears
+    * in training — the handleInvalid "keep" bucket has no factor, so the
+    * NaN set must exactly equal the unseen-string set. A StringIndexer
+    * that collided or mismapped ids would relabel seen keys as cold (or
+    * vice versa) and red the hash. */
+  val q83 = QueryDef(
+    "q83_als_string_ids",
+    s"""WITH $reviewsCte,
+       |pairs AS (
+       |  SELECT 'u' || CAST(c_custkey AS VARCHAR) AS user_id,
+       |         'b' || CAST(p_partkey AS VARCHAR) AS business_id
+       |  FROM customer CROSS JOIN part
+       |  WHERE c_custkey % 19 = 0 AND p_partkey % 23 = 0)
+       |SELECT p.user_id, p.business_id,
+       |  CAST(p.user_id NOT IN (SELECT 'u' || CAST(user_id AS VARCHAR) FROM reviews)
+       |    OR p.business_id NOT IN (SELECT 'b' || CAST(business_id AS VARCHAR) FROM reviews)
+       |    AS BIGINT) AS is_cold,
+       |  CAST(1 AS BIGINT) AS repair_ok
+       |FROM pairs p
+       |ORDER BY user_id, business_id""".stripMargin) { (spark, dir) =>
     val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
       .select(concat(lit("u"), col("user_id")).as("user_id"),
         concat(lit("b"), col("business_id")).as("business_id"), col("stars"))
@@ -175,13 +372,34 @@ object MlQueries {
       .select(concat(lit("u"), col("c_custkey")).as("user_id"))
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(23)) === 0)
         .select(concat(lit("b"), col("p_partkey")).as("business_id")))
-    AlsModel.predictStringIds(fitted, pairs).orderBy("user_id", "business_id")
+    AlsModel.predictStringIdsFlagged(fitted, pairs)
+      .select(col("user_id"), col("business_id"),
+        col("is_cold").cast("long").as("is_cold"),
+        (col("pred").isNotNull && !isnan(col("pred")) &&
+          (!col("is_cold") || col("pred") === 2.5)).cast("long").as("repair_ok"))
+      .orderBy("user_id", "business_id")
   }
 
   /** T5: k-NN over the ALS item-factor matrix (reference
-    * scripts/als_recommender.py:140-148 runs 500-NN over item factors;
-    * rows-only — ALS factors aren't DuckDB-reproducible). */
-  val q88 = QueryDef.rowsOnly("q88_als_factor_knn") { (spark, dir) =>
+    * scripts/als_recommender.py:140-148 runs 500-NN over item factors).
+    * Factor VALUES aren't DuckDB-reproducible, but the kNN frame is:
+    * itemFactors covers exactly the distinct training items, so the
+    * oracle re-derives the (query_id, rank) key grid — queries = item
+    * ids ≡ 0 mod 97, ranks 1..min(10, |items|−1) — and `ok` pins the
+    * per-row invariants (neighbor is a real non-self item, cosine finite
+    * and in [−1, 1], and cos non-increasing in rank — the TopKAgg heap
+    * order). A kNN that emitted phantom neighbors, self-matches, or a
+    * misordered heap reds the hash; neighbor identities are covered by
+    * SimilaritySearchSpec's brute-force law. */
+  val q88 = QueryDef(
+    "q88_als_factor_knn",
+    s"""WITH $reviewsCte,
+       |items AS (SELECT DISTINCT business_id FROM reviews),
+       |ranks AS (SELECT unnest(range(1, 1 + LEAST(10, (SELECT COUNT(*) FROM items) - 1))) AS rank)
+       |SELECT i.business_id AS query_id, r.rank AS rank, CAST(1 AS BIGINT) AS ok
+       |FROM items i CROSS JOIN ranks r
+       |WHERE i.business_id % 97 = 0
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
     // light params: the operator under test is the factor-space kNN, not
     // the factorization itself (q80 fits with defaults)
@@ -189,8 +407,78 @@ object MlQueries {
     val factors = model.itemFactors
       .select(col("id").cast("long").as("vec_id"), col("features").as("embedding"))
     val queries = factors.filter(pmod(col("vec_id"), lit(97)) === 0)
-    graft.operators.SimilaritySearch.bruteForceTopK(queries, factors, 10)
+    val knn = graft.operators.SimilaritySearch.bruteForceTopK(queries, factors, 10)
+    val known = factors.select(col("vec_id").as("neighbor_id"), lit(1).as("known"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+    knn.join(known, Seq("neighbor_id"), "left")
+      .withColumn("prev", lag(col("cos"), 1).over(w))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        (col("known").isNotNull && col("neighbor_id") =!= col("query_id") &&
+          !isnan(col("cos")) && abs(col("cos")) <= lit(1.000001) &&
+          (col("prev").isNull || col("cos") <= col("prev") + lit(1e-9)))
+          .cast("long").as("ok"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Seed-pinned ALS quality invariant (the q80-family driver-visible
+    * verdict on the SCORES, not just the frame): fit on the 80% side of
+    * the deterministic content-hash split, evaluate RMSE on the held-out
+    * 20%, and emit three BIGINT facts DuckDB can assert blind — the RMSE
+    * is finite, it stays within 1.35× of the global-mean baseline on
+    * the same holdout (the stars are quantity-derived noise with no
+    * real user/item structure, so ALS lands slightly ABOVE the
+    * baseline — measured ratio 1.12 at sf0.001, see the [q262] stderr
+    * telemetry; a collapsed/exploded factorization blows far past
+    * 1.35 long before it fails finiteness), and it sits under the
+    * absolute 2.0 bound (holdout stars have std ≈ √2, so 2.0 is ~1.4×
+    * the predict-the-mean error — generous to partitioning-dependent
+    * ALS nondeterminism, fatal to a broken fit).
+    * The baseline RMSE itself is decimal-exact and cross-checked at
+    * micro6 resolution, so the yardstick can't silently drift. */
+  val q262 = QueryDef(
+    "q262_als_rmse_bound",
+    s"""WITH $reviewsCte,
+       |rdedup AS (
+       |  SELECT user_id, business_id,
+       |         (round((${graft.core.Cross.dsumSql("stars", 2)} / COUNT(*)) + 1e-9, 6) + 0.0) AS stars,
+       |         (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(business_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT % 5) AS fold
+       |  FROM reviews GROUP BY user_id, business_id),
+       |trm AS (SELECT ${graft.core.Cross.micro6Sql("stars")} AS sm FROM rdedup WHERE fold >= 1),
+       |hom AS (SELECT ${graft.core.Cross.micro6Sql("stars")} AS sm FROM rdedup WHERE fold < 1),
+       |gm AS (SELECT CAST(SUM(sm) AS BIGINT) // COUNT(*) AS mu FROM trm),
+       |base AS (
+       |  SELECT sqrt((CAST(SUM((sm - mu) * (sm - mu)) AS BIGINT)::DOUBLE / COUNT(*))) / 1000000.0 AS rmse
+       |  FROM hom CROSS JOIN gm)
+       |SELECT CAST(1 AS BIGINT) AS rmse_finite,
+       |       CAST(1 AS BIGINT) AS beats_baseline,
+       |       CAST(1 AS BIGINT) AS under_abs_bound,
+       |       ${graft.core.Cross.micro6Sql(graft.core.Cross.r6Sql("(SELECT rmse FROM base)"))} AS base_rmse_micro""".stripMargin) { (spark, dir) =>
+    import graft.core.Cross
+    val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
+    val (train, holdout) = graft.operators.Sampling.hashSplit(r,
+      concat_ws("|", col("user_id").cast("string"), col("business_id").cast("string")), 1, 5)
+    train.cache(); holdout.cache()
+    val model = AlsModel.fit(train)
+    val rmseAls = AlsModel.evaluate(model, holdout)
+    // integer-exact global-mean baseline on the same holdout: stars sit
+    // on the 1e-6 grid (r6 output), so micro-units + integer division +
+    // a BIGINT sum of squares are bit-identical cross-engine until the
+    // final sqrt of the same double — the hash-checked yardstick
+    val trRow = train.agg(sum(Cross.micro6(col("stars"))).as("s"), count(lit(1)).as("n")).first()
+    val muQ = trRow.getLong(0) / trRow.getLong(1)
+    val hoRow = holdout.agg(
+      sum((Cross.micro6(col("stars")) - muQ) * (Cross.micro6(col("stars")) - muQ)).as("ssq"),
+      count(lit(1)).as("n")).first()
+    val rmseBase = math.sqrt(hoRow.getLong(0).toDouble / hoRow.getLong(1)) / 1e6
+    train.unpersist(); holdout.unpersist()
+    // one-line telemetry so future bound audits have the raw numbers
+    System.err.println(f"[q262] als_rmse=$rmseAls%.6f base_rmse=$rmseBase%.6f ratio=${rmseAls / rmseBase}%.4f")
+    spark.range(1).select(
+      lit(if (!rmseAls.isNaN && !rmseAls.isInfinite) 1L else 0L).as("rmse_finite"),
+      lit(if (rmseAls < rmseBase * 1.35) 1L else 0L).as("beats_baseline"),
+      lit(if (rmseAls < 2.0) 1L else 0L).as("under_abs_bound"),
+      Cross.micro6(Cross.r6(lit(rmseBase))).as("base_rmse_micro"))
   }
 
   /** Streaming tumbling window — same oracle as the batch q50. */
@@ -444,5 +732,5 @@ object MlQueries {
       .orderBy("segment", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262)
 }

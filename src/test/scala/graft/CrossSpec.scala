@@ -59,4 +59,39 @@ class CrossSpec extends SparkSpec {
     val got = df.select(Cross.r6(col("v"))).collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(1.234567, 2.0))
   }
+
+  test("micro6/micro9 land exactly on the grid integer for every grid value") {
+    // The micro twins' contract (Cross.scala): for an input already on
+    // the 1e-6 (resp. 1e-9) grid — an r6/r9 result — x*1e6 sits within
+    // ulps of the grid integer and round() must land ON it, for positive
+    // and negative values, including magnitudes whose double
+    // representation falls just below the integer (0.07*1e6 =
+    // 70000.00000000001, 0.29*1e6 = 289999.99999999994, etc.). Property
+    // over a deterministic sweep of grid points that includes the
+    // classic misrepresented decimals.
+    val micros = (-1000L to 1000L).map(_ * 7919L) ++ // spread across ±7.9
+      Seq(70000L, 290000L, 570000L, 1L, -1L, 999999L, -999999L, 0L)
+    val xs = micros.map(m => (m, m.toDouble / 1e6))
+    val df = spark.createDataFrame(xs).toDF("m", "x")
+    val bad6 = df.select(col("m"), Cross.micro6(col("x")).as("got"))
+      .filter(col("m") =!= col("got")).count()
+    assert(bad6 == 0L, "micro6 must invert /1e6 exactly on the grid")
+    val xs9 = micros.map(m => (m, m.toDouble / 1e9))
+    val df9 = spark.createDataFrame(xs9).toDF("m", "x")
+    val bad9 = df9.select(col("m"), Cross.micro9(col("x")).as("got"))
+      .filter(col("m") =!= col("got")).count()
+    assert(bad9 == 0L, "micro9 must invert /1e9 exactly on the grid")
+    // and the r6 -> micro6 composition is the exact integerization of
+    // the 6-dp rounding for arbitrary (non-grid) inputs
+    val arb = Seq(0.1234564999, -2.718281828, 3.0000005, 1e-7, -1e-7)
+    val comp = spark.createDataset(arb)(org.apache.spark.sql.Encoders.scalaDouble)
+      .toDF("x")
+      .select(col("x"), Cross.micro6(Cross.r6(col("x"))).as("m"),
+        Cross.r6(col("x")).as("r"))
+      .collect()
+    comp.foreach { row =>
+      val m = row.getLong(1); val r = row.getDouble(2)
+      assert(math.abs(r * 1e6 - m) < 0.5, s"micro6(r6(${row.getDouble(0)})) = $m vs r6 = $r")
+    }
+  }
 }

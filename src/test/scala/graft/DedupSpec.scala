@@ -311,6 +311,40 @@ class DedupSpec extends SparkSpec {
     assert(got((20L, 2L)) === 1.0)
   }
 
+  test("hot-demoted probe order: identical verified output, measurably smaller fan-out") {
+    // every doc shares one corpus-hot shingle ("aaa bbb ccc") that
+    // lexicographic ordering puts FIRST — i.e. into every probe prefix,
+    // fanning each probe out to the whole corpus posting list
+    val n = 30
+    val corpus = (0 until n).map { i =>
+      (i.toLong, s"aaa bbb ccc t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f t${i}g")
+    }.toDF("doc_id", "text")
+    val probes = (0 until n).map { i =>
+      (100L + i, s"aaa bbb ccc t${i}a t${i}b t${i}c")
+    }.toDF("doc_id", "text")
+    val t = 0.5
+    val hot = Dedup.hotShingles(corpus, 3, 4)
+    assert(hot.contains("aaa bbb ccc"), s"df ordering must surface the shared shingle: $hot")
+    val lexIdx = Dedup.containerIndex(corpus, 3)
+    val hotIdx = Dedup.containerIndex(corpus, 3, hot)
+    def verified(idx: org.apache.spark.sql.DataFrame, h: Seq[String]) =
+      Dedup.verifyContainment(
+          Dedup.containmentProbe(probes, idx, 3, t, h),
+          Dedup.containmentSets(probes, 3),
+          Dedup.containmentSets(corpus, 3), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lexOut = verified(lexIdx, Nil)
+    val hotOut = verified(hotIdx, hot)
+    assert(lexOut == hotOut, "demotion must not change the verified output")
+    assert(lexOut.size == n, "every excerpt must find exactly its own container")
+    // the fan-out claim: pre-aggregation matches drop by the hot posting
+    // list's width (every probe stops meeting all n corpus docs)
+    val lexFan = Dedup.containmentProbeMatches(probes, lexIdx, 3, t).count()
+    val hotFan = Dedup.containmentProbeMatches(probes, hotIdx, 3, t, hot).count()
+    assert(hotFan * 3 < lexFan, s"demoted fan-out $hotFan must be well under lexicographic $lexFan")
+    info(s"fan-out: lexicographic=$lexFan hot-demoted=$hotFan")
+  }
+
   test("dedupUnits keeps the earliest duplicate paragraph or scrubs boilerplate everywhere") {
     // para "NAV" appears in docs 1,2,3 (doc 2 twice); "unique N" are singletons;
     // normalization makes " nav " and "NAV" collide

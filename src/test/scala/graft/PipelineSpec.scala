@@ -683,4 +683,27 @@ class PipelineSpec extends SparkSpec {
     assert(st2.totalDocs == st.totalDocs && st2.totalTokens == st.totalTokens,
       s"stats must be unchanged by an all-rejected batch: $st2 vs $st")
   }
+
+  test("RAG pipeline composes: chunk -> hashed embedding -> MMR (q264)") {
+    // the e2e gate body over sf0.001: chunking, embedding, and MMR must
+    // compose into exactly k diverse picks with the query chunk first
+    val out = graft.queries.EmbeddingQueries.q264.fn(spark, sf()).collect()
+    assert(out.length == 5, s"expected 5 MMR picks, got ${out.length}")
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L), "ranks must be 1..5")
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length == 5, "picks must be distinct chunks")
+    // round 1 maximizes relevance alone; the query chunk itself is in
+    // the pool with rel = cos(q, q) = 1 and the lowest cid, so it wins
+    val chunks = graft.operators.Packing.chunkSliding(
+      Tables.documents(spark, sf()).filter(col("doc_id") % 11 === 0),
+      col("doc_id"), graft.functions.TextFns.tokens(col("text")), 24, 16)
+    val minCid = chunks.select(min(col("doc_id") * 1000000L + col("chunk_idx")))
+      .head().getLong(0)
+    assert(ids.head == minCid, s"rank-1 pick ${ids.head} must be the query chunk $minCid")
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-6, "query chunk rel must be 1")
+    // later rounds trade relevance for diversity: max_sim is populated
+    // and every pick's mmr is no greater than the previous pick's
+    val mmrs = out.map(_.getDouble(4))
+    assert(mmrs.sliding(2).forall(w => w(0) >= w(1) - 1e-9), "mmr must be non-increasing")
+  }
 }

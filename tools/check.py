@@ -41,12 +41,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def run_verify(sfdir: str, outdir: str, only=()) -> None:
     names = " ".join(only)
+    # Subset reruns make Verify overwrite _errors.json with ONLY the
+    # subset's errors — a non-subset gate that previously threw but left
+    # a stale dump would then compare against that stale dump and print
+    # OK (the silent-miss shape this file exists to close). Merge: keep
+    # prior errors for gates outside the subset, let the fresh run decide
+    # for gates inside it.
+    err_path = Path(outdir) / "_errors.json"
+    prior_errs = {}
+    if only and err_path.exists():
+        prior_errs = json.loads(err_path.read_text())
     cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir} {names}'.strip()]
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
         sys.stderr.write(r.stderr[-3000:])
         sys.exit(f"Verify failed rc={r.returncode}")
+    if only:
+        fresh = json.loads(err_path.read_text()) if err_path.exists() else {}
+        merged = {k: v for k, v in prior_errs.items() if k not in only}
+        merged.update(fresh)
+        err_path.write_text(json.dumps(merged))
 
 
 def canon(v):
