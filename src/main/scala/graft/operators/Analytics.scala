@@ -200,6 +200,74 @@ object Analytics {
       .select(col("t1").as("n1"), col("t2").as("n2"), col("d"), col("d_at"))
   }
 
+  /** Per-key two-sample KS: [[ksStatistic]] computed independently for
+    * every value of `key` — drift measured per source/domain/language,
+    * the operating-point twin the Evaluation family's per-key scorers
+    * already have. Returns one row per key present on EITHER side:
+    * (key, n1, n2, d, d_at); a key with one side empty has undefined
+    * ECDFs and is excluded (both fractions would divide by zero).
+    *
+    * Scale shape: every window and aggregation carries the key in its
+    * partition clause, so work distributes across keys; WITHIN a key the
+    * same equi-depth value bands as [[ksFromCounts]] decompose the
+    * cumulative scan (global v quantiles from one approx_percentile
+    * pass — band boundaries are shared across keys, which only affects
+    * execution balance, never the per-key f1/f2 arithmetic). The only
+    * bounded windows are the per-key band-offset prefixes (≤ bands rows
+    * per key). A fat key therefore costs its own rows, banded — never a
+    * single global sort. */
+  def ksPerKey(ref: DataFrame, cur: DataFrame, key: Column, value: Column,
+      bands: Int = 64): DataFrame = {
+    val a = ref.select(key.as("key"), value.cast("double").as("v"))
+      .groupBy("key", "v").agg(count(lit(1)).as("c1")).withColumn("c2", lit(0L))
+    val b = cur.select(key.as("key"), value.cast("double").as("v"))
+      .groupBy("key", "v").agg(count(lit(1)).as("c2")).withColumn("c1", lit(0L))
+    ksPerKeyFromCounts(a.unionByName(b).groupBy("key", "v")
+      .agg(sum("c1").as("c1"), sum("c2").as("c2")), bands)
+  }
+
+  /** The per-key ECDF-gap arithmetic over pre-folded (key, v, c1, c2)
+    * counts — the streaming monitor's entry, like [[ksFromCounts]] with
+    * the key threaded through every grouping/window. Keys with either
+    * side empty are excluded (no defined ECDF to compare). */
+  def ksPerKeyFromCounts(per0: DataFrame, bands: Int = 64): DataFrame = {
+    import graft.core.Cross
+    import org.apache.spark.sql.expressions.Window
+    val vg = when(col("v").isNull || isnan(col("v").cast("double")),
+      raise_error(lit("Analytics: null/NaN value in ksPerKeyFromCounts")).cast("double"))
+      .otherwise(col("v").cast("double"))
+    val per = per0.select(col("key"), vg.as("v"),
+      col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"))
+    val d = per.withColumn("band",
+      Curation.equiDepthBandColumn(per, col("v"), bands).cast("long"))
+    val bt = d.groupBy("key", "band").agg(sum("c1").as("b1"), sum("c2").as("b2"))
+    // per-key band offsets: bands rows per key, key-partitioned window
+    val wB = Window.partitionBy("key").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt
+      .withColumn("o1", coalesce(sum("b1").over(wB), lit(0L)))
+      .withColumn("o2", coalesce(sum("b2").over(wB), lit(0L)))
+      .select("key", "band", "o1", "o2")
+    val wIn = Window.partitionBy("key", "band").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.groupBy("key")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+      .filter(col("t1") > 0 && col("t2") > 0)
+    val gaps = d.join(off, Seq("key", "band"))
+      .withColumn("f1", col("o1") + sum("c1").over(wIn))
+      .withColumn("f2", col("o2") + sum("c2").over(wIn))
+      .join(tot, "key")
+      .select(col("key"), col("v"), col("t1"), col("t2"),
+        Cross.r6(abs(col("f1").cast("double") / col("t1").cast("double") -
+          col("f2").cast("double") / col("t2").cast("double"))).as("gap"))
+    gaps.groupBy("key", "t1", "t2")
+      .agg(max("gap").as("d"),
+        min_by(col("v"), struct((-col("gap")).as("ng"), col("v").as("tv")))
+          .as("d_at"))
+      .select(col("key"), col("t1").as("n1"), col("t2").as("n2"),
+        col("d"), col("d_at"))
+  }
+
   /** Ingestion-volume anomaly screen: per-(key, bucket) event counts
     * z-scored against each key's own TRAILING window of `trailing`
     * buckets — the feed-health monitor that catches a source going

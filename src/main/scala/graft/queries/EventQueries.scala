@@ -857,5 +857,61 @@ object EventQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254)
+  /** Per-key two-sample KS (Analytics.ksPerKey): the q241 drift test
+    * computed independently per event_type — drift per source/domain,
+    * the per-key twin of the banded KS scan. The oracle runs the naive
+    * per-key ECDF windows (PARTITION BY key ORDER BY v) and the
+    * (gap DESC, v) argmax per key, so every key's n1/n2/D/location
+    * hash-matches the banded decomposition. */
+  val q265 = QueryDef(
+    "q265_ks_per_key",
+    s"""WITH a AS (SELECT event_type AS key, value AS v, COUNT(*) AS c1 FROM events
+       |           WHERE event_id % 2 = 0 GROUP BY 1, 2),
+       |b AS (SELECT event_type AS key, value AS v, COUNT(*) AS c2 FROM events
+       |      WHERE event_id % 2 = 1 GROUP BY 1, 2),
+       |per AS (
+       |  SELECT COALESCE(a.key, b.key) AS key, COALESCE(a.v, b.v) AS v,
+       |         COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+       |  FROM a FULL OUTER JOIN b ON a.key = b.key AND a.v = b.v),
+       |tot AS (SELECT key, SUM(c1) AS t1, SUM(c2) AS t2 FROM per GROUP BY key),
+       |g AS (
+       |  SELECT p.key, v, t1, t2,
+       |    ${Cross.r6Sql(
+            "abs((SUM(c1) OVER (PARTITION BY p.key ORDER BY v))::DOUBLE / t1::DOUBLE - " +
+              "(SUM(c2) OVER (PARTITION BY p.key ORDER BY v))::DOUBLE / t2::DOUBLE)")} AS gap
+       |  FROM per p JOIN tot USING (key) WHERE t1 > 0 AND t2 > 0),
+       |g2 AS (SELECT key, v, t1, t2, gap, MAX(gap) OVER (PARTITION BY key) AS mg FROM g)
+       |SELECT key, t1::BIGINT AS n1, t2::BIGINT AS n2, MAX(gap) AS d,
+       |       MIN(v) FILTER (WHERE gap = mg) AS d_at
+       |FROM g2 GROUP BY key, t1, t2
+       |ORDER BY key""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    graft.operators.Analytics.ksPerKey(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        col("event_type"), col("value"))
+      .orderBy("key")
+  }
+
+  /** Exactly-once ingestion (EventStreams.exactlyOnceByEventId): the
+    * events stream unioned with ITSELF — every event delivered twice,
+    * the at-least-once bus shape — collapsed back by event-id
+    * dropDuplicatesWithinWatermark. The oracle is simply the events
+    * table: hash-equality proves every duplicate delivery vanished and
+    * no real event was lost, the idempotency contract q91 (first-per-
+    * business-key) does not itself pin. */
+  val q266 = QueryDef(
+    "q266_stream_exact_dedup",
+    """SELECT event_id, user_id, event_type, floor(epoch(ts))::BIGINT AS sec
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val doubled = EventStreams.readEvents(spark, dir)
+      .unionByName(EventStreams.readEvents(spark, dir))
+    EventStreams.runToCompletion(spark,
+        EventStreams.exactlyOnceByEventId(doubled),
+        "q266_out", mode = "append")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266)
 }

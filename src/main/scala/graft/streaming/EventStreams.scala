@@ -244,6 +244,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("sec"))
 
+  /** At-least-once → exactly-once: collapse duplicate DELIVERIES of the
+    * same event by its id — the ingestion idempotency layer in front of
+    * every downstream aggregate when the upstream bus redelivers
+    * (Kafka producer retries, replayed partitions). Unlike
+    * [[dedupWithinWatermark]] (first event per BUSINESS key), the key
+    * here is the event identity, so the output is the exact logical
+    * event set however many copies arrived. State per event id is
+    * dropped once the watermark passes its event time — bounded by the
+    * redelivery horizon, not the stream length. */
+  def exactlyOnceByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("etime", "40 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+
   /** Streaming drift-monitor fold: per-(population, bin) counts
     * maintained INCREMENTALLY over the replayed stream — the always-on
     * half of the PSI drift alarm. State is one count per (side, bin):

@@ -218,6 +218,14 @@ class PlanSpec extends SparkSpec {
       col("doc_id"), size(col("tk")), binSize = 64L, classes = 8,
       subBands = 16)
     assert(planOf(pk).contains("windowspecdefinition(key#"), planOf(pk))
+    // per-key KS: every window carries the key (key-only for the band
+    // offsets, key+band for the in-band cumulative scan); the
+    // partition-less value funnel must not reappear
+    val ksk = graft.operators.Analytics.ksPerKey(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1), col("event_type"), col("value"))
+    assert(planOf(ksk).contains("windowspecdefinition(key#"), planOf(ksk))
+    assert(!planOf(ksk).contains("windowspecdefinition(v#"), planOf(ksk))
   }
 
   test("PQ and IVF-PQ encode are single projections — no Exchange") {

@@ -248,6 +248,46 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(banded === flat, s"banded=$banded flat=$flat")
   }
 
+  test("ksFromCounts fails loud on null/NaN values instead of diverging") {
+    import graft.operators.Analytics
+    val bad = Seq((Some(1.0), 1L, 1L), (None, 2L, 2L))
+      .toDF("v", "c1", "c2")
+    val e = intercept[Exception] { Analytics.ksFromCounts(bad).collect() }
+    assert(e.getMessage != null)
+    val nan = Seq((1.0, 1L, 1L), (Double.NaN, 2L, 2L)).toDF("v", "c1", "c2")
+    val e2 = intercept[Exception] { Analytics.ksFromCounts(nan).collect() }
+    assert(e2.getMessage != null)
+  }
+
+  test("ksPerKey equals ksStatistic run per key slice") {
+    import graft.operators.Analytics
+    // three keys with different drift: identical, shifted, partial
+    val ref = ((0 until 60).map(i => ("same", (i % 6).toDouble)) ++
+      (0 until 60).map(i => ("shift", (i % 6).toDouble)) ++
+      (0 until 40).map(i => ("mix", (i % 4).toDouble))).toDF("k", "v")
+    val cur = ((0 until 60).map(i => ("same", (i % 6).toDouble)) ++
+      (0 until 60).map(i => ("shift", (i % 6 + 3).toDouble)) ++
+      (0 until 40).map(i => ("mix", (i % 8).toDouble))).toDF("k", "v")
+    val perKey = Analytics.ksPerKey(ref, cur, col("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(perKey.keySet === Set("same", "shift", "mix"))
+    for (k <- perKey.keys) {
+      val single = Analytics.ksStatistic(
+        ref.filter(col("k") === k), cur.filter(col("k") === k), col("v"))
+        .collect().head
+      assert(perKey(k) === ((single.getLong(0), single.getLong(1),
+        single.getDouble(2), single.getDouble(3))), s"key $k")
+    }
+    assert(perKey("same")._3 === 0.0)
+    assert(perKey("shift")._3 === 0.5)
+    // a key present on one side only is excluded (no defined ECDF pair)
+    val lop = Analytics.ksPerKey(
+      ref.union(Seq(("only_ref", 1.0)).toDF("k", "v")), cur, col("k"), col("v"))
+      .collect().map(_.getString(0)).toSet
+    assert(lop === Set("same", "shift", "mix"))
+  }
+
   test("psiBin raises on NaN/null values instead of silently binning") {
     import graft.operators.Analytics
     val df = Seq(Some(1.0), Some(Double.NaN)).toDF("v")
