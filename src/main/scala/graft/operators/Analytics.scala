@@ -240,6 +240,11 @@ object Analytics {
       col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"))
     val d = per.withColumn("band",
       Curation.equiDepthBandColumn(per, col("v"), bands).cast("long"))
+    // fresh-attr aliases (okey/oband, tkey) on the re-derived sides:
+    // when the input is a streaming MemorySink view, re-joining two
+    // frames derived from the same sink raises "conflicting references"
+    // (the volumeAnomaly gkey/gbucket lesson) — renamed join keys give
+    // the analyzer distinct attributes
     val bt = d.groupBy("key", "band").agg(sum("c1").as("b1"), sum("c2").as("b2"))
     // per-key band offsets: bands rows per key, key-partitioned window
     val wB = Window.partitionBy("key").orderBy("band")
@@ -247,16 +252,19 @@ object Analytics {
     val off = bt
       .withColumn("o1", coalesce(sum("b1").over(wB), lit(0L)))
       .withColumn("o2", coalesce(sum("b2").over(wB), lit(0L)))
-      .select("key", "band", "o1", "o2")
+      .select(col("key").as("okey"), col("band").as("oband"),
+        col("o1"), col("o2"))
     val wIn = Window.partitionBy("key", "band").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.groupBy("key")
       .agg(sum("c1").as("t1"), sum("c2").as("t2"))
       .filter(col("t1") > 0 && col("t2") > 0)
-    val gaps = d.join(off, Seq("key", "band"))
+      .select(col("key").as("tkey"), col("t1"), col("t2"))
+    val gaps = d.join(off,
+        col("key") === col("okey") && col("band") === col("oband"))
       .withColumn("f1", col("o1") + sum("c1").over(wIn))
       .withColumn("f2", col("o2") + sum("c2").over(wIn))
-      .join(tot, "key")
+      .join(tot, col("key") === col("tkey"))
       .select(col("key"), col("v"), col("t1"), col("t2"),
         Cross.r6(abs(col("f1").cast("double") / col("t1").cast("double") -
           col("f2").cast("double") / col("t2").cast("double"))).as("gap"))

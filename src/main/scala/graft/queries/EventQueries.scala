@@ -913,5 +913,21 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266)
+  /** STREAMING per-key KS (EventStreams.ksValueCountsPerKey +
+    * Analytics.ksPerKeyFromCounts): the per-(key, value) count pairs
+    * fold incrementally over the replayed stream — one state row per
+    * distinct (event_type, value), the always-on per-source drift
+    * monitor — and the completed fold runs the identical banded
+    * per-key KS arithmetic. Same oracle as q265: hash-equality proves
+    * stream fold ≡ batch per key. */
+  val q267 = QueryDef("q267_stream_ks_per_key", q265.oracle.get) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val counts = EventStreams.ksValueCountsPerKey(
+      EventStreams.readEvents(spark, dir),
+      col("event_type"), pmod(col("event_id"), lit(2)), col("value"))
+    val folded = EventStreams.runToCompletion(spark, counts, "q267_counts")
+    graft.operators.Analytics.ksPerKeyFromCounts(folded).orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267)
 }

@@ -300,4 +300,19 @@ object EventStreams {
       .groupBy("v")
       .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("c1"),
         sum(when(col("side") === 1L, 1L).otherwise(0L)).as("c2"))
+
+  /** Per-key variant of [[ksValueCounts]]: one count pair per DISTINCT
+    * (key, value) — the always-on per-source/per-domain drift monitor's
+    * whole state; feed the completed fold to
+    * `Analytics.ksPerKeyFromCounts` for the identical per-key KS the
+    * batch path computes (q265). */
+  def ksValueCountsPerKey(events: DataFrame, key: org.apache.spark.sql.Column,
+      side: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): DataFrame =
+    events
+      .select(key.as("key"), side.cast("long").as("side"),
+        value.cast("double").as("v"))
+      .groupBy("key", "v")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("c2"))
 }
