@@ -423,6 +423,29 @@ object SimilaritySearch {
       Cross.r6(nc.getField("d")).as("dist"))
   }
 
+  /** Incremental IVF index maintenance: fold a CDC delta into an
+    * existing assignment table WITHOUT re-assigning the corpus.
+    * `baseAssign` is the persisted [[ivfAssign]] output; `changedVecs`
+    * are upserted vectors (vec_id, label, embedding — new or updated
+    * rows); `deletedIds` are tombstoned vec_ids. Per-key latest-wins:
+    * touched keys leave the base via one anti-join, upserts re-assign
+    * through the identical centroid arithmetic, deletes just vanish.
+    *
+    * The law (gate q268): maintain(assign(S), Δ) ≡ assign(apply(S, Δ))
+    * — incremental output is row-identical to re-assigning the updated
+    * snapshot. At 100 TB that is the difference between touching
+    * O(|Δ|) vectors per ingest tick and re-quantizing the corpus: the
+    * anti-join shuffles on vec_id (or prunes by partition when the
+    * assignment table is id-partitioned) and the only new centroid
+    * math is the delta's. */
+  def ivfMaintain(baseAssign: DataFrame, changedVecs: DataFrame,
+      deletedIds: DataFrame, nCells: Int, dims: Int): DataFrame = {
+    val touched = changedVecs.select("vec_id")
+      .unionByName(deletedIds.select("vec_id")).distinct()
+    baseAssign.join(touched, Seq("vec_id"), "left_anti")
+      .unionByName(ivfAssign(changedVecs, nCells, dims))
+  }
+
   /** The query's `p` nearest cells (d asc, cell asc — the same total
     * order as [[nearestCentroid]]'s min). Per-row fold + array_sort on
     * (d, cell) structs, no shuffle. */

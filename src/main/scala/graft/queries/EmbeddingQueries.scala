@@ -183,6 +183,48 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
+  /** Incremental IVF maintenance (SimilaritySearch.ivfMaintain): a
+    * synthetic CDC tick — every 7th vector upserted with its embedding
+    * REVERSED (a real re-embedding), every 13th non-upserted vector
+    * tombstoned — folded into the persisted q44 assignment table by
+    * anti-join + delta-only re-assignment. The oracle re-assigns the
+    * fully APPLIED snapshot from scratch (kept ∪ reversed-upserts
+    * through the q44 centroid arms), so hash-equality is the
+    * maintenance law maintain(assign(S), Δ) ≡ assign(apply(S, Δ)) —
+    * the index never re-quantizes the corpus for a delta. */
+  val q268 = QueryDef(
+    "q268_incremental_ivf", {
+      val arms = (0 until Cells).map { c =>
+        val w = HashFns.litVector(s"centroid-$c", Dims)
+        s"SELECT vec_id, label, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM snap"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH upd AS (
+         |  SELECT vec_id, label, list_reverse(embedding) AS embedding
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |kept AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE vec_id % 7 <> 0 AND vec_id % 13 <> 0),
+         |snap AS (SELECT * FROM kept UNION ALL SELECT * FROM upd),
+         |dists AS (
+         |$arms),
+         |ranked AS (
+         |  SELECT vec_id, label, cell, d,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM dists)
+         |SELECT vec_id, label, cell, (round((d) + 1e-9, 6) + 0.0) AS dist
+         |FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val baseAssign = SimilaritySearch.ivfAssign(emb, Cells, Dims)
+    val upserts = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding"))
+    val deletes = emb.filter(col("vec_id") % 7 =!= 0 && col("vec_id") % 13 === 0)
+      .select("vec_id")
+    SimilaritySearch.ivfMaintain(baseAssign, upserts, deletes, Cells, Dims)
+      .orderBy("vec_id")
+  }
+
   /** Shared nProbe=1 IVF oracle (q45 and the bucketed-layout q193 must
     * return the identical result — the layout changes where the join
     * happens, never what it returns). */
@@ -238,7 +280,7 @@ object EmbeddingQueries {
   /** IVF multi-probe (nProbe=2): queries probe their TWO nearest cells —
     * the standard IVF recall knob. Recovers near-cell-boundary neighbors
     * that the q45 single-probe search misses (the planted-recall test in
-    * SimilaritySearchSpec pins one such query; nProbe=nCells ≡ brute
+    * PipelineSpec pins one such query; nProbe=nCells ≡ brute
     * force is pinned there too). */
   val q46 = QueryDef(
     "q46_ivf_multiprobe", {
@@ -1137,5 +1179,5 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268)
 }

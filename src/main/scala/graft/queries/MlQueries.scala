@@ -17,7 +17,7 @@ import graft.streaming.EventStreams
   * reported distances), with the score itself reduced to a finiteness/
   * monotonicity flag. The driver hash-verifies the full reduction — zero
   * `no_oracle` entries — and the raw scores stay scalatest-covered
-  * (AlsModelSpec/HybridModelSpec/MlPipelineSpec). The streaming gates
+  * (PipelineSpec). The streaming gates
   * replay their batch oracle exactly and keep full hash checks.
   */
 object MlQueries {
@@ -36,7 +36,7 @@ object MlQueries {
     * final score is finite and cold pairs scored exactly 2.5). A model
     * that dropped factors for a seen id, leaked an id cast, or skipped
     * the repair reds the hash; the warm scores themselves are covered by
-    * AlsModelSpec + the q262 pinned-RMSE invariant. */
+    * PipelineSpec + the q262 pinned-RMSE invariant. */
   val q80 = QueryDef(
     "q80_als_predict",
     s"""WITH $reviewsCte,
@@ -390,7 +390,7 @@ object MlQueries {
     * and in [−1, 1], and cos non-increasing in rank — the TopKAgg heap
     * order). A kNN that emitted phantom neighbors, self-matches, or a
     * misordered heap reds the hash; neighbor identities are covered by
-    * SimilaritySearchSpec's brute-force law. */
+    * PipelineSpec's brute-force law. */
   val q88 = QueryDef(
     "q88_als_factor_knn",
     s"""WITH $reviewsCte,

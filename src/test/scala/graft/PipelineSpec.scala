@@ -684,6 +684,27 @@ class PipelineSpec extends SparkSpec {
       s"stats must be unchanged by an all-rejected batch: $st2 vs $st")
   }
 
+  test("ivfMaintain law: incremental delta fold equals full re-assignment") {
+    val emb = Tables.embeddings(spark, sf())
+    val base = SimilaritySearch.ivfAssign(emb, 4, 64)
+    val upserts = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding"))
+    val deletes = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 9 === 0)
+      .select("vec_id")
+    val maintained = SimilaritySearch.ivfMaintain(base, upserts, deletes, 4, 64)
+      .collect().map(_.toSeq).toSet
+    // ground truth: apply the delta to the snapshot, re-assign everything
+    val applied = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 9 =!= 0)
+      .select("vec_id", "label", "embedding")
+      .unionByName(upserts)
+    val full = SimilaritySearch.ivfAssign(applied, 4, 64)
+      .collect().map(_.toSeq).toSet
+    assert(maintained == full)
+    // deletes really left; upserts really re-assigned from the new vector
+    assert(!maintained.exists(r => r.head.asInstanceOf[Long] % 5 != 0 &&
+      r.head.asInstanceOf[Long] % 9 == 0))
+  }
+
   test("RAG pipeline composes: chunk -> hashed embedding -> MMR (q264)") {
     // the e2e gate body over sf0.001: chunking, embedding, and MMR must
     // compose into exactly k diverse picks with the query chunk first
