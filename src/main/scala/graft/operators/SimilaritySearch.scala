@@ -131,6 +131,73 @@ object SimilaritySearch {
     out.reverse.toDF("rank", "vec_id", "rel", "max_sim", "mmr")
   }
 
+  /** Per-query MMR — [[mmrSelect]] for a FLEET of queries at once.
+    * `cands` is (query_id, vec_id, embedding, rel); each query's pool
+    * is diversified independently with identical arithmetic (r6-rounded
+    * rel/cos/objective, ties to the lowest vec_id). Returns
+    * (query_id, rank, vec_id, rel, max_sim, mmr).
+    *
+    * Why a second entry point: [[mmrSelect]] collects each round's pick
+    * to the DRIVER and bakes selected vectors in as literals — perfect
+    * for one query, quadratic driver chatter for a serving batch of
+    * thousands. Here the selected set stays a DATAFRAME: round r is one
+    * anti-join (drop already-picked), one equi-join on query_id to the
+    * ≤(r−1)-per-query selected vectors, a max aggregation for max_sim,
+    * and one per-query arg-max (max_by on the rounded (mmr, −vec_id)
+    * key — no window sort, no collect). k is output-bounded, so the
+    * loop is k driver ROUNDS with zero driver DATA: at 100 TB the
+    * rounds are k shuffles on query_id, each proportional to the
+    * candidate table, and queries parallelize freely.
+    *
+    * A query with fewer than k candidates simply stops producing rows
+    * — same semantics as [[mmrSelect]] running dry. PropertySpec pins
+    * the per-slice equality law against [[mmrSelect]]. */
+  def mmrSelectPerQuery(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val base = cands
+      .select(col("query_id").cast("long").as("query_id"),
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("e"), Cross.r6(col("rel").cast("double")).as("rel"))
+      .withColumn("nrm", VectorFns.norm2(col("e")))
+      .filter(col("nrm") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        transform(col("e"), x => x.cast("double") / col("nrm")).as("ne"))
+      .localCheckpoint(true) // reused k times — one materialization
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (r == 1) base.withColumn("max_sim", lit(0.0))
+        else {
+          val sel = selected.select(col("query_id").as("sq"),
+            col("vec_id").as("sid"), col("ne").as("sne"))
+          base
+            .join(sel.select(col("sq").as("query_id"), col("sid").as("vec_id")),
+              Seq("query_id", "vec_id"), "left_anti")
+            .join(sel.drop("sid"), col("query_id") === col("sq"))
+            .withColumn("s", Cross.r6(VectorFns.dot(col("ne"), col("sne"))))
+            .groupBy("query_id", "vec_id")
+            // rel/ne are constant within the (query_id, vec_id) group
+            .agg(first("rel").as("rel"), first("ne").as("ne"),
+              max("s").as("max_sim"))
+        }
+      val pick = scored
+        .withColumn("mmr", Cross.r6(lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * col("max_sim")))
+        .groupBy("query_id")
+        .agg(max_by(
+          struct(col("vec_id"), col("rel"), col("max_sim"), col("mmr"), col("ne")),
+          struct(col("mmr").as("m"), (-col("vec_id")).as("nid"))).as("w"))
+        .select(col("query_id"), lit(r.toLong).as("rank"),
+          col("w.vec_id").as("vec_id"), col("w.rel").as("rel"),
+          col("w.max_sim").as("max_sim"), col("w.mmr").as("mmr"),
+          col("w.ne").as("ne"))
+        .localCheckpoint(true) // picks are |queries|-bounded; caps lineage at k joins
+      selected = if (r == 1) pick else selected.unionByName(pick)
+    }
+    selected.select("query_id", "rank", "vec_id", "rel", "max_sim", "mmr")
+  }
+
   /** Exact top-k cosine neighbors for each query row. `queries` must be
     * small (broadcast); excludes self-matches. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -1179,5 +1179,80 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268)
+  /** Fleet-scale MMR (SimilaritySearch.mmrSelectPerQuery): three anchor
+    * queries (vec_id < 3) diversify the whole pool SIMULTANEOUSLY — the
+    * serving-batch shape where q259's driver-literal loop would be
+    * quadratic chatter. Three rounds, each one anti-join + query-keyed
+    * max-sim aggregation + per-query max_by arg-max; no window sorts,
+    * no collect. The oracle unrolls every round PER QUERY (per-query
+    * row_number arg-max, tuple NOT IN exclusion, max over the selected
+    * set's cosines), so each query's picks, tie-breaks, and objective
+    * values hash-match independently; PropertySpec additionally pins
+    * per-slice equality with the single-query mmrSelect. */
+  val q269 = {
+    val k = 3
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = "CAST(0.3 AS DOUBLE)"
+    def obj(ms: String) = Cross.r6Sql(s"$lam * rel - $oneMinus * $ms")
+    val s1 =
+      s"""s1 AS (
+         |  SELECT query_id, vec_id, rel, 0.0 AS max_sim, ${obj("0.0")} AS mmr FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${obj("0.0")} DESC, vec_id) AS rn FROM c) t
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"s$i").mkString(" UNION ALL SELECT * FROM ")
+      s"""p$r AS (SELECT * FROM $prev),
+         |c$r AS (
+         |  SELECT c.query_id, c.vec_id, c.rel,
+         |    MAX(${Cross.r6Sql(mmrCosSql("c.ne", "n2.ne"))}) AS max_sim
+         |  FROM c JOIN p$r s ON c.query_id = s.query_id
+         |  JOIN normed n2 ON n2.vec_id = s.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM p$r x
+         |                    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.rel),
+         |s$r AS (
+         |  SELECT query_id, vec_id, rel, max_sim, ${obj("max_sim")} AS mmr FROM (
+         |    SELECT t.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${obj("max_sim")} DESC, vec_id) AS rn FROM c$r t) t2
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val arms = (1 to k).map(r =>
+      s"SELECT query_id, $r::BIGINT AS rank, vec_id, rel, max_sim, mmr FROM s$r")
+      .mkString("\nUNION ALL ")
+    QueryDef(
+      "q269_mmr_per_query",
+      s"""WITH nrm AS (
+         |  SELECT vec_id, embedding, ${VectorSql.norm2("embedding")} AS nrm
+         |  FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      i -> embedding[i]::DOUBLE / nrm) AS ne
+         |  FROM nrm WHERE nrm > 0),
+         |q AS (SELECT vec_id AS query_id, ne AS qne FROM normed WHERE vec_id < 3),
+         |c AS (
+         |  SELECT q.query_id, n.vec_id, n.ne,
+         |         ${Cross.r6Sql(mmrCosSql("n.ne", "q.qne"))} AS rel
+         |  FROM normed n CROSS JOIN q),
+         |$s1,
+         |$rounds
+         |$arms
+         |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+      val normed = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorFns.norm2(col("embedding")))
+        .filter(col("nrm") > 0.0)
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+      val anchors = normed.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("ne").as("qne"))
+      val cands = normed.crossJoin(broadcast(anchors))
+        .select(col("query_id"), col("vec_id"), col("embedding"),
+          VectorFns.dot(col("ne"), col("qne")).as("rel"))
+      SimilaritySearch.mmrSelectPerQuery(cands, k = k, lambda = 0.7)
+        .orderBy("query_id", "rank")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269)
 }

@@ -299,6 +299,37 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("mmrSelectPerQuery equals mmrSelect on every query slice") {
+    import graft.operators.SimilaritySearch
+    val genVec = Gen.listOfN(3, Gen.choose(-1.0, 1.0).map(v => math.rint(v * 8) / 8.0))
+    check(forAll(Gen.listOfN(9, genVec), Gen.oneOf(0.3, 0.7)) { (vecs, lam) =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      // two fixed anchors → two independent query slices over one pool
+      val anchors = Seq((100L, Seq(1.0, 0.0, 0.0)), (101L, Seq(0.0, 1.0, 0.0)))
+        .toDF("query_id", "qne")
+      val cands = df.crossJoin(anchors)
+        .select(col("query_id"), col("vec_id"), col("embedding"),
+          VectorFns.cosine(col("embedding"), col("qne")).as("rel"))
+      val fleet = SimilaritySearch.mmrSelectPerQuery(cands, k = 3, lambda = lam)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      val single = anchors.collect().map(_.getLong(0)).flatMap { q =>
+        SimilaritySearch.mmrSelect(
+            cands.filter(col("query_id") === q)
+              .select("vec_id", "embedding", "rel"),
+            col("vec_id"), col("embedding"), col("rel"), k = 3, lambda = lam)
+          .collect()
+          .map(r => (q, r.getLong(0)) ->
+            (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      }.toMap
+      Prop(fleet == single) :| s"fleet=$fleet single=$single"
+    }, minSuccessful = 6)
+  }
+
   test("removeDuplicatedSpans equals the brute-force reference for any corpus") {
     import graft.operators.Repetition
     // tiny vocab so cross-doc span collisions actually occur
