@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFns
@@ -67,6 +67,45 @@ object Sketches {
         keys.distinct(), depth, width)
       .orderBy(col("est").desc, col("key"))
       .limit(k)
+  }
+
+  /** Misra–Gries frequent-items summary over `key`: at most `k`
+    * (key, est) counters whatever the cardinality — the DETERMINISTIC-
+    * guarantee sibling of the count-min [[heavyHitters]] (count-min
+    * over-counts via collisions; MG under-counts by at most N/(k+1) and
+    * NEVER misses a key with true count above that threshold). One
+    * [[graft.plans.MisraGriesSummary]] aggregate — k-bounded state per
+    * partition, mergeable partials, ≤ k counters on the wire. */
+  def misraGries(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.select(key.cast("string").as("k"))
+      .agg(graft.plans.MisraGries.summary(col("k"), k).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key").as("key"), col("e.est").as("est"))
+
+  /** The order-independent VERIFICATION frame for [[misraGries]]: the
+    * summary's kept set and estimates vary with partitioning inside the
+    * MG bounds, so the checkable reduction is the guarantee itself —
+    * one row per TRUE heavy key (exact count · (k+1) > N, integer-exact
+    * in any engine) with its exact count, a present flag (guaranteed 1
+    * by the MG recall theorem), and bounds_ok
+    * (true − N/(k+1) ≤ est ≤ true, guaranteed 1). Exact counts exist
+    * here because this is the verification harness; production uses
+    * [[misraGries]] alone. */
+  def misraGriesHeavy(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val keyed = df.select(key.cast("string").as("k"))
+    val summ = misraGries(df, key, k)
+      .select(col("key").as("k"), col("est"))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+    val tot = exact.agg(sum("n").as("tn"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("n") * (k + 1) > col("tn"))
+      .join(summ, Seq("k"), "left")
+      .select(col("k").as("key"), col("n"),
+        col("est").isNotNull.cast("long").as("present"),
+        (col("est").isNotNull && col("est") <= col("n") &&
+          col("est") * (k + 1) >= col("n") * (k + 1) - col("tn"))
+          .cast("long").as("bounds_ok"))
+      .orderBy("key")
   }
 
   /** Estimate counts for `probes` (same one-column shape): the min over

@@ -857,6 +857,28 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Misra–Gries heavy hitters (Sketches.misraGriesHeavy +
+    * plans.MisraGriesSummary): the k = 8 frequent-items summary over
+    * event_type, verified through its ORDER-INDEPENDENT guarantees —
+    * every key with exact count · 9 > N (all five event types, each
+    * ~20% of a stream with threshold ~11%) must be present with
+    * true − N/9 ≤ est ≤ true. The custom mergeable aggregate rides
+    * Spark's partial-aggregation path, so the gate also exercises the
+    * merge rule across partitions; the oracle recomputes the exact
+    * heavy set and asserts the guaranteed flags. */
+  val q270 = QueryDef(
+    "q270_misra_gries",
+    """WITH exact AS (SELECT event_type AS key, COUNT(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM exact)
+      |SELECT key, CAST(n AS BIGINT) AS n,
+      |       CAST(1 AS BIGINT) AS present, CAST(1 AS BIGINT) AS bounds_ok
+      |FROM exact CROSS JOIN tot
+      |WHERE n * 9 > tn
+      |ORDER BY key""".stripMargin) { (spark, dir) =>
+    graft.operators.Sketches.misraGriesHeavy(
+      Tables.events(spark, dir), col("event_type"), k = 8)
+  }
+
   /** Per-key two-sample KS (Analytics.ksPerKey): the q241 drift test
     * computed independently per event_type — drift per source/domain,
     * the per-key twin of the banded KS scan. The oracle runs the naive
@@ -929,5 +951,5 @@ object EventQueries {
     graft.operators.Analytics.ksPerKeyFromCounts(folded).orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270)
 }

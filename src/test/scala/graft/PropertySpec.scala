@@ -330,6 +330,32 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 6)
   }
 
+  test("MisraGries guarantees hold for any stream and any partitioning") {
+    import graft.operators.Sketches
+    // skewed alphabet: few hot keys, some tail
+    val genKey = Gen.frequency(
+      (8, Gen.const("hot_a")), (5, Gen.const("hot_b")),
+      (2, Gen.oneOf("warm_c", "warm_d")),
+      (1, Gen.choose(0, 30).map(i => s"cold_$i")))
+    check(forAll(Gen.listOfN(120, genKey), Gen.oneOf(2, 4, 8)) { (keys, k) =>
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = keys.size.toLong
+      val props = Seq(1, 2, 5).map { parts =>
+        val df = keys.toDF("k").repartition(parts)
+        val summ = Sketches.misraGries(df, col("k"), k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sizeOk = summ.size <= k
+        val neverOver = summ.forall { case (kk, est) => est <= exact.getOrElse(kk, 0L) }
+        val heavy = exact.filter { case (_, c) => c * (k + 1) > n }
+        val recall = heavy.forall { case (kk, c) =>
+          summ.get(kk).exists(est => est * (k + 1) >= c * (k + 1) - n) }
+        Prop(sizeOk && neverOver && recall) :|
+          s"parts=$parts k=$k summ=$summ heavy=$heavy n=$n"
+      }
+      Prop.all(props: _*)
+    }, minSuccessful = 10)
+  }
+
   test("removeDuplicatedSpans equals the brute-force reference for any corpus") {
     import graft.operators.Repetition
     // tiny vocab so cross-doc span collisions actually occur
