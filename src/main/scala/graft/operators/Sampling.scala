@@ -122,6 +122,39 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, w: Column): DataFrame =
     df.filter(hashBucket(key, 1000000) < round(w * lit(1000000.0)).cast("long"))
 
+  /** FIXED-SIZE weighted sample without replacement — the
+    * Efraimidis–Spirakis A-ES scheme with hash-derived uniforms: each
+    * row gets u = (hash64(id)+1)/2^60 ∈ (0,1] and priority
+    * ln(u)/w (monotone in the classic u^(1/w) key), and the sample is
+    * the top `n` priorities. Inclusion probability is proportional to
+    * weight in the without-replacement sense, and — unlike
+    * rand()-based reservoirs — the chosen set is a pure function of
+    * the ids: identical across runs, partitionings, and engines
+    * (the [[weightedSample]] Bernoulli form fixes the RATE; this fixes
+    * the SIZE, the "exactly n docs for the eval set, long docs more
+    * likely" ask).
+    *
+    * Determinism: the one transcendental (ln) is r6-quantized onto the
+    * shared decimal grid BEFORE the weight division, so the ordering
+    * compares identically cross-engine; ties break on id. Emitted
+    * priority is the r9/micro9 integer (no raw float output).
+    *
+    * Scale shape: one scan + TakeOrderedAndProject(n) — no shuffle, no
+    * per-key state; n is the output size. */
+  def weightedTopNSample(df: DataFrame, id: Column, weight: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // u computed from the RENAMED id column (the input expression is out
+    // of scope after the select)
+    val u = (Cross.hash64(col("id").cast("string")) + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18) // 2^60
+    df.select(id.as("id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0.0)
+      .withColumn("pr", Cross.r6(log(u)) / col("w"))
+      .orderBy(col("pr").desc, col("id"))
+      .limit(n)
+      .select(col("id"), col("w"), Cross.micro9(Cross.r9(col("pr"))).as("prio_nano"))
+  }
+
   /** Deterministic global shuffle into shards — the "shuffle the corpus
     * before training" step: each row gets a shard in [0, nShards) and a
     * dense position within its shard, both pure functions of the row key

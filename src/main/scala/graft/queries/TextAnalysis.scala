@@ -2512,5 +2512,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261)
+  /** Fixed-size weighted sampling (Sampling.weightedTopNSample): the
+    * Efraimidis–Spirakis A-ES top-200 over documents weighted by
+    * n_chars — "exactly n eval docs, longer docs proportionally more
+    * likely", reproducible from ids alone. The oracle recomputes the
+    * hash-derived uniforms, the r6-quantized ln, the weight division,
+    * and the (priority DESC, id) top-n, so the SELECTED SET itself
+    * hash-matches — a full oracle, not a reduction (the one
+    * transcendental is grid-quantized before ordering, so both engines
+    * rank identically). */
+  val q271 = QueryDef(
+    "q271_weighted_topn",
+    s"""WITH cand AS (
+       |  SELECT doc_id, n_chars,
+       |    ${Cross.r6Sql("ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT + 1)::DOUBLE / 1152921504606846976.0))")}
+       |      / n_chars::DOUBLE AS pr
+       |  FROM documents WHERE n_chars > 0),
+       |top AS (SELECT * FROM cand ORDER BY pr DESC, doc_id LIMIT 200)
+       |SELECT doc_id AS id, n_chars::DOUBLE AS w,
+       |       ${Cross.micro9Sql(Cross.r9Sql("pr"))} AS prio_nano
+       |FROM top ORDER BY id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.weightedTopNSample(
+        Tables.documents(spark, dir), col("doc_id"), col("n_chars"), n = 200)
+      .orderBy("id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271)
 }

@@ -49,6 +49,32 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedTopNSample: fixed size, layout-invariant, weight-monotone on equal hashes") {
+    val rows = (0L until 500L).map(i => (i, 10L + (i % 97) * 5L))
+    val df = rows.toDF("doc_id", "w")
+    val out = Sampling.weightedTopNSample(df, col("doc_id"), col("w"), n = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length == 50)
+    assert(out.map(_._1).distinct.length == 50)
+    // layout independence: the SELECTED SET is a pure function of ids
+    val out2 = Sampling.weightedTopNSample(df.repartition(7, col("doc_id")),
+        col("doc_id"), col("w"), n = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // A-ES law: same id (same u) with a larger weight has a larger
+    // (closer-to-zero) priority — heavier rows can only move UP
+    val light = Sampling.weightedTopNSample(df, col("doc_id"), lit(10.0), n = 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val heavy = Sampling.weightedTopNSample(df, col("doc_id"), lit(1000.0), n = 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(light.keySet == heavy.keySet)
+    assert(light.keys.forall(k => heavy(k) >= light(k)),
+      "priority must be monotone in weight for a fixed uniform")
+    // n larger than the pool returns the whole pool
+    assert(Sampling.weightedTopNSample(df.limit(7), col("doc_id"), col("w"), n = 50)
+      .count() == 7L)
+  }
+
   test("packOffsets two-level prefix sum matches the flat cumulative sum") {
     // deterministic 'random' sizes incl. zeros; ids deliberately sparse
     val docs = (0L until 100L).map(i => (i * 3L, (i * 7L) % 13L)).toDF("doc_id", "ntok")
