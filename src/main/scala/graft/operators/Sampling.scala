@@ -155,6 +155,30 @@ object Sampling {
       .select(col("id"), col("w"), Cross.micro9(Cross.r9(col("pr"))).as("prio_nano"))
   }
 
+  /** PER-KEY fixed-size weighted sample — [[weightedTopNSample]] grouped
+    * by `key` ("n eval docs PER DOMAIN, longer docs more likely"),
+    * through the bounded [[graft.plans.TopKAgg]] heap instead of a
+    * window: map-side state is ≤ n priorities per key per partition and
+    * the shuffle carries ≤ n entries per key per map partition, where
+    * the row_number formulation would sort every candidate of every
+    * key. Same A-ES priority, same grid quantization, same (priority
+    * desc, id asc) order. Returns (key, rank, id, prio_nano). */
+  def weightedTopNPerKey(df: DataFrame, key: Column, id: Column,
+      weight: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = (Cross.hash64(col("id").cast("string")) + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18) // 2^60
+    df.select(key.as("key"), id.as("id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0.0)
+      .withColumn("pr", Cross.r6(log(u)) / col("w"))
+      .groupBy("key")
+      .agg(graft.plans.TopKAgg.topK(col("pr"), col("id"), n).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("key"), (col("i") + 1).cast("long").as("rank"),
+        col("e").getField("id").as("id"),
+        Cross.micro9(Cross.r9(col("e").getField("w"))).as("prio_nano"))
+  }
+
   /** Deterministic global shuffle into shards — the "shuffle the corpus
     * before training" step: each row gets a shard in [0, nShards) and a
     * dense position within its shard, both pure functions of the row key

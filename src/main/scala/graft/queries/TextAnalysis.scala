@@ -2537,5 +2537,32 @@ object TextAnalysis {
       .orderBy("id")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271)
+  /** Per-key A-ES sampling (Sampling.weightedTopNPerKey): 20 docs per
+    * source, weight = n_chars, selected through the bounded TopKPairs
+    * heap (map-side ≤ n per key per partition — never a full per-key
+    * window sort). Oracle: the per-key row_number over the identical
+    * grid-quantized priorities — rank, membership, and priority all
+    * hash-match per key. */
+  val q272 = QueryDef(
+    "q272_weighted_topn_per_key",
+    s"""WITH cand AS (
+       |  SELECT source AS key, doc_id, n_chars,
+       |    ${Cross.r6Sql("ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT + 1)::DOUBLE / 1152921504606846976.0))")}
+       |      / n_chars::DOUBLE AS pr
+       |  FROM documents WHERE n_chars > 0),
+       |ranked AS (
+       |  SELECT key, doc_id, pr,
+       |         row_number() OVER (PARTITION BY key ORDER BY pr DESC, doc_id) AS rank
+       |  FROM cand)
+       |SELECT key, CAST(rank AS BIGINT) AS rank, doc_id AS id,
+       |       ${Cross.micro9Sql(Cross.r9Sql("pr"))} AS prio_nano
+       |FROM ranked WHERE rank <= 20
+       |ORDER BY key, rank""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.weightedTopNPerKey(
+        Tables.documents(spark, dir), col("source"), col("doc_id"),
+        col("n_chars"), n = 20)
+      .orderBy("key", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272)
 }
