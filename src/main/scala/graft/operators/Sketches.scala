@@ -91,10 +91,17 @@ object Sketches {
     * (true − N/(k+1) ≤ est ≤ true, guaranteed 1). Exact counts exist
     * here because this is the verification harness; production uses
     * [[misraGries]] alone. */
-  def misraGriesHeavy(df: DataFrame, key: Column, k: Int): DataFrame = {
+  def misraGriesHeavy(df: DataFrame, key: Column, k: Int): DataFrame =
+    misraGriesHeavyFrom(misraGries(df, key, k), df, key, k)
+
+  /** The [[misraGriesHeavy]] check frame over an EXTERNALLY built
+    * summary (key, est) — e.g. one folded over a STREAM (q273): the
+    * guarantees are merge-order-independent, so the same reduction
+    * verifies a summary however it was accumulated. */
+  def misraGriesHeavyFrom(summary: DataFrame, df: DataFrame, key: Column,
+      k: Int): DataFrame = {
     val keyed = df.select(key.cast("string").as("k"))
-    val summ = misraGries(df, key, k)
-      .select(col("key").as("k"), col("est"))
+    val summ = summary.select(col("key").as("k"), col("est"))
     val exact = keyed.groupBy("k").agg(count(lit(1)).as("n"))
     val tot = exact.agg(sum("n").as("tn"))
     exact.crossJoin(broadcast(tot))

@@ -879,6 +879,27 @@ object EventQueries {
       Tables.events(spark, dir), col("event_type"), k = 8)
   }
 
+  /** STREAMING Misra–Gries: the k-bounded frequent-items summary folds
+    * over the event STREAM — ≤ k counters as the query's WHOLE state,
+    * maintained by the same mergeable aggregate batch uses (Structured
+    * Streaming's complete-mode partial/merge path IS the
+    * mergeable-summaries merge rule) — and the completed fold runs
+    * q270's guarantee reduction against batch-exact truth. Same oracle
+    * as q270: the MG guarantees are merge-order-independent, so
+    * hash-equality proves the stream fold honors them. */
+  val q273 = QueryDef("q273_stream_misra_gries", q270.oracle.get) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val summary = EventStreams.runToCompletion(spark,
+      EventStreams.readEvents(spark, dir)
+        .select(col("event_type").cast("string").as("k"))
+        .agg(graft.plans.MisraGries.summary(col("k"), 8).as("s")),
+      "q273_summary")
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key").as("key"), col("e.est").as("est"))
+    graft.operators.Sketches.misraGriesHeavyFrom(summary,
+      Tables.events(spark, dir), col("event_type"), k = 8)
+  }
+
   /** Per-key two-sample KS (Analytics.ksPerKey): the q241 drift test
     * computed independently per event_type — drift per source/domain,
     * the per-key twin of the banded KS scan. The oracle runs the naive
@@ -951,5 +972,5 @@ object EventQueries {
     graft.operators.Analytics.ksPerKeyFromCounts(folded).orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273)
 }
