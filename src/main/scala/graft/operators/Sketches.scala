@@ -115,6 +115,39 @@ object Sketches {
       .orderBy("key")
   }
 
+  /** GROUPED Misra–Gries: one k-bounded summary PER group ("top
+    * sources per day") — the aggregate under ordinary grouped
+    * aggregation, many groups × ≤ k counters each (the
+    * ObjectHashAggregate fallback-threshold contract from
+    * [[graft.plans.TopKAgg]] applies). Returns (g, key, est). */
+  def misraGriesPerGroup(df: DataFrame, group: Column, key: Column,
+      k: Int): DataFrame =
+    df.select(group.as("g"), key.cast("string").as("k"))
+      .groupBy("g")
+      .agg(graft.plans.MisraGries.summary(col("k"), k).as("s"))
+      .select(col("g"), explode(col("s")).as("e"))
+      .select(col("g"), col("e.key").as("key"), col("e.est").as("est"))
+
+  /** Per-group guarantee reduction for [[misraGriesPerGroup]]: one row
+    * per (group, true-heavy key) — heavy against the GROUP's own total
+    * — with the same present/bounds_ok flags as [[misraGriesHeavy]]. */
+  def misraGriesHeavyPerGroup(df: DataFrame, group: Column, key: Column,
+      k: Int): DataFrame = {
+    val summ = misraGriesPerGroup(df, group, key, k)
+    val keyed = df.select(group.as("g"), key.cast("string").as("key"))
+    val exact = keyed.groupBy("g", "key").agg(count(lit(1)).as("n"))
+    val tot = exact.groupBy("g").agg(sum("n").as("tn"))
+    exact.join(tot, "g")
+      .filter(col("n") * (k + 1) > col("tn"))
+      .join(summ, Seq("g", "key"), "left")
+      .select(col("g"), col("key"), col("n"),
+        col("est").isNotNull.cast("long").as("present"),
+        (col("est").isNotNull && col("est") <= col("n") &&
+          col("est") * (k + 1) >= col("n") * (k + 1) - col("tn"))
+          .cast("long").as("bounds_ok"))
+      .orderBy("g", "key")
+  }
+
   /** Estimate counts for `probes` (same one-column shape): the min over
     * the sketch rows, with absent cells read as 0. */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame,

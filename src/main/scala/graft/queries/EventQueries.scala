@@ -900,6 +900,27 @@ object EventQueries {
       Tables.events(spark, dir), col("event_type"), k = 8)
   }
 
+  /** GROUPED Misra-Gries (Sketches.misraGriesHeavyPerGroup): one
+    * k = 8 summary per event DAY — "top event types per day", the
+    * aggregate under many-group aggregation — verified per group
+    * against each day's own exact totals with the same
+    * order-independent guarantees as q270. */
+  val q274 = QueryDef(
+    "q274_misra_gries_per_day",
+    """WITH keyed AS (
+      |  SELECT (floor(epoch(ts))::BIGINT // 86400) AS g, event_type AS key
+      |  FROM events),
+      |exact AS (SELECT g, key, COUNT(*) AS n FROM keyed GROUP BY 1, 2),
+      |tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS tn FROM exact GROUP BY g)
+      |SELECT e.g, e.key, CAST(e.n AS BIGINT) AS n,
+      |       CAST(1 AS BIGINT) AS present, CAST(1 AS BIGINT) AS bounds_ok
+      |FROM exact e JOIN tot t ON e.g = t.g
+      |WHERE e.n * 9 > t.tn
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    graft.operators.Sketches.misraGriesHeavyPerGroup(
+      Tables.events(spark, dir), expr("sec div 86400"), col("event_type"), k = 8)
+  }
+
   /** Per-key two-sample KS (Analytics.ksPerKey): the q241 drift test
     * computed independently per event_type — drift per source/domain,
     * the per-key twin of the banded KS scan. The oracle runs the naive
@@ -972,5 +993,5 @@ object EventQueries {
     graft.operators.Analytics.ksPerKeyFromCounts(folded).orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274)
 }
