@@ -495,6 +495,31 @@ object MlQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** CHAINED stateful streaming — dedup THEN windowed aggregation in
+    * ONE query (the multi-stateful-operator pipeline Spark 3.4+
+    * supports): the events stream delivered TWICE (the at-least-once
+    * bus), collapsed by event-id dropDuplicatesWithinWatermark, then
+    * folded by the tumbling-hour aggregation downstream IN THE SAME
+    * STREAMING QUERY — the real ingest topology, where idempotency and
+    * aggregation cannot be separate jobs. Same oracle as the batch q50
+    * (and q90's single-stage stream): hash-equality proves the chain
+    * collapses every duplicate before counting and loses nothing. */
+  val q275 = QueryDef("q275_stream_dedup_then_window",
+    s"""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       |  COUNT(*) AS n, ${graft.core.Cross.dsumSql("value", 4)} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
+    val doubled = EventStreams.readEvents(spark, dir)
+      .unionByName(EventStreams.readEvents(spark, dir))
+    val deduped = doubled
+      .withWatermark("etime", "40 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    EventStreams.runToCompletion(spark,
+        EventStreams.tumblingHourlyAgg(deduped), "q275_out")
+      .orderBy("hour", "event_type")
+  }
+
   /** Streaming keyed dedup over a DETERMINISTIC replay: the events file
     * is rewritten sorted by (sec, event_id) as a single file, so first
     * arrival ≡ earliest event and the kept row hash-matches the batch
@@ -732,5 +757,5 @@ object MlQueries {
       .orderBy("segment", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275)
 }

@@ -39,8 +39,15 @@ object EventStreams {
   /** Tumbling 1-hour windowed aggregation (count + exact decimal sum),
     * identical semantics to the batch q50. */
   def tumblingHourly(events: DataFrame): DataFrame =
+    tumblingHourlyAgg(events.withWatermark("etime", "1 hour"))
+
+  /** The aggregation half of [[tumblingHourly]] WITHOUT the watermark
+    * definition — the composable form for multi-stateful-operator
+    * chains (q275's dedup → window), where the watermark must be
+    * declared exactly once upstream (Spark disallows redefining it
+    * between stateful operators). */
+  def tumblingHourlyAgg(events: DataFrame): DataFrame =
     events
-      .withWatermark("etime", "1 hour")
       .groupBy(window(col("etime"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Cross.dsum(col("value"), 4).as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
