@@ -520,6 +520,59 @@ object MlQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** CHAINED stateful streaming, join form — stream-stream interval
+    * join THEN windowed aggregation in ONE query: q96's click×view
+    * attribution pairs counted per click-hour downstream of the join
+    * (the funnel-metrics topology). Append mode, so window emission is
+    * WATERMARK-driven — the q185 sentinel discipline pushes the
+    * watermark past every real window (one far-future click and view
+    * that can never pair). The oracle is the batch interval join
+    * grouped by click hour: hash-equality proves the chain's matched
+    * set and its windowed fold both survive the two stateful stages. */
+  val q276 = QueryDef(
+    "q276_stream_join_then_agg",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events)
+      |SELECT strftime(make_timestamp((c.sec - c.sec % 3600) * 1000000), '%Y-%m-%d %H:00:00') AS hour,
+      |       COUNT(*) AS n_pairs
+      |FROM e c JOIN e v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND v.sec BETWEEN c.sec - 3600 AND c.sec
+      |GROUP BY 1
+      |ORDER BY hour""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val base = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "sec")
+    val maxSec = base.agg(max("sec")).head().getLong(0)
+    // far-future sentinels that can never pair (distinct users, one per
+    // side) push the watermark past every real window — q185's margin
+    val flushSec = maxSec + 10L * 86400L
+    val sentinels = spark.range(1).select(
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        lit("click").as("event_type"), lit(flushSec).as("sec"))
+      .unionByName(spark.range(1).select(
+        lit(-2L).as("user_id"), lit(-2L).as("event_id"),
+        lit("view").as("event_type"), lit(flushSec).as("sec")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_joinagg_replay")
+    graft.core.TempPaths.register(tmp)
+    base.unionByName(sentinels).write.mode("overwrite").parquet(tmp.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType))))
+      .parquet(tmp.toString)
+      .withColumn("etime", col("sec").cast("timestamp"))
+    val joined = EventStreams.clickViewJoinTimed(stream)
+    val agg = joined
+      .groupBy(window(col("click_time"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("n_pairs"))
+    EventStreams.runToCompletion(spark, agg, "q276_out", mode = "append")
+      .orderBy("hour")
+  }
+
   /** Streaming keyed dedup over a DETERMINISTIC replay: the events file
     * is rewritten sorted by (sec, event_id) as a single file, so first
     * arrival ≡ earliest event and the kept row hash-matches the batch
@@ -757,5 +810,5 @@ object MlQueries {
       .orderBy("segment", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275, q276)
 }

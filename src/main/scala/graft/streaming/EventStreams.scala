@@ -155,7 +155,15 @@ object EventStreams {
     * stream-stream joins. The matched-pair SET is arrival-order
     * independent (inner join over a complete replay), so the gate
     * hash-matches a batch BETWEEN-join oracle. */
-  def clickViewJoin(events: DataFrame): DataFrame = {
+  def clickViewJoin(events: DataFrame): DataFrame =
+    clickViewJoinTimed(events)
+      .select("user_id", "click_event", "click_sec", "view_event", "view_sec")
+
+  /** [[clickViewJoin]] retaining the click's event-time column — the
+    * composable form for join → windowed-aggregation chains (q276),
+    * where the downstream window needs a watermarked event-time column
+    * to group on. */
+  def clickViewJoinTimed(events: DataFrame): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_event"),
         col("sec").as("click_sec"), col("etime").as("click_time"))
@@ -168,7 +176,8 @@ object EventStreams {
         col("user_id") === col("v_user") &&
           col("view_time") >= col("click_time") - expr("INTERVAL 1 HOUR") &&
           col("view_time") <= col("click_time"))
-      .select("user_id", "click_event", "click_sec", "view_event", "view_sec")
+      .select("user_id", "click_event", "click_sec", "view_event", "view_sec",
+        "click_time")
   }
 
   /** LEFT-OUTER stream-stream interval join — [[clickViewJoin]] plus
