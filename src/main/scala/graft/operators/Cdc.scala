@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Latest-row-per-key compaction: one `max_by` per key ordered by
+    * (version, then the remaining columns as a total-order fallback) —
+    * the shared core of snapshot merging, used standalone by the
+    * streaming foreachBatch upsert (EventStreams.runUpsertToCompletion,
+    * gate q277) where the accumulated table ALREADY carries real
+    * versions and [[applyChangeset]]'s snapshot-gets-version-0 contract
+    * would let an out-of-order late batch overwrite newer state.
+    * Versions unique per key ⇒ pure version order; duplicates still
+    * resolve deterministically via the full-row fallback. */
+  def compactLatest(df: DataFrame, key: String, version: String): DataFrame = {
+    val payload = df.columns.filterNot(_ == key)
+    require(payload.contains(version), s"missing version column $version")
+    df.groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct((version +: payload.filterNot(_ == version)).map(col): _*)).as("w"))
+      .select(col(key) +: payload.map(c => col(s"w.$c").as(c)): _*)
+  }
+
   /** Merge `changes` into `snapshot`. Both must share the schema
     * (key, version, payload...); `changes` additionally carries a
     * boolean `deleted` column. Snapshot rows count as version

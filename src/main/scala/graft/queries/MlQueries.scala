@@ -573,6 +573,47 @@ object MlQueries {
       .orderBy("hour")
   }
 
+  /** Streaming UPSERT materialization (EventStreams.runUpsertToCompletion
+    * + Cdc.compactLatest): the events stream replayed in FOUR
+    * single-file micro-batches (maxFilesPerTrigger = 1), each folding
+    * into a keyed parquet serving table via foreachBatch — the
+    * latest-event-per-user current-state table a production pipeline
+    * materializes. Versions are (sec, event_id) packed into one long,
+    * so latest-wins is total; the merge is associative, so the final
+    * table is batching-independent and hash-matches the batch
+    * latest-row oracle. */
+  val q277 = QueryDef(
+    "q277_stream_upsert_table",
+    """SELECT user_id, event_id, event_type, sec FROM (
+      |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS sec,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"),
+        (col("sec") * 10000000L + col("event_id")).as("ver"))
+    val replay = java.nio.file.Files.createTempDirectory("graft_upsert_replay")
+    graft.core.TempPaths.register(replay)
+    base.repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType),
+        StructField("ver", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val table = graft.core.TempPaths.gatePath("upsert_table")
+    // fresh state per run: the pid-keyed path is stable WITHIN a run
+    val tdir = new java.io.File(table)
+    if (tdir.exists) { tdir.listFiles.foreach(_.delete()); tdir.delete() }
+    EventStreams.runUpsertToCompletion(spark, stream, table,
+        key = "user_id", version = "ver", name = "q277_upsert")
+      .select("user_id", "event_id", "event_type", "sec")
+      .orderBy("user_id")
+  }
+
   /** Streaming keyed dedup over a DETERMINISTIC replay: the events file
     * is rewritten sorted by (sec, event_id) as a single file, so first
     * arrival ≡ earliest event and the kept row hash-matches the batch
@@ -810,5 +851,5 @@ object MlQueries {
       .orderBy("segment", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275, q276)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275, q276, q277)
 }

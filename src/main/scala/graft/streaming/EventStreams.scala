@@ -317,6 +317,39 @@ object EventStreams {
       .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("c1"),
         sum(when(col("side") === 1L, 1L).otherwise(0L)).as("c2"))
 
+  /** Streaming UPSERT materialization — the foreachBatch serving-table
+    * sink every production pipeline ends in: each micro-batch folds
+    * into a keyed parquet table through [[graft.operators.Cdc
+    * .compactLatest]] (latest version per key wins), so the table is
+    * always the compacted current state, not an append log. The merge
+    * is associative and versions are unique per key, so the final table
+    * is independent of how the stream was batched (gate q277 replays in
+    * maxFilesPerTrigger=1 batches and hash-matches the batch
+    * latest-row oracle). The merged frame materializes via
+    * localCheckpoint BEFORE the overwrite — reading and overwriting the
+    * same path lazily would delete the input under the read. Returns
+    * the final table. */
+  def runUpsertToCompletion(spark: SparkSession, stream: DataFrame,
+      path: String, key: String, version: String, name: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode("append").queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dir = new java.io.File(path)
+        val have = dir.exists && Option(dir.listFiles).exists(
+          _.exists(_.getName.endsWith(".parquet")))
+        val snapshot =
+          if (have) batch.sparkSession.read.parquet(path) else batch.limit(0)
+        val merged = graft.operators.Cdc
+          .compactLatest(snapshot.unionByName(batch), key, version)
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(path)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(path)
+  }
+
   /** Per-key variant of [[ksValueCounts]]: one count pair per DISTINCT
     * (key, value) — the always-on per-source/per-domain drift monitor's
     * whole state; feed the completed fold to
