@@ -47,6 +47,25 @@ class LayoutCdcSpec extends SparkSpec {
     assert(out(4L) == ((2L, 44.0, "d2")))  // reinsert after delete survives
   }
 
+  test("compactLatest is batching-independent, incl. out-of-order late batches") {
+    // rows for key "a": versions 3, 1, 2 — fold them in every batch
+    // order and the compacted state must always be version 3
+    val rows = Seq(("a", 3L, "v3"), ("a", 1L, "v1"), ("a", 2L, "v2"),
+      ("b", 5L, "w5"), ("b", 4L, "w4"))
+    val full = Cdc.compactLatest(rows.toDF("k", "ver", "payload"), "k", "ver")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(full == Map("a" -> ((3L, "v3")), "b" -> ((5L, "w5"))))
+    // sequential folds in a NEWER-FIRST arrival order (the case that
+    // breaks applyChangeset's snapshot-version-0 contract): the newer
+    // row arrives in batch 1, the stale row in batch 2
+    val batches = Seq(Seq(("a", 3L, "v3"), ("b", 4L, "w4")),
+      Seq(("a", 1L, "v1"), ("b", 5L, "w5")), Seq(("a", 2L, "v2")))
+    val folded = batches.foldLeft(rows.take(0).toDF("k", "ver", "payload")) {
+      (state, b) => Cdc.compactLatest(state.unionByName(b.toDF("k", "ver", "payload")), "k", "ver")
+    }.collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(folded == full, s"sequential fold diverged: $folded vs $full")
+  }
+
   test("CDC merge resolves duplicate-version log violations deterministically") {
     val snap = Seq((1L, 10.0, "a")).toDF("k", "price", "st")
     // contract violation: two version-1 upserts with different payloads —
