@@ -169,5 +169,29 @@ object SqlApiQueries {
         |ORDER BY family, k, v""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226)
+  /** The Misra–Gries AGGREGATE from pure SQL (graft_misra_gries): the
+    * q270 guarantee reduction with the summary built by
+    * `spark.sql(...)` through the function registry — same
+    * MisraGriesSummary plan as the DataFrame path, same
+    * order-independent oracle. */
+  val q278 = QueryDef(
+    "q278_sql_misra_gries",
+    """WITH exact AS (SELECT event_type AS key, COUNT(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM exact)
+      |SELECT key, CAST(n AS BIGINT) AS n,
+      |       CAST(1 AS BIGINT) AS present, CAST(1 AS BIGINT) AS bounds_ok
+      |FROM exact CROSS JOIN tot
+      |WHERE n * 9 > tn
+      |ORDER BY key""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_ev")
+    val summary = spark.sql(
+      """SELECT e.key AS key, e.est AS est
+        |FROM (SELECT graft_misra_gries(CAST(event_type AS STRING), 8) AS s FROM graft_ev)
+        |LATERAL VIEW explode(s) t AS e""".stripMargin)
+    graft.operators.Sketches.misraGriesHeavyFrom(summary,
+      Tables.events(spark, dir), org.apache.spark.sql.functions.col("event_type"), k = 8)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278)
 }
