@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Cross
 import graft.functions.HashFns
 
 /** Count-min sketch over a key stream — the sublinear-memory frequency
@@ -162,4 +163,52 @@ object Sketches {
       .groupBy("key")
       .agg(min("cnt").as("est"))
   }
+
+  /** KMV distinct-count sketch per key ([[graft.plans.KmvMinValues]]):
+    * (key, sketch array<long> ascending) — the k smallest DISTINCT
+    * md5-derived 60-bit hashes of `value` within each key. The sketch of
+    * a fixed multiset is partitioning- and order-INDEPENDENT (unlike the
+    * MG kept set), so gates hash-compare the raw sketch itself against
+    * the DuckDB mirror. `value` is hashed via [[Cross.hash64]] on its
+    * string form; both engines must cast identically. */
+  def kmvSketch(df: DataFrame, key: Column, value: Column, k: Int): DataFrame =
+    df.select(key.as("key"), Cross.hash64(value.cast("string")).as("h"))
+      .groupBy("key")
+      .agg(graft.plans.Kmv.minValues(col("h"), k).as("sketch"))
+
+  /** MERGE per-key sketches into one corpus sketch by re-folding their
+    * values through the same aggregate — the KMV mergeability law
+    * (k smallest of the union of per-part k-smallest sets = the union's
+    * k-smallest set) means this EQUALS the sketch built directly over
+    * all values, which is exactly what the gate's oracle computes. */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame =
+    sketches.select(explode(col("sketch")).as("h"))
+      .agg(graft.plans.Kmv.minValues(col("h"), k).as("sketch"))
+
+  /** The estimate frame over (.., sketch) rows: explodes the sketch to
+    * (rn 1-based, h) — so the raw sketch is part of the hashed output —
+    * and carries n_kept plus the distinct-count estimate: exact n_kept
+    * while the sketch is unsaturated, else the Beyer et al. unbiased
+    * (k−1)/U(k) with U(k) = kth_min / 2^60, micro-integerized for
+    * cross-engine hashing. */
+  def kmvEstimate(sketches: DataFrame, k: Int): DataFrame = {
+    val keys = sketches.columns.filter(_ != "sketch").map(col)
+    val kth = element_at(col("sketch"), size(col("sketch")))
+    val est = when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+        kth.cast("double"))
+    sketches
+      .select(keys :+ posexplode(col("sketch")).as(Seq("pos", "h")) :+
+        size(col("sketch")).cast("long").as("n_kept") :+
+        Cross.micro6(Cross.r6(est)).as("est_micro"): _*)
+      .withColumn("rn", (col("pos") + 1).cast("long"))
+      .drop("pos")
+  }
+
+  /** The DuckDB mirror of the estimate expression over an `n_kept` /
+    * `kth` pair (shared by the KMV gates so the formula exists once). */
+  def kmvEstimateSql(k: Int, nKept: String, kth: String): String =
+    Cross.micro6Sql(Cross.r6Sql(
+      s"CASE WHEN $nKept < $k THEN ($nKept)::DOUBLE " +
+        s"ELSE ${(k - 1).toDouble} * 1.152921504606846976e18 / ($kth)::DOUBLE END"))
 }

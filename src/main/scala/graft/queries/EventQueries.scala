@@ -993,5 +993,84 @@ object EventQueries {
     graft.operators.Analytics.ksPerKeyFromCounts(folded).orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274)
+  /** Shared KMV oracle body: the k = 64 smallest distinct 60-bit hashes
+    * (rn, h) plus n_kept and the (k−1)/U(k) estimate — parameterized by
+    * the distinct-hash CTE so the per-key (q279) and global (q280/q281)
+    * gates state the mirror once. */
+  private def kmvOracle(distinctCte: String, keyed: Boolean): String = {
+    val part = if (keyed) "PARTITION BY key " else ""
+    val keyCols = if (keyed) "key, " else ""
+    val join = if (keyed) "JOIN a USING (key)" else "CROSS JOIN a"
+    val order = if (keyed) "key, rn" else "rn"
+    s"""WITH d AS ($distinctCte),
+       |r AS (SELECT ${keyCols}h, row_number() OVER (${part}ORDER BY h) AS rn FROM d),
+       |s AS (SELECT ${keyCols}h, rn FROM r WHERE rn <= 64),
+       |a AS (SELECT ${keyCols}COUNT(*)::BIGINT AS n_kept, MAX(h) AS kth FROM s ${if (keyed) "GROUP BY key" else ""})
+       |SELECT ${if (keyed) "s.key, " else ""}s.rn, s.h, a.n_kept,
+       |       ${graft.operators.Sketches.kmvEstimateSql(64, "a.n_kept", "a.kth")} AS est_micro
+       |FROM s $join ORDER BY $order""".stripMargin
+  }
+
+  /** KMV distinct-count sketch per key (plans.KmvMinValues via
+    * Sketches.kmvSketch): distinct users per event type as a MERGEABLE
+    * k = 64 sketch. Unlike the MG summary (q270, verified through
+    * order-independent bounds) the KMV sketch of a fixed multiset is
+    * itself unique — the k smallest distinct md5-derived hashes — so
+    * this gate hash-compares the RAW sketch rows (rn, h) plus the
+    * unbiased (k−1)/U(k) estimate against the DuckDB mirror: the
+    * strongest verdict a sketch can get. */
+  val q279 = QueryDef(
+    "q279_kmv_distinct_per_key",
+    kmvOracle(
+      s"SELECT DISTINCT event_type AS key, ${Cross.hash64Sql("user_id::VARCHAR")} AS h FROM events",
+      keyed = true)) { (spark, dir) =>
+    graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvSketch(
+          Tables.events(spark, dir), col("event_type"), col("user_id"), 64), 64)
+      .select("key", "rn", "h", "n_kept", "est_micro")
+      .orderBy("key", "rn")
+  }
+
+  /** KMV MERGEABILITY (Sketches.kmvMerge): the per-event-type sketches
+    * of q279 fold into one corpus sketch by re-aggregating their
+    * exploded values — never rescanning the input — and the gate's
+    * oracle computes the DIRECT global sketch over all distinct hashes.
+    * Hash-equality IS the mergeable-summaries law for KMV: the k
+    * smallest of the union of per-part k-smallest sets equals the
+    * union's k smallest. This is the 1000-executor shape — tiny
+    * per-source summaries, corpus cardinality recovered after the fact
+    * for any grouping. */
+  val q280 = QueryDef(
+    "q280_kmv_merge",
+    kmvOracle(
+      s"SELECT DISTINCT ${Cross.hash64Sql("user_id::VARCHAR")} AS h FROM events",
+      keyed = false)) { (spark, dir) =>
+    graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvMerge(
+          graft.operators.Sketches.kmvSketch(
+            Tables.events(spark, dir), col("event_type"), col("user_id"), 64), 64), 64)
+      .select("rn", "h", "n_kept", "est_micro")
+      .orderBy("rn")
+  }
+
+  /** STREAMING KMV: the k = 64 global sketch folds over the event
+    * STREAM via the same mergeable aggregate (complete-mode
+    * partial/merge path), ≤ k longs as the query's whole state — the
+    * always-on distinct-users monitor. Same oracle as q280: the KMV
+    * sketch is batching-independent, so hash-equality proves the
+    * stream fold equals the batch sketch exactly, not just within
+    * bounds. */
+  val q281 = QueryDef("q281_stream_kmv", q280.oracle.get) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val folded = EventStreams.runToCompletion(spark,
+      EventStreams.readEvents(spark, dir)
+        .select(Cross.hash64(col("user_id").cast("string")).as("h"))
+        .agg(graft.plans.Kmv.minValues(col("h"), 64).as("sketch")),
+      "q281_sketch")
+    graft.operators.Sketches.kmvEstimate(folded, 64)
+      .select("rn", "h", "n_kept", "est_micro")
+      .orderBy("rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281)
 }

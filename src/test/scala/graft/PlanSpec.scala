@@ -493,4 +493,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("KMV sketch rides two-stage partial aggregation, never a global sort") {
+    val ev = Tables.events(spark, sf())
+    val p = planOf(graft.operators.Sketches.kmvSketch(
+      ev, col("event_type"), col("user_id"), 64))
+    // mergeable summary: partial ObjectHashAggregate before the exchange,
+    // final after — the shuffle carries <= k longs per group per partition
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_kmvminvalues") || p.contains("kmvminvalues"), p)
+    // never "sort all hashes then take k": no global Sort/Window on the way
+    assert(!p.contains("Window") && !p.contains("TakeOrdered"), p)
+  }
 }

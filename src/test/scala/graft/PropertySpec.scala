@@ -356,6 +356,36 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 10)
   }
 
+  test("KMV sketch equals brute-force k-min distinct hashes for any input and partitioning") {
+    import graft.operators.Sketches
+    def hash64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // duplicates on purpose: the sketch must be duplication-insensitive
+    val genVal = Gen.choose(0, 25).map(_.toLong)
+    check(forAll(Gen.listOfN(60, Gen.zip(Gen.oneOf("s1", "s2", "s3"), genVal)),
+        Gen.oneOf(1, 3, 7), Gen.oneOf(4, 8, 64)) { (rows, parts, k) =>
+      val df = rows.toDF("key", "v").repartition(parts)
+      val got = Sketches.kmvSketch(df, col("key"), col("v"), k)
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val want = rows.groupBy(_._1).view.mapValues(
+        _.map(t => hash64(t._2.toString)).distinct.sorted.take(k).toList).toMap
+      val perKey = got == want
+      // mergeability law: re-folding the per-key sketches == the sketch
+      // built directly over the whole input
+      val merged = Sketches.kmvMerge(
+          Sketches.kmvSketch(df, col("key"), col("v"), k), k)
+        .collect().head.getSeq[Long](0).toList
+      val globalWant = rows.map(t => hash64(t._2.toString))
+        .distinct.sorted.take(k).toList
+      Prop(perKey && merged == globalWant) :|
+        s"k=$k parts=$parts got=$got want=$want merged=$merged global=$globalWant"
+    }, minSuccessful = 8)
+  }
+
   test("removeDuplicatedSpans equals the brute-force reference for any corpus") {
     import graft.operators.Repetition
     // tiny vocab so cross-doc span collisions actually occur
