@@ -76,6 +76,8 @@ object GraftFunctions {
       es => graft.plans.TopKAgg.topK(c(es(0)), c(es(1)), litInt(es(2), "k"))),
     ("graft_misra_gries", "(key, k) aggregate", 2,
       es => graft.plans.MisraGries.summary(c(es(0)), litInt(es(1), "k"))),
+    ("graft_kmv", "(hash, k) aggregate", 2,
+      es => graft.plans.Kmv.minValues(c(es(0)), litInt(es(1), "k"))),
     ("graft_zvalue", "(a, b, bits)", 3,
       es => graft.operators.Layout.zValue(c(es(0)), c(es(1)), litInt(es(2), "bits"))),
     ("graft_psi_bin", "(value, lo, hi, bins)", 4,

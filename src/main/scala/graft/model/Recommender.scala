@@ -164,9 +164,21 @@ object Recommender {
     * window variant must shuffle and sort every candidate row first.
     * Gate-proven hash-equal to the window formulation (q77 runs this
     * against q64's oracle). */
+  /** Symmetrize (biz_a, biz_b, w) into per-direction (biz, neighbor, w)
+    * rows by EXPLODING a 2-element array instead of UNION ALL of two
+    * selects: semantically identical, but the union's branches each
+    * re-evaluate the whole upstream plan (the triangular co-rated join —
+    * exchange reuse only dedups the shuffles, not the probe-side work),
+    * while the explode is one pass producing both directions per row. */
+  private def symmetrizeDirections(weights: DataFrame, weightCol: String): DataFrame =
+    weights.select(explode(array(
+        struct(col("biz_a").as("biz"), col("biz_b").as("neighbor")),
+        struct(col("biz_b").as("biz"), col("biz_a").as("neighbor")))).as("d"),
+        col(weightCol).as("w"))
+      .select(col("d.biz").as("biz"), col("d.neighbor").as("neighbor"), col("w"))
+
   def topNeighborsAgg(weights: DataFrame, weightCol: String, k: Int): DataFrame = {
-    val sym = weights.select(col("biz_a").as("biz"), col("biz_b").as("neighbor"), col(weightCol).as("w"))
-      .union(weights.select(col("biz_b").as("biz"), col("biz_a").as("neighbor"), col(weightCol).as("w")))
+    val sym = symmetrizeDirections(weights, weightCol)
     sym.groupBy("biz")
       .agg(graft.plans.TopKAgg.topK(col("w"), col("neighbor"), k).as("top"))
       .select(col("biz"), posexplode(col("top")))
@@ -230,8 +242,7 @@ object Recommender {
 
   /** Symmetrized top-k neighbor lists by a weight column (T2 window). */
   def topNeighbors(weights: DataFrame, weightCol: String, k: Int): DataFrame = {
-    val sym = weights.select(col("biz_a").as("biz"), col("biz_b").as("neighbor"), col(weightCol).as("w"))
-      .union(weights.select(col("biz_b").as("biz"), col("biz_a").as("neighbor"), col(weightCol).as("w")))
+    val sym = symmetrizeDirections(weights, weightCol)
     val win = Window.partitionBy("biz").orderBy(col("w").desc, col("neighbor"))
     sym.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
   }

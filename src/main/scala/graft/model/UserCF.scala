@@ -33,8 +33,14 @@ object UserCF {
     * candidate pair (ordering proven hash-equal to row_number by q68's
     * window-based oracle). */
   def topSimilar(pairs: DataFrame, k: Int): DataFrame = {
-    val sym = pairs.select(col("user_a").as("user_id"), col("user_b").as("neighbor"), col("jaccard").as("w"))
-      .union(pairs.select(col("user_b").as("user_id"), col("user_a").as("neighbor"), col("jaccard").as("w")))
+    // explode both directions in one pass instead of UNION ALL of two
+    // selects (which re-evaluates the whole LSH candidate plan per
+    // branch — see Recommender.symmetrizeDirections)
+    val sym = pairs.select(explode(array(
+        struct(col("user_a").as("user_id"), col("user_b").as("neighbor")),
+        struct(col("user_b").as("user_id"), col("user_a").as("neighbor")))).as("d"),
+        col("jaccard").as("w"))
+      .select(col("d.user_id").as("user_id"), col("d.neighbor").as("neighbor"), col("w"))
     sym.groupBy("user_id")
       .agg(graft.plans.TopKAgg.topK(col("w"), col("neighbor"), k).as("top"))
       .select(col("user_id"), posexplode(col("top")))

@@ -75,14 +75,33 @@ case class TopKPairs(
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
 
+  /** Insert with a quick reject: once the heap holds k entries, a
+    * candidate no better than the current worst is dropped with ONE
+    * comparison — no tuple allocation, no O(log k) sift. On a top-5 over
+    * millions of candidate rows per group, almost every update takes
+    * this path (same Double.compare total order as [[worstFirst]], so
+    * NaN weights — which compare above everything — still displace). */
+  private def insert(
+      buf: mutable.PriorityQueue[(Double, Long)], w: Double, id: Long): Unit = {
+    if (buf.size < k) buf.enqueue((w, id))
+    else {
+      val (hw, hid) = buf.head
+      val c = java.lang.Double.compare(w, hw)
+      if (c > 0 || (c == 0 && id < hid)) {
+        buf.enqueue((w, id))
+        buf.dequeue()
+        ()
+      }
+    }
+  }
+
   override def update(
       buf: mutable.PriorityQueue[(Double, Long)],
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val w = wExpr.eval(input)
     val id = idExpr.eval(input)
     if (w != null && id != null) {
-      buf.enqueue((w.asInstanceOf[Double], id.asInstanceOf[Long]))
-      if (buf.size > k) buf.dequeue()
+      insert(buf, w.asInstanceOf[Double], id.asInstanceOf[Long])
     }
     buf
   }
@@ -90,10 +109,7 @@ case class TopKPairs(
   override def merge(
       buf: mutable.PriorityQueue[(Double, Long)],
       other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
-    other.foreach { e =>
-      buf.enqueue(e)
-      if (buf.size > k) buf.dequeue()
-    }
+    other.foreach { case (w, id) => insert(buf, w, id) }
     buf
   }
 

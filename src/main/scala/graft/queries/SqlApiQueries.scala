@@ -193,5 +193,22 @@ object SqlApiQueries {
       Tables.events(spark, dir), org.apache.spark.sql.functions.col("event_type"), k = 8)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278)
+  /** The KMV sketch from pure SQL (graft_kmv over graft_hash64): the
+    * q280 global sketch built by `spark.sql(...)` through the function
+    * registry — same KmvMinValues plan as the DataFrame path, same
+    * raw-sketch oracle (the strongest sketch verdict: the KMV of a
+    * fixed multiset is unique, so SQL path ≡ DataFrame path ≡ DuckDB
+    * mirror, value for value). */
+  val q282 = QueryDef("q282_sql_kmv", EventQueries.q280.oracle.get) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_ev_kmv")
+    val folded = spark.sql(
+      """SELECT graft_kmv(graft_hash64(CAST(user_id AS STRING)), 64) AS sketch
+        |FROM graft_ev_kmv""".stripMargin)
+    graft.operators.Sketches.kmvEstimate(folded, 64)
+      .select("rn", "h", "n_kept", "est_micro")
+      .orderBy("rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282)
 }
