@@ -162,9 +162,28 @@ object SuffixArray {
 
     var levels = List((1L, r0.localCheckpoint()))
     var gap = 1L
-    while (gap < maxLen) {
-      levels = (gap * 2L,
-        doublingRound(levels.head._2, gap, total, bands).localCheckpoint()) :: levels
+    // Early fixpoint exit: a doubling round that does not INCREASE the
+    // number of distinct ranks (max of a dense rank = its class count,
+    // already computed by the round) can never be followed by one that
+    // does — rank_{2L} refining nothing means rank_L(q+L) is a function
+    // of rank_L(q), so every further extension is too, by induction.
+    // At the fixpoint the level partition IS full-suffix equality, so
+    // (a) the head level is the final suffix ranks and (b) any two
+    // DIFFERENT ranks share a prefix strictly shorter than the head
+    // level's span — the sparse-table LCP descent never needs the
+    // skipped levels. The round count becomes O(log maxRepeatLen)
+    // instead of O(log maxDocLen): a corpus whose longest repeated
+    // substring is short terminates in a few rounds even when single
+    // documents are long — the 100 TB shape, where maxDocLen is a
+    // heavy-tail outlier but repeats are bounded.
+    var classes = levels.head._2.agg(coalesce(max("r"), lit(0L))).head().getLong(0)
+    var fixed = classes >= total // every suffix already unique
+    while (gap < maxLen && !fixed) {
+      val next = doublingRound(levels.head._2, gap, total, bands).localCheckpoint()
+      val nd = next.agg(coalesce(max("r"), lit(0L))).head().getLong(0)
+      levels = (gap * 2L, next) :: levels
+      fixed = nd == classes || nd >= total
+      classes = nd
       gap *= 2L
     }
     (tok, levels)
