@@ -185,6 +185,17 @@ object Sketches {
     sketches.select(explode(col("sketch")).as("h"))
       .agg(graft.plans.Kmv.minValues(col("h"), k).as("sketch"))
 
+  /** ROLL-UP of per-fine-key sketches to a coarser key (hour → day,
+    * source → corpus): re-fold the exploded sketch values grouped by
+    * the coarse key. The pre-aggregated sketch cube pattern: a 100 TB
+    * scan publishes one tiny sketch per finest cell ONCE, and every
+    * coarser distinct-count (day, week, any source grouping) comes from
+    * re-folding sketches, never rescanning rows. */
+  def kmvRollup(sketches: DataFrame, coarse: Column, k: Int): DataFrame =
+    sketches.select(coarse.as("key"), explode(col("sketch")).as("h"))
+      .groupBy("key")
+      .agg(graft.plans.Kmv.minValues(col("h"), k).as("sketch"))
+
   /** The estimate frame over (.., sketch) rows: explodes the sketch to
     * (rn 1-based, h) — so the raw sketch is part of the hashed output —
     * and carries n_kept plus the distinct-count estimate: exact n_kept

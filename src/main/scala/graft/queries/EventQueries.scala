@@ -1072,5 +1072,27 @@ object EventQueries {
       .orderBy("rn")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281)
+  /** KMV ROLL-UP (Sketches.kmvRollup): distinct users per HOUR as the
+    * finest sketch cells, re-folded to per-DAY sketches without touching
+    * a single input row again — the pre-aggregated sketch cube. The
+    * oracle builds each day's sketch DIRECTLY from the distinct hashes,
+    * so hash-equality proves roll-up(hour sketches) ≡ scan-built day
+    * sketch, value for value — the property that lets a 100 TB pipeline
+    * publish finest-grain sketches once and answer every coarser
+    * distinct-count by folding them. */
+  val q283 = QueryDef(
+    "q283_kmv_rollup",
+    kmvOracle(
+      s"SELECT DISTINCT (floor(epoch(ts))::BIGINT // 86400) AS key, " +
+        s"${Cross.hash64Sql("user_id::VARCHAR")} AS h FROM events",
+      keyed = true)) { (spark, dir) =>
+    val hourly = graft.operators.Sketches.kmvSketch(
+      Tables.events(spark, dir), expr("sec div 3600"), col("user_id"), 64)
+    graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvRollup(hourly, expr("key div 24"), 64), 64)
+      .select("key", "rn", "h", "n_kept", "est_micro")
+      .orderBy("key", "rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283)
 }
