@@ -167,10 +167,14 @@ object Analytics {
     // row at the band inner join and NaN lands in band 0 (every boundary
     // comparison false) while BOTH still count in t1/t2 — silently wrong
     // ECDF fractions. An ECDF over a value axis with null/NaN has no
-    // defined D; raise instead of diverging.
-    val vg = when(col("v").isNull || isnan(col("v").cast("double")),
+    // defined D; raise instead of diverging. Guard on the CASTED value:
+    // a non-null v whose double-cast fails yields a null cv, which
+    // `cv.isNull` catches, whereas `v.isNull || isnan(cast)` evaluates
+    // to null and falls through to the otherwise branch as a null v.
+    val cv = col("v").cast("double")
+    val vg = when(cv.isNull || isnan(cv),
       raise_error(lit("Analytics: null/NaN value in ksFromCounts")).cast("double"))
-      .otherwise(col("v").cast("double"))
+      .otherwise(cv)
     val per = per0.select(vg.as("v"),
       col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"))
     val d = per.withColumn("band",
@@ -233,9 +237,12 @@ object Analytics {
   def ksPerKeyFromCounts(per0: DataFrame, bands: Int = 64): DataFrame = {
     import graft.core.Cross
     import org.apache.spark.sql.expressions.Window
-    val vg = when(col("v").isNull || isnan(col("v").cast("double")),
+    // casted-value guard: see ksFromCounts — catches null, NaN, and
+    // failed casts uniformly (cv.isNull is never null itself)
+    val cv = col("v").cast("double")
+    val vg = when(cv.isNull || isnan(cv),
       raise_error(lit("Analytics: null/NaN value in ksPerKeyFromCounts")).cast("double"))
-      .otherwise(col("v").cast("double"))
+      .otherwise(cv)
     val per = per0.select(col("key"), vg.as("v"),
       col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"))
     val d = per.withColumn("band",

@@ -26,13 +26,21 @@ object Cdc {
     * versions and [[applyChangeset]]'s snapshot-gets-version-0 contract
     * would let an out-of-order late batch overwrite newer state.
     * Versions unique per key ⇒ pure version order; duplicates still
-    * resolve deterministically via the full-row fallback. */
+    * resolve deterministically via the full-row fallback. A null
+    * version has no place in a "latest version wins" contract (it
+    * would sort below every real version and an all-null-version key
+    * would emit an arbitrary-but-deterministic winner), so it raises
+    * per-row instead of silently losing. */
   def compactLatest(df: DataFrame, key: String, version: String): DataFrame = {
     val payload = df.columns.filterNot(_ == key)
     require(payload.contains(version), s"missing version column $version")
+    val verG = when(col(version).isNull,
+        raise_error(lit(s"Cdc.compactLatest: null $version violates the " +
+          "latest-version-wins contract")).cast(df.schema(version).dataType))
+      .otherwise(col(version))
+    val ordCols = verG +: payload.filterNot(_ == version).map(col)
     df.groupBy(col(key))
-      .agg(max_by(struct(payload.map(col): _*),
-        struct((version +: payload.filterNot(_ == version)).map(col): _*)).as("w"))
+      .agg(max_by(struct(payload.map(col): _*), struct(ordCols: _*)).as("w"))
       .select(col(key) +: payload.map(c => col(s"w.$c").as(c)): _*)
   }
 

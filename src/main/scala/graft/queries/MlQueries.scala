@@ -591,9 +591,17 @@ object MlQueries {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types._
+    // fail-loud pack guard: ver = sec*10^7 + event_id is total-ordered
+    // as (sec, event_id) ONLY while event_id < 10^7; at larger SFs an
+    // overflowing id would silently reorder (or collide) versions, so
+    // raise per-row instead of diverging from the oracle's row_number
+    val eidG = when(col("event_id") < 0L || col("event_id") >= 10000000L,
+      raise_error(lit("q277: event_id outside [0, 10^7) breaks version packing"))
+        .cast("long"))
+      .otherwise(col("event_id"))
     val base = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("sec"),
-        (col("sec") * 10000000L + col("event_id")).as("ver"))
+        (col("sec") * 10000000L + eidG).as("ver"))
     val replay = java.nio.file.Files.createTempDirectory("graft_upsert_replay")
     graft.core.TempPaths.register(replay)
     base.repartition(4).write.mode("overwrite").parquet(replay.toString)

@@ -328,7 +328,17 @@ object EventStreams {
     * latest-row oracle). The merged frame materializes via
     * localCheckpoint BEFORE the overwrite — reading and overwriting the
     * same path lazily would delete the input under the read. Returns
-    * the final table. */
+    * the final table.
+    *
+    * Scale caveat (gate-harness helper, NOT a production upsert sink):
+    * every micro-batch re-reads and rewrites the ENTIRE accumulated
+    * table — O(batches × table) rewrite cost — and the eager
+    * localCheckpoint holds the whole merged table in unreplicated
+    * executor storage memory. At serving-table scale use a format with
+    * native MERGE/compaction (or partition the table and rewrite only
+    * the key-partitions a batch touches); the compactLatest merge law
+    * itself (associative, batching-independent) is the part that
+    * carries to production unchanged. */
   def runUpsertToCompletion(spark: SparkSession, stream: DataFrame,
       path: String, key: String, version: String, name: String): DataFrame = {
     val q = stream.writeStream

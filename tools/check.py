@@ -54,14 +54,20 @@ def run_verify(sfdir: str, outdir: str, only=()) -> None:
     cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir} {names}'.strip()]
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
-    if r.returncode != 0:
-        sys.stderr.write(r.stderr[-3000:])
-        sys.exit(f"Verify failed rc={r.returncode}")
-    if only:
-        fresh = json.loads(err_path.read_text()) if err_path.exists() else {}
-        merged = {k: v for k, v in prior_errs.items() if k not in only}
-        merged.update(fresh)
-        err_path.write_text(json.dumps(merged))
+    try:
+        # Merge on BOTH paths: a Verify that dies after partially
+        # rewriting _errors.json must not lose prior errors for gates
+        # outside the subset (the stale-compare hazard persists on the
+        # failure path otherwise).
+        if only:
+            fresh = json.loads(err_path.read_text()) if err_path.exists() else {}
+            merged = {k: v for k, v in prior_errs.items() if k not in only}
+            merged.update(fresh)
+            err_path.write_text(json.dumps(merged))
+    finally:
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-3000:])
+            sys.exit(f"Verify failed rc={r.returncode}")
 
 
 def canon(v):
