@@ -78,6 +78,10 @@ object GraftFunctions {
       es => graft.plans.MisraGries.summary(c(es(0)), litInt(es(1), "k"))),
     ("graft_kmv", "(hash, k) aggregate", 2,
       es => graft.plans.Kmv.minValues(c(es(0)), litInt(es(1), "k"))),
+    ("graft_gk", "(value, m) aggregate", 2,
+      es => graft.plans.GkQuantile.sketch(c(es(0)), litInt(es(1), "m"))),
+    ("graft_gk_merge", "(sketch, m) aggregate", 2,
+      es => graft.plans.GkQuantile.mergeSketches(c(es(0)), litInt(es(1), "m"))),
     ("graft_zvalue", "(a, b, bits)", 3,
       es => graft.operators.Layout.zValue(c(es(0)), c(es(1)), litInt(es(2), "bits"))),
     ("graft_psi_bin", "(value, lo, hi, bins)", 4,

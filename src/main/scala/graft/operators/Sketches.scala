@@ -222,4 +222,82 @@ object Sketches {
     Cross.micro6Sql(Cross.r6Sql(
       s"CASE WHEN $nKept < $k THEN ($nKept)::DOUBLE " +
         s"ELSE ${(k - 1).toDouble} * 1.152921504606846976e18 / ($kth)::DOUBLE END"))
+
+  // ----- mergeable quantile sketch (graft.plans.GkQuantileAgg) -----
+
+  /** Mergeable quantile sketch per key: (key, sk struct<n, tuples>) —
+    * the fourth sketch-family member (KMV = distincts, Misra–Gries =
+    * frequencies, count-min = point queries, THIS = quantiles). The
+    * kept tuple set is merge-order-dependent inside sound rank
+    * intervals (like MG, unlike KMV), so gates hash-check the
+    * GUARANTEES via [[gkRankCheck]], never the raw tuples. */
+  def gkSketchPerKey(df: DataFrame, key: Column, value: Column,
+      m: Int): DataFrame =
+    df.select(key.as("key"), value.cast("double").as("v"))
+      .groupBy("key")
+      .agg(graft.plans.GkQuantile.sketch(col("v"), m).as("sk"))
+
+  /** Global (one-row) quantile sketch over `value`. */
+  def gkSketchGlobal(df: DataFrame, value: Column, m: Int): DataFrame =
+    df.select(value.cast("double").as("v"))
+      .agg(graft.plans.GkQuantile.sketch(col("v"), m).as("sk"))
+
+  /** ROLL-UP of per-fine-key sketches to a coarser key (hour → day):
+    * fold the summary OBJECTS through [[graft.plans.GkMergeAgg]] — no
+    * raw-value rescan, the same pre-aggregated cube pattern as
+    * [[kmvRollup]]. Soundness of every interval survives merging, so
+    * the rolled-up sketch obeys the same rank-error gate as a direct
+    * build (the merge≡direct law, checked as guarantees). */
+  def gkRollup(sketches: DataFrame, coarse: Column, m: Int): DataFrame =
+    sketches.select(coarse.as("key"), col("sk"))
+      .groupBy("key")
+      .agg(graft.plans.GkQuantile.mergeSketches(col("sk"), m).as("sk"))
+
+  /** Quantile estimates off (.., sk) rows for a φ grid: one row per
+    * (keys.., phi) with the exact n, the 1-based target rank
+    * r = 1 + round(φ·(n−1)), and the estimate = value of the tuple
+    * whose midpoint is nearest 2r (integer scoring, (v, rmin)
+    * tie-break — the same rule as GkSummary.query, so the Scala and
+    * DataFrame paths share one definition). */
+  def gkQuantiles(sketches: DataFrame, phis: Seq[Double]): DataFrame = {
+    val keys = sketches.columns.filter(_ != "sk")
+    sketches
+      .select(keys.map(col) :+ col("sk") :+
+        explode(array(phis.map(lit(_)): _*)).as("phi"): _*)
+      .withColumn("n", col("sk.n"))
+      .withColumn("r",
+        lit(1L) + round(col("phi") * (col("n") - lit(1L))).cast("long"))
+      .select(keys.map(col) ++ Seq(col("phi"), col("n"), col("r"),
+        explode(col("sk.tuples")).as("t")): _*)
+      .withColumn("score",
+        abs(col("t.rmin") + col("t.rmax") - lit(2L) * col("r")))
+      .groupBy(keys.map(col) ++ Seq(col("phi"), col("n"), col("r")): _*)
+      .agg(min_by(col("t.v"),
+        struct(col("score"), col("t.v"), col("t.rmin"))).as("est"))
+  }
+
+  /** The order-independent VERIFICATION frame (the MG-q270 pattern):
+    * joins estimates back to the raw values and checks that the
+    * estimate's exact rank RANGE [#lt+1, #le] comes within n/epsDen of
+    * the target rank on both sides — the honest error measure under
+    * duplicate-heavy values, where a single value can legitimately
+    * span a wide rank run. rank_ok is GUARANTEED 1 by the
+    * merge-and-reduce bound (O(log(n/buf)/m) ≪ 1/epsDen for the gate
+    * parameters), so the oracle emits the literal; exact counts exist
+    * here because this is the verification harness. `keyCols` empty ⇒
+    * global (cross join against the one-row estimate set). */
+  def gkRankCheck(estimates: DataFrame, raw: DataFrame,
+      keyCols: Seq[String], epsDen: Int): DataFrame = {
+    val joined =
+      if (keyCols.isEmpty) raw.crossJoin(broadcast(estimates))
+      else raw.join(broadcast(estimates), keyCols)
+    val grp = keyCols.map(col) ++ Seq(col("phi"), col("n"), col("r"), col("est"))
+    joined.groupBy(grp: _*)
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))
+      .select(keyCols.map(col) ++ Seq(col("phi"), col("n"), col("r"),
+        (((col("cnt_lt") + 1 - col("r")) * epsDen <= col("n")) &&
+          ((col("r") - col("cnt_le")) * epsDen <= col("n")))
+          .cast("long").as("rank_ok")): _*)
+  }
 }

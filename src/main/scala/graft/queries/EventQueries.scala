@@ -1094,5 +1094,124 @@ object EventQueries {
       .orderBy("key", "rn")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283)
+  /** Shared oracle head for the quantile-sketch gates: the reduction
+    * columns are all EXACT quantities (per-group n, the 1-based target
+    * rank r = 1 + round(φ·(n−1)), and the guaranteed rank_ok flag) —
+    * the Misra–Gries q270 gating discipline, because the GK kept set
+    * is merge-order-dependent inside its sound intervals. */
+  private def gkOracle(groupCte: String, phis: Seq[Double], keyed: Boolean,
+      extra: String = ""): String = {
+    val keyCols = if (keyed) "key, " else ""
+    val order = if (keyed) "key, phi" else "phi"
+    s"""WITH g AS ($groupCte),
+       |p AS (SELECT CAST(unnest([${phis.mkString(", ")}]) AS DOUBLE) AS phi)
+       |SELECT ${keyCols}phi, n, 1 + CAST(round(phi*(n-1)) AS BIGINT) AS r,
+       |       1::BIGINT AS rank_ok$extra
+       |FROM g CROSS JOIN p ORDER BY $order""".stripMargin
+  }
+
+  /** Mergeable quantile sketch per key (plans.GkQuantileAgg via
+    * Sketches.gkSketchPerKey): event-value quantiles per event type as
+    * m = 512 summaries of sound Greenwald–Khanna rank intervals. The
+    * kept tuples are merge-order-dependent inside those intervals
+    * (like Misra–Gries, unlike KMV), so the gate hash-checks the
+    * GUARANTEES: exact n, and for every φ on the grid the estimate's
+    * exact rank range [#lt+1, #le] within n/40 of the target rank —
+    * guaranteed by the merge-and-reduce bound O(n·log(n/buf)/m) ≈
+    * 0.2 %·n ≪ 2.5 %·n at these parameters, at ANY scale (the bound is
+    * scale-free in n). GkQuantileSpec property-tests soundness across
+    * partitionings; the rank-range check (not point rank) is the
+    * honest measure under duplicate-heavy values. */
+  val q285 = QueryDef(
+    "q285_gk_quantiles_per_key",
+    gkOracle("SELECT event_type AS key, COUNT(*)::BIGINT AS n FROM events GROUP BY 1",
+      Seq(0.05, 0.25, 0.5, 0.75, 0.95), keyed = true)) { (spark, dir) =>
+    import graft.operators.Sketches
+    val df = Tables.events(spark, dir)
+    val est = Sketches.gkQuantiles(
+      Sketches.gkSketchPerKey(df, col("event_type"), col("value"), 512),
+      Seq(0.05, 0.25, 0.5, 0.75, 0.95))
+    Sketches.gkRankCheck(est,
+        df.select(col("event_type").as("key"), col("value").cast("double").as("v")),
+        Seq("key"), epsDen = 40)
+      .orderBy("key", "phi")
+  }
+
+  /** Global quantile sketch with the EXACT-extremes guarantee: beside
+    * the grid rank checks, the sketch's first/last tuples ARE the exact
+    * min/max (they survive every prune), so the gate hash-compares
+    * them value-for-value against DuckDB MIN/MAX — the strongest
+    * value-level claim an order-dependent sketch can make. */
+  val q286 = QueryDef(
+    "q286_gk_global_extremes",
+    gkOracle(
+      "SELECT COUNT(*)::BIGINT AS n, MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v FROM lineitem",
+      Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99), keyed = false,
+      extra = ", min_v, max_v")) { (spark, dir) =>
+    import graft.operators.Sketches
+    val df = Tables.lineitem(spark, dir)
+    val sk = Sketches.gkSketchGlobal(df, col("l_extendedprice"), 512)
+      .localCheckpoint(true) // one scan feeds both the extremes and the grid
+    val ext = sk.select(
+      element_at(col("sk.tuples"), 1).getField("v").as("min_v"),
+      element_at(col("sk.tuples"), -1).getField("v").as("max_v"))
+    val est = Sketches.gkQuantiles(sk,
+      Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
+    Sketches.gkRankCheck(est,
+        df.select(col("l_extendedprice").cast("double").as("v")), Nil, epsDen = 40)
+      .crossJoin(broadcast(ext))
+      .orderBy("phi")
+  }
+
+  /** Quantile-sketch ROLL-UP (plans.GkMergeAgg via Sketches.gkRollup):
+    * per-HOUR value sketches folded to per-DAY summaries through the
+    * summary-merge aggregate — no raw-value rescan, the same
+    * pre-aggregated cube pattern as the KMV roll-up (q283). Soundness
+    * of every interval survives merging and each input summary enters
+    * the level structure at its size-matched level, so the rolled-up
+    * day sketch obeys the SAME rank-error gate as a direct day build —
+    * the merge≡direct law expressed as guarantees (the raw kept sets
+    * legitimately differ). n per day stays exact through the fold. */
+  val q287 = QueryDef(
+    "q287_gk_rollup",
+    gkOracle(
+      "SELECT (floor(epoch(ts))::BIGINT // 86400) AS key, COUNT(*)::BIGINT AS n FROM events GROUP BY 1",
+      Seq(0.1, 0.5, 0.9), keyed = true)) { (spark, dir) =>
+    import graft.operators.Sketches
+    val df = Tables.events(spark, dir)
+    val hourly = Sketches.gkSketchPerKey(df, expr("sec div 3600"), col("value"), 512)
+    val daily = Sketches.gkRollup(hourly, expr("key div 24"), 512)
+    val est = Sketches.gkQuantiles(daily, Seq(0.1, 0.5, 0.9))
+    Sketches.gkRankCheck(est,
+        df.select(expr("sec div 86400").as("key"), col("value").cast("double").as("v")),
+        Seq("key"), epsDen = 40)
+      .orderBy("key", "phi")
+  }
+
+  /** STREAMING quantile sketch: the global m = 512 summary folds over
+    * the event STREAM via the same mergeable aggregate
+    * (complete-mode partial/merge path), O(m·log(n/buf)) tuples as the
+    * query's whole state — the always-on latency/size-percentile
+    * monitor. The fold's merge order differs from any batch plan, so
+    * the gate checks the order-independent guarantees (same reduction
+    * as the batch gates), which is exactly what the sketch promises. */
+  val q288 = QueryDef(
+    "q288_stream_gk",
+    gkOracle("SELECT COUNT(*)::BIGINT AS n FROM events",
+      Seq(0.1, 0.5, 0.9), keyed = false)) { (spark, dir) =>
+    import graft.operators.Sketches
+    import graft.streaming.EventStreams
+    val folded = EventStreams.runToCompletion(spark,
+      EventStreams.readEvents(spark, dir)
+        .select(col("value").cast("double").as("v"))
+        .agg(graft.plans.GkQuantile.sketch(col("v"), 512).as("sk")),
+      "q288_sketch")
+    val est = Sketches.gkQuantiles(folded, Seq(0.1, 0.5, 0.9))
+    Sketches.gkRankCheck(est,
+        Tables.events(spark, dir).select(col("value").cast("double").as("v")),
+        Nil, epsDen = 40)
+      .orderBy("phi")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288)
 }

@@ -210,5 +210,27 @@ object SqlApiQueries {
       .orderBy("rn")
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282)
+  /** The quantile sketch from pure SQL — BOTH registry entries in one
+    * statement: `graft_gk` builds per-event-type summaries, and
+    * `graft_gk_merge` folds the summary OBJECTS into the global sketch
+    * (the roll-up aggregate, no raw rescan). Same guarantee reduction
+    * and oracle as the streaming fold (q288): the merged sketch is
+    * bound by the same order-independent rank-error guarantees however
+    * it was accumulated. */
+  val q289 = QueryDef("q289_sql_gk", EventQueries.q288.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_ev_gk")
+    val sk = spark.sql(
+      """SELECT graft_gk_merge(sk, 512) AS sk FROM (
+        |  SELECT event_type, graft_gk(CAST(value AS DOUBLE), 512) AS sk
+        |  FROM graft_ev_gk GROUP BY event_type)""".stripMargin)
+    val est = graft.operators.Sketches.gkQuantiles(sk, Seq(0.1, 0.5, 0.9))
+    graft.operators.Sketches.gkRankCheck(est,
+        Tables.events(spark, dir).select(col("value").cast("double").as("v")),
+        Nil, epsDen = 40)
+      .orderBy("phi")
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289)
 }
