@@ -2564,5 +2564,23 @@ object TextAnalysis {
       .orderBy("key", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272)
+  /** STREAMING A-ES sampling: the q272 per-key fixed-size weighted
+    * sample folded over the documents table arriving as a STREAM
+    * (complete-mode aggregation of the same bounded TopKPairs heap —
+    * ≤ n priorities per key as the query's whole state). The A-ES
+    * priority is a pure function of (id, weight), so the incremental
+    * fold equals the batch selection EXACTLY, and the gate reuses
+    * q272's full oracle — closing the one sketch-family member (KMV,
+    * MG, top-k, count-min, KS all had streaming legs) that didn't. */
+  val q284 = QueryDef("q284_stream_weighted_topn", q272.oracle.get) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val docs = EventStreams.readTable(spark, dir, "documents")
+    EventStreams.runToCompletion(spark,
+        graft.operators.Sampling.weightedTopNPerKey(docs,
+          col("source"), col("doc_id"), col("n_chars"), n = 20),
+        "q284_aes")
+      .orderBy("key", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284)
 }

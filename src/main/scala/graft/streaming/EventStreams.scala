@@ -36,6 +36,18 @@ object EventStreams {
       .withColumn("etime", col("sec").cast("timestamp"))
   }
 
+  /** Streaming read of any single-file table in the testdata layout
+    * (schema from a footer-only batch read, like [[eventsFileSchema]]) —
+    * the replay entry for folding batch-defined aggregates over a
+    * table arriving as a stream. */
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val schema = spark.read
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+  }
+
   /** Tumbling 1-hour windowed aggregation (count + exact decimal sum),
     * identical semantics to the batch q50. */
   def tumblingHourly(events: DataFrame): DataFrame =
