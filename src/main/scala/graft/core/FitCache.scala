@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-level fitted-model cache for the gate harness: ML gates are
+  * semantically independent, so by default each fits its own model —
+  * but several fit the SAME (input data, hyperparameters), and in a
+  * 280-gate suite those duplicate fits are pure wall-clock. The cache
+  * keys on (canonicalized analyzed plan of the training input, params
+  * string): a hit is only possible for an IDENTICAL training relation
+  * with identical hyperparameters, where a seeded MLlib fit is
+  * deterministic anyway — so a hit changes nothing semantically, it
+  * just skips the duplicate work (and is in fact stronger: callers get
+  * the exact same persisted artifact, not a bit-identical refit).
+  *
+  * Values are PATHS to saved models, not live model objects:
+  * [[graft.SessionHygiene]] unpersists every RDD between gates, which
+  * would strand a live model's factor/summary DataFrames
+  * (localCheckpoint lineage is truncated — consuming it after a reset
+  * fails with block-not-found, it does not recompute). A disk-backed
+  * model reloads as plain parquet scans, immune to the reset. Paths
+  * live under [[TempPaths]] (pid-keyed, deleted at JVM exit).
+  */
+object FitCache {
+
+  private val paths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Cache key: md5(canonicalized analyzed input plan) + params. The
+    * canonicalized plan normalizes expression ids, so two gates
+    * deriving the same relation through the same operators collide
+    * (the point); any difference in source path, filter, or projection
+    * changes the key. */
+  def key(input: DataFrame, params: Any): String = {
+    val plan = input.queryExecution.analyzed.canonicalized.toString
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$md5|$params"
+  }
+
+  /** Look up a saved model for (input, params); on miss, run `fit`,
+    * persist via `save(model, path)`, and record the path. Always
+    * returns through `load` so every caller — first or later — reads
+    * the same disk artifact. */
+  def getOrFit[M](input: DataFrame, params: Any, what: String)(
+      fit: => M)(save: (M, String) => Unit)(load: String => M): M = {
+    val k = key(input, params)
+    val path = paths.getOrElseUpdate(k, {
+      val p = TempPaths.gatePath(
+        s"fit_${what}_${Integer.toHexString(k.hashCode)}")
+      save(fit, p)
+      p
+    })
+    load(path)
+  }
+}

