@@ -627,6 +627,87 @@ object MlQueries {
       .orderBy("user_id")
   }
 
+  /** END-TO-END ingest composition (EventStreams.runIngestPipeline):
+    * the whole production topology in ONE streaming query — an
+    * at-least-once bus (every event delivered twice) replayed in
+    * multi-file micro-batches → exactlyOnceByEventId (the q266 dedup
+    * state) → foreachBatch fan-out into THREE serving artifacts off
+    * the SAME deduped stream: the latest-per-user upsert table (q277's
+    * sink), the per-key KS drift counts (q267's monitor state, scored
+    * with ksPerKeyFromCounts), and per-hour KMV sketches rolled to the
+    * day cube (q283). One oracle covers all three final tables as a
+    * tagged union — proving the stateful stages compose beyond the
+    * pairwise q275/q276 chains: duplicates vanish once, and every
+    * downstream fold is batching-independent by associativity. */
+  val q290 = QueryDef(
+    "q290_ingest_pipeline_e2e",
+    s"""WITH u AS (
+       |  SELECT 'u' AS section, user_id AS k1, event_type AS k2,
+       |         event_id AS v1, sec AS v2, 0.0 AS d1, 0.0 AS d2
+       |  FROM (SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS sec,
+       |          row_number() OVER (PARTITION BY user_id
+       |            ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC) AS rn
+       |        FROM events) t WHERE rn = 1),
+       |ka AS (SELECT event_type AS key, value AS v, COUNT(*) AS c1 FROM events
+       |       WHERE event_id % 2 = 0 GROUP BY 1, 2),
+       |kb AS (SELECT event_type AS key, value AS v, COUNT(*) AS c2 FROM events
+       |       WHERE event_id % 2 = 1 GROUP BY 1, 2),
+       |per AS (
+       |  SELECT COALESCE(ka.key, kb.key) AS key, COALESCE(ka.v, kb.v) AS v,
+       |         COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+       |  FROM ka FULL OUTER JOIN kb ON ka.key = kb.key AND ka.v = kb.v),
+       |tot AS (SELECT key, SUM(c1) AS t1, SUM(c2) AS t2 FROM per GROUP BY key),
+       |g AS (
+       |  SELECT p.key, v, t1, t2,
+       |    ${graft.core.Cross.r6Sql(
+            "abs((SUM(c1) OVER (PARTITION BY p.key ORDER BY v))::DOUBLE / t1::DOUBLE - " +
+              "(SUM(c2) OVER (PARTITION BY p.key ORDER BY v))::DOUBLE / t2::DOUBLE)")} AS gap
+       |  FROM per p JOIN tot USING (key) WHERE t1 > 0 AND t2 > 0),
+       |g2 AS (SELECT key, v, t1, t2, gap, MAX(gap) OVER (PARTITION BY key) AS mg FROM g),
+       |k AS (SELECT 'k' AS section, 0::BIGINT AS k1, key AS k2,
+       |             t1::BIGINT AS v1, t2::BIGINT AS v2,
+       |             MAX(gap) AS d1, MIN(v) FILTER (WHERE gap = mg) AS d2
+       |      FROM g2 GROUP BY key, t1, t2),
+       |d0 AS (SELECT DISTINCT (floor(epoch(ts))::BIGINT // 86400) AS key,
+       |         ${graft.core.Cross.hash64Sql("user_id::VARCHAR")} AS h FROM events),
+       |r0 AS (SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM d0),
+       |s0 AS (SELECT key, h, rn FROM r0 WHERE rn <= 64),
+       |a0 AS (SELECT key, COUNT(*)::BIGINT AS n_kept FROM s0 GROUP BY key),
+       |c AS (SELECT 'c' AS section, s0.key AS k1, '' AS k2,
+       |             s0.rn AS v1, s0.h AS v2, a0.n_kept::DOUBLE AS d1, 0.0 AS d2
+       |      FROM s0 JOIN a0 USING (key))
+       |SELECT section, k1, k2, v1, v2, d1, d2 FROM (
+       |  SELECT * FROM u UNION ALL SELECT * FROM k UNION ALL SELECT * FROM c)
+       |ORDER BY section, k1, k2, v1, v2""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "sec", "value")
+    val doubled = ev.unionByName(ev) // at-least-once: everything twice
+    val replay = java.nio.file.Files.createTempDirectory("graft_ingest_replay")
+    graft.core.TempPaths.register(replay)
+    doubled.repartition(6).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream.schema(doubled.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+      .withColumn("etime", col("sec").cast("timestamp"))
+    val deduped = EventStreams.exactlyOnceByEventId(stream, extraCols = Seq("value"))
+    val (upsert, ksCounts, kmvHourly) =
+      EventStreams.runIngestPipeline(spark, deduped, "q290")
+    val u = upsert.select(lit("u").as("section"), col("user_id").as("k1"),
+      col("event_type").as("k2"), col("event_id").as("v1"), col("sec").as("v2"),
+      lit(0.0).as("d1"), lit(0.0).as("d2"))
+    val k = graft.operators.Analytics.ksPerKeyFromCounts(ksCounts)
+      .select(lit("k").as("section"), lit(0L).as("k1"), col("key").as("k2"),
+        col("n1").as("v1"), col("n2").as("v2"),
+        col("d").as("d1"), col("d_at").as("d2"))
+    val c = graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvRollup(kmvHourly, expr("key div 24"), 64), 64)
+      .select(lit("c").as("section"), col("key").as("k1"), lit("").as("k2"),
+        col("rn").as("v1"), col("h").as("v2"),
+        col("n_kept").cast("double").as("d1"), lit(0.0).as("d2"))
+    u.unionByName(k).unionByName(c)
+      .orderBy("section", "k1", "k2", "v1", "v2")
+  }
+
   /** Streaming keyed dedup over a DETERMINISTIC replay: the events file
     * is rewritten sorted by (sec, event_id) as a single file, so first
     * arrival ≡ earliest event and the kept row hash-matches the batch
@@ -864,5 +945,5 @@ object MlQueries {
       .orderBy("segment", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275, q276, q277)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275, q276, q277, q290)
 }

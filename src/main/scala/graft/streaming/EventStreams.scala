@@ -281,11 +281,12 @@ object EventStreams {
     * event set however many copies arrived. State per event id is
     * dropped once the watermark passes its event time — bounded by the
     * redelivery horizon, not the stream length. */
-  def exactlyOnceByEventId(events: DataFrame): DataFrame =
+  def exactlyOnceByEventId(events: DataFrame, extraCols: Seq[String] = Nil): DataFrame =
     events
       .withWatermark("etime", "40 days")
       .dropDuplicatesWithinWatermark("event_id")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+      .select((Seq("event_id", "user_id", "event_type", "sec") ++ extraCols)
+        .map(col): _*)
 
   /** Streaming drift-monitor fold: per-(population, bin) counts
     * maintained INCREMENTALLY over the replayed stream — the always-on
@@ -356,20 +357,105 @@ object EventStreams {
     val q = stream.writeStream
       .outputMode("append").queryName(name)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dir = new java.io.File(path)
-        val have = dir.exists && Option(dir.listFiles).exists(
-          _.exists(_.getName.endsWith(".parquet")))
-        val snapshot =
-          if (have) batch.sparkSession.read.parquet(path) else batch.limit(0)
-        val merged = graft.operators.Cdc
-          .compactLatest(snapshot.unionByName(batch), key, version)
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(path)
+        foldParquet(path, batch) { snapshot =>
+          graft.operators.Cdc.compactLatest(
+            snapshot.unionByName(batch), key, version)
+        }
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(path)
+  }
+
+  /** Read-merge-overwrite of one parquet serving table — the shared
+    * micro-batch fold step of [[runUpsertToCompletion]] and
+    * [[runIngestPipeline]]: `merge` receives the current snapshot
+    * (empty-with-schema on the first batch, via `like.limit(0)`) and
+    * returns the next table state, which materializes via
+    * localCheckpoint BEFORE the overwrite (reading and overwriting the
+    * same path lazily would delete the input under the read). Same
+    * scale caveat as runUpsertToCompletion: O(batches × table) rewrite,
+    * a gate-harness fold — production swaps in a format with native
+    * MERGE; the associative merge law is the part that carries over. */
+  private def foldParquet(path: String, like: DataFrame)(
+      merge: DataFrame => DataFrame): Unit = {
+    val dir = new java.io.File(path)
+    val have = dir.exists && Option(dir.listFiles).exists(
+      _.exists(_.getName.endsWith(".parquet")))
+    val snapshot =
+      if (have) like.sparkSession.read.parquet(path) else like.limit(0)
+    merge(snapshot).localCheckpoint(true)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The COMPOSED ingest topology a production pipeline actually runs —
+    * ONE streaming query, at-least-once input already collapsed by
+    * [[exactlyOnceByEventId]] upstream, fanning out in foreachBatch to
+    * THREE serving artifacts that each fold associatively (so all
+    * three are batching-independent):
+    *   1. latest-event-per-user UPSERT table (Cdc.compactLatest on the
+    *      packed (sec, event_id) version — the q277 sink),
+    *   2. per-(event_type, value) KS drift COUNTS (additive merge —
+    *      the q267 monitor state; run Analytics.ksPerKeyFromCounts
+    *      over the final table for the drift verdict),
+    *   3. per-HOUR KMV distinct-user sketches (explode + re-fold
+    *      through the mergeable aggregate — the q283 cube's finest
+    *      cells; roll up to days with Sketches.kmvRollup).
+    * One dedup state feeds all three sinks — the multi-stateful
+    * composition beyond the pairwise q275/q276 chains. Returns the
+    * three final tables (upsert, ksCounts, kmvHourly).
+    *
+    * `deduped` must carry (event_id, user_id, event_type, sec, value).
+    * event_id is range-guarded by the version packing (raises outside
+    * [0, 10^7), the q277 fail-loud contract). */
+  def runIngestPipeline(spark: SparkSession, deduped: DataFrame,
+      name: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = graft.core.TempPaths.gatePath(s"ingest_$name")
+    val upsertPath = s"$base/upsert"
+    val ksPath = s"$base/ks"
+    val kmvPath = s"$base/kmv"
+    // fresh state per run: the pid-keyed base is stable WITHIN a run
+    Seq(upsertPath, ksPath, kmvPath).foreach { p =>
+      val d = new java.io.File(p)
+      if (d.exists) { Option(d.listFiles).foreach(_.foreach(_.delete())); d.delete() }
+    }
+    val eidG = when(col("event_id") < 0L || col("event_id") >= 10000000L,
+      raise_error(lit(s"$name: event_id outside [0, 10^7) breaks version packing"))
+        .cast("long"))
+      .otherwise(col("event_id"))
+    val q = deduped.writeStream
+      .outputMode("append").queryName(name)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // one materialization feeds all three folds
+        val b = batch0.localCheckpoint(true)
+        val withVer = b.select(col("user_id"), col("event_id"),
+          col("event_type"), col("sec"),
+          (col("sec") * 10000000L + eidG).as("ver"))
+        foldParquet(upsertPath, withVer) { snap =>
+          graft.operators.Cdc.compactLatest(
+            snap.unionByName(withVer), "user_id", "ver")
+        }
+        val bc = ksValueCountsPerKey(b, col("event_type"),
+          pmod(col("event_id"), lit(2)), col("value"))
+        foldParquet(ksPath, bc) { snap =>
+          snap.unionByName(bc).groupBy("key", "v")
+            .agg(sum("c1").as("c1"), sum("c2").as("c2"))
+        }
+        val bh = graft.operators.Sketches.kmvSketch(
+          b, expr("sec div 3600"), col("user_id"), 64)
+        foldParquet(kmvPath, bh) { snap =>
+          snap.unionByName(bh)
+            .select(col("key"), explode(col("sketch")).as("h"))
+            .groupBy("key")
+            .agg(graft.plans.Kmv.minValues(col("h"), 64).as("sketch"))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (spark.read.parquet(upsertPath), spark.read.parquet(ksPath),
+      spark.read.parquet(kmvPath))
   }
 
   /** Per-key variant of [[ksValueCounts]]: one count pair per DISTINCT

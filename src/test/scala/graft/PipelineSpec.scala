@@ -727,4 +727,36 @@ class PipelineSpec extends SparkSpec {
     val mmrs = out.map(_.getDouble(4))
     assert(mmrs.sliding(2).forall(w => w(0) >= w(1) - 1e-9), "mmr must be non-increasing")
   }
+
+  test("ingest pipeline composes and is batching-independent (q290 core)") {
+    // the composed topology (exactly-once dedup -> upsert + KS counts +
+    // KMV hour sketches) must produce identical serving tables whether
+    // the doubled stream arrives in one batch or file-at-a-time — the
+    // associative-merge law the q290 gate relies on
+    val ev = Tables.events(spark, sf())
+      .select("event_id", "user_id", "event_type", "sec", "value")
+    val doubled = ev.unionByName(ev)
+    def run(tag: String, oneFilePerTrigger: Boolean) = {
+      val replay = java.nio.file.Files.createTempDirectory(s"graft_ing_$tag")
+      graft.core.TempPaths.register(replay)
+      doubled.repartition(5).write.mode("overwrite").parquet(replay.toString)
+      val rdr = spark.readStream.schema(doubled.schema)
+      val stream = (if (oneFilePerTrigger) rdr.option("maxFilesPerTrigger", 1) else rdr)
+        .parquet(replay.toString)
+        .withColumn("etime", col("sec").cast("timestamp"))
+      val (u, k, h) = EventStreams.runIngestPipeline(spark,
+        EventStreams.exactlyOnceByEventId(stream, extraCols = Seq("value")),
+        s"ing_$tag")
+      (u.collect().map(_.toSeq).toSet, k.collect().map(_.toSeq).toSet,
+        h.collect().map(_.toSeq).toSet)
+    }
+    val (u1, k1, h1) = run("batched", oneFilePerTrigger = true)
+    val (u2, k2, h2) = run("oneshot", oneFilePerTrigger = false)
+    assert(u1 == u2, "upsert table must be batching-independent")
+    assert(k1 == k2, "KS count state must be batching-independent")
+    assert(h1 == h2, "KMV hour sketches must be batching-independent")
+    // and the dedup really collapsed the doubled bus: exact event count
+    assert(k1.toSeq.map(r => r(2).asInstanceOf[Long] + r(3).asInstanceOf[Long]).sum
+      == ev.count())
+  }
 }
