@@ -347,6 +347,21 @@ object Curate {
         graft.functions.TextFns.tokens(col("text")),
         chunkSize = 256, stride = 192)
       .write.mode("overwrite").parquet(s"$outDir/chunks")
+    // 6d. containment-probe deployment artifacts: the container index
+    // under the HOT-DEMOTED probe order (q263), with the demotion set
+    // published beside it — any downstream streaming probe loads both
+    // and reproduces the exact order the index was built under (the
+    // order must be SHARED or the prefix theorem breaks). Hot-demoted
+    // is the default a deployment gets: same verified output as the
+    // plain lexicographic order, minus the hot-posting-list fan-out
+    // (DedupSpec pins both claims).
+    val hotSet = Dedup.hotShingles(corpus, shingleN = 3, k = 64)
+    import spark.implicits._
+    hotSet.zipWithIndex
+      .map { case (sh, i) => ((i + 1).toLong, sh) }.toDF("rank", "shingle")
+      .write.mode("overwrite").parquet(s"$outDir/hot_shingles")
+    Dedup.containerIndex(corpus, shingleN = 3, hot = hotSet)
+      .write.mode("overwrite").parquet(s"$outDir/container_index")
     val agg = selected.agg(count(lit(1)), coalesce(sum("ntok"), lit(0L))).head()
     val stats = Stats(nInput, nExact, nNear, spanRemoved, nNear - nClean,
       agg.getLong(0), agg.getLong(1), budget, parasRemoved, nBlocked)
