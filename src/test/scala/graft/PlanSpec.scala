@@ -505,4 +505,23 @@ class PlanSpec extends SparkSpec {
     // never "sort all hashes then take k": no global Sort/Window on the way
     assert(!p.contains("Window") && !p.contains("TakeOrdered"), p)
   }
+
+  test("GK quantile sketch rides two-stage partial aggregation, never a global sort") {
+    val ev = Tables.events(spark, sf())
+    val p = planOf(graft.operators.Sketches.gkSketchPerKey(
+      ev, col("event_type"), col("value"), 64))
+    // mergeable summary: partial ObjectHashAggregate before the exchange,
+    // final after — the shuffle carries O(m log(n/buf)) tuples per group
+    // per partition, never the raw values
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.toLowerCase.contains("gkquantileagg"), p)
+    // never "sort all values then walk ranks": no global Sort/Window
+    assert(!p.contains("Window") && !p.contains("TakeOrdered"), p)
+    // the roll-up merges summary OBJECTS through the same two-stage path
+    val r = planOf(graft.operators.Sketches.gkRollup(
+      graft.operators.Sketches.gkSketchPerKey(ev, expr("sec div 3600"),
+        col("value"), 64), expr("key div 24"), 64))
+    assert(r.toLowerCase.contains("gkmergeagg"), r)
+    assert(!r.contains("Window") && !r.contains("CartesianProduct"), r)
+  }
 }
