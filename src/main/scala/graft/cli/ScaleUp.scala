@@ -89,7 +89,18 @@ object ScaleUp {
       shift(shift(d, "event_id", c * nEv), "user_id", c * nCust)
     }, "events", 4)
 
-    // documents: first half of self + second half of partner (by chars)
+    // documents: first half of self + second half of partner (by chars),
+    // then ~¼ of tokens salted with a copy-unique suffix. The salting is
+    // the Heaps-law correction: block reuse alone keeps the DISTINCT
+    // shingle set constant while the corpus grows factor×, which
+    // inflates every posting list — including the df=1 rare tail the
+    // prefix filters rely on being rare — by factor×, and parks
+    // copy-family containment/Jaccard exactly at the gates' 0.5/0.3
+    // thresholds. Salted tokens create a fresh rare tail per copy
+    // ((1−¼)³ ≈ 0.42 of 3-shingles survive unsalted ⇒ family
+    // containment ≈ 0.21, Jaccard ≈ 0.15 — clear of every threshold),
+    // while common shingles still inflate linearly, which real corpora
+    // do too.
     val docs = rd("documents")
     val partnerTexts = docs.select(col("doc_id").as("p_id"), col("text").as("p_text"))
     wr(copies("documents") { (d, c) =>
@@ -100,10 +111,15 @@ object ScaleUp {
           .join(partnerTexts, "p_id")
         val half = (length(col("text")) / 2).cast("int")
         val phalf = (length(col("p_text")) / 2).cast("int")
+        val mixed = concat(col("text").substr(lit(1), half),
+          col("p_text").substr(phalf + 1, length(col("p_text"))))
+        val salted = array_join(
+          transform(split(mixed, " "), (t, i) =>
+            when(pmod(hash(col("doc_id"), lit(c), i), lit(4)) === 0,
+              concat(t, lit(s"x$c"))).otherwise(t)),
+          " ")
         withPartner
-          .withColumn("text",
-            concat(col("text").substr(lit(1), half),
-              col("p_text").substr(phalf + 1, length(col("p_text")))))
+          .withColumn("text", salted)
           .withColumn("doc_id", col("doc_id") + lit(c * nDoc))
           .withColumn("n_chars", length(col("text")).cast("long"))
           .select("doc_id", "text", "lang", "source", "n_chars")
