@@ -1213,5 +1213,91 @@ object EventQueries {
       .orderBy("phi")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288)
+  /** ONE-SCAN telemetry cube: all three mergeable sketch aggregates —
+    * the KMV distinct-user sketch, the Misra–Gries heavy-user summary,
+    * and the GK value-quantile summary — computed per HOUR in a SINGLE
+    * aggregation pass (one groupBy, three TypedImperativeAggregates in
+    * the same ObjectHashAggregate, one shuffle of bounded states).
+    * This is the 100 TB telemetry-publication shape: the corpus is
+    * scanned ONCE and every downstream question — cardinalities,
+    * dominant keys, percentiles, at any roll-up — reads the tiny
+    * published cube, never the rows. The gate derives each family's
+    * verification frame FROM the published cube columns and unions
+    * them under one oracle: the raw KMV rows hash-compare exactly
+    * (unique sketch), MG and GK check their order-independent
+    * guarantees (the q270/q285 reductions, keyed by hour). */
+  val q291 = QueryDef(
+    "q291_sketch_cube",
+    s"""WITH d0 AS (SELECT DISTINCT (floor(epoch(ts))::BIGINT // 3600) AS hour,
+       |         ${Cross.hash64Sql("user_id::VARCHAR")} AS h FROM events),
+       |r0 AS (SELECT hour, h, row_number() OVER (PARTITION BY hour ORDER BY h) AS rn FROM d0),
+       |s0 AS (SELECT hour, h, rn FROM r0 WHERE rn <= 64),
+       |a0 AS (SELECT hour, COUNT(*)::BIGINT AS n_kept FROM s0 GROUP BY hour),
+       |v AS (SELECT 'v' AS section, s0.hour AS k1, '' AS k2,
+       |             s0.rn AS v1, s0.h AS v2, a0.n_kept AS v3, 0.0 AS d1
+       |      FROM s0 JOIN a0 USING (hour)),
+       |keyed AS (SELECT (floor(epoch(ts))::BIGINT // 3600) AS hour,
+       |                 user_id::VARCHAR AS u, value AS val FROM events),
+       |exact AS (SELECT hour, u, COUNT(*) AS n FROM keyed GROUP BY 1, 2),
+       |tot AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS tn FROM exact GROUP BY hour),
+       |m AS (SELECT 'm' AS section, e.hour AS k1, e.u AS k2,
+       |             CAST(e.n AS BIGINT) AS v1, 1::BIGINT AS v2, 1::BIGINT AS v3, 0.0 AS d1
+       |      FROM exact e JOIN tot t ON e.hour = t.hour
+       |      WHERE e.n * 65 > t.tn),
+       |g AS (SELECT 'g' AS section, hour AS k1, '' AS k2,
+       |             COUNT(*)::BIGINT AS v1,
+       |             1 + CAST(round(p.phi * (COUNT(*) - 1)) AS BIGINT) AS v2,
+       |             1::BIGINT AS v3, p.phi AS d1
+       |      FROM keyed CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS phi) p
+       |      GROUP BY hour, p.phi)
+       |SELECT section, k1, k2, v1, v2, v3, d1 FROM (
+       |  SELECT * FROM v UNION ALL SELECT * FROM m UNION ALL SELECT * FROM g)
+       |ORDER BY section, k1, k2, d1, v1""".stripMargin) { (spark, dir) =>
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, dir)
+    val phis = Seq(0.25, 0.5, 0.75)
+    // THE one pass: three bounded mergeable states per hour, one shuffle
+    val cube = ev.select(expr("sec div 3600").as("hour"),
+        Cross.hash64(col("user_id").cast("string")).as("h"),
+        col("user_id").cast("string").as("u"),
+        col("value").cast("double").as("v"))
+      .groupBy("hour")
+      .agg(graft.plans.Kmv.minValues(col("h"), 64).as("kmv"),
+        graft.plans.MisraGries.summary(col("u"), 64).as("mg"),
+        graft.plans.GkQuantile.sketch(col("v"), 512).as("sk"))
+      .localCheckpoint(true) // published once; three reductions read it
+    val v = cube.select(col("hour"), posexplode(col("kmv")).as(Seq("pos", "hh")),
+        size(col("kmv")).cast("long").as("n_kept"))
+      .select(lit("v").as("section"), col("hour").as("k1"), lit("").as("k2"),
+        (col("pos") + 1).cast("long").as("v1"), col("hh").as("v2"),
+        col("n_kept").as("v3"), lit(0.0).as("d1"))
+    // MG guarantees per hour against each hour's own exact counts
+    val summ = cube.select(col("hour"), explode(col("mg")).as("e"))
+      .select(col("hour"), col("e.key").as("u"), col("e.est").as("est"))
+    val exact = ev.select(expr("sec div 3600").as("hour"),
+        col("user_id").cast("string").as("u"))
+      .groupBy("hour", "u").agg(count(lit(1)).as("n"))
+    val tot = exact.groupBy("hour").agg(sum("n").as("tn"))
+    val m = exact.join(tot, "hour")
+      .filter(col("n") * 65 > col("tn"))
+      .join(summ, Seq("hour", "u"), "left")
+      .select(lit("m").as("section"), col("hour").as("k1"), col("u").as("k2"),
+        col("n").as("v1"),
+        col("est").isNotNull.cast("long").as("v2"),
+        (col("est").isNotNull && col("est") <= col("n") &&
+          col("est") * 65 >= col("n") * 65 - col("tn")).cast("long").as("v3"),
+        lit(0.0).as("d1"))
+    val est = Sketches.gkQuantiles(
+      cube.select(col("hour").as("key"), col("sk")), phis)
+    val g = Sketches.gkRankCheck(est,
+        ev.select(expr("sec div 3600").as("key"), col("value").cast("double").as("v")),
+        Seq("key"), epsDen = 40)
+      .select(lit("g").as("section"), col("key").as("k1"), lit("").as("k2"),
+        col("n").as("v1"), col("r").as("v2"), col("rank_ok").as("v3"),
+        col("phi").as("d1"))
+    v.unionByName(m).unionByName(g)
+      .orderBy("section", "k1", "k2", "d1", "v1")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291)
 }
