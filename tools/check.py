@@ -125,8 +125,12 @@ def main():
         if (outdir / "_errors.json").exists() else {}
     con = duckdb.connect()
     for t in TABLES:
+        # driver SF dirs hold single files; generated ones (ScaleUp)
+        # hold <table>.parquet/ directories of part files
+        p = Path(sfdir) / f"{t}.parquet"
+        pat = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{pat}')")
     dumped = sorted(p.name for p in outdir.iterdir() if p.is_dir())
     fails = 0
     for name in sorted(set(oracle) - set(dumped)):
