@@ -223,6 +223,39 @@ object Sketches {
       s"CASE WHEN $nKept < $k THEN ($nKept)::DOUBLE " +
         s"ELSE ${(k - 1).toDouble} * 1.152921504606846976e18 / ($kth)::DOUBLE END"))
 
+  /** Pairwise distinct-set OVERLAP estimation from published KMV
+    * sketches alone (Beyer et al., SIGMOD'07 §5): for two keys' k-min
+    * sketches SA, SB, the k smallest of SA ∪ SB is a valid sketch U of
+    * the union, ρ = |U ∩ SA ∩ SB| / |U| estimates the Jaccard of the
+    * DISTINCT sets, and ρ · D̂(union) estimates the distinct overlap —
+    * the cross-source contamination matrix WITHOUT ever joining raw
+    * rows: K sources → K² pair rows of k-length array arithmetic over
+    * the already-published sketches. Everything is deterministic
+    * integer/array math on the shared md5-derived hashes, so the gate
+    * hash-compares the raw procedure against a DuckDB mirror (the
+    * strongest sketch verdict, like q279/q280). Output per (key_a <
+    * key_b): kept sizes, the union's kth minimum, and micro-integer
+    * Jaccard + overlap estimates. */
+  def kmvPairwiseOverlap(sketches: DataFrame, k: Int): DataFrame = {
+    val a = sketches.select(col("key").as("key_a"), col("sketch").as("sa"))
+    val b = sketches.select(col("key").as("key_b"), col("sketch").as("sb"))
+    val paired = a.join(b, col("key_a") < col("key_b"))
+      .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .withColumn("nu", size(col("u")).cast("long"))
+      .withColumn("n_inter",
+        size(array_intersect(array_intersect(col("u"), col("sa")), col("sb")))
+          .cast("long"))
+      .withColumn("kth", element_at(col("u"), -1))
+    val estU = when(col("nu") < k, col("nu").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+        col("kth").cast("double"))
+    val jacRaw = col("n_inter").cast("double") / col("nu").cast("double")
+    paired.select(col("key_a"), col("key_b"), col("nu").as("n_union_kept"),
+      col("n_inter"), col("kth"),
+      Cross.micro6(Cross.r6(jacRaw)).as("jaccard_micro"),
+      Cross.micro6(Cross.r6(jacRaw * estU)).as("overlap_micro"))
+  }
+
   // ----- mergeable quantile sketch (graft.plans.GkQuantileAgg) -----
 
   /** Mergeable quantile sketch per key: (key, sk struct<n, tuples>) —

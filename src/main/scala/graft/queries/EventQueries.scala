@@ -1213,6 +1213,42 @@ object EventQueries {
       .orderBy("phi")
   }
 
+  /** KMV pairwise overlap (Sketches.kmvPairwiseOverlap): the
+    * cross-source distinct-user contamination matrix computed from the
+    * PUBLISHED per-key sketches alone — K² pair rows of k-length array
+    * arithmetic, zero raw-row joins (the Beyer et al. ρ·D̂ estimator
+    * over k-min sketch unions). Deterministic given the shared hashes,
+    * so the oracle mirrors the entire procedure (union sketch, ρ, the
+    * unbiased union estimate, the micro-integerized products) from raw
+    * events — raw-value hash equality, the q279/q280-strength verdict. */
+  val q292 = QueryDef(
+    "q292_kmv_overlap",
+    s"""WITH d AS (SELECT DISTINCT event_type AS key, ${Cross.hash64Sql("user_id::VARCHAR")} AS h FROM events),
+       |r AS (SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM d),
+       |s AS (SELECT key, h FROM r WHERE rn <= 64),
+       |ks AS (SELECT DISTINCT key FROM s),
+       |pr AS (SELECT a.key AS ka, b.key AS kb FROM ks a JOIN ks b ON a.key < b.key),
+       |uh AS (SELECT DISTINCT pr.ka, pr.kb, s.h FROM pr JOIN s ON s.key = pr.ka OR s.key = pr.kb),
+       |un AS (SELECT ka, kb, h, row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS rn FROM uh),
+       |u AS (SELECT ka, kb, h FROM un WHERE rn <= 64),
+       |agg AS (SELECT u.ka, u.kb, COUNT(*) AS nu, MAX(u.h) AS kth,
+       |          COUNT(*) FILTER (WHERE sa.h IS NOT NULL AND sb.h IS NOT NULL) AS ninter
+       |        FROM u LEFT JOIN s sa ON sa.key = u.ka AND sa.h = u.h
+       |               LEFT JOIN s sb ON sb.key = u.kb AND sb.h = u.h
+       |        GROUP BY 1, 2)
+       |SELECT ka AS key_a, kb AS key_b, nu::BIGINT AS n_union_kept,
+       |       ninter::BIGINT AS n_inter, kth,
+       |       ${Cross.micro6Sql(Cross.r6Sql("ninter::DOUBLE / nu::DOUBLE"))} AS jaccard_micro,
+       |       ${Cross.micro6Sql(Cross.r6Sql(
+            "(ninter::DOUBLE / nu::DOUBLE) * (CASE WHEN nu < 64 THEN nu::DOUBLE " +
+              "ELSE 63.0 * 1.152921504606846976e18 / kth::DOUBLE END)"))} AS overlap_micro
+       |FROM agg ORDER BY key_a, key_b""".stripMargin) { (spark, dir) =>
+    graft.operators.Sketches.kmvPairwiseOverlap(
+        graft.operators.Sketches.kmvSketch(
+          Tables.events(spark, dir), col("event_type"), col("user_id"), 64), 64)
+      .orderBy("key_a", "key_b")
+  }
+
   /** ONE-SCAN telemetry cube: all three mergeable sketch aggregates —
     * the KMV distinct-user sketch, the Misra–Gries heavy-user summary,
     * and the GK value-quantile summary — computed per HOUR in a SINGLE
@@ -1299,5 +1335,5 @@ object EventQueries {
       .orderBy("section", "k1", "k2", "d1", "v1")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292)
 }
