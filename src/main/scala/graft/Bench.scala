@@ -41,8 +41,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs session/codegen/JIT initialization so the
-    // first measured query isn't charged for it.
+    // first measured query isn't charged for it. Beyond the scan, warm
+    // the two codegen/JIT families SCALING.md's first-gate finding
+    // showed the first measured gate otherwise pays for (a 4x penalty
+    // on q151 when it led a subset): a broadcast-join plan and a typed
+    // ObjectHashAggregate fold.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    SparkEntry.queries.get("q04_broadcast_dims").foreach(_(spark, sfDir).count())
+    locally {
+      import org.apache.spark.sql.functions.col
+      spark.range(0, 100000)
+        .selectExpr("id % 97 AS k", "CAST(id AS DOUBLE) AS w", "id AS v")
+        .groupBy("k").agg(graft.plans.TopKAgg.topK(col("w"), col("v"), 8))
+        .count()
+    }
+    SessionHygiene.reset(spark)
     var failed = List.empty[String]
     // Per-gate GC seconds + peak heap ride along with each wall time:
     // rounds 3/4 saw 8x driver-vs-builder swings on unchanged plans that
