@@ -309,6 +309,33 @@ object Sketches {
         struct(col("score"), col("t.v"), col("t.rmin"))).as("est"))
   }
 
+  /** INVERSE query: percentile-rank estimation for probe values from
+    * the published summary alone — "what fraction of the corpus is
+    * below this latency" served off the sketch, the quantile query's
+    * serving-side twin. For probe v the sound intervals bracket the
+    * exact rank: every tuple with value < v has rmin ≤ #lt(v)+1, and
+    * the first tuple with value ≥ v has rmax ≥ #lt(v)+1, so the
+    * estimate midpoints the tightest bracket — error bounded by the
+    * same merge-and-reduce gap bound as the forward query. Input:
+    * (keys.., sk) × probes (keys.., v); output keys.., v, n,
+    * rank_est (1-based, clamped to [1, n]). Pure array expressions
+    * over the ≤ m tuples — no raw-data access. */
+  def gkPercentileRank(sketches: DataFrame, probes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val joined =
+      if (keyCols.isEmpty) probes.crossJoin(broadcast(sketches))
+      else probes.join(broadcast(sketches), keyCols)
+    // lo = max rmin over tuples with value < v (0 if none);
+    // hi = min rmax over tuples with value >= v (n if none)
+    val lo = coalesce(array_max(filter(col("sk.tuples"),
+      t => t.getField("v") < col("v")).getField("rmin")), lit(1L))
+    val hi = coalesce(array_min(filter(col("sk.tuples"),
+      t => t.getField("v") >= col("v")).getField("rmax")), col("sk.n"))
+    joined.select(keyCols.map(col) ++ Seq(col("v"), col("sk.n").as("n"),
+      least(greatest((lo + hi) / lit(2L), lit(1L)), col("sk.n"))
+        .as("rank_est")): _*)
+  }
+
   /** The order-independent VERIFICATION frame (the MG-q270 pattern):
     * joins estimates back to the raw values and checks that the
     * estimate's exact rank RANGE [#lt+1, #le] comes within n/epsDen of

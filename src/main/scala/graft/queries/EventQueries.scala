@@ -1213,6 +1213,36 @@ object EventQueries {
       .orderBy("phi")
   }
 
+  /** INVERSE quantile query (Sketches.gkPercentileRank): percentile
+    * ranks for a fixed probe-value grid served from the published
+    * global sketch alone — pure array arithmetic over ≤ m tuples, no
+    * raw-data access at query time. The gate checks the guarantee (the
+    * sound intervals bracket the exact rank, so the midpoint estimate
+    * lands within n/40 of #lt(v)+1 — same merge-and-reduce bound as
+    * the forward query q286) against exact counts; the oracle emits
+    * the exact n and the guaranteed flag per probe. */
+  val q293 = QueryDef(
+    "q293_gk_percentile_rank",
+    """WITH p AS (SELECT CAST(unnest([1000.0, 5000.0, 10000.0, 25000.0, 50000.0, 75000.0, 100000.0]) AS DOUBLE) AS v),
+      |t AS (SELECT COUNT(*)::BIGINT AS n FROM lineitem)
+      |SELECT v, n, 1::BIGINT AS rank_ok FROM p CROSS JOIN t ORDER BY v""".stripMargin) { (spark, dir) =>
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, dir)
+    val sk = Sketches.gkSketchGlobal(li, col("l_extendedprice"), 512)
+    val probes = spark.range(1).select(explode(array(
+      Seq(1000.0, 5000.0, 10000.0, 25000.0, 50000.0, 75000.0, 100000.0)
+        .map(lit(_)): _*)).as("v"))
+    val ranks = Sketches.gkPercentileRank(sk, probes, Nil)
+    li.select(col("l_extendedprice").cast("double").as("x"))
+      .crossJoin(broadcast(ranks))
+      .groupBy("v", "n", "rank_est")
+      .agg(sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("cnt_lt"))
+      .select(col("v"), col("n"),
+        (abs(col("rank_est") - (col("cnt_lt") + 1L)) * 40 <= col("n"))
+          .cast("long").as("rank_ok"))
+      .orderBy("v")
+  }
+
   /** KMV pairwise overlap (Sketches.kmvPairwiseOverlap): the
     * cross-source distinct-user contamination matrix computed from the
     * PUBLISHED per-key sketches alone — K² pair rows of k-length array
@@ -1335,5 +1365,5 @@ object EventQueries {
       .orderBy("section", "k1", "k2", "d1", "v1")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293)
 }

@@ -105,4 +105,24 @@ class GkQuantileSpec extends SparkSpec {
     // n through the roll-up is exact
     assert(rolled.select(col("sk.n")).collect().head.getLong(0) == 1200L)
   }
+
+  test("inverse query: percentile-rank estimates bracket the exact rank") {
+    val vals = (1 to 800).map(i => ((i * 7919) % 1000).toDouble)
+    val sorted = vals.sorted
+    Seq(1, 4, 9).foreach { parts =>
+      val df = vals.toDF("v").repartition(parts)
+      val sk = Sketches.gkSketchGlobal(df, col("v"), 48)
+      val probes = Seq(-5.0, 0.0, 123.0, 499.5, 998.0, 2000.0).toDF("v")
+      val out = Sketches.gkPercentileRank(sk, probes, Nil).collect()
+      assert(out.length == 6)
+      out.foreach { r =>
+        val v = r.getAs[Double]("v"); val est = r.getAs[Long]("rank_est")
+        val exact = sorted.count(_ < v) + 1L
+        // generous merge-and-reduce bound + the clamp at the top end
+        val bound = math.max(2L, 5L * 800 / 47)
+        assert(math.abs(est - math.min(exact, 800L)) <= bound,
+          s"parts=$parts v=$v est=$est exact=$exact")
+      }
+    }
+  }
 }
