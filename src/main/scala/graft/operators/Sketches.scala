@@ -331,9 +331,11 @@ object Sketches {
       t => t.getField("v") < col("v")).getField("rmin")), lit(1L))
     val hi = coalesce(array_min(filter(col("sk.tuples"),
       t => t.getField("v") >= col("v")).getField("rmax")), col("sk.n"))
+    // Column `/` is double division; the midpoint rank must stay a
+    // LONG (exact below 2^52, and the declared output type)
+    val mid = ((lo + hi) / lit(2L)).cast("long")
     joined.select(keyCols.map(col) ++ Seq(col("v"), col("sk.n").as("n"),
-      least(greatest((lo + hi) / lit(2L), lit(1L)), col("sk.n"))
-        .as("rank_est")): _*)
+      least(greatest(mid, lit(1L)), col("sk.n")).as("rank_est")): _*)
   }
 
   /** The order-independent VERIFICATION frame (the MG-q270 pattern):
