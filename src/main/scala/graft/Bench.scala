@@ -47,7 +47,10 @@ object Bench {
     // on q151 when it led a subset): a broadcast-join plan and a typed
     // ObjectHashAggregate fold.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    SparkEntry.queries.get("q04_broadcast_dims").foreach(_(spark, sfDir).count())
+    SparkEntry.queries.getOrElse("q04_broadcast_dims",
+      sys.error("warmup gate q04_broadcast_dims missing — renamed? " +
+        "fix the warmup or the first measured gate silently re-absorbs " +
+        "the first-gate JIT penalty"))(spark, sfDir).count()
     locally {
       import org.apache.spark.sql.functions.col
       spark.range(0, 100000)

@@ -25,13 +25,18 @@ object FitCache {
 
   private val paths = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Cache key: md5(canonicalized analyzed input plan) + params. The
-    * canonicalized plan normalizes expression ids, so two gates
-    * deriving the same relation through the same operators collide
-    * (the point); any difference in source path, filter, or projection
-    * changes the key. */
+  /** Cache key: md5(canonicalized analyzed plan + sorted input files)
+    * + params. The canonicalized plan carries the operator structure
+    * (filters, joins, projections) with expression ids normalized —
+    * but its leaf relations print WITHOUT their file location
+    * (`Relation [none#0L,...] parquet` — verified identical across
+    * different source directories), so the plan string alone would
+    * collide across datasets and serve a model fit on the wrong data.
+    * `inputFiles` pins the actual files read; together any difference
+    * in source data, filter, or projection changes the key. */
   def key(input: DataFrame, params: Any): String = {
-    val plan = input.queryExecution.analyzed.canonicalized.toString
+    val plan = input.queryExecution.analyzed.canonicalized.toString +
+      "|" + input.inputFiles.sorted.mkString(",")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"$md5|$params"

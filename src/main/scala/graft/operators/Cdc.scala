@@ -31,6 +31,22 @@ object Cdc {
     * would sort below every real version and an all-null-version key
     * would emit an arbitrary-but-deterministic winner), so it raises
     * per-row instead of silently losing. */
+  /** (sec, event_id) packed into ONE total-order version long for
+    * [[compactLatest]]: ver = sec·10⁷ + event_id, which orders as
+    * (sec, event_id) ONLY while event_id ∈ [0, 10⁷) — outside that an
+    * overflowing id silently reorders (or collides) versions, so the
+    * guard raises per-row instead of diverging (the q277 fail-loud
+    * contract; ONE definition shared by the gate and the ingest
+    * pipeline so the bound cannot drift between them). */
+  def packedVersion(sec: org.apache.spark.sql.Column,
+      eventId: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column = {
+    val eidG = when(eventId < 0L || eventId >= 10000000L,
+      raise_error(lit(s"$name: event_id outside [0, 10^7) breaks version packing"))
+        .cast("long"))
+      .otherwise(eventId)
+    sec * 10000000L + eidG
+  }
+
   def compactLatest(df: DataFrame, key: String, version: String): DataFrame = {
     val payload = df.columns.filterNot(_ == key)
     require(payload.contains(version), s"missing version column $version")

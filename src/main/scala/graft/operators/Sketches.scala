@@ -202,12 +202,20 @@ object Sketches {
     * while the sketch is unsaturated, else the Beyer et al. unbiased
     * (k−1)/U(k) with U(k) = kth_min / 2^60, micro-integerized for
     * cross-engine hashing. */
+  /** The Beyer et al. (k−1)/U(k) distinct-count estimator as a raw
+    * Column — exact kept count while unsaturated, unbiased otherwise.
+    * ONE definition feeds [[kmvEstimate]] and [[kmvPairwiseOverlap]]
+    * (the DuckDB mirror is [[kmvEstimateSql]]); a bias fix must land
+    * in both or the engines desynchronize. */
+  private def kmvEstimateCol(nKept: Column, kth: Column, k: Int): Column =
+    when(nKept < k, nKept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+        kth.cast("double"))
+
   def kmvEstimate(sketches: DataFrame, k: Int): DataFrame = {
     val keys = sketches.columns.filter(_ != "sketch").map(col)
     val kth = element_at(col("sketch"), size(col("sketch")))
-    val est = when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
-        kth.cast("double"))
+    val est = kmvEstimateCol(size(col("sketch")), kth, k)
     sketches
       .select(keys :+ posexplode(col("sketch")).as(Seq("pos", "h")) :+
         size(col("sketch")).cast("long").as("n_kept") :+
@@ -246,9 +254,7 @@ object Sketches {
         size(array_intersect(array_intersect(col("u"), col("sa")), col("sb")))
           .cast("long"))
       .withColumn("kth", element_at(col("u"), -1))
-    val estU = when(col("nu") < k, col("nu").cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
-        col("kth").cast("double"))
+    val estU = kmvEstimateCol(col("nu"), col("kth"), k)
     val jacRaw = col("n_inter").cast("double") / col("nu").cast("double")
     paired.select(col("key_a"), col("key_b"), col("nu").as("n_union_kept"),
       col("n_inter"), col("kth"),
@@ -325,7 +331,8 @@ object Sketches {
     val joined =
       if (keyCols.isEmpty) probes.crossJoin(broadcast(sketches))
       else probes.join(broadcast(sketches), keyCols)
-    // lo = max rmin over tuples with value < v (0 if none);
+    // lo = max rmin over tuples with value < v (1 if none — the rank
+    // is 1-based, so a probe below the minimum brackets [1, hi]);
     // hi = min rmax over tuples with value >= v (n if none)
     val lo = coalesce(array_max(filter(col("sk.tuples"),
       t => t.getField("v") < col("v")).getField("rmin")), lit(1L))

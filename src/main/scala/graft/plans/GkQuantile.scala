@@ -354,6 +354,9 @@ case class GkMergeAgg(
   with UnaryLike[Expression] {
 
   require(m >= 16 && m <= 65536, s"summary size out of range: $m")
+  // fail at construction, not mid-shuffle inside the delegated
+  // serialize (GkQuantileAgg enforces the same bound)
+  require(bufCap >= m && bufCap <= (1 << 20), s"bufCap out of range: $bufCap")
 
   override def child: Expression = sketchExpr
 
@@ -430,16 +433,19 @@ case class GkMergeAgg(
 
 object GkQuantile {
   /** `graft_gk(value, m)` aggregate column: the mergeable quantile
-    * summary struct<n, tuples> over a numeric column. */
+    * summary struct<n, tuples> over a numeric column. The raw buffer
+    * auto-sizes to max(2048, m) so every documented-legal m works. */
   def sketch(value: Column, m: Int): Column =
     GraftSqlBridge.toColumn(
-      GkQuantileAgg(GraftSqlBridge.toExpression(value.cast("double")), m)
+      GkQuantileAgg(GraftSqlBridge.toExpression(value.cast("double")), m,
+          bufCap = math.max(2048, m))
         .toAggregateExpression())
 
   /** `graft_gk_merge(sketch, m)` aggregate column: fold already-built
     * summaries into one (hour→day roll-up; no raw-value rescan). */
   def mergeSketches(sketch: Column, m: Int): Column =
     GraftSqlBridge.toColumn(
-      GkMergeAgg(GraftSqlBridge.toExpression(sketch), m)
+      GkMergeAgg(GraftSqlBridge.toExpression(sketch), m,
+          bufCap = math.max(2048, m))
         .toAggregateExpression())
 }

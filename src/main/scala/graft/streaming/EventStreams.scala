@@ -420,10 +420,6 @@ object EventStreams {
       val d = new java.io.File(p)
       if (d.exists) { Option(d.listFiles).foreach(_.foreach(_.delete())); d.delete() }
     }
-    val eidG = when(col("event_id") < 0L || col("event_id") >= 10000000L,
-      raise_error(lit(s"$name: event_id outside [0, 10^7) breaks version packing"))
-        .cast("long"))
-      .otherwise(col("event_id"))
     val q = deduped.writeStream
       .outputMode("append").queryName(name)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
@@ -431,7 +427,8 @@ object EventStreams {
         val b = batch0.localCheckpoint(true)
         val withVer = b.select(col("user_id"), col("event_id"),
           col("event_type"), col("sec"),
-          (col("sec") * 10000000L + eidG).as("ver"))
+          graft.operators.Cdc.packedVersion(col("sec"), col("event_id"), name)
+            .as("ver"))
         foldParquet(upsertPath, withVer) { snap =>
           graft.operators.Cdc.compactLatest(
             snap.unionByName(withVer), "user_id", "ver")
