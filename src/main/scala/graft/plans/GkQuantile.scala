@@ -448,4 +448,26 @@ object GkQuantile {
       GkMergeAgg(GraftSqlBridge.toExpression(sketch), m,
           bufCap = math.max(2048, m))
         .toAggregateExpression())
+
+  /** `graft_gk_q(sketch, phi)` SCALAR: extract the φ-quantile estimate
+    * from a summary struct — value of the tuple whose midpoint is
+    * nearest the target rank 2r in integer score, first tuple on ties
+    * (the array is (v, rmin)-sorted, so "first" ≡ GkSummary.query's
+    * lowest-index rule and gkQuantiles' min_by tie-break: ONE rule,
+    * three surfaces). Pure array fold — usable per row in SQL over a
+    * published sketch column, no re-aggregation. */
+  def quantileCol(sk: Column, phi: Double): Column = {
+    import org.apache.spark.sql.functions._
+    val n = sk.getField("n")
+    val r = lit(1L) + round(lit(phi) * (n.cast("double") - 1.0)).cast("long")
+    val folded = aggregate(sk.getField("tuples"),
+      struct(lit(Long.MaxValue).as("score"), lit(Double.NaN).as("v")),
+      (acc, t) => {
+        val score = abs(t.getField("rmin") + t.getField("rmax") - lit(2L) * r)
+        when(score < acc.getField("score"),
+          struct(score.as("score"), t.getField("v").as("v")))
+          .otherwise(acc)
+      })
+    folded.getField("v")
+  }
 }

@@ -106,6 +106,23 @@ class GkQuantileSpec extends SparkSpec {
     assert(rolled.select(col("sk.n")).collect().head.getLong(0) == 1200L)
   }
 
+  test("graft_gk_q SQL scalar equals the DataFrame min_by query rule") {
+    graft.functions.GraftFunctions.register(spark)
+    val vals = (1 to 500).map(i => ((i * 31) % 100).toDouble)
+    vals.toDF("v").createOrReplaceTempView("gkq_vals")
+    val viaSql = spark.sql(
+      """SELECT graft_gk_q(sk, 0.25) AS a, graft_gk_q(sk, 0.5) AS b,
+        |       graft_gk_q(sk, 0.9) AS c
+        |FROM (SELECT graft_gk(v, 64) AS sk FROM gkq_vals)""".stripMargin)
+      .collect().head
+    val viaDf = Sketches.gkQuantiles(
+        Sketches.gkSketchGlobal(vals.toDF("v"), col("v"), 64),
+        Seq(0.25, 0.5, 0.9))
+      .orderBy("phi").collect().map(_.getAs[Double]("est"))
+    assert(Seq(viaSql.getDouble(0), viaSql.getDouble(1), viaSql.getDouble(2))
+      == viaDf.toSeq, s"sql=$viaSql df=${viaDf.toSeq}")
+  }
+
   test("inverse query: percentile-rank estimates bracket the exact rank") {
     val vals = (1 to 800).map(i => ((i * 7919) % 1000).toDouble)
     val sorted = vals.sorted
