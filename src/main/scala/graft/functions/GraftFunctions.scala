@@ -84,6 +84,8 @@ object GraftFunctions {
       es => graft.plans.GkQuantile.mergeSketches(c(es(0)), litInt(es(1), "m"))),
     ("graft_gk_q", "(sketch, phi) scalar", 2,
       es => graft.plans.GkQuantile.quantileCol(c(es(0)), litDouble(es(1), "phi"))),
+    ("graft_kmv_sliding", "(hash, ts, k) aggregate", 3,
+      es => graft.plans.KmvSliding.state(c(es(0)), c(es(1)), litInt(es(2), "k"))),
     ("graft_zvalue", "(a, b, bits)", 3,
       es => graft.operators.Layout.zValue(c(es(0)), c(es(1)), litInt(es(2), "bits"))),
     ("graft_psi_bin", "(value, lo, hi, bins)", 4,

@@ -231,6 +231,30 @@ object Sketches {
       s"CASE WHEN $nKept < $k THEN ($nKept)::DOUBLE " +
         s"ELSE ${(k - 1).toDouble} * 1.152921504606846976e18 / ($kth)::DOUBLE END"))
 
+  /** SLIDING-WINDOW distinct state ([[graft.plans.KmvSlidingState]]):
+    * one bounded suffix-minima state over (hash64(value), ts) that
+    * answers "distinct values active since ANY t" — see the plan
+    * node's scaladoc for the exactness and determinism claims. One
+    * row: (st array<struct<h, ts>> ascending by hash). */
+  def kmvSlidingState(df: DataFrame, value: Column, ts: Column,
+      k: Int): DataFrame =
+    df.select(Cross.hash64(value.cast("string")).as("h"), ts.cast("long").as("t"))
+      .agg(graft.plans.KmvSliding.state(col("h"), col("t"), k).as("st"))
+
+  /** Window query off the published sliding state: for each start in
+    * `starts`, the k smallest kept hashes with latest-arrival ≥ start —
+    * EXACTLY the KMV sketch of the window (not an approximation; the
+    * q295 gate proves equality against the direct window sketch).
+    * Pure array arithmetic over the ≤ O(k log) state entries. */
+  def kmvSlidingWindow(state: DataFrame, starts: Seq[Long], k: Int): DataFrame =
+    state
+      .select(explode(array(starts.map(lit(_)): _*)).as("start"), col("st"))
+      .select(col("start"),
+        posexplode(slice(array_sort(
+          transform(filter(col("st"), e => e.getField("ts") >= col("start")),
+            e => e.getField("h"))), 1, k)).as(Seq("pos", "h")))
+      .select(col("start"), (col("pos") + 1).cast("long").as("rn"), col("h"))
+
   /** Pairwise distinct-set OVERLAP estimation from published KMV
     * sketches alone (Beyer et al., SIGMOD'07 §5): for two keys' k-min
     * sketches SA, SB, the k smallest of SA ∪ SB is a valid sketch U of

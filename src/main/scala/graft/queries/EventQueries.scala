@@ -1213,6 +1213,79 @@ object EventQueries {
       .orderBy("phi")
   }
 
+  /** Sliding-window distinct state (plans.KmvSlidingState via
+    * Sketches.kmvSlidingState): the suffix-minima (hash, latest-ts)
+    * set — kept h iff fewer than k smaller hashes arrived
+    * at-or-after h's last arrival. Like plain KMV the kept set is a
+    * PURE FUNCTION of the data (prune-safe under any partitioning or
+    * merge order), so the gate hash-compares the raw state against
+    * the DuckDB mirror of the rule — the strongest sketch verdict,
+    * now for the time-decayed family member. */
+  val q294 = QueryDef(
+    "q294_kmv_sliding_state",
+    s"""WITH d AS (SELECT ${Cross.hash64Sql("user_id::VARCHAR")} AS h,
+       |             MAX(floor(epoch(ts))::BIGINT) AS t
+       |           FROM events GROUP BY 1),
+       |kept AS (SELECT a.h, a.t FROM d a
+       |         WHERE (SELECT COUNT(*) FROM d b WHERE b.h < a.h AND b.t >= a.t) < 64)
+       |SELECT row_number() OVER (ORDER BY h) AS rn, h, t AS ts
+       |FROM kept ORDER BY rn""".stripMargin) { (spark, dir) =>
+    graft.operators.Sketches.kmvSlidingState(
+        Tables.events(spark, dir), col("user_id"), col("sec"), 64)
+      .select(posexplode(col("st")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("rn"),
+        col("e.h").as("h"), col("e.ts").as("ts"))
+      .orderBy("rn")
+  }
+
+  /** Window queries off the ONE sliding state: for two window starts
+    * (mid-span and three-quarter-span), the k smallest kept hashes
+    * with latest-arrival ≥ start EQUAL the direct KMV sketch of
+    * exactly the users active in that window — the oracle builds each
+    * window's sketch from raw events, so hash-equality proves the
+    * state answers every suffix window exactly, which is the entire
+    * point of carrying (h, ts) instead of a plain bottom-k. */
+  val q295 = QueryDef(
+    "q295_kmv_sliding_window",
+    s"""WITH b AS (SELECT MIN(floor(epoch(ts))::BIGINT) AS lo,
+       |                  MAX(floor(epoch(ts))::BIGINT) AS hi FROM events),
+       |st AS (SELECT lo + (hi - lo) // 2 AS start FROM b
+       |       UNION ALL SELECT lo + 3 * (hi - lo) // 4 FROM b),
+       |d AS (SELECT ${Cross.hash64Sql("user_id::VARCHAR")} AS h,
+       |        MAX(floor(epoch(ts))::BIGINT) AS t FROM events GROUP BY 1),
+       |w AS (SELECT s.start, d.h,
+       |        row_number() OVER (PARTITION BY s.start ORDER BY d.h) AS rn
+       |      FROM st s JOIN d ON d.t >= s.start)
+       |SELECT start, rn, h FROM w WHERE rn <= 64 ORDER BY start, rn""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val b = ev.agg(min("sec").as("lo"), max("sec").as("hi")).first()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val starts = Seq(lo + (hi - lo) / 2, lo + 3 * (hi - lo) / 4)
+    graft.operators.Sketches.kmvSlidingWindow(
+        graft.operators.Sketches.kmvSlidingState(ev, col("user_id"), col("sec"), 64),
+        starts, 64)
+      .orderBy("start", "rn")
+  }
+
+  /** STREAMING sliding-distinct fold: the same suffix-minima aggregate
+    * over the event stream (complete mode) — the always-on
+    * "distinct users in the last N hours" panel state. The kept set
+    * is arrival-order-independent, so the stream fold hash-matches
+    * q294's batch oracle exactly. */
+  val q296 = QueryDef("q296_stream_kmv_sliding", q294.oracle.get) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val folded = EventStreams.runToCompletion(spark,
+      EventStreams.readEvents(spark, dir)
+        .select(graft.core.Cross.hash64(col("user_id").cast("string")).as("h"),
+          col("sec").cast("long").as("t"))
+        .agg(graft.plans.KmvSliding.state(col("h"), col("t"), 64).as("st")),
+      "q296_sliding")
+    folded.select(posexplode(col("st")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("rn"),
+        col("e.h").as("h"), col("e.ts").as("ts"))
+      .orderBy("rn")
+  }
+
   /** INVERSE quantile query (Sketches.gkPercentileRank): percentile
     * ranks for a fixed probe-value grid served from the published
     * global sketch alone — pure array arithmetic over ≤ m tuples, no
@@ -1365,5 +1438,5 @@ object EventQueries {
       .orderBy("section", "k1", "k2", "d1", "v1")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296)
 }

@@ -386,6 +386,42 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("sliding KMV state is partition-independent and answers every window exactly") {
+    import graft.operators.Sketches
+    def hash64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // small value alphabet + coarse timestamps: duplicates and ts ties on purpose
+    val genRow = Gen.zip(Gen.choose(0, 18).map(_.toLong), Gen.choose(100L, 110L))
+    check(forAll(Gen.listOfN(70, genRow), Gen.oneOf(1, 3, 7), Gen.oneOf(2, 4)) {
+      (rows, parts, k) =>
+      val df = rows.toDF("v", "t").repartition(parts)
+      val st = Sketches.kmvSlidingState(df, col("v"), col("t"), k)
+        .select(explode(col("st")).as("e"))
+        .select(col("e.h"), col("e.ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      // brute reference: latest ts per hash; keep h iff < k smaller
+      // hashes have later-or-equal ts
+      val latest = rows.groupBy(r => hash64(r._1.toString))
+        .view.mapValues(_.map(_._2).max).toMap
+      val want = latest.toList.sortBy(_._1).filter { case (h, t) =>
+        latest.count { case (h2, t2) => h2 < h && t2 >= t } < k
+      }
+      val stateOk = st == want
+      // window law: for every start, k smallest kept with ts >= start
+      // == k smallest distinct hashes active in the window
+      val windowOk = (100L to 111L).forall { start =>
+        val fromState = st.filter(_._2 >= start).map(_._1).sorted.take(k)
+        val direct = latest.filter(_._2 >= start).keys.toList.sorted.take(k)
+        fromState == direct
+      }
+      Prop(stateOk && windowOk) :|
+        s"parts=$parts k=$k st=$st want=$want"
+    }, minSuccessful = 12)
+  }
+
   test("removeDuplicatedSpans equals the brute-force reference for any corpus") {
     import graft.operators.Repetition
     // tiny vocab so cross-doc span collisions actually occur
