@@ -524,4 +524,15 @@ class PlanSpec extends SparkSpec {
     assert(r.toLowerCase.contains("gkmergeagg"), r)
     assert(!r.contains("Window") && !r.contains("CartesianProduct"), r)
   }
+
+  test("sliding KMV state rides two-stage partial aggregation, never a global sort") {
+    val ev = Tables.events(spark, sf())
+    val p = planOf(graft.operators.Sketches.kmvSlidingState(
+      ev, col("user_id"), col("sec"), 64))
+    // suffix-minima state: partial ObjectHashAggregate before the
+    // exchange, final after — pruned O(k log) entries on the wire
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.toLowerCase.contains("kmvslidingstate"), p)
+    assert(!p.contains("Window") && !p.contains("TakeOrdered"), p)
+  }
 }
