@@ -1286,6 +1286,56 @@ object EventQueries {
       .orderBy("rn")
   }
 
+  /** GROUPED sliding-distinct state: the suffix-minima aggregate under
+    * ordinary grouped aggregation — one bounded window-answering state
+    * PER event type ("distinct users active since t, per source"),
+    * many groups × O(k log) entries each. Same raw-state oracle as
+    * q294, keyed. */
+  val q297 = QueryDef(
+    "q297_kmv_sliding_per_key",
+    s"""WITH d AS (SELECT event_type AS key, ${Cross.hash64Sql("user_id::VARCHAR")} AS h,
+       |             MAX(floor(epoch(ts))::BIGINT) AS t
+       |           FROM events GROUP BY 1, 2),
+       |kept AS (SELECT a.key, a.h, a.t FROM d a
+       |         WHERE (SELECT COUNT(*) FROM d b
+       |                WHERE b.key = a.key AND b.h < a.h AND b.t >= a.t) < 16)
+       |SELECT key, row_number() OVER (PARTITION BY key ORDER BY h) AS rn, h, t AS ts
+       |FROM kept ORDER BY key, rn""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        Cross.hash64(col("user_id").cast("string")).as("h"),
+        col("sec").cast("long").as("t"))
+      .groupBy("key")
+      .agg(graft.plans.KmvSliding.state(col("h"), col("t"), 16).as("st"))
+      .select(col("key"), posexplode(col("st")).as(Seq("pos", "e")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("rn"),
+        col("e.h").as("h"), col("e.ts").as("ts"))
+      .orderBy("key", "rn")
+  }
+
+  /** STREAMING per-key quantile sketches: grouped complete-mode GK —
+    * one m-bounded summary per event type folding incrementally, the
+    * per-source latency/size-percentile monitor (completes the
+    * sketch × streaming matrix: KMV/MG/GK/sliding/KS/count-min all
+    * now have global AND per-key streaming legs). Same guarantee
+    * reduction as the batch per-key gate (q285's oracle shape). */
+  val q298 = QueryDef("q298_stream_gk_per_key", q285.oracle.get) { (spark, dir) =>
+    import graft.operators.Sketches
+    import graft.streaming.EventStreams
+    val folded = EventStreams.runToCompletion(spark,
+      EventStreams.readEvents(spark, dir)
+        .select(col("event_type").as("key"), col("value").cast("double").as("v"))
+        .groupBy("key")
+        .agg(graft.plans.GkQuantile.sketch(col("v"), 512).as("sk")),
+      "q298_gk_per_key")
+    val est = Sketches.gkQuantiles(folded, Seq(0.05, 0.25, 0.5, 0.75, 0.95))
+    Sketches.gkRankCheck(est,
+        Tables.events(spark, dir)
+          .select(col("event_type").as("key"), col("value").cast("double").as("v")),
+        Seq("key"), epsDen = 40)
+      .orderBy("key", "phi")
+  }
+
   /** INVERSE quantile query (Sketches.gkPercentileRank): percentile
     * ranks for a fixed probe-value grid served from the published
     * global sketch alone — pure array arithmetic over ≤ m tuples, no
@@ -1438,5 +1488,5 @@ object EventQueries {
       .orderBy("section", "k1", "k2", "d1", "v1")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298)
 }
