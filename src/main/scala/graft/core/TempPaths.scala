@@ -41,6 +41,11 @@ object TempPaths {
 
   def pid: Long = ProcessHandle.current().pid()
 
+  /** Recursively clear a directory NOW (fresh-state-per-run for gate
+    * serving tables that hold nested bucket subdirs — a flat
+    * listFiles().delete() silently leaves non-empty subdirs behind). */
+  def clearDir(path: String): Unit = deleteRecursively(Paths.get(path))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       try Files.walk(p).sorted(Comparator.reverseOrder[Path]())

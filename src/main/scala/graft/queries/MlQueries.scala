@@ -614,8 +614,8 @@ object MlQueries {
       .parquet(replay.toString)
     val table = graft.core.TempPaths.gatePath("upsert_table")
     // fresh state per run: the pid-keyed path is stable WITHIN a run
-    val tdir = new java.io.File(table)
-    if (tdir.exists) { tdir.listFiles.foreach(_.delete()); tdir.delete() }
+    // (recursive — the fold table holds bucket subdirs)
+    graft.core.TempPaths.clearDir(table)
     EventStreams.runUpsertToCompletion(spark, stream, table,
         key = "user_id", version = "ver", name = "q277_upsert")
       .select("user_id", "event_id", "event_type", "sec")

@@ -338,56 +338,71 @@ object EventStreams {
     * is associative and versions are unique per key, so the final table
     * is independent of how the stream was batched (gate q277 replays in
     * maxFilesPerTrigger=1 batches and hash-matches the batch
-    * latest-row oracle). The merged frame materializes via
-    * localCheckpoint BEFORE the overwrite — reading and overwriting the
-    * same path lazily would delete the input under the read. Returns
-    * the final table.
+    * latest-row oracle). Returns the final table.
     *
-    * Scale caveat (gate-harness helper, NOT a production upsert sink):
-    * every micro-batch re-reads and rewrites the ENTIRE accumulated
-    * table — O(batches × table) rewrite cost — and the eager
-    * localCheckpoint holds the whole merged table in unreplicated
-    * executor storage memory. At serving-table scale use a format with
-    * native MERGE/compaction (or partition the table and rewrite only
-    * the key-partitions a batch touches); the compactLatest merge law
-    * itself (associative, batching-independent) is the part that
-    * carries to production unchanged. */
+    * Scale shape: the table is KEY-BUCKETED on disk ([[foldParquet]])
+    * and each micro-batch rewrites only the buckets it touches — the
+    * production partitioned-upsert pattern (a key-localized batch
+    * rewrites one bucket, not the table). A format with native MERGE
+    * still beats bucket rewrites at extreme churn, but the rewrite
+    * amplification is bounded by bucket granularity, not table size. */
   def runUpsertToCompletion(spark: SparkSession, stream: DataFrame,
       path: String, key: String, version: String, name: String): DataFrame = {
     val q = stream.writeStream
       .outputMode("append").queryName(name)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        foldParquet(path, batch) { snapshot =>
+        foldParquet(path, batch, key) { (snapshot, slice) =>
           graft.operators.Cdc.compactLatest(
-            snapshot.unionByName(batch), key, version)
+            snapshot.unionByName(slice), key, version)
         }
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(path)
+    readFold(spark, path)
   }
 
-  /** Read-merge-overwrite of one parquet serving table — the shared
-    * micro-batch fold step of [[runUpsertToCompletion]] and
-    * [[runIngestPipeline]]: `merge` receives the current snapshot
-    * (empty-with-schema on the first batch, via `like.limit(0)`) and
-    * returns the next table state, which materializes via
-    * localCheckpoint BEFORE the overwrite (reading and overwriting the
-    * same path lazily would delete the input under the read). Same
-    * scale caveat as runUpsertToCompletion: O(batches × table) rewrite,
-    * a gate-harness fold — production swaps in a format with native
-    * MERGE; the associative merge law is the part that carries over. */
-  private def foldParquet(path: String, like: DataFrame)(
-      merge: DataFrame => DataFrame): Unit = {
-    val dir = new java.io.File(path)
-    val have = dir.exists && Option(dir.listFiles).exists(
-      _.exists(_.getName.endsWith(".parquet")))
-    val snapshot =
-      if (have) like.sparkSession.read.parquet(path) else like.limit(0)
-    merge(snapshot).localCheckpoint(true)
-      .write.mode("overwrite").parquet(path)
+  /** Read-merge-overwrite of one KEY-BUCKETED parquet serving table —
+    * the shared micro-batch fold step of [[runUpsertToCompletion]] and
+    * [[runIngestPipeline]]. The table lives as `path/b<i>/` subdirs
+    * keyed by a stable hash bucket of `keyCol`; each micro-batch folds
+    * ONLY the buckets it touches: `merge(snapshot, slice)` runs per
+    * touched bucket with that bucket's current rows (empty-with-schema
+    * on first contact) and the batch's slice, and the result
+    * materializes via localCheckpoint BEFORE the overwrite (reading
+    * and overwriting the same path lazily would delete the input under
+    * the read).
+    *
+    * This is the production partitioned-upsert shape: rewrite
+    * amplification is O(touched buckets × bucket size) per batch, not
+    * O(table) — a key-localized batch rewrites one bucket of a 100 TB
+    * table. Correctness is bucketing-independent because buckets
+    * partition the KEY space: any per-key associative merge
+    * (compactLatest, additive counts, sketch re-folds) commutes with
+    * the partition, so the final table equals the unbucketed fold's
+    * (PipelineSpec's batching-independence case runs through this
+    * path). `readFold` reads the whole table back (recursive glob). */
+  private def foldParquet(path: String, batch: DataFrame, keyCol: String,
+      buckets: Int = 16)(merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val bs = batch.withColumn("__b", pmod(hash(col(keyCol)), lit(buckets)))
+      .localCheckpoint(true)
+    val touched = bs.select("__b").distinct().collect().map(_.getInt(0)).sorted
+    touched.foreach { b =>
+      val sub = s"$path/b$b"
+      val dir = new java.io.File(sub)
+      val have = dir.exists && Option(dir.listFiles).exists(
+        _.exists(_.getName.endsWith(".parquet")))
+      val slice = bs.filter(col("__b") === b).drop("__b")
+      val snapshot =
+        if (have) batch.sparkSession.read.parquet(sub) else slice.limit(0)
+      merge(snapshot, slice).localCheckpoint(true)
+        .write.mode("overwrite").parquet(sub)
+    }
   }
+
+  /** Read a [[foldParquet]] table back (all bucket subdirs). */
+  private def readFold(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
 
   /** The COMPOSED ingest topology a production pipeline actually runs —
     * ONE streaming query, at-least-once input already collapsed by
@@ -416,10 +431,8 @@ object EventStreams {
     val ksPath = s"$base/ks"
     val kmvPath = s"$base/kmv"
     // fresh state per run: the pid-keyed base is stable WITHIN a run
-    Seq(upsertPath, ksPath, kmvPath).foreach { p =>
-      val d = new java.io.File(p)
-      if (d.exists) { Option(d.listFiles).foreach(_.foreach(_.delete())); d.delete() }
-    }
+    // (recursive — the fold tables hold bucket subdirs)
+    Seq(upsertPath, ksPath, kmvPath).foreach(graft.core.TempPaths.clearDir)
     val q = deduped.writeStream
       .outputMode("append").queryName(name)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
@@ -429,20 +442,20 @@ object EventStreams {
           col("event_type"), col("sec"),
           graft.operators.Cdc.packedVersion(col("sec"), col("event_id"), name)
             .as("ver"))
-        foldParquet(upsertPath, withVer) { snap =>
+        foldParquet(upsertPath, withVer, "user_id") { (snap, slice) =>
           graft.operators.Cdc.compactLatest(
-            snap.unionByName(withVer), "user_id", "ver")
+            snap.unionByName(slice), "user_id", "ver")
         }
         val bc = ksValueCountsPerKey(b, col("event_type"),
           pmod(col("event_id"), lit(2)), col("value"))
-        foldParquet(ksPath, bc) { snap =>
-          snap.unionByName(bc).groupBy("key", "v")
+        foldParquet(ksPath, bc, "key") { (snap, slice) =>
+          snap.unionByName(slice).groupBy("key", "v")
             .agg(sum("c1").as("c1"), sum("c2").as("c2"))
         }
         val bh = graft.operators.Sketches.kmvSketch(
           b, expr("sec div 3600"), col("user_id"), 64)
-        foldParquet(kmvPath, bh) { snap =>
-          snap.unionByName(bh)
+        foldParquet(kmvPath, bh, "key") { (snap, slice) =>
+          snap.unionByName(slice)
             .select(col("key"), explode(col("sketch")).as("h"))
             .groupBy("key")
             .agg(graft.plans.Kmv.minValues(col("h"), 64).as("sketch"))
@@ -451,8 +464,8 @@ object EventStreams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    (spark.read.parquet(upsertPath), spark.read.parquet(ksPath),
-      spark.read.parquet(kmvPath))
+    (readFold(spark, upsertPath), readFold(spark, ksPath),
+      readFold(spark, kmvPath))
   }
 
   /** Per-key variant of [[ksValueCounts]]: one count pair per DISTINCT
