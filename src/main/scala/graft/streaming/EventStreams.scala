@@ -373,36 +373,47 @@ object EventStreams {
     * and overwriting the same path lazily would delete the input under
     * the read).
     *
-    * This is the production partitioned-upsert shape: rewrite
-    * amplification is O(touched buckets × bucket size) per batch, not
-    * O(table) — a key-localized batch rewrites one bucket of a 100 TB
-    * table. Correctness is bucketing-independent because buckets
-    * partition the KEY space: any per-key associative merge
-    * (compactLatest, additive counts, sketch re-folds) commutes with
-    * the partition, so the final table equals the unbucketed fold's
-    * (PipelineSpec's batching-independence case runs through this
-    * path). `readFold` reads the whole table back (recursive glob). */
+    * This is the production partitioned-upsert shape, executed as ONE
+    * read + ONE write per batch: the snapshot read prunes to touched
+    * partitions (partition filter on `__b`), and the write uses
+    * DYNAMIC partition overwrite — only the partitions present in the
+    * merged frame are replaced, untouched buckets' files never move.
+    * Rewrite amplification is O(touched buckets × bucket size) per
+    * batch, not O(table) — a key-localized batch rewrites one bucket
+    * of a 100 TB table. (A first cut looped buckets with one write
+    * job each: correct, but 16 job schedulings per sink per
+    * micro-batch tripled gate wall — dynamic overwrite is both the
+    * textbook pattern and the fast one.) Correctness is
+    * bucketing-independent because buckets partition the KEY space:
+    * any per-key associative merge (compactLatest, additive counts,
+    * sketch re-folds) commutes with the partition, so the final table
+    * equals the unbucketed fold's (PipelineSpec's
+    * batching-independence case runs through this path). */
   private def foldParquet(path: String, batch: DataFrame, keyCol: String,
       buckets: Int = 16)(merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val bs = batch.withColumn("__b", pmod(hash(col(keyCol)), lit(buckets)))
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val bucketOf = pmod(hash(col(keyCol)), lit(buckets))
+    val bs = batch.localCheckpoint(true)
+    val touched = bs.select(bucketOf.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val dir = new java.io.File(path)
+    val have = dir.exists && Option(dir.listFiles).exists(
+      _.exists(_.getName.startsWith("__b=")))
+    val snapshot =
+      if (have) spark.read.parquet(path)
+        .filter(col("__b").isin(touched: _*)).drop("__b")
+      else bs.limit(0)
+    merge(snapshot, bs)
+      .withColumn("__b", bucketOf)
       .localCheckpoint(true)
-    val touched = bs.select("__b").distinct().collect().map(_.getInt(0)).sorted
-    touched.foreach { b =>
-      val sub = s"$path/b$b"
-      val dir = new java.io.File(sub)
-      val have = dir.exists && Option(dir.listFiles).exists(
-        _.exists(_.getName.endsWith(".parquet")))
-      val slice = bs.filter(col("__b") === b).drop("__b")
-      val snapshot =
-        if (have) batch.sparkSession.read.parquet(sub) else slice.limit(0)
-      merge(snapshot, slice).localCheckpoint(true)
-        .write.mode("overwrite").parquet(sub)
-    }
+      .write.mode("overwrite").partitionBy("__b").parquet(path)
   }
 
-  /** Read a [[foldParquet]] table back (all bucket subdirs). */
+  /** Read a [[foldParquet]] table back (partition discovery over the
+    * `__b=` bucket dirs; the synthetic column drops out). */
   private def readFold(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(path)
+    spark.read.parquet(path).drop("__b")
 
   /** The COMPOSED ingest topology a production pipeline actually runs —
     * ONE streaming query, at-least-once input already collapsed by
