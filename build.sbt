@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 reserves only 240 MiB of JIT code cache; a ~300-gate
+  // whole-stage-codegen suite in ONE JVM generates enough unique
+  // compiled methods to fill it, after which UseCodeCacheFlushing
+  // keeps the JVM alive by evicting hot methods — which then
+  // recompile, inflating cpu_s/wall on UNCHANGED queries (the round-8
+  // driver-bench regression: q151 12.5→48.6 s with flat GC). 1 GiB is
+  // reserved address space, not committed memory, so it costs nothing
+  // until used. Override with SPARK_CODE_CACHE for A/B measurement.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -82,6 +82,7 @@ object Bench {
         SessionHygiene.resetHeapPeaks()
         val gc0 = SessionHygiene.gcMillis()
         val cpu0 = SessionHygiene.processCpuMillis()
+        val jit0 = SessionHygiene.jitMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true } catch {
@@ -100,29 +101,39 @@ object Bench {
         // question driver-vs-builder benches couldn't answer from gc_s
         // and peak_mb alone.
         val cpuS = (SessionHygiene.processCpuMillis() - cpu0) / 1e3
+        // Per-gate JIT seconds: the round-8 regression signature is
+        // unchanged gates whose cpu_s triples mid-suite — if jit_s
+        // tracks the inflation the JVM is recompiling flushed code
+        // (code cache exhausted), not running slower operators.
+        val jitS = (SessionHygiene.jitMillis() - jit0) / 1e3
         val peakMb = SessionHygiene.peakHeapMb()
         SessionHygiene.reset(spark)
-        (name, if (ok) sec else -1.0, gcS, peakMb, cpuS)
+        (name, if (ok) sec else -1.0, gcS, peakMb, cpuS, jitS)
       }
       if (attempts.exists(_._2 < 0)) { failed ::= name; attempts.find(_._2 < 0).get }
       else attempts.minBy(_._2)
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _, _) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, g, _, _, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val peaks = results.map { case (k, _, _, p, _) => s"\"" + k + "\":" + p }
+    val peaks = results.map { case (k, _, _, p, _, _) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, _, _, c) => s"\"" + k + "\":" + c }
+    val cpus_ = results.map { case (k, _, _, _, c, _) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val jits = results.map { case (k, _, _, _, _, j) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
     val totalGc = results.map(_._3).sum
     val totalCpu = results.map(_._5).sum
+    val totalJit = results.map(_._6).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""gc_s":$gcs,"peak_mb":$peaks,"cpu_s":$cpus_,"total_gc_s":$totalGc,""" +
-      s""""total_cpu_s":$totalCpu,"warmed":${repeat > 1},"repeat":$repeat,""" +
+      s""""gc_s":$gcs,"peak_mb":$peaks,"cpu_s":$cpus_,"jit_s":$jits,""" +
+      s""""total_gc_s":$totalGc,""" +
+      s""""total_cpu_s":$totalCpu,"total_jit_s":$totalJit,""" +
+      s""""warmed":${repeat > 1},"repeat":$repeat,""" +
       s""""session":${SessionHygiene.sessionInfoJson(spark)},"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but stdout scraping has
     // truncated past per-query maps — the same JSON also lands in a file

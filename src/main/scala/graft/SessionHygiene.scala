@@ -53,7 +53,10 @@ object SessionHygiene {
   def sessionInfoJson(spark: SparkSession): String = {
     def c(k: String) = try spark.conf.get(k) catch { case _: Exception => "" }
     val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    val (ccUsed, ccMax) = codeCacheMb()
     s"""{"spark_version":"${spark.version}"""" +
+      s""","code_cache_used_mb":$ccUsed""" +
+      s""","code_cache_reserved_mb":$ccMax""" +
       s""","master":"${spark.sparkContext.master}"""" +
       s""","java":"${System.getProperty("java.vm.version")}"""" +
       s""","heap_max_mb":$heapMb""" +
@@ -74,6 +77,31 @@ object SessionHygiene {
         math.max(0L, os.getProcessCpuTime) / 1000000L
       case _ => 0L
     }
+
+  /** Cumulative JIT compilation milliseconds (all compiler threads).
+    * The round-8 driver bench saw unchanged gates triple their cpu_s
+    * in a single unwarmed 298-gate JVM while warmed/isolated runs got
+    * FASTER — the hypothesis was code-cache exhaustion forcing
+    * flush/recompile storms. This counter turns that from an argument
+    * into a per-gate number: a gate whose wall inflates WITH jit_s is
+    * recompiling; one whose wall inflates without it is starved. */
+  def jitMillis(): Long =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(b => math.max(0L, b.getTotalCompilationTime)).getOrElse(0L)
+
+  /** (used MiB, reserved MiB) summed over the JIT code-cache segments
+    * (CodeHeap pools). used ≈ reserved is the smoking gun for the
+    * flush/recompile regime — the JVM stays functional (UseCodeCacheFlushing)
+    * but hot methods cycle between compiled and interpreted. */
+  def codeCacheMb(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.contains("CodeHeap"))
+    val used = pools.map(_.getUsage.getUsed).sum / (1024L * 1024L)
+    val max = pools.map(p => math.max(0L, p.getUsage.getMax)).sum / (1024L * 1024L)
+    (used, max)
+  }
 
   /** Cumulative stop-the-world GC milliseconds across all collectors. */
   def gcMillis(): Long = {

@@ -45,16 +45,27 @@ object FitCache {
   /** Look up a saved model for (input, params); on miss, run `fit`,
     * persist via `save(model, path)`, and record the path. Always
     * returns through `load` so every caller — first or later — reads
-    * the same disk artifact. */
+    * the same disk artifact.
+    *
+    * Concurrency: TrieMap.getOrElseUpdate is NOT atomic, so two
+    * concurrent first callers may both fit — that duplicate work is
+    * accepted (lock-free), but each fits into its OWN nonce'd path and
+    * publication goes through putIfAbsent, so racers can never
+    * interleave writes into one directory; the loser deletes its copy
+    * and loads the winner's. */
   def getOrFit[M](input: DataFrame, params: Any, what: String)(
       fit: => M)(save: (M, String) => Unit)(load: String => M): M = {
     val k = key(input, params)
-    val path = paths.getOrElseUpdate(k, {
+    val path = paths.get(k).getOrElse {
       val p = TempPaths.gatePath(
-        s"fit_${what}_${Integer.toHexString(k.hashCode)}")
+        s"fit_${what}_${Integer.toHexString(k.hashCode)}_" +
+          java.lang.Long.toHexString(System.nanoTime()))
       save(fit, p)
-      p
-    })
+      paths.putIfAbsent(k, p) match {
+        case Some(winner) => TempPaths.clearDir(p); winner
+        case None => p
+      }
+    }
     load(path)
   }
 }

@@ -267,10 +267,27 @@ object Sketches {
     * hash-compares the raw procedure against a DuckDB mirror (the
     * strongest sketch verdict, like q279/q280). Output per (key_a <
     * key_b): kept sizes, the union's kth minimum, and micro-integer
-    * Jaccard + overlap estimates. */
-  def kmvPairwiseOverlap(sketches: DataFrame, k: Int): DataFrame = {
-    val a = sketches.select(col("key").as("key_a"), col("sketch").as("sa"))
-    val b = sketches.select(col("key").as("key_b"), col("sketch").as("sb"))
+    * Jaccard + overlap estimates.
+    *
+    * SCALE GUARD: the self-join is inherently O(K²) in SKETCH COUNT —
+    * the right tool for source/domain-level K (a 10³-source
+    * contamination matrix is 10⁶ cheap array rows), the WRONG tool for
+    * per-document keys. `maxKeys` (default 4096 → ≤ ~8.4M pairs)
+    * fail-louds the misuse; callers who genuinely want a bigger matrix
+    * raise it explicitly, and anything beyond that wants an LSH-banded
+    * prefilter over the sketch minima instead of all pairs. The input
+    * is materialized once (localCheckpoint) so the guard's count does
+    * not re-run the upstream sketch aggregation. */
+  def kmvPairwiseOverlap(sketches: DataFrame, k: Int,
+      maxKeys: Int = 4096): DataFrame = {
+    val snap = sketches.localCheckpoint(true)
+    val nKeys = snap.count()
+    require(nKeys <= maxKeys,
+      s"kmvPairwiseOverlap: $nKeys sketch keys > maxKeys=$maxKeys — " +
+        "the all-pairs overlap matrix is O(K^2); band-prefilter or " +
+        "raise maxKeys deliberately for a larger matrix")
+    val a = snap.select(col("key").as("key_a"), col("sketch").as("sa"))
+    val b = snap.select(col("key").as("key_b"), col("sketch").as("sb"))
     val paired = a.join(b, col("key_a") < col("key_b"))
       .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
       .withColumn("nu", size(col("u")).cast("long"))
@@ -349,7 +366,11 @@ object Sketches {
     * same merge-and-reduce gap bound as the forward query. Input:
     * (keys.., sk) × probes (keys.., v); output keys.., v, n,
     * rank_est (1-based, clamped to [1, n]). Pure array expressions
-    * over the ≤ m tuples — no raw-data access. */
+    * over the ≤ m tuples — no raw-data access. An EMPTY sketch
+    * (n = 0) raises: a 1-based rank has no defined value there, and
+    * silently emitting 0 (what the clamp arithmetic would produce)
+    * is the fail-quiet mode this repo's raise_error convention
+    * exists to prevent. */
   def gkPercentileRank(sketches: DataFrame, probes: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val joined =
@@ -365,8 +386,12 @@ object Sketches {
     // Column `/` is double division; the midpoint rank must stay a
     // LONG (exact below 2^52, and the declared output type)
     val mid = ((lo + hi) / lit(2L)).cast("long")
+    val rank = when(col("sk.n") === 0L,
+      raise_error(lit("gkPercentileRank: empty sketch (n = 0) — " +
+        "a 1-based percentile rank is undefined on zero rows")))
+      .otherwise(least(greatest(mid, lit(1L)), col("sk.n")))
     joined.select(keyCols.map(col) ++ Seq(col("v"), col("sk.n").as("n"),
-      least(greatest(mid, lit(1L)), col("sk.n")).as("rank_est")): _*)
+      rank.as("rank_est")): _*)
   }
 
   /** The order-independent VERIFICATION frame (the MG-q270 pattern):

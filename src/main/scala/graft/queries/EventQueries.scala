@@ -1112,16 +1112,21 @@ object EventQueries {
 
   /** Mergeable quantile sketch per key (plans.GkQuantileAgg via
     * Sketches.gkSketchPerKey): event-value quantiles per event type as
-    * m = 512 summaries of sound Greenwald–Khanna rank intervals. The
+    * m = 2048 summaries of sound Greenwald–Khanna rank intervals. The
     * kept tuples are merge-order-dependent inside those intervals
     * (like Misra–Gries, unlike KMV), so the gate hash-checks the
     * GUARANTEES: exact n, and for every φ on the grid the estimate's
-    * exact rank range [#lt+1, #le] within n/40 of the target rank —
-    * guaranteed by the merge-and-reduce bound O(n·log(n/buf)/m) ≈
-    * 0.2 %·n ≪ 2.5 %·n at these parameters, at ANY scale (the bound is
-    * scale-free in n). GkQuantileSpec property-tests soundness across
-    * partitionings; the rank-range check (not point rank) is the
-    * honest measure under duplicate-heavy values. */
+    * exact rank range [#lt+1, #le] within n/40 of the target rank.
+    * The merge-and-reduce bound is n·(levels+1)/(m−1) with
+    * levels ≈ log2(n/bufCap) — O(log n / m) RELATIVE error, i.e. it
+    * GROWS with log n, it is not scale-free (a round-8 comment claimed
+    * otherwise). m = 2048, bufCap = 2048, epsDen = 40 keeps the 2.5 %
+    * budget until levels + 1 > 2047/40 ≈ 51, i.e. per-group n ≈
+    * 2048·2^50 ≈ 2·10^18 rows — headroom past any SF these gates (or a
+    * 100 TB corpus) can reach, where the previous m = 512 exhausted
+    * the budget near 8M rows/group. GkQuantileSpec property-tests
+    * soundness across partitionings; the rank-range check (not point
+    * rank) is the honest measure under duplicate-heavy values. */
   val q285 = QueryDef(
     "q285_gk_quantiles_per_key",
     gkOracle("SELECT event_type AS key, COUNT(*)::BIGINT AS n FROM events GROUP BY 1",
@@ -1129,7 +1134,7 @@ object EventQueries {
     import graft.operators.Sketches
     val df = Tables.events(spark, dir)
     val est = Sketches.gkQuantiles(
-      Sketches.gkSketchPerKey(df, col("event_type"), col("value"), 512),
+      Sketches.gkSketchPerKey(df, col("event_type"), col("value"), 2048),
       Seq(0.05, 0.25, 0.5, 0.75, 0.95))
     Sketches.gkRankCheck(est,
         df.select(col("event_type").as("key"), col("value").cast("double").as("v")),
@@ -1150,7 +1155,7 @@ object EventQueries {
       extra = ", min_v, max_v")) { (spark, dir) =>
     import graft.operators.Sketches
     val df = Tables.lineitem(spark, dir)
-    val sk = Sketches.gkSketchGlobal(df, col("l_extendedprice"), 512)
+    val sk = Sketches.gkSketchGlobal(df, col("l_extendedprice"), 2048)
       .localCheckpoint(true) // one scan feeds both the extremes and the grid
     val ext = sk.select(
       element_at(col("sk.tuples"), 1).getField("v").as("min_v"),
@@ -1179,8 +1184,8 @@ object EventQueries {
       Seq(0.1, 0.5, 0.9), keyed = true)) { (spark, dir) =>
     import graft.operators.Sketches
     val df = Tables.events(spark, dir)
-    val hourly = Sketches.gkSketchPerKey(df, expr("sec div 3600"), col("value"), 512)
-    val daily = Sketches.gkRollup(hourly, expr("key div 24"), 512)
+    val hourly = Sketches.gkSketchPerKey(df, expr("sec div 3600"), col("value"), 2048)
+    val daily = Sketches.gkRollup(hourly, expr("key div 24"), 2048)
     val est = Sketches.gkQuantiles(daily, Seq(0.1, 0.5, 0.9))
     Sketches.gkRankCheck(est,
         df.select(expr("sec div 86400").as("key"), col("value").cast("double").as("v")),
@@ -1188,7 +1193,7 @@ object EventQueries {
       .orderBy("key", "phi")
   }
 
-  /** STREAMING quantile sketch: the global m = 512 summary folds over
+  /** STREAMING quantile sketch: the global m = 2048 summary folds over
     * the event STREAM via the same mergeable aggregate
     * (complete-mode partial/merge path), O(m·log(n/buf)) tuples as the
     * query's whole state — the always-on latency/size-percentile
@@ -1204,7 +1209,7 @@ object EventQueries {
     val folded = EventStreams.runToCompletion(spark,
       EventStreams.readEvents(spark, dir)
         .select(col("value").cast("double").as("v"))
-        .agg(graft.plans.GkQuantile.sketch(col("v"), 512).as("sk")),
+        .agg(graft.plans.GkQuantile.sketch(col("v"), 2048).as("sk")),
       "q288_sketch")
     val est = Sketches.gkQuantiles(folded, Seq(0.1, 0.5, 0.9))
     Sketches.gkRankCheck(est,
@@ -1326,7 +1331,7 @@ object EventQueries {
       EventStreams.readEvents(spark, dir)
         .select(col("event_type").as("key"), col("value").cast("double").as("v"))
         .groupBy("key")
-        .agg(graft.plans.GkQuantile.sketch(col("v"), 512).as("sk")),
+        .agg(graft.plans.GkQuantile.sketch(col("v"), 2048).as("sk")),
       "q298_gk_per_key")
     val est = Sketches.gkQuantiles(folded, Seq(0.05, 0.25, 0.5, 0.75, 0.95))
     Sketches.gkRankCheck(est,
@@ -1351,7 +1356,7 @@ object EventQueries {
       |SELECT v, n, 1::BIGINT AS rank_ok FROM p CROSS JOIN t ORDER BY v""".stripMargin) { (spark, dir) =>
     import graft.operators.Sketches
     val li = Tables.lineitem(spark, dir)
-    val sk = Sketches.gkSketchGlobal(li, col("l_extendedprice"), 512)
+    val sk = Sketches.gkSketchGlobal(li, col("l_extendedprice"), 2048)
     val probes = spark.range(1).select(explode(array(
       Seq(1000.0, 5000.0, 10000.0, 25000.0, 50000.0, 75000.0, 100000.0)
         .map(lit(_)): _*)).as("v"))
@@ -1453,7 +1458,7 @@ object EventQueries {
       .groupBy("hour")
       .agg(graft.plans.Kmv.minValues(col("h"), 64).as("kmv"),
         graft.plans.MisraGries.summary(col("u"), 64).as("mg"),
-        graft.plans.GkQuantile.sketch(col("v"), 512).as("sk"))
+        graft.plans.GkQuantile.sketch(col("v"), 2048).as("sk"))
       .localCheckpoint(true) // published once; three reductions read it
     val v = cube.select(col("hour"), posexplode(col("kmv")).as(Seq("pos", "hh")),
         size(col("kmv")).cast("long").as("n_kept"))

@@ -222,8 +222,8 @@ object SqlApiQueries {
     GraftFunctions.register(spark)
     Tables.events(spark, dir).createOrReplaceTempView("graft_ev_gk")
     val sk = spark.sql(
-      """SELECT graft_gk_merge(sk, 512) AS sk FROM (
-        |  SELECT event_type, graft_gk(CAST(value AS DOUBLE), 512) AS sk
+      """SELECT graft_gk_merge(sk, 2048) AS sk FROM (
+        |  SELECT event_type, graft_gk(CAST(value AS DOUBLE), 2048) AS sk
         |  FROM graft_ev_gk GROUP BY event_type)""".stripMargin)
     val est = graft.operators.Sketches.gkQuantiles(sk, Seq(0.1, 0.5, 0.9))
     graft.operators.Sketches.gkRankCheck(est,

@@ -389,10 +389,9 @@ object EventStreams {
     * sketch re-folds) commutes with the partition, so the final table
     * equals the unbucketed fold's (PipelineSpec's
     * batching-independence case runs through this path). */
-  private def foldParquet(path: String, batch: DataFrame, keyCol: String,
+  private[graft] def foldParquet(path: String, batch: DataFrame, keyCol: String,
       buckets: Int = 16)(merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val bucketOf = pmod(hash(col(keyCol)), lit(buckets))
     val bs = batch.localCheckpoint(true)
     val touched = bs.select(bucketOf.as("__b")).distinct()
@@ -407,7 +406,14 @@ object EventStreams {
     merge(snapshot, bs)
       .withColumn("__b", bucketOf)
       .localCheckpoint(true)
-      .write.mode("overwrite").partitionBy("__b").parquet(path)
+      .write.mode("overwrite")
+      // per-WRITE dynamic overwrite (only partitions present in the
+      // merged frame are replaced) — deliberately NOT the session conf,
+      // which would silently flip later gates' pre-existing partitioned
+      // overwrites from static (clear stale partitions) to dynamic
+      // (keep ghost data)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__b").parquet(path)
   }
 
   /** Read a [[foldParquet]] table back (partition discovery over the
