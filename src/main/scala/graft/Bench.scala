@@ -11,6 +11,103 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Sharded mode (the default for FULL runs): split the gate suite
+    // across SPARK_GRAFT_BENCH_SHARDS sequential child JVMs and merge
+    // their JSONs. Why: rounds 7-9 measured the same unchanged gates
+    // swinging 3-6x in per-gate cpu_s across single-JVM 300-gate runs
+    // (flat GC, flat jit_s, code cache never past 159/240 MiB, the
+    // slow tail landing on DIFFERENT gates each run) — the signature
+    // of JIT profile pollution: 300 queries' codegen classes share the
+    // runtime's hot methods, and whether a gate's critical callees got
+    // compiled against a friendly or megamorphic profile depends on
+    // suite history. Bounding each JVM to ~75 gates bounds the shared
+    // profile state, which is also the honest production shape (a job
+    // gets its own executors, not a JVM that ran 300 other queries).
+    // Name-filtered runs (dev loop) and child invocations stay
+    // single-JVM.
+    val shards = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "4").toInt)
+    if (args.isEmpty && shards > 1 && !sys.env.contains("SPARK_GRAFT_BENCH_CHILD"))
+      runSharded(shards)
+    else
+      runSuite(args)
+  }
+
+  private def runSharded(shards: Int): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val chunks = names.grouped(math.ceil(names.size.toDouble / shards).toInt).toSeq
+    val outs = chunks.zipWithIndex.map { case (chunk, i) =>
+      val out = java.nio.file.Files.createTempFile(s"graft_bench_shard$i", ".json")
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+      }
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ chunk
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      // child stdout would collide with THE one merged JSON line this
+      // process owes its caller; stderr (Spark logs, failure lines)
+      // passes through
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val rc = pb.start().waitFor()
+      require(rc == 0, s"bench shard $i exited $rc (gates ${chunk.head}..${chunk.last})")
+      out
+    }
+    // merge: per-gate maps concatenate (chunks are disjoint), totals
+    // recompute, session telemetry from the last shard + shard count
+    def mapOf(json: String, field: String): String = {
+      val i = json.indexOf("\"" + field + "\":{")
+      val start = i + field.length + 4
+      val end = json.indexOf("}", start)
+      json.substring(start, end)
+    }
+    val shardJsons = outs.map(p => new String(
+      java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    val merged = Seq("queries", "gc_s", "peak_mb", "cpu_s", "jit_s").map { f =>
+      "\"" + f + "\":{" + shardJsons.map(mapOf(_, f)).filter(_.nonEmpty).mkString(",") + "}"
+    }
+    def num(json: String, field: String): Double = {
+      val i = json.indexOf("\"" + field + "\":")
+      json.substring(i + field.length + 3).takeWhile(c => c.isDigit || c == '.' || c == '-').toDouble
+    }
+    val total = shardJsons.map(num(_, "value")).sum
+    val totalGc = shardJsons.map(num(_, "total_gc_s")).sum
+    val totalCpu = shardJsons.map(num(_, "total_cpu_s")).sum
+    val totalJit = shardJsons.map(num(_, "total_jit_s")).sum
+    def raw(json: String, field: String): String = {
+      val i = json.indexOf("\"" + field + "\":")
+      val start = i + field.length + 3
+      var depth = 0; var end = start
+      while (end < json.length && (depth > 0 || (json(end) != ',' && json(end) != '}'))) {
+        if (json(end) == '{') depth += 1
+        if (json(end) == '}') depth -= 1
+        end += 1
+      }
+      json.substring(start, end)
+    }
+    val session = raw(shardJsons.last, "session")
+    val repeat = num(shardJsons.last, "repeat").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      merged.mkString(",") + "," +
+      s""""total_gc_s":$totalGc,"total_cpu_s":$totalCpu,"total_jit_s":$totalJit,""" +
+      s""""warmed":${repeat > 1},"repeat":$repeat,"shards":$shards,""" +
+      s""""session":$session,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(json)
+    outs.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+  }
+
+  private def runSuite(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // per-run warehouse: managed-table gates (bucketed joins) never see

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.{GkSummary, SlidingEh}
+import graft.plans.SlidingEh.Bucket
+
+/** Row shapes for the typed (Dataset) legs of the sliding sketches.
+  * Top-level case classes so implicit Encoders derive. Field names
+  * match the sketch structs they decode (GkQuantileAgg's
+  * struct<n, tuples<v, rmin, rmax>>, MisraGriesSummary's
+  * array<struct<key, est>>). */
+object SlidingRows {
+  final case class GkTupleR(v: Double, rmin: Long, rmax: Long)
+  final case class GkSkR(n: Long, tuples: Seq[GkTupleR])
+  final case class GkHourRow(key: String, q: Long, sk: GkSkR)
+  final case class GkEstRow(key: String, start: Long, t_cov_sec: Long,
+      phi: Double, n_cov: Long, r_cov: Long, est: Double, stale_ok: Long)
+  final case class MgEntry(key: String, est: Long)
+  final case class MgHourRow(key: String, q: Long, n: Long, entries: Seq[MgEntry])
+  final case class MgCovRow(key: String, start: Long, t_cov_sec: Long,
+      n_cov: Long, stale_ok: Long, entries: Seq[MgEntry])
+}
+
+/** SLIDING-WINDOW legs for the order-dependent sketch-family members —
+  * GK quantiles ("last-day p99 latency") and Misra–Gries heavy hitters
+  * ("last-day top talkers") — via [[graft.plans.SlidingEh]] exponential
+  * histograms of per-quantum summaries. Completes the sliding family
+  * the suffix-minima KMV state started (q294–q297): KMV's kept set is
+  * a pure suffix property so its sliding form is EXACT; rank and
+  * frequency summaries are not, so their sliding form answers an exact
+  * time SUFFIX [tCov, now] with tCov within the EH staleness bound of
+  * the requested start — and the gates check exactly that split:
+  * coverage exactness + staleness bound + the summary's own guarantees
+  * over the covered suffix (q285/q270 discipline, because neither kept
+  * set is canonical).
+  *
+  * Pipeline shape (both members):
+  *   1. per-(key, quantum) summaries — ORDINARY DISTRIBUTED groupBy
+  *      over raw rows (the 100 TB-heavy step; partial aggregation,
+  *      m/k-bounded state per group);
+  *   2. per-key EH fold over the ≤ #quanta summary OBJECTS inside
+  *      mapGroups — no driver collect, no raw-data rescan, O(c·log W)
+  *      buckets of state per key;
+  *   3. window queries per start answered from the buckets, verified
+  *      by one distributed join back to raw rows.
+  * Window starts must be QUANTUM-ALIGNED (require'd): that makes
+  * "window nonempty ⟺ covered suffix nonempty" exact, so the emitted
+  * row set is a pure function of the data and an oracle can mirror it.
+  */
+object SlidingSketches {
+  import SlidingRows._
+
+  /** EH branching: ≤ C buckets per span; a span-L straddler is backed
+    * by ≥ (C−1)·(L−1) covered quanta — staleness ≤ ~2/(C−1) of the
+    * covered span. */
+  val C = 4
+
+  private def decodeGk(r: GkSkR): GkSummary =
+    GkSummary(r.n, r.tuples.map(_.v).toArray, r.tuples.map(_.rmin).toArray,
+      r.tuples.map(_.rmax).toArray)
+
+  /** Per-(key, quantum) GK summaries: the distributed step. `key`
+    * null-safe string (use lit("") for a global sketch). */
+  def gkHourly(df: DataFrame, key: Column, value: Column, sec: Column,
+      u: Long, m: Int): DataFrame =
+    df.select(key.cast("string").as("key"),
+        (sec.cast("long") - pmod(sec.cast("long"), lit(u))).divide(u)
+          .cast("long").as("q"),
+        value.cast("double").as("v"))
+      .groupBy("key", "q")
+      .agg(graft.plans.GkQuantile.sketch(col("v"), m).as("sk"))
+
+  /** Per-key EH fold + window-quantile answers. For each key and each
+    * quantum-aligned window start with data at-or-after it, emits one
+    * row per φ: the covered suffix's exact boundary t_cov_sec, its
+    * exact size n_cov (from the summaries' exact n), the 1-based
+    * target rank over the covered suffix, the estimate from the
+    * UNPRUNED merge of covered buckets (zero extra rank error at query
+    * time), and the staleness verdict. Deterministic given (data,
+    * grid): the EH layout depends only on the key's quantum count. */
+  def gkSlidingEstimates(hourly: DataFrame, u: Long, m: Int,
+      starts: Seq[Long], phis: Seq[Double]): DataFrame = {
+    require(starts.nonEmpty && phis.nonEmpty, "empty starts/phis")
+    starts.foreach(s => require(s % u == 0,
+      s"window start $s not aligned to quantum $u — alignment is what " +
+        "makes the emitted row set oracle-mirrorable"))
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    val startsV = starts.toVector
+    val phisV = phis.toVector
+    hourly.select(col("key"), col("q"), col("sk")).as[GkHourRow]
+      .groupByKey(_.key)
+      .flatMapGroups { (key: String, it: Iterator[GkHourRow]) =>
+        val rows = it.map(r => r.q -> decodeGk(r.sk)).toMap
+        val q0 = rows.keys.min
+        val q1 = rows.keys.max
+        require(q1 - q0 < (1L << 22),
+          s"sliding grid for key=$key spans ${q1 - q0} quanta — the dense " +
+            "EH grid would be pathological; coarsen the quantum u")
+        val quanta = (q0 to q1).map(q => rows.getOrElse(q, GkSummary.empty))
+        val buckets = SlidingEh.build(q0, quanta, C,
+          (a: GkSummary, b: GkSummary) => SlidingEh.gkMerge(a, b, m))
+        startsV.iterator.flatMap { s =>
+          SlidingEh.cover(buckets, s / u, C) match {
+            case None => Iterator.empty // window past newest data ⇒ empty
+            case Some(cov) =>
+              val merged = SlidingEh.gkMergeAll(cov.covered.map(_.s))
+              if (merged.n == 0) Iterator.empty // covered quanta all empty
+              else phisV.iterator.map { phi =>
+                GkEstRow(key, s, cov.tCovQ * u, phi, merged.n,
+                  1L + math.round(phi * (merged.n - 1)),
+                  GkSummary.query(merged, phi),
+                  if (cov.staleOk) 1L else 0L)
+              }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** The verification frame (gkRankCheck's sliding twin): one
+    * distributed pass joins raw rows to the per-(key, start) answers
+    * and checks, per (key, start, φ):
+    *   rank_ok     — the estimate's exact rank range over the COVERED
+    *                 suffix {sec ≥ t_cov_sec} is within n_cov/epsDen
+    *                 of the target rank (the GK merge-and-reduce
+    *                 guarantee; EH query-side merging is unpruned so
+    *                 it adds nothing);
+    *   coverage_ok — n_cov equals the exact raw count of the covered
+    *                 suffix (the sketch's n is exact AND the suffix
+    *                 boundary is real);
+    *   stale_ok    — the EH layout invariant held (computed at answer
+    *                 time, carried through).
+    * n_window (exact raw count of the REQUESTED window) rides along to
+    * anchor every row to oracle-computable data. All three flags are
+    * guaranteed 1 by construction; an oracle emits the literals. */
+  def gkSlidingCheck(raw: DataFrame, estimates: DataFrame,
+      keyed: Boolean, epsDen: Int): DataFrame = {
+    val est = broadcast(estimates)
+    val joined =
+      if (keyed) raw.join(est, "key")
+      else raw.drop("key").crossJoin(est.drop("key"))
+    val keyCols = if (keyed) Seq(col("key")) else Nil
+    val inSuffix = col("sec") >= col("t_cov_sec")
+    joined
+      .groupBy(keyCols ++ Seq(col("start"), col("phi"), col("n_cov"),
+        col("r_cov"), col("est"), col("stale_ok")): _*)
+      .agg(
+        sum(when(col("sec") >= col("start"), 1L).otherwise(0L)).as("n_window"),
+        sum(when(inSuffix, 1L).otherwise(0L)).as("n_suffix"),
+        sum(when(inSuffix && col("v") < col("est"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(inSuffix && col("v") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))
+      .select(keyCols ++ Seq(col("start"), col("phi"), col("n_window"),
+        (((col("cnt_lt") + 1 - col("r_cov")) * epsDen <= col("n_cov")) &&
+          ((col("r_cov") - col("cnt_le")) * epsDen <= col("n_cov")))
+          .cast("long").as("rank_ok"),
+        (col("n_suffix") === col("n_cov")).cast("long").as("coverage_ok"),
+        col("stale_ok")): _*)
+  }
+
+  /** Per-(key, quantum) Misra–Gries summaries + exact quantum counts
+    * (n rides along because the MG array does not carry it and the
+    * coverage/bound checks need exact covered-suffix size). */
+  def mgHourly(df: DataFrame, key: Column, item: Column, sec: Column,
+      u: Long, k: Int): DataFrame =
+    df.select(key.cast("string").as("key"),
+        (sec.cast("long") - pmod(sec.cast("long"), lit(u))).divide(u)
+          .cast("long").as("q"),
+        item.cast("string").as("item"))
+      .groupBy("key", "q")
+      .agg(count(lit(1)).as("n"),
+        graft.plans.MisraGries.summary(col("item"), k).as("entries"))
+
+  /** Per-key EH fold + window heavy-hitter answers: one row per
+    * (key, quantum-aligned start) with the covered suffix boundary,
+    * its exact size, the staleness verdict, and the k-bounded MG
+    * summary of the covered suffix (query-side merges use the same
+    * mergeable reduce, whose undercount bound is merge-tree-free). */
+  def mgSlidingSummaries(hourlyMg: DataFrame, u: Long, k: Int,
+      starts: Seq[Long]): DataFrame = {
+    require(starts.nonEmpty, "empty starts")
+    starts.foreach(s => require(s % u == 0,
+      s"window start $s not aligned to quantum $u"))
+    val spark = hourlyMg.sparkSession
+    import spark.implicits._
+    val startsV = starts.toVector
+    hourlyMg.select(col("key"), col("q"), col("n"), col("entries"))
+      .as[MgHourRow]
+      .groupByKey(_.key)
+      .flatMapGroups { (key: String, it: Iterator[MgHourRow]) =>
+        val rows = it.map(r =>
+          r.q -> (r.n, r.entries.map(e => e.key -> e.est).toMap)).toMap
+        val q0 = rows.keys.min
+        val q1 = rows.keys.max
+        require(q1 - q0 < (1L << 22),
+          s"sliding grid for key=$key spans ${q1 - q0} quanta — the dense " +
+            "EH grid would be pathological; coarsen the quantum u")
+        val empty = (0L, Map.empty[String, Long])
+        val quanta = (q0 to q1).map(q => rows.getOrElse(q, empty))
+        val buckets = SlidingEh.build(q0, quanta, C,
+          (a: (Long, Map[String, Long]), b: (Long, Map[String, Long])) =>
+            SlidingEh.mgMerge(a, b, k))
+        startsV.iterator.flatMap { s =>
+          SlidingEh.cover(buckets, s / u, C) match {
+            case None => Iterator.empty
+            case Some(cov) =>
+              val merged = cov.covered.map(_.s)
+                .foldLeft(empty)((a, b) => SlidingEh.mgMerge(a, b, k))
+              if (merged._1 == 0) Iterator.empty
+              else Iterator.single(MgCovRow(key, s, cov.tCovQ * u, merged._1,
+                if (cov.staleOk) 1L else 0L,
+                merged._2.toSeq.sortBy { case (kk, c) => (-c, kk) }
+                  .map { case (kk, c) => MgEntry(kk, c) }))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** The MG verification frame over the covered suffix (q270's
+    * discipline made sliding): per (key, start),
+    *   heavy_ok    — every item whose EXACT covered-suffix count c has
+    *                 c·(k+1) > n_cov is present in the summary with
+    *                 c − n_cov/(k+1) ≤ est ≤ c;
+    *   bounds_ok   — every summary entry matched by a suffix item has
+    *                 est ≤ exact count (never overestimates), and the
+    *                 summary's total mass ≤ n_cov (catches phantom
+    *                 entries no raw row backs);
+    *   coverage_ok — Σ exact per-item suffix counts == n_cov;
+    *   stale_ok    — carried from the EH layout check.
+    * n_window anchors rows to oracle-computable data; flags are
+    * guaranteed 1 by the mergeable-summaries bound (merge-tree-free,
+    * so EH depth is free for MG). */
+  def mgSlidingCheck(raw: DataFrame, covered: DataFrame,
+      keyed: Boolean, k: Int): DataFrame = {
+    val cov = broadcast(covered
+      .withColumn("mass", coalesce(aggregate(col("entries"), lit(0L),
+        (acc, e) => acc + e.getField("est")), lit(0L))))
+    val joined =
+      if (keyed) raw.join(cov, "key")
+      else raw.drop("key").crossJoin(cov.drop("key"))
+    val keyCols = if (keyed) Seq(col("key")) else Nil
+    val inSuffix = col("sec") >= col("t_cov_sec")
+    val perItem = joined
+      .withColumn("est_i",
+        element_at(map_from_entries(col("entries")), col("item")))
+      .groupBy(keyCols ++ Seq(col("start"), col("n_cov"), col("stale_ok"),
+        col("mass"), col("item"), col("est_i")): _*)
+      .agg(sum(when(inSuffix, 1L).otherwise(0L)).as("c_cov"),
+        sum(when(col("sec") >= col("start"), 1L).otherwise(0L)).as("c_win"))
+    val heavy = col("c_cov") * (k + 1) > col("n_cov")
+    val presentAndBounded = col("est_i").isNotNull &&
+      col("est_i") <= col("c_cov") &&
+      (col("c_cov") - col("est_i")) * (k + 1) <= col("n_cov")
+    perItem
+      .groupBy(keyCols ++ Seq(col("start"), col("n_cov"), col("stale_ok"),
+        col("mass")): _*)
+      .agg(sum(col("c_win")).as("n_window"),
+        sum(col("c_cov")).as("n_suffix"),
+        min(when(heavy, presentAndBounded.cast("long")).otherwise(1L))
+          .as("heavy_ok"),
+        min(when(col("est_i").isNotNull && col("c_cov") > 0,
+          (col("est_i") <= col("c_cov")).cast("long")).otherwise(1L))
+          .as("over_ok"))
+      .select(keyCols ++ Seq(col("start"), col("n_window"), col("heavy_ok"),
+        (col("over_ok") === 1L && col("mass") <= col("n_cov"))
+          .cast("long").as("bounds_ok"),
+        (col("n_suffix") === col("n_cov")).cast("long").as("coverage_ok"),
+        col("stale_ok")): _*)
+  }
+}

@@ -329,8 +329,15 @@ object EventQueries {
   }
 
   /** Quantiles: the exact interpolated median hash-matches DuckDB's
-    * quantile_cont; the approx_percentile sketch is value-checked against
-    * the exact p40..p60 band (same boolean-contract pattern as q47). */
+    * quantile_cont; the approximate leg is served from the repo's own
+    * mergeable GK summary ([[graft.plans.GkQuantileAgg]] +
+    * `graft_gk_q`), value-checked against the exact p40..p60 band
+    * (same boolean-contract pattern as q47). This used to call
+    * engine-private `approx_percentile` — the exact one-shot the GK
+    * scaladoc argues against (state can't be published, rolled up, or
+    * re-queried at a new φ); serving it from the sketch makes every
+    * quantile in the repo mergeable, and the band is 10% of rank where
+    * the m = 2048 summary guarantees <1%. */
   val q48 = QueryDef(
     "q48_quantile_sketch",
     """SELECT event_type,
@@ -341,11 +348,13 @@ object EventQueries {
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(Cross.r6(expr("percentile(value, 0.5D)")).as("p50"),
-        expr("approx_percentile(value, 0.5D, 10000)").as("ap"),
+        graft.plans.GkQuantile.sketch(col("value"), 2048).as("sk"),
         expr("percentile(value, 0.4D)").as("p40"),
         expr("percentile(value, 0.6D)").as("p60"))
       .select(col("event_type"), col("p50"),
-        (col("ap") >= col("p40") && col("ap") <= col("p60")).as("approx_in_band"))
+        (graft.plans.GkQuantile.quantileCol(col("sk"), 0.5) >= col("p40") &&
+          graft.plans.GkQuantile.quantileCol(col("sk"), 0.5) <= col("p60"))
+          .as("approx_in_band"))
       .orderBy("event_type")
   }
 
@@ -1493,5 +1502,151 @@ object EventQueries {
       .orderBy("section", "k1", "k2", "d1", "v1")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298)
+  /** Shared oracle head for the sliding-sketch gates: the window-start
+    * grid is pure integer arithmetic over (min, max) event seconds —
+    * quantum-aligned (·//3600·3600) so "window nonempty ⟺ covered
+    * suffix nonempty" holds exactly and both engines emit the same
+    * row set — and n_window (exact count of the REQUESTED window)
+    * anchors every row to raw data. The flags are guaranteed by
+    * construction (EH staleness invariant + exact-suffix coverage +
+    * the member sketch's own bound over the covered suffix), so the
+    * oracle emits the literals — the q285/q270 discipline extended
+    * with the coverage/staleness split that makes a sliding answer
+    * honest. */
+  private def slidingOracle(grid: Int, nStarts: Int, phis: Seq[Double],
+      keyed: Boolean): String = {
+    val ks = (0 until nStarts).mkString(", ")
+    val keySel = if (keyed) "e.event_type AS key, " else ""
+    val keyCol = if (keyed) "key, " else ""
+    val phiSel =
+      if (phis.isEmpty) ""
+      else s", p AS (SELECT CAST(unnest([${phis.mkString(", ")}]) AS DOUBLE) AS phi)"
+    val phiCols = if (phis.isEmpty) "" else "phi, "
+    val phiJoin = if (phis.isEmpty) "" else " CROSS JOIN p"
+    val flags =
+      if (phis.isEmpty)
+        "1::BIGINT AS heavy_ok, 1::BIGINT AS bounds_ok, 1::BIGINT AS coverage_ok, 1::BIGINT AS stale_ok"
+      else
+        "1::BIGINT AS rank_ok, 1::BIGINT AS coverage_ok, 1::BIGINT AS stale_ok"
+    val order = keyCol + "start" + (if (phis.isEmpty) "" else ", phi")
+    s"""WITH b AS (SELECT MIN(floor(epoch(ts))::BIGINT) AS smin,
+       |            MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smin + (k*(smax - smin))//$grid)//3600)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([$ks]) AS k)),
+       |w AS (SELECT $keySel s.start, COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY ${if (keyed) "1, 2" else "1"})$phiSel
+       |SELECT ${keyCol}start, ${phiCols}n_window, $flags
+       |FROM w$phiJoin ORDER BY $order""".stripMargin
+  }
+
+  /** The quantum-aligned window-start grid both engines share: `n`
+    * evenly spaced starts over [smin, smax], floored to the hour. The
+    * one-row min/max collect is bounded loop control (the window grid
+    * is a query PARAMETER, like the curation budgets). */
+  private def slidingStarts(ev: org.apache.spark.sql.DataFrame,
+      grid: Int, nStarts: Int): Seq[Long] = {
+    val mm = ev.agg(min(col("sec")).cast("long").as("a"),
+      max(col("sec")).cast("long").as("b")).head
+    val (smin, smax) = (mm.getLong(0), mm.getLong(1))
+    (0 until nStarts)
+      .map(k => ((smin + k.toLong * (smax - smin) / grid) / 3600L) * 3600L)
+      .distinct
+  }
+
+  /** SLIDING-WINDOW quantiles (plans.SlidingEh + operators.
+    * SlidingSketches): the GK family member the sliding KMV state
+    * (q294) started — "p10/p50/p90 of event values since ANY t" served
+    * from an exponential histogram of per-hour GK summaries, never a
+    * raw rescan. Per window start the answer covers an EXACT time
+    * suffix [t_cov, now] with t_cov within the EH staleness bound of
+    * the start; the gate checks all three legs (rank guarantee over
+    * the covered suffix, exact coverage, staleness invariant) against
+    * exact counts, with n_window anchoring each row. */
+  val q299 = QueryDef(
+    "q299_gk_sliding_window",
+    slidingOracle(6, 6, Seq(0.1, 0.5, 0.9), keyed = false)) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 6, 6)
+    val hourly = SS.gkHourly(ev, lit(""), col("value"), col("sec"), 3600L, 2048)
+    val est = SS.gkSlidingEstimates(hourly, 3600L, 2048, starts, Seq(0.1, 0.5, 0.9))
+    SS.gkSlidingCheck(
+        ev.select(col("sec").cast("long").as("sec"),
+          col("value").cast("double").as("v")),
+        est, keyed = false, epsDen = 40)
+      .orderBy("start", "phi")
+  }
+
+  /** Per-KEY sliding quantiles: one EH of hourly GK summaries per
+    * event type (the per-source "last-window latency percentile"
+    * panel), EH folds running DISTRIBUTED per key inside mapGroups —
+    * no driver collect, per-key state O(c·log W) summaries. Same
+    * three-leg guarantee reduction as q299, keyed. */
+  val q300 = QueryDef(
+    "q300_gk_sliding_per_key",
+    slidingOracle(4, 4, Seq(0.25, 0.75), keyed = true)) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 4, 4)
+    val hourly = SS.gkHourly(ev, col("event_type"), col("value"), col("sec"),
+      3600L, 2048)
+    val est = SS.gkSlidingEstimates(hourly, 3600L, 2048, starts, Seq(0.25, 0.75))
+    SS.gkSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("value").cast("double").as("v")),
+        est, keyed = true, epsDen = 40)
+      .orderBy("key", "start", "phi")
+  }
+
+  /** SLIDING-WINDOW heavy hitters: Misra–Gries rides the same EH frame
+    * ("top users since ANY t" from per-hour k-bounded summaries). The
+    * MG undercount bound is merge-TREE-free (mergeable-summaries
+    * rule), so EH depth costs nothing; the gate checks the covered
+    * suffix's heavy set (presence + bounds), no overestimation, exact
+    * coverage, and the staleness invariant per window start. */
+  val q301 = QueryDef(
+    "q301_mg_sliding_window",
+    slidingOracle(6, 6, Nil, keyed = false)) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 6, 6)
+    val hourly = SS.mgHourly(ev, lit(""), col("user_id"), col("sec"), 3600L, 64)
+    val cov = SS.mgSlidingSummaries(hourly, 3600L, 64, starts)
+    SS.mgSlidingCheck(
+        ev.select(col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cov, keyed = false, k = 64)
+      .orderBy("start")
+  }
+
+  /** STREAMING-fed sliding quantiles: the per-hour GK summaries fold
+    * over the event STREAM (complete-mode grouped aggregation — the
+    * same mergeable partial/merge path as q288/q298), and the
+    * completed hourly cube feeds the identical EH + three-leg check as
+    * q299 (same oracle). This is the production shape: an always-on
+    * stream maintains the per-quantum cube; ANY window query answers
+    * from the cube without touching the stream. */
+  val q302 = QueryDef("q302_stream_gk_sliding", q299.oracle.get) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.EventStreams
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 6, 6)
+    val hourly = EventStreams.runToCompletion(spark,
+      EventStreams.readEvents(spark, dir)
+        .select(lit("").as("key"), expr("sec div 3600").as("q"),
+          col("value").cast("double").as("v"))
+        .groupBy("key", "q")
+        .agg(graft.plans.GkQuantile.sketch(col("v"), 2048).as("sk")),
+      "q302_gk_hourly")
+    val est = SS.gkSlidingEstimates(hourly, 3600L, 2048, starts, Seq(0.1, 0.5, 0.9))
+    SS.gkSlidingCheck(
+        ev.select(col("sec").cast("long").as("sec"),
+          col("value").cast("double").as("v")),
+        est, keyed = false, epsDen = 40)
+      .orderBy("start", "phi")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302)
 }

@@ -622,6 +622,41 @@ object MlQueries {
       .orderBy("user_id")
   }
 
+  /** LOG-STRUCTURED streaming upsert (EventStreams.
+    * runUpsertLogToCompletion): q277's exact topology and oracle, but
+    * the serving table is an LSM-shaped delta log — each micro-batch
+    * appends one delta dir (write amplification = batch bytes), with
+    * compaction every 2 deltas so the four-batch replay exercises both
+    * mid-run compactions AND an uncompacted read-side tail. Latest-
+    * version-wins is compaction-order-free, so the final table hash-
+    * matches the same batch latest-row oracle whatever the cadence —
+    * the extreme-churn answer the bucketed fold's scaladoc deferred to
+    * "a format with native MERGE". */
+  val q303 = QueryDef("q303_stream_upsert_log", q277.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"),
+        graft.operators.Cdc.packedVersion(col("sec"), col("event_id"), "q303")
+          .as("ver"))
+    val replay = java.nio.file.Files.createTempDirectory("graft_upsertlog_replay")
+    graft.core.TempPaths.register(replay)
+    base.repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType),
+        StructField("ver", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val table = graft.core.TempPaths.gatePath("upsert_log_table")
+    graft.core.TempPaths.clearDir(table)
+    EventStreams.runUpsertLogToCompletion(spark, stream, table,
+        key = "user_id", version = "ver", name = "q303_upsert_log",
+        compactEvery = 2)
+      .select("user_id", "event_id", "event_type", "sec")
+      .orderBy("user_id")
+  }
+
   /** END-TO-END ingest composition (EventStreams.runIngestPipeline):
     * the whole production topology in ONE streaming query — an
     * at-least-once bus (every event delivered twice) replayed in
@@ -940,5 +975,5 @@ object MlQueries {
       .orderBy("segment", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275, q276, q277, q290)
+  val all: Seq[QueryDef] = Seq(q78, q79, q80, q81, q82, q83, q88, q90, q91, q92, q93, q94, q95, q96, q119, q127, q130, q185, q190, q191, q262, q275, q276, q277, q290, q303)
 }

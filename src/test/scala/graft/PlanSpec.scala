@@ -535,4 +535,32 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("kmvslidingstate"), p)
     assert(!p.contains("Window") && !p.contains("TakeOrdered"), p)
   }
+
+  test("EH sliding quantiles: distributed hourly agg, broadcast verify join") {
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, sf())
+    // stage 1 (the 100 TB-heavy step): per-(key, quantum) summaries on
+    // the ordinary two-stage partial-aggregation path, raw values never
+    // cross the shuffle
+    val hourly = SS.gkHourly(ev, col("event_type"), col("value"),
+      col("sec"), 3600L, 64)
+    val hp = planOf(hourly)
+    assert("ObjectHashAggregate".r.findAllIn(hp).size >= 2, hp)
+    assert(hp.toLowerCase.contains("gkquantileagg"), hp)
+    assert(!hp.contains("Window") && !hp.contains("TakeOrdered"), hp)
+    // stage 3: the verification joins raw rows to the tiny per-(key,
+    // start) estimate frame BROADCAST, never a shuffle of the raw side
+    val mm = ev.agg(min(col("sec")).cast("long").as("a"),
+      max(col("sec")).cast("long").as("b")).head
+    val starts = Seq(((mm.getLong(0) + mm.getLong(1)) / 2 / 3600L) * 3600L)
+    val est = SS.gkSlidingEstimates(hourly, 3600L, 64, starts, Seq(0.5))
+    val check = SS.gkSlidingCheck(
+      ev.select(col("event_type").cast("string").as("key"),
+        col("sec").cast("long").as("sec"),
+        col("value").cast("double").as("v")),
+      est, keyed = true, epsDen = 40)
+    val cp = planOf(check)
+    assert(cp.contains("BroadcastHashJoin"), cp)
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
 }

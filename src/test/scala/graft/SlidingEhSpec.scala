@@ -1,0 +1,181 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{GkSummary, SlidingEh}
+import graft.operators.SlidingSketches
+
+/** Laws for the exponential-histogram sliding frame and its GK/MG
+  * members: layout invariants for every prefix length, exact-suffix
+  * coverage + staleness for every window start, and the member
+  * sketches' own guarantees over the covered suffix (the properties
+  * the q299–q302 gates check at gate scale). */
+class SlidingEhSpec extends SparkSpec {
+
+  private val C = SlidingSketches.C
+
+  // count-summaries: the simplest mergeable summary (exact n) isolates
+  // the EH layout laws from any sketch behavior
+  private def buildCounts(nQuanta: Int): Vector[SlidingEh.Bucket[Long]] =
+    SlidingEh.build(0L, IndexedSeq.fill(nQuanta)(1L), C, (a: Long, b: Long) => a + b)
+
+  test("EH layout invariants hold for every prefix length") {
+    (1 to 300).foreach { n =>
+      val bs = buildCounts(n)
+      // contiguous tiling of [0, n)
+      assert(bs.head.start == 0L)
+      bs.sliding(2).foreach {
+        case Vector(a, b) => assert(a.start + a.len == b.start, s"gap at n=$n")
+        case _ => ()
+      }
+      assert(bs.last.start + bs.last.len == n.toLong)
+      // every bucket's summary counts exactly its span (merge = +)
+      bs.foreach(b => assert(b.s == b.len, s"span/count drift at n=$n"))
+      // spans: powers of two, non-increasing toward the present, ≤ C each
+      bs.foreach(b => assert((b.len & (b.len - 1)) == 0L))
+      bs.sliding(2).foreach {
+        case Vector(a, b) => assert(a.len >= b.len)
+        case _ => ()
+      }
+      bs.groupBy(_.len).foreach { case (len, g) =>
+        assert(g.size <= C, s"${g.size} buckets of span $len at n=$n")
+      }
+      // the staleness invariant's backbone: if a span-L bucket exists,
+      // every smaller span has ≥ C−1 buckets
+      val spans = bs.groupBy(_.len).map { case (l, g) => l -> g.size }
+      spans.keys.foreach { l =>
+        var s = 1L
+        while (s < l) {
+          assert(spans.getOrElse(s, 0) >= C - 1,
+            s"span $s has <${C - 1} buckets below a span-$l bucket at n=$n")
+          s *= 2
+        }
+      }
+    }
+  }
+
+  test("cover: exact suffix, staleness invariant, for every start") {
+    (1 to 200).foreach { n =>
+      val bs = buildCounts(n)
+      (-2L to n.toLong + 2).foreach { qs =>
+        SlidingEh.cover(bs, qs, C) match {
+          case None => assert(qs > bs.last.start, s"missing cover qs=$qs n=$n")
+          case Some(cov) =>
+            // covered is the exact suffix [tCovQ, n)
+            assert(cov.tCovQ >= qs || qs <= 0L)
+            assert(cov.covered.map(_.s).sum == n.toLong - cov.tCovQ)
+            assert(cov.staleOk, s"staleness violated qs=$qs n=$n")
+            // quantitative check directly: gap ≤ max(1, 2·covered/(C−1));
+            // a window reaching before the grid is fully covered, so the
+            // gap is measured from the grid start
+            val gap = math.max(0L, cov.tCovQ - math.max(qs, 0L))
+            val covSpan = cov.covered.map(_.len).sum
+            assert(gap <= math.max(1L, 2L * covSpan / (C - 1)),
+              s"gap $gap vs covered $covSpan at qs=$qs n=$n")
+        }
+      }
+    }
+  }
+
+  test("GK member: covered-suffix rank guarantee through the EH") {
+    val rnd = new Random(7)
+    val nQ = 130
+    val perQ = 40
+    val m = 64
+    // heavy-tailed values so quantiles are non-trivial
+    val quanta = Vector.tabulate(nQ) { _ =>
+      Array.fill(perQ)(math.exp(rnd.nextGaussian() * 2))
+    }
+    val sks = quanta.map { vs =>
+      val s = vs.sorted
+      GkSummary.prune(GkSummary.exact(s, s.length), m)
+    }
+    val bs = SlidingEh.build(0L, sks, C,
+      (a: GkSummary, b: GkSummary) => SlidingEh.gkMerge(a, b, m))
+    Seq(0L, 7L, 31L, 64L, 100L, 128L).foreach { qs =>
+      val cov = SlidingEh.cover(bs, qs, C).get
+      val merged = SlidingEh.gkMergeAll(cov.covered.map(_.s))
+      val suffix = quanta.drop(cov.tCovQ.toInt).flatten.sorted
+      assert(merged.n == suffix.length.toLong)
+      Seq(0.1, 0.5, 0.9).foreach { phi =>
+        val r = 1L + math.round(phi * (merged.n - 1))
+        val est = GkSummary.query(merged, phi)
+        val cntLt = suffix.count(_ < est).toLong
+        val cntLe = suffix.count(_ <= est).toLong
+        // rank range within n·(levels+1)/(m−1); with nQ=130, perQ=40,
+        // m=64 the budget is well under n/8 — assert n/8
+        val eps = merged.n / 8 + 1
+        assert(cntLt + 1 - r <= eps && r - cntLe <= eps,
+          s"rank miss qs=$qs phi=$phi r=$r lt=$cntLt le=$cntLe n=${merged.n}")
+      }
+    }
+  }
+
+  test("MG member: merge-tree-free undercount bound through the EH") {
+    val rnd = new Random(11)
+    val nQ = 90
+    val k = 8
+    // one genuinely heavy item + zipf-ish noise
+    val quanta = Vector.tabulate(nQ) { _ =>
+      val items = Array.fill(30)(s"u${rnd.nextInt(40)}") ++ Array.fill(20)("heavy")
+      val m = items.groupBy(identity).map { case (kk, g) => kk -> g.length.toLong }
+      (items.length.toLong, m)
+    }
+    val bs = SlidingEh.build(0L, quanta, C,
+      (a: (Long, Map[String, Long]), b: (Long, Map[String, Long])) =>
+        SlidingEh.mgMerge(a, b, k))
+    Seq(0L, 13L, 40L, 77L).foreach { qs =>
+      val cov = SlidingEh.cover(bs, qs, C).get
+      val (n, summ) = cov.covered.map(_.s)
+        .foldLeft((0L, Map.empty[String, Long]))((a, b) => SlidingEh.mgMerge(a, b, k))
+      val exact = quanta.drop(cov.tCovQ.toInt)
+        .flatMap(_._2.toSeq).groupBy(_._1)
+        .map { case (kk, g) => kk -> g.map(_._2).sum }
+      assert(n == exact.values.sum)
+      // never overestimates; undercount ≤ n/(k+1); heavy present
+      summ.foreach { case (kk, est) =>
+        val truth = exact.getOrElse(kk, 0L)
+        assert(est <= truth, s"overestimate $kk at qs=$qs")
+        assert((truth - est) * (k + 1) <= n, s"undercount bound $kk at qs=$qs")
+      }
+      exact.foreach { case (kk, c) =>
+        if (c * (k + 1) > n) assert(summ.contains(kk), s"heavy $kk missing qs=$qs")
+      }
+    }
+  }
+
+  test("sliding gate operators emit all-green flags on real data") {
+    val dir = sf("sf0.001")
+    val ev = core.Tables.events(spark, dir)
+    val mm = ev.agg(min(col("sec")).cast("long").as("a"),
+      max(col("sec")).cast("long").as("b")).head
+    val starts = (0 until 4)
+      .map(kk => ((mm.getLong(0) + kk.toLong * (mm.getLong(1) - mm.getLong(0)) / 4) / 3600L) * 3600L)
+      .distinct
+    val hourly = SlidingSketches.gkHourly(ev, lit(""), col("value"), col("sec"), 3600L, 256)
+    val est = SlidingSketches.gkSlidingEstimates(hourly, 3600L, 256, starts, Seq(0.5))
+    val gk = SlidingSketches.gkSlidingCheck(
+      ev.select(col("sec").cast("long").as("sec"),
+        col("value").cast("double").as("v")),
+      est, keyed = false, epsDen = 40).collect()
+    assert(gk.nonEmpty)
+    gk.foreach { r =>
+      assert(r.getAs[Long]("rank_ok") == 1L && r.getAs[Long]("coverage_ok") == 1L
+        && r.getAs[Long]("stale_ok") == 1L, s"gk flags: $r")
+    }
+    val mgH = SlidingSketches.mgHourly(ev, lit(""), col("user_id"), col("sec"), 3600L, 16)
+    val cov = SlidingSketches.mgSlidingSummaries(mgH, 3600L, 16, starts)
+    val mg = SlidingSketches.mgSlidingCheck(
+      ev.select(col("sec").cast("long").as("sec"),
+        col("user_id").cast("string").as("item")),
+      cov, keyed = false, k = 16).collect()
+    assert(mg.nonEmpty)
+    mg.foreach { r =>
+      assert(r.getAs[Long]("heavy_ok") == 1L && r.getAs[Long]("bounds_ok") == 1L
+        && r.getAs[Long]("coverage_ok") == 1L && r.getAs[Long]("stale_ok") == 1L,
+        s"mg flags: $r")
+    }
+  }
+}
