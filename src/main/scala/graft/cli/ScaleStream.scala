@@ -58,8 +58,10 @@ object ScaleStream {
       .option("maxFilesPerTrigger", 1).parquet(replay.toString)
 
     def checksum(t: DataFrame): (Long, Long) = {
-      val r = t.agg(count(lit(1)).as("n"),
-        sum(xxhash64(col("user_id"), col("ver"))).as("h")).head
+      // bit_xor: order-independent row-set digest that cannot overflow
+      // (an ANSI sum of 64-bit hashes does)
+      val r = t.selectExpr("count(1) AS n",
+        "bit_xor(xxhash64(user_id, ver)) AS h").head
       (r.getLong(0), r.getLong(1))
     }
 

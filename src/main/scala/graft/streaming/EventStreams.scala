@@ -22,30 +22,38 @@ object EventStreams {
     * the day the testdata generator switched ts encodings. */
   def eventsFileSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    spark.read.parquet(s"$dir/events.parquet").schema
   }
 
   /** Streaming read of the events table (file source replay). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = eventsFileSchema(spark, dir)
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamTable(spark, dir, "events", schema)
       .withColumn("sec", Tables.floorEpochSec(schema("ts").dataType))
       .withColumn("etime", col("sec").cast("timestamp"))
   }
 
-  /** Streaming read of any single-file table in the testdata layout
-    * (schema from a footer-only batch read, like [[eventsFileSchema]]) —
-    * the replay entry for folding batch-defined aggregates over a
-    * table arriving as a stream. */
-  def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val schema = spark.read
-      .option("pathGlobFilter", s"$table.parquet").parquet(dir).schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", s"$table.parquet")
-      .parquet(dir)
+  /** Streaming read of any table in the testdata layout (schema from a
+    * footer-only batch read, like [[eventsFileSchema]]) — the replay
+    * entry for folding batch-defined aggregates over a table arriving
+    * as a stream. */
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    streamTable(spark, dir, table,
+      spark.read.parquet(s"$dir/$table.parquet").schema)
+
+  /** The testdata layout has shipped `<table>.parquet` as a single FILE
+    * (driver SFs) and as a DIRECTORY of part files (`graft.cli.ScaleUp`
+    * output); the batch reader (`Tables.t`) is shape-agnostic, and the
+    * streaming replay must be too: watch the directory itself when the
+    * table IS a directory, otherwise glob the single file out of the
+    * parent (a readStream path must be a directory/glob, not a file). */
+  private def streamTable(spark: SparkSession, dir: String, table: String,
+      schema: StructType): DataFrame = {
+    val rs = spark.readStream.schema(schema)
+    if (new java.io.File(dir, s"$table.parquet").isDirectory)
+      rs.parquet(s"$dir/$table.parquet")
+    else
+      rs.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   /** Tumbling 1-hour windowed aggregation (count + exact decimal sum),
