@@ -14,6 +14,13 @@ import graft.plans.SlidingEh.Bucket
 object SlidingRows {
   final case class GkTupleR(v: Double, rmin: Long, rmax: Long)
   final case class GkSkR(n: Long, tuples: Seq[GkTupleR])
+  object GkSkR {
+    def of(s: GkSummary): GkSkR = GkSkR(s.n,
+      (0 until s.size).map(i => GkTupleR(s.vs(i), s.rmins(i), s.rmaxs(i))))
+    def summary(r: GkSkR): GkSummary =
+      GkSummary(r.n, r.tuples.map(_.v).toArray, r.tuples.map(_.rmin).toArray,
+        r.tuples.map(_.rmax).toArray)
+  }
   final case class GkHourRow(key: String, q: Long, sk: GkSkR)
   final case class GkEstRow(key: String, start: Long, t_cov_sec: Long,
       phi: Double, n_cov: Long, r_cov: Long, est: Double, stale_ok: Long)
@@ -57,9 +64,7 @@ object SlidingSketches {
     * covered span. */
   val C = 4
 
-  private def decodeGk(r: GkSkR): GkSummary =
-    GkSummary(r.n, r.tuples.map(_.v).toArray, r.tuples.map(_.rmin).toArray,
-      r.tuples.map(_.rmax).toArray)
+  private def decodeGk(r: GkSkR): GkSummary = GkSkR.summary(r)
 
   /** Per-(key, quantum) GK summaries: the distributed step. `key`
     * null-safe string (use lit("") for a global sketch). */

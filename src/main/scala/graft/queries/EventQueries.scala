@@ -1621,6 +1621,28 @@ object EventQueries {
       .orderBy("start")
   }
 
+  /** Per-KEY sliding heavy hitters: one EH of hourly Misra–Gries
+    * summaries per event type ("top users per source since ANY t"),
+    * completing the sliding 2×2 (GK/MG × global/per-key). Same
+    * guarantee reduction as q301, keyed: heavy set + bounds over each
+    * (key, start) covered suffix, exact coverage, staleness. */
+  val q304 = QueryDef(
+    "q304_mg_sliding_per_key",
+    slidingOracle(4, 4, Nil, keyed = true)) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 4, 4)
+    val hourly = SS.mgHourly(ev, col("event_type"), col("user_id"),
+      col("sec"), 3600L, 32)
+    val cov = SS.mgSlidingSummaries(hourly, 3600L, 32, starts)
+    SS.mgSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cov, keyed = true, k = 32)
+      .orderBy("key", "start")
+  }
+
   /** STREAMING-fed sliding quantiles: the per-hour GK summaries fold
     * over the event STREAM (complete-mode grouped aggregation — the
     * same mergeable partial/merge path as q288/q298), and the
@@ -1648,5 +1670,46 @@ object EventQueries {
       .orderBy("start", "phi")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302)
+  /** STREAMING-NATIVE sliding-quantile monitor (streaming.
+    * SlidingMonitor): the per-(key, quantum) GK cube maintained as
+    * flatMapGroupsWithState STATE across a 4-micro-batch replay —
+    * each trigger carries its exact batch summaries into the stored
+    * level structures (merge-and-reduce discipline preserved across
+    * triggers, so the streamed state obeys the batch error budget) and
+    * emits only the touched quanta with a monotone version. The gate
+    * takes the latest version per (key, quantum) — the live cube — and
+    * runs the IDENTICAL EH + three-leg verification as the batch
+    * per-key gate (q300's oracle verbatim): the strongest equivalence
+    * a stateful-streaming operator can claim. */
+  val q305 = QueryDef("q305_stream_gk_monitor", q300.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 4, 4)
+    val replay = java.nio.file.Files.createTempDirectory("graft_monitor_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"), col("value").cast("double").as("v"))
+      .repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("v", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.gkQuantumMonitor(stream, 2048).toDF(),
+      "q305_monitor", mode = "update")
+    val hourly = fin.groupBy("key", "q")
+      .agg(max_by(col("sk"), col("ver")).as("sk"))
+    val est = SS.gkSlidingEstimates(hourly, 3600L, 2048, starts, Seq(0.25, 0.75))
+    SS.gkSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("value").cast("double").as("v")),
+        est, keyed = true, epsDen = 40)
+      .orderBy("key", "start", "phi")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305)
 }

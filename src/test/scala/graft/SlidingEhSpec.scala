@@ -146,6 +146,40 @@ class SlidingEhSpec extends SparkSpec {
     }
   }
 
+  test("streaming monitor state obeys the batch error budget at any trigger cadence") {
+    import graft.streaming.SlidingMonitor
+    val rnd = new Random(23)
+    val m = 64
+    // one quantum's rows, arriving over k triggers for several k —
+    // the level-carry discipline must keep the rank budget independent
+    // of cadence (a naive merge-per-trigger would not)
+    val vs = Array.fill(4000)(math.exp(rnd.nextGaussian()))
+    Seq(1, 3, 8, 40).foreach { triggers =>
+      val slices = vs.grouped(math.ceil(vs.length.toDouble / triggers).toInt).toSeq
+      var st = SlidingMonitor.MonState(Map.empty, 0L)
+      var lastSk: graft.operators.SlidingRows.GkSkR = null
+      slices.foreach { slice =>
+        val rows = slice.toIndexedSeq.map(v => SlidingMonitor.In("k", 7L, v))
+        val (st2, outs) = SlidingMonitor.testFold(rows, st, m)
+        st = st2
+        lastSk = outs.last.sk
+      }
+      assert(st.ver == slices.length.toLong)
+      val s = graft.operators.SlidingRows.GkSkR.summary(lastSk)
+      assert(s.n == vs.length.toLong, s"n drift at triggers=$triggers")
+      val sorted = vs.sorted
+      Seq(0.1, 0.5, 0.9).foreach { phi =>
+        val r = 1L + math.round(phi * (s.n - 1))
+        val est = graft.plans.GkSummary.query(s, phi)
+        val lt = sorted.count(_ < est).toLong
+        val le = sorted.count(_ <= est).toLong
+        val eps = s.n / 10 + 1
+        assert(lt + 1 - r <= eps && r - le <= eps,
+          s"rank budget broken at triggers=$triggers phi=$phi")
+      }
+    }
+  }
+
   test("sliding gate operators emit all-green flags on real data") {
     val dir = sf("sf0.001")
     val ev = core.Tables.events(spark, dir)
