@@ -562,24 +562,36 @@ object EventStreams {
           col("event_type"), col("sec"),
           graft.operators.Cdc.packedVersion(col("sec"), col("event_id"), name)
             .as("ver"))
-        foldParquet(upsertPath, withVer, "user_id") { (snap, slice) =>
-          graft.operators.Cdc.compactLatest(
-            snap.unionByName(slice), "user_id", "ver")
-        }
         val bc = ksValueCountsPerKey(b, col("event_type"),
           pmod(col("event_id"), lit(2)), col("value"))
-        foldParquet(ksPath, bc, "key") { (snap, slice) =>
-          snap.unionByName(slice).groupBy("key", "v")
-            .agg(sum("c1").as("c1"), sum("c2").as("c2"))
-        }
         val bh = graft.operators.Sketches.kmvSketch(
           b, expr("sec div 3600"), col("user_id"), 64)
-        foldParquet(kmvPath, bh, "key") { (snap, slice) =>
-          snap.unionByName(slice)
-            .select(col("key"), explode(col("sketch")).as("h"))
-            .groupBy("key")
-            .agg(graft.plans.Kmv.minValues(col("h"), 64).as("sketch"))
-        }
+        // The three folds touch DISJOINT tables off the one checkpointed
+        // batch, so their job chains run CONCURRENTLY — per-batch wall is
+        // max(fold) instead of sum(fold). This is the production shape
+        // too: a foreachBatch fan-out that serializes independent sink
+        // maintenance wastes exactly the scheduler's ability to overlap
+        // small jobs (q290 spends its wall on per-batch job latency, not
+        // rows — SCALING.md round 9 measured α = 0.02 across 10× data).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val folds = Seq(
+          Future(foldParquet(upsertPath, withVer, "user_id") { (snap, slice) =>
+            graft.operators.Cdc.compactLatest(
+              snap.unionByName(slice), "user_id", "ver")
+          }),
+          Future(foldParquet(ksPath, bc, "key") { (snap, slice) =>
+            snap.unionByName(slice).groupBy("key", "v")
+              .agg(sum("c1").as("c1"), sum("c2").as("c2"))
+          }),
+          Future(foldParquet(kmvPath, bh, "key") { (snap, slice) =>
+            snap.unionByName(slice)
+              .select(col("key"), explode(col("sketch")).as("h"))
+              .groupBy("key")
+              .agg(graft.plans.Kmv.minValues(col("h"), 64).as("sketch"))
+          }))
+        Await.result(Future.sequence(folds), Duration.Inf)
         ()
       }
       .start()
