@@ -30,7 +30,7 @@ object Sketches {
   /** The depth hash rows as a literal struct array: exploding it is a
     * pure map-side expression (no join), so the same build plan runs on a
     * batch relation AND a stream (complete-mode global aggregation). */
-  private def paramsExplode(depth: Int) = explode(array(
+  private[operators] def paramsExplode(depth: Int) = explode(array(
     HashFns.minhashParams(depth).map { case (i, a, b) =>
       struct(lit(i).as("row"), lit(a).as("a"), lit(b).as("b"))
     }: _*))
@@ -39,7 +39,7 @@ object Sketches {
     * Sampling.hashBucket) — a raw null would hash to a NULL bucket that
     * no probe could ever match, silently under-counting and breaking the
     * est ≥ exact guarantee. Build and probe MUST agree on this mapping. */
-  private def keyHash(c: org.apache.spark.sql.Column) =
+  private[operators] def keyHash(c: org.apache.spark.sql.Column) =
     HashFns.hash31(coalesce(c.cast("string"), lit("graft-null-key")))
 
   /** Build the sketch: (row, bucket, cnt) — depth·width cells, sparse

@@ -28,6 +28,10 @@ object SlidingRows {
   final case class MgHourRow(key: String, q: Long, n: Long, entries: Seq[MgEntry])
   final case class MgCovRow(key: String, start: Long, t_cov_sec: Long,
       n_cov: Long, stale_ok: Long, entries: Seq[MgEntry])
+  final case class CmCell(idx: Long, cnt: Long)
+  final case class CmHourRow(key: String, q: Long, entries: Seq[CmCell])
+  final case class CmCovRow(key: String, start: Long, t_cov_sec: Long,
+      n_cov: Long, stale_ok: Long, cells: Seq[Long])
 }
 
 /** SLIDING-WINDOW legs for the order-dependent sketch-family members —
@@ -163,6 +167,146 @@ object SlidingSketches {
           .cast("long").as("rank_ok"),
         (col("n_suffix") === col("n_cov")).cast("long").as("coverage_ok"),
         col("stale_ok")): _*)
+  }
+
+  /** Per-quantum COUNT-MIN cells (global; sparse (idx, cnt) entries,
+    * idx = row·width + bucket on the shared md5/FNV hash family of
+    * [[Sketches.countMinBuild]]) — the fourth sketch family member's
+    * sliding input. Cells are ADDITIVE and canonical (a pure function
+    * of the quantum's multiset), so unlike GK/MG the EH-merged covered
+    * sketch must EQUAL a direct build of the covered suffix cell for
+    * cell — the strongest gating this family allows, and q306 checks
+    * exactly that. */
+  def cmHourly(df: DataFrame, item: Column, sec: Column, u: Long,
+      depth: Int, width: Int): DataFrame =
+    df.select(
+        (sec.cast("long") - pmod(sec.cast("long"), lit(u))).divide(u)
+          .cast("long").as("q"),
+        Sketches.keyHash(item).as("x"),
+        Sketches.paramsExplode(depth).as("p"))
+      .groupBy(col("q"), col("p.row").as("row"),
+        pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
+          lit(width.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("q")
+      .agg(collect_list(struct(
+        (col("row") * width + col("bucket")).as("idx"),
+        col("cnt").as("cnt"))).as("entries"))
+      .withColumn("key", lit(""))
+
+  /** EH fold + covered-suffix count-min cells per window start: the
+    * merged cells of all covered buckets (elementwise addition — the
+    * canonical sketch of the exact suffix). n_cov = row-0 total (every
+    * row of a count-min sums to n). */
+  def cmSlidingCells(hourly: DataFrame, u: Long, depth: Int, width: Int,
+      starts: Seq[Long]): DataFrame = {
+    require(starts.nonEmpty, "empty starts")
+    starts.foreach(s => require(s % u == 0,
+      s"window start $s not aligned to quantum $u"))
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    val startsV = starts.toVector
+    val size = depth * width
+    hourly.select(col("key"), col("q"), col("entries")).as[CmHourRow]
+      .groupByKey(_.key)
+      .flatMapGroups { (key: String, it: Iterator[CmHourRow]) =>
+        def dense(es: Seq[CmCell]): Array[Long] = {
+          val a = new Array[Long](size)
+          es.foreach(e => a(e.idx.toInt) += e.cnt)
+          a
+        }
+        def add(a: Array[Long], b: Array[Long]): Array[Long] = {
+          val o = new Array[Long](size)
+          var i = 0
+          while (i < size) { o(i) = a(i) + b(i); i += 1 }
+          o
+        }
+        val rows = it.map(r => r.q -> dense(r.entries)).toMap
+        val q0 = rows.keys.min
+        val q1 = rows.keys.max
+        require(q1 - q0 < (1L << 22),
+          s"sliding grid spans ${q1 - q0} quanta — coarsen the quantum u")
+        val quanta = (q0 to q1).map(q =>
+          rows.getOrElse(q, new Array[Long](size)))
+        val buckets = SlidingEh.build(q0, quanta, C, add)
+        startsV.iterator.flatMap { s =>
+          SlidingEh.cover(buckets, s / u, C) match {
+            case None => Iterator.empty
+            case Some(cov) =>
+              val cells = cov.covered.map(_.s)
+                .foldLeft(new Array[Long](size))(add)
+              val nCov = cells.take(width).sum
+              if (nCov == 0) Iterator.empty
+              else Iterator.single(CmCovRow(key, s, cov.tCovQ * u, nCov,
+                if (cov.staleOk) 1L else 0L, cells.toSeq))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** The count-min sliding verification frame — STRONGER than the
+    * GK/MG ones because the sketch is canonical: per window start,
+    *   cells_match  — the EH-merged covered cells EQUAL a direct
+    *                  count-min build over the raw covered suffix,
+    *                  cell for cell (null-safe compare over the full
+    *                  outer sparse join);
+    *   never_under  — per probe item, min-over-rows estimate ≥ the
+    *                  exact covered count (the count-min guarantee);
+    *   coverage_ok  — Σ exact per-item suffix counts == n_cov;
+    *   stale_ok     — the EH layout invariant.
+    * Output one row per (start, item with data in the window), with
+    * the oracle-computable exact n_window anchor. */
+  def cmSlidingCheck(raw: DataFrame, covered: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val cov = broadcast(covered.drop("key"))
+    val joined = raw.crossJoin(cov)
+    val inSuffix = col("sec") >= col("t_cov_sec")
+    // direct covered-suffix cells from raw rows
+    val direct = joined.filter(inSuffix)
+      .select(col("start"), Sketches.keyHash(col("item")).as("x"),
+        Sketches.paramsExplode(depth).as("p"))
+      .groupBy(col("start"), col("p.row").as("row"),
+        pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
+          lit(width.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("dcnt"))
+    // emitted (EH-merged) cells, sparse
+    val emitted = cov.select(col("start"),
+        posexplode(col("cells")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("start"), (col("idx") / width).cast("long").as("row"),
+        pmod(col("idx").cast("long"), lit(width.toLong)).as("bucket"),
+        col("cnt"))
+    val cellsOk = direct.join(emitted, Seq("start", "row", "bucket"), "full_outer")
+      .groupBy("start")
+      .agg(min((col("dcnt") <=> col("cnt")).cast("long")).as("cells_match"))
+    // per-(start, item) exact suffix + window counts
+    val perItem = joined
+      .groupBy(col("start"), col("n_cov"), col("stale_ok"), col("item"))
+      .agg(sum(when(inSuffix, 1L).otherwise(0L)).as("c_cov"),
+        sum(when(col("sec") >= col("start"), 1L).otherwise(0L)).as("n_window"))
+    // probe estimates off the emitted cells
+    val est = perItem.select(col("start"), col("item"),
+        Sketches.keyHash(col("item")).as("x"),
+        Sketches.paramsExplode(depth).as("p"))
+      .select(col("start"), col("item"), col("p.row").as("row"),
+        pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
+          lit(width.toLong)).as("bucket"))
+      .join(emitted, Seq("start", "row", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("start", "item")
+      .agg(min("cnt").as("est"))
+    val covOk = perItem.groupBy("start", "n_cov")
+      .agg((sum("c_cov") === first("n_cov")).cast("long").as("coverage_ok"))
+      .select("start", "coverage_ok")
+    perItem
+      .join(est, Seq("start", "item"))
+      .join(broadcast(cellsOk), "start")
+      .join(broadcast(covOk), "start")
+      .filter(col("n_window") > 0)
+      .select(col("start"), col("item").as("key"), col("n_window"),
+        (col("est") >= col("c_cov")).cast("long").as("never_under"),
+        col("cells_match"), col("coverage_ok"), col("stale_ok"))
   }
 
   /** Per-(key, quantum) Misra–Gries summaries + exact quantum counts

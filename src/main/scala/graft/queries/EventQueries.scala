@@ -1711,5 +1711,43 @@ object EventQueries {
       .orderBy("key", "start", "phi")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305)
+  /** SLIDING-WINDOW count-min (SlidingSketches.cmHourly/
+    * cmSlidingCells): the fourth and last sketch-family member gets
+    * its time-decayed leg — per-hour cell arrays EH-folded, point
+    * frequencies "since ANY t" served from the covered suffix's
+    * cells. Count-min cells are ADDITIVE and CANONICAL (a pure
+    * function of the covered multiset, unlike GK/MG kept sets), so
+    * this gate checks the strongest claim in the sliding family:
+    * the EH-merged covered cells EQUAL a direct build over the raw
+    * suffix cell-for-cell, plus the ≥-exact estimate guarantee per
+    * probe, exact coverage, and the staleness invariant. Width 32 ≪
+    * the distinct-user count forces real collision mass (q110's
+    * discipline). */
+  val q306 = QueryDef(
+    "q306_cm_sliding_window",
+    s"""WITH b AS (SELECT MIN(floor(epoch(ts))::BIGINT) AS smin,
+       |            MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smin + (k*(smax - smin))//6)//3600)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)),
+       |w AS (SELECT s.start, e.user_id::VARCHAR AS key, COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1, 2)
+       |SELECT start, key, n_window, 1::BIGINT AS never_under,
+       |       1::BIGINT AS cells_match, 1::BIGINT AS coverage_ok,
+       |       1::BIGINT AS stale_ok
+       |FROM w ORDER BY start, key""".stripMargin) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 6, 6)
+    val hourly = SS.cmHourly(ev, col("user_id"), col("sec"), 3600L,
+      depth = 4, width = 32)
+    val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
+    SS.cmSlidingCheck(
+        ev.select(col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cells, depth = 4, width = 32)
+      .orderBy("start", "key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306)
 }
