@@ -433,4 +433,55 @@ object Analytics {
         .select(lit(-1L).as("bin"), lit(-1L).as("n_ref"), lit(-1L).as("n_cur"),
           lit(0.0).as("p_ref"), lit(0.0).as("p_cur"), col("term")))
   }
+
+  /** EXPONENTIALLY-DECAYED per-key statistics — the recency-weighted
+    * telemetry primitive ("how active is this source NOW", "what's the
+    * recent mean quality score") that plain aggregates can't express
+    * and sliding windows answer only at bucket granularity. Each row
+    * weighs w = 2^((t − tRef)/halfLife) with tRef = max(t) over the
+    * input, so weights ∈ (0, 1] and a row one half-life old counts
+    * half:
+    *   decayed_n    = Σ w        (the decayed counter)
+    *   decayed_mean = Σ w·x / Σ w
+    *
+    * Why it scales: the weighted sums are ORDINARY aggregations (one
+    * partial-agg shuffle of two decimals per key), and a STORED stat
+    * advances in time WITHOUT rescanning — the rebasing identity
+    * S(tRef′) = S(tRef) · 2^((tRef − tRef′)/halfLife) (every row's
+    * weight scales by the same factor), which also makes partials
+    * computed against any common tRef mergeable by plain addition.
+    * The gate emits a 1-day rebase beside the direct stats so the
+    * identity is checked, not asserted.
+    *
+    * Determinism: per-row weights are double `pow`, whose last ulp is
+    * engine-specific — so weighted sums fold through [[Cross.dsum]]
+    * decimal accumulation (order-independent) and surface micro-
+    * rounded ([[Cross.r6]]), the repo's standard cross-engine float
+    * discipline. Output: (key, n, t_ref, decayed_n, decayed_mean,
+    * rebased_n). */
+  def decayedStats(df: DataFrame, key: Column, value: Column, sec: Column,
+      halfLifeSec: Long, rebaseAheadSec: Long): DataFrame = {
+    import graft.core.Cross
+    require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
+    val base = df.select(key.as("key"), value.cast("double").as("x"),
+      sec.cast("long").as("t"))
+    val tRef = base.agg(max("t").as("t_ref"))
+    // per-row weight is a double pow (engine last-ulp); boundary-safe
+    // round BEFORE decimal accumulation (the q254 entropy discipline)
+    val w = Cross.r6(pow(lit(2.0),
+      (col("t") - col("t_ref")).cast("double") / halfLifeSec.toDouble))
+    base.crossJoin(broadcast(tRef))
+      .withColumn("w", w)
+      .withColumn("wx", Cross.r6(col("w") * col("x")))
+      .groupBy("key", "t_ref")
+      .agg(count(lit(1)).as("n"),
+        Cross.dsum(col("w"), 6).as("dn"),
+        Cross.dsum(col("wx"), 6).as("dwx"))
+      .select(col("key"), col("n"), col("t_ref"),
+        Cross.r6(col("dn")).as("decayed_n"),
+        Cross.r6(col("dwx") / col("dn")).as("decayed_mean"),
+        Cross.r6(col("dn") * pow(lit(2.0),
+          lit(-rebaseAheadSec.toDouble / halfLifeSec.toDouble)))
+          .as("rebased_n"))
+  }
 }

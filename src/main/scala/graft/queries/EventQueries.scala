@@ -1749,5 +1749,38 @@ object EventQueries {
       .orderBy("start", "key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306)
+  /** Exponentially-decayed per-key stats (Analytics.decayedStats):
+    * recency-weighted activity counters and means with a 1-day half
+    * life — the "how active is this source NOW" telemetry primitive —
+    * plus the REBASING identity (a stored decayed stat advanced one
+    * day by pure scaling, no rescan) emitted beside the direct stats
+    * so the mergeable-across-time claim is checked, not asserted.
+    * Weights are per-row double pows, so both engines round each term
+    * boundary-safely before exact decimal accumulation (the q254
+    * entropy discipline) and the oracle replays the identical
+    * arithmetic. */
+  val q307 = QueryDef(
+    "q307_decayed_stats",
+    s"""WITH tr AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS t_ref FROM events),
+       |b AS (SELECT event_type AS key, value AS x,
+       |             floor(epoch(ts))::BIGINT AS t, t_ref
+       |      FROM events CROSS JOIN tr),
+       |w AS (SELECT key, t_ref, x,
+       |             ${Cross.r6Sql("pow(2.0, (t - t_ref)::DOUBLE / 86400.0)")} AS w
+       |      FROM b),
+       |w2 AS (SELECT key, t_ref, w, ${Cross.r6Sql("w * x")} AS wx FROM w),
+       |g AS (SELECT key, t_ref, COUNT(*)::BIGINT AS n,
+       |             ${Cross.dsumSql("w")} AS dn, ${Cross.dsumSql("wx")} AS dwx
+       |      FROM w2 GROUP BY 1, 2)
+       |SELECT key, n, t_ref, ${Cross.r6Sql("dn")} AS decayed_n,
+       |       ${Cross.r6Sql("dwx / dn")} AS decayed_mean,
+       |       ${Cross.r6Sql("dn * pow(2.0, -1.0)")} AS rebased_n
+       |FROM g ORDER BY key""".stripMargin) { (spark, dir) =>
+    graft.operators.Analytics.decayedStats(Tables.events(spark, dir),
+        col("event_type"), col("value"), col("sec"),
+        halfLifeSec = 86400L, rebaseAheadSec = 86400L)
+      .orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307)
 }
