@@ -324,13 +324,7 @@ object DedupQueries {
     import org.apache.spark.sql.types._
     val docs = graft.core.Tables.documents(spark, dir)
     val idx = Dedup.corpusBandIndex(spark, docs, K, R, ShingleN)
-    val docsStream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType))))
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val docsStream = graft.streaming.EventStreams.readTable(spark, dir, "documents")
     graft.streaming.EventStreams.runToCompletion(spark,
         Dedup.streamNearDupCandidates(docsStream, idx, K, R, ShingleN),
         "q137_out")
@@ -473,13 +467,7 @@ object DedupQueries {
     import org.apache.spark.sql.types._
     val corpus = graft.core.Tables.documents(spark, dir)
       .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType))))
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = graft.streaming.EventStreams.readTable(spark, dir, "documents")
     graft.streaming.EventStreams.runToCompletion(spark,
         graft.streaming.Ingest.admissionVerdicts(stream, corpus,
           k = K, rowsPerBand = R, shingleN = ShingleN),
@@ -544,13 +532,7 @@ object DedupQueries {
           concat_ws(" ", slice(tk, lit(1),
             greatest(floor(size(tk) / 2).cast("int"), lit(1)))).as("text"))
     }
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType))))
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = graft.streaming.EventStreams.readTable(spark, dir, "documents")
     val folded = graft.streaming.EventStreams.runToCompletion(spark,
       Dedup.containmentProbe(truncate(stream), idx, ShingleN,
         minContainment = 0.8, hot = hot),

@@ -627,12 +627,7 @@ object TextAnalysis {
        |FROM q GROUP BY source
        |ORDER BY source""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val stream = graft.streaming.EventStreams.readTable(spark, dir, "documents")
     graft.streaming.EventStreams.runToCompletion(spark,
         graft.operators.Profile.sourceStats(stream), "q177_out")
       .orderBy("source")
@@ -2440,13 +2435,7 @@ object TextAnalysis {
     * hash-equality proves stream ≡ batch for the whole chunk artifact. */
   val q260 = QueryDef("q260_stream_chunks", q258.oracle.get) { (spark, dir) =>
     import org.apache.spark.sql.types._
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType))))
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = graft.streaming.EventStreams.readTable(spark, dir, "documents")
     graft.streaming.EventStreams.runToCompletion(spark,
         graft.operators.Packing.chunkSliding(stream, col("doc_id"),
           TextFns.tokens(col("text")), chunkSize = 24, stride = 16),
