@@ -86,6 +86,9 @@ object GraftFunctions {
       es => graft.plans.GkQuantile.quantileCol(c(es(0)), litDouble(es(1), "phi"))),
     ("graft_kmv_sliding", "(hash, ts, k) aggregate", 3,
       es => graft.plans.KmvSliding.state(c(es(0)), c(es(1)), litInt(es(2), "k"))),
+    ("graft_decayed", "(t, x, halfLifeSec) aggregate", 3,
+      es => graft.plans.DecayedSum.of(c(es(0)), c(es(1)),
+        litInt(es(2), "halfLifeSec").toLong)),
     ("graft_zvalue", "(a, b, bits)", 3,
       es => graft.operators.Layout.zValue(c(es(0)), c(es(1)), litInt(es(2), "bits"))),
     ("graft_psi_bin", "(value, lo, hi, bins)", 4,

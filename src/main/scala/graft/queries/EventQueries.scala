@@ -1782,5 +1782,56 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307)
+  /** STREAMING decayed counter (plans.DecayedSumAgg): the one-pass
+    * rebasing form of q307 — state (n, tMax, sum) per key, a new
+    * maximum rescaling the running sum in O(1), folding over the event
+    * STREAM on the ordinary partial/merge path. n and t_ref are exact
+    * (hash-anchored); the rebased double sum is merge-tree-sensitive
+    * in its last ulps, so the gate emits the TWO-PASS decimal-
+    * disciplined reference (hash-exact against the oracle's identical
+    * arithmetic) and checks the streamed fold within n·1e-6 of it —
+    * a bound covering per-term rounding and fp drift while ~10⁴×
+    * tighter than any behavioral difference (a wrong rebase factor or
+    * exponent sign moves the sum by whole percents). */
+  val q308 = QueryDef(
+    "q308_stream_decayed",
+    s"""WITH b AS (SELECT event_type AS key, value AS x,
+       |             floor(epoch(ts))::BIGINT AS t FROM events),
+       |m AS (SELECT key, MAX(t) AS t_ref, COUNT(*)::BIGINT AS n FROM b GROUP BY 1),
+       |w AS (SELECT b.key, m.t_ref, m.n,
+       |             ${Cross.r6Sql("pow(2.0, (b.t - m.t_ref)::DOUBLE / 86400.0) * b.x")} AS wx
+       |      FROM b JOIN m USING (key)),
+       |g AS (SELECT key, t_ref, n, ${Cross.dsumSql("wx")} AS dwx
+       |      FROM w GROUP BY 1, 2, 3)
+       |SELECT key, n, t_ref, ${Cross.r6Sql("dwx")} AS direct_sum,
+       |       1::BIGINT AS close_ok
+       |FROM g ORDER BY key""".stripMargin) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val folded = EventStreams.runToCompletion(spark,
+      EventStreams.readEvents(spark, dir)
+        .select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("t"), col("value").cast("double").as("x"))
+        .groupBy("key")
+        .agg(graft.plans.DecayedSum.of(col("t"), col("x"), 86400L).as("d")),
+      "q308_decayed")
+      .select(col("key"), col("d.n").as("n"), col("d.t_ref").as("t_ref"),
+        col("d.sum").as("agg_sum"))
+    val b = Tables.events(spark, dir).select(
+      col("event_type").cast("string").as("key"),
+      col("value").cast("double").as("x"), col("sec").cast("long").as("t"))
+    val m = b.groupBy("key").agg(max("t").as("t_ref"))
+    val direct = b.join(m, "key")
+      .withColumn("wx", Cross.r6(
+        pow(lit(2.0), (col("t") - col("t_ref")).cast("double") / 86400.0) * col("x")))
+      .groupBy("key", "t_ref")
+      .agg(Cross.dsum(col("wx"), 6).as("dwx"))
+      .select(col("key"), col("t_ref"), Cross.r6(col("dwx")).as("direct_sum"))
+    folded.join(direct, Seq("key", "t_ref"))
+      .select(col("key"), col("n"), col("t_ref"), col("direct_sum"),
+        (abs(col("agg_sum") - col("direct_sum")) <=
+          col("n").cast("double") * 1e-6).cast("long").as("close_ok"))
+      .orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308)
 }

@@ -180,6 +180,33 @@ class SlidingEhSpec extends SparkSpec {
     }
   }
 
+  test("decayed sum: rebasing fold matches direct weights at any partitioning") {
+    val ev = core.Tables.events(spark, sf())
+    def run(parts: Int): Map[String, (Long, Long, Double)] = ev.repartition(parts)
+      .select(col("event_type").cast("string").as("key"),
+        col("sec").cast("long").as("t"), col("value").cast("double").as("x"))
+      .groupBy("key")
+      .agg(graft.plans.DecayedSum.of(col("t"), col("x"), 3600L).as("d"))
+      .select(col("key"), col("d.n"), col("d.t_ref"), col("d.sum")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val folds = Seq(run(1), run(7), run(32))
+    val rows = ev.select(col("event_type").cast("string"),
+        col("sec").cast("long"), col("value").cast("double")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val tRef = rs.map(_._2).max
+      val direct = rs.map { case (_, t, x) =>
+        math.pow(2.0, (t - tRef).toDouble / 3600.0) * x }.sum
+      folds.foreach { m =>
+        val (n, tr, s) = m(k)
+        assert(n == rs.length.toLong && tr == tRef, s"exact anchors drift for $k")
+        assert(math.abs(s - direct) <= 1e-6 * rs.length,
+          s"$k: fold $s vs direct $direct at n=${rs.length}")
+      }
+    }
+  }
+
   test("sliding gate operators emit all-green flags on real data") {
     val dir = sf("sf0.001")
     val ev = core.Tables.events(spark, dir)
