@@ -1816,6 +1816,15 @@ object EventQueries {
       "q308_decayed")
       .select(col("key"), col("d.n").as("n"), col("d.t_ref").as("t_ref"),
         col("d.sum").as("agg_sum"))
+    decayedCheckFrame(spark, dir, folded)
+  }
+
+  /** Shared verification frame for the one-pass decayed folds (q308
+    * streaming, q309 SQL registry): join the fold's (key, n, t_ref,
+    * agg_sum) to the two-pass decimal-disciplined reference and emit
+    * the hash-exact anchors plus the n·1e-6 closeness flag. */
+  private[queries] def decayedCheckFrame(spark: org.apache.spark.sql.SparkSession, dir: String,
+      folded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val b = Tables.events(spark, dir).select(
       col("event_type").cast("string").as("key"),
       col("value").cast("double").as("x"), col("sec").cast("long").as("t"))

@@ -232,5 +232,24 @@ object SqlApiQueries {
       .orderBy("phi")
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289)
+  /** The decayed counter from pure SQL: `graft_decayed(t, x, h)` folds
+    * the one-pass rebasing aggregate per key in a plain GROUP BY —
+    * same guarantee reduction and oracle as the streaming fold (q308):
+    * exact n/t_ref anchors plus the n·1e-6 closeness flag against the
+    * two-pass decimal reference. */
+  val q309 = QueryDef("q309_sql_decayed", EventQueries.q308.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .selectExpr("CAST(event_type AS STRING) AS key",
+        "CAST(sec AS LONG) AS t", "CAST(value AS DOUBLE) AS x")
+      .createOrReplaceTempView("graft_ev_decayed")
+    val folded = spark.sql(
+      "SELECT key, graft_decayed(t, x, 86400) AS d FROM graft_ev_decayed GROUP BY key")
+      .select(col("key"), col("d.n").as("n"), col("d.t_ref").as("t_ref"),
+        col("d.sum").as("agg_sum"))
+    EventQueries.decayedCheckFrame(spark, dir, folded)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309)
 }
