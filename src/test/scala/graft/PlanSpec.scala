@@ -536,6 +536,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("TakeOrdered"), p)
   }
 
+  test("count-min hourly cells and the decayed fold ride partial aggregation") {
+    val ev = Tables.events(spark, sf())
+    // per-quantum count-min cells: a plain grouped COUNT after a
+    // map-side hash-param explode — two-stage HashAggregate, no join,
+    // no window on the way to the cell table
+    val cm = graft.operators.SlidingSketches.cmHourly(
+      ev, col("user_id"), col("sec"), 3600L, depth = 4, width = 32)
+    val cp = planOf(cm)
+    assert("HashAggregate".r.findAllIn(cp).size >= 2, cp)
+    assert(!cp.contains("Window") && !cp.contains("CartesianProduct"), cp)
+    // the one-pass decayed counter: a mergeable TypedImperativeAggregate
+    // on the ordinary partial/merge path — 17-byte state per key per
+    // partition on the wire, never the raw rows
+    val dec = ev.select(col("event_type").as("key"),
+        col("sec").cast("long").as("t"), col("value").cast("double").as("x"))
+      .groupBy("key")
+      .agg(graft.plans.DecayedSum.of(col("t"), col("x"), 3600L).as("d"))
+    val dp = planOf(dec)
+    assert("ObjectHashAggregate".r.findAllIn(dp).size >= 2, dp)
+    assert(dp.toLowerCase.contains("decayedsumagg"), dp)
+    assert(!dp.contains("Window") && !dp.contains("TakeOrdered"), dp)
+  }
+
   test("EH sliding quantiles: distributed hourly agg, broadcast verify join") {
     import graft.operators.{SlidingSketches => SS}
     val ev = Tables.events(spark, sf())
