@@ -178,21 +178,20 @@ object SlidingSketches {
     * cell — the strongest gating this family allows, and q306 checks
     * exactly that. */
   def cmHourly(df: DataFrame, item: Column, sec: Column, u: Long,
-      depth: Int, width: Int): DataFrame =
-    df.select(
+      depth: Int, width: Int, key: Column = lit("")): DataFrame =
+    df.select(key.cast("string").as("key"),
         (sec.cast("long") - pmod(sec.cast("long"), lit(u))).divide(u)
           .cast("long").as("q"),
         Sketches.keyHash(item).as("x"),
         Sketches.paramsExplode(depth).as("p"))
-      .groupBy(col("q"), col("p.row").as("row"),
+      .groupBy(col("key"), col("q"), col("p.row").as("row"),
         pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
           lit(width.toLong)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy("q")
+      .groupBy("key", "q")
       .agg(collect_list(struct(
         (col("row") * width + col("bucket")).as("idx"),
         col("cnt").as("cnt"))).as("entries"))
-      .withColumn("key", lit(""))
 
   /** EH fold + covered-suffix count-min cells per window start: the
     * merged cells of all covered buckets (elementwise addition — the
@@ -258,55 +257,64 @@ object SlidingSketches {
     * Output one row per (start, item with data in the window), with
     * the oracle-computable exact n_window anchor. */
   def cmSlidingCheck(raw: DataFrame, covered: DataFrame,
-      depth: Int, width: Int): DataFrame = {
-    val cov = broadcast(covered.drop("key"))
-    val joined = raw.crossJoin(cov)
+      depth: Int, width: Int, keyed: Boolean = false): DataFrame = {
+    // keyed mode: `key` is the sketch partition (one EH per key) and
+    // rides every group/join below; global mode drops it from both
+    // sides. `gcols(...)` prefixes key when keyed.
+    def gcols(cs: Column*): Seq[Column] =
+      (if (keyed) Seq(col("key")) else Nil) ++ cs
+    val kcols = (if (keyed) Seq("key") else Nil)
+    val cov = broadcast(if (keyed) covered else covered.drop("key"))
+    val joined =
+      if (keyed) raw.join(cov, "key")
+      else raw.crossJoin(cov)
     val inSuffix = col("sec") >= col("t_cov_sec")
     // direct covered-suffix cells from raw rows
     val direct = joined.filter(inSuffix)
-      .select(col("start"), Sketches.keyHash(col("item")).as("x"),
-        Sketches.paramsExplode(depth).as("p"))
-      .groupBy(col("start"), col("p.row").as("row"),
+      .select(gcols(col("start"), Sketches.keyHash(col("item")).as("x"),
+        Sketches.paramsExplode(depth).as("p")): _*)
+      .groupBy(gcols(col("start"), col("p.row").as("row"),
         pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
-          lit(width.toLong)).as("bucket"))
+          lit(width.toLong)).as("bucket")): _*)
       .agg(count(lit(1)).as("dcnt"))
     // emitted (EH-merged) cells, sparse
-    val emitted = cov.select(col("start"),
-        posexplode(col("cells")).as(Seq("idx", "cnt")))
+    val emitted = cov.select(gcols(col("start"),
+        posexplode(col("cells")).as(Seq("idx", "cnt"))): _*)
       .filter(col("cnt") > 0)
-      .select(col("start"), (col("idx") / width).cast("long").as("row"),
+      .select(gcols(col("start"), (col("idx") / width).cast("long").as("row"),
         pmod(col("idx").cast("long"), lit(width.toLong)).as("bucket"),
-        col("cnt"))
-    val cellsOk = direct.join(emitted, Seq("start", "row", "bucket"), "full_outer")
-      .groupBy("start")
+        col("cnt")): _*)
+    val cellKeys = kcols ++ Seq("start", "row", "bucket")
+    val cellsOk = direct.join(emitted, cellKeys, "full_outer")
+      .groupBy(gcols(col("start")): _*)
       .agg(min((col("dcnt") <=> col("cnt")).cast("long")).as("cells_match"))
     // per-(start, item) exact suffix + window counts
     val perItem = joined
-      .groupBy(col("start"), col("n_cov"), col("stale_ok"), col("item"))
+      .groupBy(gcols(col("start"), col("n_cov"), col("stale_ok"), col("item")): _*)
       .agg(sum(when(inSuffix, 1L).otherwise(0L)).as("c_cov"),
         sum(when(col("sec") >= col("start"), 1L).otherwise(0L)).as("n_window"))
     // probe estimates off the emitted cells
-    val est = perItem.select(col("start"), col("item"),
+    val est = perItem.select(gcols(col("start"), col("item"),
         Sketches.keyHash(col("item")).as("x"),
-        Sketches.paramsExplode(depth).as("p"))
-      .select(col("start"), col("item"), col("p.row").as("row"),
+        Sketches.paramsExplode(depth).as("p")): _*)
+      .select(gcols(col("start"), col("item"), col("p.row").as("row"),
         pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
-          lit(width.toLong)).as("bucket"))
-      .join(emitted, Seq("start", "row", "bucket"), "left")
+          lit(width.toLong)).as("bucket")): _*)
+      .join(emitted, cellKeys, "left")
       .na.fill(0L, Seq("cnt"))
-      .groupBy("start", "item")
+      .groupBy(gcols(col("start"), col("item")): _*)
       .agg(min("cnt").as("est"))
-    val covOk = perItem.groupBy("start", "n_cov")
+    val covOk = perItem.groupBy(gcols(col("start"), col("n_cov")): _*)
       .agg((sum("c_cov") === first("n_cov")).cast("long").as("coverage_ok"))
-      .select("start", "coverage_ok")
+      .select(gcols(col("start"), col("coverage_ok")): _*)
     perItem
-      .join(est, Seq("start", "item"))
-      .join(broadcast(cellsOk), "start")
-      .join(broadcast(covOk), "start")
+      .join(est, kcols ++ Seq("start", "item"))
+      .join(broadcast(cellsOk), kcols :+ "start")
+      .join(broadcast(covOk), kcols :+ "start")
       .filter(col("n_window") > 0)
-      .select(col("start"), col("item").as("key"), col("n_window"),
+      .select(gcols(col("start"), col("item"), col("n_window"),
         (col("est") >= col("c_cov")).cast("long").as("never_under"),
-        col("cells_match"), col("coverage_ok"), col("stale_ok"))
+        col("cells_match"), col("coverage_ok"), col("stale_ok")): _*)
   }
 
   /** Per-(key, quantum) Misra–Gries summaries + exact quantum counts

@@ -1729,13 +1729,13 @@ object EventQueries {
        |            MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
        |s AS (SELECT DISTINCT ((smin + (k*(smax - smin))//6)//3600)*3600 AS start
        |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)),
-       |w AS (SELECT s.start, e.user_id::VARCHAR AS key, COUNT(*)::BIGINT AS n_window
+       |w AS (SELECT s.start, e.user_id::VARCHAR AS item, COUNT(*)::BIGINT AS n_window
        |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
        |      GROUP BY 1, 2)
-       |SELECT start, key, n_window, 1::BIGINT AS never_under,
+       |SELECT start, item, n_window, 1::BIGINT AS never_under,
        |       1::BIGINT AS cells_match, 1::BIGINT AS coverage_ok,
        |       1::BIGINT AS stale_ok
-       |FROM w ORDER BY start, key""".stripMargin) { (spark, dir) =>
+       |FROM w ORDER BY start, item""".stripMargin) { (spark, dir) =>
     import graft.operators.{SlidingSketches => SS}
     val ev = Tables.events(spark, dir)
     val starts = slidingStarts(ev, 6, 6)
@@ -1746,7 +1746,7 @@ object EventQueries {
         ev.select(col("sec").cast("long").as("sec"),
           col("user_id").cast("string").as("item")),
         cells, depth = 4, width = 32)
-      .orderBy("start", "key")
+      .orderBy("start", "item")
   }
 
   /** Exponentially-decayed per-key stats (Analytics.decayedStats):
@@ -1780,6 +1780,40 @@ object EventQueries {
         col("event_type"), col("value"), col("sec"),
         halfLifeSec = 86400L, rebaseAheadSec = 86400L)
       .orderBy("key")
+  }
+
+  /** Per-KEY sliding count-min: one EH of hourly cell arrays per event
+    * type — "this user's recent frequency within this source" —
+    * completing count-min's 2×2 like the other family members. Same
+    * canonical-cells discipline as q306 (EH-merged cells ≡ direct
+    * covered-suffix build per key), keyed joins throughout the
+    * verification frame. */
+  val q310 = QueryDef(
+    "q310_cm_sliding_per_key",
+    s"""WITH b AS (SELECT MIN(floor(epoch(ts))::BIGINT) AS smin,
+       |            MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smin + (k*(smax - smin))//4)//3600)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |w AS (SELECT e.event_type AS key, s.start, e.user_id::VARCHAR AS item,
+       |             COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1, 2, 3)
+       |SELECT key, start, item, n_window, 1::BIGINT AS never_under,
+       |       1::BIGINT AS cells_match, 1::BIGINT AS coverage_ok,
+       |       1::BIGINT AS stale_ok
+       |FROM w ORDER BY key, start, item""".stripMargin) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 4, 4)
+    val hourly = SS.cmHourly(ev, col("user_id"), col("sec"), 3600L,
+      depth = 4, width = 32, key = col("event_type"))
+    val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
+    SS.cmSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cells, depth = 4, width = 32, keyed = true)
+      .orderBy("key", "start", "item")
   }
 
   /** STREAMING decayed counter (plans.DecayedSumAgg): the one-pass
@@ -1842,5 +1876,5 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310)
 }
