@@ -62,8 +62,10 @@ object Bench {
     // recompute, session telemetry from the last shard + shard count
     def mapOf(json: String, field: String): String = {
       val i = json.indexOf("\"" + field + "\":{")
+      require(i >= 0, s"bench shard json missing object field $field")
       val start = i + field.length + 4
       val end = json.indexOf("}", start)
+      require(end >= 0, s"bench shard json unterminated object field $field")
       json.substring(start, end)
     }
     val shardJsons = outs.map(p => new String(
@@ -73,7 +75,13 @@ object Bench {
     }
     def num(json: String, field: String): Double = {
       val i = json.indexOf("\"" + field + "\":")
-      json.substring(i + field.length + 3).takeWhile(c => c.isDigit || c == '.' || c == '-').toDouble
+      require(i >= 0, s"bench shard json missing numeric field $field")
+      // accept scientific notation (a tiny shard total serializes as 1.2E-4)
+      val s = json.substring(i + field.length + 3)
+        .takeWhile(c => c.isDigit || c == '.' || c == '-' || c == '+' ||
+          c == 'e' || c == 'E')
+      require(s.nonEmpty, s"bench shard json field $field not numeric")
+      s.toDouble
     }
     val total = shardJsons.map(num(_, "value")).sum
     val totalGc = shardJsons.map(num(_, "total_gc_s")).sum
@@ -81,6 +89,7 @@ object Bench {
     val totalJit = shardJsons.map(num(_, "total_jit_s")).sum
     def raw(json: String, field: String): String = {
       val i = json.indexOf("\"" + field + "\":")
+      require(i >= 0, s"bench shard json missing field $field")
       val start = i + field.length + 3
       var depth = 0; var end = start
       while (end < json.length && (depth > 0 || (json(end) != ',' && json(end) != '}'))) {

@@ -45,8 +45,12 @@ object ScaleStream {
     // one replay source shared by all strategies
     val base = graft.core.Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("sec"),
-        (col("sec") * 10000000L + pmod(col("event_id"), lit(10000000L)))
-          .as("ver"))
+        // the guarded shared packer, not an inline pmod: folding an
+        // out-of-range event_id into a colliding version would let the
+        // strategies-agree checksum pass on tie-break luck rather than
+        // version semantics (q277's fail-loud contract)
+        graft.operators.Cdc.packedVersion(col("sec"), col("event_id"),
+          "scalestream").as("ver"))
     val replay = java.nio.file.Files.createTempDirectory("graft_scalestream")
     graft.core.TempPaths.register(replay)
     base.repartition(batches).write.mode("overwrite").parquet(replay.toString)

@@ -479,7 +479,12 @@ object Analytics {
         Cross.dsum(col("wx"), 6).as("dwx"))
       .select(col("key"), col("n"), col("t_ref"),
         Cross.r6(col("dn")).as("decayed_n"),
-        Cross.r6(col("dwx") / col("dn")).as("decayed_mean"),
+        // zero decayed mass (every row older than ~21 half-lives rounds
+        // to w=0) must surface as NULL, not 0.0/0.0 → NaN: DuckDB yields
+        // NULL for the same division, so an unguarded NaN is a silent
+        // cross-engine divergence (the Cross.dcorr discipline)
+        when(col("dn") <= 0.0, lit(null))
+          .otherwise(Cross.r6(col("dwx") / col("dn"))).as("decayed_mean"),
         Cross.r6(col("dn") * pow(lit(2.0),
           lit(-rebaseAheadSec.toDouble / halfLifeSec.toDouble)))
           .as("rebased_n"))

@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   * s = Σᵢ 2^((tᵢ − tMax)/halfLife) · xᵢ and REBASES on the fly — a new
   * maximum scales the accumulated sum by 2^((tMaxold − tnew)/h), and
   * merging two partials rebases the smaller-tMax side onto the larger
-  * (the rebasing identity the batch gate q307 checks). State is 17
-  * bytes whatever the input; update/merge are O(1); the fold rides the
+  * (the rebasing identity the batch gate q307 checks). Serialized
+  * state is 24 bytes (tMax, sum, n — 3×8) whatever the input;
+  * update/merge are O(1); the fold rides the
   * ordinary partial-aggregation path, so it runs identically under
   * batch groupBy and complete-mode streaming.
   *
@@ -26,9 +27,10 @@ import org.apache.spark.sql.types._
   * equality of the sum): rebasing multiplies the running DOUBLE by a
   * pow factor, so the final bits depend on the merge tree — each
   * reordering perturbs ~1 ulp, O(n·ε) worst case. n and tMax are
-  * EXACT (hash-anchored); the decayed sum is checked within 1e-4 of
-  * the two-pass decimal-disciplined reference, a bound ~10⁷× looser
-  * than the accumulated error and ~10⁴× tighter than any behavioral
+  * EXACT (hash-anchored); the decayed sum is checked within n·1e-6 of
+  * the two-pass decimal-disciplined reference (q308/q309's
+  * decayedCheckFrame bound) — far looser than the accumulated ulp
+  * error yet orders of magnitude tighter than any behavioral
   * difference. Nulls in (t, x) drop the row. */
 case class DecayedSumAgg(
     tExpr: Expression,

@@ -1773,7 +1773,8 @@ object EventQueries {
        |             ${Cross.dsumSql("w")} AS dn, ${Cross.dsumSql("wx")} AS dwx
        |      FROM w2 GROUP BY 1, 2)
        |SELECT key, n, t_ref, ${Cross.r6Sql("dn")} AS decayed_n,
-       |       ${Cross.r6Sql("dwx / dn")} AS decayed_mean,
+       |       CASE WHEN dn <= 0 THEN NULL
+       |            ELSE ${Cross.r6Sql("dwx / dn")} END AS decayed_mean,
        |       ${Cross.r6Sql("dn * pow(2.0, -1.0)")} AS rebased_n
        |FROM g ORDER BY key""".stripMargin) { (spark, dir) =>
     graft.operators.Analytics.decayedStats(Tables.events(spark, dir),
