@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.plans.{GkSummary, SlidingEh}
-import graft.plans.SlidingEh.Bucket
 
 /** Row shapes for the typed (Dataset) legs of the sliding sketches.
   * Top-level case classes so implicit Encoders derive. Field names
@@ -41,8 +40,9 @@ object SlidingRows {
   * the suffix-minima KMV state started (q294–q297): KMV's kept set is
   * a pure suffix property so its sliding form is EXACT; rank and
   * frequency summaries are not, so their sliding form answers an exact
-  * time SUFFIX [tCov, now] with tCov within the EH staleness bound of
-  * the requested start — and the gates check exactly that split:
+  * time SUFFIX [tCov, now] whose data misses at most the EH staleness
+  * bound (~2/(C−1)) of the requested window's non-empty quanta — and
+  * the gates check exactly that split:
   * coverage exactness + staleness bound + the summary's own guarantees
   * over the covered suffix (q285/q270 discipline, because neither kept
   * set is canonical).
@@ -51,9 +51,10 @@ object SlidingRows {
   *   1. per-(key, quantum) summaries — ORDINARY DISTRIBUTED groupBy
   *      over raw rows (the 100 TB-heavy step; partial aggregation,
   *      m/k-bounded state per group);
-  *   2. per-key EH fold over the ≤ #quanta summary OBJECTS inside
-  *      mapGroups — no driver collect, no raw-data rescan, O(c·log W)
-  *      buckets of state per key;
+  *   2. per-key EH fold over the NON-EMPTY quanta's summary OBJECTS
+  *      inside mapGroups (sparse timestamped buckets — a key costs
+  *      only what it holds) — no driver collect, no raw-data rescan,
+  *      O(c·log W) buckets of state per key;
   *   3. window queries per start answered from the buckets, verified
   *      by one distributed join back to raw rows.
   * Window starts must be QUANTUM-ALIGNED (require'd): that makes
@@ -63,9 +64,10 @@ object SlidingRows {
 object SlidingSketches {
   import SlidingRows._
 
-  /** EH branching: ≤ C buckets per span; a span-L straddler is backed
-    * by ≥ (C−1)·(L−1) covered quanta — staleness ≤ ~2/(C−1) of the
-    * covered span. */
+  /** EH branching: ≤ C buckets per size; a cnt-L straddler is backed
+    * by ≥ (C−1)·(L−1) covered non-empty quanta — the answered data
+    * misses at most ~2/(C−1) of itself (a relative-DATA bound; time
+    * gaps between sparse quanta are staleness-free). */
   val C = 4
 
   private def decodeGk(r: GkSkR): GkSummary = GkSkR.summary(r)
@@ -88,7 +90,8 @@ object SlidingSketches {
     * target rank over the covered suffix, the estimate from the
     * UNPRUNED merge of covered buckets (zero extra rank error at query
     * time), and the staleness verdict. Deterministic given (data,
-    * grid): the EH layout depends only on the key's quantum count. */
+    * grid): the EH layout depends only on the key's non-empty-quantum
+    * sequence. */
   def gkSlidingEstimates(hourly: DataFrame, u: Long, m: Int,
       starts: Seq[Long], phis: Seq[Double]): DataFrame = {
     require(starts.nonEmpty && phis.nonEmpty, "empty starts/phis")
@@ -102,21 +105,20 @@ object SlidingSketches {
     hourly.select(col("key"), col("q"), col("sk")).as[GkHourRow]
       .groupByKey(_.key)
       .flatMapGroups { (key: String, it: Iterator[GkHourRow]) =>
-        val rows = it.map(r => r.q -> decodeGk(r.sk)).toMap
-        val q0 = rows.keys.min
-        val q1 = rows.keys.max
-        require(q1 - q0 < (1L << 22),
-          s"sliding grid for key=$key spans ${q1 - q0} quanta — the dense " +
-            "EH grid would be pathological; coarsen the quantum u")
-        val quanta = (q0 to q1).map(q => rows.getOrElse(q, GkSummary.empty))
-        val buckets = SlidingEh.build(q0, quanta, C,
+        // SPARSE grid: only quanta with data enter the EH (timestamped
+        // buckets) — a key with two events a year apart at minute
+        // quanta costs two buckets, no dense fill, no span guard
+        val quanta = it.map(r => r.q -> decodeGk(r.sk)).toVector.sortBy(_._1)
+        val buckets = SlidingEh.build(quanta, C,
           (a: GkSummary, b: GkSummary) => SlidingEh.gkMerge(a, b, m))
         startsV.iterator.flatMap { s =>
           SlidingEh.cover(buckets, s / u, C) match {
             case None => Iterator.empty // window past newest data ⇒ empty
             case Some(cov) =>
               val merged = SlidingEh.gkMergeAll(cov.covered.map(_.s))
-              if (merged.n == 0) Iterator.empty // covered quanta all empty
+              // covered buckets hold only non-empty quanta, so n > 0;
+              // kept as a defensive guard against an all-null value column
+              if (merged.n == 0) Iterator.empty
               else phisV.iterator.map { phi =>
                 GkEstRow(key, s, cov.tCovQ * u, phi, merged.n,
                   1L + math.round(phi * (merged.n - 1)),
@@ -220,14 +222,10 @@ object SlidingSketches {
           while (i < size) { o(i) = a(i) + b(i); i += 1 }
           o
         }
-        val rows = it.map(r => r.q -> dense(r.entries)).toMap
-        val q0 = rows.keys.min
-        val q1 = rows.keys.max
-        require(q1 - q0 < (1L << 22),
-          s"sliding grid spans ${q1 - q0} quanta — coarsen the quantum u")
-        val quanta = (q0 to q1).map(q =>
-          rows.getOrElse(q, new Array[Long](size)))
-        val buckets = SlidingEh.build(q0, quanta, C, add)
+        // SPARSE grid: only quanta with data enter (cells are additive,
+        // an absent quantum contributes nothing)
+        val quanta = it.map(r => r.q -> dense(r.entries)).toVector.sortBy(_._1)
+        val buckets = SlidingEh.build(quanta, C, add)
         startsV.iterator.flatMap { s =>
           SlidingEh.cover(buckets, s / u, C) match {
             case None => Iterator.empty
@@ -347,16 +345,12 @@ object SlidingSketches {
       .as[MgHourRow]
       .groupByKey(_.key)
       .flatMapGroups { (key: String, it: Iterator[MgHourRow]) =>
-        val rows = it.map(r =>
-          r.q -> (r.n, r.entries.map(e => e.key -> e.est).toMap)).toMap
-        val q0 = rows.keys.min
-        val q1 = rows.keys.max
-        require(q1 - q0 < (1L << 22),
-          s"sliding grid for key=$key spans ${q1 - q0} quanta — the dense " +
-            "EH grid would be pathological; coarsen the quantum u")
+        // SPARSE grid: only quanta with data enter the EH
         val empty = (0L, Map.empty[String, Long])
-        val quanta = (q0 to q1).map(q => rows.getOrElse(q, empty))
-        val buckets = SlidingEh.build(q0, quanta, C,
+        val quanta = it.map(r =>
+            r.q -> ((r.n, r.entries.map(e => e.key -> e.est).toMap)))
+          .toVector.sortBy(_._1)
+        val buckets = SlidingEh.build(quanta, C,
           (a: (Long, Map[String, Long]), b: (Long, Map[String, Long])) =>
             SlidingEh.mgMerge(a, b, k))
         startsV.iterator.flatMap { s =>

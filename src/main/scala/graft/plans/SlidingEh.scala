@@ -5,87 +5,105 @@ import scala.collection.mutable.ArrayBuffer
 /** Exponential-histogram (EH) decomposition of a time axis into
   * O(c·log W) buckets of MERGEABLE summaries — the construction that
   * gives the remaining sketch-family members (GK quantiles, Misra–
-  * Gries heavy hitters) their sliding/time-decayed leg, completing
-  * what the suffix-minima KMV state ([[KmvSlidingState]], q294–q297)
-  * started. KMV got an EXACT sliding form because bottom-k membership
-  * is a pure suffix property; rank and frequency summaries have no
-  * such structure, so the standard answer (Datar–Gionis–Indyk–Motwani
-  * SODA'02 exponential histograms, carried over to arbitrary mergeable
-  * summaries per Agarwal et al. PODS'12) is kept here: per-quantum
-  * summaries (one per hour/minute — built DISTRIBUTED by an ordinary
-  * groupBy) decompose into dyadic buckets whose spans double with age,
-  * and a window query answers from the O(log) buckets newer than the
-  * window start.
+  * Gries heavy hitters, count-min cells) their sliding/time-decayed
+  * leg, completing what the suffix-minima KMV state
+  * ([[KmvSlidingState]], q294–q297) started. KMV got an EXACT sliding
+  * form because bottom-k membership is a pure suffix property; rank
+  * and frequency summaries have no such structure, so the standard
+  * answer (Datar–Gionis–Indyk–Motwani SODA'02 exponential histograms,
+  * carried over to arbitrary mergeable summaries per Agarwal et al.
+  * PODS'12) is kept here: per-quantum summaries (one per hour/minute —
+  * built DISTRIBUTED by an ordinary groupBy) decompose into dyadic
+  * buckets whose sizes double with age, and a window query answers
+  * from the O(log) buckets newer than the window start.
   *
-  * Construction (quanta fed oldest → newest, dense grid):
-  *   - each quantum enters as a len-1 bucket at the new end;
-  *   - whenever more than `c` buckets share a span, the two OLDEST of
-  *     that span (time-adjacent by construction) merge into one bucket
-  *     of twice the span.
-  * Invariants (SlidingEhSpec property-tests them):
-  *   - buckets tile the grid contiguously, spans are powers of two and
-  *     non-increasing toward the present, ≤ c buckets per span;
-  *   - if a span-2^i bucket exists, every span 2^j (j < i) has ≥ c−1
-  *     buckets — so the buckets NEWER than any span-L straddler cover
-  *     ≥ (c−1)·(L−1) quanta. That is the quantitative staleness
-  *     guarantee a query checks: the uncovered head of a window is at
-  *     most ~2/(c−1) of the covered span (relative time error, the EH
-  *     bound), independent of data volume.
+  * Buckets are TIMESTAMPED and SPARSE: only quanta that actually hold
+  * data enter the structure, each bucket records the first/last
+  * quantum it covers plus how many non-empty quanta it merged. A key
+  * with two events a year apart at minute quanta costs two buckets,
+  * not a year of empty grid positions — there is no dense fill and no
+  * grid-span guard anywhere (the round-9 dense build materialized
+  * every quantum from min to max and `require`-guarded the span at
+  * 2^22; both are gone).
+  *
+  * Construction (non-empty quanta fed oldest → newest):
+  *   - each quantum enters as a cnt-1 bucket at the new end;
+  *   - whenever more than `c` buckets share a cnt, the two OLDEST of
+  *     that cnt (adjacent in the non-empty-quanta sequence by
+  *     construction) merge into one bucket of twice the cnt.
+  * Invariants (SlidingEhSpec property-tests them, dense and sparse):
+  *   - buckets partition the non-empty-quanta sequence in time order,
+  *     cnts are powers of two and non-increasing toward the present,
+  *     ≤ c buckets per cnt;
+  *   - if a cnt-2^i bucket exists, every cnt 2^j (j < i) has ≥ c−1
+  *     buckets — so the buckets NEWER than any cnt-L straddler cover
+  *     ≥ (c−1)·(L−1) non-empty quanta. That is the quantitative
+  *     staleness guarantee a query checks: the DATA the uncovered head
+  *     of a window can lose is at most L−1 non-empty quanta ≤
+  *     ~2/(c−1) of the covered (answered) quanta — a relative-data
+  *     bound, which for sparse grids is strictly more meaningful than
+  *     the dense build's relative-time bound (an empty year between
+  *     two quanta is staleness-free: no data lives in it).
   *
   * Query semantics ([[cover]]): for window start qs the answer is the
-  * merge of all buckets with start ≥ qs — an EXACT TIME SUFFIX
-  * [tCov, now] with tCov ∈ [qs, qs + staleness]. Exact-suffix coverage
-  * is what makes the construction gateable at q285/q270 strength: a
-  * verifier can join the answered summary back to the raw rows of
-  * {ts ≥ tCov} and check the summary's own guarantees (GK rank
-  * intervals, MG undercount bounds) against exact counts, because the
-  * covered multiset is a deterministic pure function of (data, grid),
-  * not of partitioning (the per-quantum summaries ARE
-  * partitioning-independent in their guarantees, and the EH layout
-  * depends only on the quantum count).
+  * merge of all buckets with firstQ ≥ qs — an EXACT TIME SUFFIX
+  * [tCov, now] whose boundary tCov is the oldest covered non-empty
+  * quantum. Exact-suffix coverage is what makes the construction
+  * gateable at q285/q270 strength: a verifier can join the answered
+  * summary back to the raw rows of {ts ≥ tCov} and check the summary's
+  * own guarantees (GK rank intervals, MG undercount bounds, count-min
+  * cell equality) against exact counts, because the covered multiset
+  * is a deterministic pure function of (data, grid), not of
+  * partitioning (the per-quantum summaries ARE partitioning-
+  * independent in their guarantees, and the EH layout depends only on
+  * the key's non-empty-quantum sequence).
   *
   * Scale shape: the heavy lift (per-quantum summaries over raw rows)
-  * is an ordinary distributed aggregation; the EH fold is O(#quanta)
-  * driver-free work per key inside mapGroups — a year of hourly quanta
-  * is ~10^4 summary objects per key, each m-bounded. Nothing here
+  * is an ordinary distributed aggregation; the EH fold is
+  * O(#non-empty quanta) driver-free work per key inside mapGroups — a
+  * year of hourly quanta is ≤ ~10^4 summary objects per key, each
+  * m-bounded, and a sparse key costs only what it holds. Nothing here
   * rescans raw data at query time.
   */
 object SlidingEh {
 
-  /** A bucket covering quanta [start, start + len) with the merged
-    * summary of those quanta. */
-  final case class Bucket[S](start: Long, len: Long, s: S)
+  /** A bucket covering the non-empty quanta in [firstQ, lastQ] with
+    * the merged summary of those quanta; `cnt` is how many non-empty
+    * quanta it merged (the DGIM size — powers of two). */
+  final case class Bucket[S](firstQ: Long, lastQ: Long, cnt: Long, s: S)
 
-  /** Fold a DENSE oldest→newest quanta sequence (index i = quantum
-    * firstQ + i) into the EH bucket list (oldest first). `merge` is
-    * the summary's mergeable-reduce (it may prune: per-element prune
-    * count is bounded by the dyadic depth log2(#quanta), which is what
-    * keeps GK's rank-error budget bounded — see the q285 bound). */
-  def build[S](firstQ: Long, quanta: IndexedSeq[S], c: Int,
+  /** Fold an oldest→newest sequence of (quantum, summary) pairs —
+    * NON-EMPTY quanta only, strictly increasing q — into the EH bucket
+    * list (oldest first). `merge` is the summary's mergeable-reduce
+    * (it may prune: per-element prune count is bounded by the dyadic
+    * depth log2(#quanta), which is what keeps GK's rank-error budget
+    * bounded — see the q285 bound). */
+  def build[S](quanta: Seq[(Long, S)], c: Int,
       merge: (S, S) => S): Vector[Bucket[S]] = {
     require(c >= 2, s"EH branching out of range: $c")
     val buf = ArrayBuffer.empty[Bucket[S]]
-    var q = firstQ
-    quanta.foreach { s =>
-      buf += Bucket(q, 1L, s)
-      q += 1
-      var len = 1L
+    var prevQ = Long.MinValue
+    quanta.foreach { case (q, s) =>
+      require(q > prevQ, s"quanta not strictly increasing at $q")
+      prevQ = q
+      buf += Bucket(q, q, 1L, s)
+      var cnt = 1L
       var cascading = true
       while (cascading) {
         cascading = false
-        // buckets of one span are contiguous (spans non-increasing
-        // with index), so scan for the first index at this span
+        // buckets of one cnt are contiguous (cnts non-increasing with
+        // index), so scan for the first index at this cnt
         var i = 0
-        while (i < buf.length && buf(i).len > len) i += 1
-        var cnt = 0
+        while (i < buf.length && buf(i).cnt > cnt) i += 1
+        var k = 0
         var j = i
-        while (j < buf.length && buf(j).len == len) { cnt += 1; j += 1 }
-        if (cnt > c) {
-          // merge the two OLDEST at this span (time-adjacent)
+        while (j < buf.length && buf(j).cnt == cnt) { k += 1; j += 1 }
+        if (k > c) {
+          // merge the two OLDEST at this cnt (adjacent in sequence)
           val a = buf(i); val b = buf(i + 1)
-          buf(i) = Bucket(a.start, a.len + b.len, merge(a.s, b.s))
+          buf(i) = Bucket(a.firstQ, b.lastQ, a.cnt + b.cnt, merge(a.s, b.s))
           buf.remove(i + 1)
-          len *= 2
+          cnt *= 2
           cascading = true
         }
       }
@@ -95,37 +113,37 @@ object SlidingEh {
 
   /** Result of a window query at quantum start `qs`: the covered
     * buckets (an exact time suffix from `tCovQ`), the straddling
-    * bucket's span (0 if none), and the verdict of the staleness
-    * invariant check. */
+    * bucket's non-empty-quanta count (0 if none), and the verdict of
+    * the staleness invariant check. */
   final case class Cover[S](tCovQ: Long, covered: Vector[Bucket[S]],
-      stradLen: Long, staleOk: Boolean)
+      stradCnt: Long, staleOk: Boolean)
 
   /** Covered suffix for a window starting at quantum `qs`. Returns
-    * None when no bucket starts at-or-after qs (the window is past
-    * the newest data — with quantum-aligned starts that means the
-    * window is empty). `staleOk` asserts the EH guarantee this layout
-    * promises: a span-L straddler (L ≥ 2) has ≥ (c−1)·(L−1) covered
-    * quanta newer than it, so the uncovered head [qs, tCovQ) is at
-    * most ~2/(c−1) of the covered span; a window reaching at-or-before
+    * None when no bucket starts at-or-after qs — and because the
+    * newest bucket is always the cnt-1 bucket of the newest non-empty
+    * quantum, None ⟺ the window holds no data at all (with
+    * quantum-aligned starts). `staleOk` asserts the EH guarantee this
+    * layout promises: a cnt-L straddler (L ≥ 2; a cnt-1 bucket cannot
+    * straddle) can hide at most L−1 non-empty quanta that belong to
+    * the window, and the covered suffix holds ≥ (c−1)·(L−1) non-empty
+    * quanta — so the answered data misses at most ~2/(c−1) of itself,
+    * whatever the time gaps look like; a window reaching at-or-before
     * the oldest bucket is fully covered (no staleness at all). */
   def cover[S](buckets: Vector[Bucket[S]], qs: Long, c: Int): Option[Cover[S]] = {
-    val covered = buckets.filter(_.start >= qs)
+    val covered = buckets.filter(_.firstQ >= qs)
     if (covered.isEmpty) None
     else {
-      val tCovQ = covered.head.start
-      val strad = buckets.find(b => b.start < qs && b.start + b.len > qs)
-      val coveredSpan = covered.map(_.len).sum
+      val tCovQ = covered.head.firstQ
+      val strad = buckets.find(b => b.firstQ < qs && b.lastQ >= qs)
+      val coveredCnt = covered.map(_.cnt).sum
       val staleOk = strad match {
-        case None => tCovQ <= qs || buckets.head.start == tCovQ
+        case None => true // all window data covered: gap quanta are empty
         case Some(b) =>
-          tCovQ == b.start + b.len &&
-            (b.len <= 1L || (c - 1L) * (b.len - 1L) <= coveredSpan)
+          tCovQ > b.lastQ && (c - 1L) * (b.cnt - 1L) <= coveredCnt
       }
-      Some(Cover(tCovQ, covered, b2l(strad), staleOk))
+      Some(Cover(tCovQ, covered, strad.map(_.cnt).getOrElse(0L), staleOk))
     }
   }
-
-  private def b2l[S](b: Option[Bucket[S]]): Long = b.map(_.len).getOrElse(0L)
 
   /** Misra–Gries mergeable reduce over (n, counters) pairs — the same
     * rule as [[MisraGriesSummary.merge]] (sum counters; if more than k

@@ -1817,6 +1817,50 @@ object EventQueries {
       .orderBy("key", "start", "item")
   }
 
+  /** SPARSE-GRID sliding quantiles — the gate that exists because the
+    * round-9 EH materialized a DENSE quantum grid (every position from
+    * min to max, `require`-guarded at 2^22): events spread 4096× on
+    * the time axis and sketched at MINUTE quanta give a grid span of
+    * ~10^8 positions — fatal under the dense guard — while holding
+    * only ~10^4 non-empty quanta, which is all the sparse timestamped
+    * EH ([[graft.plans.SlidingEh]]) now stores. Same three-leg
+    * guarantee reduction as q299; staleness is the sparse form's
+    * relative-DATA bound (empty gaps are staleness-free). */
+  val q311 = QueryDef(
+    "q311_gk_sliding_sparse",
+    s"""WITH b AS (SELECT MIN(floor(epoch(ts))::BIGINT) AS smin,
+       |            MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |e2 AS (SELECT b.smin + (floor(epoch(ts))::BIGINT - b.smin)*4096 AS sec,
+       |              value FROM events CROSS JOIN b),
+       |b2 AS (SELECT MIN(sec) AS smin2, MAX(sec) AS smax2 FROM e2),
+       |s AS (SELECT DISTINCT ((smin2 + (k*(smax2 - smin2))//6)//60)*60 AS start
+       |      FROM b2 CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)),
+       |w AS (SELECT s.start, COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN e2 ON e2.sec >= s.start GROUP BY 1),
+       |p AS (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS phi)
+       |SELECT start, phi, n_window, 1::BIGINT AS rank_ok,
+       |       1::BIGINT AS coverage_ok, 1::BIGINT AS stale_ok
+       |FROM w CROSS JOIN p ORDER BY start, phi""".stripMargin) { (spark, dir) =>
+    import graft.operators.{SlidingSketches => SS}
+    val ev0 = Tables.events(spark, dir)
+    val mm = ev0.agg(min(col("sec")).cast("long").as("a"),
+      max(col("sec")).cast("long").as("b")).head
+    val (smin, smax) = (mm.getLong(0), mm.getLong(1))
+    val smax2 = smin + (smax - smin) * 4096L
+    val ev = ev0.select(
+      (lit(smin) + (col("sec").cast("long") - smin) * 4096L).as("sec"),
+      col("value"))
+    val starts = (0 until 6)
+      .map(k => ((smin + k.toLong * (smax2 - smin) / 6) / 60L) * 60L)
+      .distinct
+    val hourly = SS.gkHourly(ev, lit(""), col("value"), col("sec"), 60L, 2048)
+    val est = SS.gkSlidingEstimates(hourly, 60L, 2048, starts, Seq(0.1, 0.5, 0.9))
+    SS.gkSlidingCheck(
+        ev.select(col("sec"), col("value").cast("double").as("v")),
+        est, keyed = false, epsDen = 40)
+      .orderBy("start", "phi")
+  }
+
   /** STREAMING decayed counter (plans.DecayedSumAgg): the one-pass
     * rebasing form of q307 — state (n, tMax, sum) per key, a new
     * maximum rescaling the running sum in O(1), folding over the event
@@ -1877,5 +1921,5 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311)
 }

@@ -18,64 +18,105 @@ class SlidingEhSpec extends SparkSpec {
 
   // count-summaries: the simplest mergeable summary (exact n) isolates
   // the EH layout laws from any sketch behavior
-  private def buildCounts(nQuanta: Int): Vector[SlidingEh.Bucket[Long]] =
-    SlidingEh.build(0L, IndexedSeq.fill(nQuanta)(1L), C, (a: Long, b: Long) => a + b)
+  private def buildCounts(quanta: Seq[Long]): Vector[SlidingEh.Bucket[Long]] =
+    SlidingEh.build(quanta.map(_ -> 1L), C, (a: Long, b: Long) => a + b)
 
-  test("EH layout invariants hold for every prefix length") {
-    (1 to 300).foreach { n =>
-      val bs = buildCounts(n)
-      // contiguous tiling of [0, n)
-      assert(bs.head.start == 0L)
-      bs.sliding(2).foreach {
-        case Vector(a, b) => assert(a.start + a.len == b.start, s"gap at n=$n")
-        case _ => ()
-      }
-      assert(bs.last.start + bs.last.len == n.toLong)
-      // every bucket's summary counts exactly its span (merge = +)
-      bs.foreach(b => assert(b.s == b.len, s"span/count drift at n=$n"))
-      // spans: powers of two, non-increasing toward the present, ≤ C each
-      bs.foreach(b => assert((b.len & (b.len - 1)) == 0L))
-      bs.sliding(2).foreach {
-        case Vector(a, b) => assert(a.len >= b.len)
-        case _ => ()
-      }
-      bs.groupBy(_.len).foreach { case (len, g) =>
-        assert(g.size <= C, s"${g.size} buckets of span $len at n=$n")
-      }
-      // the staleness invariant's backbone: if a span-L bucket exists,
-      // every smaller span has ≥ C−1 buckets
-      val spans = bs.groupBy(_.len).map { case (l, g) => l -> g.size }
-      spans.keys.foreach { l =>
-        var s = 1L
-        while (s < l) {
-          assert(spans.getOrElse(s, 0) >= C - 1,
-            s"span $s has <${C - 1} buckets below a span-$l bucket at n=$n")
-          s *= 2
-        }
+  private def layoutLaws(quanta: Seq[Long], tag: String): Unit = {
+    val bs = buildCounts(quanta)
+    // buckets partition the non-empty-quanta sequence in time order
+    assert(bs.head.firstQ == quanta.head)
+    assert(bs.last.lastQ == quanta.last)
+    bs.sliding(2).foreach {
+      case Vector(a, b) => assert(a.lastQ < b.firstQ, s"order break at $tag")
+      case _ => ()
+    }
+    assert(bs.map(_.cnt).sum == quanta.length.toLong, s"lost quanta at $tag")
+    // every bucket's summary counts exactly the quanta it merged
+    bs.foreach(b => assert(b.s == b.cnt, s"cnt/count drift at $tag"))
+    bs.foreach(b => assert(b.firstQ <= b.lastQ))
+    // cnts: powers of two, non-increasing toward the present, ≤ C each
+    bs.foreach(b => assert((b.cnt & (b.cnt - 1)) == 0L))
+    bs.sliding(2).foreach {
+      case Vector(a, b) => assert(a.cnt >= b.cnt)
+      case _ => ()
+    }
+    bs.groupBy(_.cnt).foreach { case (cnt, g) =>
+      assert(g.size <= C, s"${g.size} buckets of cnt $cnt at $tag")
+    }
+    // the newest bucket is always the newest quantum alone — the fact
+    // that makes "no covered bucket ⟺ window empty" hold sparse
+    assert(bs.last.cnt == 1L && bs.last.firstQ == quanta.last)
+    // the staleness invariant's backbone: if a cnt-L bucket exists,
+    // every smaller cnt has ≥ C−1 buckets
+    val cnts = bs.groupBy(_.cnt).map { case (l, g) => l -> g.size }
+    cnts.keys.foreach { l =>
+      var s = 1L
+      while (s < l) {
+        assert(cnts.getOrElse(s, 0) >= C - 1,
+          s"cnt $s has <${C - 1} buckets below a cnt-$l bucket at $tag")
+        s *= 2
       }
     }
   }
 
-  test("cover: exact suffix, staleness invariant, for every start") {
-    (1 to 200).foreach { n =>
-      val bs = buildCounts(n)
-      (-2L to n.toLong + 2).foreach { qs =>
-        SlidingEh.cover(bs, qs, C) match {
-          case None => assert(qs > bs.last.start, s"missing cover qs=$qs n=$n")
-          case Some(cov) =>
-            // covered is the exact suffix [tCovQ, n)
-            assert(cov.tCovQ >= qs || qs <= 0L)
-            assert(cov.covered.map(_.s).sum == n.toLong - cov.tCovQ)
-            assert(cov.staleOk, s"staleness violated qs=$qs n=$n")
-            // quantitative check directly: gap ≤ max(1, 2·covered/(C−1));
-            // a window reaching before the grid is fully covered, so the
-            // gap is measured from the grid start
-            val gap = math.max(0L, cov.tCovQ - math.max(qs, 0L))
-            val covSpan = cov.covered.map(_.len).sum
-            assert(gap <= math.max(1L, 2L * covSpan / (C - 1)),
-              s"gap $gap vs covered $covSpan at qs=$qs n=$n")
-        }
+  test("EH layout invariants hold for every prefix length (dense)") {
+    (1 to 300).foreach(n => layoutLaws((0 until n).map(_.toLong), s"n=$n"))
+  }
+
+  test("EH layout invariants hold on sparse grids (random gaps)") {
+    val rnd = new Random(3)
+    (1 to 60).foreach { trial =>
+      val n = 1 + rnd.nextInt(250)
+      // strictly increasing quanta with gaps up to years-at-minutes scale
+      val quanta = Iterator.iterate(rnd.nextInt(1000).toLong)(
+        q => q + 1L + (if (rnd.nextInt(4) == 0) rnd.nextInt(1 << 20) else rnd.nextInt(3)))
+        .take(n).toVector
+      layoutLaws(quanta, s"trial=$trial")
+    }
+  }
+
+  private def coverLaws(quanta: Seq[Long], starts: Seq[Long], tag: String): Unit = {
+    val bs = buildCounts(quanta)
+    starts.foreach { qs =>
+      SlidingEh.cover(bs, qs, C) match {
+        case None =>
+          // None ⟺ the window holds no data at all
+          assert(!quanta.exists(_ >= qs), s"missing cover qs=$qs $tag")
+        case Some(cov) =>
+          // tCovQ is the oldest covered non-empty quantum; the covered
+          // summary counts exactly the quanta at-or-after it
+          assert(quanta.contains(cov.tCovQ) && cov.tCovQ >= qs)
+          assert(cov.covered.map(_.s).sum == quanta.count(_ >= cov.tCovQ).toLong,
+            s"coverage drift qs=$qs $tag")
+          assert(cov.staleOk, s"staleness violated qs=$qs $tag")
+          // quantitative DATA bound: non-empty quanta the answer loses
+          // (inside the window but older than tCovQ) ≤ covered/(C−1)
+          val lost = quanta.count(q => q >= qs && q < cov.tCovQ).toLong
+          val coveredCnt = cov.covered.map(_.cnt).sum
+          assert((C - 1L) * lost <= coveredCnt,
+            s"lost $lost vs covered $coveredCnt at qs=$qs $tag")
       }
+    }
+  }
+
+  test("cover: exact suffix, staleness invariant, for every start (dense)") {
+    (1 to 200).foreach { n =>
+      val quanta = (0 until n).map(_.toLong)
+      coverLaws(quanta, -2L to n.toLong + 2, s"n=$n")
+    }
+  }
+
+  test("cover: exact suffix + data-staleness bound on sparse grids") {
+    val rnd = new Random(17)
+    (1 to 40).foreach { trial =>
+      val n = 1 + rnd.nextInt(200)
+      val quanta = Iterator.iterate(0L)(
+        q => q + 1L + (if (rnd.nextInt(4) == 0) rnd.nextInt(1 << 20) else rnd.nextInt(3)))
+        .take(n).toVector
+      // probe starts: every quantum, gap interiors, and beyond both ends
+      val starts = (quanta ++ quanta.map(_ + 1L) ++ quanta.map(_ - 1L) ++
+        Seq(quanta.last + 5L, -5L)).distinct
+      coverLaws(quanta, starts, s"trial=$trial")
     }
   }
 
@@ -92,7 +133,7 @@ class SlidingEhSpec extends SparkSpec {
       val s = vs.sorted
       GkSummary.prune(GkSummary.exact(s, s.length), m)
     }
-    val bs = SlidingEh.build(0L, sks, C,
+    val bs = SlidingEh.build(sks.zipWithIndex.map { case (s, i) => (i.toLong, s) }, C,
       (a: GkSummary, b: GkSummary) => SlidingEh.gkMerge(a, b, m))
     Seq(0L, 7L, 31L, 64L, 100L, 128L).foreach { qs =>
       val cov = SlidingEh.cover(bs, qs, C).get
@@ -123,7 +164,7 @@ class SlidingEhSpec extends SparkSpec {
       val m = items.groupBy(identity).map { case (kk, g) => kk -> g.length.toLong }
       (items.length.toLong, m)
     }
-    val bs = SlidingEh.build(0L, quanta, C,
+    val bs = SlidingEh.build(quanta.zipWithIndex.map { case (s, i) => (i.toLong, s) }, C,
       (a: (Long, Map[String, Long]), b: (Long, Map[String, Long])) =>
         SlidingEh.mgMerge(a, b, k))
     Seq(0L, 13L, 40L, 77L).foreach { qs =>
