@@ -179,21 +179,32 @@ object SlidingSketches {
     * sketch must EQUAL a direct build of the covered suffix cell for
     * cell — the strongest gating this family allows, and q306 checks
     * exactly that. */
-  def cmHourly(df: DataFrame, item: Column, sec: Column, u: Long,
+  /** Per-row count-min cell ids on the shared md5/FNV hash family —
+    * pure projections (streaming-safe), each input row exploding to
+    * `depth` (key, q, idx) cell rows with idx = row·width + bucket.
+    * Shared by [[cmHourly]] and the streaming monitor
+    * ([[graft.streaming.SlidingMonitor.cmQuantumMonitor]]), so the
+    * streamed cube lands on exactly the cells a batch build lands
+    * on. */
+  def cmCellRows(df: DataFrame, item: Column, sec: Column, u: Long,
       depth: Int, width: Int, key: Column = lit("")): DataFrame =
     df.select(key.cast("string").as("key"),
         (sec.cast("long") - pmod(sec.cast("long"), lit(u))).divide(u)
           .cast("long").as("q"),
         Sketches.keyHash(item).as("x"),
         Sketches.paramsExplode(depth).as("p"))
-      .groupBy(col("key"), col("q"), col("p.row").as("row"),
-        pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
-          lit(width.toLong)).as("bucket"))
+      .select(col("key"), col("q"),
+        (col("p.row") * width +
+          pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
+            lit(width.toLong))).as("idx"))
+
+  def cmHourly(df: DataFrame, item: Column, sec: Column, u: Long,
+      depth: Int, width: Int, key: Column = lit("")): DataFrame =
+    cmCellRows(df, item, sec, u, depth, width, key)
+      .groupBy("key", "q", "idx")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("key", "q")
-      .agg(collect_list(struct(
-        (col("row") * width + col("bucket")).as("idx"),
-        col("cnt").as("cnt"))).as("entries"))
+      .agg(collect_list(struct(col("idx"), col("cnt"))).as("entries"))
 
   /** EH fold + covered-suffix count-min cells per window start: the
     * merged cells of all covered buckets (elementwise addition — the

@@ -1817,6 +1817,157 @@ object EventQueries {
       .orderBy("key", "start", "item")
   }
 
+  /** STREAMING-NATIVE heavy-hitter monitor (SlidingMonitor
+    * .mgQuantumMonitor): q305's always-on pattern for Misra–Gries —
+    * the per-quantum k-bounded summary cube maintained as
+    * flatMapGroupsWithState state across a 4-micro-batch replay, each
+    * trigger's exact batch counts folded by ONE mergeable reduce (the
+    * merge-tree-free undercount bound makes the level-carry structure
+    * unnecessary — any cadence stays within n/(k+1)). The gate takes
+    * the latest version per (key, quantum) — the live cube — and runs
+    * the IDENTICAL EH + guarantee verification as the batch sliding
+    * gate (q301's oracle verbatim). */
+  val q312 = QueryDef("q312_stream_mg_monitor", q301.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 6, 6)
+    val replay = java.nio.file.Files.createTempDirectory("graft_mgmon_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(lit("").as("key"), expr("sec div 3600").as("q"),
+        col("user_id").cast("string").as("item"))
+      .repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.mgQuantumMonitor(stream, 64).toDF(),
+      "q312_mg_monitor", mode = "update")
+    val hourly = fin.groupBy("key", "q")
+      .agg(max_by(struct(col("n"), col("entries")), col("ver")).as("w"))
+      .select(col("key"), col("q"), col("w.n").as("n"),
+        col("w.entries").as("entries"))
+    val cov = SS.mgSlidingSummaries(hourly, 3600L, 64, starts)
+    SS.mgSlidingCheck(
+        ev.select(col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cov, keyed = false, k = 64)
+      .orderBy("start")
+  }
+
+  /** STREAMING-NATIVE count-min monitor (SlidingMonitor
+    * .cmQuantumMonitor): the fourth family member's always-on leg —
+    * per-quantum cell counts as streaming state, folded by plain
+    * addition (cells are canonical, so the "level structure"
+    * degenerates to a running sum and the streamed cube is
+    * BIT-IDENTICAL to a batch build at any trigger cadence). Cell ids
+    * are pre-hashed on the shared md5/FNV family as pure streaming
+    * projections (SlidingSketches.cmCellRows). Latest version per
+    * (key, quantum) → the identical EH + cell-for-cell verification as
+    * the batch sliding gate (q306's oracle verbatim). */
+  val q313 = QueryDef("q313_stream_cm_monitor", q306.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 6, 6)
+    val replay = java.nio.file.Files.createTempDirectory("graft_cmmon_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("user_id"), col("sec")).repartition(4)
+      .write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val cellRows = SS.cmCellRows(stream, col("user_id"), col("sec"), 3600L,
+      depth = 4, width = 32)
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.cmQuantumMonitor(cellRows).toDF(),
+      "q313_cm_monitor", mode = "update")
+    val hourly = fin.groupBy("key", "q")
+      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
+    SS.cmSlidingCheck(
+        ev.select(col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cells, depth = 4, width = 32)
+      .orderBy("start", "item")
+  }
+
+  /** The GK monitor's RETENTION HORIZON under load — the gate that
+    * makes "always-on" true: a TIME-ORDERED 4-micro-batch replay
+    * (range-partitioned by quantum, appended oldest-first so triggers
+    * arrive in event-time order, each quantum wholly in one trigger)
+    * drives gkQuantumMonitor with a 240-quantum horizon over a
+    * ~720-quantum stream, so roughly two thirds of the cube is EVICTED
+    * from state by completion. Window starts all lie INSIDE the final
+    * horizon; the gate asserts answers there are exactly what the
+    * unbounded monitor gives (same three-leg verification, exact
+    * n_window anchors) — eviction frees state without touching what
+    * the horizon still promises. The state-size bound itself and the
+    * inside-horizon emission equivalence across cadences are asserted
+    * in SlidingEhSpec via the testFold seam. */
+  val q314 = QueryDef(
+    "q314_stream_gk_monitor_horizon",
+    s"""WITH b AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smax//3600) - k*50)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |w AS (SELECT s.start, COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1),
+       |p AS (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS phi)
+       |SELECT start, phi, n_window, 1::BIGINT AS rank_ok,
+       |       1::BIGINT AS coverage_ok, 1::BIGINT AS stale_ok
+       |FROM w CROSS JOIN p ORDER BY start, phi""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
+    val qMax = smax / 3600L
+    val horizon = 240L
+    // starts inside the final horizon (newest 240 quanta)
+    val starts = (0 until 4).map(k => (qMax - k.toLong * 50L) * 3600L).distinct
+    val replay = java.nio.file.Files.createTempDirectory("graft_horizon_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(lit("").as("key"), expr("sec div 3600").as("q"),
+      col("value").cast("double").as("v"))
+    // time-ordered replay: 4 disjoint quantum ranges appended
+    // oldest-first (sequential writes → increasing file mod-times →
+    // FileStreamSource trigger order), so eviction's monotone cutoff
+    // never sees in-horizon data late
+    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    (0 until 4).foreach { i =>
+      val lo = qMin + i.toLong * (qMax - qMin + 1) / 4
+      val hi = qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4
+      typed.filter(col("q") >= lo && col("q") < (if (i == 3) qMax + 1 else hi))
+        .coalesce(1).write.mode("append").parquet(replay.toString)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("v", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.gkQuantumMonitor(stream, 2048, horizonQuanta = horizon).toDF(),
+      "q314_monitor", mode = "update")
+    // the live cube inside the final horizon (older quanta were evicted
+    // from STATE; their earlier emissions are out of the contract)
+    val hourly = fin.filter(col("q") > qMax - horizon)
+      .groupBy("key", "q")
+      .agg(max_by(col("sk"), col("ver")).as("sk"))
+    val est = SS.gkSlidingEstimates(hourly, 3600L, 2048, starts, Seq(0.25, 0.75))
+    SS.gkSlidingCheck(
+        ev.select(col("sec").cast("long").as("sec"),
+          col("value").cast("double").as("v")),
+        est, keyed = false, epsDen = 40)
+      .orderBy("start", "phi")
+  }
+
   /** SPARSE-GRID sliding quantiles — the gate that exists because the
     * round-9 EH materialized a DENSE quantum grid (every position from
     * min to max, `require`-guarded at 2^22): events spread 4096× on
@@ -1921,5 +2072,5 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314)
 }

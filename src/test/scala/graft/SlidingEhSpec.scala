@@ -197,7 +197,7 @@ class SlidingEhSpec extends SparkSpec {
     val vs = Array.fill(4000)(math.exp(rnd.nextGaussian()))
     Seq(1, 3, 8, 40).foreach { triggers =>
       val slices = vs.grouped(math.ceil(vs.length.toDouble / triggers).toInt).toSeq
-      var st = SlidingMonitor.MonState(Map.empty, 0L)
+      var st = SlidingMonitor.MonState(Map.empty, 0L, Long.MinValue)
       var lastSk: graft.operators.SlidingRows.GkSkR = null
       slices.foreach { slice =>
         val rows = slice.toIndexedSeq.map(v => SlidingMonitor.In("k", 7L, v))
@@ -218,6 +218,80 @@ class SlidingEhSpec extends SparkSpec {
         assert(lt + 1 - r <= eps && r - le <= eps,
           s"rank budget broken at triggers=$triggers phi=$phi")
       }
+    }
+  }
+
+  test("monitor horizon: state stays bounded and inside-horizon emissions are unchanged") {
+    import graft.streaming.SlidingMonitor
+    val rnd = new Random(31)
+    val m = 64
+    val horizon = 24L
+    // a long replay: 400 triggers, each touching a fresh quantum plus
+    // an occasional recent one — the always-on shape that round 9's
+    // unbounded monitor grew O(stream lifetime) state on
+    var bounded = SlidingMonitor.MonState(Map.empty, 0L, Long.MinValue)
+    var free = SlidingMonitor.MonState(Map.empty, 0L, Long.MinValue)
+    (0 until 400).foreach { t =>
+      val q = t.toLong
+      val rows = IndexedSeq.tabulate(20)(i =>
+        SlidingMonitor.In("k", q, rnd.nextDouble() * 100)) ++
+        (if (t > 2) IndexedSeq.tabulate(5)(_ =>
+          SlidingMonitor.In("k", q - 2, rnd.nextDouble() * 100)) else Nil)
+      val (b2, outsB) = SlidingMonitor.testFold(rows, bounded, m, horizon)
+      val (f2, outsF) = SlidingMonitor.testFold(rows, free, m)
+      bounded = b2; free = f2
+      // the bound: never more quanta in state than the horizon
+      assert(bounded.quanta.size <= horizon,
+        s"state ${bounded.quanta.size} quanta > horizon at trigger $t")
+      // inside-horizon emissions identical to the unbounded monitor's
+      // (all touched quanta here are within the horizon of their trigger)
+      assert(outsB == outsF, s"in-horizon emission drift at trigger $t")
+    }
+    assert(free.quanta.size == 400L, "unbounded baseline should hold all quanta")
+    // the bounded cube equals the unbounded cube restricted to the horizon
+    val cut = bounded.qMax - horizon + 1
+    assert(bounded.quanta == free.quanta.filter(_._1 >= cut))
+    // late rows beyond the horizon are dropped, not resurrected partial
+    val late = IndexedSeq(SlidingMonitor.In("k", 0L, 1.0))
+    val (b3, outs3) = SlidingMonitor.testFold(late, bounded, m, horizon)
+    assert(outs3.isEmpty && !b3.quanta.contains(0L), "evicted quantum resurrected")
+  }
+
+  test("MG monitor: guarantees hold at any trigger cadence; CM monitor cube is cadence-exact") {
+    import graft.streaming.SlidingMonitor
+    val rnd = new Random(41)
+    val k = 8
+    val items = Array.fill(3000)(
+      if (rnd.nextInt(3) == 0) "heavy" else s"u${rnd.nextInt(50)}")
+    val exact = items.groupBy(identity).map { case (kk, g) => kk -> g.length.toLong }
+    Seq(1, 4, 17).foreach { triggers =>
+      val slices = items.grouped(math.ceil(items.length.toDouble / triggers).toInt).toSeq
+      var st = SlidingMonitor.MgMonState(Map.empty, 0L, Long.MinValue)
+      var cm = SlidingMonitor.CmMonState(Map.empty, 0L, Long.MinValue)
+      slices.foreach { slice =>
+        val rows = slice.toIndexedSeq.map(it => SlidingMonitor.MgIn("k", 5L, it))
+        val (st2, _) = SlidingMonitor.testMgFold(rows, st, k)
+        st = st2
+        val cells = slice.toIndexedSeq.map(it =>
+          SlidingMonitor.CmIn("k", 5L, (it.hashCode & 0x7fffffff).toLong % 64L))
+        val (cm2, _) = SlidingMonitor.testCmFold(cells, cm)
+        cm = cm2
+      }
+      val MgQ = st.quanta(5L)
+      assert(MgQ.n == items.length.toLong, s"n drift at triggers=$triggers")
+      // never overestimates; undercount ≤ n/(k+1); heavy present
+      MgQ.entries.foreach { case (kk, est) =>
+        assert(est <= exact(kk), s"overestimate $kk at triggers=$triggers")
+        assert((exact(kk) - est) * (k + 1) <= MgQ.n)
+      }
+      exact.foreach { case (kk, c) =>
+        if (c * (k + 1) > MgQ.n)
+          assert(MgQ.entries.contains(kk), s"heavy $kk missing at triggers=$triggers")
+      }
+      // count-min state is EXACT per cell whatever the cadence
+      val direct = items.groupBy(it => (it.hashCode & 0x7fffffff).toLong % 64L)
+        .map { case (idx, g) => idx -> g.length.toLong }
+      assert(cm.quanta(5L) == direct, s"CM cell drift at triggers=$triggers")
     }
   }
 
