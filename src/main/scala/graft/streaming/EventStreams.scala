@@ -400,9 +400,20 @@ object EventStreams {
     * batch with zero read-side work — SCALING.md carries the measured
     * bytes-written comparison. Delta dirs are keyed by micro-batch id
     * (idempotent overwrite: an at-least-once redelivery of a batch
-    * rewrites its own delta, not a duplicate). Single-writer shape;
-    * a multi-writer production table needs a manifest/commit protocol
-    * (what Delta/Iceberg/Hudi exist for), documented not built. */
+    * rewrites its own delta, not a duplicate).
+    *
+    * COMMIT PROTOCOL: the table's visible state is an atomically-
+    * swapped MANIFEST file (live generations + a one-generation
+    * grace list of garbage), not a directory listing. Readers resolve
+    * the live set from one manifest snapshot; compaction commits the
+    * new base BEFORE its inputs become garbage and physically deletes
+    * a generation only at the NEXT compaction — so a reader holding
+    * the previous manifest never sees its files vanish mid-read (the
+    * torn-listing window a listFiles-based reader has is closed).
+    * This is the single-writer-correct stepping stone to a
+    * multi-writer table: multiple writers additionally need a
+    * compare-and-swap on the manifest (what Delta/Iceberg/Hudi's
+    * commit services exist for), documented not built. */
   def runUpsertLogToCompletion(spark: SparkSession, stream: DataFrame,
       path: String, key: String, version: String, name: String,
       compactEvery: Int = 4): DataFrame = {
@@ -421,45 +432,84 @@ object EventStreams {
   }
 
   /** One micro-batch of the log-structured fold: append the slice as
-    * delta_<batchId>, then compact if the delta count reached the
-    * threshold. `reduce` must be a one-shot associative fold over a
-    * union (reduce(reduce(A) ∪ B) = reduce(A ∪ B)) — latest-wins
-    * compaction and additive re-aggregation both qualify. */
+    * delta_<batchId>, commit it into the manifest, then compact if the
+    * live delta count reached the threshold. `reduce` must be a
+    * one-shot associative fold over a union
+    * (reduce(reduce(A) ∪ B) = reduce(A ∪ B)) — latest-wins compaction
+    * and additive re-aggregation both qualify. */
   private[graft] def foldLog(path: String, batch: DataFrame, batchId: Long,
       compactEvery: Int)(reduce: DataFrame => DataFrame): Unit = {
-    val deltaDir = new java.io.File(path, f"delta_$batchId%09d")
+    val name = f"delta_$batchId%09d"
+    val deltaDir = new java.io.File(path, name)
     batch.write.mode("overwrite").parquet(deltaDir.toString)
     foldBytesWritten.addAndGet(dirSize(deltaDir))
-    if (logParts(path, "delta_").length >= compactEvery)
+    val m = readManifest(path)
+    // set semantics: an at-least-once redelivery rewrote its own delta
+    val live = if (m.live.contains(name)) m.live else m.live :+ name
+    writeManifest(path, LogManifest(live.sorted, m.garbage))
+    if (live.count(_.startsWith("delta_")) >= compactEvery)
       compactLog(batch.sparkSession, path)(reduce)
   }
 
-  private def logParts(path: String, prefix: String): Array[java.io.File] = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .sortBy(_.getName)
+  /** The log table's atomically-swapped commit point: `live` names the
+    * generations a reader resolves (base + deltas), `garbage` the
+    * generation consumed by the LAST compaction, kept on disk for one
+    * more compaction cycle so a reader holding the previous manifest
+    * snapshot never loses files mid-read. */
+  private[graft] final case class LogManifest(live: Seq[String], garbage: Seq[String])
+
+  private[graft] def readManifest(path: String): LogManifest = {
+    val f = java.nio.file.Paths.get(path, "manifest")
+    if (!java.nio.file.Files.exists(f)) LogManifest(Nil, Nil)
+    else {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(f).asScala.toSeq
+      LogManifest(
+        lines.collect { case l if l.startsWith("L ") => l.drop(2) },
+        lines.collect { case l if l.startsWith("G ") => l.drop(2) })
+    }
   }
 
-  private def compactLog(spark: SparkSession, path: String)(
+  private def writeManifest(path: String, m: LogManifest): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".manifest_", ".tmp")
+    val body = (m.live.map("L " + _) ++ m.garbage.map("G " + _)).mkString("\n")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve("manifest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def compactLog(spark: SparkSession, path: String)(
       reduce: DataFrame => DataFrame): Unit = {
-    val old = logParts(path, "base_") ++ logParts(path, "delta_")
-    // materialize BEFORE deleting inputs (same localCheckpoint-then-
-    // overwrite discipline as foldParquet)
-    val merged = reduce(spark.read.parquet(old.map(_.toString): _*))
+    val m = readManifest(path)
+    val liveDirs = m.live.map(n => new java.io.File(path, n))
+    // materialize BEFORE the commit flips visibility (same
+    // localCheckpoint-then-overwrite discipline as foldParquet)
+    val merged = reduce(spark.read.parquet(liveDirs.map(_.toString): _*))
       .localCheckpoint(true)
-    val gen = logParts(path, "base_").lastOption
-      .map(_.getName.stripPrefix("base_").toLong + 1).getOrElse(0L)
-    val newBase = new java.io.File(path, f"base_$gen%09d")
-    merged.write.mode("overwrite").parquet(newBase.toString)
-    foldBytesWritten.addAndGet(dirSize(newBase))
-    old.foreach(f => graft.core.TempPaths.clearDir(f.toString))
+    val gen = m.live.filter(_.startsWith("base_")).sorted.lastOption
+      .map(_.stripPrefix("base_").toLong + 1).getOrElse(0L)
+    val baseName = f"base_$gen%09d"
+    merged.write.mode("overwrite").parquet(new java.io.File(path, baseName).toString)
+    foldBytesWritten.addAndGet(dirSize(new java.io.File(path, baseName)))
+    // sweep the PREVIOUS compaction's garbage (one-generation grace:
+    // only a reader holding a manifest two compactions old could still
+    // want these files), then commit: new base live, consumed set
+    // demoted to garbage — readers resolving the old manifest keep
+    // finding every file it names
+    m.garbage.foreach(n =>
+      graft.core.TempPaths.clearDir(new java.io.File(path, n).toString))
+    writeManifest(path, LogManifest(Seq(baseName), m.live))
   }
 
-  private def readLog(spark: SparkSession, path: String)(
+  private[graft] def readLog(spark: SparkSession, path: String)(
       reduce: DataFrame => DataFrame): DataFrame = {
-    val parts = logParts(path, "base_") ++ logParts(path, "delta_")
-    reduce(spark.read.parquet(parts.map(_.toString): _*))
+    val m = readManifest(path)
+    require(m.live.nonEmpty, s"log table at $path has no committed manifest")
+    reduce(spark.read.parquet(m.live.map(n =>
+      new java.io.File(path, n).toString): _*))
   }
 
   /** Read-merge-overwrite of one KEY-BUCKETED parquet serving table —

@@ -759,4 +759,47 @@ class PipelineSpec extends SparkSpec {
     assert(k1.toSeq.map(r => r(2).asInstanceOf[Long] + r(3).asInstanceOf[Long]).sum
       == ev.count())
   }
+
+  test("log fold manifest: a reader resolved before compaction survives it") {
+    import graft.operators.Cdc
+    val path = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_logman")).toString
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      Cdc.compactLatest(df, "k", "ver")
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i % 7, i.toLong, s"p$i")).toDF("k", "ver", "payload")
+    // three deltas below the compactEvery=4 threshold
+    (0 until 3).foreach(b => EventStreams.foldLog(path, slice(b * 10, b * 10 + 10), b, 4)(reduce))
+    // a reader resolves the manifest NOW (pre-compaction live set)
+    val before = EventStreams.readLog(spark, path)(reduce)
+    val beforeRows = before.count() // force file resolution
+    assert(beforeRows == 7L)
+    // the 4th delta triggers compaction: consumed deltas become garbage
+    // but stay on disk (one-generation grace)
+    EventStreams.foldLog(path, slice(30, 40), 3, 4)(reduce)
+    val m1 = EventStreams.readManifest(path)
+    assert(m1.live == Seq("base_000000000"))
+    assert(m1.garbage.toSet ==
+      Set("delta_000000000", "delta_000000001", "delta_000000002", "delta_000000003"))
+    m1.garbage.foreach(n => assert(new java.io.File(path, n).exists,
+      s"grace generation $n deleted too early"))
+    // the pre-compaction reader still materializes against its snapshot
+    assert(before.count() == 7L, "pre-compaction reader torn by compaction")
+    // post-compaction reader sees the fully folded table
+    val after = EventStreams.readLog(spark, path)(reduce)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == (0 until 40).groupBy(_ % 7).map { case (k, g) => k -> g.max.toLong })
+    // the NEXT compaction sweeps the grace generation
+    (4 until 8).foreach(b => EventStreams.foldLog(path, slice(40 + b * 10, 50 + b * 10), b, 4)(reduce))
+    val m2 = EventStreams.readManifest(path)
+    assert(m2.live == Seq("base_000000001"))
+    Seq("delta_000000000", "delta_000000001", "delta_000000002", "delta_000000003")
+      .foreach(n => assert(!new java.io.File(path, n).exists, s"garbage $n not swept"))
+    // redelivery idempotence: rewriting an existing delta adds no
+    // duplicate manifest entry
+    EventStreams.foldLog(path, slice(0, 5), 8, 99)(reduce)
+    EventStreams.foldLog(path, slice(0, 5), 8, 99)(reduce)
+    val m3 = EventStreams.readManifest(path)
+    assert(m3.live.count(_ == "delta_000000008") == 1)
+  }
 }
