@@ -489,4 +489,51 @@ object Analytics {
           lit(-rebaseAheadSec.toDouble / halfLifeSec.toDouble)))
           .as("rebased_n"))
   }
+
+  /** Decayed-heavy-hitter guarantee frame ([[graft.plans.DecayedMg]]'s
+    * q270-style reduction): one distributed pass computes each item's
+    * EXACT decayed mass with the two-pass decimal discipline (r6 per
+    * weight, decimal accumulation — q307's arithmetic, so the oracle
+    * replays it bit-for-bit), and checks the one-pass k-bounded sketch
+    * against it per r6-heavy item (mass·(k+1) > total):
+    *   present   — the weighted-MG presence guarantee;
+    *   bounds_ok — est ≤ mass and undercount ≤ W/(k+1), with n·1e-6
+    *               slack for the raw-vs-rounded weight paths (the
+    *               DecayedSumAgg tolerance discipline);
+    *   w_ok      — the sketch's total decayed mass and watermark match
+    *               the exact ones.
+    * All flags guaranteed 1 by the weighted-MG invariant (scaling by a
+    * common rebase factor preserves it); output one row per heavy item
+    * with exact (n, r6 mass) anchors. */
+  def decayedMgHeavy(df: DataFrame, item: Column, sec: Column,
+      halfLifeSec: Long, k: Int): DataFrame = {
+    import graft.core.Cross
+    require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
+    val base = df.select(item.cast("string").as("key"), sec.cast("long").as("t"))
+    val tRef = base.agg(max("t").as("t_ref"))
+    val weighted = base.crossJoin(broadcast(tRef))
+      .withColumn("w", Cross.r6(pow(lit(2.0),
+        (col("t") - col("t_ref")).cast("double") / halfLifeSec.toDouble)))
+    val perItem = weighted.groupBy("key")
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("w"), 6).as("m"))
+    val tot = weighted.agg(Cross.dsum(col("w"), 6).as("wt"),
+      count(lit(1)).as("n_tot"), max("t").as("t_exact"))
+    val sk = df.agg(graft.plans.DecayedMg.of(sec.cast("long"),
+        item.cast("string"), halfLifeSec, k).as("s"))
+      .select(col("s.t_ref").as("t_sk"), col("s.w").as("w_sk"),
+        explode(col("s.entries")).as("e"))
+      .select(col("t_sk"), col("w_sk"), col("e.key").as("key"),
+        col("e.est").as("est"))
+    val tol = col("n_tot") * 1e-6
+    perItem.crossJoin(broadcast(tot))
+      .filter(col("m") * (k + 1) > col("wt"))
+      .join(broadcast(sk), Seq("key"), "left")
+      .select(col("key"), col("n"), Cross.r6(col("m")).as("m"),
+        col("est").isNotNull.cast("long").as("present"),
+        (col("est").isNotNull && col("est") <= col("m") + tol &&
+          (col("m") - col("est")) * (k + 1) <= col("wt") + tol * (k + 1))
+          .cast("long").as("bounds_ok"),
+        (abs(col("w_sk") - col("wt")) <= tol && col("t_sk") === col("t_exact"))
+          .cast("long").as("w_ok"))
+  }
 }

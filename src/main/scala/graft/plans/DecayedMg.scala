@@ -1,0 +1,199 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exponentially-DECAYED Misra–Gries — "top talkers, recency-weighted"
+  * in one pass: [[DecayedSumAgg]]'s O(1) rebasing composed with
+  * [[MisraGriesSummary]]'s k-bounded counter map, finishing the
+  * decayed row of the sketch matrix (decayed sums/means landed in
+  * round 9 as q307–q309; this is their heavy-hitter column). Each row
+  * at time t contributes weight 2^((t − tMax)/halfLife) to its item's
+  * counter; a new maximum rescales ALL counters and the total mass by
+  * one factor (the rebasing identity — O(k) per watermark advance,
+  * amortized O(1) per row since tMax only moves forward), so the
+  * state is (tMax, W, ≤ k counters) whatever the stream length or key
+  * cardinality, and the fold rides the ordinary partial-aggregation
+  * path.
+  *
+  * Guarantees — the WEIGHTED Misra–Gries bounds, which survive any
+  * merge tree exactly as the unit-weight ones do (each eviction event
+  * subtracts its pivot from ≥ k+1 counters, so Σ pivots ≤ W/(k+1),
+  * W = total decayed mass):
+  *   - est(key) ≤ decayed(key)                (never overestimates)
+  *   - est(key) ≥ decayed(key) − W/(k+1)      (bounded undercount)
+  *   - every key with decayed(key)·(k+1) > W is PRESENT.
+  * Like [[DecayedSumAgg]], the counters are doubles scaled by pow
+  * factors, so their last ulps are merge-tree-sensitive: the gate
+  * (q315) checks the guarantees against the TWO-PASS decimal-
+  * disciplined exact decayed masses with an n·1e-6 slack, never
+  * hash-matching raw counters (the q270 discipline, decayed).
+  *
+  * Null (t, item) rows drop. Output:
+  * struct<t_ref, w, entries: array<struct<key, est>>> with entries
+  * (est desc, key asc) ordered; null for an empty group. */
+case class DecayedMgAgg(
+    tExpr: Expression,
+    keyExpr: Expression,
+    halfLifeSec: Long,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DecayedMgAgg.State]
+  with BinaryLike[Expression] {
+
+  require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
+  require(k > 0 && k <= 65536, s"k out of range: $k")
+
+  import DecayedMgAgg.State
+
+  override def left: Expression = tExpr
+  override def right: Expression = keyExpr
+
+  override def createAggregationBuffer(): State =
+    new State(Long.MinValue, 0.0, mutable.HashMap.empty[String, Double])
+
+  /** Advance the watermark: every stored mass scales by one factor. */
+  private def rebase(s: State, tNew: Long): Unit = {
+    if (tNew > s.tMax) {
+      if (s.w > 0.0) {
+        val f = math.pow(2.0, (s.tMax - tNew).toDouble / halfLifeSec.toDouble)
+        s.w *= f
+        s.counters.mapValuesInPlace((_, c) => c * f)
+      }
+      s.tMax = tNew
+    }
+  }
+
+  /** MG eviction on weighted counters: subtract the (k+1)-th largest
+    * mass from everything, keep strictly positive. */
+  private def evict(s: State): Unit = {
+    if (s.counters.size > k) {
+      val masses = s.counters.values.toArray
+      java.util.Arrays.sort(masses)
+      val pivot = masses(masses.length - 1 - k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      s.counters.keysIterator.foreach { kk =>
+        val nc = s.counters(kk) - pivot
+        if (nc <= 0.0) dead += kk else s.counters.update(kk, nc)
+      }
+      dead.foreach(s.counters.remove)
+    }
+  }
+
+  override def update(buf: State, input: InternalRow): State = {
+    val tRaw = tExpr.eval(input)
+    val kRaw = keyExpr.eval(input)
+    if (tRaw != null && kRaw != null) {
+      val t = tRaw.asInstanceOf[Long]
+      val key = kRaw.asInstanceOf[UTF8String].toString
+      rebase(buf, t)
+      val wt = math.pow(2.0, (t - buf.tMax).toDouble / halfLifeSec.toDouble)
+      buf.w += wt
+      buf.counters.update(key, buf.counters.getOrElse(key, 0.0) + wt)
+      evict(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: State, other: State): State = {
+    if (other.w == 0.0 && other.counters.isEmpty) buf
+    else {
+      val tNew = math.max(buf.tMax, other.tMax)
+      rebase(buf, tNew)
+      val f =
+        if (other.tMax < tNew)
+          math.pow(2.0, (other.tMax - tNew).toDouble / halfLifeSec.toDouble)
+        else 1.0
+      buf.w += other.w * f
+      other.counters.foreach { case (kk, c) =>
+        buf.counters.update(kk, buf.counters.getOrElse(kk, 0.0) + c * f)
+      }
+      evict(buf)
+      buf
+    }
+  }
+
+  override def eval(buf: State): Any =
+    if (buf.w == 0.0 && buf.counters.isEmpty) null
+    else {
+      val sorted = buf.counters.toArray.sortBy { case (kk, c) => (-c, kk) }
+      InternalRow(buf.tMax, buf.w,
+        new GenericArrayData(sorted.map { case (kk, c) =>
+          InternalRow(UTF8String.fromString(kk), c): Any
+        }))
+    }
+
+  override def serialize(buf: State): Array[Byte] = {
+    val entries = buf.counters.toArray.map { case (kk, c) =>
+      (kk.getBytes(StandardCharsets.UTF_8), c)
+    }
+    val bb = ByteBuffer.allocate(8 + 8 + 4 + entries.map(e => 4 + e._1.length + 8).sum)
+    bb.putLong(buf.tMax); bb.putDouble(buf.w); bb.putInt(entries.length)
+    entries.foreach { case (bytes, c) =>
+      bb.putInt(bytes.length); bb.put(bytes); bb.putDouble(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): State = {
+    val bb = ByteBuffer.wrap(bytes)
+    val t = bb.getLong; val w = bb.getDouble; val n = bb.getInt
+    val buf = new State(t, w, mutable.HashMap.empty[String, Double])
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.counters.update(new String(arr, StandardCharsets.UTF_8), bb.getDouble)
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("t_ref", LongType, nullable = false),
+    StructField("w", DoubleType, nullable = false),
+    StructField("entries", ArrayType(
+      StructType(Seq(StructField("key", StringType),
+        StructField("est", DoubleType))), containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecayedMgAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecayedMgAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecayedMgAgg =
+    copy(tExpr = newLeft, keyExpr = newRight)
+}
+
+object DecayedMgAgg {
+  final class State(var tMax: Long, var w: Double,
+      val counters: mutable.HashMap[String, Double])
+}
+
+object DecayedMg {
+  /** `graft_decayed_mg(t, key, halfLifeSec, k)` aggregate column:
+    * struct<t_ref, w, entries> — ≤ k recency-weighted counters with
+    * t_ref = max(t) of the group and w = total decayed mass. */
+  def of(t: Column, key: Column, halfLifeSec: Long, k: Int): Column =
+    GraftSqlBridge.toColumn(
+      DecayedMgAgg(
+        GraftSqlBridge.toExpression(t.cast("long")),
+        GraftSqlBridge.toExpression(key.cast("string")),
+        halfLifeSec, k)
+        .toAggregateExpression())
+}

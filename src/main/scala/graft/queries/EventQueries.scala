@@ -2012,6 +2012,43 @@ object EventQueries {
       .orderBy("start", "phi")
   }
 
+  /** DECAYED Misra–Gries (plans.DecayedMg): "top talkers, recency-
+    * weighted" in one pass — DecayedSumAgg's O(1) rebasing composed
+    * with the k-bounded MG counter map, finishing the decayed row of
+    * the sketch matrix (q307–q309 covered sums/means). The item column
+    * is deliberately skewed (3/4 of rows keep their ~5 event types —
+    * each well above the W/(k+1) threshold — while 1/4 shatter into
+    * per-user noise items), so eviction runs constantly AND a real
+    * heavy set exists. Verified by the q270 discipline made decayed:
+    * per r6-heavy item, presence + weighted-MG bounds against the
+    * exact two-pass decimal-disciplined decayed masses (n·1e-6 slack
+    * for the raw-vs-rounded weight paths), plus total-mass/watermark
+    * agreement. */
+  val q315 = QueryDef(
+    "q315_decayed_misra_gries",
+    s"""WITH tr AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS t_ref FROM events),
+       |b AS (SELECT CASE WHEN event_id % 4 = 0 THEN 'u' || user_id
+       |                  ELSE event_type END AS key,
+       |             floor(epoch(ts))::BIGINT AS t, t_ref
+       |      FROM events CROSS JOIN tr),
+       |w AS (SELECT key,
+       |             ${Cross.r6Sql("pow(2.0, (t - t_ref)::DOUBLE / 86400.0)")} AS w
+       |      FROM b),
+       |g AS (SELECT key, COUNT(*)::BIGINT AS n, ${Cross.dsumSql("w")} AS m
+       |      FROM w GROUP BY 1),
+       |tot AS (SELECT ${Cross.dsumSql("w")} AS wt FROM w)
+       |SELECT key, n, ${Cross.r6Sql("m")} AS m, 1::BIGINT AS present,
+       |       1::BIGINT AS bounds_ok, 1::BIGINT AS w_ok
+       |FROM g CROSS JOIN tot WHERE m * 9 > wt ORDER BY key""".stripMargin) {
+    (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val item = when(pmod(col("event_id"), lit(4)) === 0,
+      concat(lit("u"), col("user_id"))).otherwise(col("event_type"))
+    graft.operators.Analytics.decayedMgHeavy(ev, item, col("sec"),
+        halfLifeSec = 86400L, k = 8)
+      .orderBy("key")
+  }
+
   /** STREAMING decayed counter (plans.DecayedSumAgg): the one-pass
     * rebasing form of q307 — state (n, tMax, sum) per key, a new
     * maximum rescaling the running sum in O(1), folding over the event
@@ -2072,5 +2109,5 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315)
 }

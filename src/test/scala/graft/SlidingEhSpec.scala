@@ -322,6 +322,31 @@ class SlidingEhSpec extends SparkSpec {
     }
   }
 
+  test("decayed MG: weighted bounds hold at any partitioning, with eviction active") {
+    val ev = core.Tables.events(spark, sf())
+    val item = when(pmod(col("event_id"), lit(4)) === 0,
+      concat(lit("u"), col("user_id"))).otherwise(col("event_type"))
+    val k = 8
+    Seq(1, 7, 32).foreach { parts =>
+      val df = ev.repartition(parts)
+      // eviction must actually run: far more distinct items than k,
+      // yet the sketch stays k-bounded
+      val sk = df.agg(graft.plans.DecayedMg.of(col("sec"), item, 3600L, k).as("s"))
+        .select(col("s.w").as("w"), col("s.entries").as("entries")).head
+      assert(sk.getSeq[Any](1).size <= k)
+      val distinctItems = df.select(item.as("i")).distinct().count()
+      assert(distinctItems > k, "test premise: more items than k")
+      val flags = graft.operators.Analytics.decayedMgHeavy(df, item, col("sec"),
+        halfLifeSec = 3600L, k = k).collect()
+      assert(flags.nonEmpty, "no heavy items — test premise broken")
+      flags.foreach { r =>
+        assert(r.getAs[Long]("present") == 1L &&
+          r.getAs[Long]("bounds_ok") == 1L && r.getAs[Long]("w_ok") == 1L,
+          s"decayed MG flags at parts=$parts: $r")
+      }
+    }
+  }
+
   test("sliding gate operators emit all-green flags on real data") {
     val dir = sf("sf0.001")
     val ev = core.Tables.events(spark, dir)
