@@ -547,7 +547,7 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(cp).size >= 2, cp)
     assert(!cp.contains("Window") && !cp.contains("CartesianProduct"), cp)
     // the one-pass decayed counter: a mergeable TypedImperativeAggregate
-    // on the ordinary partial/merge path — 17-byte state per key per
+    // on the ordinary partial/merge path — 24-byte state per key per
     // partition on the wire, never the raw rows
     val dec = ev.select(col("event_type").as("key"),
         col("sec").cast("long").as("t"), col("value").cast("double").as("x"))
@@ -585,5 +585,24 @@ class PlanSpec extends SparkSpec {
     val cp = planOf(check)
     assert(cp.contains("BroadcastHashJoin"), cp)
     assert(!cp.contains("CartesianProduct"), cp)
+  }
+
+  test("decayed MG rides partial aggregation; heavy frame broadcasts the sketch") {
+    val ev = Tables.events(spark, sf())
+    // the sketch itself: ≤ k weighted counters per group on the
+    // ordinary partial/merge path — raw rows never cross the shuffle
+    val sk = ev.groupBy(col("event_type").as("key"))
+      .agg(graft.plans.DecayedMg.of(col("sec"), col("user_id"), 3600L, 8).as("s"))
+    val sp = planOf(sk)
+    assert("ObjectHashAggregate".r.findAllIn(sp).size >= 2, sp)
+    assert(sp.toLowerCase.contains("decayedmgagg"), sp)
+    assert(!sp.contains("Window") && !sp.contains("TakeOrdered"), sp)
+    // the guarantee frame: exact masses are one grouped pass; the
+    // ≤ k sketch entries and the 1-row totals broadcast into it —
+    // never a shuffle of the per-item side, never a cartesian
+    val fp = planOf(graft.operators.Analytics.decayedMgHeavy(
+      ev, col("event_type"), col("sec"), 3600L, 8))
+    assert(fp.contains("BroadcastHashJoin") || fp.contains("BroadcastNestedLoopJoin"), fp)
+    assert(!fp.contains("CartesianProduct"), fp)
   }
 }
