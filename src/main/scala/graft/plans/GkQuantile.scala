@@ -14,10 +14,14 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** A mergeable quantile summary: sorted tuples (v, rmin, rmax) where
-  * [rmin, rmax] is a SOUND rank interval — for every kept tuple,
-  * rmin ≤ #{x < v} + 1 ≤ rmax over the summarized multiset (the
-  * Greenwald–Khanna invariant, kept exactly sound under any merge
-  * order). `n` is the exact total count. */
+  * [rmin, rmax] is a SOUND POSITIONAL rank interval — duplicates are
+  * distinct positions under a fixed tie-broken order, and every kept
+  * tuple's interval contains some position occupied by its value:
+  * [rmin, rmax] ∩ [#{x<v}+1, #{x≤v}] ≠ ∅ (the Greenwald–Khanna
+  * invariant, kept exactly sound under any merge order; positional
+  * rather than per-distinct-value, because collapsing equal runs into
+  * wide tuples makes dup-heavy inputs ε ≈ 0.5 summaries that deep
+  * merge trees cannot recover from). `n` is the exact total count. */
 final case class GkSummary(n: Long, vs: Array[Double],
     rmins: Array[Long], rmaxs: Array[Long]) {
   def size: Int = vs.length
@@ -28,32 +32,47 @@ object GkSummary {
   val empty: GkSummary =
     GkSummary(0L, Array.empty, Array.empty, Array.empty)
 
-  /** Exact summary of a SORTED value buffer: one tuple per DISTINCT
-    * value with rmin = first rank of its equal-run and rmax = last —
-    * both exact, so the soundness invariant holds with zero slack. */
+  /** Exact summary of a SORTED value buffer: one width-0 POSITIONAL
+    * tuple per element — duplicates stay as distinct positions, so the
+    * summary has zero hidden mass and zero slack (callers prune to m
+    * immediately, which only opens the usual bounded gaps).
+    *
+    * Why positional, not run-collapsed: an earlier version emitted one
+    * tuple per distinct value spanning its equal-run [first, last].
+    * Sound, but a dup-heavy buffer then carries per-tuple width ≈ run
+    * (one value repeated n times was ε = 0.5), and the GK combine
+    * compounds per-tuple widths across a merge tree — deep EH folds
+    * over dup-heavy quanta inflated every interval to ~0.9·n and tail
+    * quantile queries collapsed to the extremes. The q311 sf1 leg,
+    * where 10× copy scaling gives every (sec, value) multiplicity 10,
+    * caught it. With width-0 positional tuples the only merge slack is
+    * the pruned-gap term, restoring the merge-and-reduce
+    * O(n·log(n/buf)/m) budget regardless of duplication. */
   def exact(sorted: Array[Double], len: Int): GkSummary = {
-    val vs = new ArrayBuffer[Double]
-    val rmins = new ArrayBuffer[Long]
-    val rmaxs = new ArrayBuffer[Long]
+    val vs = new Array[Double](len)
+    val rs = new Array[Long](len)
     var i = 0
-    while (i < len) {
-      var j = i
-      while (j + 1 < len && sorted(j + 1) == sorted(i)) j += 1
-      vs += sorted(i); rmins += (i + 1).toLong; rmaxs += (j + 1).toLong
-      i = j + 1
-    }
-    GkSummary(len.toLong, vs.toArray, rmins.toArray, rmaxs.toArray)
+    while (i < len) { vs(i) = sorted(i); rs(i) = (i + 1).toLong; i += 1 }
+    GkSummary(len.toLong, vs, rs, rs.clone())
   }
 
-  /** Sound merge (Greenwald–Khanna combine): for a tuple (v, rmin,
-    * rmax) from side A, the merged interval is
-    *   rmin' = rmin + rminB(pred),  pred = largest B-tuple with value < v
-    *   rmax' = rmax + (succ exists ? rmaxB(succ) − 1 : nB),
-    *           succ = smallest B-tuple with value ≥ v
-    * — pred underestimates and succ overestimates #{B-elements < v},
-    * so soundness (rmin' ≤ #{x<v}+1 ≤ rmax' in the union) is preserved
-    * exactly, whatever the merge order. Two-pointer over the sorted
-    * sides; output is sorted by (v, rmin) and NOT yet pruned. */
+  /** Sound merge (Greenwald–Khanna combine) over POSITIONAL tuples
+    * with a CONSISTENT tie order — A's copies of a value precede B's
+    * copies in the merged position space. For a tuple (v, rmin, rmax):
+    *   from A (B's equal values count as AFTER it):
+    *     rmin' = rmin + rminB(pred),  pred = largest B-tuple < v
+    *     rmax' = rmax + (succ exists ? rmaxB(succ) − 1 : nB),
+    *             succ = smallest B-tuple ≥ v
+    *   from B (A's equal values count as BEFORE it):
+    *     pred = largest A-tuple ≤ v, succ = smallest A-tuple > v.
+    * pred under- and succ over-estimates the other side's mass before
+    * the tuple's position, so soundness is preserved exactly under any
+    * merge order. The tie consistency matters: with both passes using
+    * strict <, two equal-heavy sides each count the other's copies as
+    * after themselves, hiding the tie mass below every later merge's
+    * pred bound — widths then grow by the tie counts. Two-pointer-free
+    * (binary search per tuple); output sorted by (v, rmin), NOT yet
+    * pruned. */
   def merge(a: GkSummary, b: GkSummary): GkSummary = {
     if (a.n == 0) return b
     if (b.n == 0) return a
@@ -62,26 +81,28 @@ object GkSummary {
     val rmins = new Array[Long](na + nb)
     val rmaxs = new Array[Long](na + nb)
     var o = 0
-    // rebound(tup from X against side Y)
-    def emit(v: Double, rmin: Long, rmax: Long, y: GkSummary, yn: Long): Unit = {
-      // pred: largest index with y.vs(idx) < v; succ: first with ≥ v
-      var lo = 0; var hi = y.size // lower_bound for v (first ≥ v)
+    // rebound(tup from X against side Y); tiesBefore: do Y's copies of
+    // v count as before this tuple's position?
+    def emit(v: Double, rmin: Long, rmax: Long, y: GkSummary, yn: Long,
+        tiesBefore: Boolean): Unit = {
+      // boundary index: first y-index the tuple sorts BEFORE —
+      // lower_bound (first ≥ v) when y-ties are after, upper_bound
+      // (first > v) when y-ties are before
+      var lo = 0; var hi = y.size
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (y.vs(mid) < v) lo = mid + 1 else hi = mid
+        val goRight = if (tiesBefore) y.vs(mid) <= v else y.vs(mid) < v
+        if (goRight) lo = mid + 1 else hi = mid
       }
       val predAdd = if (lo > 0) y.rmins(lo - 1) else 0L
       val succAdd = if (lo < y.size) y.rmaxs(lo) - 1L else yn
       vs(o) = v; rmins(o) = rmin + predAdd; rmaxs(o) = rmax + succAdd
       o += 1
     }
-    // merge in sorted (v, rmin-after-rebound is monotone enough: sort
-    // at the end keeps determinism simple and cost is O(s log s) on a
-    // bounded s)
     var i = 0
-    while (i < na) { emit(a.vs(i), a.rmins(i), a.rmaxs(i), b, b.n); i += 1 }
+    while (i < na) { emit(a.vs(i), a.rmins(i), a.rmaxs(i), b, b.n, tiesBefore = false); i += 1 }
     var j = 0
-    while (j < nb) { emit(b.vs(j), b.rmins(j), b.rmaxs(j), a, a.n); j += 1 }
+    while (j < nb) { emit(b.vs(j), b.rmins(j), b.rmaxs(j), a, a.n, tiesBefore = true); j += 1 }
     val idx = (0 until (na + nb)).sortBy(t => (vs(t), rmins(t), rmaxs(t)))
     GkSummary(a.n + b.n, idx.map(vs(_)).toArray,
       idx.map(rmins(_)).toArray, idx.map(rmaxs(_)).toArray)

@@ -7,12 +7,14 @@ import org.scalacheck.Prop.forAll
 import graft.plans.{GkState, GkSummary}
 import graft.operators.Sketches
 
-/** Laws for the mergeable quantile sketch: interval SOUNDNESS
-  * (rmin ≤ #lt+1 ≤ rmax for every kept tuple), exact n/min/max, the
-  * size bound, and the merge-and-reduce rank-error bound — all across
-  * arbitrary chunkings/partitionings and through the roll-up
-  * aggregate, since the kept set itself is merge-order-dependent (the
-  * Misra–Gries gating discipline, not the KMV raw-hash one). */
+/** Laws for the mergeable quantile sketch: POSITIONAL interval
+  * soundness (every kept tuple's [rmin, rmax] intersects its value's
+  * positional span [#lt+1, #le] — duplicates are distinct positions),
+  * exact n/min/max, the size bound, and the merge-and-reduce
+  * rank-error bound — all across arbitrary chunkings/partitionings
+  * and through the roll-up aggregate, since the kept set itself is
+  * merge-order-dependent (the Misra–Gries gating discipline, not the
+  * KMV raw-hash one). */
 class GkQuantileSpec extends SparkSpec {
   import spark.implicits._
 
@@ -22,7 +24,10 @@ class GkQuantileSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  /** #lt+1 soundness + exact n/min/max + size ≤ m + grid rank error. */
+  /** Positional soundness + exact n/min/max + size ≤ m + grid rank
+    * error. A positional tuple claims some occurrence of its value
+    * sits in [rmin, rmax]; occurrences of v occupy exactly
+    * [#lt+1, #le], so soundness is interval intersection. */
   private def assertLaws(s: GkSummary, values: Seq[Double], m: Int,
       bufCap: Int, label: String): Prop = {
     val sorted = values.sorted
@@ -30,7 +35,7 @@ class GkQuantileSpec extends SparkSpec {
     def cntLt(v: Double) = sorted.count(_ < v)
     def cntLe(v: Double) = sorted.count(_ <= v)
     val sound = (0 until s.size).forall { i =>
-      s.rmins(i) <= cntLt(s.vs(i)) + 1 && cntLt(s.vs(i)) + 1 <= s.rmaxs(i)
+      s.rmins(i) <= cntLe(s.vs(i)) && cntLt(s.vs(i)) + 1 <= s.rmaxs(i)
     }
     val exacts = s.n == n && s.size <= m &&
       (n == 0 || (s.vs.head == sorted.head && s.vs.last == sorted.last))

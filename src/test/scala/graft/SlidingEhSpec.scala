@@ -154,6 +154,36 @@ class SlidingEhSpec extends SparkSpec {
     }
   }
 
+  test("GK member: deep EH over duplicate-heavy quanta keeps the rank budget") {
+    // regression for the q311 sf1 failure: 10× copy scaling gives every
+    // (quantum, value) multiplicity 10 — single-value quanta. The old
+    // run-collapsed exact() made each quantum an ε ≈ 0.45 summary and
+    // the merge tree inflated every interval to ~0.9·n (p10 answered
+    // with the global min); positional width-0 tuples keep the
+    // merge-and-reduce budget whatever the duplication.
+    val nQ = 16384
+    val m = 2048
+    val dup = 10
+    val vals = Array.tabulate(nQ)(i => ((i * 2654435761L) % 1000003L).toDouble)
+    val quanta = vals.toIndexedSeq.map { v =>
+      GkSummary.prune(GkSummary.exact(Array.fill(dup)(v), dup), m)
+    }
+    val bs = SlidingEh.build(quanta.zipWithIndex.map { case (s, i) => (i.toLong, s) },
+      C, (a: GkSummary, b: GkSummary) => SlidingEh.gkMerge(a, b, m))
+    val merged = SlidingEh.gkMergeAll(SlidingEh.cover(bs, 0L, C).get.covered.map(_.s))
+    assert(merged.n == nQ.toLong * dup)
+    val sorted = vals.flatMap(v => Array.fill(dup)(v)).sorted
+    Seq(0.1, 0.5, 0.9).foreach { phi =>
+      val r = 1L + math.round(phi * (merged.n - 1))
+      val est = GkSummary.query(merged, phi)
+      val lt = sorted.count(_ < est).toLong
+      val le = sorted.count(_ <= est).toLong
+      val budget = merged.n / 40
+      assert(lt + 1 - r <= budget && r - le <= budget,
+        s"phi=$phi r=$r lt=$lt le=$le budget=$budget")
+    }
+  }
+
   test("MG member: merge-tree-free undercount bound through the EH") {
     val rnd = new Random(11)
     val nQ = 90
