@@ -179,19 +179,27 @@ object SlidingSketches {
     * sketch must EQUAL a direct build of the covered suffix cell for
     * cell — the strongest gating this family allows, and q306 checks
     * exactly that. */
-  /** Per-row count-min cell ids on the shared md5/FNV hash family —
-    * pure projections (streaming-safe), each input row exploding to
-    * `depth` (key, q, idx) cell rows with idx = row·width + bucket.
-    * Shared by [[cmHourly]] and the streaming monitor
-    * ([[graft.streaming.SlidingMonitor.cmQuantumMonitor]]), so the
-    * streamed cube lands on exactly the cells a batch build lands
-    * on. */
-  def cmCellRows(df: DataFrame, item: Column, sec: Column, u: Long,
-      depth: Int, width: Int, key: Column = lit("")): DataFrame =
+  /** Per-row (key, quantum, 31-bit item hash) on the shared md5 hash —
+    * a pure projection (streaming-safe), ONE row per event. The
+    * streaming monitor ([[graft.streaming.SlidingMonitor
+    * .cmQuantumMonitor]]) consumes this directly and explodes to the
+    * ×depth cells INSIDE its stateful fold with the same pure-Scala
+    * coefficient family, so the shuffle into the stateful operator
+    * carries 1/depth of the cell rows while landing on exactly the
+    * cells a batch build lands on. */
+  def cmKeyRows(df: DataFrame, item: Column, sec: Column, u: Long,
+      key: Column = lit("")): DataFrame =
     df.select(key.cast("string").as("key"),
         (sec.cast("long") - pmod(sec.cast("long"), lit(u))).divide(u)
           .cast("long").as("q"),
-        Sketches.keyHash(item).as("x"),
+        Sketches.keyHash(item).as("x"))
+
+  /** [[cmKeyRows]] exploded to `depth` (key, q, idx) cell rows with
+    * idx = row·width + bucket — the batch build's input shape. */
+  def cmCellRows(df: DataFrame, item: Column, sec: Column, u: Long,
+      depth: Int, width: Int, key: Column = lit("")): DataFrame =
+    cmKeyRows(df, item, sec, u, key)
+      .select(col("key"), col("q"), col("x"),
         Sketches.paramsExplode(depth).as("p"))
       .select(col("key"), col("q"),
         (col("p.row") * width +

@@ -1863,9 +1863,12 @@ object EventQueries {
     * per-quantum cell counts as streaming state, folded by plain
     * addition (cells are canonical, so the "level structure"
     * degenerates to a running sum and the streamed cube is
-    * BIT-IDENTICAL to a batch build at any trigger cadence). Cell ids
-    * are pre-hashed on the shared md5/FNV family as pure streaming
-    * projections (SlidingSketches.cmCellRows). Latest version per
+    * BIT-IDENTICAL to a batch build at any trigger cadence). Items are
+    * pre-hashed on the shared md5 as a pure streaming projection
+    * (SlidingSketches.cmKeyRows, ONE row per event); the ×depth cell
+    * explosion happens inside the stateful fold with the pure-Scala
+    * coefficient family, keeping the shuffle depth-free. Latest
+    * version per
     * (key, quantum) → the identical EH + cell-for-cell verification as
     * the batch sliding gate (q306's oracle verbatim). */
   val q313 = QueryDef("q313_stream_cm_monitor", q306.oracle.get) { (spark, dir) =>
@@ -1883,10 +1886,9 @@ object EventQueries {
         StructField("sec", LongType))))
       .option("maxFilesPerTrigger", 1)
       .parquet(replay.toString)
-    val cellRows = SS.cmCellRows(stream, col("user_id"), col("sec"), 3600L,
-      depth = 4, width = 32)
+    val keyRows = SS.cmKeyRows(stream, col("user_id"), col("sec"), 3600L)
     val fin = EventStreams.runToCompletion(spark,
-      SlidingMonitor.cmQuantumMonitor(cellRows).toDF(),
+      SlidingMonitor.cmQuantumMonitor(keyRows, depth = 4, width = 32).toDF(),
       "q313_cm_monitor", mode = "update")
     val hourly = fin.groupBy("key", "q")
       .agg(max_by(col("entries"), col("ver")).as("entries"))

@@ -224,18 +224,22 @@ object SlidingMonitor {
   // Count-min monitor
   // ------------------------------------------------------------------
 
-  /** Input is PRE-HASHED cell ids (idx = row·width + bucket on the
-    * shared md5/FNV family — [[graft.operators.SlidingSketches
-    * .cmCellRows]] produces them from raw items as pure projections,
-    * streaming-safe), so the monitor is hash-family-agnostic and the
-    * streamed cube lands on exactly the cells a batch build lands on. */
-  final case class CmIn(key: String, q: Long, idx: Long)
+  /** Input is ONE row per event carrying the shared 31-bit item hash x
+    * ([[graft.operators.SlidingSketches.cmKeyRows]] — a pure
+    * projection, streaming-safe); the ×depth cell explosion happens
+    * INSIDE the fold with the same pure-Scala hash family
+    * (HashFns.minhashParams coefficients, exact integer arithmetic),
+    * so the shuffle to the stateful operator carries 1/depth of the
+    * cell rows while the streamed cube lands on exactly the cells a
+    * batch build lands on. */
+  final case class CmIn(key: String, q: Long, x: Long)
   final case class CmMonState(quanta: Map[Long, Map[Long, Long]], ver: Long,
       qMax: Long)
   final case class CmOut(key: String, q: Long, ver: Long, entries: Seq[CmCell])
 
-  private def cmFoldKey(rows: Seq[CmIn], st: CmMonState,
-      horizonQuanta: Long): (CmMonState, Seq[CmOut]) = {
+  private def cmFoldKey(rows: Seq[CmIn], st: CmMonState, depth: Int,
+      width: Int, horizonQuanta: Long): (CmMonState, Seq[CmOut]) = {
+    val params = graft.functions.HashFns.minhashParams(depth)
     val qMax = math.max(st.qMax, rows.iterator.map(_.q).max)
     val cut = cutoffQ(qMax, horizonQuanta)
     val live = rows.filter(_.q >= cut)
@@ -245,7 +249,13 @@ object SlidingMonitor {
       val ver = st.ver + 1
       val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, rs) =>
         var cells = quanta.getOrElse(q, Map.empty[Long, Long])
-        rs.foreach(r => cells = cells.updated(r.idx, cells.getOrElse(r.idx, 0L) + 1L))
+        rs.foreach { r =>
+          params.foreach { case (row, a, b) =>
+            val idx = row.toLong * width +
+              ((a * r.x + b) % graft.functions.HashFns.P) % width
+            cells = cells.updated(idx, cells.getOrElse(idx, 0L) + 1L)
+          }
+        }
         quanta = quanta.updated(q, cells)
         CmOut(live.head.key, q, ver,
           cells.toSeq.sortBy(_._1).map { case (i, c) => CmCell(i, c) })
@@ -254,17 +264,17 @@ object SlidingMonitor {
     }
   }
 
-  private[graft] def testCmFold(rows: Seq[CmIn], st: CmMonState,
-      horizonQuanta: Long = Long.MaxValue): (CmMonState, Seq[CmOut]) =
-    cmFoldKey(rows, st, horizonQuanta)
+  private[graft] def testCmFold(rows: Seq[CmIn], st: CmMonState, depth: Int,
+      width: Int, horizonQuanta: Long = Long.MaxValue): (CmMonState, Seq[CmOut]) =
+    cmFoldKey(rows, st, depth, width, horizonQuanta)
 
-  /** The count-min monitor as a streaming transform: input (key, q,
-    * idx) cell rows → Update-mode (key, q, ver, entries) emissions. */
-  def cmQuantumMonitor(stream: DataFrame,
+  /** The count-min monitor as a streaming transform: input (key, q, x)
+    * hashed-item rows → Update-mode (key, q, ver, entries) emissions. */
+  def cmQuantumMonitor(stream: DataFrame, depth: Int, width: Int,
       horizonQuanta: Long = Long.MaxValue): Dataset[CmOut] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select("key", "q", "idx").as[CmIn]
+    stream.select("key", "q", "x").as[CmIn]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[CmIn], state: GroupState[CmMonState]) =>
@@ -273,7 +283,7 @@ object SlidingMonitor {
           else {
             val st = state.getOption.getOrElse(
               CmMonState(Map.empty, 0L, Long.MinValue))
-            val (st2, outs) = cmFoldKey(rs, st, horizonQuanta)
+            val (st2, outs) = cmFoldKey(rs, st, depth, width, horizonQuanta)
             state.update(st2)
             outs.iterator
           }

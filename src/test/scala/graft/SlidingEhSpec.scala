@@ -302,9 +302,9 @@ class SlidingEhSpec extends SparkSpec {
         val rows = slice.toIndexedSeq.map(it => SlidingMonitor.MgIn("k", 5L, it))
         val (st2, _) = SlidingMonitor.testMgFold(rows, st, k)
         st = st2
-        val cells = slice.toIndexedSeq.map(it =>
-          SlidingMonitor.CmIn("k", 5L, (it.hashCode & 0x7fffffff).toLong % 64L))
-        val (cm2, _) = SlidingMonitor.testCmFold(cells, cm)
+        val xs = slice.toIndexedSeq.map(it =>
+          SlidingMonitor.CmIn("k", 5L, (it.hashCode & 0x7fffffff).toLong))
+        val (cm2, _) = SlidingMonitor.testCmFold(xs, cm, depth = 3, width = 16)
         cm = cm2
       }
       val MgQ = st.quanta(5L)
@@ -318,9 +318,17 @@ class SlidingEhSpec extends SparkSpec {
         if (c * (k + 1) > MgQ.n)
           assert(MgQ.entries.contains(kk), s"heavy $kk missing at triggers=$triggers")
       }
-      // count-min state is EXACT per cell whatever the cadence
-      val direct = items.groupBy(it => (it.hashCode & 0x7fffffff).toLong % 64L)
-        .map { case (idx, g) => idx -> g.length.toLong }
+      // count-min state is EXACT per cell whatever the cadence — the
+      // in-fold explosion must land on the same cells as a direct build
+      // with the shared coefficient family
+      val params = graft.functions.HashFns.minhashParams(3)
+      val direct = items
+        .flatMap { it =>
+          val x = (it.hashCode & 0x7fffffff).toLong
+          params.map { case (row, a, b) =>
+            row.toLong * 16 + ((a * x + b) % graft.functions.HashFns.P) % 16 }
+        }
+        .groupBy(identity).map { case (idx, g) => idx -> g.length.toLong }
       assert(cm.quanta(5L) == direct, s"CM cell drift at triggers=$triggers")
     }
   }
