@@ -402,18 +402,30 @@ object EventStreams {
     * (idempotent overwrite: an at-least-once redelivery of a batch
     * rewrites its own delta, not a duplicate).
     *
-    * COMMIT PROTOCOL: the table's visible state is an atomically-
-    * swapped MANIFEST file (live generations + a one-generation
-    * grace list of garbage), not a directory listing. Readers resolve
-    * the live set from one manifest snapshot; compaction commits the
-    * new base BEFORE its inputs become garbage and physically deletes
-    * a generation only at the NEXT compaction — so a reader holding
-    * the previous manifest never sees its files vanish mid-read (the
-    * torn-listing window a listFiles-based reader has is closed).
-    * This is the single-writer-correct stepping stone to a
-    * multi-writer table: multiple writers additionally need a
-    * compare-and-swap on the manifest (what Delta/Iceberg/Hudi's
-    * commit services exist for), documented not built. */
+    * COMMIT PROTOCOL: the table's visible state is a MANIFEST chain
+    * (live generations + a grace list of garbage), not a directory
+    * listing. Manifests are generation-numbered `manifest.<gen>`
+    * files published by COMPARE-AND-SWAP — write a temp file, then
+    * atomically hard-link it to the next generation name (POSIX
+    * link(2) fails if the target exists, the local-FS equivalent of
+    * an object store's conditional put / Delta-Iceberg-Hudi's commit
+    * service); a writer that loses the race re-reads the winner and
+    * rebases its intent. That makes the table MULTI-WRITER safe:
+    *   - delta appends rebase trivially (add my name to the latest
+    *     live set; a redelivered batchId that is already live is a
+    *     no-op) — concurrent appenders never lose each other's deltas;
+    *   - compaction rebases by carrying forward any deltas that
+    *     landed after its snapshot (newLive = [newBase] ∪ (latest −
+    *     consumed)) and ABANDONS (deleting its orphan base) when a
+    *     rival compaction already consumed its inputs;
+    *   - physical deletion keeps the one-generation grace: a
+    *     compactor sweeps only the garbage named by the manifest it
+    *     successfully replaced, after its commit — a reader holding
+    *     the previous manifest never sees its files vanish mid-read.
+    * Writers must own disjoint batchId spaces (each delta dir is one
+    * writer's idempotent overwrite target). PipelineSpec drives 4
+    * concurrent writers through fold+compact races and checks the
+    * final table equals the single-writer fold. */
   def runUpsertLogToCompletion(spark: SparkSession, stream: DataFrame,
       path: String, key: String, version: String, name: String,
       compactEvery: Int = 4): DataFrame = {
@@ -432,76 +444,127 @@ object EventStreams {
   }
 
   /** One micro-batch of the log-structured fold: append the slice as
-    * delta_<batchId>, commit it into the manifest, then compact if the
-    * live delta count reached the threshold. `reduce` must be a
+    * delta_<batchId>, CAS-commit it into the manifest chain (rebasing
+    * onto whatever other writers committed meanwhile), then compact if
+    * the live delta count reached the threshold. `reduce` must be a
     * one-shot associative fold over a union
     * (reduce(reduce(A) ∪ B) = reduce(A ∪ B)) — latest-wins compaction
-    * and additive re-aggregation both qualify. */
+    * and additive re-aggregation both qualify. Each batchId's delta
+    * dir belongs to ONE writer (idempotent overwrite on redelivery);
+    * concurrent writers use disjoint batchId spaces. */
   private[graft] def foldLog(path: String, batch: DataFrame, batchId: Long,
       compactEvery: Int)(reduce: DataFrame => DataFrame): Unit = {
     val name = f"delta_$batchId%09d"
     val deltaDir = new java.io.File(path, name)
     batch.write.mode("overwrite").parquet(deltaDir.toString)
     foldBytesWritten.addAndGet(dirSize(deltaDir))
-    val m = readManifest(path)
-    // set semantics: an at-least-once redelivery rewrote its own delta
-    val live = if (m.live.contains(name)) m.live else m.live :+ name
-    writeManifest(path, LogManifest(live.sorted, m.garbage))
-    if (live.count(_.startsWith("delta_")) >= compactEvery)
+    var committed = readManifestGen(path)
+    var done = false
+    while (!done) {
+      val (gen, m) = committed
+      if (m.live.contains(name)) done = true // redelivery already live
+      else if (tryCommitManifest(path, gen + 1,
+          LogManifest((m.live :+ name).sorted, m.garbage))) done = true
+      else committed = readManifestGen(path) // lost the race: rebase
+    }
+    if (readManifestGen(path)._2.live.count(_.startsWith("delta_")) >= compactEvery)
       compactLog(batch.sparkSession, path)(reduce)
   }
 
-  /** The log table's atomically-swapped commit point: `live` names the
-    * generations a reader resolves (base + deltas), `garbage` the
-    * generation consumed by the LAST compaction, kept on disk for one
-    * more compaction cycle so a reader holding the previous manifest
+  /** One committed state of the log table: `live` names the
+    * generations a reader resolves (base + deltas), `garbage` the set
+    * consumed by the LAST compaction, kept on disk for one more
+    * compaction cycle so a reader holding the previous manifest
     * snapshot never loses files mid-read. */
   private[graft] final case class LogManifest(live: Seq[String], garbage: Seq[String])
 
-  private[graft] def readManifest(path: String): LogManifest = {
-    val f = java.nio.file.Paths.get(path, "manifest")
-    if (!java.nio.file.Files.exists(f)) LogManifest(Nil, Nil)
+  private val ManifestName = "manifest\\.(\\d{9})".r
+
+  /** Latest committed (generation, manifest); (0, empty) for a fresh
+    * table — generation numbers start at 1. */
+  private[graft] def readManifestGen(path: String): (Long, LogManifest) = {
+    val dir = new java.io.File(path)
+    val gens = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName match {
+        case ManifestName(g) => Some(g.toLong)
+        case _ => None
+      })
+    if (gens.isEmpty) (0L, LogManifest(Nil, Nil))
     else {
+      val gen = gens.max
       import scala.jdk.CollectionConverters._
-      val lines = java.nio.file.Files.readAllLines(f).asScala.toSeq
-      LogManifest(
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path, f"manifest.$gen%09d")).asScala.toSeq
+      (gen, LogManifest(
         lines.collect { case l if l.startsWith("L ") => l.drop(2) },
-        lines.collect { case l if l.startsWith("G ") => l.drop(2) })
+        lines.collect { case l if l.startsWith("G ") => l.drop(2) }))
     }
   }
 
-  private def writeManifest(path: String, m: LogManifest): Unit = {
+  private[graft] def readManifest(path: String): LogManifest =
+    readManifestGen(path)._2
+
+  /** COMPARE-AND-SWAP publish of generation `gen`: write a temp file,
+    * hard-link it to `manifest.<gen>` — POSIX link(2) fails atomically
+    * if the target exists (the local-FS form of a conditional put), so
+    * exactly one writer wins each generation. Returns whether we
+    * won. */
+  private def tryCommitManifest(path: String, gen: Long, m: LogManifest): Boolean = {
     val dir = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Files.createTempFile(dir, ".manifest_", ".tmp")
+    val tmp = java.nio.file.Files.createTempFile(dir, ".manifest_tmp_", ".tmp")
     val body = (m.live.map("L " + _) ++ m.garbage.map("G " + _)).mkString("\n")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, dir.resolve("manifest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      java.nio.file.Files.createLink(dir.resolve(f"manifest.$gen%09d"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      ()
+    }
   }
 
   private[graft] def compactLog(spark: SparkSession, path: String)(
       reduce: DataFrame => DataFrame): Unit = {
-    val m = readManifest(path)
-    val liveDirs = m.live.map(n => new java.io.File(path, n))
+    val (gen0, m0) = readManifestGen(path)
+    if (m0.live.isEmpty) return
+    val consumed = m0.live.toSet
     // materialize BEFORE the commit flips visibility (same
-    // localCheckpoint-then-overwrite discipline as foldParquet)
-    val merged = reduce(spark.read.parquet(liveDirs.map(_.toString): _*))
+    // localCheckpoint-then-overwrite discipline as foldParquet);
+    // nanoTime suffix keeps rival compactors' physical dirs disjoint —
+    // uniqueness only, never ordering (generations order the chain)
+    val merged = reduce(spark.read.parquet(m0.live.map(n =>
+        new java.io.File(path, n).toString): _*))
       .localCheckpoint(true)
-    val gen = m.live.filter(_.startsWith("base_")).sorted.lastOption
-      .map(_.stripPrefix("base_").toLong + 1).getOrElse(0L)
-    val baseName = f"base_$gen%09d"
+    val baseName = f"base_${gen0 + 1}%09d_${System.nanoTime()}%x"
     merged.write.mode("overwrite").parquet(new java.io.File(path, baseName).toString)
     foldBytesWritten.addAndGet(dirSize(new java.io.File(path, baseName)))
-    // sweep the PREVIOUS compaction's garbage (one-generation grace:
-    // only a reader holding a manifest two compactions old could still
-    // want these files), then commit: new base live, consumed set
-    // demoted to garbage — readers resolving the old manifest keep
-    // finding every file it names
-    m.garbage.foreach(n =>
-      graft.core.TempPaths.clearDir(new java.io.File(path, n).toString))
-    writeManifest(path, LogManifest(Seq(baseName), m.live))
+    var committed = (gen0, m0)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10000, s"compactLog at $path cannot win a commit")
+      val (gen, m) = committed
+      if (!consumed.subsetOf(m.live.toSet)) {
+        // a rival compaction consumed (some of) our inputs — its base
+        // already covers them; our orphan base must not leak
+        graft.core.TempPaths.clearDir(new java.io.File(path, baseName).toString)
+        return
+      }
+      // carry forward deltas that landed after our snapshot
+      val newLive = (baseName +: m.live.filterNot(consumed)).sorted
+      if (tryCommitManifest(path, gen + 1, LogManifest(newLive, m0.live))) {
+        // we replaced manifest `gen`: sweep the garbage IT named (the
+        // one-generation grace — a reader can hold at most the
+        // previous manifest while we commit)
+        m.garbage.foreach(n =>
+          graft.core.TempPaths.clearDir(new java.io.File(path, n).toString))
+        return
+      }
+      committed = readManifestGen(path)
+    }
   }
 
   private[graft] def readLog(spark: SparkSession, path: String)(

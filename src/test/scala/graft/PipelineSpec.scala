@@ -778,7 +778,7 @@ class PipelineSpec extends SparkSpec {
     // but stay on disk (one-generation grace)
     EventStreams.foldLog(path, slice(30, 40), 3, 4)(reduce)
     val m1 = EventStreams.readManifest(path)
-    assert(m1.live == Seq("base_000000000"))
+    assert(m1.live.size == 1 && m1.live.head.startsWith("base_"), m1)
     assert(m1.garbage.toSet ==
       Set("delta_000000000", "delta_000000001", "delta_000000002", "delta_000000003"))
     m1.garbage.foreach(n => assert(new java.io.File(path, n).exists,
@@ -792,7 +792,8 @@ class PipelineSpec extends SparkSpec {
     // the NEXT compaction sweeps the grace generation
     (4 until 8).foreach(b => EventStreams.foldLog(path, slice(40 + b * 10, 50 + b * 10), b, 4)(reduce))
     val m2 = EventStreams.readManifest(path)
-    assert(m2.live == Seq("base_000000001"))
+    assert(m2.live.size == 1 && m2.live.head.startsWith("base_") &&
+      m2.live != m1.live, m2)
     Seq("delta_000000000", "delta_000000001", "delta_000000002", "delta_000000003")
       .foreach(n => assert(!new java.io.File(path, n).exists, s"garbage $n not swept"))
     // redelivery idempotence: rewriting an existing delta adds no
@@ -801,5 +802,59 @@ class PipelineSpec extends SparkSpec {
     EventStreams.foldLog(path, slice(0, 5), 8, 99)(reduce)
     val m3 = EventStreams.readManifest(path)
     assert(m3.live.count(_ == "delta_000000008") == 1)
+  }
+
+  test("log fold CAS: concurrent writers and compactions lose nothing") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import graft.operators.Cdc
+    val path = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_logcas")).toString
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      Cdc.compactLatest(df, "k", "ver")
+    // 4 writers x 6 batches each, disjoint batchId spaces, overlapping
+    // keys (latest-wins must resolve across writers), aggressive
+    // compactEvery so fold/compact commits race constantly
+    val writers = 4
+    val batches = 6
+    def rowsOf(w: Int, b: Int) = (0 until 25)
+      .map(i => (i % 13, (w * 1000 + b * 10).toLong + i % 3, s"w$w-b$b-$i"))
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until batches).foreach { b =>
+            EventStreams.foldLog(path,
+              rowsOf(w, b).toDF("k", "ver", "payload"),
+              (w * 100 + b).toLong, compactEvery = 3)(reduce)
+          } catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers hung")
+    assert(errs.isEmpty, s"writer failures: ${errs.toArray.mkString("; ")}")
+    // no delta committed by any writer was lost: the folded table equals
+    // the single-pass latest-wins over the union of every batch
+    val union = (0 until writers).flatMap(w =>
+      (0 until batches).flatMap(b => rowsOf(w, b)))
+    val expected = union.groupBy(_._1).map { case (k, g) =>
+      k -> g.maxBy(r => (r._2, r._3))._3
+    }
+    val got = EventStreams.readLog(spark, path)(reduce)
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(got == expected, "concurrent fold lost or duplicated a delta")
+    // the manifest chain is a single total order: every generation from
+    // 1 to latest was committed exactly once (CAS allows no gaps)
+    val (latest, m) = EventStreams.readManifestGen(path)
+    assert(latest >= writers.toLong * batches, s"suspiciously few commits: $latest")
+    (1L to latest).foreach { g =>
+      assert(new java.io.File(path, f"manifest.$g%09d").exists, s"gap at gen $g")
+    }
+    // physical dirs referenced by the final manifest all exist
+    m.live.foreach(n => assert(new java.io.File(path, n).exists, s"missing $n"))
   }
 }
