@@ -536,4 +536,46 @@ object Analytics {
         (abs(col("w_sk") - col("wt")) <= tol && col("t_sk") === col("t_exact"))
           .cast("long").as("w_ok"))
   }
+
+  /** Per-KEY decayed heavy hitters — one [[graft.plans.DecayedMg]]
+    * sketch per key (each rebasing against its OWN max(t) watermark,
+    * which is what the aggregate's group semantics give for free), the
+    * same q270-style guarantee reduction as [[decayedMgHeavy]] run
+    * against each key's own exact decayed masses and total mass. All
+    * side tables are key- or (key·k)-sized and broadcast; the exact
+    * masses are one grouped pass over raw rows. Output one row per
+    * (key, r6-heavy item). */
+  def decayedMgHeavyPerKey(df: DataFrame, key: Column, item: Column,
+      sec: Column, halfLifeSec: Long, k: Int): DataFrame = {
+    import graft.core.Cross
+    require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
+    val base = df.select(key.cast("string").as("key"),
+      item.cast("string").as("item"), sec.cast("long").as("t"))
+    val tRef = base.groupBy("key").agg(max("t").as("t_ref"))
+    val weighted = base.join(broadcast(tRef), "key")
+      .withColumn("w", Cross.r6(pow(lit(2.0),
+        (col("t") - col("t_ref")).cast("double") / halfLifeSec.toDouble)))
+    val perItem = weighted.groupBy("key", "item")
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("w"), 6).as("m"))
+    val tot = weighted.groupBy("key").agg(Cross.dsum(col("w"), 6).as("wt"),
+      count(lit(1)).as("n_tot"), max("t").as("t_exact"))
+    val sk = df.groupBy(key.cast("string").as("key"))
+      .agg(graft.plans.DecayedMg.of(sec.cast("long"),
+        item.cast("string"), halfLifeSec, k).as("s"))
+      .select(col("key"), col("s.t_ref").as("t_sk"), col("s.w").as("w_sk"),
+        explode(col("s.entries")).as("e"))
+      .select(col("key"), col("t_sk"), col("w_sk"),
+        col("e.key").as("item"), col("e.est").as("est"))
+    val tol = col("n_tot") * 1e-6
+    perItem.join(broadcast(tot), "key")
+      .filter(col("m") * (k + 1) > col("wt"))
+      .join(broadcast(sk), Seq("key", "item"), "left")
+      .select(col("key"), col("item"), col("n"), Cross.r6(col("m")).as("m"),
+        col("est").isNotNull.cast("long").as("present"),
+        (col("est").isNotNull && col("est") <= col("m") + tol &&
+          (col("m") - col("est")) * (k + 1) <= col("wt") + tol * (k + 1))
+          .cast("long").as("bounds_ok"),
+        (abs(col("w_sk") - col("wt")) <= tol && col("t_sk") === col("t_exact"))
+          .cast("long").as("w_ok"))
+  }
 }

@@ -1970,6 +1970,117 @@ object EventQueries {
       .orderBy("start", "phi")
   }
 
+  /** Per-KEY streaming MG monitor: one always-on per-quantum
+    * heavy-hitter cube per event type — q312's topology keyed,
+    * completing the monitor family's global/per-key symmetry the
+    * sliding gates already have. Same oracle as the batch per-key
+    * sliding gate (q304): the cube feeds the identical EH + guarantee
+    * verification. */
+  val q316 = QueryDef("q316_stream_mg_monitor_per_key", q304.oracle.get) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 4, 4)
+    val replay = java.nio.file.Files.createTempDirectory("graft_mgmonk_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"), col("user_id").cast("string").as("item"))
+      .repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.mgQuantumMonitor(stream, 32).toDF(),
+      "q316_mg_monitor_k", mode = "update")
+    val hourly = fin.groupBy("key", "q")
+      .agg(max_by(struct(col("n"), col("entries")), col("ver")).as("w"))
+      .select(col("key"), col("q"), col("w.n").as("n"),
+        col("w.entries").as("entries"))
+    val cov = SS.mgSlidingSummaries(hourly, 3600L, 32, starts)
+    SS.mgSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cov, keyed = true, k = 32)
+      .orderBy("key", "start")
+  }
+
+  /** Per-KEY streaming count-min monitor: one always-on per-quantum
+    * cell cube per event type — q313's topology keyed (hashed-item
+    * rows carry the key; one flatMapGroupsWithState group per type),
+    * verified cell-for-cell with the batch per-key sliding gate's
+    * oracle (q310). */
+  val q317 = QueryDef("q317_stream_cm_monitor_per_key", q310.oracle.get) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val starts = slidingStarts(ev, 4, 4)
+    val replay = java.nio.file.Files.createTempDirectory("graft_cmmonk_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("user_id"), col("event_type"), col("sec")).repartition(4)
+      .write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val keyRows = SS.cmKeyRows(stream, col("user_id"), col("sec"), 3600L,
+      key = col("event_type"))
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.cmQuantumMonitor(keyRows, depth = 4, width = 32).toDF(),
+      "q317_cm_monitor_k", mode = "update")
+    val hourly = fin.groupBy("key", "q")
+      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
+    SS.cmSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cells, depth = 4, width = 32, keyed = true)
+      .orderBy("key", "start", "item")
+  }
+
+  /** Per-KEY decayed Misra–Gries: one recency-weighted top-talker
+    * sketch per event type, each rebasing against its own max(t)
+    * watermark (the aggregate's group semantics) — q315's guarantee
+    * reduction run per key against each key's own exact decayed
+    * masses. The skewed item column makes each key 3/4 its own name
+    * (the dominant heavy) + 1/4 per-user noise, so per-key eviction
+    * runs while every key has a guaranteed-present heavy set. */
+  val q318 = QueryDef(
+    "q318_decayed_mg_per_key",
+    s"""WITH tr AS (SELECT event_type AS key,
+       |            MAX(floor(epoch(ts))::BIGINT) AS t_ref
+       |      FROM events GROUP BY 1),
+       |b AS (SELECT e.event_type AS key,
+       |             CASE WHEN e.event_id % 4 = 0 THEN 'u' || e.user_id
+       |                  ELSE e.event_type END AS item,
+       |             floor(epoch(e.ts))::BIGINT AS t, tr.t_ref
+       |      FROM events e JOIN tr ON e.event_type = tr.key),
+       |w AS (SELECT key, item,
+       |             ${Cross.r6Sql("pow(2.0, (t - t_ref)::DOUBLE / 86400.0)")} AS w
+       |      FROM b),
+       |g AS (SELECT key, item, COUNT(*)::BIGINT AS n, ${Cross.dsumSql("w")} AS m
+       |      FROM w GROUP BY 1, 2),
+       |tot AS (SELECT key, ${Cross.dsumSql("w")} AS wt FROM w GROUP BY 1)
+       |SELECT g.key, item, n, ${Cross.r6Sql("m")} AS m, 1::BIGINT AS present,
+       |       1::BIGINT AS bounds_ok, 1::BIGINT AS w_ok
+       |FROM g JOIN tot ON g.key = tot.key
+       |WHERE m * 9 > wt ORDER BY g.key, item""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val item = when(pmod(col("event_id"), lit(4)) === 0,
+      concat(lit("u"), col("user_id"))).otherwise(col("event_type"))
+    graft.operators.Analytics.decayedMgHeavyPerKey(ev, col("event_type"),
+        item, col("sec"), halfLifeSec = 86400L, k = 8)
+      .orderBy("key", "item")
+  }
+
   /** SPARSE-GRID sliding quantiles — the gate that exists because the
     * round-9 EH materialized a DENSE quantum grid (every position from
     * min to max, `require`-guarded at 2^22): events spread 4096× on
@@ -2111,5 +2222,5 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318)
 }
