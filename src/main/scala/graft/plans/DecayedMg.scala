@@ -65,66 +65,18 @@ case class DecayedMgAgg(
   override def createAggregationBuffer(): State =
     new State(Long.MinValue, 0.0, mutable.HashMap.empty[String, Double])
 
-  /** Advance the watermark: every stored mass scales by one factor. */
-  private def rebase(s: State, tNew: Long): Unit = {
-    if (tNew > s.tMax) {
-      if (s.w > 0.0) {
-        val f = math.pow(2.0, (s.tMax - tNew).toDouble / halfLifeSec.toDouble)
-        s.w *= f
-        s.counters.mapValuesInPlace((_, c) => c * f)
-      }
-      s.tMax = tNew
-    }
-  }
-
-  /** MG eviction on weighted counters: subtract the (k+1)-th largest
-    * mass from everything, keep strictly positive. */
-  private def evict(s: State): Unit = {
-    if (s.counters.size > k) {
-      val masses = s.counters.values.toArray
-      java.util.Arrays.sort(masses)
-      val pivot = masses(masses.length - 1 - k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      s.counters.keysIterator.foreach { kk =>
-        val nc = s.counters(kk) - pivot
-        if (nc <= 0.0) dead += kk else s.counters.update(kk, nc)
-      }
-      dead.foreach(s.counters.remove)
-    }
-  }
-
   override def update(buf: State, input: InternalRow): State = {
     val tRaw = tExpr.eval(input)
     val kRaw = keyExpr.eval(input)
     if (tRaw != null && kRaw != null) {
-      val t = tRaw.asInstanceOf[Long]
-      val key = kRaw.asInstanceOf[UTF8String].toString
-      rebase(buf, t)
-      val wt = math.pow(2.0, (t - buf.tMax).toDouble / halfLifeSec.toDouble)
-      buf.w += wt
-      buf.counters.update(key, buf.counters.getOrElse(key, 0.0) + wt)
-      evict(buf)
+      DecayedMgAgg.updateState(buf, tRaw.asInstanceOf[Long],
+        kRaw.asInstanceOf[UTF8String].toString, halfLifeSec, k)
     }
     buf
   }
 
-  override def merge(buf: State, other: State): State = {
-    if (other.w == 0.0 && other.counters.isEmpty) buf
-    else {
-      val tNew = math.max(buf.tMax, other.tMax)
-      rebase(buf, tNew)
-      val f =
-        if (other.tMax < tNew)
-          math.pow(2.0, (other.tMax - tNew).toDouble / halfLifeSec.toDouble)
-        else 1.0
-      buf.w += other.w * f
-      other.counters.foreach { case (kk, c) =>
-        buf.counters.update(kk, buf.counters.getOrElse(kk, 0.0) + c * f)
-      }
-      evict(buf)
-      buf
-    }
-  }
+  override def merge(buf: State, other: State): State =
+    DecayedMgAgg.mergeState(buf, other, halfLifeSec, k)
 
   override def eval(buf: State): Any =
     if (buf.w == 0.0 && buf.counters.isEmpty) null
@@ -180,9 +132,82 @@ case class DecayedMgAgg(
     copy(tExpr = newLeft, keyExpr = newRight)
 }
 
+/** The pure state arithmetic, shared between the Catalyst aggregate
+  * above and the streaming monitor leg
+  * ([[graft.streaming.SlidingMonitor.decayedMgMonitor]]) — ONE
+  * definition of the rebasing identity and the weighted eviction, so
+  * batch and always-on answers obey the same guarantees by
+  * construction. */
 object DecayedMgAgg {
   final class State(var tMax: Long, var w: Double,
       val counters: mutable.HashMap[String, Double])
+
+  /** Advance the watermark: every stored mass scales by one factor.
+    * Counters that underflow to 0.0 drop — a row older than ~1075
+    * half-lives carries no mass and must not waste one of the k
+    * slots. */
+  private def rebase(s: State, tNew: Long, halfLifeSec: Long): Unit = {
+    if (tNew > s.tMax) {
+      if (s.w > 0.0) {
+        val f = math.pow(2.0, (s.tMax - tNew).toDouble / halfLifeSec.toDouble)
+        s.w *= f
+        s.counters.mapValuesInPlace((_, c) => c * f)
+        s.counters.filterInPlace((_, c) => c > 0.0)
+      }
+      s.tMax = tNew
+    }
+  }
+
+  /** MG eviction on weighted counters: subtract the (k+1)-th largest
+    * mass from everything, keep strictly positive. */
+  private def evict(s: State, k: Int): Unit = {
+    if (s.counters.size > k) {
+      val masses = s.counters.values.toArray
+      java.util.Arrays.sort(masses)
+      val pivot = masses(masses.length - 1 - k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      s.counters.keysIterator.foreach { kk =>
+        val nc = s.counters(kk) - pivot
+        if (nc <= 0.0) dead += kk else s.counters.update(kk, nc)
+      }
+      dead.foreach(s.counters.remove)
+    }
+  }
+
+  /** Fold one (t, key) row into the state. A weight that underflows to
+    * exactly 0.0 (age past ~1075 half-lives) neither inserts nor
+    * retains a zero-mass counter entry. */
+  def updateState(buf: State, t: Long, key: String, halfLifeSec: Long,
+      k: Int): Unit = {
+    rebase(buf, t, halfLifeSec)
+    val wt = math.pow(2.0, (t - buf.tMax).toDouble / halfLifeSec.toDouble)
+    if (wt > 0.0) {
+      buf.w += wt
+      buf.counters.update(key, buf.counters.getOrElse(key, 0.0) + wt)
+      evict(buf, k)
+    }
+  }
+
+  /** Merge `other` into `buf`: rebase both to the max watermark, add
+    * masses, evict to k. O(k) per call — the mergeable path. */
+  def mergeState(buf: State, other: State, halfLifeSec: Long, k: Int): State = {
+    if (other.w == 0.0 && other.counters.isEmpty) buf
+    else {
+      val tNew = math.max(buf.tMax, other.tMax)
+      rebase(buf, tNew, halfLifeSec)
+      val f =
+        if (other.tMax < tNew)
+          math.pow(2.0, (other.tMax - tNew).toDouble / halfLifeSec.toDouble)
+        else 1.0
+      buf.w += other.w * f
+      other.counters.foreach { case (kk, c) =>
+        val m = c * f
+        if (m > 0.0) buf.counters.update(kk, buf.counters.getOrElse(kk, 0.0) + m)
+      }
+      evict(buf, k)
+      buf
+    }
+  }
 }
 
 object DecayedMg {

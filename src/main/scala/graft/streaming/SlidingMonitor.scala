@@ -1,10 +1,12 @@
 package graft.streaming
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.SlidingRows.{CmCell, GkSkR, MgEntry}
-import graft.plans.{GkState, GkSummary, SlidingEh}
+import graft.plans.{DecayedMgAgg, GkState, GkSummary, SlidingEh}
 
 /** STREAMING-NATIVE sliding-sketch monitors — the always-on form of
   * the EH sliding family for all three order-dependent members:
@@ -15,27 +17,47 @@ import graft.plans.{GkState, GkSummary, SlidingEh}
   * since ANY t" without waiting for completion — the production shape
   * of a per-source telemetry panel.
   *
-  * Member-specific state discipline:
+  * TWO-STAGE SHAPE (the 100 TB plan contract): each micro-batch first
+  * PRE-FOLDS inside `mapPartitions` — per partition, per (key,
+  * quantum), the raw rows collapse to one exact m/k-bounded batch
+  * summary — and only those summary rows shuffle into the stateful
+  * stage, which merges mergeable summaries. The earlier shape shuffled
+  * RAW event rows to one task per key (`groupByKey` straight off the
+  * stream), which at a handful of keys is the textbook hot-key funnel:
+  * every trigger, all of a key's rows land on one task. With the
+  * pre-fold the per-key stateful task receives O(#partitions ×
+  * #touched-quanta) bounded summaries per trigger, independent of the
+  * row count — the same division of labor as the batch sliding legs
+  * (distributed groupBy builds per-quantum summaries; the per-key fold
+  * only ever sees summary objects). PlanSpec pins the shape: the
+  * exchange into the stateful operator carries summary rows, never
+  * event rows.
+  *
+  * Member-specific state discipline (unchanged by the pre-fold — each
+  * partition's partial is EXACT for its rows, so the budget arguments
+  * carry over with "trigger batch" replaced by "partition batch"):
   *   - GK quantiles: quantum → the GK LEVEL STRUCTURE (the same
   *     merge-and-reduce level-carry [[GkState]] uses), not a flat
   *     summary. Load-bearing: a quantum's rows arrive across
-  *     arbitrarily many triggers, and naive per-trigger merge+prune
-  *     into one summary costs one prune per trigger — O(#triggers)
-  *     error growth, unbounded. Carrying each trigger's exact batch
-  *     summary into the level structure at its size-matched level
-  *     keeps prunes-per-element at O(log(n/buf)) whatever the trigger
-  *     cadence, so the streamed state obeys the SAME rank-error budget
-  *     as a batch build (q305 gates it with the batch oracle verbatim).
+  *     arbitrarily many triggers and partitions, and naive merge+prune
+  *     into one summary costs one prune per partial — unbounded error
+  *     growth. Carrying each partial (exact for its rows, pruned once
+  *     to m) into the level structure at its size-matched level keeps
+  *     prunes-per-element at O(log(n/buf)) whatever the cadence or
+  *     partitioning, so the streamed state obeys the SAME rank-error
+  *     budget as a batch build (q305 gates it with the batch oracle
+  *     verbatim).
   *   - Misra–Gries: quantum → one k-bounded (n, counters) summary.
-  *     No level structure needed — the mergeable-summaries undercount
-  *     bound (≤ n/(k+1)) is merge-TREE-free, so folding each trigger's
-  *     exact batch counts straight into the stored summary loses
-  *     nothing at any cadence (q312 gates it with the batch oracle).
+  *     The partials' exact count maps SUM first (commutative — no
+  *     order sensitivity), then ONE mergeable reduce folds them into
+  *     the stored summary: the merge-TREE-free undercount bound
+  *     (≤ n/(k+1)) holds under any such tree, so nothing is lost at
+  *     any cadence/partitioning (q312 gates it with the batch oracle).
   *   - Count-min: quantum → sparse cell counts. Cells are ADDITIVE and
-  *     canonical, so the "level structure" degenerates to a running
-  *     sum — the streamed cube is bit-identical to a batch build at
-  *     any cadence (q313 gates cell-for-cell equality via q306's
-  *     oracle).
+  *     canonical, so partials (≤ depth·width cells each, the ×depth
+  *     explosion happens in the pre-fold, still executor-side) sum
+  *     into a cube BIT-IDENTICAL to a batch build at any cadence
+  *     (q313 gates cell-for-cell equality via q306's oracle).
   *
   * RETENTION HORIZON (the always-on part): state per key is bounded by
   * `horizonQuanta` — after each trigger, quanta older than
@@ -45,29 +67,48 @@ import graft.plans.{GkState, GkSummary, SlidingEh}
   * wrong summary — the same contract as a watermark discarding
   * too-late data). Every window start inside the horizon answers
   * exactly as it would without eviction: eviction is data-driven (the
-  * key's own event-time watermark), not processing-time, so an idle
-  * stream never loses state it still needs. State per key is
+  * key's own event-time high-watermark), not processing-time, so an
+  * idle stream never loses state it still needs. State per key is
   * O(horizon × summary size), independent of stream lifetime —
   * SlidingEhSpec asserts the bound and the inside-horizon equivalence
-  * across a long replay. Keys themselves stay live
-  * (`GroupStateTimeout.NoTimeout`) deliberately: an always-on monitor
-  * answers for every source it has ever seen inside the horizon;
-  * quantum eviction, not key eviction, is what bounds it.
+  * across a long replay.
+  *
+  * KEY EVICTION (optional, GK leg; the MG/CM monitors take the
+  * identical parameterization by symmetry — same state topology, same
+  * cutoff law): by default keys stay live
+  * (`GroupStateTimeout.NoTimeout`) — an always-on monitor keyed by
+  * event TYPE answers for every source it has ever seen inside the
+  * horizon, and quantum eviction alone bounds state. Keyed by a
+  * HIGH-CARDINALITY column (user_id — per-source telemetry), total
+  * state is O(#keys ever seen); `evictKeys = true` switches to
+  * `EventTimeTimeout` and drops a key once the GLOBAL event-time
+  * watermark passes a full horizon beyond the key's own high-water
+  * quantum — at which point every quantum the key holds is already
+  * outside its horizon, so nothing in-horizon is lost. Eviction emits
+  * a TOMBSTONE row (q = −1) carrying the key's next version, and the
+  * watermark itself becomes a monotone admission floor: rows whose
+  * quantum lies a full horizon behind the watermark drop BEFORE
+  * touching state (a re-created key cannot resurrect a
+  * partially-evicted quantum — the floor proves any such quantum was
+  * already evicted, because eviction implies wm > (qMaxOld + horizon)
+  * ≥ (q + horizon) for every quantum q the key ever held). Requires a
+  * `withWatermark` upstream and a finite horizon.
   *
   * Emission (Update mode): per trigger, each UPDATED quantum emits its
   * collapsed summary with a per-key monotone version — O(touched
   * quanta) rows per trigger, never the full cube. A reader takes the
-  * latest version per (key, quantum) for the current cube (the gates
-  * do exactly that, then run the identical EH + guarantee verification
-  * as the batch gates). VERSION CONTRACT: `ver` increments per key per
-  * trigger, so latest-version-per-(key, quantum) reads assume an
-  * exactly-once sink (each trigger's emissions delivered once — what
-  * the file-replay harness and any idempotent sink provide). Under an
-  * at-least-once sink a retried trigger re-emits the SAME (ver, sk)
-  * rows, which latest-version reads dedupe only if the sink keys on
-  * (key, q, ver); a sink that cannot should pack (batchId, ver) the
-  * way q277's packedVersion does. No raw row is ever retained in
-  * state.
+  * latest version per (key, quantum) for the current cube
+  * ([[graft.queries.SqlApiQueries.monitorLatestSql]] is that read as
+  * one SQL view; the gates use the same idiom, then run the identical
+  * EH + guarantee verification as the batch gates). VERSION CONTRACT:
+  * `ver` increments per key per trigger, so latest-version-per-(key,
+  * quantum) reads assume an exactly-once sink (each trigger's
+  * emissions delivered once — what the file-replay harness and any
+  * idempotent sink provide). Under an at-least-once sink a retried
+  * trigger re-emits the SAME (ver, sk) rows, which latest-version
+  * reads dedupe only if the sink keys on (key, q, ver); a sink that
+  * cannot should pack (batchId, ver) the way q277's packedVersion
+  * does. No raw row is ever retained in state.
   */
 object SlidingMonitor {
 
@@ -88,6 +129,11 @@ object SlidingMonitor {
   final case class MonState(quanta: Map[Long, Seq[GkSkR]], ver: Long, qMax: Long)
   final case class Out(key: String, q: Long, ver: Long, sk: GkSkR)
 
+  /** Pre-shuffle partial: one exact, once-pruned batch summary per
+    * (partition, key, quantum) — the only row shape that crosses the
+    * exchange into the stateful stage. */
+  final case class GkPart(key: String, q: Long, sk: GkSkR)
+
   private def levelFor(n: Long, bufCap: Int): Int = {
     var l = 0
     var c = bufCap.toLong
@@ -95,23 +141,35 @@ object SlidingMonitor {
     l
   }
 
-  /** One key's one-trigger fold: carry each live touched quantum's
-    * exact batch summary into its stored level structure, then apply
-    * the retention horizon. */
-  private def foldKey(rows: Seq[In], st: MonState, m: Int,
-      horizonQuanta: Long): (MonState, Seq[Out]) = {
+  /** Stage 1 (stateless, per partition): collapse raw rows to exact
+    * per-(key, quantum) batch summaries, pruned once to m. */
+  private[graft] def gkPrefold(rows: Iterator[In], m: Int): Iterator[GkPart] = {
+    val groups = mutable.HashMap.empty[(String, Long), mutable.ArrayBuffer[Double]]
+    rows.foreach(r =>
+      groups.getOrElseUpdate((r.key, r.q), mutable.ArrayBuffer.empty) += r.v)
+    groups.iterator.map { case ((k, q), vs) =>
+      val arr = vs.toArray
+      java.util.Arrays.sort(arr)
+      GkPart(k, q, GkSkR.of(GkSummary.prune(GkSummary.exact(arr, arr.length), m)))
+    }
+  }
+
+  /** Stage 2 (stateful), one key's one-trigger fold: carry each live
+    * partial into its quantum's stored level structure at its
+    * size-matched level, then apply the retention horizon. `floorQ` is
+    * the additional watermark-derived admission floor key eviction
+    * imposes (Long.MinValue when unused). */
+  private def foldKey(parts: Seq[GkPart], st: MonState, m: Int,
+      horizonQuanta: Long, floorQ: Long = Long.MinValue): (MonState, Seq[Out]) = {
     val bufCap = math.max(2048, m)
-    val qMax = math.max(st.qMax, rows.iterator.map(_.q).max)
-    val cut = cutoffQ(qMax, horizonQuanta)
-    val live = rows.filter(_.q >= cut)
+    val qMax = math.max(st.qMax, parts.iterator.map(_.q).max)
+    val cut = math.max(cutoffQ(qMax, horizonQuanta), floorQ)
+    val live = parts.filter(_.q >= cut)
     var quanta = st.quanta.filter { case (q, _) => q >= cut }
     if (live.isEmpty) (MonState(quanta, st.ver, qMax), Nil)
     else {
       val ver = st.ver + 1
-      val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, rs) =>
-        val vs = rs.map(_.v).toArray
-        java.util.Arrays.sort(vs)
-        val batch = GkSummary.prune(GkSummary.exact(vs, vs.length), m)
+      val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, ps) =>
         val gst = new GkState(bufCap, m)
         quanta.getOrElse(q, Nil).zipWithIndex.foreach { case (lv, i) =>
           if (lv.n > 0) {
@@ -119,9 +177,14 @@ object SlidingMonitor {
             gst.levels(i) = GkSkR.summary(lv)
           }
         }
-        gst.carry(levelFor(batch.n, bufCap), batch)
-        quanta = quanta.updated(q,
-          gst.levels.toSeq.map(s => GkSkR.of(s)))
+        // deterministic carry order (shuffle arrival order is not):
+        // content within the guarantee bounds is order-dependent,
+        // guarantees themselves are not
+        ps.sortBy(p => (p.sk.n, p.sk.tuples.hashCode)).foreach { p =>
+          val s = GkSkR.summary(p.sk)
+          gst.carry(levelFor(s.n, bufCap), s)
+        }
+        quanta = quanta.updated(q, gst.levels.toSeq.map(s => GkSkR.of(s)))
         (q, GkSkR.of(gst.result()))
       }
       (MonState(quanta, ver, qMax),
@@ -131,28 +194,67 @@ object SlidingMonitor {
 
   /** Test seam: the pure per-trigger fold (SlidingEhSpec drives the
     * cadence-independence law and the horizon bound through it without
-    * a streaming query). */
+    * a streaming query). Routes through the same prefold + fold as the
+    * streaming operator, one partial per quantum. */
   private[graft] def testFold(rows: Seq[In], st: MonState, m: Int,
       horizonQuanta: Long = Long.MaxValue): (MonState, Seq[Out]) =
-    foldKey(rows, st, m, horizonQuanta)
+    foldKey(gkPrefold(rows.iterator, m).toSeq.sortBy(_.q), st, m, horizonQuanta)
+
+  /** Multi-partial test seam: SlidingEhSpec uses it to assert the
+    * partition-count-independence of the guarantees. */
+  private[graft] def testFoldParts(parts: Seq[GkPart], st: MonState, m: Int,
+      horizonQuanta: Long = Long.MaxValue): (MonState, Seq[Out]) =
+    foldKey(parts, st, m, horizonQuanta)
 
   /** The monitor as a streaming transform: input (key, q, v) rows →
-    * Update-mode (key, q, ver, sk) emissions. */
+    * Update-mode (key, q, ver, sk) emissions.
+    *
+    * `evictKeys = true` (requires a finite horizon, a `withWatermark`
+    * upstream, and `quantumSec` matching the q grid): keys whose
+    * high-water quantum falls a full horizon behind the global
+    * event-time watermark are dropped from state with a q = −1
+    * tombstone emission; rows a full horizon behind the watermark are
+    * dropped on arrival (see the scaladoc's key-eviction contract). */
   def gkQuantumMonitor(stream: DataFrame, m: Int,
-      horizonQuanta: Long = Long.MaxValue): Dataset[Out] = {
+      horizonQuanta: Long = Long.MaxValue,
+      evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[Out] = {
+    require(!evictKeys || horizonQuanta < Long.MaxValue / (quantumSec * 1000L),
+      "key eviction requires a finite horizon")
     val spark = stream.sparkSession
     import spark.implicits._
+    val timeout =
+      if (evictKeys) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     stream.select("key", "q", "v").as[In]
+      .mapPartitions(rows => gkPrefold(rows, m))
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[In], state: GroupState[MonState]) =>
-          val rs = rows.toSeq
-          if (rs.isEmpty) Iterator.empty
-          else {
-            val st = state.getOption.getOrElse(MonState(Map.empty, 0L, Long.MinValue))
-            val (st2, outs) = foldKey(rs, st, m, horizonQuanta)
-            state.update(st2)
-            outs.iterator
+      .flatMapGroupsWithState(OutputMode.Update, timeout) {
+        (key: String, parts: Iterator[GkPart], state: GroupState[MonState]) =>
+          if (evictKeys && state.hasTimedOut) {
+            // the key's newest quantum is a full horizon behind the
+            // watermark ⇒ every quantum it holds is out of horizon
+            val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+            state.remove()
+            Iterator.single(Out(key, -1L, ver, GkSkR(0L, Nil)))
+          } else {
+            val ps = parts.toSeq
+            if (ps.isEmpty) Iterator.empty
+            else {
+              val st = state.getOption.getOrElse(MonState(Map.empty, 0L, Long.MinValue))
+              val floorQ =
+                if (evictKeys)
+                  state.getCurrentWatermarkMs() / (quantumSec * 1000L) -
+                    horizonQuanta + 1
+                else Long.MinValue
+              val (st2, outs) = foldKey(ps, st, m, horizonQuanta, floorQ)
+              state.update(st2)
+              if (evictKeys) {
+                val tMs = (st2.qMax + horizonQuanta) * quantumSec * 1000L
+                state.setTimeoutTimestamp(
+                  math.max(tMs, state.getCurrentWatermarkMs() + 1L))
+              }
+              outs.iterator
+            }
           }
       }
   }
@@ -167,24 +269,52 @@ object SlidingMonitor {
   final case class MgOut(key: String, q: Long, ver: Long, n: Long,
       entries: Seq[MgEntry])
 
-  private def mgFoldKey(rows: Seq[MgIn], st: MgMonState, k: Int,
+  /** Pre-shuffle partial: exact count n and a once-pruned k-bounded
+    * counter map for one (partition, key, quantum). */
+  final case class MgPart(key: String, q: Long, n: Long, entries: Seq[MgEntry])
+
+  /** Stage 1 (stateless, per partition): exact per-(key, quantum)
+    * counts, pruned once to k (the mergeable-summaries bound makes
+    * that prune free under any downstream merge tree). */
+  private[graft] def mgPrefold(rows: Iterator[MgIn], k: Int): Iterator[MgPart] = {
+    val groups = mutable.HashMap.empty[(String, Long), mutable.HashMap[String, Long]]
+    rows.foreach { r =>
+      val m = groups.getOrElseUpdate((r.key, r.q), mutable.HashMap.empty)
+      m.update(r.item, m.getOrElse(r.item, 0L) + 1L)
+    }
+    groups.iterator.map { case ((kk, q), counts) =>
+      val n = counts.valuesIterator.sum
+      val (_, pruned) = SlidingEh.mgMerge((0L, Map.empty), (n, counts.toMap), k)
+      MgPart(kk, q, n,
+        pruned.toSeq.sortBy { case (it, c) => (-c, it) }
+          .map { case (it, c) => MgEntry(it, c) })
+    }
+  }
+
+  private def mgFoldKey(parts: Seq[MgPart], st: MgMonState, k: Int,
       horizonQuanta: Long): (MgMonState, Seq[MgOut]) = {
-    val qMax = math.max(st.qMax, rows.iterator.map(_.q).max)
+    val qMax = math.max(st.qMax, parts.iterator.map(_.q).max)
     val cut = cutoffQ(qMax, horizonQuanta)
-    val live = rows.filter(_.q >= cut)
+    val live = parts.filter(_.q >= cut)
     var quanta = st.quanta.filter { case (q, _) => q >= cut }
     if (live.isEmpty) (MgMonState(quanta, st.ver, qMax), Nil)
     else {
       val ver = st.ver + 1
-      val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, rs) =>
-        // exact batch counts, then ONE mergeable reduce into the stored
-        // k-bounded summary — the merge-tree-free bound keeps the
-        // result within n/(k+1) undercount at any trigger cadence
-        val batch = (rs.length.toLong,
-          rs.groupBy(_.item).map { case (it, g) => it -> g.length.toLong })
+      val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, ps) =>
+        // SUM the partials' counter maps first (commutative — immune to
+        // shuffle arrival order), then ONE mergeable reduce into the
+        // stored summary: a valid weighted-MG merge tree, so the
+        // n/(k+1) undercount bound survives any cadence/partitioning
+        var summed = Map.empty[String, Long]
+        var nBatch = 0L
+        ps.foreach { p =>
+          nBatch += p.n
+          p.entries.foreach(e =>
+            summed = summed.updated(e.key, summed.getOrElse(e.key, 0L) + e.est))
+        }
         val prev = quanta.get(q).map(s => (s.n, s.entries))
           .getOrElse((0L, Map.empty[String, Long]))
-        val (n, merged) = SlidingEh.mgMerge(prev, batch, k)
+        val (n, merged) = SlidingEh.mgMerge(prev, (nBatch, summed), k)
         quanta = quanta.updated(q, MgQuantum(n, merged))
         MgOut(live.head.key, q, ver, n,
           merged.toSeq.sortBy { case (kk, c) => (-c, kk) }
@@ -196,7 +326,11 @@ object SlidingMonitor {
 
   private[graft] def testMgFold(rows: Seq[MgIn], st: MgMonState, k: Int,
       horizonQuanta: Long = Long.MaxValue): (MgMonState, Seq[MgOut]) =
-    mgFoldKey(rows, st, k, horizonQuanta)
+    mgFoldKey(mgPrefold(rows.iterator, k).toSeq.sortBy(_.q), st, k, horizonQuanta)
+
+  private[graft] def testMgFoldParts(parts: Seq[MgPart], st: MgMonState, k: Int,
+      horizonQuanta: Long = Long.MaxValue): (MgMonState, Seq[MgOut]) =
+    mgFoldKey(parts, st, k, horizonQuanta)
 
   /** The MG monitor as a streaming transform: input (key, q, item)
     * rows → Update-mode (key, q, ver, n, entries) emissions. */
@@ -205,15 +339,16 @@ object SlidingMonitor {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select("key", "q", "item").as[MgIn]
+      .mapPartitions(rows => mgPrefold(rows, k))
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[MgIn], state: GroupState[MgMonState]) =>
-          val rs = rows.toSeq
-          if (rs.isEmpty) Iterator.empty
+        (_: String, parts: Iterator[MgPart], state: GroupState[MgMonState]) =>
+          val ps = parts.toSeq
+          if (ps.isEmpty) Iterator.empty
           else {
             val st = state.getOption.getOrElse(
               MgMonState(Map.empty, 0L, Long.MinValue))
-            val (st2, outs) = mgFoldKey(rs, st, k, horizonQuanta)
+            val (st2, outs) = mgFoldKey(ps, st, k, horizonQuanta)
             state.update(st2)
             outs.iterator
           }
@@ -226,36 +361,56 @@ object SlidingMonitor {
 
   /** Input is ONE row per event carrying the shared 31-bit item hash x
     * ([[graft.operators.SlidingSketches.cmKeyRows]] — a pure
-    * projection, streaming-safe); the ×depth cell explosion happens
-    * INSIDE the fold with the same pure-Scala hash family
-    * (HashFns.minhashParams coefficients, exact integer arithmetic),
-    * so the shuffle to the stateful operator carries 1/depth of the
-    * cell rows while the streamed cube lands on exactly the cells a
-    * batch build lands on. */
+    * projection, streaming-safe); the ×depth cell explosion happens in
+    * the PRE-FOLD (still executor-side, before the shuffle) with the
+    * same pure-Scala hash family (HashFns.minhashParams coefficients,
+    * exact integer arithmetic), so the exchange into the stateful
+    * stage carries ≤ depth·width cells per (partition, key, quantum)
+    * while the streamed cube lands on exactly the cells a batch build
+    * lands on. */
   final case class CmIn(key: String, q: Long, x: Long)
   final case class CmMonState(quanta: Map[Long, Map[Long, Long]], ver: Long,
       qMax: Long)
   final case class CmOut(key: String, q: Long, ver: Long, entries: Seq[CmCell])
 
-  private def cmFoldKey(rows: Seq[CmIn], st: CmMonState, depth: Int,
-      width: Int, horizonQuanta: Long): (CmMonState, Seq[CmOut]) = {
+  /** Pre-shuffle partial: exact sparse cell counts for one
+    * (partition, key, quantum) — additive, canonical, ≤ depth·width
+    * entries. */
+  final case class CmPart(key: String, q: Long, entries: Seq[CmCell])
+
+  /** Stage 1 (stateless, per partition): hash-explode each event to
+    * its `depth` cells and sum exactly per (key, quantum). */
+  private[graft] def cmPrefold(rows: Iterator[CmIn], depth: Int,
+      width: Int): Iterator[CmPart] = {
     val params = graft.functions.HashFns.minhashParams(depth)
-    val qMax = math.max(st.qMax, rows.iterator.map(_.q).max)
+    val groups = mutable.HashMap.empty[(String, Long), mutable.HashMap[Long, Long]]
+    rows.foreach { r =>
+      val cells = groups.getOrElseUpdate((r.key, r.q), mutable.HashMap.empty)
+      params.foreach { case (row, a, b) =>
+        val idx = row.toLong * width +
+          ((a * r.x + b) % graft.functions.HashFns.P) % width
+        cells.update(idx, cells.getOrElse(idx, 0L) + 1L)
+      }
+    }
+    groups.iterator.map { case ((kk, q), cells) =>
+      CmPart(kk, q,
+        cells.toSeq.sortBy(_._1).map { case (i, c) => CmCell(i, c) })
+    }
+  }
+
+  private def cmFoldKey(parts: Seq[CmPart], st: CmMonState,
+      horizonQuanta: Long): (CmMonState, Seq[CmOut]) = {
+    val qMax = math.max(st.qMax, parts.iterator.map(_.q).max)
     val cut = cutoffQ(qMax, horizonQuanta)
-    val live = rows.filter(_.q >= cut)
+    val live = parts.filter(_.q >= cut)
     var quanta = st.quanta.filter { case (q, _) => q >= cut }
     if (live.isEmpty) (CmMonState(quanta, st.ver, qMax), Nil)
     else {
       val ver = st.ver + 1
-      val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, rs) =>
+      val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, ps) =>
         var cells = quanta.getOrElse(q, Map.empty[Long, Long])
-        rs.foreach { r =>
-          params.foreach { case (row, a, b) =>
-            val idx = row.toLong * width +
-              ((a * r.x + b) % graft.functions.HashFns.P) % width
-            cells = cells.updated(idx, cells.getOrElse(idx, 0L) + 1L)
-          }
-        }
+        ps.foreach(_.entries.foreach(e =>
+          cells = cells.updated(e.idx, cells.getOrElse(e.idx, 0L) + e.cnt)))
         quanta = quanta.updated(q, cells)
         CmOut(live.head.key, q, ver,
           cells.toSeq.sortBy(_._1).map { case (i, c) => CmCell(i, c) })
@@ -266,7 +421,8 @@ object SlidingMonitor {
 
   private[graft] def testCmFold(rows: Seq[CmIn], st: CmMonState, depth: Int,
       width: Int, horizonQuanta: Long = Long.MaxValue): (CmMonState, Seq[CmOut]) =
-    cmFoldKey(rows, st, depth, width, horizonQuanta)
+    cmFoldKey(cmPrefold(rows.iterator, depth, width).toSeq.sortBy(_.q), st,
+      horizonQuanta)
 
   /** The count-min monitor as a streaming transform: input (key, q, x)
     * hashed-item rows → Update-mode (key, q, ver, entries) emissions. */
@@ -275,17 +431,108 @@ object SlidingMonitor {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select("key", "q", "x").as[CmIn]
+      .mapPartitions(rows => cmPrefold(rows, depth, width))
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[CmIn], state: GroupState[CmMonState]) =>
-          val rs = rows.toSeq
-          if (rs.isEmpty) Iterator.empty
+        (_: String, parts: Iterator[CmPart], state: GroupState[CmMonState]) =>
+          val ps = parts.toSeq
+          if (ps.isEmpty) Iterator.empty
           else {
             val st = state.getOption.getOrElse(
               CmMonState(Map.empty, 0L, Long.MinValue))
-            val (st2, outs) = cmFoldKey(rs, st, depth, width, horizonQuanta)
+            val (st2, outs) = cmFoldKey(ps, st, horizonQuanta)
             state.update(st2)
             outs.iterator
+          }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Decayed Misra–Gries monitor ("top talkers, recency-weighted, NOW")
+  // ------------------------------------------------------------------
+
+  /** The decayed family's always-on leg: [[graft.plans.DecayedMgAgg]]'s
+    * (tMax, W, ≤ k counters) state carried as streaming state per key —
+    * per trigger, each partition pre-folds its rows into one partial
+    * decayed sketch (same update arithmetic, rebasing to the
+    * partition's own max t), the stateful stage merges partials into
+    * the stored state via the O(1)-rebasing merge, and the trigger
+    * emits (key, ver, t_ref, w, entries). Weighted-MG guarantees are
+    * merge-tree-free, so the streamed state obeys the same bounds as
+    * the one-pass batch aggregate (q321 gates it against q315's exact
+    * decayed masses at two cadences). State per key is O(k) whatever
+    * the stream length. */
+  final case class DmIn(key: String, t: Long, item: String)
+  final case class DmEntry(item: String, est: Double)
+  final case class DmPart(key: String, tMax: Long, w: Double,
+      entries: Seq[DmEntry])
+  final case class DmMonState(tMax: Long, w: Double, entries: Map[String, Double],
+      ver: Long)
+  final case class DmOut(key: String, ver: Long, t_ref: Long, w: Double,
+      entries: Seq[DmEntry])
+
+  private def dmState(p: DmPart): DecayedMgAgg.State =
+    new DecayedMgAgg.State(p.tMax, p.w,
+      mutable.HashMap.from(p.entries.map(e => e.item -> e.est)))
+
+  /** Stage 1 (stateless, per partition): one partial decayed sketch
+    * per (partition, key). */
+  private[graft] def dmPrefold(rows: Iterator[DmIn], halfLifeSec: Long,
+      k: Int): Iterator[DmPart] = {
+    val groups = mutable.HashMap.empty[String, DecayedMgAgg.State]
+    rows.foreach { r =>
+      val s = groups.getOrElseUpdate(r.key,
+        new DecayedMgAgg.State(Long.MinValue, 0.0, mutable.HashMap.empty))
+      DecayedMgAgg.updateState(s, r.t, r.item, halfLifeSec, k)
+    }
+    groups.iterator.map { case (kk, s) =>
+      DmPart(kk, s.tMax, s.w,
+        s.counters.toSeq.sortBy { case (it, c) => (-c, it) }
+          .map { case (it, c) => DmEntry(it, c) })
+    }
+  }
+
+  private def dmFoldKey(parts: Seq[DmPart], st: DmMonState, halfLifeSec: Long,
+      k: Int): (DmMonState, DmOut) = {
+    val acc = new DecayedMgAgg.State(st.tMax, st.w,
+      mutable.HashMap.from(st.entries))
+    // merge partials in a deterministic order (the double arithmetic's
+    // last ulps are merge-order-sensitive; guarantees are not)
+    parts.sortBy(p => (p.tMax, p.w)).foreach(p =>
+      DecayedMgAgg.mergeState(acc, dmState(p), halfLifeSec, k))
+    val ver = st.ver + 1
+    val entries = acc.counters.toSeq.sortBy { case (it, c) => (-c, it) }
+      .map { case (it, c) => DmEntry(it, c) }
+    (DmMonState(acc.tMax, acc.w, acc.counters.toMap, ver),
+      DmOut(parts.head.key, ver, acc.tMax, acc.w, entries))
+  }
+
+  private[graft] def testDmFold(rows: Seq[DmIn], st: DmMonState,
+      halfLifeSec: Long, k: Int): (DmMonState, DmOut) =
+    dmFoldKey(dmPrefold(rows.iterator, halfLifeSec, k).toSeq, st, halfLifeSec, k)
+
+  /** The decayed-MG monitor as a streaming transform: input
+    * (key, t, item) rows → Update-mode (key, ver, t_ref, w, entries)
+    * emissions; a reader takes the latest version per key for the live
+    * "top talkers now" panel. */
+  def decayedMgMonitor(stream: DataFrame, halfLifeSec: Long,
+      k: Int): Dataset[DmOut] = {
+    require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select("key", "t", "item").as[DmIn]
+      .mapPartitions(rows => dmPrefold(rows, halfLifeSec, k))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, parts: Iterator[DmPart], state: GroupState[DmMonState]) =>
+          val ps = parts.toSeq
+          if (ps.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse(
+              DmMonState(Long.MinValue, 0.0, Map.empty, 0L))
+            val (st2, out) = dmFoldKey(ps, st, halfLifeSec, k)
+            state.update(st2)
+            Iterator.single(out)
           }
       }
   }

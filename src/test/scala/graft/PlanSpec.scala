@@ -605,4 +605,44 @@ class PlanSpec extends SparkSpec {
     assert(fp.contains("BroadcastHashJoin") || fp.contains("BroadcastNestedLoopJoin"), fp)
     assert(!fp.contains("CartesianProduct"), fp)
   }
+
+  test("monitor stateful exchanges carry summary rows, never event rows") {
+    // the hot-key funnel guard: the mapPartitions pre-fold must collapse
+    // raw events to m/k-bounded summaries BEFORE the per-key shuffle, so
+    // one task per key merges summaries instead of sorting raw rows.
+    // Batch execution of the same typed pipeline exposes the exchange.
+    import graft.streaming.SlidingMonitor
+    import graft.operators.{SlidingSketches => SS}
+    val ev = Tables.events(spark, sf())
+    // the tree prints top-down: the per-key Exchange appearing ABOVE
+    // the MapPartitions pre-fold means it consumes the pre-fold's
+    // output, and everything above the pre-fold must mention only the
+    // summary row type (partCls), never the raw event type (rawCls)
+    def stateShape(df: DataFrame, partCls: String, rawCls: String): Unit = {
+      val plan = planOf(df)
+      val ex = plan.indexOf("Exchange hashpartitioning")
+      val mp = plan.indexOf("MapPartitions")
+      assert(ex >= 0 && mp >= 0 && ex < mp,
+        s"pre-fold not upstream of the stateful exchange:\n$plan")
+      val above = plan.substring(0, mp)
+      assert(above.contains(partCls) && !above.contains(rawCls),
+        s"stateful exchange carries $rawCls rows:\n$plan")
+    }
+    stateShape(SlidingMonitor.gkQuantumMonitor(
+      ev.select(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"), col("value").cast("double").as("v")),
+      64).toDF(), "SlidingMonitor$GkPart", "SlidingMonitor$In")
+    stateShape(SlidingMonitor.mgQuantumMonitor(
+      ev.select(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"), col("user_id").cast("string").as("item")),
+      16).toDF(), "SlidingMonitor$MgPart", "SlidingMonitor$MgIn")
+    stateShape(SlidingMonitor.cmQuantumMonitor(
+      SS.cmKeyRows(ev, col("user_id"), col("sec"), 3600L), 4, 32).toDF(),
+      "SlidingMonitor$CmPart", "SlidingMonitor$CmIn")
+    stateShape(SlidingMonitor.decayedMgMonitor(
+      ev.select(col("event_type").cast("string").as("key"),
+        col("sec").cast("long").as("t"),
+        col("user_id").cast("string").as("item")),
+      3600L, 8).toDF(), "SlidingMonitor$DmPart", "SlidingMonitor$DmIn")
+  }
 }

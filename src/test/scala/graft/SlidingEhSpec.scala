@@ -333,6 +333,94 @@ class SlidingEhSpec extends SparkSpec {
     }
   }
 
+  test("monitor pre-fold: guarantees are partition-count independent") {
+    import graft.streaming.SlidingMonitor
+    val rnd = new Random(53)
+    val vs = Array.fill(4000)(rnd.nextDouble() * 1000)
+    val items = Array.fill(4000)(
+      if (rnd.nextInt(3) == 0) "heavy" else s"u${rnd.nextInt(60)}")
+    val exact = items.groupBy(identity).map { case (kk, g) => kk -> g.length.toLong }
+    val m = 64; val k = 8
+    // one trigger split into P per-partition partials — the streaming
+    // pre-fold's shape; guarantees must not depend on P
+    Seq(1, 3, 8, 31).foreach { parts =>
+      val gkParts = vs.grouped(math.ceil(vs.length.toDouble / parts).toInt)
+        .flatMap(chunk => SlidingMonitor.gkPrefold(
+          chunk.iterator.map(v => SlidingMonitor.In("k", 7L, v)), m)).toSeq
+      val (gst, gouts) = SlidingMonitor.testFoldParts(gkParts,
+        SlidingMonitor.MonState(Map.empty, 0L, Long.MinValue), m)
+      assert(gst.ver == 1L && gouts.size == 1)
+      val s = graft.operators.SlidingRows.GkSkR.summary(gouts.head.sk)
+      assert(s.n == vs.length.toLong, s"n drift at parts=$parts")
+      val sorted = vs.sorted
+      Seq(0.1, 0.5, 0.9).foreach { phi =>
+        val r = 1L + math.round(phi * (s.n - 1))
+        val est = graft.plans.GkSummary.query(s, phi)
+        val lt = sorted.count(_ < est).toLong
+        val le = sorted.count(_ <= est).toLong
+        val eps = s.n / 10 + 1
+        assert(lt + 1 - r <= eps && r - le <= eps,
+          s"rank budget broken at parts=$parts phi=$phi")
+      }
+      val mgParts = items.grouped(math.ceil(items.length.toDouble / parts).toInt)
+        .flatMap(chunk => SlidingMonitor.mgPrefold(
+          chunk.iterator.map(it => SlidingMonitor.MgIn("k", 5L, it)), k)).toSeq
+      val (mst, _) = SlidingMonitor.testMgFoldParts(mgParts,
+        SlidingMonitor.MgMonState(Map.empty, 0L, Long.MinValue), k)
+      val mq = mst.quanta(5L)
+      assert(mq.n == items.length.toLong && mq.entries.size <= k)
+      mq.entries.foreach { case (kk, est) =>
+        assert(est <= exact(kk) && (exact(kk) - est) * (k + 1) <= mq.n,
+          s"MG bound broken at parts=$parts for $kk")
+      }
+      exact.foreach { case (kk, c) =>
+        if (c * (k + 1) > mq.n)
+          assert(mq.entries.contains(kk), s"heavy $kk missing at parts=$parts")
+      }
+    }
+  }
+
+  test("decayed-MG monitor: streamed state matches one-pass guarantees at any cadence") {
+    import graft.streaming.SlidingMonitor
+    val rnd = new Random(61)
+    val k = 8
+    val rows = IndexedSeq.tabulate(3000) { i =>
+      val item = if (rnd.nextInt(3) == 0) "heavy" else s"u${rnd.nextInt(50)}"
+      SlidingMonitor.DmIn("k", i.toLong * 10, item) // time-ordered replay
+    }
+    val exactMass = {
+      val tRef = rows.map(_.t).max
+      rows.groupBy(_.item).map { case (it, rs) =>
+        it -> rs.map(r => math.pow(2.0, (r.t - tRef).toDouble / 3600.0)).sum
+      }
+    }
+    val wTot = exactMass.values.sum
+    Seq(1, 4, 17).foreach { triggers =>
+      val slices = rows.grouped(
+        math.ceil(rows.length.toDouble / triggers).toInt).toSeq
+      var st = SlidingMonitor.DmMonState(Long.MinValue, 0.0, Map.empty, 0L)
+      var last: SlidingMonitor.DmOut = null
+      slices.foreach { slice =>
+        val (st2, out) = SlidingMonitor.testDmFold(slice, st, 3600L, k)
+        st = st2; last = out
+      }
+      assert(st.ver == slices.length.toLong)
+      assert(last.t_ref == rows.map(_.t).max && last.entries.size <= k)
+      val tol = rows.length * 1e-6
+      assert(math.abs(last.w - wTot) <= tol, s"mass drift at triggers=$triggers")
+      val est = last.entries.map(e => e.item -> e.est).toMap
+      exactMass.foreach { case (it, mass) =>
+        est.get(it).foreach(e => assert(e <= mass + tol,
+          s"overestimate $it at triggers=$triggers"))
+        if (mass * (k + 1) > wTot) {
+          assert(est.contains(it), s"heavy $it missing at triggers=$triggers")
+          assert((mass - est(it)) * (k + 1) <= wTot + tol * (k + 1),
+            s"undercount bound broken for $it at triggers=$triggers")
+        }
+      }
+    }
+  }
+
   test("decayed sum: rebasing fold matches direct weights at any partitioning") {
     val ev = core.Tables.events(spark, sf())
     def run(parts: Int): Map[String, (Long, Long, Double)] = ev.repartition(parts)
