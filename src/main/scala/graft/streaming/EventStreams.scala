@@ -455,17 +455,29 @@ object EventStreams {
   private[graft] def foldLog(path: String, batch: DataFrame, batchId: Long,
       compactEvery: Int)(reduce: DataFrame => DataFrame): Unit = {
     val name = f"delta_$batchId%09d"
-    val deltaDir = new java.io.File(path, name)
-    batch.write.mode("overwrite").parquet(deltaDir.toString)
-    foldBytesWritten.addAndGet(dirSize(deltaDir))
-    var committed = readManifestGen(path)
-    var done = false
-    while (!done) {
-      val (gen, m) = committed
-      if (m.live.contains(name)) done = true // redelivery already live
-      else if (tryCommitManifest(path, gen + 1,
-          LogManifest((m.live :+ name).sorted, m.garbage))) done = true
-      else committed = readManifestGen(path) // lost the race: rebase
+    // consult the manifest BEFORE any filesystem write: a redelivered
+    // batchId that is already LIVE must not rewrite a directory that
+    // concurrent readers may be resolving (overwrite is
+    // delete-then-write, not atomic — the content is the same batch by
+    // contract, so there is nothing to write), and one already CONSUMED
+    // by a compaction must not re-enter the live set (its rows are in
+    // the compacted base; re-adding the delta would fold them twice)
+    val (gen0, m0) = readManifestGen(path)
+    if (!m0.live.contains(name) && !consumedHas(m0.consumed, batchId)) {
+      val deltaDir = new java.io.File(path, name)
+      batch.write.mode("overwrite").parquet(deltaDir.toString)
+      foldBytesWritten.addAndGet(dirSize(deltaDir))
+      var committed = (gen0, m0)
+      var done = false
+      while (!done) {
+        val (gen, m) = committed
+        if (m.live.contains(name) || consumedHas(m.consumed, batchId))
+          done = true // redelivery raced us into the chain already
+        else if (tryCommitManifest(path, gen + 1,
+            LogManifest((m.live :+ name).sorted, m.garbage, m.consumed)))
+          done = true
+        else committed = readManifestGen(path) // lost the race: rebase
+      }
     }
     if (readManifestGen(path)._2.live.count(_.startsWith("delta_")) >= compactEvery)
       compactLog(batch.sparkSession, path)(reduce)
@@ -475,10 +487,32 @@ object EventStreams {
     * generations a reader resolves (base + deltas), `garbage` the set
     * consumed by the LAST compaction, kept on disk for one more
     * compaction cycle so a reader holding the previous manifest
-    * snapshot never loses files mid-read. */
-  private[graft] final case class LogManifest(live: Seq[String], garbage: Seq[String])
+    * snapshot never loses files mid-read, and `consumed` the batchId
+    * RANGES of every delta any compaction ever folded into a base — the
+    * record that makes a redelivered already-compacted batchId a no-op
+    * instead of a double-count. Ranges, not ids: writers own contiguous
+    * disjoint id spaces, so the list stays O(#writers), not
+    * O(#batches). */
+  private[graft] final case class LogManifest(live: Seq[String],
+      garbage: Seq[String], consumed: Seq[(Long, Long)] = Nil)
 
   private val ManifestName = "manifest\\.(\\d{9})".r
+  private val DeltaName = "delta_(\\d{9})".r
+
+  private[graft] def consumedHas(ranges: Seq[(Long, Long)], id: Long): Boolean =
+    ranges.exists { case (lo, hi) => id >= lo && id <= hi }
+
+  /** Merge newly consumed ids into the range list (sort + coalesce
+    * adjacent/overlapping). */
+  private[graft] def consumedAdd(ranges: Seq[(Long, Long)],
+      ids: Seq[Long]): Seq[(Long, Long)] = {
+    val all = (ranges ++ ids.map(i => (i, i))).sortBy(_._1)
+    all.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (lo2, hi2)) if lo2 <= hi + 1 =>
+        (lo, math.max(hi, hi2)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+  }
 
   /** Latest committed (generation, manifest); (0, empty) for a fresh
     * table — generation numbers start at 1. */
@@ -497,7 +531,11 @@ object EventStreams {
         java.nio.file.Paths.get(path, f"manifest.$gen%09d")).asScala.toSeq
       (gen, LogManifest(
         lines.collect { case l if l.startsWith("L ") => l.drop(2) },
-        lines.collect { case l if l.startsWith("G ") => l.drop(2) }))
+        lines.collect { case l if l.startsWith("G ") => l.drop(2) },
+        lines.collect { case l if l.startsWith("C ") =>
+          val parts = l.drop(2).split(' ')
+          (parts(0).toLong, parts(1).toLong)
+        }))
     }
   }
 
@@ -512,7 +550,8 @@ object EventStreams {
   private def tryCommitManifest(path: String, gen: Long, m: LogManifest): Boolean = {
     val dir = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(dir, ".manifest_tmp_", ".tmp")
-    val body = (m.live.map("L " + _) ++ m.garbage.map("G " + _)).mkString("\n")
+    val body = (m.live.map("L " + _) ++ m.garbage.map("G " + _) ++
+      m.consumed.map { case (lo, hi) => s"C $lo $hi" }).mkString("\n")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
@@ -553,13 +592,21 @@ object EventStreams {
         graft.core.TempPaths.clearDir(new java.io.File(path, baseName).toString)
         return
       }
-      // carry forward deltas that landed after our snapshot
+      // carry forward deltas that landed after our snapshot; record the
+      // consumed deltas' batchIds so their redelivery stays a no-op
+      // after the physical dirs are gone
       val newLive = (baseName +: m.live.filterNot(consumed)).sorted
-      if (tryCommitManifest(path, gen + 1, LogManifest(newLive, m0.live))) {
+      val newConsumed = consumedAdd(m.consumed,
+        m0.live.collect { case DeltaName(id) => id.toLong })
+      if (tryCommitManifest(path, gen + 1,
+          LogManifest(newLive, m0.live, newConsumed))) {
         // we replaced manifest `gen`: sweep the garbage IT named (the
         // one-generation grace — a reader can hold at most the
-        // previous manifest while we commit)
-        m.garbage.foreach(n =>
+        // previous manifest while we commit), EXCEPT any name the new
+        // manifest still lists live (defense in depth: a name must
+        // never be deletable and resolvable at once)
+        val liveNow = newLive.toSet
+        m.garbage.filterNot(liveNow).foreach(n =>
           graft.core.TempPaths.clearDir(new java.io.File(path, n).toString))
         return
       }
@@ -567,12 +614,46 @@ object EventStreams {
     }
   }
 
-  private[graft] def readLog(spark: SparkSession, path: String)(
+  /** Does this failure chain mean "a resolved file vanished" — the
+    * signature of reading past the one-compaction garbage grace? */
+  private def isSweptRead(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      val msg = Option(c.getMessage).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+        msg.contains("PATH_NOT_FOUND") || msg.contains("does not exist") ||
+        msg.contains("FileNotFoundException")) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  /** Resolve the latest manifest and materialize the folded table. The
+    * one-generation garbage grace means a reader that resolves a
+    * manifest and then stalls across TWO compactions can lose files
+    * mid-read; the retry loop makes the read correct under ANY stall —
+    * on a swept-file failure it re-resolves the (necessarily newer)
+    * manifest and retries, and the localCheckpoint pins the result so
+    * the returned frame never re-reads swept paths. `beforeRead` is a
+    * test seam injecting work between resolve and read (PipelineSpec
+    * compacts twice in it). */
+  private[graft] def readLog(spark: SparkSession, path: String,
+      beforeRead: () => Unit = () => ())(
       reduce: DataFrame => DataFrame): DataFrame = {
-    val m = readManifest(path)
-    require(m.live.nonEmpty, s"log table at $path has no committed manifest")
-    reduce(spark.read.parquet(m.live.map(n =>
-      new java.io.File(path, n).toString): _*))
+    var attempt = 0
+    while (true) {
+      val m = readManifest(path)
+      require(m.live.nonEmpty, s"log table at $path has no committed manifest")
+      beforeRead()
+      try {
+        return reduce(spark.read.parquet(m.live.map(n =>
+          new java.io.File(path, n).toString): _*))
+          .localCheckpoint(true)
+      } catch {
+        case e: Throwable if attempt < 3 && isSweptRead(e) => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read-merge-overwrite of one KEY-BUCKETED parquet serving table —

@@ -804,6 +804,72 @@ class PipelineSpec extends SparkSpec {
     assert(m3.live.count(_ == "delta_000000008") == 1)
   }
 
+  test("log fold: a redelivered already-compacted batchId stays a no-op") {
+    import graft.operators.Cdc
+    val path = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_logredeliver")).toString
+    // additive reduce makes a double-fold VISIBLE (latest-wins would
+    // mask it): any re-added delta doubles its keys' counts
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("k").agg(org.apache.spark.sql.functions.sum("c").as("c"))
+    def slice(b: Int) = (0 until 10).map(i => (i % 5, 1L)).toDF("k", "c")
+    // four deltas trigger a compaction that consumes batchIds 0..3
+    (0 until 4).foreach(b => EventStreams.foldLog(path, slice(b), b, 4)(reduce))
+    val m1 = EventStreams.readManifest(path)
+    assert(m1.live.size == 1 && m1.live.head.startsWith("base_"), m1)
+    assert(m1.consumed == Seq((0L, 3L)), m1)
+    val before = EventStreams.readLog(spark, path)(reduce)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(before == (0 until 5).map(_ -> 8L).toMap)
+    // redeliver batchId 2 (its delta dir is garbage-on-grace): must not
+    // re-enter live, must not rewrite the swept-soon dir, must not
+    // double its rows
+    EventStreams.foldLog(path, slice(2), 2, 99)(reduce)
+    val m2 = EventStreams.readManifest(path)
+    assert(!m2.live.contains("delta_000000002"),
+      "consumed batchId re-entered the live set")
+    assert(!(m2.live.toSet & m2.garbage.toSet).exists(_ => true),
+      "a name is both live and garbage")
+    val after = EventStreams.readLog(spark, path)(reduce)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before, "redelivered compacted batch folded twice")
+    // and a redelivery of a still-LIVE delta skips the rewrite entirely
+    EventStreams.foldLog(path, slice(9), 9, 99)(reduce)
+    val t0 = new java.io.File(path, "delta_000000009").lastModified()
+    Thread.sleep(5)
+    EventStreams.foldLog(path, slice(9), 9, 99)(reduce)
+    assert(new java.io.File(path, "delta_000000009").lastModified() == t0,
+      "already-live delta dir rewritten under readers")
+  }
+
+  test("log fold: a reader stalled across two compactions still answers") {
+    import graft.operators.Cdc
+    val path = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_logstall")).toString
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      Cdc.compactLatest(df, "k", "ver")
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i % 7, i.toLong, s"p$i")).toDF("k", "ver", "payload")
+    (0 until 3).foreach(b => EventStreams.foldLog(path, slice(b * 10, b * 10 + 10), b, 4)(reduce))
+    // the stall seam: after readLog resolves the manifest, TWO
+    // compaction cycles run (the second sweeps the first's grace
+    // garbage — the resolved files are physically gone when the read
+    // finally happens); the retry must re-resolve and answer
+    var stalled = false
+    val got = EventStreams.readLog(spark, path, beforeRead = () => {
+      if (!stalled) {
+        stalled = true
+        (3 until 11).foreach(b =>
+          EventStreams.foldLog(path, slice(b * 10, b * 10 + 10), b, 4)(reduce))
+        // the pre-stall live set must be physically gone
+        Seq("delta_000000000", "delta_000000001", "delta_000000002").foreach(n =>
+          assert(!new java.io.File(path, n).exists, s"$n survived two sweeps"))
+      }
+    })(reduce).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 110).groupBy(_ % 7).map { case (k, g) => k -> g.max.toLong },
+      "stalled reader answered wrong after retry")
+  }
+
   test("log fold CAS: concurrent writers and compactions lose nothing") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     import graft.operators.Cdc
