@@ -547,6 +547,24 @@ object Analytics {
     * (key, r6-heavy item). */
   def decayedMgHeavyPerKey(df: DataFrame, key: Column, item: Column,
       sec: Column, halfLifeSec: Long, k: Int): DataFrame = {
+    val sk = df.groupBy(key.cast("string").as("key"))
+      .agg(graft.plans.DecayedMg.of(sec.cast("long"),
+        item.cast("string"), halfLifeSec, k).as("s"))
+      .select(col("key"), col("s.t_ref").as("t_sk"), col("s.w").as("w_sk"),
+        explode(col("s.entries")).as("e"))
+      .select(col("key"), col("t_sk"), col("w_sk"),
+        col("e.key").as("item"), col("e.est").as("est"))
+    decayedMgHeavyPerKeyFrame(df, key, item, sec, halfLifeSec, k, sk)
+  }
+
+  /** [[decayedMgHeavyPerKey]]'s verification frame with the sketch
+    * SUPPLIED — the seam that lets the STREAMED decayed state
+    * ([[graft.streaming.SlidingMonitor.decayedMgMonitor]]'s latest
+    * version per key, exploded to (key, t_sk, w_sk, item, est) rows)
+    * run the identical guarantee reduction against the same two-pass
+    * exact decayed masses (q321 gates both cadences through it). */
+  def decayedMgHeavyPerKeyFrame(df: DataFrame, key: Column, item: Column,
+      sec: Column, halfLifeSec: Long, k: Int, sk: DataFrame): DataFrame = {
     import graft.core.Cross
     require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
     val base = df.select(key.cast("string").as("key"),
@@ -559,13 +577,6 @@ object Analytics {
       .agg(count(lit(1)).as("n"), Cross.dsum(col("w"), 6).as("m"))
     val tot = weighted.groupBy("key").agg(Cross.dsum(col("w"), 6).as("wt"),
       count(lit(1)).as("n_tot"), max("t").as("t_exact"))
-    val sk = df.groupBy(key.cast("string").as("key"))
-      .agg(graft.plans.DecayedMg.of(sec.cast("long"),
-        item.cast("string"), halfLifeSec, k).as("s"))
-      .select(col("key"), col("s.t_ref").as("t_sk"), col("s.w").as("w_sk"),
-        explode(col("s.entries")).as("e"))
-      .select(col("key"), col("t_sk"), col("w_sk"),
-        col("e.key").as("item"), col("e.est").as("est"))
     val tol = col("n_tot") * 1e-6
     perItem.join(broadcast(tot), "key")
       .filter(col("m") * (k + 1) > col("wt"))

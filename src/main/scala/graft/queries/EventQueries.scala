@@ -1540,6 +1540,29 @@ object EventQueries {
        |FROM w$phiJoin ORDER BY $order""".stripMargin
   }
 
+  /** Time-ordered replay writer: each slice lands as one parquet part
+    * file whose modification time is PINNED strictly increasing
+    * (epoch-anchored an hour back, 1 s apart), because
+    * FileStreamSource orders same-batch discoveries by mod-time and
+    * sequential writes can share a millisecond — leaving trigger order
+    * unspecified exactly where the horizon gates need slices to arrive
+    * oldest-first. */
+  private def writeOrderedReplay(slices: Seq[org.apache.spark.sql.DataFrame],
+      dir: String): Unit = {
+    val base = System.currentTimeMillis() - 3600L * 1000L
+    val seen = scala.collection.mutable.Set.empty[String]
+    slices.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(dir)
+      Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && !seen.contains(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(base + i.toLong * 1000L),
+            s"cannot pin replay order on ${f.getName}")
+          seen += f.getName
+        }
+    }
+  }
+
   /** The quantum-aligned window-start grid both engines share: `n`
     * evenly spaced starts over [smin, smax], floored to the hour. The
     * one-row min/max collect is bounded loop control (the window grid
@@ -1939,16 +1962,16 @@ object EventQueries {
     val typed = ev.select(lit("").as("key"), expr("sec div 3600").as("q"),
       col("value").cast("double").as("v"))
     // time-ordered replay: 4 disjoint quantum ranges appended
-    // oldest-first (sequential writes → increasing file mod-times →
-    // FileStreamSource trigger order), so eviction's monotone cutoff
-    // never sees in-horizon data late
+    // oldest-first with PINNED strictly increasing file mod-times
+    // (sequential writes can share a millisecond, which would leave
+    // FileStreamSource trigger order unspecified), so eviction's
+    // monotone cutoff never sees in-horizon data late
     val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
-    (0 until 4).foreach { i =>
+    writeOrderedReplay((0 until 4).map { i =>
       val lo = qMin + i.toLong * (qMax - qMin + 1) / 4
       val hi = qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4
       typed.filter(col("q") >= lo && col("q") < (if (i == 3) qMax + 1 else hi))
-        .coalesce(1).write.mode("append").parquet(replay.toString)
-    }
+    }, replay.toString)
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("key", StringType),
         StructField("q", LongType), StructField("v", DoubleType))))
@@ -2222,5 +2245,302 @@ object EventQueries {
       .orderBy("key")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318)
+  /** The MG monitor's RETENTION HORIZON under load — q314's contract
+    * for the heavy-hitter member, KEYED: a time-ordered 4-micro-batch
+    * replay (pinned file mod-times) drives the per-event-type
+    * mgQuantumMonitor with a 240-quantum horizon over a ~720-quantum
+    * stream, evicting roughly two thirds of each key's cube from
+    * state. Window starts all lie inside every key's final horizon
+    * (per-key cutoffs are never newer than the global one); the gate
+    * reads the live cube (latest version per (key, quantum), filtered
+    * to each key's own horizon) and runs the identical EH + guarantee
+    * verification as the batch per-key sliding gate. */
+  val q319 = QueryDef(
+    "q319_stream_mg_monitor_horizon",
+    s"""WITH b AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smax//3600) - k*50)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |w AS (SELECT e.event_type AS key, s.start, COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1, 2)
+       |SELECT key, start, n_window, 1::BIGINT AS heavy_ok,
+       |       1::BIGINT AS bounds_ok, 1::BIGINT AS coverage_ok,
+       |       1::BIGINT AS stale_ok
+       |FROM w ORDER BY key, start""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
+    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val qMax = smax / 3600L
+    val horizon = 240L
+    val starts = (0 until 4).map(k => (qMax - k.toLong * 50L) * 3600L).distinct
+    val replay = java.nio.file.Files.createTempDirectory("graft_mghor_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(col("event_type").cast("string").as("key"),
+      expr("sec div 3600").as("q"), col("user_id").cast("string").as("item"))
+    writeOrderedReplay((0 until 4).map { i =>
+      val lo = qMin + i.toLong * (qMax - qMin + 1) / 4
+      val hi = qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4
+      typed.filter(col("q") >= lo && col("q") < (if (i == 3) qMax + 1 else hi))
+    }, replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.mgQuantumMonitor(stream, 32, horizonQuanta = horizon).toDF(),
+      "q319_mg_horizon", mode = "update")
+    // the live cube: per-key horizon (eviction keys on each key's own
+    // high-water quantum; stale emissions for evicted quanta are out of
+    // the contract)
+    val keyQMax = ev.groupBy(col("event_type").cast("string").as("key"))
+      .agg(expr("cast(max(sec) as long) div 3600").as("q_max_k"))
+    val hourly = fin.join(broadcast(keyQMax), "key")
+      .filter(col("q") > col("q_max_k") - horizon)
+      .groupBy("key", "q")
+      .agg(max_by(struct(col("n"), col("entries")), col("ver")).as("w"))
+      .select(col("key"), col("q"), col("w.n").as("n"),
+        col("w.entries").as("entries"))
+    val cov = SS.mgSlidingSummaries(hourly, 3600L, 32, starts)
+    SS.mgSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cov, keyed = true, k = 32)
+      .orderBy("key", "start")
+  }
+
+  /** The COUNT-MIN monitor's retention horizon — the last member's
+    * q314 contract, keyed, with the family's strongest verification:
+    * the live cube's EH-merged covered cells must EQUAL a direct build
+    * over the raw covered suffix cell-for-cell (cells are canonical,
+    * so horizon eviction must be invisible inside the horizon, not
+    * merely within a bound). */
+  val q320 = QueryDef(
+    "q320_stream_cm_monitor_horizon",
+    s"""WITH b AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smax//3600) - k*50)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |w AS (SELECT e.event_type AS key, s.start, e.user_id::VARCHAR AS item,
+       |             COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1, 2, 3)
+       |SELECT key, start, item, n_window, 1::BIGINT AS never_under,
+       |       1::BIGINT AS cells_match, 1::BIGINT AS coverage_ok,
+       |       1::BIGINT AS stale_ok
+       |FROM w ORDER BY key, start, item""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
+    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val qMax = smax / 3600L
+    val horizon = 240L
+    val starts = (0 until 4).map(k => (qMax - k.toLong * 50L) * 3600L).distinct
+    val replay = java.nio.file.Files.createTempDirectory("graft_cmhor_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(col("user_id"), col("event_type"),
+      col("sec").cast("long").as("sec"))
+    writeOrderedReplay((0 until 4).map { i =>
+      val lo = (qMin + i.toLong * (qMax - qMin + 1) / 4) * 3600L
+      val hi = (qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4) * 3600L
+      typed.filter(col("sec") >= lo &&
+        col("sec") < (if (i == 3) smax + 1 else hi))
+    }, replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val keyRows = SS.cmKeyRows(stream, col("user_id"), col("sec"), 3600L,
+      key = col("event_type"))
+    val fin = EventStreams.runToCompletion(spark,
+      SlidingMonitor.cmQuantumMonitor(keyRows, depth = 4, width = 32,
+        horizonQuanta = horizon).toDF(),
+      "q320_cm_horizon", mode = "update")
+    val keyQMax = ev.groupBy(col("event_type").cast("string").as("key"))
+      .agg(expr("cast(max(sec) as long) div 3600").as("q_max_k"))
+    val hourly = fin.join(broadcast(keyQMax), "key")
+      .filter(col("q") > col("q_max_k") - horizon)
+      .groupBy("key", "q")
+      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
+    SS.cmSlidingCheck(
+        ev.select(col("event_type").cast("string").as("key"),
+          col("sec").cast("long").as("sec"),
+          col("user_id").cast("string").as("item")),
+        cells, depth = 4, width = 32, keyed = true)
+      .orderBy("key", "start", "item")
+  }
+
+  /** The DECAYED-MG monitor (SlidingMonitor.decayedMgMonitor): "top
+    * talkers, recency-weighted, RIGHT NOW" as always-on state — the
+    * production panel shape q315/q318 only answered post-hoc. Per
+    * trigger each key's state rebases to its new watermark and folds
+    * the batch's weighted counts (O(k) per advance — the DecayedMgAgg
+    * rebasing identity, one shared implementation); the gate replays
+    * the same stream at TWO trigger cadences and runs q315's guarantee
+    * reduction (presence + weighted-MG bounds against two-pass exact
+    * decayed masses, total-mass/watermark agreement) on each cadence's
+    * latest-version state — the weighted bounds are merge-tree-free,
+    * so both cadences must pass identically. */
+  val q321 = QueryDef(
+    "q321_stream_decayed_mg_monitor",
+    s"""WITH tr AS (SELECT event_type AS key,
+       |            MAX(floor(epoch(ts))::BIGINT) AS t_ref
+       |      FROM events GROUP BY 1),
+       |b AS (SELECT e.event_type AS key,
+       |             CASE WHEN e.event_id % 4 = 0 THEN 'u' || e.user_id
+       |                  ELSE e.event_type END AS item,
+       |             floor(epoch(e.ts))::BIGINT AS t, tr.t_ref
+       |      FROM events e JOIN tr ON e.event_type = tr.key),
+       |w AS (SELECT key, item,
+       |             ${Cross.r6Sql("pow(2.0, (t - t_ref)::DOUBLE / 86400.0)")} AS w
+       |      FROM b),
+       |g AS (SELECT key, item, COUNT(*)::BIGINT AS n, ${Cross.dsumSql("w")} AS m
+       |      FROM w GROUP BY 1, 2),
+       |tot AS (SELECT key, ${Cross.dsumSql("w")} AS wt FROM w GROUP BY 1),
+       |c AS (SELECT unnest(['c1', 'c4']) AS cadence)
+       |SELECT cadence, g.key, item, n, ${Cross.r6Sql("m")} AS m,
+       |       1::BIGINT AS present, 1::BIGINT AS bounds_ok, 1::BIGINT AS w_ok
+       |FROM g JOIN tot ON g.key = tot.key CROSS JOIN c
+       |WHERE m * 9 > wt ORDER BY cadence, g.key, item""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val item = when(pmod(col("event_id"), lit(4)) === 0,
+      concat(lit("u"), col("user_id"))).otherwise(col("event_type"))
+    val replay = java.nio.file.Files.createTempDirectory("graft_dmmon_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("event_type").cast("string").as("key"),
+        col("sec").cast("long").as("t"), item.cast("string").as("item"))
+      .repartition(4).write.mode("overwrite").parquet(replay.toString)
+    def cadence(maxFiles: Int, tag: String): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("key", StringType),
+          StructField("t", LongType), StructField("item", StringType))))
+        .option("maxFilesPerTrigger", maxFiles)
+        .parquet(replay.toString)
+      val fin = EventStreams.runToCompletion(spark,
+        SlidingMonitor.decayedMgMonitor(stream, 86400L, 8).toDF(),
+        s"q321_dm_monitor_$tag", mode = "update")
+      val sk = fin.groupBy("key")
+        .agg(max_by(struct(col("t_ref"), col("w"), col("entries")),
+          col("ver")).as("s"))
+        .select(col("key"), col("s.t_ref").as("t_sk"), col("s.w").as("w_sk"),
+          explode(col("s.entries")).as("e"))
+        .select(col("key"), col("t_sk"), col("w_sk"),
+          col("e.item").as("item"), col("e.est").as("est"))
+      graft.operators.Analytics.decayedMgHeavyPerKeyFrame(ev,
+          col("event_type"), item, col("sec"), halfLifeSec = 86400L, k = 8, sk)
+        .withColumn("cadence", lit(tag))
+    }
+    cadence(1, "c1").unionByName(cadence(4, "c4"))
+      .select(col("cadence"), col("key"), col("item"), col("n"), col("m"),
+        col("present"), col("bounds_ok"), col("w_ok"))
+      .orderBy("cadence", "key", "item")
+  }
+
+  /** KEY EVICTION for the always-on monitors — the gate that bounds
+    * total state when the monitor is keyed by a HIGH-CARDINALITY
+    * column (user_id × event_type — the per-source telemetry shape):
+    * gkQuantumMonitor with `evictKeys = true` drops a key (with a
+    * tombstone emission and a watermark admission floor that forbids
+    * partial-quantum resurrection) once the global event-time
+    * watermark passes a full horizon beyond the key's own high-water
+    * quantum. The gate asserts the full contract on a time-ordered
+    * replay: (a) live keys' in-horizon answers carry the identical
+    * three-leg GK verification as the un-evicting monitor (any key
+    * with window data is necessarily live, so the oracle needs no
+    * liveness filter); (b) STATE_OK — the final stateful-operator row
+    * count equals the exactly-predicted live-key count (total state is
+    * bounded by live keys, not keys-ever-seen); (c) EVICT_OK — every
+    * key whose last activity fell a full horizon behind the final
+    * watermark was tombstoned. */
+  val q322 = QueryDef(
+    "q322_stream_gk_monitor_key_evict",
+    s"""WITH b AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smax//3600) - k*12)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |w AS (SELECT e.user_id::VARCHAR || '_' || e.event_type AS key, s.start,
+       |             COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1, 2),
+       |p AS (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS phi)
+       |SELECT key, start, phi, n_window, 1::BIGINT AS rank_ok,
+       |       1::BIGINT AS coverage_ok, 1::BIGINT AS stale_ok,
+       |       1::BIGINT AS state_ok, 1::BIGINT AS evict_ok
+       |FROM w CROSS JOIN p ORDER BY key, start, phi""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val keyCol = concat(col("user_id").cast("string"), lit("_"),
+      col("event_type").cast("string"))
+    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
+    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val qMax = smax / 3600L
+    val horizon = 48L
+    val starts = (0 until 4).map(k => (qMax - k.toLong * 12L) * 3600L).distinct
+    val replay = java.nio.file.Files.createTempDirectory("graft_evict_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(keyCol.as("key"),
+      expr("sec div 3600").as("q"), col("value").cast("double").as("v"))
+    writeOrderedReplay((0 until 4).map { i =>
+      val lo = qMin + i.toLong * (qMax - qMin + 1) / 4
+      val hi = qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4
+      typed.filter(col("q") >= lo && col("q") < (if (i == 3) qMax + 1 else hi))
+    }, replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("v", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val (fin0, stateRows) = EventStreams.runToCompletionStateRows(spark,
+      SlidingMonitor.gkQuantumMonitor(stream, 512, horizonQuanta = horizon,
+        evictKeys = true, quantumSec = 3600L).toDF(),
+      "q322_evict_monitor", mode = "update")
+    val fin = fin0.localCheckpoint(true)
+    // eviction contract, exactly predicted from raw data: the monitor's
+    // self-derived watermark is the global high-water QUANTUM's start
+    // (zero delay), so a key is evicted iff qMax > q_max_k + horizon
+    val perKey = ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"))
+      .groupBy("key")
+      .agg(expr("cast(max(sec) as long) div 3600").as("q_max_k"))
+      .localCheckpoint(true)
+    val expectedLive = perKey
+      .filter(lit(qMax) <= col("q_max_k") + horizon)
+    val stateOk = stateRows == expectedLive.count()
+    val tombstoned = fin.filter(col("q") === -1L).select("key").distinct()
+    val expectedEvicted = perKey
+      .filter(lit(qMax) > col("q_max_k") + horizon).select("key")
+    // every finally-evicted key must have been tombstoned (a live key
+    // MAY also carry a mid-stream tombstone from an activity gap — it
+    // was correctly evicted during the gap and re-admitted)
+    val evictOk = expectedEvicted.except(tombstoned).count() == 0L
+    // live cube: per-key horizon; a re-admitted key's pre-gap emissions
+    // are all at least a full horizon older than its final high-water
+    // quantum, so the filter also screens out stale-version collisions
+    val hourly = fin.filter(col("q") >= 0L)
+      .join(broadcast(perKey), "key")
+      .filter(col("q") > col("q_max_k") - horizon)
+      .groupBy("key", "q")
+      .agg(max_by(col("sk"), col("ver")).as("sk"))
+    val est = SS.gkSlidingEstimates(hourly, 3600L, 512, starts, Seq(0.25, 0.75))
+    SS.gkSlidingCheck(
+        ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"),
+          col("value").cast("double").as("v")),
+        est, keyed = true, epsDen = 40)
+      .withColumn("state_ok", lit(if (stateOk) 1L else 0L))
+      .withColumn("evict_ok", lit(if (evictOk) 1L else 0L))
+      .orderBy("key", "start", "phi")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322)
 }

@@ -251,5 +251,60 @@ object SqlApiQueries {
     EventQueries.decayedCheckFrame(spark, dir, folded)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309)
+  /** The monitor-cube READ CONTRACT as one SQL view: the Update-mode
+    * emission log of any [[graft.streaming.SlidingMonitor]] monitor
+    * keys each (key, quantum)'s summaries by a per-key monotone
+    * version, and the live cube is latest-version-per-(key, quantum) —
+    * the `max_by(col, ver)` idiom every gate re-derives. Exposed once
+    * so panel consumers (and the q323 gate) read the cube through one
+    * definition. `cols` are the summary columns to carry (e.g. "sk", or
+    * "n"/"entries"). */
+  def monitorLatestSql(emissionsView: String, cols: Seq[String]): String = {
+    require(cols.nonEmpty, "monitor cube read needs summary columns")
+    val picks = cols.map(c => s"max_by($c, ver) AS $c").mkString(", ")
+    s"SELECT key, q, $picks FROM $emissionsView WHERE q >= 0 GROUP BY key, q"
+  }
+
+  /** The MG monitor's cube read from pure SQL ([[monitorLatestSql]]):
+    * replay the per-event-type heavy-hitter monitor, register its
+    * emission log, and answer per (key, quantum) entirely in SQL —
+    * exact n (the cube's n is the quantum's exact count whatever the
+    * trigger cadence), the k-bound on the kept set, and the MG mass
+    * invariant (Σ est ≤ n — a summary can never claim more mass than
+    * its quantum holds). */
+  val q323 = QueryDef(
+    "q323_sql_monitor_cube",
+    s"""SELECT event_type AS key, floor(epoch(ts))::BIGINT//3600 AS q,
+       |       COUNT(*)::BIGINT AS n, 1::BIGINT AS k_ok, 1::BIGINT AS mass_ok
+       |FROM events GROUP BY 1, 2 ORDER BY key, q""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val replay = java.nio.file.Files.createTempDirectory("graft_sqlmon_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"), col("user_id").cast("string").as("item"))
+      .repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    EventStreams.runToCompletion(spark,
+        SlidingMonitor.mgQuantumMonitor(stream, 32).toDF(),
+        "q323_mg_emissions", mode = "update")
+      .createOrReplaceTempView("graft_mg_emissions")
+    spark.sql(
+      s"""WITH cube AS (
+         |  ${monitorLatestSql("graft_mg_emissions", Seq("n", "entries"))})
+         |SELECT key, q, n,
+         |       CAST(size(entries) <= 32 AS LONG) AS k_ok,
+         |       CAST(aggregate(entries, 0L, (acc, e) -> acc + e.est) <= n
+         |         AS LONG) AS mass_ok
+         |FROM cube ORDER BY key, q""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323)
 }

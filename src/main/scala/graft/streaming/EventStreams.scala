@@ -76,12 +76,22 @@ object EventStreams {
   /** Run a streaming DataFrame to completion against the replayed file
     * source and return the final result as a batch DataFrame. */
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete"): DataFrame =
+    runToCompletionStateRows(spark, streamed, name, mode)._1
+
+  /** [[runToCompletion]] plus the final trigger's TOTAL STATE ROW
+    * count (summed over stateful operators; −1 if no progress was
+    * reported) — the observable the key-eviction gate needs: state
+    * size after the last (possibly no-data, timeout-firing) batch. */
+  def runToCompletionStateRows(spark: SparkSession, streamed: DataFrame,
+      name: String, mode: String = "complete"): (DataFrame, Long) = {
     val q = streamed.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    (spark.table(name), stateRows)
   }
 
   /** Sliding windowed aggregation: 1-hour windows every 30 minutes, so

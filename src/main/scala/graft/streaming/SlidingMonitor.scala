@@ -91,8 +91,10 @@ import graft.plans.{DecayedMgAgg, GkState, GkSummary, SlidingEh}
   * touching state (a re-created key cannot resurrect a
   * partially-evicted quantum — the floor proves any such quantum was
   * already evicted, because eviction implies wm > (qMaxOld + horizon)
-  * ≥ (q + horizon) for every quantum q the key ever held). Requires a
-  * `withWatermark` upstream and a finite horizon.
+  * ≥ (q + horizon) for every quantum q the key ever held). The
+  * watermark derives from the quantum column itself (the global
+  * high-water quantum's start, zero delay), so no timestamp column is
+  * required; a finite horizon is.
   *
   * Emission (Update mode): per trigger, each UPDATED quantum emits its
   * collapsed summary with a per-key monotone version — O(touched
@@ -209,12 +211,14 @@ object SlidingMonitor {
   /** The monitor as a streaming transform: input (key, q, v) rows →
     * Update-mode (key, q, ver, sk) emissions.
     *
-    * `evictKeys = true` (requires a finite horizon, a `withWatermark`
-    * upstream, and `quantumSec` matching the q grid): keys whose
-    * high-water quantum falls a full horizon behind the global
-    * event-time watermark are dropped from state with a q = −1
-    * tombstone emission; rows a full horizon behind the watermark are
-    * dropped on arrival (see the scaladoc's key-eviction contract). */
+    * `evictKeys = true` (requires a finite horizon and `quantumSec`
+    * matching the q grid): the monitor derives its own event-time
+    * watermark from the quantum column (watermark = the global
+    * high-water quantum's start, zero delay — no timestamp column
+    * needed from the caller); keys whose high-water quantum falls a
+    * full horizon behind it are dropped from state with a q = −1
+    * tombstone emission, and rows a full horizon behind it are dropped
+    * on arrival (see the scaladoc's key-eviction contract). */
   def gkQuantumMonitor(stream: DataFrame, m: Int,
       horizonQuanta: Long = Long.MaxValue,
       evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[Out] = {
@@ -225,8 +229,22 @@ object SlidingMonitor {
     val timeout =
       if (evictKeys) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    stream.select("key", "q", "v").as[In]
+    val parts0 = stream.select("key", "q", "v").as[In]
       .mapPartitions(rows => gkPrefold(rows, m))
+    // EventTimeTimeout needs a watermarked attribute in the stateful
+    // operator's child: derive it from the partial's quantum (its
+    // start, zero delay) — the extra column rides beside the typed
+    // partials and never enters the fold
+    val parts =
+      if (evictKeys)
+        parts0.toDF()
+          .withColumn("ets",
+            org.apache.spark.sql.functions.timestamp_seconds(
+              org.apache.spark.sql.functions.col("q") * quantumSec))
+          .withWatermark("ets", "0 seconds")
+          .as[GkPart]
+      else parts0
+    parts
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, timeout) {
         (key: String, parts: Iterator[GkPart], state: GroupState[MonState]) =>
