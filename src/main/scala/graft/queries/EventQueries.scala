@@ -2542,5 +2542,158 @@ object EventQueries {
       .orderBy("key", "start", "phi")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322)
+  /** MG key eviction — q322's contract for the heavy-hitter monitor
+    * (one shared eviction implementation across the family, each
+    * member gated): per-(user × type) top value-buckets, live keys'
+    * answers verified with the keyed MG sliding reduction, final state
+    * row count == predicted live keys, every predictably-evicted key
+    * tombstoned. */
+  val q324 = QueryDef(
+    "q324_stream_mg_monitor_key_evict",
+    s"""WITH b AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smax//3600) - k*12)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |w AS (SELECT e.user_id::VARCHAR || '_' || e.event_type AS key, s.start,
+       |             COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1, 2)
+       |SELECT key, start, n_window, 1::BIGINT AS heavy_ok,
+       |       1::BIGINT AS bounds_ok, 1::BIGINT AS coverage_ok,
+       |       1::BIGINT AS stale_ok, 1::BIGINT AS state_ok,
+       |       1::BIGINT AS evict_ok
+       |FROM w ORDER BY key, start""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val keyCol = concat(col("user_id").cast("string"), lit("_"),
+      col("event_type").cast("string"))
+    val itemCol = floor(col("value")).cast("long").cast("string")
+    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val qMax = ev.agg(max(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val horizon = 48L
+    val starts = (0 until 4).map(k => (qMax - k.toLong * 12L) * 3600L).distinct
+    val replay = java.nio.file.Files.createTempDirectory("graft_mgevict_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(keyCol.as("key"), expr("sec div 3600").as("q"),
+      itemCol.as("item"))
+    writeOrderedReplay((0 until 4).map { i =>
+      val lo = qMin + i.toLong * (qMax - qMin + 1) / 4
+      val hi = qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4
+      typed.filter(col("q") >= lo && col("q") < (if (i == 3) qMax + 1 else hi))
+    }, replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val (fin0, stateRows) = EventStreams.runToCompletionStateRows(spark,
+      SlidingMonitor.mgQuantumMonitor(stream, 8, horizonQuanta = horizon,
+        evictKeys = true, quantumSec = 3600L).toDF(),
+      "q324_mg_evict", mode = "update")
+    val fin = fin0.localCheckpoint(true)
+    val perKey = ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"))
+      .groupBy("key")
+      .agg(expr("cast(max(sec) as long) div 3600").as("q_max_k"))
+      .localCheckpoint(true)
+    val stateOk = stateRows ==
+      perKey.filter(lit(qMax) <= col("q_max_k") + horizon).count()
+    val tombstoned = fin.filter(col("q") === -1L).select("key").distinct()
+    val evictOk = perKey.filter(lit(qMax) > col("q_max_k") + horizon)
+      .select("key").except(tombstoned).count() == 0L
+    val hourly = fin.filter(col("q") >= 0L)
+      .join(broadcast(perKey), "key")
+      .filter(col("q") > col("q_max_k") - horizon)
+      .groupBy("key", "q")
+      .agg(max_by(struct(col("n"), col("entries")), col("ver")).as("w"))
+      .select(col("key"), col("q"), col("w.n").as("n"),
+        col("w.entries").as("entries"))
+    val cov = SS.mgSlidingSummaries(hourly, 3600L, 8, starts)
+    SS.mgSlidingCheck(
+        ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"),
+          itemCol.as("item")),
+        cov, keyed = true, k = 8)
+      .withColumn("state_ok", lit(if (stateOk) 1L else 0L))
+      .withColumn("evict_ok", lit(if (evictOk) 1L else 0L))
+      .orderBy("key", "start")
+  }
+
+  /** Count-min key eviction — the family's last leg, with the
+    * strongest live-cube verification (EH-merged covered cells EQUAL a
+    * direct covered-suffix build cell-for-cell for every live key),
+    * plus q322's state/tombstone contract. */
+  val q325 = QueryDef(
+    "q325_stream_cm_monitor_key_evict",
+    s"""WITH b AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS smax FROM events),
+       |s AS (SELECT DISTINCT ((smax//3600) - k*12)*3600 AS start
+       |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |w AS (SELECT e.user_id::VARCHAR || '_' || e.event_type AS key, s.start,
+       |             floor(e.value)::BIGINT::VARCHAR AS item,
+       |             COUNT(*)::BIGINT AS n_window
+       |      FROM s JOIN events e ON floor(epoch(e.ts))::BIGINT >= s.start
+       |      GROUP BY 1, 2, 3)
+       |SELECT key, start, item, n_window, 1::BIGINT AS never_under,
+       |       1::BIGINT AS cells_match, 1::BIGINT AS coverage_ok,
+       |       1::BIGINT AS stale_ok, 1::BIGINT AS state_ok,
+       |       1::BIGINT AS evict_ok
+       |FROM w ORDER BY key, start, item""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val keyCol = concat(col("user_id").cast("string"), lit("_"),
+      col("event_type").cast("string"))
+    val itemCol = floor(col("value")).cast("long").cast("string")
+    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val qMax = ev.agg(max(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val horizon = 48L
+    val starts = (0 until 4).map(k => (qMax - k.toLong * 12L) * 3600L).distinct
+    val replay = java.nio.file.Files.createTempDirectory("graft_cmevict_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(keyCol.as("key2"), col("value"),
+      col("sec").cast("long").as("sec"))
+    writeOrderedReplay((0 until 4).map { i =>
+      val lo = (qMin + i.toLong * (qMax - qMin + 1) / 4) * 3600L
+      val hi = (qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4) * 3600L
+      typed.filter(col("sec") >= lo &&
+        col("sec") < (if (i == 3) (qMax + 1) * 3600L else hi))
+    }, replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key2", StringType),
+        StructField("value", DoubleType), StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val keyRows = SS.cmKeyRows(stream,
+      floor(col("value")).cast("long").cast("string"), col("sec"), 3600L,
+      key = col("key2"))
+    val (fin0, stateRows) = EventStreams.runToCompletionStateRows(spark,
+      SlidingMonitor.cmQuantumMonitor(keyRows, depth = 4, width = 32,
+        horizonQuanta = horizon, evictKeys = true, quantumSec = 3600L).toDF(),
+      "q325_cm_evict", mode = "update")
+    val fin = fin0.localCheckpoint(true)
+    val perKey = ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"))
+      .groupBy("key")
+      .agg(expr("cast(max(sec) as long) div 3600").as("q_max_k"))
+      .localCheckpoint(true)
+    val stateOk = stateRows ==
+      perKey.filter(lit(qMax) <= col("q_max_k") + horizon).count()
+    val tombstoned = fin.filter(col("q") === -1L).select("key").distinct()
+    val evictOk = perKey.filter(lit(qMax) > col("q_max_k") + horizon)
+      .select("key").except(tombstoned).count() == 0L
+    val hourly = fin.filter(col("q") >= 0L)
+      .join(broadcast(perKey), "key")
+      .filter(col("q") > col("q_max_k") - horizon)
+      .groupBy("key", "q")
+      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
+    SS.cmSlidingCheck(
+        ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"),
+          itemCol.as("item")),
+        cells, depth = 4, width = 32, keyed = true)
+      .withColumn("state_ok", lit(if (stateOk) 1L else 0L))
+      .withColumn("evict_ok", lit(if (evictOk) 1L else 0L))
+      .orderBy("key", "start", "item")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q324, q325)
 }

@@ -73,9 +73,9 @@ import graft.plans.{DecayedMgAgg, GkState, GkSummary, SlidingEh}
   * SlidingEhSpec asserts the bound and the inside-horizon equivalence
   * across a long replay.
   *
-  * KEY EVICTION (optional, GK leg; the MG/CM monitors take the
-  * identical parameterization by symmetry — same state topology, same
-  * cutoff law): by default keys stay live
+  * KEY EVICTION (optional, all three monitors, one shared
+  * implementation — same state topology, same cutoff law): by default
+  * keys stay live
   * (`GroupStateTimeout.NoTimeout`) — an always-on monitor keyed by
   * event TYPE answers for every source it has ever seen inside the
   * horizon, and quantum eviction alone bounds state. Keyed by a
@@ -122,6 +122,38 @@ object SlidingMonitor {
     if (horizonQuanta == Long.MaxValue) Long.MinValue
     else qMax - horizonQuanta + 1
   }
+
+  /** Shared key-eviction plumbing (all three monitors use it
+    * identically): EventTimeTimeout needs a watermarked attribute in
+    * the stateful operator's child, derived here from the partial's
+    * quantum (its start, zero delay) — the extra column rides beside
+    * the typed partials and never enters the fold. */
+  private def watermarked(parts: DataFrame, quantumSec: Long): DataFrame =
+    parts
+      .withColumn("ets", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("q") * quantumSec))
+      .withWatermark("ets", "0 seconds")
+
+  /** The watermark-derived admission floor: a quantum a full horizon
+    * behind the global watermark must drop on arrival — it was already
+    * evicted if its key ever held it (eviction implies the watermark
+    * passed every held quantum + horizon), so admitting it would
+    * resurrect a partial quantum under a re-created key. */
+  private def admissionFloor(state: GroupState[_], evictKeys: Boolean,
+      quantumSec: Long, horizonQuanta: Long): Long =
+    if (evictKeys)
+      state.getCurrentWatermarkMs() / (quantumSec * 1000L) - horizonQuanta + 1
+    else Long.MinValue
+
+  /** Arm the key's event-time timeout at (its high-water quantum +
+    * horizon)'s start; admitted data always lands it strictly past the
+    * current watermark (the admission floor guarantees q ≥ wmQ −
+    * horizon + 1), and the max() guards the degenerate boundary. */
+  private def armEviction(state: GroupState[_], qMax: Long,
+      horizonQuanta: Long, quantumSec: Long): Unit =
+    state.setTimeoutTimestamp(math.max(
+      (qMax + horizonQuanta) * quantumSec * 1000L,
+      state.getCurrentWatermarkMs() + 1L))
 
   // ------------------------------------------------------------------
   // GK quantile monitor
@@ -231,18 +263,7 @@ object SlidingMonitor {
       else GroupStateTimeout.NoTimeout
     val parts0 = stream.select("key", "q", "v").as[In]
       .mapPartitions(rows => gkPrefold(rows, m))
-    // EventTimeTimeout needs a watermarked attribute in the stateful
-    // operator's child: derive it from the partial's quantum (its
-    // start, zero delay) — the extra column rides beside the typed
-    // partials and never enters the fold
-    val parts =
-      if (evictKeys)
-        parts0.toDF()
-          .withColumn("ets",
-            org.apache.spark.sql.functions.timestamp_seconds(
-              org.apache.spark.sql.functions.col("q") * quantumSec))
-          .withWatermark("ets", "0 seconds")
-          .as[GkPart]
+    val parts = if (evictKeys) watermarked(parts0.toDF(), quantumSec).as[GkPart]
       else parts0
     parts
       .groupByKey(_.key)
@@ -259,18 +280,11 @@ object SlidingMonitor {
             if (ps.isEmpty) Iterator.empty
             else {
               val st = state.getOption.getOrElse(MonState(Map.empty, 0L, Long.MinValue))
-              val floorQ =
-                if (evictKeys)
-                  state.getCurrentWatermarkMs() / (quantumSec * 1000L) -
-                    horizonQuanta + 1
-                else Long.MinValue
+              val floorQ = admissionFloor(state, evictKeys, quantumSec,
+                horizonQuanta)
               val (st2, outs) = foldKey(ps, st, m, horizonQuanta, floorQ)
               state.update(st2)
-              if (evictKeys) {
-                val tMs = (st2.qMax + horizonQuanta) * quantumSec * 1000L
-                state.setTimeoutTimestamp(
-                  math.max(tMs, state.getCurrentWatermarkMs() + 1L))
-              }
+              if (evictKeys) armEviction(state, st2.qMax, horizonQuanta, quantumSec)
               outs.iterator
             }
           }
@@ -310,9 +324,9 @@ object SlidingMonitor {
   }
 
   private def mgFoldKey(parts: Seq[MgPart], st: MgMonState, k: Int,
-      horizonQuanta: Long): (MgMonState, Seq[MgOut]) = {
+      horizonQuanta: Long, floorQ: Long = Long.MinValue): (MgMonState, Seq[MgOut]) = {
     val qMax = math.max(st.qMax, parts.iterator.map(_.q).max)
-    val cut = cutoffQ(qMax, horizonQuanta)
+    val cut = math.max(cutoffQ(qMax, horizonQuanta), floorQ)
     val live = parts.filter(_.q >= cut)
     var quanta = st.quanta.filter { case (q, _) => q >= cut }
     if (live.isEmpty) (MgMonState(quanta, st.ver, qMax), Nil)
@@ -351,24 +365,45 @@ object SlidingMonitor {
     mgFoldKey(parts, st, k, horizonQuanta)
 
   /** The MG monitor as a streaming transform: input (key, q, item)
-    * rows → Update-mode (key, q, ver, n, entries) emissions. */
+    * rows → Update-mode (key, q, ver, n, entries) emissions.
+    * `evictKeys` follows the GK monitor's key-eviction contract
+    * verbatim (derived quantum watermark, tombstone q = −1 with n = 0,
+    * admission floor). */
   def mgQuantumMonitor(stream: DataFrame, k: Int,
-      horizonQuanta: Long = Long.MaxValue): Dataset[MgOut] = {
+      horizonQuanta: Long = Long.MaxValue,
+      evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[MgOut] = {
+    require(!evictKeys || horizonQuanta < Long.MaxValue / (quantumSec * 1000L),
+      "key eviction requires a finite horizon")
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select("key", "q", "item").as[MgIn]
+    val timeout =
+      if (evictKeys) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val parts0 = stream.select("key", "q", "item").as[MgIn]
       .mapPartitions(rows => mgPrefold(rows, k))
+    val parts = if (evictKeys) watermarked(parts0.toDF(), quantumSec).as[MgPart]
+      else parts0
+    parts
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, parts: Iterator[MgPart], state: GroupState[MgMonState]) =>
-          val ps = parts.toSeq
-          if (ps.isEmpty) Iterator.empty
-          else {
-            val st = state.getOption.getOrElse(
-              MgMonState(Map.empty, 0L, Long.MinValue))
-            val (st2, outs) = mgFoldKey(ps, st, k, horizonQuanta)
-            state.update(st2)
-            outs.iterator
+      .flatMapGroupsWithState(OutputMode.Update, timeout) {
+        (key: String, parts: Iterator[MgPart], state: GroupState[MgMonState]) =>
+          if (evictKeys && state.hasTimedOut) {
+            val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+            state.remove()
+            Iterator.single(MgOut(key, -1L, ver, 0L, Nil))
+          } else {
+            val ps = parts.toSeq
+            if (ps.isEmpty) Iterator.empty
+            else {
+              val st = state.getOption.getOrElse(
+                MgMonState(Map.empty, 0L, Long.MinValue))
+              val floorQ = admissionFloor(state, evictKeys, quantumSec,
+                horizonQuanta)
+              val (st2, outs) = mgFoldKey(ps, st, k, horizonQuanta, floorQ)
+              state.update(st2)
+              if (evictKeys) armEviction(state, st2.qMax, horizonQuanta, quantumSec)
+              outs.iterator
+            }
           }
       }
   }
@@ -417,9 +452,9 @@ object SlidingMonitor {
   }
 
   private def cmFoldKey(parts: Seq[CmPart], st: CmMonState,
-      horizonQuanta: Long): (CmMonState, Seq[CmOut]) = {
+      horizonQuanta: Long, floorQ: Long = Long.MinValue): (CmMonState, Seq[CmOut]) = {
     val qMax = math.max(st.qMax, parts.iterator.map(_.q).max)
-    val cut = cutoffQ(qMax, horizonQuanta)
+    val cut = math.max(cutoffQ(qMax, horizonQuanta), floorQ)
     val live = parts.filter(_.q >= cut)
     var quanta = st.quanta.filter { case (q, _) => q >= cut }
     if (live.isEmpty) (CmMonState(quanta, st.ver, qMax), Nil)
@@ -443,24 +478,45 @@ object SlidingMonitor {
       horizonQuanta)
 
   /** The count-min monitor as a streaming transform: input (key, q, x)
-    * hashed-item rows → Update-mode (key, q, ver, entries) emissions. */
+    * hashed-item rows → Update-mode (key, q, ver, entries) emissions.
+    * `evictKeys` follows the GK monitor's key-eviction contract
+    * verbatim (derived quantum watermark, tombstone q = −1 with empty
+    * cells, admission floor). */
   def cmQuantumMonitor(stream: DataFrame, depth: Int, width: Int,
-      horizonQuanta: Long = Long.MaxValue): Dataset[CmOut] = {
+      horizonQuanta: Long = Long.MaxValue,
+      evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[CmOut] = {
+    require(!evictKeys || horizonQuanta < Long.MaxValue / (quantumSec * 1000L),
+      "key eviction requires a finite horizon")
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select("key", "q", "x").as[CmIn]
+    val timeout =
+      if (evictKeys) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val parts0 = stream.select("key", "q", "x").as[CmIn]
       .mapPartitions(rows => cmPrefold(rows, depth, width))
+    val parts = if (evictKeys) watermarked(parts0.toDF(), quantumSec).as[CmPart]
+      else parts0
+    parts
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, parts: Iterator[CmPart], state: GroupState[CmMonState]) =>
-          val ps = parts.toSeq
-          if (ps.isEmpty) Iterator.empty
-          else {
-            val st = state.getOption.getOrElse(
-              CmMonState(Map.empty, 0L, Long.MinValue))
-            val (st2, outs) = cmFoldKey(ps, st, horizonQuanta)
-            state.update(st2)
-            outs.iterator
+      .flatMapGroupsWithState(OutputMode.Update, timeout) {
+        (key: String, parts: Iterator[CmPart], state: GroupState[CmMonState]) =>
+          if (evictKeys && state.hasTimedOut) {
+            val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+            state.remove()
+            Iterator.single(CmOut(key, -1L, ver, Nil))
+          } else {
+            val ps = parts.toSeq
+            if (ps.isEmpty) Iterator.empty
+            else {
+              val st = state.getOption.getOrElse(
+                CmMonState(Map.empty, 0L, Long.MinValue))
+              val floorQ = admissionFloor(state, evictKeys, quantumSec,
+                horizonQuanta)
+              val (st2, outs) = cmFoldKey(ps, st, horizonQuanta, floorQ)
+              state.update(st2)
+              if (evictKeys) armEviction(state, st2.qMax, horizonQuanta, quantumSec)
+              outs.iterator
+            }
           }
       }
   }
