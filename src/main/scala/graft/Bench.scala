@@ -51,12 +51,18 @@ object Bench {
     "q316_stream_mg_monitor_per_key", "q317_stream_cm_monitor_per_key")
 
   private def childJvm(args: Seq[String], out: java.nio.file.Path,
-      env: Map[String, String]): Unit = {
+      env: Map[String, String], heapOverride: Option[String] = None): Unit = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = {
       import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getRuntimeMXBean
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
+      heapOverride match {
+        case None => inherited
+        case Some(h) =>
+          inherited.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) :+
+            s"-Xmx$h"
+      }
     }
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
@@ -135,7 +141,13 @@ object Bench {
         val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED_REPEAT", "3")
         val entries = IsolatedGates.filter(names.contains).map { g =>
           val out = java.nio.file.Files.createTempFile(s"graft_bench_iso_$g", ".json")
-          childJvm(Seq(g), out, Map("SPARK_GRAFT_BENCH_REPEAT" -> rep))
+          // pinned 8 GiB heap — the r8–r10 mover-study configuration, so
+          // the isolated series stays comparable across rounds and
+          // insensitive to the parent's heap (an 89 g fresh JVM measured
+          // q151 at 14.5 s where the historical 8 g config reads 2.5 s —
+          // virgin-heap effects, not the operator)
+          childJvm(Seq(g), out, Map("SPARK_GRAFT_BENCH_REPEAT" -> rep),
+            heapOverride = Some("8g"))
           val j = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
           java.nio.file.Files.deleteIfExists(out)
           mapOf(j, "queries") // {"qNN_name":sec} body for one gate

@@ -235,10 +235,13 @@ object SlidingMonitor {
     foldKey(gkPrefold(rows.iterator, m).toSeq.sortBy(_.q), st, m, horizonQuanta)
 
   /** Multi-partial test seam: SlidingEhSpec uses it to assert the
-    * partition-count-independence of the guarantees. */
+    * partition-count-independence of the guarantees. `floorQ` is the
+    * watermark admission floor key eviction imposes (SlidingEhSpec
+    * drives the no-resurrection law through it). */
   private[graft] def testFoldParts(parts: Seq[GkPart], st: MonState, m: Int,
-      horizonQuanta: Long = Long.MaxValue): (MonState, Seq[Out]) =
-    foldKey(parts, st, m, horizonQuanta)
+      horizonQuanta: Long = Long.MaxValue,
+      floorQ: Long = Long.MinValue): (MonState, Seq[Out]) =
+    foldKey(parts, st, m, horizonQuanta, floorQ)
 
   /** The monitor as a streaming transform: input (key, q, v) rows →
     * Update-mode (key, q, ver, sk) emissions.

@@ -895,6 +895,13 @@ class PipelineSpec extends SparkSpec {
             EventStreams.foldLog(path,
               rowsOf(w, b).toDF("k", "ver", "payload"),
               (w * 100 + b).toLong, compactEvery = 3)(reduce)
+            // at-least-once source: every batch REDELIVERS once, racing
+            // other writers' appends and compactions — whether the
+            // first delivery is still live or already compacted, the
+            // redelivery must be a no-op
+            EventStreams.foldLog(path,
+              rowsOf(w, b).toDF("k", "ver", "payload"),
+              (w * 100 + b).toLong, compactEvery = 3)(reduce)
           } catch { case t: Throwable => errs.add(t) }
         }
       })

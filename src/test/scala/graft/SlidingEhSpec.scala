@@ -380,6 +380,31 @@ class SlidingEhSpec extends SparkSpec {
     }
   }
 
+  test("eviction admission floor: a quantum behind the floor can never enter state") {
+    import graft.streaming.SlidingMonitor
+    val m = 64
+    val horizon = 10L
+    // a re-created key (fresh state) receiving one late partial below
+    // the watermark floor plus one live partial: the late quantum must
+    // neither enter state nor emit — the no-resurrection law that makes
+    // state.remove() sound under key eviction
+    val fresh = SlidingMonitor.MonState(Map.empty, 0L, Long.MinValue)
+    val late = SlidingMonitor.gkPrefold(
+      Iterator(SlidingMonitor.In("k", 80L, 1.0)), m).toSeq
+    val live = SlidingMonitor.gkPrefold(
+      Iterator(SlidingMonitor.In("k", 100L, 2.0)), m).toSeq
+    // watermark quantum 100 → floor = 100 − 10 + 1 = 91
+    val (st, outs) = SlidingMonitor.testFoldParts(late ++ live, fresh, m,
+      horizonQuanta = horizon, floorQ = 91L)
+    assert(!st.quanta.contains(80L), "floor-dropped quantum resurrected")
+    assert(st.quanta.contains(100L))
+    assert(outs.map(_.q) == Seq(100L), outs.toString)
+    // all-late batch: state stays empty, qMax still advances (monotone)
+    val (st2, outs2) = SlidingMonitor.testFoldParts(late, fresh, m,
+      horizonQuanta = horizon, floorQ = 91L)
+    assert(st2.quanta.isEmpty && outs2.isEmpty && st2.qMax == 80L)
+  }
+
   test("decayed-MG monitor: streamed state matches one-pass guarantees at any cadence") {
     import graft.streaming.SlidingMonitor
     val rnd = new Random(61)
