@@ -306,5 +306,47 @@ object SqlApiQueries {
          |FROM cube ORDER BY key, q""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323)
+  /** The monitor cube MATERIALIZED: the always-on MG monitor's
+    * Update-mode emissions fold straight into the log-structured
+    * serving table (foldLog: delta appends + CAS manifest + threshold
+    * compaction) keyed by (key, quantum) with the monotone version as
+    * the latest-wins rule — `monitorLatestSql` as a continuously
+    * maintained TABLE instead of a view over the emission log. This is
+    * the production panel topology end-to-end: monitor state → bounded
+    * per-trigger emissions → incrementally compacted serving table, no
+    * emission-log scan at read time. Verified with q323's oracle: the
+    * served table's n per (key, quantum) is the exact count, the kept
+    * set is k-bounded, and the MG mass invariant holds. */
+  val q326 = QueryDef("q326_monitor_log_serving", q323.oracle.get) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val replay = java.nio.file.Files.createTempDirectory("graft_monserve_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"), col("user_id").cast("string").as("item"))
+      .repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val emissions = SlidingMonitor.mgQuantumMonitor(stream, 32).toDF()
+      .withColumn("kq", concat_ws("#", col("key"), col("q")))
+    val path = graft.core.TempPaths.gatePath("q326_serving")
+    graft.core.TempPaths.clearDir(path)
+    val served = EventStreams.runUpsertLogToCompletion(spark, emissions,
+      path, key = "kq", version = "ver", name = "q326_monitor_serve",
+      compactEvery = 3, mode = "update")
+    served
+      .select(col("key"), col("q"), col("n"),
+        (size(col("entries")) <= 32).cast("long").as("k_ok"),
+        (aggregate(col("entries"), lit(0L), (acc, e) =>
+          acc + e.getField("est")) <= col("n")).cast("long").as("mass_ok"))
+      .orderBy("key", "q")
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326)
 }

@@ -438,12 +438,12 @@ object EventStreams {
     * final table equals the single-writer fold. */
   def runUpsertLogToCompletion(spark: SparkSession, stream: DataFrame,
       path: String, key: String, version: String, name: String,
-      compactEvery: Int = 4): DataFrame = {
+      compactEvery: Int = 4, mode: String = "append"): DataFrame = {
     require(compactEvery >= 2, s"compactEvery out of range: $compactEvery")
     val reduce = (df: DataFrame) =>
       graft.operators.Cdc.compactLatest(df, key, version)
     val q = stream.writeStream
-      .outputMode("append").queryName(name)
+      .outputMode(mode).queryName(name)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldLog(path, batch, batchId, compactEvery)(reduce)
         ()
