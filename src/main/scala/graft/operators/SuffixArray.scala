@@ -28,12 +28,16 @@ import graft.functions.TextFns
   * LONGEST DOCUMENT, not the corpus.
   *
   * The distributed dense rank reuses the repo's two-level banded scan
-  * (see [[Curation]]): band by a monotone prefix of the sort key (first
-  * code point for the vocabulary round, the previous rank — already
-  * near-uniform on [1, N] — for doubling rounds), dense-rank within
-  * bands in parallel, prefix-sum the per-band distinct counts (≤ bands
-  * rows) and add the offsets back. No global single-task sort at any
-  * step.
+  * (see [[Curation]]): band by a monotone prefix of the sort key (the
+  * first two code points for the round-0 prefix strings, the previous
+  * rank — already near-uniform on [1, N] — for doubling rounds),
+  * dense-rank within bands in parallel, prefix-sum the per-band
+  * distinct counts (≤ bands rows) and add the offsets back. No global
+  * single-task sort at any step. Round 0 ranks the first
+  * [[InitRadius]] tokens of every suffix in ONE pass (window `lead`s +
+  * banded rank of the distinct prefix strings), so the doubling loop
+  * starts at gap = InitRadius — log2(InitRadius) fewer
+  * join+distinct+rank+join rounds than the classic start at 1.
   *
   * Determinism: all arithmetic is integer; ranks compare token sequences
   * in exact lexicographic order (a shorter suffix that is a prefix of a
@@ -68,9 +72,24 @@ object SuffixArray {
     * levels largest-first, advancing both cursors by 2^k whenever the
     * level-k ranks match — O(log maxDocLen) rounds of two equi-joins
     * over one row per DISTINCT rank (adjacent ties share their LCP, so
-    * only one representative per rank is ever walked). */
+    * only one representative per rank is ever walked). The sub-
+    * InitRadius levels (InitRadius/2 .. 1) never exist as rank tables;
+    * the descent only needs per-level EQUALITY, so they are projected
+    * straight off the lead table as prefix strings ([[prefixKey]] —
+    * string equality IS first-min(L, slen)-token equality), costing no
+    * shuffle. Soundness of `acc += plen` on a match is the same
+    * argument at every level: cursor suffixes are the original pair's
+    * suffixes minus a certified-equal common prefix, so they can never
+    * be identical (the pair has distinct final ranks), hence a match
+    * with either side shorter than plen is impossible and a match
+    * certifies plen full tokens. */
   def longestDuplicatedSubstring(docs: DataFrame, bands: Int = 256): DataFrame = {
-    val (tok, levels) = rankLevels(docs, bands)
+    val (tok, buildLevels) = rankLevels(docs, bands)
+    val fine = Iterator.iterate(InitRadius / 2)(_ / 2).takeWhile(_ >= 1)
+      .map(r => (r.toLong,
+        tok.select(col("doc_id"), col("pos"), prefixKey(r).as("r"))))
+      .toList
+    val levels = buildLevels ++ fine
     val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
     val ranked = levels.head._2.join(lens, "doc_id")
       .select(col("doc_id"), col("pos"), col("r").as("rank"),
@@ -126,42 +145,73 @@ object SuffixArray {
       .na.fill(0L, Seq("n_suffixes", "max_dup_len"))
   }
 
-  /** Tokenize and run the doubling rounds. Returns the token table
-    * (doc_id, pos, t) and the rank levels, NEWEST FIRST, as
-    * (prefixLen, (doc_id, pos, r)): level (L, r) means r is the dense
-    * rank of the first min(L, slen) tokens of each suffix. The head
-    * level has prefixLen >= maxDocLen, i.e. final suffix ranks. */
+  /** Initial ranking radius: round 0 dense-ranks the space-joined
+    * first-[[InitRadius]]-token prefix STRING of every suffix directly
+    * (one window pass of `lead`s + one banded rank), so the doubling
+    * loop starts at this gap instead of 1 — merging the vocabulary
+    * round and the first log2(InitRadius) doubling rounds (each a
+    * self-join + distinct + rank + join-back, ~4 shuffles) into one.
+    * Must be a power of two so the level tags stay a complete binary
+    * basis for the sparse-table LCP descent (the sub-radius levels are
+    * synthesized as projections of the same lead table —
+    * [[prefixKey]]). String order of the space-joined prefix equals
+    * token-sequence order because every token character sorts above
+    * the space separator (the same property the DuckDB oracles use),
+    * and `concat_ws` skipping the null leads past a document's end
+    * makes a shorter suffix that is a prefix of a longer one sort
+    * first, exactly as the 0 sentinel did. */
+  private val InitRadius = 8
+
+  /** Space-joined first-`r`-token prefix of the suffix at each row of
+    * the lead table: equality of this string is equality of the first
+    * min(r, slen) tokens (tokens contain no spaces, so the join is
+    * unambiguous), and its string order is their lexicographic order. */
+  private def prefixKey(r: Int): Column =
+    concat_ws(" ", col("t") +: (1 until r).map(d => col(s"t$d")): _*)
+
+  /** Tokenize and run the doubling rounds. Returns the LEAD table
+    * (doc_id, pos, t, t1..t{InitRadius-1} — the next tokens in the
+    * document, null past the end) and the rank levels, NEWEST FIRST,
+    * as (prefixLen, (doc_id, pos, r)): level (L, r) means r is the
+    * dense rank of the first min(L, slen) tokens of each suffix. The
+    * head level has prefixLen >= maxDocLen, i.e. final suffix ranks. */
   private def rankLevels(docs: DataFrame, bands: Int)
       : (DataFrame, List[(Long, DataFrame)]) = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val tok = docs.select(col("doc_id"),
-        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+    // one exchange on doc_id serves all InitRadius-1 leads
+    val ord = Window.partitionBy("doc_id").orderBy("pos")
+    val led = tok.select(col("doc_id") +: col("pos") +: col("t") +:
+        (1 until InitRadius).map(d => lead(col("t"), d).over(ord).as(s"t$d")): _*)
       .localCheckpoint()
     // loop-control scalars (same class as the CC round bound)
-    val stats = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val stats = led.groupBy("doc_id").agg(count(lit(1)).as("n"))
       .agg(coalesce(max("n"), lit(0L)).as("maxLen"),
         coalesce(sum("n"), lit(0L)).as("total")).head()
     val maxLen = stats.getLong(0)
     val total = stats.getLong(1)
     if (total == 0L)
-      return (tok, List((1L, tok.select(col("doc_id"), col("pos"), lit(1L).as("r")))))
+      return (led, List((InitRadius.toLong,
+        led.select(col("doc_id"), col("pos"), lit(1L).as("r")))))
 
-    // round 0: vocabulary ranks, banded by the first TWO code points
-    // (monotone prefix of string order for single-byte tokens; a
-    // missing second char reads as 0, which sorts a 1-char token
-    // before its extensions exactly as lexicographic order does).
-    // One char alone is ~36 bands over [a-z0-9] and the densest letter
-    // would hold a large fraction of a web-scale vocabulary in one
-    // sort task; two chars give ~36² near-uniform bands.
-    val vocab = tok.select("t").distinct()
+    // round 0: dense rank of the InitRadius-token prefix strings,
+    // banded by the first TWO code points (a monotone prefix of string
+    // order; a missing second char reads as 0, which sorts a 1-char
+    // prefix before its extensions exactly as lexicographic order
+    // does). One char alone is ~36 bands over [a-z0-9] and the densest
+    // letter would hold a large fraction of the prefixes in one sort
+    // task; two chars give ~36² near-uniform bands.
+    val pre = led.select(col("doc_id"), col("pos"), prefixKey(InitRadius).as("p"))
+    val vocab = pre.select("p").distinct()
       .withColumn("band",
-        ascii(substring(col("t"), 1, 1)).cast("long") * 128L +
-          ascii(substring(col("t"), 2, 1)).cast("long"))
-    val r0 = tok.join(bandedDenseRank(vocab, col("t")), "t")
+        ascii(substring(col("p"), 1, 1)).cast("long") * 128L +
+          ascii(substring(col("p"), 2, 1)).cast("long"))
+    val r0 = pre.join(bandedDenseRank(vocab, col("p")), "p")
       .select(col("doc_id"), col("pos"), col("r"))
 
-    var levels = List((1L, r0.localCheckpoint()))
-    var gap = 1L
+    var levels = List((InitRadius.toLong, r0.localCheckpoint()))
+    var gap = InitRadius.toLong
     // Early fixpoint exit: a doubling round that does not INCREASE the
     // number of distinct ranks (max of a dense rank = its class count,
     // already computed by the round) can never be followed by one that
@@ -186,7 +236,7 @@ object SuffixArray {
       classes = nd
       gap *= 2L
     }
-    (tok, levels)
+    (led, levels)
   }
 
   /** One prefix-doubling round over the current rank table (doc_id, pos,
