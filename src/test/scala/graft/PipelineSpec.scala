@@ -238,6 +238,62 @@ class PipelineSpec extends SparkSpec {
       s"each key exactly once across the restart, got ${keys.mkString(",")}")
   }
 
+  test("MG monitor state survives a checkpoint restart (cube equals uninterrupted run)") {
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.SlidingMonitor
+    val base = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_monchk")).toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    def runOnce(out: String, chk: String): Unit = {
+      val stream = spark.readStream
+        .schema("key STRING, q LONG, item STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = SlidingMonitor.mgQuantumMonitor(stream, 4).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // file 1: quantum 10 of key a holds two rows, key b one
+    Seq(("a", 10L, "x"), ("a", 10L, "y"), ("b", 11L, "s"))
+      .toDF("key", "q", "item").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mtime → deterministic file order
+    runOnce(s"$base/out_split", s"$base/chk_split")
+    // file 2 lands AFTER the stop: quantum (a, 10) must keep counting
+    // from the RECOVERED summary (n = 3), not restart at 1; a new
+    // quantum and key b's quantum also update across the restart
+    Seq(("a", 10L, "x"), ("a", 12L, "z"), ("b", 11L, "t"))
+      .toDF("key", "q", "item").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    runOnce(s"$base/out_split", s"$base/chk_split") // same checkpoint → resumes
+    // uninterrupted reference over the same two files, fresh checkpoint:
+    // maxFilesPerTrigger=1 gives it the SAME trigger boundaries, so the
+    // latest-version cube must match exactly — state, versions, and the
+    // k-bounded entry sets all recovered from the checkpoint
+    runOnce(s"$base/out_ref", s"$base/chk_ref")
+    def cube(dir: String): Map[(String, Long), (Long, Set[(String, Long)])] =
+      spark.read.parquet(dir)
+        .groupBy("key", "q")
+        .agg(max_by(struct(col("n"), col("entries")), col("ver")).as("s"))
+        .select(col("key"), col("q"), col("s.n").as("n"), col("s.entries").as("entries"))
+        .collect()
+        .map { r =>
+          (r.getString(0), r.getLong(1)) -> (r.getLong(2),
+            r.getSeq[org.apache.spark.sql.Row](3)
+              .map(e => (e.getString(0), e.getLong(1))).toSet)
+        }.toMap
+    val split = cube(s"$base/out_split")
+    val ref = cube(s"$base/out_ref")
+    assert(split == ref, s"recovered cube diverged: $split vs $ref")
+    assert(split(("a", 10L))._1 == 3L,
+      "the across-restart quantum lost its pre-restart mass")
+  }
+
   test("event-time timeout flushes the idle session without a flush sentinel") {
     import graft.streaming.Sessionize
     val in = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_tmo")).toString
