@@ -159,8 +159,16 @@ object SuffixArray {
     * the space separator (the same property the DuckDB oracles use),
     * and `concat_ws` skipping the null leads past a document's end
     * makes a shorter suffix that is a prefix of a longer one sort
-    * first, exactly as the 0 sentinel did. */
-  private val InitRadius = 8
+    * first, exactly as the 0 sentinel did.
+    *
+    * 4 beats 8 on the measured 10× step (SCALING.md "radius A/B"):
+    * the round-0 distinct carries one prefix string per row either
+    * way, but radius 8 doubles the string bytes through the
+    * distinct+sort for rounds the doubling loop handles in cheap
+    * int-pair form at high parallelism — the string round's byte mass
+    * grows linearly with the radius while each skipped round costs
+    * only a near-constant number of exchanges. */
+  private val InitRadius = 4
 
   /** Space-joined first-`r`-token prefix of the suffix at each row of
     * the lead table: equality of this string is equality of the first
