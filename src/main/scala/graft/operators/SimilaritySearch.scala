@@ -544,6 +544,25 @@ object SimilaritySearch {
     rerank(scored, k)
   }
 
+  /** Metadata-FILTERED IVF probe — "top-k neighbors among rows
+    * satisfying a predicate" (label = class, lang = en, quality above
+    * threshold: the filtered-search shape every production vector
+    * store serves). This is the PRE-filter strategy: the predicate
+    * restricts the corpus side BEFORE the cell join, so a
+    * scan-pushable predicate reaches the parquet scan (PlanSpec pins
+    * `PushedFilters` on the corpus read) and every inverted list
+    * shrinks before any distance math — the result is EXACTLY the
+    * top-k of the filtered corpus within the probed cells, at any
+    * selectivity. The alternative (post-filtering an unfiltered
+    * top-k') is wrong at any fixed overfetch: a query whose k'
+    * nearest all fail the predicate under-fills, and the overfetch
+    * that guarantees k grows unboundedly as the filter gets rarer.
+    * Pre-filtering costs nothing here because IVF scoring is already
+    * cell-local — selectivity only makes the probe cheaper. */
+  def ivfTopKFiltered(queries: DataFrame, corpus: DataFrame, pred: Column,
+      k: Int, nCells: Int, dims: Int, nProbe: Int = 1): DataFrame =
+    ivfTopK(queries, corpus.filter(pred), k, nCells, dims, nProbe)
+
   /** IVF probe over a CELL-CO-LOCATED physical layout: corpus and probe
     * batch both persist bucketed BY CELL ([[Layout.bucketedWrite]]), so
     * the inverted-list join meets bucket-to-bucket with ZERO Exchange —

@@ -228,16 +228,22 @@ object EmbeddingQueries {
   /** Shared nProbe=1 IVF oracle (q45 and the bucketed-layout q193 must
     * return the identical result — the layout changes where the join
     * happens, never what it returns). */
-  private def ivfNprobe1Oracle: String = {
+  private def ivfNprobe1Oracle: String = ivfNprobe1OracleWhere("")
+
+  /** The same oracle with the CORPUS side filtered by `corpusPred`
+    * (queries stay unfiltered) — the q327 metadata-filtered probe. */
+  private def ivfNprobe1OracleWhere(corpusPred: String): String = {
     val arms = (0 until Cells).map { c =>
       val w = HashFns.litVector(s"centroid-$c", Dims)
-      s"SELECT vec_id, embedding, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+      s"SELECT vec_id, embedding, label, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
     }.mkString("\nUNION ALL\n")
+    val corpus = if (corpusPred.isEmpty) "assigned"
+      else s"(SELECT * FROM assigned WHERE $corpusPred)"
     s"""WITH dists AS (
        |$arms),
        |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT vec_id, embedding, cell,
+       |  SELECT vec_id, embedding, label, cell FROM (
+       |    SELECT vec_id, embedding, label, cell,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
        |    FROM dists) t WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
@@ -245,7 +251,7 @@ object EmbeddingQueries {
        |scored AS (
        |  SELECT query_id, a.vec_id AS neighbor_id,
        |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
-       |  FROM q JOIN assigned a USING (cell) WHERE query_id <> a.vec_id),
+       |  FROM q JOIN $corpus a USING (cell) WHERE query_id <> a.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -261,6 +267,23 @@ object EmbeddingQueries {
     "q45_ivf_topk", ivfNprobe1Oracle) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 32), emb, 3, Cells, Dims)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Metadata-FILTERED IVF probe (SimilaritySearch.ivfTopKFiltered):
+    * top-3 among label = 1 corpus rows only, queries unfiltered — the
+    * pre-filter strategy, exact under the predicate at any selectivity
+    * (post-filtering an unfiltered top-k' under-fills whenever a
+    * query's k' nearest all fail the predicate; the operator scaladoc
+    * carries the argument). The label test reaches the corpus parquet
+    * scan as a pushed filter — PlanSpec pins it — so inverted lists
+    * shrink before any distance math. Oracle = q45's with the corpus
+    * CTE filtered. */
+  val q327 = QueryDef(
+    "q327_ivf_filtered", ivfNprobe1OracleWhere("label = 1")) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.ivfTopKFiltered(emb.filter(col("vec_id") < 32), emb,
+        col("label") === 1, 3, Cells, Dims)
       .orderBy("query_id", "rank")
   }
 
@@ -1254,5 +1277,5 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327)
 }

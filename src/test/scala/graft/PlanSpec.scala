@@ -62,6 +62,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filtered IVF probe pushes the metadata predicate to the corpus scan") {
+    val emb = Tables.embeddings(spark, sf())
+    val df = graft.operators.SimilaritySearch.ivfTopKFiltered(
+      emb.limit(4), emb, col("label") === 1, 3, 4, 64)
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(label,1)"),
+      s"label predicate must reach the corpus parquet scan:\n$scan")
+    assert(!planOf(df).contains("CartesianProduct"))
+  }
+
   test("bucketed range join plans an equi-join, never a nested loop") {
     val points = Tables.events(spark, sf()).select(col("event_id"), col("sec"))
     val intervals = Tables.events(spark, sf()).limit(5)
