@@ -99,7 +99,8 @@ object Bench {
     }
     val shardJsons = outs.map(p => new String(
       java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
-    val merged = Seq("queries", "gc_s", "peak_mb", "cpu_s", "jit_s").map { f =>
+    val merged = Seq("queries", "gc_s", "peak_mb", "cpu_s", "jit_s",
+        "shuffle_mb", "input_mb").map { f =>
       "\"" + f + "\":{" + shardJsons.map(mapOf(_, f)).filter(_.nonEmpty).mkString(",") + "}"
     }
     def num(json: String, field: String): Double = {
@@ -116,6 +117,8 @@ object Bench {
     val totalGc = shardJsons.map(num(_, "total_gc_s")).sum
     val totalCpu = shardJsons.map(num(_, "total_cpu_s")).sum
     val totalJit = shardJsons.map(num(_, "total_jit_s")).sum
+    val totalShuf = shardJsons.map(num(_, "total_shuffle_mb")).sum
+    val totalIn = shardJsons.map(num(_, "total_input_mb")).sum
     def raw(json: String, field: String): String = {
       val i = json.indexOf("\"" + field + "\":")
       require(i >= 0, s"bench shard json missing field $field")
@@ -167,6 +170,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       merged.mkString(",") + "," +
       s""""total_gc_s":$totalGc,"total_cpu_s":$totalCpu,"total_jit_s":$totalJit,""" +
+      s""""total_shuffle_mb":$totalShuf,"total_input_mb":$totalIn,""" +
       s""""warmed":${repeat > 1},"repeat":$repeat,"shards":$shards""" +
       isolated + "," +
       s""""session":$session,"sf":"$sfDir"}"""
@@ -246,9 +250,11 @@ object Bench {
     // warmed r(N) vs warmed r(N-1) diff is a CODE diff. The JSON carries
     // "warmed"/"repeat" so comparisons know which mode produced it.
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt)
+    SessionHygiene.installIoMetrics(spark)
     val results = selected.map { case (name, fn) =>
       val attempts = (1 to repeat).map { _ =>
         SessionHygiene.resetHeapPeaks()
+        val (sw0, in0) = SessionHygiene.ioBytes(spark)
         val gc0 = SessionHygiene.gcMillis()
         val cpu0 = SessionHygiene.processCpuMillis()
         val jit0 = SessionHygiene.jitMillis()
@@ -276,32 +282,46 @@ object Bench {
         // (code cache exhausted), not running slower operators.
         val jitS = (SessionHygiene.jitMillis() - jit0) / 1e3
         val peakMb = SessionHygiene.peakHeapMb()
+        // Shuffle-WRITE + scan-input bytes for the attempt: deterministic
+        // for a deterministic plan (unlike wall), so the scale harness
+        // reads exchange growth straight off the bench JSON.
+        val (sw1, in1) = SessionHygiene.ioBytes(spark)
+        val shufMb = (sw1 - sw0) / 1e6
+        val inMb = (in1 - in0) / 1e6
         SessionHygiene.reset(spark)
-        (name, if (ok) sec else -1.0, gcS, peakMb, cpuS, jitS)
+        (name, if (ok) sec else -1.0, gcS, peakMb, cpuS, jitS, shufMb, inMb)
       }
       if (attempts.exists(_._2 < 0)) { failed ::= name; attempts.find(_._2 < 0).get }
       else attempts.minBy(_._2)
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _, _, _) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, g, _, _, _, _, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val peaks = results.map { case (k, _, _, p, _, _) => s"\"" + k + "\":" + p }
+    val peaks = results.map { case (k, _, _, p, _, _, _, _) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, _, _, c, _) => s"\"" + k + "\":" + c }
+    val cpus_ = results.map { case (k, _, _, _, c, _, _, _) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val jits = results.map { case (k, _, _, _, _, j) => s"\"" + k + "\":" + j }
+    val jits = results.map { case (k, _, _, _, _, j, _, _) => s"\"" + k + "\":" + j }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
+    val shufs = results.map { case (k, _, _, _, _, _, s, _) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val ins = results.map { case (k, _, _, _, _, _, _, i) => s"\"" + k + "\":" + i }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _, _, _, _) if v >= 0 => v }.sum
     val totalGc = results.map(_._3).sum
     val totalCpu = results.map(_._5).sum
     val totalJit = results.map(_._6).sum
+    val totalShuf = results.map(_._7).sum
+    val totalIn = results.map(_._8).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""gc_s":$gcs,"peak_mb":$peaks,"cpu_s":$cpus_,"jit_s":$jits,""" +
+      s""""shuffle_mb":$shufs,"input_mb":$ins,""" +
       s""""total_gc_s":$totalGc,""" +
       s""""total_cpu_s":$totalCpu,"total_jit_s":$totalJit,""" +
+      s""""total_shuffle_mb":$totalShuf,"total_input_mb":$totalIn,""" +
       s""""warmed":${repeat > 1},"repeat":$repeat,""" +
       s""""session":${SessionHygiene.sessionInfoJson(spark)},"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but stdout scraping has

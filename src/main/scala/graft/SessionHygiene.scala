@@ -69,6 +69,74 @@ object SessionHygiene {
       s""","timezone":"${c("spark.sql.session.timeZone")}"}"""
   }
 
+  // ---- task-level IO telemetry (shuffle/input bytes per gate) ----
+  // Wall-clock α across a scale step is noisy (JIT, GC, scheduling);
+  // SHUFFLE BYTES are deterministic for a deterministic plan, so the
+  // shuffle-growth exponent is the cleaner "does this operator's
+  // exchange volume stay sublinear" evidence — and bytes/row constants
+  // are what a 100 TB sizing worksheet actually needs.
+  private val shufWriteBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val inputBytesAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var ioInstalled = false
+  // (bus instance, waitUntilEmpty Method) — resolved once at install;
+  // None = reflection unavailable, drain degrades to a stability poll
+  @volatile private var busDrain: Option[(AnyRef, java.lang.reflect.Method)] = None
+
+  /** Install the cumulative task-metrics listener (idempotent) and
+    * resolve the listener-bus drain handle. */
+  def installIoMetrics(spark: SparkSession): Unit = synchronized {
+    if (!ioInstalled) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              shufWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              inputBytesAcc.addAndGet(m.inputMetrics.bytesRead)
+              ()
+            }
+          }
+        })
+      busDrain =
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          val m = bus.getClass.getMethod("waitUntilEmpty")
+          m.invoke(bus) // probe once so a broken handle degrades NOW
+          Some((bus, m))
+        } catch { case _: Exception => None }
+      ioInstalled = true
+    }
+  }
+
+  /** (cumulative shuffle WRITE bytes, cumulative input bytes) with the
+    * listener bus drained first — task-end events post asynchronously,
+    * so reading the counters right after an action would race the last
+    * tasks' metrics. `listenerBus`/`waitUntilEmpty` are private[spark],
+    * which erases to PUBLIC in bytecode (Scala package-private), so the
+    * drain is one cached reflective call; if resolution failed at
+    * install, degrade to a bounded stability poll (two consecutive
+    * equal readings 20 ms apart). */
+  def ioBytes(spark: SparkSession): (Long, Long) = {
+    busDrain match {
+      case Some((bus, m)) =>
+        try { m.invoke(bus); () } catch { case _: Exception => Thread.sleep(50L) }
+      case None =>
+        var prev = (shufWriteBytes.get(), inputBytesAcc.get())
+        var tries = 0
+        var stable = false
+        while (!stable && tries < 25) {
+          Thread.sleep(20L)
+          val cur = (shufWriteBytes.get(), inputBytesAcc.get())
+          stable = cur == prev
+          prev = cur
+          tries += 1
+        }
+    }
+    (shufWriteBytes.get(), inputBytesAcc.get())
+  }
+
   /** Cumulative process CPU milliseconds (all threads). -1-returning
     * platforms degrade to 0 rather than poisoning deltas. */
   def processCpuMillis(): Long =
