@@ -48,7 +48,14 @@ object Bench {
     "q151_prefix_jaccard_join", "q160_containment_join",
     "q290_ingest_pipeline_e2e", "q305_stream_gk_monitor",
     "q312_stream_mg_monitor", "q313_stream_cm_monitor",
-    "q316_stream_mg_monitor_per_key", "q317_stream_cm_monitor_per_key")
+    "q316_stream_mg_monitor_per_key", "q317_stream_cm_monitor_per_key",
+    // round-11 monitor additions: same trigger-latency-bound class,
+    // same ±2-3x shard-context band — isolated from day one so their
+    // round-over-round comparison never needs a mover study
+    "q314_stream_gk_monitor_horizon", "q319_stream_mg_monitor_horizon",
+    "q320_stream_cm_monitor_horizon", "q321_stream_decayed_mg_monitor",
+    "q322_stream_gk_monitor_key_evict", "q324_stream_mg_monitor_key_evict",
+    "q325_stream_cm_monitor_key_evict", "q326_monitor_log_serving")
 
   private def childJvm(args: Seq[String], out: java.nio.file.Path,
       env: Map[String, String], heapOverride: Option[String] = None): Unit = {
