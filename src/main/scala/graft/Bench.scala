@@ -149,7 +149,22 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "1") == "0") ""
       else {
         val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED_REPEAT", "3")
+        // Global time budget for the whole isolated pass (seconds): each
+        // child is a fresh JVM with warmup, ~60-90 s per gate, and the
+        // class has grown to 21 gates — unbounded, the pass could double
+        // the bench wall. Gates are ordered history-first, so when the
+        // budget trips it is the NEWEST additions that fall back to
+        // their sharded numbers; skipped names are recorded in the JSON
+        // (isolated_skipped) instead of silently missing.
+        val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED_BUDGET",
+          "1200").toLong
+        val isoStart = System.nanoTime()
+        var skipped = List.empty[String]
         val entries = IsolatedGates.filter(names.contains).flatMap { g =>
+          if ((System.nanoTime() - isoStart) / 1e9 > budgetS) {
+            skipped ::= g
+            None
+          } else {
           val out = java.nio.file.Files.createTempFile(s"graft_bench_iso_$g", ".json")
           // pinned 8 GiB heap — the r8–r10 mover-study configuration, so
           // the isolated series stays comparable across rounds and
@@ -171,8 +186,17 @@ object Bench {
             java.nio.file.Files.deleteIfExists(out)
             ()
           }
+          }
         }
-        s""","isolated":{${entries.mkString(",")}},"isolated_repeat":$rep"""
+        val skippedJson =
+          if (skipped.isEmpty) ""
+          else {
+            System.err.println(s"[bench] isolated budget (${budgetS}s) hit; " +
+              s"skipped: ${skipped.reverse.mkString(", ")}")
+            s""","isolated_skipped":[${skipped.reverse.map("\"" + _ + "\"").mkString(",")}]"""
+          }
+        s""","isolated":{${entries.mkString(",")}},"isolated_repeat":$rep""" +
+          skippedJson
       }
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       merged.mkString(",") + "," +

@@ -294,6 +294,28 @@ class PipelineSpec extends SparkSpec {
       "the across-restart quantum lost its pre-restart mass")
   }
 
+  test("Monitor CLI topology end-to-end: replay -> monitor -> serving table -> panel") {
+    val serveDir = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_moncli")).toString + "/serve"
+    graft.cli.Monitor.run(spark, sf(), serveDir, k = 8, horizon = 24L)
+    val served = graft.streaming.EventStreams.readLog(spark, serveDir) { df =>
+      graft.operators.Cdc.compactLatest(df, "kq", "ver")
+    }
+    assert(served.count() > 0, "serving table empty")
+    // k-bound holds on every served quantum; panel read returns ≤3
+    // newest quanta per key with talkers sorted by estimate
+    import org.apache.spark.sql.functions._
+    assert(served.filter(size(col("entries")) > 8).count() == 0)
+    val panel = graft.cli.Monitor.panelFrame(served).collect()
+    assert(panel.nonEmpty)
+    val perKey = panel.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perKey.values.forall(_ <= 3))
+    panel.foreach { r =>
+      val ests = r.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(1))
+      assert(ests == ests.sorted.reverse, s"talkers out of order: $ests")
+    }
+  }
+
   test("event-time timeout flushes the idle session without a flush sentinel") {
     import graft.streaming.Sessionize
     val in = graft.core.TempPaths.registered(java.nio.file.Files.createTempDirectory("graft_tmo")).toString
