@@ -589,4 +589,84 @@ object Analytics {
         (abs(col("w_sk") - col("wt")) <= tol && col("t_sk") === col("t_exact"))
           .cast("long").as("w_ok"))
   }
+
+  /** Decayed COUNT-MIN cells — the recency-weighted point-frequency
+    * sketch completing the decayed row of the sketch matrix (decayed
+    * sums/means q307-q309, decayed MG q315/q318/q321; this is the
+    * "how often has X appeared, recency-weighted, right now" estimate
+    * for key spaces too wide for exact per-key masses). Each of the
+    * depth·width cells carries a [[graft.plans.DecayedSumAgg]] over
+    * weight-1 events — state (n, t_ref, mass) with O(1) rebasing —
+    * built by the SAME map-side paramsExplode + groupBy as the exact
+    * count-min ([[Sketches.countMinBuild]]), so it is one aggregation
+    * pass, runs identically on a batch relation and a complete-mode
+    * stream, and cells are mergeable under any partitioning. Cells
+    * carry their OWN t_ref (their max event time); serving rebases
+    * every cell to the global reference with one broadcast scalar. */
+  def decayedCmCells(df: DataFrame, item: Column, sec: Column,
+      halfLifeSec: Long, depth: Int, width: Int): DataFrame = {
+    require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
+    require(depth >= 1 && width >= 1, s"need depth, width >= 1, got $depth x $width")
+    df.select(sec.cast("long").as("t"),
+        Sketches.keyHash(item.cast("string")).as("x"),
+        Sketches.paramsExplode(depth).as("p"))
+      .groupBy(col("p.row").as("row"),
+        pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
+          lit(width.toLong)).as("bucket"))
+      .agg(graft.plans.DecayedSum.of(col("t"), lit(1.0), halfLifeSec).as("d"))
+      .select(col("row"), col("bucket"), col("d.n").as("n"),
+        col("d.t_ref").as("t_ref"), col("d.sum").as("mass"))
+  }
+
+  /** Guarantee frame for [[decayedCmCells]] (the q110 probe reduction
+    * with the decayed tolerance discipline): rebase every cell to the
+    * GLOBAL reference T = max cell t_ref (= the exact max event time),
+    * estimate each distinct item as min-over-rows of its rebased cell
+    * masses, and check against the exact two-pass decayed masses
+    * (r6-rounded weights, decimal sums — the hash-exact arithmetic the
+    * oracle mirrors):
+    *   never_under — est ≥ m − tol (cells only ADD collision mass;
+    *                 tol = n_tot·1e-6 covers raw-vs-r6 weight paths
+    *                 and rebasing ulps);
+    *   le_total    — est ≤ total decayed mass + tol;
+    *   t_ok        — the sketch watermark equals the exact max(t).
+    * Output one row per distinct item with exact (n, r6 m) anchors —
+    * all flags guaranteed 1, so the gate hash-compares them against
+    * the oracle's literals. */
+  def decayedCmVerify(cells: DataFrame, df: DataFrame, item: Column,
+      sec: Column, halfLifeSec: Long, depth: Int, width: Int): DataFrame = {
+    import graft.core.Cross
+    val base = df.select(item.cast("string").as("key"), sec.cast("long").as("t"))
+    val tRef = base.agg(max("t").as("t_exact"))
+    val weighted = base.crossJoin(broadcast(tRef))
+      .withColumn("w", Cross.r6(pow(lit(2.0),
+        (col("t") - col("t_exact")).cast("double") / halfLifeSec.toDouble)))
+    val perItem = weighted.groupBy("key")
+      .agg(count(lit(1)).as("n"), Cross.dsum(col("w"), 6).as("m"))
+    val tot = weighted.agg(Cross.dsum(col("w"), 6).as("wt"),
+      count(lit(1)).as("n_tot"), max("t").as("t_exact"))
+    // rebase all cells onto the global sketch watermark
+    val skT = cells.agg(max("t_ref").as("t_sk"))
+    val served = cells.crossJoin(broadcast(skT))
+      .select(col("row"), col("bucket"), col("t_sk"),
+        (col("mass") * pow(lit(2.0),
+          (col("t_ref") - col("t_sk")).cast("double") / halfLifeSec.toDouble))
+          .as("cmass"))
+    val probes = perItem.select(col("key"),
+        Sketches.keyHash(col("key")).as("x"), Sketches.paramsExplode(depth).as("p"))
+      .select(col("key"), col("p.row").as("row"),
+        pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
+          lit(width.toLong)).as("bucket"))
+      .join(broadcast(served), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cmass"), lit(0.0))).as("est"),
+        max("t_sk").as("t_sk"))
+    val tol = col("n_tot") * 1e-6
+    perItem.join(probes, "key")
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n"), Cross.r6(col("m")).as("m"),
+        (col("est") >= col("m") - tol).cast("long").as("never_under"),
+        (col("est") <= col("wt") + tol).cast("long").as("le_total"),
+        (col("t_sk") === col("t_exact")).cast("long").as("t_ok"))
+  }
 }

@@ -2185,6 +2185,61 @@ object EventQueries {
       .orderBy("key")
   }
 
+  /** Shared by q328 (batch build) and q329 (stream build): the decayed
+    * count-min estimates must satisfy the same guarantees however the
+    * cells were folded. Exact decayed masses use the r6-weight +
+    * decimal-sum discipline (hash-exact vs this SQL); the engine-
+    * specific estimates surface only through guaranteed flags. */
+  val decayedCmOracleSql: String =
+    s"""WITH tr AS (SELECT MAX(floor(epoch(ts))::BIGINT) AS t_ref FROM events),
+       |b AS (SELECT user_id::VARCHAR AS key, floor(epoch(ts))::BIGINT AS t, t_ref
+       |      FROM events CROSS JOIN tr),
+       |w AS (SELECT key, ${Cross.r6Sql("pow(2.0, (t - t_ref)::DOUBLE / 86400.0)")} AS w
+       |      FROM b),
+       |g AS (SELECT key, COUNT(*)::BIGINT AS n, ${Cross.dsumSql("w")} AS m
+       |      FROM w GROUP BY 1)
+       |SELECT key, n, ${Cross.r6Sql("m")} AS m, 1::BIGINT AS never_under,
+       |       1::BIGINT AS le_total, 1::BIGINT AS t_ok
+       |FROM g ORDER BY key""".stripMargin
+
+  /** Decayed count-min (Analytics.decayedCmCells/decayedCmVerify): the
+    * recency-weighted point-frequency sketch — each depth·width cell a
+    * rebasing DecayedSumAgg over weight-1 events, served rebased to the
+    * global watermark, probed per distinct user against the exact
+    * two-pass decayed masses. Completes the decayed sketch row
+    * (sums/means q307-q309, MG q315/q318/q321). Width 32 << ~1000
+    * users forces real collision mass, so never_under exercises the
+    * min-over-rows logic, not a collision-free identity. */
+  val q328 = QueryDef(
+    "q328_decayed_count_min", decayedCmOracleSql) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val cells = graft.operators.Analytics.decayedCmCells(
+      ev, col("user_id"), col("sec"), halfLifeSec = 86400L, depth = 4, width = 32)
+    graft.operators.Analytics.decayedCmVerify(cells, ev, col("user_id"),
+        col("sec"), halfLifeSec = 86400L, depth = 4, width = 32)
+      .orderBy("key")
+  }
+
+  /** STREAMING decayed count-min: the cell build folds over the event
+    * STREAM (complete-mode global aggregation — the explode-based plan
+    * is shared verbatim with q328's batch build, and DecayedSumAgg's
+    * rebasing merge is partitioning-independent), then the same batch
+    * verification probes the completed cells. Same oracle as q328:
+    * stream fold ≡ batch fold up to the decayed tolerance. */
+  val q329 = QueryDef(
+    "q329_stream_decayed_count_min", decayedCmOracleSql) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val cells = EventStreams.runToCompletion(spark,
+      graft.operators.Analytics.decayedCmCells(
+        EventStreams.readEvents(spark, dir), col("user_id"), col("sec"),
+        halfLifeSec = 86400L, depth = 4, width = 32),
+      "q329_cells")
+    graft.operators.Analytics.decayedCmVerify(cells,
+        Tables.events(spark, dir), col("user_id"), col("sec"),
+        halfLifeSec = 86400L, depth = 4, width = 32)
+      .orderBy("key")
+  }
+
   /** STREAMING decayed counter (plans.DecayedSumAgg): the one-pass
     * rebasing form of q307 — state (n, tMax, sum) per key, a new
     * maximum rescaling the running sum in O(1), folding over the event
@@ -2695,5 +2750,5 @@ object EventQueries {
       .orderBy("key", "start", "item")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q324, q325)
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q324, q325, q328, q329)
 }

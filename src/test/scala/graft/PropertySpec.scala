@@ -356,6 +356,35 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 10)
   }
 
+  test("decayed count-min: never-under and partition-independence for any stream") {
+    import graft.operators.Analytics
+    val hl = 100L
+    val genRow = for {
+      k <- Gen.frequency((6, Gen.const("hot")), (3, Gen.oneOf("warm_a", "warm_b")),
+        (1, Gen.choose(0, 20).map(i => s"cold_$i")))
+      t <- Gen.choose(0L, 500L)
+    } yield (k, t)
+    check(forAll(Gen.listOfN(80, genRow)) { rows =>
+      val tMax = rows.map(_._2).max
+      // exact decayed mass per key at the global watermark
+      val exact = rows.groupBy(_._1).view.mapValues(
+        _.map { case (_, t) => math.pow(2.0, (t - tMax).toDouble / hl) }.sum).toMap
+      val props = Seq(1, 3, 7).map { parts =>
+        val df = rows.toDF("k", "t").repartition(parts)
+        val cells = Analytics.decayedCmCells(df, col("k"), col("t"), hl, 3, 8)
+        val got = Analytics.decayedCmVerify(cells, df, col("k"), col("t"), hl, 3, 8)
+          .collect().map(r => (r.getString(0),
+            (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+        val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val flags = got.forall { case (k, (n, nu, le, tk)) =>
+          n == counts(k) && nu == 1L && le == 1L && tk == 1L }
+        Prop(got.keySet == exact.keySet && flags) :|
+          s"parts=$parts got=$got exact=${exact.view.mapValues(m => f"$m%.4f").toMap}"
+      }
+      Prop.all(props: _*)
+    }, minSuccessful = 8)
+  }
+
   test("KMV sketch equals brute-force k-min distinct hashes for any input and partitioning") {
     import graft.operators.Sketches
     def hash64(s: String): Long = {
