@@ -58,7 +58,8 @@ object Bench {
     "q325_stream_cm_monitor_key_evict", "q326_monitor_log_serving")
 
   private def childJvm(args: Seq[String], out: java.nio.file.Path,
-      env: Map[String, String], heapOverride: Option[String] = None): Unit = {
+      env: Map[String, String], heapOverride: Option[String] = None,
+      timeoutS: Option[Long] = None): Unit = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = {
       import scala.jdk.CollectionConverters._
@@ -82,9 +83,76 @@ object Bench {
     // passes through
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val rc = pb.start().waitFor()
+    val proc = pb.start()
+    // a hung child must not stall the bench past the caller's budget:
+    // bounded waits destroy the child and raise, so isolated gates land
+    // in isolated_skipped instead of wedging the whole run
+    timeoutS match {
+      case Some(t) =>
+        if (!proc.waitFor(math.max(1L, t), java.util.concurrent.TimeUnit.SECONDS)) {
+          proc.destroyForcibly()
+          proc.waitFor(10L, java.util.concurrent.TimeUnit.SECONDS)
+          throw new RuntimeException(
+            s"bench child timed out after ${t}s (${args.mkString(" ")})")
+        }
+      case None => proc.waitFor()
+    }
+    val rc = proc.exitValue()
     require(rc == 0, s"bench child exited $rc (${args.mkString(" ")})")
   }
+
+  /** Body of a top-level flat object field: `"field":{...}` → the
+    * `...` (no nesting inside — the per-gate maps this file owns). */
+  private def mapOf(json: String, field: String): String = {
+    val i = json.indexOf("\"" + field + "\":{")
+    require(i >= 0, s"bench shard json missing object field $field")
+    val start = i + field.length + 4
+    val end = json.indexOf("}", start)
+    require(end >= 0, s"bench shard json unterminated object field $field")
+    json.substring(start, end)
+  }
+
+  /** Parse one flat {"name":number,...} map body (no nesting) — the
+    * shard-merge format this file already owns. */
+  private def parseNumMap(body: String): Map[String, Double] =
+    if (body.trim.isEmpty) Map.empty
+    else body.split(",").iterator.flatMap { kv =>
+      val i = kv.lastIndexOf(':')
+      if (i < 0) None
+      else scala.util.Try(
+        kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"") ->
+          kv.substring(i + 1).trim.toDouble).toOption
+    }.toMap
+
+  /** AUTO-PROMOTED movers: gates whose freshly-merged sharded wall
+    * exceeds 2× + 2 s of the PREVIOUS committed snapshot's wall (the
+    * round-over-round regression rule). Rounds 8–11 each hand-ran a
+    * "mover study" for exactly these; round 11 automated it only for
+    * the 21 historically-sensitive gates, and the round's unexplained
+    * movers (q93/q94) were precisely the ones NOT on the static list.
+    * Promoting from the committed BENCH_LOCAL.json closes that gap: no
+    * future snapshot can carry an in-suite regression without an
+    * isolated repeat-3 adjudication in the SAME file. Gates already in
+    * [[IsolatedGates]] are excluded (they always run), as are gates
+    * absent from the prior snapshot (new gates have no baseline) and
+    * failed (-1) walls on either side. */
+  private def promotedMovers(current: Map[String, Double],
+      priorPath: String): Seq[String] =
+    try {
+      val f = java.nio.file.Paths.get(priorPath)
+      if (!java.nio.file.Files.exists(f)) Nil
+      else {
+        val prior = parseNumMap(mapOf(
+          new String(java.nio.file.Files.readAllBytes(f), "UTF-8"), "queries"))
+        current.toSeq.collect {
+          case (g, cur) if !IsolatedGates.contains(g) &&
+              prior.get(g).exists(p => p > 0 && cur > 0 && cur > 2 * p + 2) => g
+        }.sorted
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] mover promotion skipped: ${e.getMessage}")
+      Nil
+    }
 
   private def runSharded(shards: Int): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -96,14 +164,6 @@ object Bench {
     }
     // merge: per-gate maps concatenate (chunks are disjoint), totals
     // recompute, session telemetry from the last shard + shard count
-    def mapOf(json: String, field: String): String = {
-      val i = json.indexOf("\"" + field + "\":{")
-      require(i >= 0, s"bench shard json missing object field $field")
-      val start = i + field.length + 4
-      val end = json.indexOf("}", start)
-      require(end >= 0, s"bench shard json unterminated object field $field")
-      json.substring(start, end)
-    }
     val shardJsons = outs.map(p => new String(
       java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
     val merged = Seq("queries", "gc_s", "peak_mb", "cpu_s", "jit_s",
@@ -158,45 +218,75 @@ object Bench {
         // (isolated_skipped) instead of silently missing.
         val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED_BUDGET",
           "1200").toLong
+        // auto-promoted movers get their own additive budget so a
+        // static pass that exhausts budgetS cannot leave a fresh
+        // regression unadjudicated (the whole point of promotion)
+        val moverBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOVER_BUDGET",
+          "600").toLong
+        val currentWalls = parseNumMap(shardJsons.map(mapOf(_, "queries"))
+          .filter(_.nonEmpty).mkString(","))
+        // baseline = the repo's committed snapshot (BENCH_LOCAL.json is
+        // written at the END of this run, so reading it here sees the
+        // PREVIOUS round), not SPARK_GRAFT_BENCH_OUT — the driver points
+        // that at a fresh per-round file that does not exist yet
+        val promoted = promotedMovers(currentWalls,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"))
+        if (promoted.nonEmpty)
+          System.err.println("[bench] auto-promoted movers (wall > 2x+2s " +
+            s"vs previous snapshot): ${promoted.mkString(", ")}")
         val isoStart = System.nanoTime()
         var skipped = List.empty[String]
-        val entries = IsolatedGates.filter(names.contains).flatMap { g =>
-          if ((System.nanoTime() - isoStart) / 1e9 > budgetS) {
-            skipped ::= g
-            None
-          } else {
-          val out = java.nio.file.Files.createTempFile(s"graft_bench_iso_$g", ".json")
-          // pinned 8 GiB heap — the r8–r10 mover-study configuration, so
-          // the isolated series stays comparable across rounds and
-          // insensitive to the parent's heap (an 89 g fresh JVM measured
-          // q151 at 14.5 s where the historical 8 g config reads 2.5 s —
-          // virgin-heap effects, not the operator). A failing isolated
-          // child must NOT kill the bench: the sharded numbers are the
-          // contract, the isolated series is telemetry — log and skip.
-          try {
-            childJvm(Seq(g), out, Map("SPARK_GRAFT_BENCH_REPEAT" -> rep),
-              heapOverride = Some("8g"))
-            val j = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
-            Some(mapOf(j, "queries")) // {"qNN_name":sec} body for one gate
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[bench] isolated $g SKIPPED: ${e.getMessage}")
+        def runIsolated(gates: Seq[String], budget: Long): Seq[String] =
+          gates.flatMap { g =>
+            val elapsed = (System.nanoTime() - isoStart) / 1e9
+            if (elapsed > budget) {
+              skipped ::= g
               None
-          } finally {
-            java.nio.file.Files.deleteIfExists(out)
-            ()
+            } else {
+            val out = java.nio.file.Files.createTempFile(s"graft_bench_iso_$g", ".json")
+            // pinned 8 GiB heap — the r8–r10 mover-study configuration, so
+            // the isolated series stays comparable across rounds and
+            // insensitive to the parent's heap (an 89 g fresh JVM measured
+            // q151 at 14.5 s where the historical 8 g config reads 2.5 s —
+            // virgin-heap effects, not the operator). A failing isolated
+            // child must NOT kill the bench: the sharded numbers are the
+            // contract, the isolated series is telemetry — log and skip.
+            // The child wait is bounded by the budget's remainder (plus a
+            // floor so the last admitted gate gets a real attempt): a hung
+            // child lands in isolated_skipped instead of wedging the run.
+            try {
+              childJvm(Seq(g), out, Map("SPARK_GRAFT_BENCH_REPEAT" -> rep),
+                heapOverride = Some("8g"),
+                timeoutS = Some(math.max(120L, budget - elapsed.toLong)))
+              val j = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+              Some(mapOf(j, "queries")) // {"qNN_name":sec} body for one gate
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[bench] isolated $g SKIPPED: ${e.getMessage}")
+                skipped ::= g
+                None
+            } finally {
+              java.nio.file.Files.deleteIfExists(out)
+              ()
+            }
+            }
           }
-          }
-        }
+        val entries =
+          runIsolated(IsolatedGates.filter(names.contains), budgetS) ++
+            runIsolated(promoted, budgetS + moverBudgetS)
         val skippedJson =
           if (skipped.isEmpty) ""
           else {
-            System.err.println(s"[bench] isolated budget (${budgetS}s) hit; " +
+            System.err.println(s"[bench] isolated budget (${budgetS}s" +
+              s"+${moverBudgetS}s movers) hit or child failed; " +
               s"skipped: ${skipped.reverse.mkString(", ")}")
             s""","isolated_skipped":[${skipped.reverse.map("\"" + _ + "\"").mkString(",")}]"""
           }
+        val promotedJson =
+          if (promoted.isEmpty) ""
+          else s""","isolated_promoted":[${promoted.map("\"" + _ + "\"").mkString(",")}]"""
         s""","isolated":{${entries.mkString(",")}},"isolated_repeat":$rep""" +
-          skippedJson
+          promotedJson + skippedJson
       }
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       merged.mkString(",") + "," +
@@ -281,11 +371,16 @@ object Bench {
     // warmed r(N) vs warmed r(N-1) diff is a CODE diff. The JSON carries
     // "warmed"/"repeat" so comparisons know which mode produced it.
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt)
-    SessionHygiene.installIoMetrics(spark)
+    // SPARK_GRAFT_BENCH_IO=0 disables the task-metrics listener AND its
+    // per-gate listener-bus drains — the A/B knob that attributes how
+    // much of the suite wall the byte telemetry itself costs (shuffle
+    // and input fields read 0, never stale values)
+    val ioOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_IO", "1") != "0"
+    if (ioOn) SessionHygiene.installIoMetrics(spark)
     val results = selected.map { case (name, fn) =>
       val attempts = (1 to repeat).map { _ =>
         SessionHygiene.resetHeapPeaks()
-        val (sw0, in0) = SessionHygiene.ioBytes(spark)
+        val (sw0, in0) = if (ioOn) SessionHygiene.ioBytes(spark) else (0L, 0L)
         val gc0 = SessionHygiene.gcMillis()
         val cpu0 = SessionHygiene.processCpuMillis()
         val jit0 = SessionHygiene.jitMillis()
@@ -316,7 +411,7 @@ object Bench {
         // Shuffle-WRITE + scan-input bytes for the attempt: deterministic
         // for a deterministic plan (unlike wall), so the scale harness
         // reads exchange growth straight off the bench JSON.
-        val (sw1, in1) = SessionHygiene.ioBytes(spark)
+        val (sw1, in1) = if (ioOn) SessionHygiene.ioBytes(spark) else (0L, 0L)
         val shufMb = (sw1 - sw0) / 1e6
         val inMb = (in1 - in0) / 1e6
         SessionHygiene.reset(spark)

@@ -5,36 +5,48 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import graft.operators.SlidingRows.GkSkR
+import graft.plans.GkSummary
 import graft.streaming.{EventStreams, SlidingMonitor}
 
 /** The always-on telemetry panel, end-to-end as one command — the
   * production topology the monitor gates (q312/q319/q321/q326) verify
-  * piecewise: the events table replayed as a micro-batched stream,
-  * per-(event type, hour) Misra–Gries "top talkers" maintained as
-  * bounded streaming state behind a retention horizon, Update-mode
-  * emissions folded into the log-structured serving table (delta
-  * appends + CAS manifest + threshold compaction), and the panel read
-  * — top talkers per key for the most recent in-horizon quanta —
-  * served from the compacted table, never from the emission log or
-  * the stream.
+  * piecewise: the events table replayed as a micro-batched stream, a
+  * per-(event type, hour) sliding-sketch monitor maintained as bounded
+  * streaming state behind a retention horizon, Update-mode emissions
+  * folded into the log-structured serving table (delta appends + CAS
+  * manifest + threshold compaction), and the panel read served from
+  * the compacted table, never from the emission log or the stream.
   *
-  * Every stage is the scale-shaped one: raw rows collapse to k-bounded
+  * Two monitor families behind one flag:
+  *   - `mg` (default): Misra–Gries "top talkers per source" — the
+  *     panel shows each key's k-bounded talker list.
+  *   - `gk`: GK quantiles "p50/p99 per source, now" — the panel
+  *     decodes each served quantum's GK summary and answers rank
+  *     queries from it (error ≤ n/(2m) by the summary's guarantee).
+  *
+  * Every stage is the scale-shaped one: raw rows collapse to m/k-bounded
   * summaries inside `mapPartitions` before the stateful shuffle, state
-  * per key is O(horizon × k), per-trigger sink writes are O(touched
-  * quanta), and the serving table's read cost is O(live keys × horizon)
-  * regardless of stream length.
+  * per key is O(horizon × summary), per-trigger sink writes are
+  * O(touched quanta), and the serving table's read cost is
+  * O(live keys × horizon) regardless of stream length.
   *
-  * Usage: runMain graft.cli.Monitor <sfDir> <serveDir> [k=16] [horizonQuanta=24]
-  * Output: per (event_type, hour) top talkers for the newest 3 quanta
-  * of each key, plus one JSON summary line.
+  * Usage: runMain graft.cli.Monitor <sfDir> <serveDir> [family=mg|gk]
+  *          [sketchSize=16] [horizonQuanta=24]
+  * Output: per (event_type, hour) panel rows for the newest 3
+  * IN-HORIZON quanta of each key (quanta older than the global
+  * high-water quantum minus the horizon never print — an idle key
+  * ages off the panel instead of serving stale rows), plus one JSON
+  * summary line.
   */
 object Monitor {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val serveDir = args(1)
-    val k = args.lift(2).map(_.toInt).getOrElse(16)
-    val horizon = args.lift(3).map(_.toLong).getOrElse(24L)
+    val family = args.lift(2).getOrElse("mg")
+    val k = args.lift(3).map(_.toInt).getOrElse(16)
+    val horizon = args.lift(4).map(_.toLong).getOrElse(24L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,55 +54,91 @@ object Monitor {
       .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-monitor")
       .getOrCreate()
-    try run(spark, sfDir, serveDir, k, horizon)
+    try run(spark, sfDir, serveDir, k, horizon, family)
     finally spark.stop()
   }
 
   private[graft] def run(spark: SparkSession, sfDir: String, serveDir: String,
-      k: Int, horizon: Long): Unit = {
+      k: Int, horizon: Long, family: String = "mg"): Unit = {
+    require(family == "mg" || family == "gk",
+      s"unknown monitor family '$family' (mg|gk)")
     // replay the events table as 8 micro-batches (one file per trigger)
     val replay = java.nio.file.Files.createTempDirectory("graft_monitor_replay")
     graft.core.TempPaths.register(replay)
     Tables.events(spark, sfDir)
       .select(col("event_type").cast("string").as("key"),
-        expr("sec div 3600").as("q"), col("user_id").cast("string").as("item"))
+        expr("sec div 3600").as("q"), col("user_id").cast("string").as("item"),
+        col("value").cast("double").as("v"))
       .repartition(8).write.mode("overwrite").parquet(replay.toString)
 
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("key", StringType),
-        StructField("q", LongType), StructField("item", StringType))))
+        StructField("q", LongType), StructField("item", StringType),
+        StructField("v", DoubleType))))
       .option("maxFilesPerTrigger", 1)
       .parquet(replay.toString)
-    val emissions = SlidingMonitor
-      .mgQuantumMonitor(stream, k, horizonQuanta = horizon).toDF()
-      .withColumn("kq", concat_ws("#", col("key"), col("q")))
+    val emissions = (family match {
+      case "mg" => SlidingMonitor
+        .mgQuantumMonitor(stream.select("key", "q", "item"), k,
+          horizonQuanta = horizon).toDF()
+      case _ => SlidingMonitor
+        .gkQuantumMonitor(stream.select("key", "q", "v"), math.max(k, 16),
+          horizonQuanta = horizon).toDF()
+    }).withColumn("kq", concat_ws("#", col("key"), col("q")))
 
-    graft.core.TempPaths.clearDir(serveDir)
+    clearServeDir(serveDir)
     val served = EventStreams.runUpsertLogToCompletion(spark, emissions,
       serveDir, key = "kq", version = "ver", name = "graft_monitor_serve",
       compactEvery = 4, mode = "update")
 
-    // the panel read: newest 3 in-horizon quanta per key, top talkers
-    val panel = panelFrame(served).collect()
-    panel.foreach { r =>
-      val talkers = r.getSeq[org.apache.spark.sql.Row](3)
-        .map(e => s"${e.getString(0)}:${e.getLong(1)}").mkString(", ")
-      println(f"[monitor] ${r.getString(0)}%-12s hour=${r.getLong(1)}%-8d " +
-        f"n=${r.getLong(2)}%-6d top: $talkers")
+    // the panel read: newest 3 in-horizon quanta per key
+    family match {
+      case "mg" =>
+        panelFrame(served, horizon).collect().foreach { r =>
+          val talkers = r.getSeq[org.apache.spark.sql.Row](3)
+            .map(e => s"${e.getString(0)}:${e.getLong(1)}").mkString(", ")
+          println(f"[monitor] ${r.getString(0)}%-12s hour=${r.getLong(1)}%-8d " +
+            f"n=${r.getLong(2)}%-6d top: $talkers")
+        }
+      case _ =>
+        gkPanelFrame(served, horizon).collect().foreach { r =>
+          println(f"[monitor] ${r.getString(0)}%-12s hour=${r.getLong(1)}%-8d " +
+            f"n=${r.getLong(2)}%-6d p50=${r.getDouble(3)}%.3f " +
+            f"p99=${r.getDouble(4)}%.3f")
+        }
     }
     val keys = served.select("key").distinct().count()
     val quanta = served.count()
-    println(s"""{"keys":$keys,"served_quanta":$quanta,"k":$k,"horizon":$horizon}""")
+    println(s"""{"family":"$family","keys":$keys,"served_quanta":$quanta,""" +
+      s""""k":$k,"horizon":$horizon}""")
   }
 
-  /** Newest 3 quanta per key from the served cube, talkers sorted by
+  /** Recreate the serving directory, but only when the target is
+    * missing, empty, or RECOGNIZABLY a graft log-structured serving
+    * table (it contains `manifest.*` generation files) — `serveDir` is
+    * a user-typed CLI argument, and recursively deleting an arbitrary
+    * non-empty path on a typo is not a recoverable mistake. */
+  private[graft] def clearServeDir(serveDir: String): Unit = {
+    val d = new java.io.File(serveDir)
+    if (d.exists) {
+      val names = Option(d.list).map(_.toSeq).getOrElse(Seq.empty)
+      require(names.isEmpty || names.exists(_.startsWith("manifest.")),
+        s"refusing to clear '$serveDir': non-empty and not a graft " +
+          "serving table (no manifest.* marker) — pass an empty or " +
+          "table directory")
+      graft.core.TempPaths.clearDir(serveDir)
+    }
+  }
+
+  /** Newest 3 IN-HORIZON quanta per key from the served MG cube
+    * (quanta older than the GLOBAL high-water quantum minus the
+    * horizon are dropped first — an idle key ages off the panel
+    * rather than serving out-of-horizon rows), talkers sorted by
     * estimated count descending (ties by item for determinism). */
-  private[graft] def panelFrame(served: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def panelFrame(served: DataFrame,
+      horizon: Long = Long.MaxValue): DataFrame = {
     served
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("key").orderBy(col("q").desc)))
-      .filter(col("rk") <= 3)
+      .transform(inHorizon(horizon))
       .select(col("key"), col("q"), col("n"),
         reverse(array_sort(col("entries"),
           (a, b) => when(a.getField("est") < b.getField("est"), -1)
@@ -99,5 +147,43 @@ object Monitor {
             .when(a.getField("key") < b.getField("key"), 1)
             .otherwise(0))).as("top"))
       .orderBy("key", "q")
+  }
+
+  /** The GK family's panel: newest 3 in-horizon quanta per key, each
+    * served summary decoded and rank-queried for p50/p99 (the "p99
+    * per source, NOW" read the GK monitor exists for). */
+  private[graft] def gkPanelFrame(served: DataFrame,
+      horizon: Long = Long.MaxValue): DataFrame = {
+    val spark = served.sparkSession
+    import spark.implicits._
+    served
+      .transform(inHorizon(horizon))
+      .select(col("key"), col("q"), col("sk").as("sk"))
+      .as[(String, Long, GkSkR)]
+      .map { case (key, q, sk) =>
+        val s = GkSkR.summary(sk)
+        (key, q, s.n, GkSummary.query(s, 0.5), GkSummary.query(s, 0.99))
+      }
+      .toDF("key", "q", "n", "p50", "p99")
+      .orderBy("key", "q")
+  }
+
+  /** Shared panel windowing: drop out-of-horizon quanta (vs the global
+    * high-water quantum — the panel's "now"), then keep the newest 3
+    * per key. Window-over-all is fine here: the input is the compacted
+    * cube (O(live keys × horizon) rows), never the emission log. */
+  private def inHorizon(horizon: Long)(served: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aged =
+      if (horizon == Long.MaxValue) served
+      else served
+        .withColumn("qmax", max(col("q")).over(Window.partitionBy(lit(1))))
+        .filter(col("q") > col("qmax") - lit(horizon))
+        .drop("qmax")
+    aged
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("key").orderBy(col("q").desc)))
+      .filter(col("rk") <= 3)
+      .drop("rk")
   }
 }

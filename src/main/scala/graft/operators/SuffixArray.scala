@@ -204,12 +204,13 @@ object SuffixArray {
         led.select(col("doc_id"), col("pos"), lit(1L).as("r")))))
 
     // round 0: dense rank of the InitRadius-token prefix strings,
-    // banded by the first TWO code points (a monotone prefix of string
-    // order; a missing second char reads as 0, which sorts a 1-char
-    // prefix before its extensions exactly as lexicographic order
-    // does). One char alone is ~36 bands over [a-z0-9] and the densest
-    // letter would hold a large fraction of the prefixes in one sort
-    // task; two chars give ~36² near-uniform bands.
+    // banded by the first TWO code points OF THE PREFIX STRING ITSELF
+    // (a 1-token first lead is followed by the space separator, ascii
+    // 32, never an empty slot) — a prefix of the string is monotone in
+    // string order by construction, so the band split preserves the
+    // global sort. One char alone is ~36 bands over [a-z0-9] and the
+    // densest letter would hold a large fraction of the prefixes in
+    // one sort task; two chars give ~36² near-uniform bands.
     val pre = led.select(col("doc_id"), col("pos"), prefixKey(InitRadius).as("p"))
     val vocab = pre.select("p").distinct()
       .withColumn("band",

@@ -306,7 +306,7 @@ class PipelineSpec extends SparkSpec {
     // newest quanta per key with talkers sorted by estimate
     import org.apache.spark.sql.functions._
     assert(served.filter(size(col("entries")) > 8).count() == 0)
-    val panel = graft.cli.Monitor.panelFrame(served).collect()
+    val panel = graft.cli.Monitor.panelFrame(served, horizon = 24L).collect()
     assert(panel.nonEmpty)
     val perKey = panel.groupBy(_.getString(0)).view.mapValues(_.length)
     assert(perKey.values.forall(_ <= 3))
@@ -314,6 +314,55 @@ class PipelineSpec extends SparkSpec {
       val ests = r.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(1))
       assert(ests == ests.sorted.reverse, s"talkers out of order: $ests")
     }
+    // the horizon keeps the panel to "now": every panel quantum is
+    // within the horizon of the globally newest served quantum
+    val qmax = served.agg(max(col("q"))).head.getLong(0)
+    assert(panel.forall(r => r.getLong(1) > qmax - 24L),
+      "panel served an out-of-horizon quantum")
+  }
+
+  test("Monitor CLI gk family: p50/p99 panel from served GK summaries") {
+    val serveDir = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_moncli_gk")).toString + "/serve"
+    graft.cli.Monitor.run(spark, sf(), serveDir, k = 64, horizon = 24L,
+      family = "gk")
+    val served = graft.streaming.EventStreams.readLog(spark, serveDir) { df =>
+      graft.operators.Cdc.compactLatest(df, "kq", "ver")
+    }
+    assert(served.count() > 0, "gk serving table empty")
+    val panel = graft.cli.Monitor.gkPanelFrame(served, horizon = 24L).collect()
+    assert(panel.nonEmpty)
+    val perKey = panel.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perKey.values.forall(_ <= 3))
+    panel.foreach { r =>
+      assert(r.getLong(2) > 0, "empty summary served to the panel")
+      assert(r.getDouble(3) <= r.getDouble(4),
+        s"p50 ${r.getDouble(3)} above p99 ${r.getDouble(4)}")
+    }
+  }
+
+  test("Monitor CLI refuses to clear a non-serving directory") {
+    val dir = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_monclear")).toString
+    // unrelated content, no manifest marker: must refuse
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "precious.txt"),
+      "not a serving table".getBytes)
+    intercept[IllegalArgumentException] {
+      graft.cli.Monitor.clearServeDir(dir)
+    }
+    assert(new java.io.File(dir, "precious.txt").exists,
+      "refused clear must leave the directory untouched")
+    // with the manifest marker present it is a serving table: clears
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "manifest.000000001"), "L x".getBytes)
+    graft.cli.Monitor.clearServeDir(dir)
+    assert(!new java.io.File(dir).exists)
+    // missing and empty targets are fine (fresh-start paths)
+    graft.cli.Monitor.clearServeDir(dir)
+    val empty = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_monclear_e")).toString
+    graft.cli.Monitor.clearServeDir(empty)
+    assert(!new java.io.File(empty).exists)
   }
 
   test("event-time timeout flushes the idle session without a flush sentinel") {
