@@ -1913,8 +1913,7 @@ object EventQueries {
     val fin = EventStreams.runToCompletion(spark,
       SlidingMonitor.cmQuantumMonitor(keyRows, depth = 4, width = 32).toDF(),
       "q313_cm_monitor", mode = "update")
-    val hourly = fin.groupBy("key", "q")
-      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val hourly = SlidingMonitor.cmCubeFromDeltas(fin)
     val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
     SS.cmSlidingCheck(
         ev.select(col("sec").cast("long").as("sec"),
@@ -2058,8 +2057,7 @@ object EventQueries {
     val fin = EventStreams.runToCompletion(spark,
       SlidingMonitor.cmQuantumMonitor(keyRows, depth = 4, width = 32).toDF(),
       "q317_cm_monitor_k", mode = "update")
-    val hourly = fin.groupBy("key", "q")
-      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val hourly = SlidingMonitor.cmCubeFromDeltas(fin)
     val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
     SS.cmSlidingCheck(
         ev.select(col("event_type").cast("string").as("key"),
@@ -2419,10 +2417,9 @@ object EventQueries {
       "q320_cm_horizon", mode = "update")
     val keyQMax = ev.groupBy(col("event_type").cast("string").as("key"))
       .agg(expr("cast(max(sec) as long) div 3600").as("q_max_k"))
-    val hourly = fin.join(broadcast(keyQMax), "key")
-      .filter(col("q") > col("q_max_k") - horizon)
-      .groupBy("key", "q")
-      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val hourly = SlidingMonitor.cmCubeFromDeltas(
+      fin.join(broadcast(keyQMax), "key")
+        .filter(col("q") > col("q_max_k") - horizon))
     val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
     SS.cmSlidingCheck(
         ev.select(col("event_type").cast("string").as("key"),
@@ -2735,11 +2732,9 @@ object EventQueries {
     val tombstoned = fin.filter(col("q") === -1L).select("key").distinct()
     val evictOk = perKey.filter(lit(qMax) > col("q_max_k") + horizon)
       .select("key").except(tombstoned).count() == 0L
-    val hourly = fin.filter(col("q") >= 0L)
-      .join(broadcast(perKey), "key")
-      .filter(col("q") > col("q_max_k") - horizon)
-      .groupBy("key", "q")
-      .agg(max_by(col("entries"), col("ver")).as("entries"))
+    val hourly = SlidingMonitor.cmCubeFromDeltas(
+      fin.join(broadcast(perKey), "key")
+        .filter(col("q") > col("q_max_k") - horizon))
     val cells = SS.cmSlidingCells(hourly, 3600L, depth = 4, width = 32, starts)
     SS.cmSlidingCheck(
         ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"),

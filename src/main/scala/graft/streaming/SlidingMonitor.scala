@@ -53,11 +53,14 @@ import graft.plans.{DecayedMgAgg, GkState, GkSummary, SlidingEh}
   *     the stored summary: the merge-TREE-free undercount bound
   *     (≤ n/(k+1)) holds under any such tree, so nothing is lost at
   *     any cadence/partitioning (q312 gates it with the batch oracle).
-  *   - Count-min: quantum → sparse cell counts. Cells are ADDITIVE and
-  *     canonical, so partials (≤ depth·width cells each, the ×depth
-  *     explosion happens in the pre-fold, still executor-side) sum
-  *     into a cube BIT-IDENTICAL to a batch build at any cadence
-  *     (q313 gates cell-for-cell equality via q306's oracle).
+  *   - Count-min: NO cell state at all — cells are ADDITIVE and
+  *     canonical, so the monitor emits each trigger's per-quantum
+  *     DELTA cells (≤ depth·width per partial, the ×depth explosion
+  *     happens in the pre-fold, still executor-side) and the reader's
+  *     additive fold ([[cmCubeFromDeltas]]) reconstructs a cube
+  *     BIT-IDENTICAL to a batch build at any cadence (q313 gates
+  *     cell-for-cell equality via q306's oracle). State per key is
+  *     O(1): (version, high-water quantum).
   *
   * RETENTION HORIZON (the always-on part): state per key is bounded by
   * `horizonQuanta` — after each trigger, quanta older than
@@ -96,21 +99,29 @@ import graft.plans.{DecayedMgAgg, GkState, GkSummary, SlidingEh}
   * high-water quantum's start, zero delay), so no timestamp column is
   * required; a finite horizon is.
   *
-  * Emission (Update mode): per trigger, each UPDATED quantum emits its
-  * collapsed summary with a per-key monotone version — O(touched
-  * quanta) rows per trigger, never the full cube. A reader takes the
-  * latest version per (key, quantum) for the current cube
+  * Emission (Update mode): per trigger, each UPDATED quantum emits one
+  * row with a per-key monotone version — O(touched quanta) rows per
+  * trigger, never the full cube. GK/MG emit the quantum's collapsed
+  * SUMMARY (replacement semantics): a reader takes the latest version
+  * per (key, quantum) for the current cube
   * ([[graft.queries.SqlApiQueries.monitorLatestSql]] is that read as
   * one SQL view; the gates use the same idiom, then run the identical
-  * EH + guarantee verification as the batch gates). VERSION CONTRACT:
-  * `ver` increments per key per trigger, so latest-version-per-(key,
-  * quantum) reads assume an exactly-once sink (each trigger's
-  * emissions delivered once — what the file-replay harness and any
-  * idempotent sink provide). Under an at-least-once sink a retried
-  * trigger re-emits the SAME (ver, sk) rows, which latest-version
-  * reads dedupe only if the sink keys on (key, q, ver); a sink that
-  * cannot should pack (batchId, ver) the way q277's packedVersion
-  * does. No raw row is ever retained in state.
+  * EH + guarantee verification as the batch gates). COUNT-MIN emits
+  * the trigger's DELTA cells (additive semantics): a reader dedups to
+  * one row per (key, quantum, version) and SUMS
+  * ([[cmCubeFromDeltas]]), and the serving fold sums instead of
+  * latest-wins — emission bytes track CHANGED cells, not
+  * cells-ever-touched. VERSION CONTRACT (both semantics): `ver`
+  * increments per key per trigger, so reads assume an exactly-once
+  * sink (each trigger's emissions delivered once — what the
+  * file-replay harness and any idempotent sink provide). Under an
+  * at-least-once sink a retried trigger re-emits the SAME rows:
+  * latest-version reads and the delta fold both stay correct iff the
+  * sink (or read) keys on (key, q, ver) — q331 drives the MG serving
+  * fold through a redelivered trigger and asserts the served cube is
+  * unchanged; a sink that cannot key on the triple should pack
+  * (batchId, ver) the way q277's packedVersion does. No raw row is
+  * ever retained in state.
   */
 object SlidingMonitor {
 
@@ -425,8 +436,17 @@ object SlidingMonitor {
     * while the streamed cube lands on exactly the cells a batch build
     * lands on. */
   final case class CmIn(key: String, q: Long, x: Long)
-  final case class CmMonState(quanta: Map[Long, Map[Long, Long]], ver: Long,
-      qMax: Long)
+
+  /** CM monitor state is O(1) PER KEY — (version, high-water quantum)
+    * only, no cells. Cells are ADDITIVE and canonical, so the monitor
+    * emits each trigger's per-quantum DELTA cells and the reader SUMS
+    * them ([[cmCubeFromDeltas]]): the emission log (or the serving
+    * table's additive fold) IS the cube, and neither the state nor a
+    * trigger's emission volume scales with cells-ever-touched. The
+    * high-water quantum alone enforces the horizon contract (rows for
+    * quanta behind the horizon drop, so an aged-off quantum can never
+    * receive a late delta and read back partial). */
+  final case class CmMonState(ver: Long, qMax: Long)
   final case class CmOut(key: String, q: Long, ver: Long, entries: Seq[CmCell])
 
   /** Pre-shuffle partial: exact sparse cell counts for one
@@ -459,20 +479,46 @@ object SlidingMonitor {
     val qMax = math.max(st.qMax, parts.iterator.map(_.q).max)
     val cut = math.max(cutoffQ(qMax, horizonQuanta), floorQ)
     val live = parts.filter(_.q >= cut)
-    var quanta = st.quanta.filter { case (q, _) => q >= cut }
-    if (live.isEmpty) (CmMonState(quanta, st.ver, qMax), Nil)
+    if (live.isEmpty) (CmMonState(st.ver, qMax), Nil)
     else {
       val ver = st.ver + 1
       val outs = live.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, ps) =>
-        var cells = quanta.getOrElse(q, Map.empty[Long, Long])
+        // DELTA emission: this trigger's summed partials only — the
+        // round-11 shape re-emitted the cumulative cell list (≤
+        // depth·width rows) for every touched quantum every trigger,
+        // which made emission bytes scale with touched-quanta ×
+        // triggers × cells (q317's α-0.53 scale leg, the suite's
+        // steepest); deltas make it scale with CHANGED cells
+        val sums = mutable.HashMap.empty[Long, Long]
         ps.foreach(_.entries.foreach(e =>
-          cells = cells.updated(e.idx, cells.getOrElse(e.idx, 0L) + e.cnt)))
-        quanta = quanta.updated(q, cells)
+          sums.update(e.idx, sums.getOrElse(e.idx, 0L) + e.cnt)))
         CmOut(live.head.key, q, ver,
-          cells.toSeq.sortBy(_._1).map { case (i, c) => CmCell(i, c) })
+          sums.toSeq.sortBy(_._1).map { case (i, c) => CmCell(i, c) })
       }
-      (CmMonState(quanta, ver, qMax), outs)
+      (CmMonState(ver, qMax), outs)
     }
+  }
+
+  /** The CM monitor's READ: per-(key, quantum) cell totals from the
+    * DELTA emission log — dedup to one row per (key, quantum, version)
+    * first (an at-least-once sink can hold a redelivered trigger's
+    * identical rows; versions are per-key monotone so the triple is a
+    * natural idempotency key), then SUM cells across versions. Cells
+    * are additive, so the summed cube is bit-identical to a batch
+    * build over the admitted rows — the same distributed
+    * explode-groupBy shape as the batch per-quantum build, never a
+    * per-key collect. Tombstones (q = −1) drop here. */
+  def cmCubeFromDeltas(emissions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    emissions
+      .filter(col("q") >= 0L)
+      .dropDuplicates("key", "q", "ver")
+      .select(col("key"), col("q"), explode(col("entries")).as("e"))
+      .groupBy(col("key"), col("q"), col("e.idx").as("idx"))
+      .agg(sum(col("e.cnt")).as("cnt"))
+      .groupBy("key", "q")
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
+        .as("entries"))
   }
 
   private[graft] def testCmFold(rows: Seq[CmIn], st: CmMonState, depth: Int,
@@ -481,10 +527,12 @@ object SlidingMonitor {
       horizonQuanta)
 
   /** The count-min monitor as a streaming transform: input (key, q, x)
-    * hashed-item rows → Update-mode (key, q, ver, entries) emissions.
-    * `evictKeys` follows the GK monitor's key-eviction contract
-    * verbatim (derived quantum watermark, tombstone q = −1 with empty
-    * cells, admission floor). */
+    * hashed-item rows → Update-mode (key, q, ver, entries) DELTA
+    * emissions (this trigger's cell increments only — see
+    * [[CmMonState]]); read the cube back with [[cmCubeFromDeltas]]
+    * (dedup by (key, q, ver), then additive fold). `evictKeys` follows
+    * the GK monitor's key-eviction contract verbatim (derived quantum
+    * watermark, tombstone q = −1 with empty cells, admission floor). */
   def cmQuantumMonitor(stream: DataFrame, depth: Int, width: Int,
       horizonQuanta: Long = Long.MaxValue,
       evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[CmOut] = {
@@ -512,7 +560,7 @@ object SlidingMonitor {
             if (ps.isEmpty) Iterator.empty
             else {
               val st = state.getOption.getOrElse(
-                CmMonState(Map.empty, 0L, Long.MinValue))
+                CmMonState(0L, Long.MinValue))
               val floorQ = admissionFloor(state, evictKeys, quantumSec,
                 horizonQuanta)
               val (st2, outs) = cmFoldKey(ps, st, horizonQuanta, floorQ)

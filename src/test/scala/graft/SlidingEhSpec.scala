@@ -297,15 +297,23 @@ class SlidingEhSpec extends SparkSpec {
     Seq(1, 4, 17).foreach { triggers =>
       val slices = items.grouped(math.ceil(items.length.toDouble / triggers).toInt).toSeq
       var st = SlidingMonitor.MgMonState(Map.empty, 0L, Long.MinValue)
-      var cm = SlidingMonitor.CmMonState(Map.empty, 0L, Long.MinValue)
+      var cm = SlidingMonitor.CmMonState(0L, Long.MinValue)
+      // the CM monitor emits DELTAS (state holds no cells): the reader's
+      // additive fold is what must be cadence-exact
+      val cube = scala.collection.mutable.HashMap.empty[Long, Long]
       slices.foreach { slice =>
         val rows = slice.toIndexedSeq.map(it => SlidingMonitor.MgIn("k", 5L, it))
         val (st2, _) = SlidingMonitor.testMgFold(rows, st, k)
         st = st2
         val xs = slice.toIndexedSeq.map(it =>
           SlidingMonitor.CmIn("k", 5L, (it.hashCode & 0x7fffffff).toLong))
-        val (cm2, _) = SlidingMonitor.testCmFold(xs, cm, depth = 3, width = 16)
+        val (cm2, outs) = SlidingMonitor.testCmFold(xs, cm, depth = 3, width = 16)
         cm = cm2
+        outs.foreach { o =>
+          assert(o.q == 5L)
+          o.entries.foreach(e =>
+            cube.update(e.idx, cube.getOrElse(e.idx, 0L) + e.cnt))
+        }
       }
       val MgQ = st.quanta(5L)
       assert(MgQ.n == items.length.toLong, s"n drift at triggers=$triggers")
@@ -329,7 +337,10 @@ class SlidingEhSpec extends SparkSpec {
             row.toLong * 16 + ((a * x + b) % graft.functions.HashFns.P) % 16 }
         }
         .groupBy(identity).map { case (idx, g) => idx -> g.length.toLong }
-      assert(cm.quanta(5L) == direct, s"CM cell drift at triggers=$triggers")
+      assert(cube.toMap == direct, s"CM cell drift at triggers=$triggers")
+      // delta emissions carry exactly the input mass: depth cells/event
+      assert(cube.valuesIterator.sum == items.length.toLong * 3,
+        s"delta mass drift at triggers=$triggers")
     }
   }
 
