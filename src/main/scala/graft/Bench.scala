@@ -55,7 +55,9 @@ object Bench {
     "q314_stream_gk_monitor_horizon", "q319_stream_mg_monitor_horizon",
     "q320_stream_cm_monitor_horizon", "q321_stream_decayed_mg_monitor",
     "q322_stream_gk_monitor_key_evict", "q324_stream_mg_monitor_key_evict",
-    "q325_stream_cm_monitor_key_evict", "q326_monitor_log_serving")
+    "q325_stream_cm_monitor_key_evict", "q326_monitor_log_serving",
+    // round-12: decayed-MG key eviction — same class, isolated from day one
+    "q330_stream_decayed_mg_monitor_key_evict")
 
   private def childJvm(args: Seq[String], out: java.nio.file.Path,
       env: Map[String, String], heapOverride: Option[String] = None,

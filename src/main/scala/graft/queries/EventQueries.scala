@@ -2745,5 +2745,102 @@ object EventQueries {
       .orderBy("key", "start", "item")
   }
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q324, q325, q328, q329)
+  /** Key eviction for the DECAYED-MG monitor — the family's fourth
+    * member gets the q322 contract, adapted to continuous time: keyed
+    * by user × event type (per-source top talkers, the shape whose
+    * total state is O(#keys ever seen) without eviction), the monitor
+    * drops a key once its own max event time falls a full retention
+    * (64 half-lives) behind the self-derived watermark, tombstoning it
+    * (t_ref = −1). Where the quantum monitors' admission floor makes
+    * resurrection IMPOSSIBLE, the decayed analog is a MASS BOUND: with
+    * the time-ordered replay, a re-admitted key's lost pre-gap mass
+    * decayed by ≥ 2^−64 — below one double ulp, so live keys' answers
+    * (q315's guarantee reduction against full-history exact masses,
+    * r6/1e-6 tolerances) are numerically indistinguishable from the
+    * unbounded monitor's. Versions restart on re-admission, so the
+    * live-cube read orders by (t_ref, ver) — event time first — and
+    * scopes to live keys. STATE_OK: final stateful row count equals
+    * the exactly-predicted live-key count. EVICT_OK: every
+    * predictably-evicted key was tombstoned. */
+  val q330 = QueryDef(
+    "q330_stream_decayed_mg_monitor_key_evict",
+    s"""WITH g0 AS (SELECT user_id::VARCHAR || '_' || event_type AS key,
+       |            floor(value)::BIGINT::VARCHAR AS item,
+       |            floor(epoch(ts))::BIGINT AS t FROM events),
+       |tm AS (SELECT MAX(t) AS tg FROM g0),
+       |tr AS (SELECT key, MAX(t) AS t_ref FROM g0 GROUP BY 1),
+       |live AS (SELECT key, t_ref FROM tr CROSS JOIN tm
+       |         WHERE tg <= t_ref + ${64L * 3600L}),
+       |w AS (SELECT g0.key, item,
+       |             ${Cross.r6Sql("pow(2.0, (t - t_ref)::DOUBLE / 3600.0)")} AS w
+       |      FROM g0 JOIN live ON g0.key = live.key),
+       |g AS (SELECT key, item, COUNT(*)::BIGINT AS n, ${Cross.dsumSql("w")} AS m
+       |      FROM w GROUP BY 1, 2),
+       |tot AS (SELECT key, ${Cross.dsumSql("w")} AS wt FROM w GROUP BY 1)
+       |SELECT g.key, item, n, ${Cross.r6Sql("m")} AS m, 1::BIGINT AS present,
+       |       1::BIGINT AS bounds_ok, 1::BIGINT AS w_ok,
+       |       1::BIGINT AS state_ok, 1::BIGINT AS evict_ok
+       |FROM g JOIN tot ON g.key = tot.key
+       |WHERE m * 9 > wt ORDER BY g.key, item""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val keyCol = concat(col("user_id").cast("string"), lit("_"),
+      col("event_type").cast("string"))
+    val itemCol = floor(col("value")).cast("long").cast("string")
+    val halfLife = 3600L
+    val retention = 64L * halfLife
+    val mm = ev.agg(min(col("sec")).cast("long").as("a"),
+      max(col("sec")).cast("long").as("b")).head
+    val (smin, smax) = (mm.getLong(0), mm.getLong(1))
+    val replay = java.nio.file.Files.createTempDirectory("graft_dmevict_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(keyCol.as("key"), col("sec").cast("long").as("t"),
+      itemCol.as("item"))
+    writeOrderedReplay((0 until 4).map { i =>
+      val lo = smin + i.toLong * (smax - smin + 1) / 4
+      val hi = smin + (i.toLong + 1) * (smax - smin + 1) / 4
+      typed.filter(col("t") >= lo && col("t") < (if (i == 3) smax + 1 else hi))
+    }, replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("t", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val (fin0, stateRows) = EventStreams.runToCompletionStateRows(spark,
+      SlidingMonitor.decayedMgMonitor(stream, halfLife, 8, evictKeys = true,
+        retentionHalfLives = 64L).toDF(),
+      "q330_dm_evict", mode = "update")
+    val fin = fin0.localCheckpoint(true)
+    val perKey = ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"))
+      .groupBy("key").agg(max("sec").as("t_max_k"))
+      .localCheckpoint(true)
+    val expectedLive = perKey.filter(lit(smax) <= col("t_max_k") + retention)
+    val stateOk = stateRows == expectedLive.count()
+    val tombstoned = fin.filter(col("t_ref") === -1L).select("key").distinct()
+    val evictOk = perKey.filter(lit(smax) > col("t_max_k") + retention)
+      .select("key").except(tombstoned).count() == 0L
+    // live cube: predicted-live keys only (a finally-evicted key's
+    // pre-tombstone emissions remain in the log); versions restart on
+    // re-admission, so order by (t_ref, ver) — event time first
+    val sk = fin.filter(col("t_ref") >= 0L)
+      .join(broadcast(expectedLive.select("key")), Seq("key"), "left_semi")
+      .groupBy("key")
+      .agg(max_by(struct(col("t_ref"), col("w"), col("entries")),
+        struct(col("t_ref"), col("ver"))).as("s"))
+      .select(col("key"), col("s.t_ref").as("t_sk"), col("s.w").as("w_sk"),
+        explode(col("s.entries")).as("e"))
+      .select(col("key"), col("t_sk"), col("w_sk"),
+        col("e.item").as("item"), col("e.est").as("est"))
+    val evLive = ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"),
+        itemCol.as("item"))
+      .join(broadcast(expectedLive.select("key")), Seq("key"), "left_semi")
+    graft.operators.Analytics.decayedMgHeavyPerKeyFrame(evLive,
+        col("key"), col("item"), col("sec"), halfLifeSec = halfLife, k = 8, sk)
+      .withColumn("state_ok", lit(if (stateOk) 1L else 0L))
+      .withColumn("evict_ok", lit(if (evictOk) 1L else 0L))
+      .orderBy("key", "item")
+  }
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q100, q104, q105, q108, q110, q120, q123, q141, q172, q186, q211, q214, q215, q228, q230, q236, q241, q252, q254, q265, q266, q267, q270, q273, q274, q279, q280, q281, q283, q285, q286, q287, q288, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q304, q305, q306, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q324, q325, q328, q329, q330)
 }

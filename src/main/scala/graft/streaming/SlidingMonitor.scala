@@ -76,8 +76,9 @@ import graft.plans.{DecayedMgAgg, GkState, GkSummary, SlidingEh}
   * SlidingEhSpec asserts the bound and the inside-horizon equivalence
   * across a long replay.
   *
-  * KEY EVICTION (optional, all three monitors, one shared
-  * implementation — same state topology, same cutoff law): by default
+  * KEY EVICTION (optional, all four monitors — the three quantum
+  * monitors share one implementation and cutoff law; the decayed
+  * monitor's analog is documented at [[decayedMgMonitor]]): by default
   * keys stay live
   * (`GroupStateTimeout.NoTimeout`) — an always-on monitor keyed by
   * event TYPE answers for every source it has ever seen inside the
@@ -639,25 +640,86 @@ object SlidingMonitor {
   /** The decayed-MG monitor as a streaming transform: input
     * (key, t, item) rows → Update-mode (key, ver, t_ref, w, entries)
     * emissions; a reader takes the latest version per key for the live
-    * "top talkers now" panel. */
-  def decayedMgMonitor(stream: DataFrame, halfLifeSec: Long,
-      k: Int): Dataset[DmOut] = {
+    * "top talkers now" panel.
+    *
+    * KEY EVICTION (`evictKeys = true`): per-key state is O(k), but
+    * keyed by a high-cardinality column (user_id — per-source
+    * telemetry) TOTAL state is O(#keys ever seen); eviction drops a
+    * key once the self-derived event-time watermark (the global max t,
+    * zero delay — no extra column needed) passes a full retention
+    * (`retentionHalfLives × halfLifeSec`) beyond the key's own tMax,
+    * with a tombstone emission (t_ref = −1, w = 0). Rows a full
+    * retention behind the watermark drop on arrival (the admission
+    * floor). Unlike the quantum monitors — where the floor makes
+    * resurrection IMPOSSIBLE because evicted quanta are discrete
+    * identities — the decayed sketch's identity is the key's whole
+    * mass, so the guarantee is a BOUND: a re-created key misses only
+    * mass that had already decayed by ≥ 2^−(gap/halfLife) where gap is
+    * the key's event-time idle gap, and with per-key in-event-time-
+    * order arrival (what the ordered-replay gates provide; eviction
+    * can only fire in a trigger where the key has no data, so the next
+    * admitted row postdates the watermark that evicted it) gap ≥
+    * retention — at the default 64 half-lives the lost mass is below
+    * one double ulp of the total, i.e. answers are numerically
+    * identical to the unbounded monitor's. READ CONTRACT under
+    * eviction: versions restart at 1 on re-admission, so readers order
+    * by (t_ref, ver) — event time first — instead of bare ver, and a
+    * key whose newest row is a tombstone is evicted, not empty (q330
+    * gates the full contract: predicted live-state count, tombstone
+    * coverage, and the q315 guarantee reduction on live keys). */
+  def decayedMgMonitor(stream: DataFrame, halfLifeSec: Long, k: Int,
+      evictKeys: Boolean = false,
+      retentionHalfLives: Long = 64L): Dataset[DmOut] = {
     require(halfLifeSec > 0, s"halfLifeSec out of range: $halfLifeSec")
+    require(!evictKeys || (retentionHalfLives >= 1 &&
+      retentionHalfLives < Long.MaxValue / (halfLifeSec * 1000L)),
+      "key eviction requires a finite positive retention")
+    val retentionSec = retentionHalfLives * halfLifeSec
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select("key", "t", "item").as[DmIn]
+    val timeout =
+      if (evictKeys) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val parts0 = stream.select("key", "t", "item").as[DmIn]
       .mapPartitions(rows => dmPrefold(rows, halfLifeSec, k))
+    val parts =
+      if (evictKeys) parts0.toDF()
+        .withColumn("ets", org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.col("tMax")))
+        .withWatermark("ets", "0 seconds")
+        .as[DmPart]
+      else parts0
+    parts
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, parts: Iterator[DmPart], state: GroupState[DmMonState]) =>
-          val ps = parts.toSeq
-          if (ps.isEmpty) Iterator.empty
-          else {
-            val st = state.getOption.getOrElse(
-              DmMonState(Long.MinValue, 0.0, Map.empty, 0L))
-            val (st2, out) = dmFoldKey(ps, st, halfLifeSec, k)
-            state.update(st2)
-            Iterator.single(out)
+      .flatMapGroupsWithState(OutputMode.Update, timeout) {
+        (key: String, partsIt: Iterator[DmPart], state: GroupState[DmMonState]) =>
+          if (evictKeys && state.hasTimedOut) {
+            val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+            state.remove()
+            Iterator.single(DmOut(key, ver, -1L, 0.0, Nil))
+          } else {
+            // admission floor: a partial whose newest row is a full
+            // retention behind the watermark is dropped whole — if its
+            // key was ever evicted, everything this old was already
+            // (numerically) gone, and admitting it would rebuild a key
+            // from its stalest fragment
+            val floorT =
+              if (evictKeys)
+                state.getCurrentWatermarkMs() / 1000L - retentionSec
+              else Long.MinValue
+            val ps = partsIt.filter(_.tMax >= floorT).toSeq
+            if (ps.isEmpty) Iterator.empty
+            else {
+              val st = state.getOption.getOrElse(
+                DmMonState(Long.MinValue, 0.0, Map.empty, 0L))
+              val (st2, out) = dmFoldKey(ps, st, halfLifeSec, k)
+              state.update(st2)
+              if (evictKeys)
+                state.setTimeoutTimestamp(math.max(
+                  (st2.tMax + retentionSec) * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              Iterator.single(out)
+            }
           }
       }
   }

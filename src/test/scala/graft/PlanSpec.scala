@@ -654,5 +654,13 @@ class PlanSpec extends SparkSpec {
         col("sec").cast("long").as("t"),
         col("user_id").cast("string").as("item")),
       3600L, 8).toDF(), "SlidingMonitor$DmPart", "SlidingMonitor$DmIn")
+    // the evicting variant adds the watermark column BESIDE the typed
+    // partials — the pre-fold must still collapse raw rows first
+    stateShape(SlidingMonitor.decayedMgMonitor(
+      ev.select(col("event_type").cast("string").as("key"),
+        col("sec").cast("long").as("t"),
+        col("user_id").cast("string").as("item")),
+      3600L, 8, evictKeys = true).toDF(),
+      "SlidingMonitor$DmPart", "SlidingMonitor$DmIn")
   }
 }
