@@ -348,5 +348,98 @@ object SqlApiQueries {
       .orderBy("key", "q")
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326)
+  /** The monitor version contract UNDER REDELIVERY — the at-least-once
+    * scenario the SlidingMonitor scaladoc documents, driven instead of
+    * asserted. The COUNT-MIN monitor is the adversarial choice: its
+    * emissions are ADDITIVE deltas, so a re-folded batch genuinely
+    * double-counts unless the serving fold's no-op machinery holds
+    * (MG/GK latest-wins reads are idempotent by content; sums are
+    * not). The gate folds the delta emissions into the log-structured
+    * serving table batch-by-batch and redelivers one batch TWICE —
+    * once while its delta is still LIVE in the manifest (the
+    * already-live check must skip the rewrite AND the re-commit) and
+    * once after a compaction CONSUMED it (the consumed-batchId-range
+    * check must make it a no-op; re-adding would fold its cells
+    * twice). The served cube must then match a direct batch build
+    * cell-for-cell, and each (key, quantum)'s row-0 mass must equal
+    * the exact event count — any double-count inflates both. */
+  val q331 = QueryDef(
+    "q331_monitor_serving_redelivery",
+    """SELECT event_type AS key, floor(epoch(ts))::BIGINT // 3600 AS q,
+      |       COUNT(*)::BIGINT AS n, 1::BIGINT AS cells_match
+      |FROM events GROUP BY 1, 2 ORDER BY key, q""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val replay = java.nio.file.Files.createTempDirectory("graft_redeliver_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("user_id"), col("event_type"), col("sec")).repartition(4)
+      .write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val keyRows = SS.cmKeyRows(stream, col("user_id"), col("sec"), 3600L,
+      key = col("event_type"))
+    val emissions = SlidingMonitor.cmQuantumMonitor(keyRows,
+      depth = 4, width = 32).toDF()
+    val path = graft.core.TempPaths.gatePath("q331_serving")
+    graft.core.TempPaths.clearDir(path)
+    // additive serving fold: group cells per (key, quantum) and SUM —
+    // a valid one-shot associative reduce (reduce(reduce(A) ∪ B) =
+    // reduce(A ∪ B)), and exactly the fold a redelivered delta would
+    // corrupt
+    val reduce = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("key"), col("q"), explode(col("entries")).as("e"))
+      .groupBy(col("key"), col("q"), col("e.idx").as("idx"))
+      .agg(sum(col("e.cnt")).as("cnt"))
+      .groupBy("key", "q")
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
+        .as("entries"))
+    val saved = java.nio.file.Files.createTempDirectory("graft_redeliver_saved")
+    graft.core.TempPaths.register(saved)
+    val q = emissions.writeStream.outputMode("update")
+      .queryName("q331_redeliver")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val slice = batch.select("key", "q", "entries")
+        // keep the batch bytes so the post-compaction redelivery below
+        // replays the REAL rows, not a recomputation
+        slice.write.mode("overwrite").parquet(s"$saved/b$id")
+        EventStreams.foldLog(path, slice, id, compactEvery = 3)(reduce)
+        if (id == 1L) // at-least-once: duplicate of a still-LIVE batch
+          EventStreams.foldLog(path,
+            batch.sparkSession.read.parquet(s"$saved/b$id"), id,
+            compactEvery = 3)(reduce)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // redeliver batch 0 AFTER a compaction consumed it: the manifest's
+    // consumed-batchId ranges must no-op it
+    EventStreams.foldLog(path, spark.read.parquet(s"$saved/b0"), 0L,
+      compactEvery = 3)(reduce)
+    val served = EventStreams.readLog(spark, path)(reduce)
+    val direct = SS.cmHourly(ev, col("user_id"), col("sec"), 3600L,
+      depth = 4, width = 32, key = col("event_type"))
+    def cells(df: org.apache.spark.sql.DataFrame, cnt: String) =
+      df.select(col("key"), col("q"), explode(col("entries")).as("e"))
+        .select(col("key"), col("q"), col("e.idx").as("idx"),
+          col("e.cnt").as(cnt))
+    cells(served, "cnt")
+      .join(cells(direct, "dcnt"), Seq("key", "q", "idx"), "full")
+      .groupBy("key", "q")
+      .agg(sum(when(col("cnt") === col("dcnt"), 0L).otherwise(1L)).as("bad"),
+        // row-0 cells (idx < width) partition the events: their mass is
+        // the exact count, so any double-fold inflates n
+        sum(when(col("idx") < 32L, col("cnt")).otherwise(0L)).as("n"))
+      .select(col("key"), col("q"), col("n"),
+        (col("bad") === 0L).cast("long").as("cells_match"))
+      .orderBy("key", "q")
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331)
 }
