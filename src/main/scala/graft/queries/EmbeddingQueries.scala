@@ -305,35 +305,60 @@ object EmbeddingQueries {
     * that the q45 single-probe search misses (the planted-recall test in
     * PipelineSpec pins one such query; nProbe=nCells ≡ brute
     * force is pinned there too). */
+  /** The nProbe=2 oracle, optionally with the CORPUS side filtered by
+    * `corpusPred` (queries stay unfiltered) — shared by q46 and the
+    * q332 filtered multiprobe. */
+  private def ivfMultiprobeOracleWhere(corpusPred: String): String = {
+    val arms = (0 until Cells).map { c =>
+      val w = HashFns.litVector(s"centroid-$c", Dims)
+      s"SELECT vec_id, embedding, label, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    val corpus = if (corpusPred.isEmpty) "assigned"
+      else s"(SELECT * FROM assigned WHERE $corpusPred)"
+    s"""WITH dists AS (
+       |$arms),
+       |cells AS (
+       |  SELECT vec_id, embedding, label, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM dists),
+       |assigned AS (SELECT vec_id, embedding, label, cell FROM cells WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
+       |      FROM cells WHERE rn <= 2 AND vec_id < 32),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
+       |  FROM q JOIN $corpus a USING (cell) WHERE query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val q46 = QueryDef(
-    "q46_ivf_multiprobe", {
-      val arms = (0 until Cells).map { c =>
-        val w = HashFns.litVector(s"centroid-$c", Dims)
-        s"SELECT vec_id, embedding, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH dists AS (
-         |$arms),
-         |cells AS (
-         |  SELECT vec_id, embedding, cell,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |  FROM dists),
-         |assigned AS (SELECT vec_id, embedding, cell FROM cells WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, cell
-         |      FROM cells WHERE rn <= 2 AND vec_id < 32),
-         |scored AS (
-         |  SELECT query_id, a.vec_id AS neighbor_id,
-         |         ${VectorSql.cosine("qe", "a.embedding")} AS cos
-         |  FROM q JOIN assigned a USING (cell) WHERE query_id <> a.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, (round((cos) + 1e-9, 6) + 0.0) AS cos
-         |FROM ranked WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin
-    }) { (spark, dir) =>
+    "q46_ivf_multiprobe", ivfMultiprobeOracleWhere("")) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     SimilaritySearch.ivfTopK(emb.filter(col("vec_id") < 32), emb, 3, Cells, Dims, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Filtered multiprobe — the q327 pre-filter COMPOSED with the q46
+    * recall knob: a selective predicate shrinks every inverted list,
+    * which makes near-cell-boundary misses MORE likely (the filtered
+    * list may hold none of the query's true neighbors in its home
+    * cell), so the production filtered-search shape probes extra cells
+    * rather than overfetching k'. Still exact under the predicate
+    * within the probed cells at any selectivity, and the label test
+    * still reaches the corpus parquet scan as a pushed filter
+    * (PlanSpec pins it for ivfTopKFiltered regardless of nProbe). */
+  val q332 = QueryDef(
+    "q332_ivf_filtered_multiprobe", ivfMultiprobeOracleWhere("label = 1")) {
+    (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilaritySearch.ivfTopKFiltered(emb.filter(col("vec_id") < 32), emb,
+        col("label") === 1, 3, Cells, Dims, nProbe = 2)
       .orderBy("query_id", "rank")
   }
 
@@ -1277,5 +1302,5 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332)
 }
