@@ -18,12 +18,20 @@ import graft.streaming.{EventStreams, SlidingMonitor}
   * manifest + threshold compaction), and the panel read served from
   * the compacted table, never from the emission log or the stream.
   *
-  * Two monitor families behind one flag:
+  * Three monitor families behind one flag:
   *   - `mg` (default): Misra–Gries "top talkers per source" — the
-  *     panel shows each key's k-bounded talker list.
+  *     panel shows each key's k-bounded talker list. Latest-wins
+  *     serving fold (emissions are replacement summaries).
   *   - `gk`: GK quantiles "p50/p99 per source, now" — the panel
   *     decodes each served quantum's GK summary and answers rank
   *     queries from it (error ≤ n/(2m) by the summary's guarantee).
+  *     Latest-wins serving fold.
+  *   - `cm`: count-min "traffic and heaviest-talker bound per source"
+  *     — emissions are ADDITIVE deltas, so the serving fold SUMS cells
+  *     per (key, quantum) instead of latest-wins (the delta contract
+  *     q331 gates); the panel shows each quantum's exact row-0 mass
+  *     (total events) and the count-min upper bound on the single
+  *     heaviest item (min over rows of the row's max cell).
   *
   * Every stage is the scale-shaped one: raw rows collapse to m/k-bounded
   * summaries inside `mapPartitions` before the stateful shuffle, state
@@ -31,7 +39,7 @@ import graft.streaming.{EventStreams, SlidingMonitor}
   * O(touched quanta), and the serving table's read cost is
   * O(live keys × horizon) regardless of stream length.
   *
-  * Usage: runMain graft.cli.Monitor <sfDir> <serveDir> [family=mg|gk]
+  * Usage: runMain graft.cli.Monitor <sfDir> <serveDir> [family=mg|gk|cm]
   *          [sketchSize=16] [horizonQuanta=24]
   * Output: per (event_type, hour) panel rows for the newest 3
   * IN-HORIZON quanta of each key (quanta older than the global
@@ -58,10 +66,14 @@ object Monitor {
     finally spark.stop()
   }
 
+  /** Count-min panel geometry (shared by the write and read sides). */
+  private val CmDepth = 4
+  private val CmWidth = 32
+
   private[graft] def run(spark: SparkSession, sfDir: String, serveDir: String,
       k: Int, horizon: Long, family: String = "mg"): Unit = {
-    require(family == "mg" || family == "gk",
-      s"unknown monitor family '$family' (mg|gk)")
+    require(family == "mg" || family == "gk" || family == "cm",
+      s"unknown monitor family '$family' (mg|gk|cm)")
     // replay the events table as 8 micro-batches (one file per trigger)
     val replay = java.nio.file.Files.createTempDirectory("graft_monitor_replay")
     graft.core.TempPaths.register(replay)
@@ -77,19 +89,28 @@ object Monitor {
         StructField("v", DoubleType))))
       .option("maxFilesPerTrigger", 1)
       .parquet(replay.toString)
-    val emissions = (family match {
-      case "mg" => SlidingMonitor
-        .mgQuantumMonitor(stream.select("key", "q", "item"), k,
-          horizonQuanta = horizon).toDF()
-      case _ => SlidingMonitor
-        .gkQuantumMonitor(stream.select("key", "q", "v"), math.max(k, 16),
-          horizonQuanta = horizon).toDF()
-    }).withColumn("kq", concat_ws("#", col("key"), col("q")))
-
     clearServeDir(serveDir)
-    val served = EventStreams.runUpsertLogToCompletion(spark, emissions,
-      serveDir, key = "kq", version = "ver", name = "graft_monitor_serve",
-      compactEvery = 4, mode = "update")
+    val served = family match {
+      case "cm" =>
+        val cmRows = graft.operators.SlidingSketches.cmKeyRows(
+          stream.select("key", "q", "item"), col("item"),
+          col("q") * 3600L, 3600L, key = col("key"))
+        val emissions = SlidingMonitor.cmQuantumMonitor(cmRows, CmDepth,
+          CmWidth, horizonQuanta = horizon).toDF()
+        runCmServe(spark, emissions, serveDir)
+      case fam =>
+        val emissions = (fam match {
+          case "mg" => SlidingMonitor
+            .mgQuantumMonitor(stream.select("key", "q", "item"), k,
+              horizonQuanta = horizon).toDF()
+          case _ => SlidingMonitor
+            .gkQuantumMonitor(stream.select("key", "q", "v"), math.max(k, 16),
+              horizonQuanta = horizon).toDF()
+        }).withColumn("kq", concat_ws("#", col("key"), col("q")))
+        EventStreams.runUpsertLogToCompletion(spark, emissions,
+          serveDir, key = "kq", version = "ver", name = "graft_monitor_serve",
+          compactEvery = 4, mode = "update")
+    }
 
     // the panel read: newest 3 in-horizon quanta per key
     family match {
@@ -100,11 +121,16 @@ object Monitor {
           println(f"[monitor] ${r.getString(0)}%-12s hour=${r.getLong(1)}%-8d " +
             f"n=${r.getLong(2)}%-6d top: $talkers")
         }
-      case _ =>
+      case "gk" =>
         gkPanelFrame(served, horizon).collect().foreach { r =>
           println(f"[monitor] ${r.getString(0)}%-12s hour=${r.getLong(1)}%-8d " +
             f"n=${r.getLong(2)}%-6d p50=${r.getDouble(3)}%.3f " +
             f"p99=${r.getDouble(4)}%.3f")
+        }
+      case _ =>
+        cmPanelFrame(served, horizon).collect().foreach { r =>
+          println(f"[monitor] ${r.getString(0)}%-12s hour=${r.getLong(1)}%-8d " +
+            f"n=${r.getLong(2)}%-6d heaviest<=${r.getLong(3)}%d")
         }
     }
     val keys = served.select("key").distinct().count()
@@ -167,6 +193,53 @@ object Monitor {
       .toDF("key", "q", "n", "p50", "p99")
       .orderBy("key", "q")
   }
+
+  /** The CM serving fold: DELTA emissions appended to the log table
+    * batch-by-batch and compacted/read with the ADDITIVE reduce (sum
+    * cells per (key, quantum)) instead of latest-wins — redelivery
+    * idempotency comes from the manifest's live/consumed no-op checks,
+    * not from content (q331 gates exactly this scenario). */
+  private def runCmServe(spark: SparkSession, emissions: DataFrame,
+      serveDir: String): DataFrame = {
+    val reduce = (df: DataFrame) => df
+      .select(col("key"), col("q"), explode(col("entries")).as("e"))
+      .groupBy(col("key"), col("q"), col("e.idx").as("idx"))
+      .agg(sum(col("e.cnt")).as("cnt"))
+      .groupBy("key", "q")
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
+        .as("entries"))
+    val q = emissions.writeStream.outputMode("update")
+      .queryName("graft_monitor_serve_cm")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        EventStreams.foldLog(serveDir,
+          batch.filter(col("q") >= 0L).select("key", "q", "entries"), id,
+          compactEvery = 4)(reduce)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    EventStreams.readLog(spark, serveDir)(reduce)
+  }
+
+  /** The CM family's panel: per (key, quantum) — newest 3 in-horizon
+    * quanta — the EXACT event count (row-0 cells partition the events,
+    * so their mass is n) and the count-min upper bound on the single
+    * heaviest item (min over rows of the row's max cell: every item's
+    * count is ≤ its cell in each row, so the heaviest item is ≤ every
+    * row's max). */
+  private[graft] def cmPanelFrame(served: DataFrame,
+      horizon: Long = Long.MaxValue): DataFrame =
+    served.transform(inHorizon(horizon))
+      .select(col("key"), col("q"), explode(col("entries")).as("e"))
+      .select(col("key"), col("q"),
+        (col("e.idx") / lit(CmWidth)).cast("long").as("r"),
+        col("e.cnt").as("cnt"))
+      .groupBy("key", "q", "r")
+      .agg(sum("cnt").as("rowsum"), max("cnt").as("rowmax"))
+      .groupBy("key", "q")
+      .agg(max(when(col("r") === 0L, col("rowsum"))).as("n"),
+        min("rowmax").as("heavy_max"))
+      .orderBy("key", "q")
 
   /** Shared panel windowing: drop out-of-horizon quanta (vs the global
     * high-water quantum — the panel's "now"), then keep the newest 3

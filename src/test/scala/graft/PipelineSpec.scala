@@ -341,6 +341,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Monitor CLI cm family: additive delta serving fold, n exact per quantum") {
+    val serveDir = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_moncli_cm")).toString + "/serve"
+    graft.cli.Monitor.run(spark, sf(), serveDir, k = 16, horizon = 24L,
+      family = "cm")
+    // read the served cube back with the additive reduce
+    import org.apache.spark.sql.functions._
+    val served = graft.streaming.EventStreams.readLog(spark, serveDir) { df =>
+      df.select(col("key"), col("q"), explode(col("entries")).as("e"))
+        .groupBy(col("key"), col("q"), col("e.idx").as("idx"))
+        .agg(sum(col("e.cnt")).as("cnt"))
+        .groupBy("key", "q")
+        .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
+          .as("entries"))
+    }
+    assert(served.count() > 0, "cm serving table empty")
+    val panel = graft.cli.Monitor.cmPanelFrame(served, horizon = 24L).collect()
+    assert(panel.nonEmpty)
+    // n per panel quantum is the EXACT in-horizon event count (row-0
+    // mass), and the heavy bound can never exceed it
+    val exact = graft.core.Tables.events(spark, sf())
+      .groupBy(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    panel.foreach { r =>
+      val (key, q, n, heavy) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == exact((key, q)), s"n drift at ($key, $q)")
+      assert(heavy <= n && heavy > 0, s"heavy bound out of range at ($key, $q)")
+    }
+  }
+
   test("Monitor CLI refuses to clear a non-serving directory") {
     val dir = graft.core.TempPaths.registered(
       java.nio.file.Files.createTempDirectory("graft_monclear")).toString
