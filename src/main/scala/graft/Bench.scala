@@ -116,7 +116,7 @@ object Bench {
 
   /** Parse one flat {"name":number,...} map body (no nesting) — the
     * shard-merge format this file already owns. */
-  private def parseNumMap(body: String): Map[String, Double] =
+  private[graft] def parseNumMap(body: String): Map[String, Double] =
     if (body.trim.isEmpty) Map.empty
     else body.split(",").iterator.flatMap { kv =>
       val i = kv.lastIndexOf(':')
@@ -138,7 +138,7 @@ object Bench {
     * [[IsolatedGates]] are excluded (they always run), as are gates
     * absent from the prior snapshot (new gates have no baseline) and
     * failed (-1) walls on either side. */
-  private def promotedMovers(current: Map[String, Double],
+  private[graft] def promotedMovers(current: Map[String, Double],
       priorPath: String): Seq[String] =
     try {
       val f = java.nio.file.Paths.get(priorPath)
