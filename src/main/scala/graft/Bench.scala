@@ -218,8 +218,9 @@ object Bench {
         // budget trips it is the NEWEST additions that fall back to
         // their sharded numbers; skipped names are recorded in the JSON
         // (isolated_skipped) instead of silently missing.
+        // default sized to the list: 22 gates × ~60 s/child + slack
         val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED_BUDGET",
-          "1200").toLong
+          "1500").toLong
         // auto-promoted movers get their own additive budget so a
         // static pass that exhausts budgetS cannot leave a fresh
         // regression unadjudicated (the whole point of promotion)
