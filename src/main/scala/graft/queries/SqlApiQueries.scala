@@ -265,6 +265,21 @@ object SqlApiQueries {
     s"SELECT key, q, $picks FROM $emissionsView WHERE q >= 0 GROUP BY key, q"
   }
 
+  /** The COUNT-MIN monitor's cube read as one SQL view — the ADDITIVE
+    * twin of [[monitorLatestSql]]: CM emissions are per-trigger DELTA
+    * cells ([[graft.streaming.SlidingMonitor]]'s round-12 contract),
+    * so the live cube is dedup-to-one-row-per-(key, quantum, version)
+    * — the at-least-once idempotency key — then SUM per cell.
+    * `SlidingMonitor.cmCubeFromDeltas` is this read as DataFrame
+    * algebra; panel consumers on a SQL-only surface use this
+    * definition. Returns (key, q, idx, cnt) rows. */
+  def monitorDeltaSumSql(emissionsView: String): String =
+    s"""SELECT key, q, idx, SUM(cnt) AS cnt FROM (
+       |  SELECT DISTINCT key, q, ver, idx, cnt
+       |  FROM $emissionsView LATERAL VIEW inline(entries) cells
+       |  WHERE q >= 0) d
+       |GROUP BY key, q, idx""".stripMargin
+
   /** The MG monitor's cube read from pure SQL ([[monitorLatestSql]]):
     * replay the per-event-type heavy-hitter monitor, register its
     * emission log, and answer per (key, quantum) entirely in SQL —
@@ -423,23 +438,76 @@ object SqlApiQueries {
     EventStreams.foldLog(path, spark.read.parquet(s"$saved/b0"), 0L,
       compactEvery = 3)(reduce)
     val served = EventStreams.readLog(spark, path)(reduce)
-    val direct = SS.cmHourly(ev, col("user_id"), col("sec"), 3600L,
-      depth = 4, width = 32, key = col("event_type"))
-    def cells(df: org.apache.spark.sql.DataFrame, cnt: String) =
-      df.select(col("key"), col("q"), explode(col("entries")).as("e"))
-        .select(col("key"), col("q"), col("e.idx").as("idx"),
-          col("e.cnt").as(cnt))
-    cells(served, "cnt")
-      .join(cells(direct, "dcnt"), Seq("key", "q", "idx"), "full")
+    val direct = graft.operators.SlidingSketches.cmHourly(ev, col("user_id"),
+      col("sec"), 3600L, depth = 4, width = 32, key = col("event_type"))
+    cmCellsCheck(explodeCells(served, "cnt"), direct)
+  }
+
+  /** (key, q, entries) → (key, q, idx, cnt-as-`name`) cell rows. */
+  private def explodeCells(df: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col("key"), col("q"), explode(col("entries")).as("e"))
+      .select(col("key"), col("q"), col("e.idx").as("idx"),
+        col("e.cnt").as(name))
+  }
+
+  /** Compare a reconstructed CM cube (cell rows) against the direct
+    * batch build: per (key, quantum), `cells_match` = every cell equal
+    * on a full outer join, `n` = row-0 mass (row-0 cells partition the
+    * events, so n is the exact count — any double-fold inflates it,
+    * any lost delta deflates it). */
+  private def cmCellsCheck(cells: org.apache.spark.sql.DataFrame,
+      direct: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    cells
+      .join(explodeCells(direct, "dcnt"), Seq("key", "q", "idx"), "full")
       .groupBy("key", "q")
       .agg(sum(when(col("cnt") === col("dcnt"), 0L).otherwise(1L)).as("bad"),
-        // row-0 cells (idx < width) partition the events: their mass is
-        // the exact count, so any double-fold inflates n
         sum(when(col("idx") < 32L, col("cnt")).otherwise(0L)).as("n"))
       .select(col("key"), col("q"), col("n"),
         (col("bad") === 0L).cast("long").as("cells_match"))
       .orderBy("key", "q")
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331)
+  /** The CM monitor's cube from pure SQL ([[monitorDeltaSumSql]]) —
+    * q323's read-contract gate for the additive family member: replay
+    * the per-event-type count-min monitor, register its delta emission
+    * log as a view, reconstruct the cube entirely in SQL (distinct
+    * (key, q, ver, cell) then sum), and require cell-for-cell equality
+    * with the direct batch build plus the exact row-0 count per
+    * quantum. */
+  val q333 = QueryDef(
+    "q333_sql_cm_cube",
+    """SELECT event_type AS key, floor(epoch(ts))::BIGINT // 3600 AS q,
+      |       COUNT(*)::BIGINT AS n, 1::BIGINT AS cells_match
+      |FROM events GROUP BY 1, 2 ORDER BY key, q""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val replay = java.nio.file.Files.createTempDirectory("graft_sqlcm_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("user_id"), col("event_type"), col("sec")).repartition(4)
+      .write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val keyRows = SS.cmKeyRows(stream, col("user_id"), col("sec"), 3600L,
+      key = col("event_type"))
+    EventStreams.runToCompletion(spark,
+        SlidingMonitor.cmQuantumMonitor(keyRows, depth = 4, width = 32).toDF(),
+        "q333_cm_emissions", mode = "update")
+      .createOrReplaceTempView("graft_cm_emissions")
+    val cube = spark.sql(monitorDeltaSumSql("graft_cm_emissions"))
+    val direct = SS.cmHourly(ev, col("user_id"), col("sec"), 3600L,
+      depth = 4, width = 32, key = col("event_type"))
+    cmCellsCheck(cube, direct)
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331, q333)
 }
