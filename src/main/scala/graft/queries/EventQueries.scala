@@ -1882,18 +1882,18 @@ object EventQueries {
   }
 
   /** STREAMING-NATIVE count-min monitor (SlidingMonitor
-    * .cmQuantumMonitor): the fourth family member's always-on leg —
-    * per-quantum cell counts as streaming state, folded by plain
-    * addition (cells are canonical, so the "level structure"
-    * degenerates to a running sum and the streamed cube is
-    * BIT-IDENTICAL to a batch build at any trigger cadence). Items are
-    * pre-hashed on the shared md5 as a pure streaming projection
-    * (SlidingSketches.cmKeyRows, ONE row per event); the ×depth cell
-    * explosion happens inside the stateful fold with the pure-Scala
-    * coefficient family, keeping the shuffle depth-free. Latest
-    * version per
-    * (key, quantum) → the identical EH + cell-for-cell verification as
-    * the batch sliding gate (q306's oracle verbatim). */
+    * .cmQuantumMonitor): the fourth family member's always-on leg.
+    * Cells are additive and canonical, so the monitor keeps NO cell
+    * state at all — each trigger emits its per-quantum DELTA cells and
+    * the reader's additive fold (SlidingMonitor.cmCubeFromDeltas)
+    * reconstructs a cube BIT-IDENTICAL to a batch build at any trigger
+    * cadence. Items are pre-hashed on the shared md5 as a pure
+    * streaming projection (SlidingSketches.cmKeyRows, ONE row per
+    * event); the ×depth cell explosion happens in the mapPartitions
+    * PRE-FOLD (executor-side, before the per-key shuffle) with the
+    * pure-Scala coefficient family. Additive cube read → the identical
+    * EH + cell-for-cell verification as the batch sliding gate (q306's
+    * oracle verbatim). */
   val q313 = QueryDef("q313_stream_cm_monitor", q306.oracle.get) { (spark, dir) =>
     import org.apache.spark.sql.types._
     import graft.operators.{SlidingSketches => SS}
