@@ -18,7 +18,7 @@ import graft.streaming.{EventStreams, SlidingMonitor}
   * manifest + threshold compaction), and the panel read served from
   * the compacted table, never from the emission log or the stream.
   *
-  * Three monitor families behind one flag:
+  * Four monitor families behind one flag:
   *   - `mg` (default): Misra–Gries "top talkers per source" — the
   *     panel shows each key's k-bounded talker list. Latest-wins
   *     serving fold (emissions are replacement summaries).
@@ -32,6 +32,11 @@ import graft.streaming.{EventStreams, SlidingMonitor}
   *     q331 gates); the panel shows each quantum's exact row-0 mass
   *     (total events) and the count-min upper bound on the single
   *     heaviest item (min over rows of the row's max cell).
+  *   - `dm`: decayed Misra–Gries "top talkers, recency-weighted, NOW"
+  *     — one O(k) sketch per key, no quantum axis; the serving table
+  *     holds ONE row per key (latest version wins) and the panel shows
+  *     each key's decayed top talkers with the total decayed mass and
+  *     its event-time reference.
   *
   * Every stage is the scale-shaped one: raw rows collapse to m/k-bounded
   * summaries inside `mapPartitions` before the stateful shuffle, state
@@ -39,7 +44,7 @@ import graft.streaming.{EventStreams, SlidingMonitor}
   * O(touched quanta), and the serving table's read cost is
   * O(live keys × horizon) regardless of stream length.
   *
-  * Usage: runMain graft.cli.Monitor <sfDir> <serveDir> [family=mg|gk|cm]
+  * Usage: runMain graft.cli.Monitor <sfDir> <serveDir> [family=mg|gk|cm|dm]
   *          [sketchSize=16] [horizonQuanta=24]
   * Output: per (event_type, hour) panel rows for the newest 3
   * IN-HORIZON quanta of each key (quanta older than the global
@@ -72,21 +77,22 @@ object Monitor {
 
   private[graft] def run(spark: SparkSession, sfDir: String, serveDir: String,
       k: Int, horizon: Long, family: String = "mg"): Unit = {
-    require(family == "mg" || family == "gk" || family == "cm",
-      s"unknown monitor family '$family' (mg|gk|cm)")
+    require(Set("mg", "gk", "cm", "dm")(family),
+      s"unknown monitor family '$family' (mg|gk|cm|dm)")
     // replay the events table as 8 micro-batches (one file per trigger)
     val replay = java.nio.file.Files.createTempDirectory("graft_monitor_replay")
     graft.core.TempPaths.register(replay)
     Tables.events(spark, sfDir)
       .select(col("event_type").cast("string").as("key"),
-        expr("sec div 3600").as("q"), col("user_id").cast("string").as("item"),
+        expr("sec div 3600").as("q"), col("sec").cast("long").as("t"),
+        col("user_id").cast("string").as("item"),
         col("value").cast("double").as("v"))
       .repartition(8).write.mode("overwrite").parquet(replay.toString)
 
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("key", StringType),
-        StructField("q", LongType), StructField("item", StringType),
-        StructField("v", DoubleType))))
+        StructField("q", LongType), StructField("t", LongType),
+        StructField("item", StringType), StructField("v", DoubleType))))
       .option("maxFilesPerTrigger", 1)
       .parquet(replay.toString)
     clearServeDir(serveDir)
@@ -98,6 +104,13 @@ object Monitor {
         val emissions = SlidingMonitor.cmQuantumMonitor(cmRows, CmDepth,
           CmWidth, horizonQuanta = horizon).toDF()
         runCmServe(spark, emissions, serveDir)
+      case "dm" =>
+        // no quantum axis: one O(k) sketch row per key, latest wins
+        EventStreams.runUpsertLogToCompletion(spark,
+          SlidingMonitor.decayedMgMonitor(stream.select("key", "t", "item"),
+            halfLifeSec = 86400L, k = k).toDF(),
+          serveDir, key = "key", version = "ver",
+          name = "graft_monitor_serve_dm", compactEvery = 4, mode = "update")
       case fam =>
         val emissions = (fam match {
           case "mg" => SlidingMonitor
@@ -127,10 +140,17 @@ object Monitor {
             f"n=${r.getLong(2)}%-6d p50=${r.getDouble(3)}%.3f " +
             f"p99=${r.getDouble(4)}%.3f")
         }
-      case _ =>
+      case "cm" =>
         cmPanelFrame(served, horizon).collect().foreach { r =>
           println(f"[monitor] ${r.getString(0)}%-12s hour=${r.getLong(1)}%-8d " +
             f"n=${r.getLong(2)}%-6d heaviest<=${r.getLong(3)}%d")
+        }
+      case _ =>
+        dmPanelFrame(served).collect().foreach { r =>
+          val talkers = r.getSeq[org.apache.spark.sql.Row](3)
+            .map(e => f"${e.getString(0)}:${e.getDouble(1)}%.2f").mkString(", ")
+          println(f"[monitor] ${r.getString(0)}%-12s t_ref=${r.getLong(1)}%-12d " +
+            f"w=${r.getDouble(2)}%.2f top: $talkers")
         }
     }
     val keys = served.select("key").distinct().count()
@@ -240,6 +260,20 @@ object Monitor {
       .agg(max(when(col("r") === 0L, col("rowsum"))).as("n"),
         min("rowmax").as("heavy_max"))
       .orderBy("key", "q")
+
+  /** The decayed family's panel: one row per key — the latest sketch's
+    * event-time reference, total decayed mass, and talkers sorted by
+    * decayed estimate descending (ties by item for determinism). */
+  private[graft] def dmPanelFrame(served: DataFrame): DataFrame =
+    served
+      .select(col("key"), col("t_ref"), col("w"),
+        reverse(array_sort(col("entries"),
+          (a, b) => when(a.getField("est") < b.getField("est"), -1)
+            .when(a.getField("est") > b.getField("est"), 1)
+            .when(a.getField("item") > b.getField("item"), -1)
+            .when(a.getField("item") < b.getField("item"), 1)
+            .otherwise(0))).as("top"))
+      .orderBy("key")
 
   /** Shared panel windowing: drop out-of-horizon quanta (vs the global
     * high-water quantum — the panel's "now"), then keep the newest 3

@@ -374,6 +374,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Monitor CLI dm family: one decayed sketch row per key, talkers ordered") {
+    val serveDir = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_moncli_dm")).toString + "/serve"
+    graft.cli.Monitor.run(spark, sf(), serveDir, k = 8, horizon = 24L,
+      family = "dm")
+    val served = graft.streaming.EventStreams.readLog(spark, serveDir) { df =>
+      graft.operators.Cdc.compactLatest(df, "key", "ver")
+    }
+    import org.apache.spark.sql.functions._
+    val types = graft.core.Tables.events(spark, sf())
+      .select(col("event_type").cast("string")).distinct().count()
+    assert(served.count() == types, "one served row per key expected")
+    assert(served.filter(size(col("entries")) > 8).count() == 0, "k-bound")
+    val panel = graft.cli.Monitor.dmPanelFrame(served).collect()
+    assert(panel.length == types)
+    panel.foreach { r =>
+      assert(r.getDouble(2) > 0, "total decayed mass must be positive")
+      val ests = r.getSeq[org.apache.spark.sql.Row](3).map(_.getDouble(1))
+      assert(ests == ests.sorted.reverse, s"talkers out of order: $ests")
+      assert(ests.forall(_ <= r.getDouble(2) + 1e-6),
+        "no talker can claim more than the key's total mass")
+    }
+  }
+
   test("Monitor CLI refuses to clear a non-serving directory") {
     val dir = graft.core.TempPaths.registered(
       java.nio.file.Files.createTempDirectory("graft_monclear")).toString
