@@ -167,6 +167,11 @@ object Monitor {
   private[graft] def clearServeDir(serveDir: String): Unit = {
     val d = new java.io.File(serveDir)
     if (d.exists) {
+      // a regular FILE would make File.list return null below, so the
+      // empty-names require would pass and delete the user's file —
+      // refuse anything that isn't a directory outright
+      require(d.isDirectory,
+        s"refusing to clear '$serveDir': exists but is not a directory")
       val names = Option(d.list).map(_.toSeq).getOrElse(Seq.empty)
       require(names.isEmpty || names.exists(_.startsWith("manifest.")),
         s"refusing to clear '$serveDir': non-empty and not a graft " +
@@ -221,13 +226,7 @@ object Monitor {
     * not from content (q331 gates exactly this scenario). */
   private def runCmServe(spark: SparkSession, emissions: DataFrame,
       serveDir: String): DataFrame = {
-    val reduce = (df: DataFrame) => df
-      .select(col("key"), col("q"), explode(col("entries")).as("e"))
-      .groupBy(col("key"), col("q"), col("e.idx").as("idx"))
-      .agg(sum(col("e.cnt")).as("cnt"))
-      .groupBy("key", "q")
-      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
-        .as("entries"))
+    val reduce = (df: DataFrame) => SlidingMonitor.cmAdditiveReduce(df)
     val q = emissions.writeStream.outputMode("update")
       .queryName("graft_monitor_serve_cm")
       .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -275,9 +275,10 @@ object SqlApiQueries {
     * definition. Returns (key, q, idx, cnt) rows. */
   def monitorDeltaSumSql(emissionsView: String): String =
     s"""SELECT key, q, idx, SUM(cnt) AS cnt FROM (
-       |  SELECT DISTINCT key, q, ver, idx, cnt
-       |  FROM $emissionsView LATERAL VIEW inline(entries) cells
-       |  WHERE q >= 0) d
+       |  SELECT key, q, ver, entries
+       |  FROM $emissionsView WHERE q >= 0
+       |  GROUP BY key, q, ver, entries) d
+       |LATERAL VIEW inline(entries) cells
        |GROUP BY key, q, idx""".stripMargin
 
   /** The MG monitor's cube read from pure SQL ([[monitorLatestSql]]):
@@ -404,17 +405,12 @@ object SqlApiQueries {
       depth = 4, width = 32).toDF()
     val path = graft.core.TempPaths.gatePath("q331_serving")
     graft.core.TempPaths.clearDir(path)
-    // additive serving fold: group cells per (key, quantum) and SUM —
-    // a valid one-shot associative reduce (reduce(reduce(A) ∪ B) =
+    // additive serving fold (the shared cmAdditiveReduce): a valid
+    // one-shot associative reduce (reduce(reduce(A) ∪ B) =
     // reduce(A ∪ B)), and exactly the fold a redelivered delta would
     // corrupt
-    val reduce = (df: org.apache.spark.sql.DataFrame) => df
-      .select(col("key"), col("q"), explode(col("entries")).as("e"))
-      .groupBy(col("key"), col("q"), col("e.idx").as("idx"))
-      .agg(sum(col("e.cnt")).as("cnt"))
-      .groupBy("key", "q")
-      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
-        .as("entries"))
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      SlidingMonitor.cmAdditiveReduce(df)
     val saved = java.nio.file.Files.createTempDirectory("graft_redeliver_saved")
     graft.core.TempPaths.register(saved)
     val q = emissions.writeStream.outputMode("update")

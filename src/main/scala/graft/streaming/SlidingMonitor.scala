@@ -135,6 +135,20 @@ object SlidingMonitor {
     else qMax - horizonQuanta + 1
   }
 
+  /** Key-eviction precondition, overflow-safe: the timeout arithmetic
+    * multiplies (quantum-or-second counts) by 1000, so the guard must
+    * bound the factors BEFORE any multiplication — `horizon *
+    * (quantumSec * 1000)` as a guard would itself overflow on a huge
+    * quantumSec and misfire confusingly. Division-form comparison
+    * never overflows. */
+  private def requireEvictableHorizon(evictKeys: Boolean, horizonQuanta: Long,
+      quantumSec: Long): Unit = {
+    require(quantumSec >= 1, s"quantumSec out of range: $quantumSec")
+    require(!evictKeys || (quantumSec <= Long.MaxValue / 1000L &&
+      horizonQuanta < Long.MaxValue / 1000L / quantumSec),
+      "key eviction requires a finite horizon")
+  }
+
   /** Shared key-eviction plumbing (all three monitors use it
     * identically): EventTimeTimeout needs a watermarked attribute in
     * the stateful operator's child, derived here from the partial's
@@ -269,8 +283,7 @@ object SlidingMonitor {
   def gkQuantumMonitor(stream: DataFrame, m: Int,
       horizonQuanta: Long = Long.MaxValue,
       evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[Out] = {
-    require(!evictKeys || horizonQuanta < Long.MaxValue / (quantumSec * 1000L),
-      "key eviction requires a finite horizon")
+    requireEvictableHorizon(evictKeys, horizonQuanta, quantumSec)
     val spark = stream.sparkSession
     import spark.implicits._
     val timeout =
@@ -387,8 +400,7 @@ object SlidingMonitor {
   def mgQuantumMonitor(stream: DataFrame, k: Int,
       horizonQuanta: Long = Long.MaxValue,
       evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[MgOut] = {
-    require(!evictKeys || horizonQuanta < Long.MaxValue / (quantumSec * 1000L),
-      "key eviction requires a finite horizon")
+    requireEvictableHorizon(evictKeys, horizonQuanta, quantumSec)
     val spark = stream.sparkSession
     import spark.implicits._
     val timeout =
@@ -511,10 +523,24 @@ object SlidingMonitor {
     * per-key collect. Tombstones (q = −1) drop here. */
   def cmCubeFromDeltas(emissions: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    emissions
+    cmAdditiveReduce(emissions
       .filter(col("q") >= 0L)
       .dropDuplicates("key", "q", "ver")
-      .select(col("key"), col("q"), explode(col("entries")).as("e"))
+      .select("key", "q", "entries"))
+  }
+
+  /** The ONE additive CM cell reduce — (key, q, entries) rows fold to
+    * one row per (key, quantum) with per-idx summed, idx-sorted cells.
+    * Shared by [[cmCubeFromDeltas]] (after its (key, q, ver) dedup),
+    * the log-structured serving fold (q331 — there the MANIFEST's
+    * live/consumed no-ops provide redelivery idempotency, so no dedup
+    * precedes the sum), and the CLI cm panel's serve path: three call
+    * sites, one definition, no drift on the idempotency-key subtlety.
+    * A valid one-shot associative fold (reduce(reduce(A) ∪ B) =
+    * reduce(A ∪ B)) — the contract foldLog requires. */
+  def cmAdditiveReduce(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col("key"), col("q"), explode(col("entries")).as("e"))
       .groupBy(col("key"), col("q"), col("e.idx").as("idx"))
       .agg(sum(col("e.cnt")).as("cnt"))
       .groupBy("key", "q")
@@ -537,8 +563,7 @@ object SlidingMonitor {
   def cmQuantumMonitor(stream: DataFrame, depth: Int, width: Int,
       horizonQuanta: Long = Long.MaxValue,
       evictKeys: Boolean = false, quantumSec: Long = 3600L): Dataset[CmOut] = {
-    require(!evictKeys || horizonQuanta < Long.MaxValue / (quantumSec * 1000L),
-      "key eviction requires a finite horizon")
+    requireEvictableHorizon(evictKeys, horizonQuanta, quantumSec)
     val spark = stream.sparkSession
     import spark.implicits._
     val timeout =
