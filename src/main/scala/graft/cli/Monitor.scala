@@ -105,11 +105,17 @@ object Monitor {
           CmWidth, horizonQuanta = horizon).toDF()
         runCmServe(spark, emissions, serveDir)
       case "dm" =>
-        // no quantum axis: one O(k) sketch row per key, latest wins
+        // no quantum axis: one O(k) sketch row per key, latest wins —
+        // keyed on struct(t_ref, ver), NOT bare ver: the dm read
+        // contract (monitorDecayedLatestSql) orders by event time
+        // first because versions restart when an evicted key is
+        // re-admitted; compacting on the same struct keeps this serve
+        // path correct if eviction is ever switched on here
         EventStreams.runUpsertLogToCompletion(spark,
           SlidingMonitor.decayedMgMonitor(stream.select("key", "t", "item"),
-            halfLifeSec = 86400L, k = k).toDF(),
-          serveDir, key = "key", version = "ver",
+            halfLifeSec = 86400L, k = k).toDF()
+            .withColumn("tv", struct(col("t_ref"), col("ver"))),
+          serveDir, key = "key", version = "tv",
           name = "graft_monitor_serve_dm", compactEvery = 4, mode = "update")
       case fam =>
         val emissions = (fam match {
@@ -265,6 +271,9 @@ object Monitor {
     * decayed estimate descending (ties by item for determinism). */
   private[graft] def dmPanelFrame(served: DataFrame): DataFrame =
     served
+      // an evicted key's latest served row is its tombstone (w = 0):
+      // aged off the panel, not displayed empty
+      .filter(col("w") > 0.0)
       .select(col("key"), col("t_ref"), col("w"),
         reverse(array_sort(col("entries"),
           (a, b) => when(a.getField("est") < b.getField("est"), -1)

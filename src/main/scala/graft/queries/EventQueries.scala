@@ -1547,7 +1547,7 @@ object EventQueries {
     * sequential writes can share a millisecond — leaving trigger order
     * unspecified exactly where the horizon gates need slices to arrive
     * oldest-first. */
-  private def writeOrderedReplay(slices: Seq[org.apache.spark.sql.DataFrame],
+  private[queries] def writeOrderedReplay(slices: Seq[org.apache.spark.sql.DataFrame],
       dir: String): Unit = {
     val base = System.currentTimeMillis() - 3600L * 1000L
     val seen = scala.collection.mutable.Set.empty[String]
@@ -2751,7 +2751,9 @@ object EventQueries {
     * total state is O(#keys ever seen) without eviction), the monitor
     * drops a key once its own max event time falls a full retention
     * (64 half-lives) behind the self-derived watermark, tombstoning it
-    * (t_ref = −1). Where the quantum monitors' admission floor makes
+    * (w = 0 at the lifetime's own t_ref — the encoding that makes
+    * (t_ref, ver) totally order the log). Where the quantum monitors'
+    * admission floor makes
     * resurrection IMPOSSIBLE, the decayed analog is a MASS BOUND: with
     * the time-ordered replay, a re-admitted key's lost pre-gap mass
     * decayed by ≥ 2^−64 — below one double ulp, so live keys' answers
@@ -2817,13 +2819,13 @@ object EventQueries {
       .localCheckpoint(true)
     val expectedLive = perKey.filter(lit(smax) <= col("t_max_k") + retention)
     val stateOk = stateRows == expectedLive.count()
-    val tombstoned = fin.filter(col("t_ref") === -1L).select("key").distinct()
+    val tombstoned = fin.filter(col("w") <= 0.0).select("key").distinct()
     val evictOk = perKey.filter(lit(smax) > col("t_max_k") + retention)
       .select("key").except(tombstoned).count() == 0L
     // live cube: predicted-live keys only (a finally-evicted key's
     // pre-tombstone emissions remain in the log); versions restart on
     // re-admission, so order by (t_ref, ver) — event time first
-    val sk = fin.filter(col("t_ref") >= 0L)
+    val sk = fin.filter(col("w") > 0.0)
       .join(broadcast(expectedLive.select("key")), Seq("key"), "left_semi")
       .groupBy("key")
       .agg(max_by(struct(col("t_ref"), col("w"), col("entries")),

@@ -281,6 +281,23 @@ object SqlApiQueries {
        |LATERAL VIEW inline(entries) cells
        |GROUP BY key, q, idx""".stripMargin
 
+  /** The DECAYED-MG monitor's read as one SQL view — the third read
+    * contract beside [[monitorLatestSql]] (replacement) and
+    * [[monitorDeltaSumSql]] (additive): one row per LIVE key. The
+    * subtlety this pins is the eviction-aware ORDER: versions restart
+    * at 1 when an evicted key is re-admitted, so "latest" is
+    * max_by(…, struct(t_ref, ver)) — event time first, bare `ver`
+    * would serve stale pre-eviction rows — and a key whose
+    * (t_ref, ver)-newest row is a tombstone (w = 0; tombstones carry
+    * their lifetime's t_ref, so the struct totally orders the log) is
+    * EVICTED and must not appear, rather than served empty. Returns
+    * (key, t_ref, w, entries). */
+  def monitorDecayedLatestSql(emissionsView: String): String =
+    s"""SELECT key, s.t_ref AS t_ref, s.w AS w, s.entries AS entries FROM (
+       |  SELECT key, max_by(struct(t_ref, w, entries), struct(t_ref, ver)) AS s
+       |  FROM $emissionsView GROUP BY key)
+       |WHERE s.w > 0""".stripMargin
+
   /** The MG monitor's cube read from pure SQL ([[monitorLatestSql]]):
     * replay the per-event-type heavy-hitter monitor, register its
     * emission log, and answer per (key, quantum) entirely in SQL —
@@ -505,5 +522,91 @@ object SqlApiQueries {
     cmCellsCheck(cube, direct)
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331, q333)
+  /** The decayed-MG monitor's cube from pure SQL
+    * ([[monitorDecayedLatestSql]]) — q323's read-contract gate for the
+    * dm family, driven UNDER KEY EVICTION because eviction is exactly
+    * what makes the read subtle: the time-partitioned ordered replay
+    * (q330's) evicts ~30% of the user×type keys mid-stream, versions
+    * restart on re-admission, and the gate requires (a) the SQL view's
+    * key set to equal the PREDICTED live-key set both ways (an evicted
+    * key served = stale read; a live key missing = over-eviction) and
+    * (b) the served sketches to pass the q315 weighted-MG guarantee
+    * reduction against exact decayed masses on those keys. */
+  val q335 = QueryDef(
+    "q335_sql_dm_monitor_cube",
+    s"""WITH g0 AS (SELECT user_id::VARCHAR || '_' || event_type AS key,
+       |            floor(value)::BIGINT::VARCHAR AS item,
+       |            floor(epoch(ts))::BIGINT AS t FROM events),
+       |tm AS (SELECT MAX(t) AS tg FROM g0),
+       |tr AS (SELECT key, MAX(t) AS t_ref FROM g0 GROUP BY 1),
+       |live AS (SELECT key, t_ref FROM tr CROSS JOIN tm
+       |         WHERE tg <= t_ref + ${64L * 3600L}),
+       |w AS (SELECT g0.key, item,
+       |             ${Cross.r6Sql("pow(2.0, (t - t_ref)::DOUBLE / 3600.0)")} AS w
+       |      FROM g0 JOIN live ON g0.key = live.key),
+       |g AS (SELECT key, item, COUNT(*)::BIGINT AS n, ${Cross.dsumSql("w")} AS m
+       |      FROM w GROUP BY 1, 2),
+       |tot AS (SELECT key, ${Cross.dsumSql("w")} AS wt FROM w GROUP BY 1)
+       |SELECT g.key, item, n, ${Cross.r6Sql("m")} AS m, 1::BIGINT AS present,
+       |       1::BIGINT AS bounds_ok, 1::BIGINT AS w_ok,
+       |       1::BIGINT AS keys_ok
+       |FROM g JOIN tot ON g.key = tot.key
+       |WHERE m * 9 > wt ORDER BY g.key, item""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val keyCol = concat(col("user_id").cast("string"), lit("_"),
+      col("event_type").cast("string"))
+    val itemCol = floor(col("value")).cast("long").cast("string")
+    val halfLife = 3600L
+    val retention = 64L * halfLife
+    val mm = ev.agg(min(col("sec")).cast("long").as("a"),
+      max(col("sec")).cast("long").as("b")).head
+    val (smin, smax) = (mm.getLong(0), mm.getLong(1))
+    val replay = java.nio.file.Files.createTempDirectory("graft_sqldm_replay")
+    graft.core.TempPaths.register(replay)
+    val typed = ev.select(keyCol.as("key"), col("sec").cast("long").as("t"),
+      itemCol.as("item"))
+    EventQueries.writeOrderedReplay((0 until 4).map { i =>
+      val lo = smin + i.toLong * (smax - smin + 1) / 4
+      val hi = smin + (i.toLong + 1) * (smax - smin + 1) / 4
+      typed.filter(col("t") >= lo && col("t") < (if (i == 3) smax + 1 else hi))
+    }, replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("t", LongType), StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    EventStreams.runToCompletion(spark,
+        SlidingMonitor.decayedMgMonitor(stream, halfLife, 8, evictKeys = true,
+          retentionHalfLives = 64L).toDF(),
+        "q335_dm_emissions", mode = "update")
+      .createOrReplaceTempView("graft_dm_emissions")
+    val cube = spark.sql(monitorDecayedLatestSql("graft_dm_emissions"))
+      .localCheckpoint(true)
+    val expectedLive = ev
+      .select(keyCol.as("key"), col("sec").cast("long").as("sec"))
+      .groupBy("key").agg(max("sec").as("t_max_k"))
+      .filter(lit(smax) <= col("t_max_k") + retention)
+      .select("key")
+      .localCheckpoint(true)
+    // the SQL view must serve EXACTLY the predicted live keys
+    val keysOk = cube.select("key").except(expectedLive).count() == 0L &&
+      expectedLive.except(cube.select("key")).count() == 0L
+    val sk = cube
+      .select(col("key"), col("t_ref").as("t_sk"), col("w").as("w_sk"),
+        explode(col("entries")).as("e"))
+      .select(col("key"), col("t_sk"), col("w_sk"),
+        col("e.item").as("item"), col("e.est").as("est"))
+    val evLive = ev.select(keyCol.as("key"), col("sec").cast("long").as("sec"),
+        itemCol.as("item"))
+      .join(broadcast(expectedLive), Seq("key"), "left_semi")
+    graft.operators.Analytics.decayedMgHeavyPerKeyFrame(evLive,
+        col("key"), col("item"), col("sec"), halfLifeSec = halfLife, k = 8, sk)
+      .withColumn("keys_ok", lit(if (keysOk) 1L else 0L))
+      .orderBy("key", "item")
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331, q333, q335)
 }

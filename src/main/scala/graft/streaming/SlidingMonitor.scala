@@ -673,7 +673,9 @@ object SlidingMonitor {
     * key once the self-derived event-time watermark (the global max t,
     * zero delay — no extra column needed) passes a full retention
     * (`retentionHalfLives × halfLifeSec`) beyond the key's own tMax,
-    * with a tombstone emission (t_ref = −1, w = 0). Rows a full
+    * with a tombstone emission carrying the EVICTED state's t_ref and
+    * w = 0 with no entries (w = 0 ⇔ tombstone — a live emission's w is
+    * ≥ 1, the newest event's own weight). Rows a full
     * retention behind the watermark drop on arrival (the admission
     * floor). Unlike the quantum monitors — where the floor makes
     * resurrection IMPOSSIBLE because evicted quanta are discrete
@@ -688,10 +690,18 @@ object SlidingMonitor {
     * one double ulp of the total, i.e. answers are numerically
     * identical to the unbounded monitor's. READ CONTRACT under
     * eviction: versions restart at 1 on re-admission, so readers order
-    * by (t_ref, ver) — event time first — instead of bare ver, and a
-    * key whose newest row is a tombstone is evicted, not empty (q330
-    * gates the full contract: predicted live-state count, tombstone
-    * coverage, and the q315 guarantee reduction on live keys). */
+    * by (t_ref, ver) — event time first — NEVER by bare ver (a
+    * ver-keyed latest-wins fold would serve stale pre-eviction rows
+    * whose restarted successors carry smaller versions). Because the
+    * tombstone carries its lifetime's t_ref, (t_ref, ver) totally
+    * orders the emission log: the one max_by read yields the current
+    * sketch for a live key and a w = 0 row for an evicted one —
+    * [[graft.queries.SqlApiQueries.monitorDecayedLatestSql]] is that
+    * read as one SQL view (q335 gates it); serving folds key the same
+    * way (the CLI dm family compacts on a struct(t_ref, ver) version
+    * column). q330 gates the full contract: predicted live-state
+    * count, tombstone coverage, and the q315 guarantee reduction on
+    * live keys. */
   def decayedMgMonitor(stream: DataFrame, halfLifeSec: Long, k: Int,
       evictKeys: Boolean = false,
       retentionHalfLives: Long = 64L): Dataset[DmOut] = {
@@ -719,9 +729,20 @@ object SlidingMonitor {
       .flatMapGroupsWithState(OutputMode.Update, timeout) {
         (key: String, partsIt: Iterator[DmPart], state: GroupState[DmMonState]) =>
           if (evictKeys && state.hasTimedOut) {
-            val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+            // the tombstone carries the EVICTED state's t_ref (not a
+            // sentinel) with w = 0 and no entries: that makes
+            // (t_ref, ver) a total order matching emission order —
+            // the tombstone sorts after its own lifetime's rows
+            // (same t_ref, ver + 1) and before any re-admission (the
+            // admission floor forces a strictly larger t_ref there) —
+            // so one max_by read answers both "current sketch" and
+            // "is this key evicted" (w = 0 ⇔ tombstone; a live
+            // emission always has w ≥ 1, its newest event's weight)
+            val st = state.getOption
+            val ver = st.map(_.ver).getOrElse(0L) + 1
+            val tRef = st.map(_.tMax).getOrElse(Long.MinValue)
             state.remove()
-            Iterator.single(DmOut(key, ver, -1L, 0.0, Nil))
+            Iterator.single(DmOut(key, ver, tRef, 0.0, Nil))
           } else {
             // admission floor: a partial whose newest row is a full
             // retention behind the watermark is dropped whole — if its
