@@ -608,5 +608,63 @@ object SqlApiQueries {
       .orderBy("key", "item")
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331, q333, q335)
+  /** GK rank queries from pure SQL over the MONITOR cube — the read
+    * that completes the four-family SQL contract (mg latest-wins
+    * q323, cm additive q333, dm eviction-aware q335, gk THIS): the
+    * always-on GK monitor's emission log resolves to the live cube via
+    * [[monitorLatestSql]] and each (key, quantum)'s p50/p99 is
+    * answered by the `graft_gk_q` SCALAR over the served summary
+    * struct — a SQL-only panel consumer needs no Scala and no raw-data
+    * rescan. Verified with the standard guarantee reduction: exact n
+    * per quantum, and each estimate's exact rank range within n/40 of
+    * the target rank (guaranteed by the merge-and-reduce bound at
+    * m = 2048, so the oracle emits the literal). */
+  val q336 = QueryDef(
+    "q336_sql_gk_monitor_quantiles",
+    """WITH g AS (SELECT event_type AS key, floor(epoch(ts))::BIGINT//3600 AS q,
+      |           COUNT(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |p AS (SELECT CAST(unnest([0.5, 0.99]) AS DOUBLE) AS phi)
+      |SELECT key, q, phi, n, 1 + CAST(round(phi*(n-1)) AS BIGINT) AS r,
+      |       1::BIGINT AS rank_ok
+      |FROM g CROSS JOIN p ORDER BY key, q, phi""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    GraftFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+    val replay = java.nio.file.Files.createTempDirectory("graft_sqlgk_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("event_type").cast("string").as("key"),
+        expr("sec div 3600").as("q"), col("value").cast("double").as("v"))
+      .repartition(4).write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("q", LongType), StructField("v", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    EventStreams.runToCompletion(spark,
+        SlidingMonitor.gkQuantumMonitor(stream, 2048).toDF(),
+        "q336_gk_emissions", mode = "update")
+      .createOrReplaceTempView("graft_gk_emissions")
+    val est = spark.sql(
+      s"""WITH cube AS (
+         |  ${monitorLatestSql("graft_gk_emissions", Seq("sk"))}),
+         |est AS (
+         |  SELECT key, q, CAST(0.5 AS DOUBLE) AS phi, sk.n AS n,
+         |         graft_gk_q(sk, 0.5) AS est FROM cube
+         |  UNION ALL
+         |  SELECT key, q, CAST(0.99 AS DOUBLE) AS phi, sk.n AS n,
+         |         graft_gk_q(sk, 0.99) AS est FROM cube)
+         |SELECT key, q, phi, n,
+         |       1L + CAST(round(phi * (n - 1L)) AS BIGINT) AS r, est
+         |FROM est""".stripMargin)
+    graft.operators.Sketches.gkRankCheck(est,
+        ev.select(col("event_type").cast("string").as("key"),
+          expr("sec div 3600").as("q"),
+          col("value").cast("double").as("v")),
+        Seq("key", "q"), epsDen = 40)
+      .orderBy("key", "q", "phi")
+  }
+
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331, q333, q335, q336)
 }
