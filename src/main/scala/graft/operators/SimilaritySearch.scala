@@ -513,6 +513,42 @@ object SimilaritySearch {
       .unionByName(ivfAssign(changedVecs, nCells, dims))
   }
 
+  /** [[ivfAssign]] carrying the embedding column — the SERVED
+    * inverted-list row shape (cell id + vector payload in one row),
+    * what a log-structured ANN index stores and [[ivfTopKServed]]
+    * probes: assignment batches (full builds and [[ivfMaintain]]-style
+    * CDC ticks) fold into a latest-wins-per-vec_id serving table, and
+    * probes read the table's stored cells instead of re-quantizing the
+    * corpus (q334 drives the full topology). */
+  def ivfAssignWithVec(corpus: DataFrame, nCells: Int, dims: Int): DataFrame = {
+    val nc = nearestCentroid(col("embedding"), nCells, dims)
+    corpus.select(col("vec_id"), col("label"),
+      nc.getField("cell").as("cell"), col("embedding"))
+  }
+
+  /** IVF probe FROM A SERVED INDEX: `served` already carries its
+    * `cell` column ([[ivfAssignWithVec]] rows — the compacted
+    * inverted-list table), so the corpus side does NO centroid math at
+    * probe time and a metadata predicate applied to `served` reaches
+    * its parquet scan as a pushed filter (PlanSpec pins it over the
+    * compacted base). Query cells still derive from the query
+    * embedding (`nProbe` nearest — the recall knob); results are
+    * identical to [[ivfTopK]] over the same logical corpus because the
+    * stored cells came from the identical assignment arithmetic. */
+  def ivfTopKServed(queries: DataFrame, served: DataFrame, k: Int,
+      nCells: Int, dims: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got $nProbe/$nCells")
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      explode(nearestCells(col("embedding"), nCells, dims, nProbe).getField("cell")).as("cell"))
+    val cb = served.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("cell"))
+    val scored = qb.join(cb, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFns.cosine(col("qe"), col("ne")))
+    rerank(scored, k)
+  }
+
   /** The query's `p` nearest cells (d asc, cell asc — the same total
     * order as [[nearestCentroid]]'s min). Per-row fold + array_sort on
     * (d, cell) structs, no shuffle. */

@@ -308,14 +308,15 @@ object EmbeddingQueries {
   /** The nProbe=2 oracle, optionally with the CORPUS side filtered by
     * `corpusPred` (queries stay unfiltered) — shared by q46 and the
     * q332 filtered multiprobe. */
-  private def ivfMultiprobeOracleWhere(corpusPred: String): String = {
+  private def ivfMultiprobeOracleWhere(corpusPred: String,
+      source: String = "embeddings", prefixCtes: String = ""): String = {
     val arms = (0 until Cells).map { c =>
       val w = HashFns.litVector(s"centroid-$c", Dims)
-      s"SELECT vec_id, embedding, label, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM embeddings"
+      s"SELECT vec_id, embedding, label, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM $source"
     }.mkString("\nUNION ALL\n")
     val corpus = if (corpusPred.isEmpty) "assigned"
       else s"(SELECT * FROM assigned WHERE $corpusPred)"
-    s"""WITH dists AS (
+    s"""WITH $prefixCtes dists AS (
        |$arms),
        |cells AS (
        |  SELECT vec_id, embedding, label, cell,
@@ -359,6 +360,70 @@ object EmbeddingQueries {
     val emb = Tables.embeddings(spark, dir)
     SimilaritySearch.ivfTopKFiltered(emb.filter(col("vec_id") < 32), emb,
         col("label") === 1, 3, Cells, Dims, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The SERVED ANN index end-to-end — the maintenance path a 100 TB
+    * deployment actually runs, composed from pieces already gated
+    * piecewise: inverted lists live as a LOG-STRUCTURED serving table
+    * (the q326/q331 foldLog machinery, latest-wins per vec_id) that
+    * absorbs a full build plus [[SimilaritySearch.ivfMaintain]]-style
+    * CDC ticks (q268's: every 7th vector re-embedded reversed, every
+    * 13th other tombstoned) as INCREMENTAL batches — each tick touches
+    * O(|delta|) rows, the corpus is never re-quantized — and probes
+    * answer FROM the compacted table's stored cells
+    * ([[SimilaritySearch.ivfTopKServed]]), composed with the q332
+    * recall knob (nProbe = 2) and filter (label = 1, pushed to the
+    * compacted base's parquet scan — PlanSpec pins it). The
+    * at-least-once story is driven, not assumed: one tick is
+    * redelivered while its delta is LIVE and the full build again
+    * AFTER compaction consumed it — both must no-op via the manifest.
+    * Oracle: the q46/q332 multiprobe oracle over the APPLIED snapshot
+    * (maintain(assign(S), delta) == assign(apply(S, delta)), q268's law,
+    * extended through the serving table to probe results). */
+  val q334 = QueryDef(
+    "q334_served_ivf_index", ivfMultiprobeOracleWhere(
+      "label = 1", source = "snap", prefixCtes =
+      """upd AS (
+        |  SELECT vec_id, label, list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |kept AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE vec_id % 7 <> 0 AND vec_id % 13 <> 0),
+        |snap AS (SELECT * FROM kept UNION ALL SELECT * FROM upd),
+        |""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, dir)
+    val path = graft.core.TempPaths.gatePath("q334_serving")
+    graft.core.TempPaths.clearDir(path)
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Cdc.compactLatest(df, "vec_id", "ver")
+    def tick(rows: org.apache.spark.sql.DataFrame, ver: Long,
+        deleted: Boolean): org.apache.spark.sql.DataFrame =
+      SimilaritySearch.ivfAssignWithVec(rows, Cells, Dims)
+        .withColumn("deleted", lit(deleted)).withColumn("ver", lit(ver))
+    val b0 = tick(emb, 0L, deleted = false) // full build
+    val b1 = tick(emb.filter(col("vec_id") % 7 === 0) // re-embeddings
+      .select(col("vec_id"), col("label"),
+        reverse(col("embedding")).as("embedding")), 1L, deleted = false)
+    val b2 = tick(emb.filter(col("vec_id") % 7 =!= 0 && // tombstones
+      col("vec_id") % 13 === 0), 2L, deleted = true)
+    EventStreams.foldLog(path, b0, 0L, compactEvery = 2)(reduce)
+    EventStreams.foldLog(path, b1, 1L, compactEvery = 2)(reduce) // compacts
+    EventStreams.foldLog(path, b2, 2L, compactEvery = 2)(reduce)
+    // at-least-once: redeliver the LIVE tick (manifest already-live
+    // no-op), compact to the read-optimized state, then redeliver the
+    // CONSUMED full build (consumed-range no-op — re-adding would
+    // resurrect deleted vectors and stale assignments)
+    EventStreams.foldLog(path, b2, 2L, compactEvery = 2)(reduce)
+    EventStreams.compactLog(spark, path)(reduce)
+    EventStreams.foldLog(path, b0, 0L, compactEvery = 2)(reduce)
+    val served = EventStreams.readCompactedBase(spark, path)
+    SimilaritySearch.ivfTopKServed(
+        served.filter(!col("deleted") && col("vec_id") < 32)
+          .select("vec_id", "embedding"),
+        served.filter(!col("deleted") && col("label") === 1),
+        3, Cells, Dims, nProbe = 2)
       .orderBy("query_id", "rank")
   }
 
@@ -1302,5 +1367,5 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332, q334)
 }

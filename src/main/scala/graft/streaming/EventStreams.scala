@@ -666,6 +666,27 @@ object EventStreams {
     throw new IllegalStateException("unreachable")
   }
 
+  /** PLAN-VISIBLE read of a FULLY-COMPACTED log table: requires the
+    * manifest's live set to be exactly one base generation and returns
+    * the bare parquet relation over it, so downstream predicates and
+    * projections reach the scan (PushedFilters / ReadSchema) — what
+    * [[readLog]]'s localCheckpoint deliberately gives up to stay
+    * correct under concurrent compaction sweeps. This is the
+    * read-optimized serving shape (probe paths on a compacted index —
+    * q334 probes ANN inverted lists through it; PlanSpec pins the
+    * pushdown); callers own quiescence: compact first, and don't race
+    * a rival compactor. Raises (rather than silently merging) when
+    * live deltas exist — use [[readLog]] there. */
+  def readCompactedBase(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(path)
+    require(m.live.nonEmpty, s"log table at $path has no committed manifest")
+    require(m.live.size == 1 && m.live.head.startsWith("base_"),
+      s"log table at $path is not fully compacted " +
+        s"(live = ${m.live.mkString(", ")}) — run compactLog first or " +
+        "read through readLog")
+    spark.read.parquet(new java.io.File(path, m.live.head).toString)
+  }
+
   /** Read-merge-overwrite of one KEY-BUCKETED parquet serving table —
     * the shared micro-batch fold step of [[runUpsertToCompletion]] and
     * [[runIngestPipeline]]. The table lives as `path/b<i>/` subdirs

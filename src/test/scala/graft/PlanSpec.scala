@@ -72,6 +72,32 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("CartesianProduct"))
   }
 
+  test("served ANN probe pushes the filter to the compacted base's scan") {
+    // build a tiny log-structured index (one build tick, compacted),
+    // then assert the probe's predicate reaches the SERVED table's
+    // parquet scan — the read-optimized shape q334 drives end-to-end
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, sf())
+    val path = graft.core.TempPaths.gatePath("planspec_served_ivf")
+    graft.core.TempPaths.clearDir(path)
+    val reduce = (df: DataFrame) =>
+      graft.operators.Cdc.compactLatest(df, "vec_id", "ver")
+    val b0 = graft.operators.SimilaritySearch
+      .ivfAssignWithVec(emb.limit(64), 4, 64)
+      .withColumn("deleted", lit(false)).withColumn("ver", lit(0L))
+    EventStreams.foldLog(path, b0, 0L, compactEvery = 2)(reduce)
+    EventStreams.compactLog(spark, path)(reduce)
+    val served = EventStreams.readCompactedBase(spark, path)
+    val df = graft.operators.SimilaritySearch.ivfTopKServed(
+      emb.limit(4), served.filter(!col("deleted") && col("label") === 1),
+      3, 4, 64, nProbe = 2)
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(label,1)") &&
+      scan.contains("Not(EqualTo(deleted,true))"),
+      s"probe predicates must reach the served-table parquet scan:\n$scan")
+    assert(!planOf(df).contains("CartesianProduct"))
+  }
+
   test("bucketed range join plans an equi-join, never a nested loop") {
     val points = Tables.events(spark, sf()).select(col("event_id"), col("sec"))
     val intervals = Tables.events(spark, sf()).limit(5)
