@@ -438,14 +438,15 @@ object EventStreams {
     * final table equals the single-writer fold. */
   def runUpsertLogToCompletion(spark: SparkSession, stream: DataFrame,
       path: String, key: String, version: String, name: String,
-      compactEvery: Int = 4, mode: String = "append"): DataFrame = {
+      compactEvery: Int = 4, mode: String = "append",
+      compactBytes: Long = Long.MaxValue): DataFrame = {
     require(compactEvery >= 2, s"compactEvery out of range: $compactEvery")
     val reduce = (df: DataFrame) =>
       graft.operators.Cdc.compactLatest(df, key, version)
     val q = stream.writeStream
       .outputMode(mode).queryName(name)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldLog(path, batch, batchId, compactEvery)(reduce)
+        foldLog(path, batch, batchId, compactEvery, compactBytes)(reduce)
         ()
       }
       .start()
@@ -456,14 +457,23 @@ object EventStreams {
   /** One micro-batch of the log-structured fold: append the slice as
     * delta_<batchId>, CAS-commit it into the manifest chain (rebasing
     * onto whatever other writers committed meanwhile), then compact if
-    * the live delta count reached the threshold. `reduce` must be a
+    * a threshold is crossed. TWO thresholds, OR-ed: `compactEvery`
+    * (live delta COUNT — bounds read-side merge fan-in) and
+    * `compactBytes` (accumulated live delta BYTES, read off the
+    * manifest's per-delta size stats — the production trigger: at high
+    * trigger rates tiny deltas hit a count threshold long before
+    * compaction is worth its O(table) write, and at fat batches a
+    * count threshold lets the uncompacted tail grow unboundedly in
+    * bytes; a byte threshold prices compaction against what reads
+    * actually pay to merge). `reduce` must be a
     * one-shot associative fold over a union
     * (reduce(reduce(A) ∪ B) = reduce(A ∪ B)) — latest-wins compaction
     * and additive re-aggregation both qualify. Each batchId's delta
     * dir belongs to ONE writer (idempotent overwrite on redelivery);
     * concurrent writers use disjoint batchId spaces. */
   private[graft] def foldLog(path: String, batch: DataFrame, batchId: Long,
-      compactEvery: Int)(reduce: DataFrame => DataFrame): Unit = {
+      compactEvery: Int, compactBytes: Long = Long.MaxValue)(
+      reduce: DataFrame => DataFrame): Unit = {
     val name = f"delta_$batchId%09d"
     // consult the manifest BEFORE any filesystem write: a redelivered
     // batchId that is already LIVE must not rewrite a directory that
@@ -476,7 +486,8 @@ object EventStreams {
     if (!m0.live.contains(name) && !consumedHas(m0.consumed, batchId)) {
       val deltaDir = new java.io.File(path, name)
       batch.write.mode("overwrite").parquet(deltaDir.toString)
-      foldBytesWritten.addAndGet(dirSize(deltaDir))
+      val bytes = dirSize(deltaDir)
+      foldBytesWritten.addAndGet(bytes)
       var committed = (gen0, m0)
       var done = false
       while (!done) {
@@ -484,12 +495,16 @@ object EventStreams {
         if (m.live.contains(name) || consumedHas(m.consumed, batchId))
           done = true // redelivery raced us into the chain already
         else if (tryCommitManifest(path, gen + 1,
-            LogManifest((m.live :+ name).sorted, m.garbage, m.consumed)))
+            LogManifest((m.live :+ name).sorted, m.garbage, m.consumed,
+              m.sizes + (name -> bytes))))
           done = true
         else committed = readManifestGen(path) // lost the race: rebase
       }
     }
-    if (readManifestGen(path)._2.live.count(_.startsWith("delta_")) >= compactEvery)
+    val m = readManifestGen(path)._2
+    val deltas = m.live.filter(_.startsWith("delta_"))
+    if (deltas.size >= compactEvery ||
+        deltas.iterator.map(n => m.sizes.getOrElse(n, 0L)).sum >= compactBytes)
       compactLog(batch.sparkSession, path)(reduce)
   }
 
@@ -502,9 +517,15 @@ object EventStreams {
     * record that makes a redelivered already-compacted batchId a no-op
     * instead of a double-count. Ranges, not ids: writers own contiguous
     * disjoint id spaces, so the list stays O(#writers), not
-    * O(#batches). */
+    * O(#batches). `sizes` carries each live generation's on-disk bytes
+    * (recorded at append/compaction time), so the byte-threshold
+    * compaction decision reads the MANIFEST, never re-stats the
+    * filesystem; entries for dropped generations are pruned on
+    * commit. A pre-stats manifest line parses with size 0 — the byte
+    * threshold simply doesn't count that delta. */
   private[graft] final case class LogManifest(live: Seq[String],
-      garbage: Seq[String], consumed: Seq[(Long, Long)] = Nil)
+      garbage: Seq[String], consumed: Seq[(Long, Long)] = Nil,
+      sizes: Map[String, Long] = Map.empty)
 
   private val ManifestName = "manifest\\.(\\d{9})".r
   private val DeltaName = "delta_(\\d{9})".r
@@ -539,13 +560,19 @@ object EventStreams {
       import scala.jdk.CollectionConverters._
       val lines = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(path, f"manifest.$gen%09d")).asScala.toSeq
+      // live lines are `L <name> [<bytes>]` — the optional size stat
+      val liveParts = lines.collect {
+        case l if l.startsWith("L ") => l.drop(2).split(' ')
+      }
       (gen, LogManifest(
-        lines.collect { case l if l.startsWith("L ") => l.drop(2) },
+        liveParts.map(_(0)),
         lines.collect { case l if l.startsWith("G ") => l.drop(2) },
         lines.collect { case l if l.startsWith("C ") =>
           val parts = l.drop(2).split(' ')
           (parts(0).toLong, parts(1).toLong)
-        }))
+        },
+        liveParts.collect { case p if p.length > 1 => p(0) -> p(1).toLong }
+          .toMap))
     }
   }
 
@@ -560,7 +587,9 @@ object EventStreams {
   private def tryCommitManifest(path: String, gen: Long, m: LogManifest): Boolean = {
     val dir = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(dir, ".manifest_tmp_", ".tmp")
-    val body = (m.live.map("L " + _) ++ m.garbage.map("G " + _) ++
+    val body = (m.live.map(n => m.sizes.get(n)
+        .map(b => s"L $n $b").getOrElse(s"L $n")) ++
+      m.garbage.map("G " + _) ++
       m.consumed.map { case (lo, hi) => s"C $lo $hi" }).mkString("\n")
     java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -589,7 +618,8 @@ object EventStreams {
       .localCheckpoint(true)
     val baseName = f"base_${gen0 + 1}%09d_${System.nanoTime()}%x"
     merged.write.mode("overwrite").parquet(new java.io.File(path, baseName).toString)
-    foldBytesWritten.addAndGet(dirSize(new java.io.File(path, baseName)))
+    val baseBytes = dirSize(new java.io.File(path, baseName))
+    foldBytesWritten.addAndGet(baseBytes)
     var committed = (gen0, m0)
     var attempts = 0
     while (true) {
@@ -608,8 +638,12 @@ object EventStreams {
       val newLive = (baseName +: m.live.filterNot(consumed)).sorted
       val newConsumed = consumedAdd(m.consumed,
         m0.live.collect { case DeltaName(id) => id.toLong })
+      // size stats: carried-forward deltas keep theirs, the new base
+      // records its own, consumed entries drop
+      val newSizes = m.sizes.view.filterKeys(newLive.contains).toMap +
+        (baseName -> baseBytes)
       if (tryCommitManifest(path, gen + 1,
-          LogManifest(newLive, m0.live, newConsumed))) {
+          LogManifest(newLive, m0.live, newConsumed, newSizes))) {
         // we replaced manifest `gen`: sweep the garbage IT named (the
         // one-generation grace — a reader can hold at most the
         // previous manifest while we commit), EXCEPT any name the new

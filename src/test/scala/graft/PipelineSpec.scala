@@ -988,6 +988,39 @@ class PipelineSpec extends SparkSpec {
     assert(m3.live.count(_ == "delta_000000008") == 1)
   }
 
+  test("log fold: the byte threshold compacts when the count threshold would not") {
+    import graft.operators.Cdc
+    val path = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_logbytes")).toString
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      Cdc.compactLatest(df, "k", "ver")
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i % 7, i.toLong, s"p$i")).toDF("k", "ver", "payload")
+    // count threshold far away (99); byte threshold sized so the FIRST
+    // delta stays under it and the second crosses it — first read the
+    // first delta's recorded stat off the manifest, then set the
+    // threshold between 1x and 2x of it
+    EventStreams.foldLog(path, slice(0, 10), 0, 99)(reduce)
+    val m0 = EventStreams.readManifest(path)
+    val d0 = m0.sizes.getOrElse("delta_000000000", 0L)
+    assert(m0.live == Seq("delta_000000000") && d0 > 0L,
+      s"first delta must stay uncompacted with a recorded size: $m0")
+    val threshold = d0 + 1L
+    EventStreams.foldLog(path, slice(10, 20), 1, 99, threshold)(reduce)
+    val m1 = EventStreams.readManifest(path)
+    assert(m1.live.size == 1 && m1.live.head.startsWith("base_"),
+      s"accumulated delta bytes (~${2 * d0}) crossed $threshold but no " +
+        s"compaction ran: $m1")
+    assert(m1.consumed == Seq((0L, 1L)), m1)
+    // the base carries its own size stat, so the NEXT byte decision
+    // (which ignores bases) still reads only delta stats
+    assert(m1.sizes.keySet == m1.live.toSet && m1.sizes(m1.live.head) > 0L, m1)
+    // folded content is the same as an eager fold
+    val after = EventStreams.readLog(spark, path)(reduce)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == (0 until 20).groupBy(_ % 7).map { case (k, g) => k -> g.max.toLong })
+  }
+
   test("log fold: a redelivered already-compacted batchId stays a no-op") {
     import graft.operators.Cdc
     val path = graft.core.TempPaths.registered(
