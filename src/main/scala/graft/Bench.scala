@@ -57,7 +57,23 @@ object Bench {
     "q322_stream_gk_monitor_key_evict", "q324_stream_mg_monitor_key_evict",
     "q325_stream_cm_monitor_key_evict", "q326_monitor_log_serving",
     // round-12: decayed-MG key eviction — same class, isolated from day one
-    "q330_stream_decayed_mg_monitor_key_evict")
+    "q330_stream_decayed_mg_monitor_key_evict",
+    // round-13 additions: q296 is the round-12 verdict's one weak mark —
+    // it drifted 2.13 → 7.52 s across THREE snapshots in sub-threshold
+    // steps (the ratchet gap the windowed promotion rule below also
+    // closes) and now carries a standing isolated entry; q335 drives
+    // the same eviction-monitor replay class as q330
+    "q296_stream_kmv_sliding", "q335_sql_dm_monitor_cube")
+
+  /** Box-state canary: one pinned, CODE-STABLE gate run FIRST and LAST
+    * in every isolated pass, both walls recorded in the JSON
+    * (`isolated_canary`) — each isolated series then carries its own
+    * measured box-state band instead of needing a narrative when a
+    * pass lands in a bad window (round 12's did: untouched gates moved
+    * 2× with touched ones and only same-session A/Bs could say why).
+    * q59 is the pick deliberately: tiny, untouched since round 8, with
+    * the longest historical isolated series to compare against. */
+  private[graft] val CanaryGate = "q59_salted_join"
 
   private def childJvm(args: Seq[String], out: java.nio.file.Path,
       env: Map[String, String], heapOverride: Option[String] = None,
@@ -127,34 +143,90 @@ object Bench {
     }.toMap
 
   /** AUTO-PROMOTED movers: gates whose freshly-merged sharded wall
-    * exceeds 2× + 2 s of the PREVIOUS committed snapshot's wall (the
-    * round-over-round regression rule). Rounds 8–11 each hand-ran a
-    * "mover study" for exactly these; round 11 automated it only for
-    * the 21 historically-sensitive gates, and the round's unexplained
-    * movers (q93/q94) were precisely the ones NOT on the static list.
-    * Promoting from the committed BENCH_LOCAL.json closes that gap: no
-    * future snapshot can carry an in-suite regression without an
-    * isolated repeat-3 adjudication in the SAME file. Gates already in
+    * exceeds 2× + 2 s of the MIN over a WINDOW of prior committed
+    * snapshots (the round-over-round regression rule). Rounds 8–11
+    * each hand-ran a "mover study" for exactly these; round 11
+    * automated it against the single previous snapshot — which a gate
+    * can ratchet under: q296 drifted 2.13 → 3.46 → 7.52 s across three
+    * snapshots with no single step crossing 2×+2 s, so it was never
+    * adjudicated. Comparing against the window MIN makes sub-threshold
+    * creep cumulative: any gate beyond 2×+2 s of its best recent
+    * committed wall gets an isolated repeat-3 entry in the SAME file.
+    * Snapshots whose MODE differs from the current run are skipped
+    * with a stderr note — repeat count, sf basename, and the
+    * io-listener state (`SPARK_GRAFT_BENCH_IO=0` writes a
+    * comparable-looking but ~4%-faster file) all change what a wall
+    * means, and a mode-mismatched baseline could spuriously promote
+    * dozens of gates and burn the isolated budget. Gates already in
     * [[IsolatedGates]] are excluded (they always run), as are gates
-    * absent from the prior snapshot (new gates have no baseline) and
+    * absent from every prior snapshot (new gates have no baseline) and
     * failed (-1) walls on either side. */
   private[graft] def promotedMovers(current: Map[String, Double],
-      priorPath: String): Seq[String] =
+      priorPaths: Seq[String], repeat: Int, sfBase: String,
+      ioOn: Boolean): Seq[String] =
     try {
-      val f = java.nio.file.Paths.get(priorPath)
-      if (!java.nio.file.Files.exists(f)) Nil
-      else {
-        val prior = parseNumMap(mapOf(
-          new String(java.nio.file.Files.readAllBytes(f), "UTF-8"), "queries"))
-        current.toSeq.collect {
-          case (g, cur) if !IsolatedGates.contains(g) &&
-              prior.get(g).exists(p => p > 0 && cur > 0 && cur > 2 * p + 2) => g
-        }.sorted
+      val priorMins = scala.collection.mutable.HashMap.empty[String, Double]
+      priorPaths.foreach { p =>
+        val f = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(f)) {
+          val json = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          val mode = snapshotMode(json)
+          if (mode != ((repeat, sfBase, ioOn)))
+            System.err.println(s"[bench] mover baseline $p skipped: mode " +
+              s"$mode != current ($repeat, $sfBase, $ioOn)")
+          else parseNumMap(mapOf(json, "queries")).foreach { case (g, w) =>
+            if (w > 0 && priorMins.get(g).forall(w < _)) priorMins(g) = w
+          }
+        }
       }
+      current.toSeq.collect {
+        case (g, cur) if !IsolatedGates.contains(g) &&
+            priorMins.get(g).exists(p => cur > 0 && cur > 2 * p + 2) => g
+      }.sorted
     } catch { case e: Exception =>
       System.err.println(s"[bench] mover promotion skipped: ${e.getMessage}")
       Nil
     }
+
+  /** (repeat, sf basename, io listener on) of a snapshot JSON — the
+    * fields that decide whether its walls are comparable to this
+    * run's. Missing fields default to the historical mode (repeat 1,
+    * io on, sf ""). */
+  private[graft] def snapshotMode(json: String): (Int, String, Boolean) = {
+    def numOpt(field: String): Option[Double] = {
+      val i = json.indexOf("\"" + field + "\":")
+      if (i < 0) None
+      else json.substring(i + field.length + 3)
+        .takeWhile(c => c.isDigit || c == '.' || c == '-').toDoubleOption
+    }
+    def strOpt(field: String): Option[String] = {
+      val i = json.indexOf("\"" + field + "\":\"")
+      if (i < 0) None
+      else {
+        val start = i + field.length + 4
+        val end = json.indexOf("\"", start)
+        if (end < 0) None else Some(json.substring(start, end))
+      }
+    }
+    (numOpt("repeat").map(_.toInt).getOrElse(1),
+      strOpt("sf").map(sfBasename).getOrElse(""),
+      !json.contains("\"io\":false"))
+  }
+
+  private[graft] def sfBasename(sfDir: String): String =
+    sfDir.stripSuffix("/").split('/').last
+
+  /** Default promotion baselines: the repo's committed working snapshot
+    * plus the two newest driver-round snapshots — the window that
+    * catches multi-round sub-threshold creep. `SPARK_GRAFT_BENCH_PRIOR`
+    * (colon-separated paths) overrides. */
+  private[graft] def defaultPriorPaths(): Seq[String] = {
+    val rounds = Option(new java.io.File(".").listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+      .sorted.takeRight(2).toSeq
+    ("BENCH_LOCAL.json" +: rounds).distinct
+  }
 
   private def runSharded(shards: Int): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -218,9 +290,10 @@ object Bench {
         // budget trips it is the NEWEST additions that fall back to
         // their sharded numbers; skipped names are recorded in the JSON
         // (isolated_skipped) instead of silently missing.
-        // default sized to the list: 22 gates × ~60 s/child + slack
+        // default sized to the list: 24 gates × ~60 s/child + the
+        // canary's second run + slack
         val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED_BUDGET",
-          "1500").toLong
+          "1800").toLong
         // auto-promoted movers get their own additive budget so a
         // static pass that exhausts budgetS cannot leave a fresh
         // regression unadjudicated (the whole point of promotion)
@@ -228,15 +301,21 @@ object Bench {
           "600").toLong
         val currentWalls = parseNumMap(shardJsons.map(mapOf(_, "queries"))
           .filter(_.nonEmpty).mkString(","))
-        // baseline = the repo's committed snapshot (BENCH_LOCAL.json is
-        // written at the END of this run, so reading it here sees the
-        // PREVIOUS round), not SPARK_GRAFT_BENCH_OUT — the driver points
-        // that at a fresh per-round file that does not exist yet
-        val promoted = promotedMovers(currentWalls,
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"))
+        // baselines = the repo's committed snapshots (BENCH_LOCAL.json
+        // is written at the END of this run, so reading it here sees
+        // the PREVIOUS round, plus the two newest driver-round files),
+        // not SPARK_GRAFT_BENCH_OUT — the driver points that at a
+        // fresh per-round file that does not exist yet
+        val priorPaths = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+          .map(_.split(':').toSeq.filter(_.nonEmpty))
+          .getOrElse(defaultPriorPaths())
+        val promoted = promotedMovers(currentWalls, priorPaths,
+          repeat, sfBasename(sfDir),
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_IO", "1") != "0")
         if (promoted.nonEmpty)
           System.err.println("[bench] auto-promoted movers (wall > 2x+2s " +
-            s"vs previous snapshot): ${promoted.mkString(", ")}")
+            s"vs min over ${priorPaths.mkString(", ")}): " +
+            promoted.mkString(", "))
         val isoStart = System.nanoTime()
         var skipped = List.empty[String]
         def runIsolated(gates: Seq[String], budget: Long): Seq[String] =
@@ -277,6 +356,41 @@ object Bench {
         val entries =
           runIsolated(IsolatedGates.filter(names.contains), budgetS) ++
             runIsolated(promoted, budgetS + moverBudgetS)
+        // box-state canary: CanaryGate already ran FIRST (it heads
+        // IsolatedGates); run it once more LAST so the series carries
+        // its own band measurement — first≈last ⇒ a stable window,
+        // first≪last (or ≫) ⇒ read this pass's absolute walls with
+        // that measured drift in mind. Outside the budget accounting:
+        // a skipped canary must be visible, not silently absent.
+        val canaryFirst = entries.flatMap(b =>
+          parseNumMap(b).get(CanaryGate)).headOption
+        val canaryLast =
+          if (canaryFirst.isEmpty) None
+          else {
+            val out = java.nio.file.Files.createTempFile("graft_bench_canary", ".json")
+            try {
+              childJvm(Seq(CanaryGate), out,
+                Map("SPARK_GRAFT_BENCH_REPEAT" -> rep),
+                heapOverride = Some("8g"), timeoutS = Some(300L))
+              parseNumMap(mapOf(new String(
+                java.nio.file.Files.readAllBytes(out), "UTF-8"), "queries"))
+                .get(CanaryGate)
+            } catch { case e: Exception =>
+              System.err.println(s"[bench] canary last leg SKIPPED: ${e.getMessage}")
+              None
+            } finally {
+              java.nio.file.Files.deleteIfExists(out)
+              ()
+            }
+          }
+        val canaryJson = (canaryFirst, canaryLast) match {
+          case (Some(a), Some(b)) =>
+            s""","isolated_canary":{"gate":"$CanaryGate","first":$a,"last":$b}"""
+          case _ =>
+            System.err.println("[bench] isolated_canary missing (first leg " +
+              "skipped or last leg failed)")
+            ""
+        }
         val skippedJson =
           if (skipped.isEmpty) ""
           else {
@@ -289,13 +403,14 @@ object Bench {
           if (promoted.isEmpty) ""
           else s""","isolated_promoted":[${promoted.map("\"" + _ + "\"").mkString(",")}]"""
         s""","isolated":{${entries.mkString(",")}},"isolated_repeat":$rep""" +
-          promotedJson + skippedJson
+          canaryJson + promotedJson + skippedJson
       }
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       merged.mkString(",") + "," +
       s""""total_gc_s":$totalGc,"total_cpu_s":$totalCpu,"total_jit_s":$totalJit,""" +
       s""""total_shuffle_mb":$totalShuf,"total_input_mb":$totalIn,""" +
-      s""""warmed":${repeat > 1},"repeat":$repeat,"shards":$shards""" +
+      s""""warmed":${repeat > 1},"repeat":$repeat,"shards":$shards,""" +
+      s""""io":${sys.env.getOrElse("SPARK_GRAFT_BENCH_IO", "1") != "0"}""" +
       isolated + "," +
       s""""session":$session,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
@@ -451,7 +566,7 @@ object Bench {
       s""""total_gc_s":$totalGc,""" +
       s""""total_cpu_s":$totalCpu,"total_jit_s":$totalJit,""" +
       s""""total_shuffle_mb":$totalShuf,"total_input_mb":$totalIn,""" +
-      s""""warmed":${repeat > 1},"repeat":$repeat,""" +
+      s""""warmed":${repeat > 1},"repeat":$repeat,"io":$ioOn,""" +
       s""""session":${SessionHygiene.sessionInfoJson(spark)},"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but stdout scraping has
     // truncated past per-query maps — the same JSON also lands in a file

@@ -3,24 +3,41 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench's mover auto-promotion: gates whose fresh sharded wall
-  * exceeds 2× + 2 s of the previous committed snapshot must enter the
-  * isolated pass IN THE SAME RUN — the rule that makes an unexplained
-  * in-suite regression uncommittable (round 11 shipped q93/q94 at 5–6×
-  * with no isolated adjudication; this closes that class). Pure logic,
-  * tested against synthetic snapshot files. */
+  * exceeds 2× + 2 s of the MIN over a window of prior committed
+  * snapshots must enter the isolated pass IN THE SAME RUN — the rule
+  * that makes an unexplained in-suite regression uncommittable (round
+  * 11 shipped q93/q94 at 5–6× with no isolated adjudication; round 12
+  * compared only the single previous snapshot and q296 ratcheted under
+  * it in sub-threshold steps, 2.13 → 3.46 → 7.52 s — the window
+  * closes that). Pure logic, tested against synthetic snapshot
+  * files. */
 class BenchPromotionSpec extends AnyFunSuite {
 
-  private def snapshot(walls: (String, Double)*): String = {
+  private def snapshot(walls: (String, Double)*): String =
+    snapshotWith("", walls: _*)
+
+  /** `extra` is raw JSON spliced after the metric field — mode fields
+    * (repeat / sf / io) for the comparability tests. */
+  private def snapshotWith(extra: String, walls: (String, Double)*): String = {
     val qs = walls.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$qs},"sf":"x"}"""
+    s"""{"metric":"total","value":1.0,"unit":"sec"$extra,"queries":{$qs},"sf":"x"}"""
   }
 
-  private def tmpSnapshot(walls: (String, Double)*): String = {
+  private def tmpFile(content: String): String = {
     val p = java.nio.file.Files.createTempFile("graft_bench_prior", ".json")
-    java.nio.file.Files.write(p, snapshot(walls: _*).getBytes("UTF-8"))
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
     p.toFile.deleteOnExit()
     p.toString
   }
+
+  private def tmpSnapshot(walls: (String, Double)*): String =
+    tmpFile(snapshot(walls: _*))
+
+  /** Current run's mode matching the synthetic snapshots' defaults. */
+  private def promoted(current: Map[String, Double],
+      priors: String*): Seq[String] =
+    Bench.promotedMovers(current, priors, repeat = 1, sfBase = "x",
+      ioOn = true)
 
   test("parseNumMap round-trips flat numeric maps incl. scientific notation") {
     assert(Bench.parseNumMap("") == Map.empty)
@@ -39,17 +56,53 @@ class BenchPromotionSpec extends AnyFunSuite {
       "q10_stable" -> 6.0, "q20_mover" -> 7.0, "q30_failed" -> 50.0,
       "q50_new" -> 99.0,   // no baseline: not a mover
       "q59_salted_join" -> 9.0)
-    assert(Bench.promotedMovers(current, prior) == Seq("q20_mover"))
+    assert(promoted(current, prior) == Seq("q20_mover"))
   }
 
   test("boundary: exactly 2x+2 does not promote; just past it does") {
     val prior = tmpSnapshot("qa" -> 3.0, "qb" -> 3.0)
-    assert(Bench.promotedMovers(
-      Map("qa" -> 8.0, "qb" -> 8.01), prior) == Seq("qb"))
+    assert(promoted(Map("qa" -> 8.0, "qb" -> 8.01), prior) == Seq("qb"))
   }
 
   test("a missing prior snapshot promotes nothing") {
-    assert(Bench.promotedMovers(Map("qa" -> 100.0),
-      "/nonexistent/prior.json") == Nil)
+    assert(promoted(Map("qa" -> 100.0), "/nonexistent/prior.json") == Nil)
+  }
+
+  test("windowed baseline: sub-threshold creep vs the newest snapshot " +
+      "still promotes against the window MIN (the q296 ratchet)") {
+    // q296's actual history: 2.13 (r11) -> 3.46 (r12) -> 7.52 (now).
+    // Against the newest alone, 7.52 < 2*3.46+2 = 8.92: no promotion —
+    // the ratchet gap. Against min(2.13, 3.46): 7.52 > 2*2.13+2 = 6.26.
+    val older = tmpSnapshot("q296x" -> 2.13)
+    val newer = tmpSnapshot("q296x" -> 3.46)
+    val current = Map("q296x" -> 7.52)
+    assert(promoted(current, newer) == Nil,
+      "single-snapshot baseline must reproduce the ratchet gap")
+    assert(promoted(current, newer, older) == Seq("q296x"),
+      "window MIN must catch the cumulative move")
+  }
+
+  test("mode-mismatched baselines are skipped, not compared") {
+    val sameMode = tmpSnapshot("qa" -> 10.0) // no move vs 11.0
+    // each differs from the current run in exactly one mode dimension
+    // and would promote qa if (wrongly) admitted as a baseline
+    val warmed = tmpFile(snapshotWith(""","repeat":3,"warmed":true""",
+      "qa" -> 1.0))
+    val ioOff = tmpFile(snapshotWith(""","io":false""", "qa" -> 1.0))
+    val otherSf = tmpFile(
+      snapshot("qa" -> 1.0).replace(""""sf":"x"""", """"sf":"y""""))
+    assert(promoted(Map("qa" -> 11.0), sameMode, warmed, ioOff, otherSf)
+      == Nil, "a mode-mismatched snapshot leaked into the baseline window")
+    // sanity: the same walls DO promote when the mode matches
+    val matching = tmpSnapshot("qa" -> 1.0)
+    assert(promoted(Map("qa" -> 11.0), sameMode, matching) == Seq("qa"))
+  }
+
+  test("snapshotMode reads mode fields with historical defaults") {
+    assert(Bench.snapshotMode("""{"queries":{}}""") == ((1, "", true)))
+    assert(Bench.snapshotMode(
+      """{"repeat":3,"io":false,"sf":"/root/testdata/sf0.1","queries":{}}""")
+      == ((3, "sf0.1", false)))
+    assert(Bench.sfBasename("/root/testdata/sf0.1/") == "sf0.1")
   }
 }
