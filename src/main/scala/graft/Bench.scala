@@ -164,28 +164,31 @@ object Bench {
   private[graft] def promotedMovers(current: Map[String, Double],
       priorPaths: Seq[String], repeat: Int, sfBase: String,
       ioOn: Boolean): Seq[String] =
-    try {
+    {
       val priorMins = scala.collection.mutable.HashMap.empty[String, Double]
+      // one unreadable/misshapen baseline must not kill promotion for
+      // the run — skip it loudly and keep the rest of the window
       priorPaths.foreach { p =>
-        val f = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(f)) {
-          val json = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-          val mode = snapshotMode(json)
-          if (mode != ((repeat, sfBase, ioOn)))
-            System.err.println(s"[bench] mover baseline $p skipped: mode " +
-              s"$mode != current ($repeat, $sfBase, $ioOn)")
-          else parseNumMap(mapOf(json, "queries")).foreach { case (g, w) =>
-            if (w > 0 && priorMins.get(g).forall(w < _)) priorMins(g) = w
+        try {
+          val f = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(f)) {
+            val json = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+            val mode = snapshotMode(json)
+            if (mode != ((repeat, sfBase, ioOn)))
+              System.err.println(s"[bench] mover baseline $p skipped: mode " +
+                s"$mode != current ($repeat, $sfBase, $ioOn)")
+            else parseNumMap(mapOf(json, "queries")).foreach { case (g, w) =>
+              if (w > 0 && priorMins.get(g).forall(w < _)) priorMins(g) = w
+            }
           }
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] mover baseline $p skipped: ${e.getMessage}")
         }
       }
       current.toSeq.collect {
         case (g, cur) if !IsolatedGates.contains(g) &&
             priorMins.get(g).exists(p => cur > 0 && cur > 2 * p + 2) => g
       }.sorted
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] mover promotion skipped: ${e.getMessage}")
-      Nil
     }
 
   /** (repeat, sf basename, io listener on) of a snapshot JSON — the
@@ -216,19 +219,51 @@ object Bench {
   private[graft] def sfBasename(sfDir: String): String =
     sfDir.stripSuffix("/").split('/').last
 
-  /** Default promotion baselines: the repo's committed working snapshot
-    * plus the two newest driver-round snapshots — the window that
-    * catches multi-round sub-threshold creep. `SPARK_GRAFT_BENCH_PRIOR`
-    * (colon-separated paths) overrides. */
-  private[graft] def defaultPriorPaths(): Seq[String] = {
-    val rounds = Option(new java.io.File(".").listFiles)
-      .getOrElse(Array.empty[java.io.File])
-      .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
-      .sorted.takeRight(2).toSeq
-    ("BENCH_LOCAL.json" +: rounds).distinct
-  }
+  /** Default promotion baselines: the committed working snapshot plus
+    * the rotating prior window [[rotatePriors]] maintains — K = 4
+    * same-format full snapshots, which is what catches multi-round
+    * sub-threshold creep. (Driver-side BENCH_r*.json files are NOT
+    * usable here: their stdout-scraped format truncates the per-gate
+    * map.) `SPARK_GRAFT_BENCH_PRIOR` (colon-separated paths)
+    * overrides. */
+  private[graft] def defaultPriorPaths(): Seq[String] =
+    Seq("BENCH_LOCAL.json", "bench_prior_1.json", "bench_prior_2.json",
+      "bench_prior_3.json")
+
+  /** Rotate the committed snapshot into the prior window before a full
+    * run overwrites it: BENCH_LOCAL.json → bench_prior_1.json → _2 →
+    * _3 (oldest drops). Committed with the repo, these give the
+    * windowed mover rule a K-deep history of SAME-format baselines —
+    * the q296 lesson was that a single-snapshot baseline can be
+    * ratcheted under in sub-threshold steps across rounds. */
+  private[graft] def rotatePriors(
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Unit =
+    try {
+      (3 to 2 by -1).foreach { i =>
+        val from = dir.resolve(s"bench_prior_${i - 1}.json")
+        if (java.nio.file.Files.exists(from)) {
+          java.nio.file.Files.move(from, dir.resolve(s"bench_prior_$i.json"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+      val local = dir.resolve("BENCH_LOCAL.json")
+      if (java.nio.file.Files.exists(local)) {
+        java.nio.file.Files.copy(local, dir.resolve("bench_prior_1.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] prior rotation skipped: ${e.getMessage}")
+    }
 
   private def runSharded(shards: Int): Unit = {
+    // rotate the prior window only when THIS run will replace the
+    // committed snapshot (a driver run pointing SPARK_GRAFT_BENCH_OUT
+    // elsewhere leaves BENCH_LOCAL.json — and therefore the window —
+    // untouched)
+    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").forall(_ == "BENCH_LOCAL.json"))
+      rotatePriors()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val chunks = names.grouped(math.ceil(names.size.toDouble / shards).toInt).toSeq
     val outs = chunks.zipWithIndex.map { case (chunk, i) =>

@@ -98,6 +98,32 @@ class BenchPromotionSpec extends AnyFunSuite {
     assert(promoted(Map("qa" -> 11.0), sameMode, matching) == Seq("qa"))
   }
 
+  test("rotatePriors keeps a K-deep window of same-format snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_rot")
+    def write(name: String, body: String): Unit = {
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8"))
+      ()
+    }
+    def read(name: String): Option[String] = {
+      val p = dir.resolve(name)
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else None
+    }
+    // no BENCH_LOCAL yet: rotation is a no-op, not a crash
+    Bench.rotatePriors(dir)
+    assert(read("bench_prior_1.json").isEmpty)
+    // four successive finals: the window holds the last three + local
+    Seq("r1", "r2", "r3", "r4").foreach { r =>
+      write("BENCH_LOCAL.json", r) // what the PREVIOUS run committed
+      Bench.rotatePriors(dir)      // next run rotates it into the window
+    }
+    assert(read("bench_prior_1.json").contains("r4"))
+    assert(read("bench_prior_2.json").contains("r3"))
+    assert(read("bench_prior_3.json").contains("r2"))
+    assert(read("bench_prior_4.json").isEmpty, "window must stay K-deep")
+  }
+
   test("snapshotMode reads mode fields with historical defaults") {
     assert(Bench.snapshotMode("""{"queries":{}}""") == ((1, "", true)))
     assert(Bench.snapshotMode(
