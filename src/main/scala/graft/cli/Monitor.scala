@@ -152,7 +152,17 @@ object Monitor {
             f"n=${r.getLong(2)}%-6d heaviest<=${r.getLong(3)}%d")
         }
       case _ =>
-        dmPanelFrame(served).collect().foreach { r =>
+        // the panel reads through THE dm read contract
+        // (monitorDecayedLatestSql — (t_ref, ver) order, tombstones
+        // out), not a hand-rolled equivalent: the served table is
+        // already compacted one-row-per-key on struct(t_ref, ver), so
+        // the view's max_by is the identity here, but the panel stays
+        // correct if the upstream fold is ever replaced by a raw
+        // emission log
+        served.createOrReplaceTempView("graft_dm_served")
+        val latest = spark.sql(graft.queries.SqlApiQueries
+          .monitorDecayedLatestSql("graft_dm_served"))
+        dmPanelFrame(latest).collect().foreach { r =>
           val talkers = r.getSeq[org.apache.spark.sql.Row](3)
             .map(e => f"${e.getString(0)}:${e.getDouble(1)}%.2f").mkString(", ")
           println(f"[monitor] ${r.getString(0)}%-12s t_ref=${r.getLong(1)}%-12d " +
