@@ -60,6 +60,29 @@ object Cdc {
       .select(col(key) +: payload.map(c => col(s"w.$c").as(c)): _*)
   }
 
+  /** [[compactLatest]] with TOMBSTONE GC: after latest-wins, rows whose
+    * `deleted` column is true DROP instead of being carried — the LSM
+    * bloat fix for a serving table whose key space churns (without GC
+    * the base accretes one tombstone row for every key ever deleted; a
+    * 100 TB table with churn is eventually mostly tombstones).
+    *
+    * CORRECTNESS CONTRACT (stricter than compactLatest's): per-key
+    * versions must be MONOTONE ACROSS BATCH ARRIVAL ORDER — a batch
+    * folded later never carries a lower version for a key than any
+    * batch folded earlier. Then dropping a tombstone is safe at any
+    * fold: the only row a tombstone exists to defeat is an OLDER
+    * version, and under monotone arrival an older version can only
+    * re-enter via redelivery of an already-folded batch, which the
+    * foldLog manifest no-ops before any reduce sees it (q331/q337
+    * drive exactly that). A later batch re-creating the key carries a
+    * HIGHER version and wins over the tombstone anyway — GC only
+    * removes rows that had already lost every future comparison.
+    * Without the monotonicity contract (cross-writer unordered
+    * versions), use [[compactLatest]] and filter at read time. */
+  def compactLatestGc(df: DataFrame, key: String, version: String,
+      deleted: String = "deleted"): DataFrame =
+    compactLatest(df, key, version).filter(!col(deleted))
+
   /** Merge `changes` into `snapshot`. Both must share the schema
     * (key, version, payload...); `changes` additionally carries a
     * boolean `deleted` column. Snapshot rows count as version

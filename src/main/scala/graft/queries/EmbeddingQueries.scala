@@ -225,6 +225,75 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
+  /** TOMBSTONE GC on the served index — q334's topology with the
+    * [[graft.operators.Cdc.compactLatestGc]] reduce: every fold drops
+    * rows whose latest version is a tombstone, so the compacted base
+    * holds ONLY live rows (without GC a churning key space accretes
+    * one tombstone per key ever deleted — at 100 TB the base is
+    * eventually mostly tombstones). Safety rests on the per-key
+    * version-monotone-across-arrival contract (the operator scaladoc
+    * carries the argument), and the gate attacks it three ways: the
+    * full build (old versions) is redelivered after a compaction
+    * consumed it, the TOMBSTONE tick itself is redelivered after
+    * consumption, and one deleted key is RE-CREATED post-GC with a
+    * higher version — which must win cleanly precisely because GC only
+    * ever removed rows that had lost every future comparison. `gc_ok`
+    * asserts the base is tombstone-free; probe results must equal the
+    * applied snapshot's (every 7th re-embedded reversed, every 13th
+    * other deleted THEN re-created at its original embedding — i.e.
+    * only the reversals survive). */
+  val q337 = QueryDef(
+    "q337_served_ivf_tombstone_gc",
+    s"""SELECT t.*, 1::BIGINT AS gc_ok FROM (
+       |${ivfMultiprobeOracleWhere("label = 1", source = "snap", prefixCtes =
+          """snap AS (
+            |  SELECT vec_id, label,
+            |         CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
+            |              ELSE embedding END AS embedding
+            |  FROM embeddings),
+            |""".stripMargin)}
+       |) t""".stripMargin) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, dir)
+    val path = graft.core.TempPaths.gatePath("q337_serving")
+    graft.core.TempPaths.clearDir(path)
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Cdc.compactLatestGc(df, "vec_id", "ver")
+    def tick(rows: org.apache.spark.sql.DataFrame, ver: Long,
+        deleted: Boolean): org.apache.spark.sql.DataFrame =
+      SimilaritySearch.ivfAssignWithVec(rows, Cells, Dims)
+        .withColumn("deleted", lit(deleted)).withColumn("ver", lit(ver))
+    val delPred = col("vec_id") % 7 =!= 0 && col("vec_id") % 13 === 0
+    val b0 = tick(emb, 0L, deleted = false)
+    val b1 = tick(emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("label"),
+        reverse(col("embedding")).as("embedding")), 1L, deleted = false)
+    val b2 = tick(emb.filter(delPred), 2L, deleted = true)
+    val b3 = tick(emb.filter(delPred), 3L, deleted = false) // re-creation
+    EventStreams.foldLog(path, b0, 0L, compactEvery = 2)(reduce)
+    EventStreams.foldLog(path, b1, 1L, compactEvery = 2)(reduce) // compacts
+    EventStreams.foldLog(path, b2, 2L, compactEvery = 2)(reduce)
+    EventStreams.compactLog(spark, path)(reduce) // GC drops the tombstones
+    // post-consumption redeliveries: the stale full build AND the
+    // tombstone tick itself — both must no-op via the manifest (the
+    // tombstone rows are GONE from the base; only the consumed-range
+    // check stands between a redelivery and their resurrection)
+    EventStreams.foldLog(path, b0, 0L, compactEvery = 2)(reduce)
+    EventStreams.foldLog(path, b2, 2L, compactEvery = 2)(reduce)
+    // post-GC re-creation at a higher version, then final compaction
+    EventStreams.foldLog(path, b3, 3L, compactEvery = 2)(reduce)
+    EventStreams.compactLog(spark, path)(reduce)
+    val served = EventStreams.readCompactedBase(spark, path)
+      .localCheckpoint(true)
+    val gcOk = served.filter(col("deleted")).count() == 0L
+    SimilaritySearch.ivfTopKServed(
+        served.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+        served.filter(col("label") === 1),
+        3, Cells, Dims, nProbe = 2)
+      .withColumn("gc_ok", lit(if (gcOk) 1L else 0L))
+      .orderBy("query_id", "rank")
+  }
+
   /** Shared nProbe=1 IVF oracle (q45 and the bucketed-layout q193 must
     * return the identical result — the layout changes where the join
     * happens, never what it returns). */
@@ -1367,5 +1436,5 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332, q334)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332, q334, q337)
 }

@@ -66,6 +66,31 @@ class LayoutCdcSpec extends SparkSpec {
     assert(folded == full, s"sequential fold diverged: $folded vs $full")
   }
 
+  test("compactLatestGc drops tombstones; a higher-version re-create wins post-GC") {
+    // key "a": live v1 -> tombstone v2 -> GC -> re-created v3
+    def gc(rows: Seq[(String, Long, Boolean, String)]) =
+      Cdc.compactLatestGc(rows.toDF("k", "ver", "deleted", "payload"), "k", "ver")
+    val afterDelete = gc(Seq(("a", 1L, false, "v1"), ("a", 2L, true, ""),
+      ("b", 1L, false, "w1"))).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(afterDelete == Map("b" -> "w1"), "tombstone must drop its key")
+    // fold the GC'd state with the re-creation: under the monotone-
+    // version contract the re-created row has no tombstone left to
+    // fight and simply wins
+    val recreated = gc(Seq(("b", 1L, false, "w1"), // = the GC'd state
+      ("a", 3L, false, "v3"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(recreated == Map("a" -> ((3L, "v3")), "b" -> ((1L, "w1"))))
+    // the documented NON-case (why the contract exists): fold a STALE
+    // lower version after GC consumed the tombstone — the stale row
+    // resurrects, which is exactly what the foldLog manifest's
+    // consumed-batch no-op prevents from ever reaching this reduce
+    val stale = gc(Seq(("b", 1L, false, "w1"), ("a", 1L, false, "v1")))
+      .collect().map(_.getString(0)).toSet
+    assert(stale.contains("a"),
+      "premise of the contract: unguarded stale folds DO resurrect")
+  }
+
   test("CDC merge resolves duplicate-version log violations deterministically") {
     val snap = Seq((1L, 10.0, "a")).toDF("k", "price", "st")
     // contract violation: two version-1 upserts with different payloads —
