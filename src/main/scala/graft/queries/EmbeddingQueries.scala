@@ -432,6 +432,19 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The q334/q338 applied-snapshot CTEs: every 7th vector re-embedded
+    * reversed, every 13th other tombstoned — the logical content of the
+    * served table after the build + CDC ticks. */
+  private val servedSnapCtes: String =
+    """upd AS (
+      |  SELECT vec_id, label, list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id % 7 = 0),
+      |kept AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE vec_id % 7 <> 0 AND vec_id % 13 <> 0),
+      |snap AS (SELECT * FROM kept UNION ALL SELECT * FROM upd),
+      |""".stripMargin
+
   /** The SERVED ANN index end-to-end — the maintenance path a 100 TB
     * deployment actually runs, composed from pieces already gated
     * piecewise: inverted lists live as a LOG-STRUCTURED serving table
@@ -452,15 +465,7 @@ object EmbeddingQueries {
     * extended through the serving table to probe results). */
   val q334 = QueryDef(
     "q334_served_ivf_index", ivfMultiprobeOracleWhere(
-      "label = 1", source = "snap", prefixCtes =
-      """upd AS (
-        |  SELECT vec_id, label, list_reverse(embedding) AS embedding
-        |  FROM embeddings WHERE vec_id % 7 = 0),
-        |kept AS (
-        |  SELECT vec_id, label, embedding FROM embeddings
-        |  WHERE vec_id % 7 <> 0 AND vec_id % 13 <> 0),
-        |snap AS (SELECT * FROM kept UNION ALL SELECT * FROM upd),
-        |""".stripMargin)) { (spark, dir) =>
+      "label = 1", source = "snap", prefixCtes = servedSnapCtes)) { (spark, dir) =>
     import graft.streaming.EventStreams
     val emb = Tables.embeddings(spark, dir)
     val path = graft.core.TempPaths.gatePath("q334_serving")
@@ -493,6 +498,87 @@ object EmbeddingQueries {
           .select("vec_id", "embedding"),
         served.filter(!col("deleted") && col("label") === 1),
         3, Cells, Dims, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** PINNED-GENERATION read under a RACING compactor — the last gap
+    * between "served index" and "served index you can query during
+    * maintenance": q334's probes required [[EventStreams
+    * .readCompactedBase]]'s caller-owned quiescence, but an always-on
+    * service probes WHILE ticks fold and compactions rotate the base.
+    * [[EventStreams.readLogPinned]] pins one manifest generation and
+    * reads its live files as bare parquet relations (pushdown
+    * preserved — PlanSpec pins it), and [[EventStreams.withPinnedRead]]
+    * retries resolve + probe together when a read stalls past the
+    * one-generation garbage grace (a swept file fails LOUDLY, never
+    * silently wrong). The gate builds q334's table, then probes it
+    * repeatedly while a background thread continuously REWRITES the
+    * base (content-stable compaction rotations — each commit moves the
+    * previous base to garbage and sweeps the one before it) and
+    * redelivers already-consumed batches against the manifest: every
+    * raced probe must row-equal the quiesced probe taken before the
+    * race began. `race_ok` carries (all probes matched ∧ the rotator
+    * thread saw no error) into the hash; the oracle is q334's applied
+    * snapshot — probe results during maintenance ARE the quiesced
+    * results. */
+  val q338 = QueryDef(
+    "q338_served_ivf_pinned_read",
+    s"""SELECT t.*, 1::BIGINT AS race_ok FROM (
+       |${ivfMultiprobeOracleWhere("label = 1", source = "snap",
+          prefixCtes = servedSnapCtes)}
+       |) t""".stripMargin) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, dir)
+    val path = graft.core.TempPaths.gatePath("q338_serving")
+    graft.core.TempPaths.clearDir(path)
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Cdc.compactLatest(df, "vec_id", "ver")
+    def tick(rows: org.apache.spark.sql.DataFrame, ver: Long,
+        deleted: Boolean): org.apache.spark.sql.DataFrame =
+      SimilaritySearch.ivfAssignWithVec(rows, Cells, Dims)
+        .withColumn("deleted", lit(deleted)).withColumn("ver", lit(ver))
+    val b0 = tick(emb, 0L, deleted = false)
+    val b1 = tick(emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("label"),
+        reverse(col("embedding")).as("embedding")), 1L, deleted = false)
+    val b2 = tick(emb.filter(col("vec_id") % 7 =!= 0 &&
+      col("vec_id") % 13 === 0), 2L, deleted = true)
+    EventStreams.foldLog(path, b0, 0L, compactEvery = 2)(reduce)
+    EventStreams.foldLog(path, b1, 1L, compactEvery = 2)(reduce)
+    EventStreams.foldLog(path, b2, 2L, compactEvery = 2)(reduce)
+    EventStreams.compactLog(spark, path)(reduce)
+    def probe(served: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.ivfTopKServed(
+          served.filter(!col("deleted") && col("vec_id") < 32)
+            .select("vec_id", "embedding"),
+          served.filter(!col("deleted") && col("label") === 1),
+          3, Cells, Dims, nProbe = 2)
+        .orderBy("query_id", "rank")
+    val expected = probe(EventStreams.readCompactedBase(spark, path))
+      .collect().toSeq
+    // the racing maintainer: content-stable base rotations (files churn,
+    // the logical table never changes) plus consumed-batch redeliveries
+    // hammering the manifest the probes resolve against
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val rotator = new Thread(() => {
+      try while (!stop.get()) {
+        EventStreams.compactLog(spark, path)(reduce)
+        EventStreams.foldLog(path, b0, 0L, compactEvery = 2)(reduce)
+        EventStreams.foldLog(path, b2, 2L, compactEvery = 2)(reduce)
+      } catch { case t: Throwable => errs.add(t) }
+    }, "q338-rotator")
+    rotator.start()
+    val nProbes = 6
+    var matched = 0
+    try (1 to nProbes).foreach { _ =>
+      val got = EventStreams.withPinnedRead(spark, path)(reduce)(
+        served => probe(served).collect().toSeq)
+      if (got == expected) matched += 1
+    } finally { stop.set(true); rotator.join() }
+    val raceOk = matched == nProbes && errs.isEmpty
+    probe(EventStreams.readCompactedBase(spark, path).localCheckpoint(true))
+      .withColumn("race_ok", lit(if (raceOk) 1L else 0L))
       .orderBy("query_id", "rank")
   }
 
@@ -1436,5 +1522,5 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332, q334, q337)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332, q334, q337, q338)
 }

@@ -721,6 +721,71 @@ object EventStreams {
     spark.read.parquet(new java.io.File(path, m.live.head).toString)
   }
 
+  /** PLAN-VISIBLE read PINNED to one manifest generation — the serving
+    * read for a log table under ACTIVE maintenance, closing the gap
+    * between [[readLog]] (correct under any concurrent compaction but
+    * `localCheckpoint(true)` materializes the whole merge — every probe
+    * pays O(table) and all pushdown dies) and [[readCompactedBase]]
+    * (bare relation, full pushdown, but `require`s a fully-compacted
+    * manifest and caller-owned quiescence — which an always-on served
+    * index doesn't have: it probes WHILE ticks fold).
+    *
+    * Resolves the LATEST manifest once and returns a LAZY frame over
+    * that generation's live files as bare parquet relations: downstream
+    * predicates and projections reach the scans (PushedFilters /
+    * ReadSchema — PlanSpec pins both the compacted and the mixed
+    * shape). When the pinned generation is a single compacted base the
+    * reduce is skipped outright — the base is already the reduce's
+    * fixpoint (the foldLog contract `reduce(reduce(A) ∪ B) =
+    * reduce(A ∪ B)` at B = ∅), so the bare relation IS the folded
+    * table. With live deltas the reduce applies lazily over the union;
+    * key predicates still push through it (latest-wins groups on the
+    * key, so Catalyst moves a key filter below the aggregate to every
+    * scan).
+    *
+    * SAFETY WINDOW: the one-generation garbage grace
+    * ([[compactLog]]'s sweep) keeps this generation's files on disk
+    * until the SECOND subsequent compaction commits — an execution that
+    * starts under the pinned manifest survives one racing compaction
+    * commit. A read that stalls across two commits fails with a
+    * swept-file error (never a silent wrong answer: parquet reads fail
+    * loudly on missing inputs); [[withPinnedRead]] wraps resolve +
+    * action in that retry. */
+  def readLogPinned(spark: SparkSession, path: String)(
+      reduce: DataFrame => DataFrame): DataFrame = {
+    val m = readManifest(path)
+    require(m.live.nonEmpty, s"log table at $path has no committed manifest")
+    if (m.live.size == 1 && m.live.head.startsWith("base_"))
+      spark.read.parquet(new java.io.File(path, m.live.head).toString)
+    else reduce(spark.read.parquet(m.live.map(n =>
+      new java.io.File(path, n).toString): _*))
+  }
+
+  /** Execute `use` against a pinned read, retrying resolve + action
+    * together on a swept-file failure — the optimistic-concurrency
+    * read loop that makes [[readLogPinned]] correct under ANY racing
+    * compaction cadence: losing the grace window is detected (missing
+    * file ⇒ loud failure), and the retry re-resolves the necessarily
+    * newer manifest. `use` must be idempotent (a collect/write, not a
+    * side-effecting fold) — it can run more than once. Unlike
+    * [[readLog]] the frame handed to `use` is lazy and plan-visible,
+    * so the probe's predicates still reach the scans on every attempt;
+    * q338 drives probes through this against a compaction loop racing
+    * in another thread. */
+  def withPinnedRead[T](spark: SparkSession, path: String,
+      maxRetries: Int = 16)(reduce: DataFrame => DataFrame)(
+      use: DataFrame => T): T = {
+    var attempt = 0
+    while (true) {
+      try return use(readLogPinned(spark, path)(reduce))
+      catch {
+        case e: Throwable if attempt < maxRetries && isSweptRead(e) =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Read-merge-overwrite of one KEY-BUCKETED parquet serving table —
     * the shared micro-batch fold step of [[runUpsertToCompletion]] and
     * [[runIngestPipeline]]. The table lives as `path/b<i>/` subdirs

@@ -988,6 +988,38 @@ class PipelineSpec extends SparkSpec {
     assert(m3.live.count(_ == "delta_000000008") == 1)
   }
 
+  test("pinned read: folds mixed state and retries past a double-compaction sweep") {
+    import graft.operators.Cdc
+    val path = graft.core.TempPaths.registered(
+      java.nio.file.Files.createTempDirectory("graft_logpinned")).toString
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      Cdc.compactLatest(df, "k", "ver")
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i % 7, i.toLong, s"p$i")).toDF("k", "ver", "payload")
+    (0 until 3).foreach(b =>
+      EventStreams.foldLog(path, slice(b * 10, b * 10 + 10), b, 99)(reduce))
+    val folded = (0 until 30).groupBy(_ % 7).map { case (k, g) => k -> g.max.toLong }
+    // mixed state (3 deltas, no base): the lazy pinned read folds to the
+    // same table readLog materializes
+    assert(EventStreams.readLogPinned(spark, path)(reduce)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == folded)
+    // force the retry: the FIRST use attempt runs TWO compactions before
+    // collecting — the second sweeps the first's grace, so the pinned
+    // delta files vanish under the read; withPinnedRead must fail loudly
+    // on the swept scan and re-resolve the (necessarily newer) manifest
+    var attempts = 0
+    val got = EventStreams.withPinnedRead(spark, path)(reduce) { df =>
+      attempts += 1
+      if (attempts == 1) {
+        EventStreams.compactLog(spark, path)(reduce)
+        EventStreams.compactLog(spark, path)(reduce)
+      }
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    assert(got == folded, "retried pinned read diverged from the folded table")
+    assert(attempts == 2, s"expected exactly one swept-read retry, got $attempts")
+  }
+
   test("log fold: the byte threshold compacts when the count threshold would not") {
     import graft.operators.Cdc
     val path = graft.core.TempPaths.registered(

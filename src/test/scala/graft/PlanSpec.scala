@@ -98,6 +98,39 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("CartesianProduct"))
   }
 
+  test("pinned log read keeps pushdown in compacted AND mixed states") {
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, sf())
+    val path = graft.core.TempPaths.gatePath("planspec_pinned_log")
+    graft.core.TempPaths.clearDir(path)
+    val reduce = (df: DataFrame) =>
+      graft.operators.Cdc.compactLatest(df, "vec_id", "ver")
+    val b0 = graft.operators.SimilaritySearch
+      .ivfAssignWithVec(emb.limit(64), 4, 64)
+      .withColumn("deleted", lit(false)).withColumn("ver", lit(0L))
+    EventStreams.foldLog(path, b0, 0L, compactEvery = 3)(reduce)
+    EventStreams.compactLog(spark, path)(reduce)
+    // fully compacted: the pinned read IS the bare base relation, so
+    // probe predicates reach the scan exactly as readCompactedBase's do
+    val compacted = EventStreams.readLogPinned(spark, path)(reduce)
+      .filter(!col("deleted") && col("label") === 1)
+    val scan = compacted.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(label,1)") &&
+      scan.contains("Not(EqualTo(deleted,true))"),
+      s"probe predicates must reach the pinned base scan:\n$scan")
+    // mixed (base + one live delta): the KEY predicate pushes through
+    // the latest-wins aggregate to EVERY live generation's scan
+    EventStreams.foldLog(path, b0.withColumn("ver", lit(1L)), 1L,
+      compactEvery = 3)(reduce)
+    val mixed = EventStreams.readLogPinned(spark, path)(reduce)
+      .filter(col("vec_id") < 32)
+    val mixedScan = mixed.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(mixedScan.contains("LessThan(vec_id,32)"),
+      s"key predicate must push through the reduce to the scan:\n$mixedScan")
+    assert(mixedScan.contains("(2 paths)"),
+      s"the pinned mixed read should scan base + delta as one relation:\n$mixedScan")
+  }
+
   test("bucketed range join plans an equi-join, never a nested loop") {
     val points = Tables.events(spark, sf()).select(col("event_id"), col("sec"))
     val intervals = Tables.events(spark, sf()).limit(5)
