@@ -122,4 +122,46 @@ object Bpe {
       d.select(col("word"), col("freq"), applyMerge(col("syms"), a, b).as("syms"))
     }
   }
+
+  /** Encode EVERY document to its token-id sequence — the artifact a
+    * pretraining run actually consumes (per-doc contiguous-id arrays),
+    * closing the tokenizer lifecycle that [[train]] (merge table),
+    * [[segment]] (vocabulary segmentation), and fertility reporting
+    * left open at the word vocabulary.
+    *
+    * Id space: the distinct symbols of the final segmentation, ids
+    * assigned by symbol sort order. That table is bounded by
+    * |alphabet| + nMerges rows (each merge mints exactly ONE new
+    * symbol type), so it is driver-side loop control by the same
+    * argument as the collected merge table, and it bakes into a
+    * literal map — the per-word id arrays need no second join.
+    *
+    * Scale shape: the merge folds run once per DISTINCT word (the
+    * [[segment]] vocabulary relation, never the corpus), then ONE
+    * equi-join maps each document token occurrence to its word's id
+    * array — hash join on `word`, doc side carries only (doc_id, pos),
+    * AQE skew-join covers hot words — and ONE groupBy(doc_id)
+    * reassembles positionally (sort the collected (pos, ids) structs,
+    * flatten). Nothing but the final per-doc arrays ever holds a full
+    * document, and those ARE the output. Documents with zero tokens
+    * emit nothing (there is no sequence to train on).
+    *
+    * Returns (doc_id, ids: array<int>). */
+  def encodeDocs(docs: DataFrame, id: Column, toks: Column,
+      mergeTable: DataFrame): DataFrame = {
+    val seg = segment(docs, toks, mergeTable).select("word", "syms")
+      .localCheckpoint(true) // vocab pass runs once, not once per use below
+    val vocab = seg.select(explode(col("syms")).as("sym")).distinct()
+      .orderBy("sym").collect().map(_.getString(0)).zipWithIndex
+    val vmap = map(vocab.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }.toIndexedSeq: _*)
+    val segIds = seg.select(col("word"),
+      transform(col("syms"), s => element_at(vmap, s)).as("wids"))
+    docs.select(id.as("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .join(segIds, "word")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        s => s.getField("wids"))).as("ids"))
+  }
 }

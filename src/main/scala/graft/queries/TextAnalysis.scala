@@ -1224,7 +1224,8 @@ object TextAnalysis {
     * reads the bests) and the segmentation gate (q161, reads the final
     * seg). Carrying `word` through the merge folds costs the training
     * oracle nothing: seg rows are per-word from seg0 on. */
-  private def bpeCtes(rounds: Int): String = {
+  private def bpeCtes(rounds: Int, source: String = "documents",
+      prefixCtes: String = ""): String = {
     def pairs(seg: String) =
       s"""(SELECT syms[i] AS a, syms[i + 1] AS b, freq
          |   FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $seg))""".stripMargin
@@ -1254,9 +1255,9 @@ object TextAnalysis {
          |      END) AS fin
          |    FROM $prev CROSS JOIN $best))""".stripMargin
     val ctes = new StringBuilder(
-      s"""WITH seg0 AS (
+      s"""WITH ${prefixCtes}seg0 AS (
          |  SELECT word, COUNT(*)::BIGINT AS freq, string_split_regex(word, '') AS syms
-         |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY word)""".stripMargin)
+         |  FROM (SELECT unnest($toks) AS word FROM $source) GROUP BY word)""".stripMargin)
     for (r <- 1 to rounds) {
       ctes ++= s""",
         |best$r AS (SELECT a AS ba, b AS bb, SUM(freq)::BIGINT AS n FROM ${pairs(s"seg${r - 1}")}
@@ -1301,6 +1302,131 @@ object TextAnalysis {
         size(col("syms")).cast("long").as("n_syms"),
         concat_ws(" ", col("syms")).as("encoded"))
       .orderBy("word")
+  }
+
+  /** Corpus-scale BPE ENCODING (Bpe.encodeDocs) — the step the
+    * tokenizer lifecycle was missing: q159 trains the merge table, q161
+    * segments the WORD VOCABULARY, but a pretraining run consumes
+    * per-DOCUMENT token-id sequences. The operator applies the merges
+    * once per distinct word, bakes the (≤ |alphabet| + nMerges)-entry
+    * symbol→id table into a literal map, joins each doc token
+    * occurrence to its word's id array, and reassembles positionally.
+    * The oracle extends the q159/q161 unroll: the same seg8
+    * segmentation, ids by symbol sort order, the doc token stream
+    * indexed positionally and flattened with (pos, sympos) ordering —
+    * every document's full id sequence hash-matches, so train, encode,
+    * and corpus application agree end-to-end. Zero-token docs emit
+    * nothing on both sides. */
+  /** The q339/q340 ENCODE CTEs, appended after [[bpeCtes]]: symbol ids
+    * by sort order over seg8's final segmentation, the positional doc
+    * token stream of `source`, per-(pos, sympos) id rows, and the
+    * per-doc flattened sequence. */
+  private def bpeEncodeCtes(source: String): String =
+    s""",
+      |vocab AS (
+      |  SELECT sym, (row_number() OVER (ORDER BY sym) - 1)::INTEGER AS id
+      |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM seg8)),
+      |dw AS (
+      |  SELECT doc_id, pos, tk[pos] AS word FROM (
+      |    SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk
+      |    FROM (SELECT doc_id, $toks AS tk FROM $source))),
+      |ws AS (
+      |  SELECT doc_id, pos, spos, syms[spos] AS sym FROM (
+      |    SELECT dw.doc_id, dw.pos, unnest(range(1, len(s.syms) + 1)) AS spos, s.syms
+      |    FROM dw JOIN seg8 s USING (word))),
+      |idrows AS (SELECT w.doc_id, w.pos, w.spos, v.id FROM ws w JOIN vocab v USING (sym)),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*)::BIGINT AS n_ids,
+      |    string_agg(id::VARCHAR, ' ' ORDER BY pos, spos) AS ids
+      |  FROM idrows GROUP BY doc_id)""".stripMargin
+
+  val q339 = QueryDef(
+    "q339_bpe_encode_corpus",
+    bpeCtes(8) + bpeEncodeCtes("documents") +
+      """
+        |SELECT doc_id, n_ids, ids FROM perdoc
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toksCol = TextFns.tokens(col("text"))
+    val mt = graft.operators.Bpe.train(docs, toksCol, nMerges = 8)
+    graft.operators.Bpe.encodeDocs(docs, col("doc_id"), toksCol, mt)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        concat_ws(" ", transform(col("ids"), _.cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
+  /** The PRETRAINING PIPELINE end-to-end — curate → tokenize → pack →
+    * shard, every stage on the REAL artifacts of the one before: q149's
+    * quality-budget selection picks the corpus, q159's merge table
+    * trains ON THE CURATED SUBSET (the tokenizer fits the data that
+    * ships), q339's encode emits each kept document's token-id
+    * sequence, and the packing runs on the ID counts — not word counts,
+    * exactly where a counts-vs-ids off-by-one would ship silently —
+    * with q250's bounded-collect shards materializing the packed id
+    * streams. The oracle inlines ALL stages (curation cum-sum, the
+    * 8-round BPE unroll over the curated vocabulary, positional encode,
+    * harmonic class/bin arithmetic, slot-ordered shard assembly), so a
+    * drift in any stage's contract breaks the hash. Oversize sequences
+    * (> 256 ids) are excluded as class −1 on both sides; zero-token
+    * docs never reach packing (encode emits nothing for them). */
+  val q340 = QueryDef(
+    "q340_pretrain_pipeline",
+    bpeCtes(8, source = "curated", prefixCtes =
+      s"""cq AS (
+         |  SELECT doc_id, len(tk)::BIGINT AS ntok,
+         |    CASE WHEN len(tk) > 0 THEN floor((${TextSql.lexiconHits("tk", TextFns.stopwords)}::DOUBLE / len(tk)::DOUBLE) * 1000000.0 + 0.5001) / 1000000.0 ELSE 0.0 END AS quality
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents)),
+         |cc AS (
+         |  SELECT a.doc_id, a.ntok, COALESCE(SUM(b.ntok), 0) AS cum_before
+         |  FROM cq a LEFT JOIN cq b
+         |    ON b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id)
+         |  GROUP BY a.doc_id, a.quality, a.ntok),
+         |curated AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+         |  WHERE cc.cum_before + cc.ntok <= 60000),
+         |""".stripMargin) +
+      bpeEncodeCtes("curated") +
+      """,
+        |cls AS (SELECT doc_id, n_ids, ids,
+        |  CASE WHEN n_ids > 256 THEN -1 WHEN n_ids <= 0 THEN 8
+        |       ELSE LEAST(8, 256 // n_ids) END AS size_class FROM perdoc),
+        |r AS (SELECT doc_id, n_ids, ids, size_class,
+        |  row_number() OVER (PARTITION BY size_class ORDER BY doc_id) - 1 AS r0
+        |  FROM cls WHERE size_class >= 1)
+        |SELECT size_class, r0 // size_class AS bin, COUNT(*) AS n_docs,
+        |  SUM(n_ids)::BIGINT AS n_tokens,
+        |  string_agg(ids, ' ' ORDER BY r0 % size_class) AS shard_ids
+        |FROM r GROUP BY size_class, r0 // size_class
+        |ORDER BY size_class, bin""".stripMargin) { (spark, dir) =>
+    val base = Tables.documents(spark, dir)
+    val toksCol = TextFns.tokens(col("text"))
+    val scored = base.withColumn("tk", toksCol)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("ntok"),
+        when(size(col("tk")) > 0,
+          floor(TextFns.lexiconHits(col("tk"), TextFns.stopwords).cast("double") /
+            size(col("tk")).cast("double") * 1e6 + 0.5001) / 1e6)
+          .otherwise(0.0).as("quality"))
+    val keep = graft.operators.Curation.selectUnderBudgetEquiDepth(scored,
+        col("doc_id"), col("quality"), col("ntok"), budget = 60000L, bands = 16)
+      .filter(col("selected")).select("id")
+    // curated is read by train (vocab pass), encode (vocab + doc
+    // stream), so pin it once instead of re-running the
+    // quality join per consumer
+    val curated = base.join(keep, base("doc_id") === keep("id")).drop("id")
+      .localCheckpoint(true)
+    val mt = graft.operators.Bpe.train(curated, toksCol, nMerges = 8)
+    val encoded = graft.operators.Bpe.encodeDocs(curated, col("doc_id"), toksCol, mt)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_ids"),
+        concat_ws(" ", transform(col("ids"), _.cast("string"))).as("ids_str"))
+      .localCheckpoint(true) // consumed twice: pack assignment + shard payload
+    val packed = graft.operators.Packing.packHarmonic(encoded,
+      col("doc_id"), col("n_ids"), binSize = 256L, classes = 8)
+    graft.operators.Packing.packedShards(packed, encoded, col("doc_id"),
+        col("ids_str"), sep = " ")
+      .withColumnRenamed("shard_text", "shard_ids")
+      .orderBy("size_class", "bin")
   }
 
   /** Shared CTE chain for the logistic-regression gates: features from
@@ -2571,5 +2697,5 @@ object TextAnalysis {
       .orderBy("key", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284, q339, q340)
 }
