@@ -549,6 +549,51 @@ object SimilaritySearch {
     rerank(scored, k)
   }
 
+  /** RECALL-CURVE report for a served IVF index — the governance table
+    * an operator actually tunes `nProbe` by: for each probe depth in
+    * `nProbes`, the ANN result set is scored against the EXACT
+    * brute-force top-k over the SAME served table, alongside the probe
+    * cost (candidate rows scanned before rerank — what each recall
+    * point costs). One row per sweep point: (n_probe, k, matched,
+    * truth_rows, cand_rows, recall). nProbe = nCells is exhaustive, so
+    * that point's recall is 1.0 by construction — a built-in
+    * self-check the gate's oracle re-derives.
+    *
+    * Scale shape: the truth pass is ONE brute-force top-k (queries
+    * broadcast, corpus scanned once); each sweep arm reuses the stored
+    * cells (no re-quantization) and reduces to three algebraic counts —
+    * the arms are independent single-row aggregates unioned at the
+    * end, so the report costs |sweep| probe joins over the same
+    * served relation, nothing quadratic. Recall on a 100 TB corpus
+    * would swap the exact truth pass for a held-out query sample — the
+    * report shape is unchanged. */
+  def recallCurveServed(queries: DataFrame, served: DataFrame, k: Int,
+      nCells: Int, dims: Int, nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= nCells),
+      s"need probe depths within [1, $nCells], got $nProbes")
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val truthIds = bruteForceTopK(q, served, k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true) // read by every sweep arm
+    nProbes.map { p =>
+      val gotIds = ivfTopKServed(q, served, k, nCells, dims, p)
+        .select("query_id", "neighbor_id")
+      val cand = q.select(col("vec_id").as("query_id"),
+          explode(nearestCells(col("embedding"), nCells, dims, p)
+            .getField("cell")).as("cell"))
+        .join(served.select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+      gotIds.join(truthIds, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("matched"))
+        .crossJoin(truthIds.agg(count(lit(1)).as("truth_rows")))
+        .crossJoin(cand.agg(count(lit(1)).as("cand_rows")))
+        .select(lit(p).as("n_probe"), lit(k).as("k"), col("matched"),
+          col("truth_rows"), col("cand_rows"),
+          graft.core.Cross.r6(col("matched").cast("double") /
+            col("truth_rows").cast("double")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The query's `p` nearest cells (d asc, cell asc — the same total
     * order as [[nearestCentroid]]'s min). Per-row fold + array_sort on
     * (d, cell) structs, no shuffle. */

@@ -462,7 +462,10 @@ object EmbeddingQueries {
     * AFTER compaction consumed it — both must no-op via the manifest.
     * Oracle: the q46/q332 multiprobe oracle over the APPLIED snapshot
     * (maintain(assign(S), delta) == assign(apply(S, delta)), q268's law,
-    * extended through the serving table to probe results). */
+    * extended through the serving table to probe results). The nProbe=2
+    * operating point is priced by q341's hash-verified recall curve:
+    * recall@3 = 0.767 at sf0.01 (0.378 / 0.933 / 1.0 at depths
+    * 1 / 3 / 4), scanning 934 of the exhaustive 1317 candidate rows. */
   val q334 = QueryDef(
     "q334_served_ivf_index", ivfMultiprobeOracleWhere(
       "label = 1", source = "snap", prefixCtes = servedSnapCtes)) { (spark, dir) =>
@@ -580,6 +583,93 @@ object EmbeddingQueries {
     probe(EventStreams.readCompactedBase(spark, path).localCheckpoint(true))
       .withColumn("race_ok", lit(if (raceOk) 1L else 0L))
       .orderBy("query_id", "rank")
+  }
+
+  /** The q341 oracle: per probe depth, the multiprobe result set scored
+    * against the exact brute-force top-3 over the applied snapshot,
+    * plus the candidate rows each depth scans — the full recall curve
+    * re-derived relationally. */
+  private def recallCurveOracle: String = {
+    val arms = (0 until Cells).map { c =>
+      val w = HashFns.litVector(s"centroid-$c", Dims)
+      s"SELECT vec_id, embedding, label, $c AS cell, ${VectorSql.sqDistLit("embedding", w)} AS d FROM snap"
+    }.mkString("\nUNION ALL\n")
+    val sweep = (1 to Cells).map { p =>
+      s"""SELECT $p AS n_probe, 3 AS k,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT query_id, neighbor_id FROM (
+         |       SELECT qc.query_id, a.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY qc.query_id ORDER BY ${VectorSql.cosine("qc.qe", "a.embedding")} DESC, a.vec_id) AS rank
+         |       FROM (SELECT vec_id AS query_id, embedding AS qe, cell FROM cells WHERE rn <= $p AND vec_id < 32) qc
+         |       JOIN corpus a USING (cell) WHERE qc.query_id <> a.vec_id) r
+         |     WHERE rank <= 3) g
+         |   JOIN truth t ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id)::BIGINT AS matched,
+         |  (SELECT COUNT(*) FROM truth)::BIGINT AS truth_rows,
+         |  (SELECT COUNT(*) FROM (SELECT vec_id AS query_id, cell FROM cells WHERE rn <= $p AND vec_id < 32) qc
+         |     JOIN corpus a USING (cell) WHERE qc.query_id <> a.vec_id)::BIGINT AS cand_rows""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${servedSnapCtes}dists AS (
+       |$arms),
+       |cells AS (
+       |  SELECT vec_id, embedding, label, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM dists),
+       |assigned AS (SELECT vec_id, embedding, label, cell FROM cells WHERE rn = 1),
+       |corpus AS (SELECT * FROM assigned WHERE label = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM snap WHERE vec_id < 32),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${VectorSql.cosine("q.qe", "a.embedding")} DESC, a.vec_id) AS rank
+       |    FROM q CROSS JOIN corpus a WHERE q.query_id <> a.vec_id) t
+       |  WHERE rank <= 3)
+       |SELECT n_probe, k, matched, truth_rows, cand_rows,
+       |  ${Cross.r6Sql("matched::DOUBLE / truth_rows::DOUBLE")} AS recall
+       |FROM ($sweep)
+       |ORDER BY n_probe""".stripMargin
+  }
+
+  /** Recall curve for the SERVED index (SimilaritySearch
+    * .recallCurveServed) — the tuning table q334's nProbe knob was
+    * missing: each probe depth 1..nCells scored against the exact
+    * brute-force top-3 over the SAME compacted serving table, with the
+    * candidate rows that depth scans (what the recall point costs).
+    * nProbe = nCells is exhaustive, so the curve must end at recall
+    * 1.0 — the oracle re-derives every sweep point relationally over
+    * the applied snapshot, so the measured trade-off itself is
+    * hash-verified, not just each endpoint. q334's standing nProbe = 2
+    * configuration reads its measured recall straight off this
+    * table. */
+  val q341 = QueryDef(
+    "q341_served_ivf_recall_curve", recallCurveOracle) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val emb = Tables.embeddings(spark, dir)
+    val path = graft.core.TempPaths.gatePath("q341_serving")
+    graft.core.TempPaths.clearDir(path)
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Cdc.compactLatest(df, "vec_id", "ver")
+    def tick(rows: org.apache.spark.sql.DataFrame, ver: Long,
+        deleted: Boolean): org.apache.spark.sql.DataFrame =
+      SimilaritySearch.ivfAssignWithVec(rows, Cells, Dims)
+        .withColumn("deleted", lit(deleted)).withColumn("ver", lit(ver))
+    EventStreams.foldLog(path, tick(emb, 0L, deleted = false), 0L,
+      compactEvery = 2)(reduce)
+    EventStreams.foldLog(path, tick(emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("label"),
+        reverse(col("embedding")).as("embedding")), 1L, deleted = false), 1L,
+      compactEvery = 2)(reduce)
+    EventStreams.foldLog(path, tick(emb.filter(col("vec_id") % 7 =!= 0 &&
+      col("vec_id") % 13 === 0), 2L, deleted = true), 2L,
+      compactEvery = 2)(reduce)
+    EventStreams.compactLog(spark, path)(reduce)
+    val served = EventStreams.readCompactedBase(spark, path)
+      .localCheckpoint(true)
+    SimilaritySearch.recallCurveServed(
+        served.filter(!col("deleted") && col("vec_id") < 32)
+          .select("vec_id", "embedding"),
+        served.filter(!col("deleted") && col("label") === 1),
+        3, Cells, Dims, nProbes = 1 to Cells)
+      .orderBy("n_probe")
   }
 
   /** Lloyd-trained IVF centroids (2 rounds from the seed centroids) —
@@ -1522,5 +1612,5 @@ object EmbeddingQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332, q334, q337, q338)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q97, q98, q122, q140, q143, q144, q145, q146, q147, q153, q163, q164, q170, q181, q193, q207, q224, q259, q264, q268, q269, q327, q332, q334, q337, q338, q341)
 }
