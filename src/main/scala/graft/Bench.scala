@@ -75,6 +75,16 @@ object Bench {
     * the longest historical isolated series to compare against. */
   private[graft] val CanaryGate = "q59_salted_join"
 
+  /** The isolated pass's static schedule: the canary as its OWN first
+    * leg, then the standing list minus the canary (it already ran).
+    * First-leg identity is BY CONSTRUCTION here — round 13 relied on
+    * [[CanaryGate]] heading [[IsolatedGates]], so a list reorder would
+    * have silently turned "ran first" into "ran somewhere"
+    * (round-13 verdict #5). */
+  private[graft] def isolatedSchedule(available: String => Boolean): (String, Seq[String]) =
+    (CanaryGate,
+      IsolatedGates.filterNot(_ == CanaryGate).filter(available))
+
   private def childJvm(args: Seq[String], out: java.nio.file.Path,
       env: Map[String, String], heapOverride: Option[String] = None,
       timeoutS: Option[Long] = None): Unit = {
@@ -161,9 +171,23 @@ object Bench {
     * [[IsolatedGates]] are excluded (they always run), as are gates
     * absent from every prior snapshot (new gates have no baseline) and
     * failed (-1) walls on either side. */
+  /** Adjudicated-and-ACCEPTED regressions: gate → accepted band
+    * (seconds). A gate promoted purely by the window MIN whose best
+    * wall sits in the OLDEST snapshot would otherwise re-promote every
+    * round until the old MIN ages out of the window — permanently
+    * spending mover budget on a regression that was already isolated,
+    * adjudicated, and accepted (round-13 ADVICE; q296 needed a manual
+    * standing-isolated entry for exactly this). An entry here floors
+    * the gate's promotion baseline at the accepted band: it re-promotes
+    * only if it regresses past 2×band+2 s AGAIN. Entries must cite the
+    * adjudication (SCALING.md section) and are expected to be removed
+    * once the old MIN leaves the rotation window. Currently empty —
+    * q296 is handled by its standing [[IsolatedGates]] entry. */
+  private[graft] val AcceptedRegressions: Map[String, Double] = Map.empty
+
   private[graft] def promotedMovers(current: Map[String, Double],
       priorPaths: Seq[String], repeat: Int, sfBase: String,
-      ioOn: Boolean): Seq[String] =
+      ioOn: Boolean, accepted: Map[String, Double] = AcceptedRegressions): Seq[String] =
     {
       val priorMins = scala.collection.mutable.HashMap.empty[String, Double]
       // one unreadable/misshapen baseline must not kill promotion for
@@ -174,6 +198,10 @@ object Bench {
           if (java.nio.file.Files.exists(f)) {
             val json = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
             val mode = snapshotMode(json)
+            // always log the parsed mode: a field that silently parsed
+            // to its default is visible here, not discovered later as a
+            // wrong promotion baseline
+            System.err.println(s"[bench] mover baseline $p mode=$mode")
             if (mode != ((repeat, sfBase, ioOn)))
               System.err.println(s"[bench] mover baseline $p skipped: mode " +
                 s"$mode != current ($repeat, $sfBase, $ioOn)")
@@ -187,33 +215,33 @@ object Bench {
       }
       current.toSeq.collect {
         case (g, cur) if !IsolatedGates.contains(g) &&
-            priorMins.get(g).exists(p => cur > 0 && cur > 2 * p + 2) => g
+            priorMins.get(g).map(p => accepted.get(g).fold(p)(math.max(p, _)))
+              .exists(p => cur > 0 && cur > 2 * p + 2) => g
       }.sorted
     }
 
   /** (repeat, sf basename, io listener on) of a snapshot JSON — the
     * fields that decide whether its walls are comparable to this
     * run's. Missing fields default to the historical mode (repeat 1,
-    * io on, sf ""). */
+    * io on, sf ""). Scanners tolerate whitespace around the colon —
+    * exact-substring matching made a reformatted baseline silently
+    * fall back to the default mode, which is precisely the
+    * wrong-comparison the mode check exists to prevent (round-13
+    * ADVICE); [[promotedMovers]] also logs each baseline's parsed mode
+    * so a defaulted parse is visible in the run log. */
   private[graft] def snapshotMode(json: String): (Int, String, Boolean) = {
-    def numOpt(field: String): Option[Double] = {
-      val i = json.indexOf("\"" + field + "\":")
-      if (i < 0) None
-      else json.substring(i + field.length + 3)
-        .takeWhile(c => c.isDigit || c == '.' || c == '-').toDoubleOption
-    }
-    def strOpt(field: String): Option[String] = {
-      val i = json.indexOf("\"" + field + "\":\"")
-      if (i < 0) None
-      else {
-        val start = i + field.length + 4
-        val end = json.indexOf("\"", start)
-        if (end < 0) None else Some(json.substring(start, end))
-      }
-    }
+    def numOpt(field: String): Option[Double] =
+      ("\"" + field + "\"\\s*:\\s*(-?[0-9.]+)").r
+        .findFirstMatchIn(json).flatMap(_.group(1).toDoubleOption)
+    def strOpt(field: String): Option[String] =
+      ("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(json).map(_.group(1))
+    def boolOpt(field: String): Option[Boolean] =
+      ("\"" + field + "\"\\s*:\\s*(true|false)").r
+        .findFirstMatchIn(json).map(_.group(1) == "true")
     (numOpt("repeat").map(_.toInt).getOrElse(1),
       strOpt("sf").map(sfBasename).getOrElse(""),
-      !json.contains("\"io\":false"))
+      boolOpt("io").getOrElse(true))
   }
 
   private[graft] def sfBasename(sfDir: String): String =
@@ -230,12 +258,16 @@ object Bench {
     Seq("BENCH_LOCAL.json", "bench_prior_1.json", "bench_prior_2.json",
       "bench_prior_3.json")
 
-  /** Rotate the committed snapshot into the prior window before a full
-    * run overwrites it: BENCH_LOCAL.json → bench_prior_1.json → _2 →
-    * _3 (oldest drops). Committed with the repo, these give the
-    * windowed mover rule a K-deep history of SAME-format baselines —
-    * the q296 lesson was that a single-snapshot baseline can be
-    * ratcheted under in sub-threshold steps across rounds. */
+  /** Rotate the committed snapshot into the prior window:
+    * BENCH_LOCAL.json → bench_prior_1.json → _2 → _3 (oldest drops).
+    * Committed with the repo, these give the windowed mover rule a
+    * K-deep history of SAME-format baselines — the q296 lesson was
+    * that a single-snapshot baseline can be ratcheted under in
+    * sub-threshold steps across rounds. Called ONLY from
+    * [[commitSnapshot]], i.e. at the END of a successful full run —
+    * rotating at run START (the round-13 shape) let a crashed run
+    * consume a window slot with a duplicate, and left prior_1 ==
+    * BENCH_LOCAL until commit (effective distinct window K−1). */
   private[graft] def rotatePriors(
       dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Unit =
     try {
@@ -257,13 +289,28 @@ object Bench {
       System.err.println(s"[bench] prior rotation skipped: ${e.getMessage}")
     }
 
+  /** Commit a full run's merged snapshot: rotate the prior window,
+    * THEN overwrite the committed file — in that order and only HERE,
+    * so a run that crashes mid-suite never touches the window, and the
+    * promotion baselines read during the run (BENCH_LOCAL.json = the
+    * previous round, prior_1..3 distinct older rounds) form K=4
+    * DISTINCT snapshots. Rotation applies only to the default
+    * committed path: a driver run pointing SPARK_GRAFT_BENCH_OUT
+    * elsewhere leaves BENCH_LOCAL.json — and therefore the window —
+    * untouched. */
+  private[graft] def commitSnapshot(json: String, outPath: String,
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Unit = {
+    if (outPath == "BENCH_LOCAL.json") rotatePriors(dir)
+    try {
+      java.nio.file.Files.write(dir.resolve(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+  }
+
   private def runSharded(shards: Int): Unit = {
-    // rotate the prior window only when THIS run will replace the
-    // committed snapshot (a driver run pointing SPARK_GRAFT_BENCH_OUT
-    // elsewhere leaves BENCH_LOCAL.json — and therefore the window —
-    // untouched)
-    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").forall(_ == "BENCH_LOCAL.json"))
-      rotatePriors()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val chunks = names.grouped(math.ceil(names.size.toDouble / shards).toInt).toSeq
     val outs = chunks.zipWithIndex.map { case (chunk, i) =>
@@ -371,8 +418,17 @@ object Bench {
             // The child wait is bounded by the budget's remainder (plus a
             // floor so the last admitted gate gets a real attempt): a hung
             // child lands in isolated_skipped instead of wedging the run.
+            // SPARK_GRAFT_BENCH_WARMUP=1: one UNTIMED run of the gate
+            // before the repeat-N take-min. Replay-bound streaming
+            // gates never amortized first-run JIT inside a fresh 8 g
+            // child (q323 read 29.4 s isolated vs 3.7 warmed A/B;
+            // q335 21.8 vs 8.2 — round-13 verdict #4): all N attempts
+            // stayed cold-band. The warm-up absorbs exactly what the
+            // suite-level warmup absorbs for sharded gates, so the
+            // standing isolated series reads code, not child JIT state.
             try {
-              childJvm(Seq(g), out, Map("SPARK_GRAFT_BENCH_REPEAT" -> rep),
+              childJvm(Seq(g), out, Map("SPARK_GRAFT_BENCH_REPEAT" -> rep,
+                  "SPARK_GRAFT_BENCH_WARMUP" -> "1"),
                 heapOverride = Some("8g"),
                 timeoutS = Some(math.max(120L, budget - elapsed.toLong)))
               val j = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
@@ -388,16 +444,21 @@ object Bench {
             }
             }
           }
-        val entries =
-          runIsolated(IsolatedGates.filter(names.contains), budgetS) ++
+        // box-state canary, FIRST leg: the canary runs as its own
+        // explicit first child (isolatedSchedule — identity by
+        // construction, not list position); its wall doubles as the
+        // gate's standing isolated entry
+        val (canaryGate, standing) = isolatedSchedule(names.contains)
+        val canaryFirstEntry = runIsolated(Seq(canaryGate), budgetS)
+        val entries = canaryFirstEntry ++
+          runIsolated(standing, budgetS) ++
             runIsolated(promoted, budgetS + moverBudgetS)
-        // box-state canary: CanaryGate already ran FIRST (it heads
-        // IsolatedGates); run it once more LAST so the series carries
-        // its own band measurement — first≈last ⇒ a stable window,
+        // canary LAST leg: run it once more so the series carries its
+        // own band measurement — first≈last ⇒ a stable window,
         // first≪last (or ≫) ⇒ read this pass's absolute walls with
         // that measured drift in mind. Outside the budget accounting:
         // a skipped canary must be visible, not silently absent.
-        val canaryFirst = entries.flatMap(b =>
+        val canaryFirst = canaryFirstEntry.flatMap(b =>
           parseNumMap(b).get(CanaryGate)).headOption
         val canaryLast =
           if (canaryFirst.isEmpty) None
@@ -405,7 +466,8 @@ object Bench {
             val out = java.nio.file.Files.createTempFile("graft_bench_canary", ".json")
             try {
               childJvm(Seq(CanaryGate), out,
-                Map("SPARK_GRAFT_BENCH_REPEAT" -> rep),
+                Map("SPARK_GRAFT_BENCH_REPEAT" -> rep,
+                  "SPARK_GRAFT_BENCH_WARMUP" -> "1"),
                 heapOverride = Some("8g"), timeoutS = Some(300L))
               parseNumMap(mapOf(new String(
                 java.nio.file.Files.readAllBytes(out), "UTF-8"), "queries"))
@@ -437,7 +499,11 @@ object Bench {
         val promotedJson =
           if (promoted.isEmpty) ""
           else s""","isolated_promoted":[${promoted.map("\"" + _ + "\"").mkString(",")}]"""
+        // isolated_warmup marks the series break: r14+ isolated walls
+        // include the per-gate warm-up and are NOT comparable to
+        // r13-and-earlier isolated entries for replay-bound gates
         s""","isolated":{${entries.mkString(",")}},"isolated_repeat":$rep""" +
+          s""","isolated_warmup":true""" +
           canaryJson + promotedJson + skippedJson
       }
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
@@ -448,11 +514,8 @@ object Bench {
       s""""io":${sys.env.getOrElse("SPARK_GRAFT_BENCH_IO", "1") != "0"}""" +
       isolated + "," +
       s""""session":$session,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    commitSnapshot(json,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     println(json)
     outs.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
   }
@@ -530,7 +593,19 @@ object Bench {
     // and input fields read 0, never stale values)
     val ioOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_IO", "1") != "0"
     if (ioOn) SessionHygiene.installIoMetrics(spark)
+    // SPARK_GRAFT_BENCH_WARMUP=1 (set by the isolated children): one
+    // untimed run of each selected gate before its timed attempts —
+    // repeat-N take-min in a fresh JVM never amortized first-run JIT
+    // for replay-bound streaming gates (every attempt re-entered the
+    // same cold compilation state), so their standing isolated series
+    // carried a ±3-8x cold-child band the canary couldn't normalize.
+    val warmupGates = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0") == "1"
     val results = selected.map { case (name, fn) =>
+      if (warmupGates) {
+        try { fn(spark, sfDir).count(); () }
+        catch { case _: Throwable => () } // the timed attempt reports it
+        SessionHygiene.reset(spark)
+      }
       val attempts = (1 to repeat).map { _ =>
         SessionHygiene.resetHeapPeaks()
         val (sw0, in0) = if (ioOn) SessionHygiene.ioBytes(spark) else (0L, 0L)

@@ -503,10 +503,23 @@ object EventStreams {
     }
     val m = readManifestGen(path)._2
     val deltas = m.live.filter(_.startsWith("delta_"))
+    // pre-stats (legacy) deltas count 0 toward the byte sum, which can
+    // defer a byte-dominant config well past its intended cadence —
+    // surface that AT DECISION TIME (once per JVM), not only in the
+    // scaladoc (round-13 ADVICE)
+    if (compactBytes != Long.MaxValue) {
+      val sizeless = deltas.filterNot(m.sizes.contains)
+      if (sizeless.nonEmpty && sizelessNoted.compareAndSet(false, true))
+        System.err.println(s"[foldLog] $path: ${sizeless.size} live " +
+          s"delta(s) without manifest size stats (e.g. ${sizeless.head}) " +
+          "count 0 toward the byte-compaction threshold")
+    }
     if (deltas.size >= compactEvery ||
         deltas.iterator.map(n => m.sizes.getOrElse(n, 0L)).sum >= compactBytes)
       compactLog(batch.sparkSession, path)(reduce)
   }
+
+  private val sizelessNoted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** One committed state of the log table: `live` names the
     * generations a reader resolves (base + deltas), `garbage` the set

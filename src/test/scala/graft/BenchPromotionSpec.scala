@@ -131,4 +131,76 @@ class BenchPromotionSpec extends AnyFunSuite {
       == ((3, "sf0.1", false)))
     assert(Bench.sfBasename("/root/testdata/sf0.1/") == "sf0.1")
   }
+
+  test("snapshotMode tolerates whitespace around colons (reformatted baselines)") {
+    // exact-substring scanning made each of these silently parse as the
+    // DEFAULT mode — admitting a warmed/io-off baseline as comparable,
+    // the exact wrong-comparison the mode check guards against
+    assert(Bench.snapshotMode(
+      """{"repeat": 3, "io": false, "sf": "/root/testdata/sf0.1"}""")
+      == ((3, "sf0.1", false)))
+    assert(Bench.snapshotMode(
+      "{\"repeat\" :\t2,\n \"io\"\t: true, \"sf\" : \"x\"}")
+      == ((2, "x", true)))
+  }
+
+  test("an accepted regression stops re-promoting against a stale window MIN") {
+    // the gate regressed 1.0 -> 9.0, was isolated, adjudicated, and
+    // ACCEPTED at band 9.0; the 1.0 wall stays in the window (oldest
+    // snapshot) for more rounds. Without the accepted floor it
+    // re-promotes every round; with it, only a regression past the
+    // accepted band (2*9+2) promotes again.
+    val oldMin = tmpSnapshot("qa" -> 1.0)
+    def promo(cur: Double, accepted: Map[String, Double]) =
+      Bench.promotedMovers(Map("qa" -> cur), Seq(oldMin), repeat = 1,
+        sfBase = "x", ioOn = true, accepted = accepted)
+    assert(promo(9.0, Map.empty) == Seq("qa"),
+      "sanity: without the accepted entry the stale MIN keeps promoting")
+    assert(promo(9.0, Map("qa" -> 9.0)) == Nil,
+      "an adjudicated band must stop the re-promotion")
+    assert(promo(9.5, Map("qa" -> 9.0)) == Nil, "inside 2x+2 of the band")
+    assert(promo(20.5, Map("qa" -> 9.0)) == Seq("qa"),
+      "a NEW regression past the accepted band must still promote")
+  }
+
+  test("isolated schedule: canary first by construction, never twice") {
+    val (first, rest) = Bench.isolatedSchedule(_ => true)
+    assert(first == Bench.CanaryGate,
+      "the canary must be the explicit first leg regardless of list order")
+    assert(!rest.contains(Bench.CanaryGate),
+      "the canary must not run a second time inside the standing list")
+    // unavailable gates drop from the standing list, not the canary leg
+    val (_, none) = Bench.isolatedSchedule(_ == Bench.CanaryGate)
+    assert(none.isEmpty)
+  }
+
+  test("prior window rotates at snapshot COMMIT, so a crashed run leaves it unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_commit")
+    def read(name: String): Option[String] = {
+      val p = dir.resolve(name)
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+      else None
+    }
+    java.nio.file.Files.write(dir.resolve("BENCH_LOCAL.json"),
+      "r12".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("bench_prior_1.json"),
+      "r11".getBytes("UTF-8"))
+    // a run that CRASHES never reaches commitSnapshot: window untouched,
+    // and BENCH_LOCAL (the newest baseline) never duplicates prior_1
+    assert(read("BENCH_LOCAL.json").contains("r12") &&
+      read("bench_prior_1.json").contains("r11"))
+    // a SUCCESSFUL full run commits: rotation then overwrite — the
+    // window gains the previous committed snapshot, all entries distinct
+    Bench.commitSnapshot("r13", "BENCH_LOCAL.json", dir)
+    assert(read("BENCH_LOCAL.json").contains("r13"))
+    assert(read("bench_prior_1.json").contains("r12"))
+    assert(read("bench_prior_2.json").contains("r11"))
+    // a run writing elsewhere (driver SPARK_GRAFT_BENCH_OUT) commits its
+    // file but leaves the window alone
+    Bench.commitSnapshot("driver", "BENCH_r99.json", dir)
+    assert(read("BENCH_r99.json").contains("driver"))
+    assert(read("bench_prior_1.json").contains("r12"),
+      "a non-default out path must not rotate the window")
+  }
 }
