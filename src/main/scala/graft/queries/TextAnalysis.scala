@@ -1355,6 +1355,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer ARTIFACT round-trip (ModelIO.saveMergeTable /
+    * loadMergeTable) — the deployment shape: train once, persist the
+    * merge table, and every encode job reloads it instead of
+    * retraining. Rank order is the program (merges replay in rank
+    * order), so the gate proves encode-after-reload is row-identical
+    * to live encode by hashing against the SAME unrolled oracle as
+    * q339: any rank/symbol drift through the parquet round-trip
+    * changes some document's id sequence. */
+  val q342 = QueryDef(
+    "q342_bpe_artifact_roundtrip",
+    bpeCtes(8) + bpeEncodeCtes("documents") +
+      """
+        |SELECT doc_id, n_ids, ids FROM perdoc
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toksCol = TextFns.tokens(col("text"))
+    val path = graft.core.TempPaths.gatePath("q342_tokenizer")
+    graft.core.TempPaths.clearDir(path)
+    graft.sources.ModelIO.saveMergeTable(
+      graft.operators.Bpe.train(docs, toksCol, nMerges = 8), path)
+    val mt = graft.sources.ModelIO.loadMergeTable(spark, path)
+    graft.operators.Bpe.encodeDocs(docs, col("doc_id"), toksCol, mt)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        concat_ws(" ", transform(col("ids"), _.cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** The PRETRAINING PIPELINE end-to-end — curate → tokenize → pack →
     * shard, every stage on the REAL artifacts of the one before: q149's
     * quality-budget selection picks the corpus, q159's merge table
@@ -2697,5 +2724,5 @@ object TextAnalysis {
       .orderBy("key", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284, q339, q340)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284, q339, q340, q342)
 }

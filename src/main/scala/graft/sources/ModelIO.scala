@@ -110,6 +110,20 @@ object ModelIO {
     }.toArray
   }
 
+  /** Tokenizer artifact: the trained BPE merge table as one flat
+    * parquet (rank, a, b, merged, pair_count) — what a tokenizer
+    * deployment persists once and every encode job reloads. Rank order
+    * IS the program (Bpe.segment / Bpe.encodeDocs replay merges in
+    * rank order), so the round-trip must preserve ranks exactly; gate
+    * q342 proves load-then-encode hash-matches live encode against the
+    * unrolled oracle. */
+  def saveMergeTable(mergeTable: DataFrame, path: String): Unit =
+    mergeTable.select("rank", "a", "b", "merged", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadMergeTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("rank", "a", "b", "merged", "pair_count")
+
   /** S7-analog for the driver-side MLP head (reference np.save of
     * hybridMLP.model, scripts/train_hybrid.py:107): one flat parquet of
     * (layer, row, col, v) weight cells, biases at col = -1, layer sizes
