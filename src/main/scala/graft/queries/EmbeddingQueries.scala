@@ -580,7 +580,10 @@ object EmbeddingQueries {
       if (got == expected) matched += 1
     } finally { stop.set(true); rotator.join() }
     val raceOk = matched == nProbes && errs.isEmpty
-    probe(EventStreams.readCompactedBase(spark, path).localCheckpoint(true))
+    // the rotator has joined: the table is quiesced and fully compacted,
+    // so the returned frame is the plan-visible probe over the bare base
+    // relation (PLANS.md shows the pushed predicates, same as q334)
+    probe(EventStreams.readCompactedBase(spark, path))
       .withColumn("race_ok", lit(if (raceOk) 1L else 0L))
       .orderBy("query_id", "rank")
   }
