@@ -148,20 +148,48 @@ object Bpe {
     *
     * Returns (doc_id, ids: array<int>). */
   def encodeDocs(docs: DataFrame, id: Column, toks: Column,
-      mergeTable: DataFrame): DataFrame = {
+      mergeTable: DataFrame, vocab: Option[DataFrame] = None): DataFrame = {
     val seg = segment(docs, toks, mergeTable).select("word", "syms")
       .localCheckpoint(true) // vocab pass runs once, not once per use below
-    val vocab = seg.select(explode(col("syms")).as("sym")).distinct()
-      .orderBy("sym").collect().map(_.getString(0)).zipWithIndex
-    val vmap = map(vocab.flatMap { case (s, i) =>
+    val vpairs = vocab match {
+      case Some(v) => v.select("sym", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+      case None => seg.select(explode(col("syms")).as("sym")).distinct()
+        .orderBy("sym").collect().map(_.getString(0)).zipWithIndex
+    }
+    val vmap = map(vpairs.flatMap { case (s, i) =>
       Seq(lit(s), lit(i)) }.toIndexedSeq: _*)
+    // OOV symbols (possible only under a FIXED artifact vocab: a doc
+    // containing characters the training corpus never produced) take
+    // the conventional unk id −1 instead of a silent null
     val segIds = seg.select(col("word"),
-      transform(col("syms"), s => element_at(vmap, s)).as("wids"))
+      transform(col("syms"), s =>
+        coalesce(element_at(vmap, s), lit(-1))).as("wids"))
     docs.select(id.as("doc_id"), posexplode(toks).as(Seq("pos", "word")))
       .join(segIds, "word")
       .groupBy("doc_id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("wids")))),
         s => s.getField("wids"))).as("ids"))
+  }
+
+  /** The training-time SYMBOL VOCABULARY: (sym, id), ids by symbol
+    * sort order over the training corpus' final segmentation — the
+    * FIXED id space a tokenizer artifact ships. [[encodeDocs]] without
+    * an explicit vocab re-derives ids from whatever corpus it encodes,
+    * which is correct for a one-shot job but silently re-numbers the
+    * id space between jobs (and between micro-batches of a stream);
+    * the production contract assigns ids ONCE at train time and every
+    * encode job loads them (gate q343 streams batches through the
+    * persisted vocab and hash-matches the batch encode). Bounded by
+    * |alphabet| + nMerges rows, like the merge table itself. */
+  def symbolVocab(docs: DataFrame, toks: Column,
+      mergeTable: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    segment(docs, toks, mergeTable)
+      .select(explode(col("syms")).as("sym")).distinct()
+      .orderBy("sym").collect().map(_.getString(0))
+      .zipWithIndex.toSeq.toDF("sym", "id")
   }
 }

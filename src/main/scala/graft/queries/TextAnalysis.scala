@@ -1382,6 +1382,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** STREAMING BPE encode against the PERSISTED tokenizer — the
+    * always-on half of the lifecycle: train once, persist merges AND
+    * the fixed symbol→id vocabulary (ModelIO.saveVocab /
+    * Bpe.symbolVocab), then tokenize arriving documents
+    * micro-batch-by-micro-batch with the loaded artifact, folding the
+    * id sequences into a redelivery-proof log table. The vocab MUST
+    * come from the artifact: without it [[graft.operators.Bpe
+    * .encodeDocs]] re-derives ids from each batch's own symbols, and
+    * two batches that disagree on which symbols appear silently
+    * re-number the id space — the exact class of bug that corrupts a
+    * training corpus without failing anything. The corpus replays as 3
+    * files → 3 micro-batches (maxFilesPerTrigger = 1); per-batch work
+    * is the batch's word vocab × merges plus one batch-sized join —
+    * the O(|Δ|) incremental shape. Oracle: q339's full unroll — the
+    * streamed, artifact-encoded, log-folded corpus hash-matches the
+    * one-shot batch encode document by document. */
+  val q343 = QueryDef(
+    "q343_stream_bpe_encode",
+    bpeCtes(8) + bpeEncodeCtes("documents") +
+      """
+        |SELECT doc_id, n_ids, ids FROM perdoc
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.EventStreams
+    val docs = Tables.documents(spark, dir)
+    val toksCol = TextFns.tokens(col("text"))
+    val artDir = graft.core.TempPaths.gatePath("q343_tokenizer")
+    graft.core.TempPaths.clearDir(artDir)
+    graft.sources.ModelIO.saveMergeTable(
+      graft.operators.Bpe.train(docs, toksCol, nMerges = 8), s"$artDir/merges")
+    val mt = graft.sources.ModelIO.loadMergeTable(spark, s"$artDir/merges")
+    graft.sources.ModelIO.saveVocab(
+      graft.operators.Bpe.symbolVocab(docs, toksCol, mt), s"$artDir/vocab")
+    val vocab = graft.sources.ModelIO.loadVocab(spark, s"$artDir/vocab")
+    val srcDir = graft.core.TempPaths.gatePath("q343_src")
+    graft.core.TempPaths.clearDir(srcDir)
+    (0 until 3).foreach { g =>
+      docs.filter(col("doc_id") % 3 === g).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val outDir = graft.core.TempPaths.gatePath("q343_encoded")
+    graft.core.TempPaths.clearDir(outDir)
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Cdc.compactLatest(df, "doc_id", "ver")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = stream.writeStream.outputMode("append").queryName("q343_encode")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val enc = graft.operators.Bpe.encodeDocs(batch, col("doc_id"),
+            TextFns.tokens(col("text")), mt, Some(vocab))
+          .withColumn("ver", lit(batchId))
+        EventStreams.foldLog(outDir, enc, batchId, compactEvery = 2)(reduce)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    EventStreams.readLog(spark, outDir)(reduce)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        concat_ws(" ", transform(col("ids"), _.cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** The PRETRAINING PIPELINE end-to-end — curate → tokenize → pack →
     * shard, every stage on the REAL artifacts of the one before: q149's
     * quality-budget selection picks the corpus, q159's merge table
@@ -2724,5 +2784,5 @@ object TextAnalysis {
       .orderBy("key", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284, q339, q340, q342)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284, q339, q340, q342, q343)
 }

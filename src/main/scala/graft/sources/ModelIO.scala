@@ -124,6 +124,16 @@ object ModelIO {
   def loadMergeTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("rank", "a", "b", "merged", "pair_count")
 
+  /** The merge table's companion artifact: the fixed symbol→id
+    * vocabulary (Bpe.symbolVocab). Persisted separately so an encode
+    * job can load exactly the id space training assigned — never
+    * re-derive it from the data being encoded. */
+  def saveVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select("sym", "id").coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("sym", "id")
+
   /** S7-analog for the driver-side MLP head (reference np.save of
     * hybridMLP.model, scripts/train_hybrid.py:107): one flat parquet of
     * (layer, row, col, v) weight cells, biases at col = -1, layer sizes

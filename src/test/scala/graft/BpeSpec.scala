@@ -91,4 +91,35 @@ class BpeSpec extends SparkSpec {
     val refByWord = ref.map { case (k, v) => (k.mkString, v) }
     assert(seg == refByWord)
   }
+
+  test("fixed artifact vocab keeps ids stable across batches; OOV maps to -1") {
+    val corpus = Seq(Tuple1("abab abab cdcd")).toDF("text")
+    val toks = split(col("text"), " ")
+    val m = Bpe.train(corpus, toks, nMerges = 2)
+    val vocab = Bpe.symbolVocab(corpus, toks, m)
+    // two disjoint "batches": without the artifact vocab each derives
+    // its own id space (batch 2 never sees batch 1's symbols, so ids
+    // renumber); with it, ids agree with the full-corpus encode
+    def enc(df: org.apache.spark.sql.DataFrame,
+        v: Option[org.apache.spark.sql.DataFrame]) =
+      Bpe.encodeDocs(df.withColumn("doc_id", lit(1L)), col("doc_id"),
+          toks, m, v)
+        .collect().map(_.getSeq[Int](1).toVector).headOption.getOrElse(Vector())
+    val b1 = Seq(Tuple1("abab")).toDF("text")
+    val b2 = Seq(Tuple1("cdcd")).toDF("text")
+    // the corpus doc is "abab abab cdcd": its id sequence must be
+    // exactly batch-1's twice then batch-2's, token for token
+    val full = enc(corpus, Some(vocab))
+    assert(full == enc(b1, Some(vocab)) ++ enc(b1, Some(vocab)) ++
+      enc(b2, Some(vocab)),
+      "artifact-vocab ids must be the full-corpus id space")
+    // the derive-per-call mode renumbers: batch-2-alone ids collide
+    // with batch-1 ids (both start at 0) — the bug the artifact fixes
+    assert(enc(b2, None).exists(enc(b1, None).contains),
+      "per-call derivation renumbers ids (expected, documents the hazard)")
+    // OOV: a symbol the training corpus never produced → unk id -1
+    val oov = Seq(Tuple1("zz")).toDF("text")
+    assert(enc(oov, Some(vocab)).forall(_ == -1),
+      "symbols outside the artifact vocab must take the unk id -1")
+  }
 }
