@@ -7,8 +7,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing query names → dump only those (dev loop; the
-    // driver always runs the full set)
-    val only = args.drop(2).toSet
+    // driver always runs the full set). A bare id ("q338") expands to
+    // the gate(s) named "q338_*"; a filter matching NOTHING is a hard
+    // error — it used to no-op silently, and a zero-gate subset run
+    // exits 0, which reads as "the gate passed" to a tired operator.
+    val allNames = SparkEntry.queries.keySet
+    val only: Set[String] = args.drop(2).flatMap { a =>
+      val hits =
+        if (allNames.contains(a)) Seq(a)
+        else allNames.filter(_.startsWith(a + "_")).toSeq
+      require(hits.nonEmpty,
+        s"[verify] filter '$a' matches no gate (exact or '${a}_*')")
+      hits
+    }.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // per-run warehouse: managed-table gates (bucketed joins) never see
     // another run's leftovers; registered for recursive delete at exit

@@ -61,7 +61,11 @@ def run_verify(sfdir: str, outdir: str, only=()) -> None:
         # failure path otherwise).
         if only:
             fresh = json.loads(err_path.read_text()) if err_path.exists() else {}
-            merged = {k: v for k, v in prior_errs.items() if k not in only}
+            # same expansion rule as Verify: a bare id covers its "id_*"
+            # gate, so the fresh run's verdict replaces the prior error
+            covered = lambda n: any(n == a or n.startswith(a + "_")
+                                    for a in only)
+            merged = {k: v for k, v in prior_errs.items() if not covered(k)}
             merged.update(fresh)
             err_path.write_text(json.dumps(merged))
     finally:
@@ -132,6 +136,19 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{pat}')")
     dumped = sorted(p.name for p in outdir.iterdir() if p.is_dir())
+    # expand bare ids ("q338" -> "q338_served_ivf_pinned_read") and fail
+    # LOUDLY on a filter matching nothing: a zero-gate subset run exits 0,
+    # which reads as "the gate passed" (Verify applies the same rule, so
+    # the dump for an expanded name exists by the time we get here)
+    if only:
+        universe = set(oracle) | set(dumped)
+        expanded = set()
+        for a in only:
+            hits = {n for n in universe if n == a or n.startswith(a + "_")}
+            if not hits:
+                sys.exit(f"filter '{a}' matches no gate (exact or '{a}_*')")
+            expanded |= hits
+        only = expanded
     fails = 0
     for name in sorted(set(oracle) - set(dumped)):
         if only and name not in only:
