@@ -219,6 +219,48 @@ object Sampling {
       .select("id", "shard", "pos")
   }
 
+  /** Deterministic EPOCH orders over a packed-bin table — the training
+    * loader's missing piece after [[graft.operators.Packing]]: every
+    * epoch needs its OWN pseudorandom permutation of the bins
+    * (repeating one order across epochs measurably hurts convergence),
+    * reproducible by any engine at any parallelism and WITHOUT a
+    * per-epoch global sort. Each (bin key, epoch) pair hashes with the
+    * epoch as salt ([[keyHash]] of "key#epoch"), giving an independent
+    * deterministic order per epoch; shard and dense within-shard
+    * position come from [[shardShuffle]]'s two-level decomposition,
+    * ranked within (epoch, shard) so every epoch's shards are
+    * self-contained sequences starting at 0. Returns (epoch, k, shard,
+    * pos).
+    *
+    * Scale shape: the offsets table is ≤ epochs·nShards·2^bucketBits
+    * rows (broadcastable); the only windows rank within
+    * (epoch, shard, bucket). Epochs multiply rows E×, which is the
+    * artifact's actual size — a loader consumes exactly these rows. */
+  def epochShardOrder(bins: DataFrame, key: Column, epochs: Int,
+      nShards: Int, bucketBits: Int = 12): DataFrame = {
+    require(epochs >= 1 && epochs <= 4096, s"epochs out of range: $epochs")
+    require(nShards > 0, "nShards must be positive")
+    require(bucketBits > 0 && bucketBits < 60, s"need 0 < bucketBits < 60, got $bucketBits")
+    val shift = 60 - bucketBits
+    val d = bins.select(key.as("k"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("h", keyHash(concat_ws("#", col("k"), col("epoch"))))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("bucket", expr(s"h div ${1L << shift}L"))
+    val counts = d.groupBy("epoch", "shard", "bucket").agg(count(lit(1)).as("c"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("boff", coalesce(sum("c").over(wS), lit(0L)))
+      .select("epoch", "shard", "bucket", "boff")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard", "bucket").orderBy("h", "k")
+    d.join(broadcast(offsets), Seq("epoch", "shard", "bucket"))
+      .withColumn("pos", col("boff") + row_number().over(wIn) - 1)
+      .select("epoch", "k", "shard", "pos")
+  }
+
   /** Deterministic per-key cap — "at most n rows per domain", the
     * workhorse constraint of corpus curation. Selection order is the
     * row id's content hash (an unbiased deterministic shuffle), so which

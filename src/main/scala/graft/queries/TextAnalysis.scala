@@ -2370,6 +2370,49 @@ object TextAnalysis {
       .orderBy("size_class", "bin")
   }
 
+  /** EPOCH-ORDERED training shards (Sampling.epochShardOrder) — the
+    * loader artifact between q250's packed bins and an actual training
+    * run: every epoch gets its OWN deterministic pseudorandom
+    * permutation of the bins (epoch-salted content hash → independent
+    * order per epoch, reproducible by any engine at any parallelism),
+    * sharded with dense per-(epoch, shard) positions via the two-level
+    * rank — no per-epoch global sort. The oracle re-derives the
+    * harmonic bin table and the salted-hash order with flat windows,
+    * so the permutations themselves (not just their shape)
+    * hash-match. */
+  val q344 = QueryDef(
+    "q344_epoch_shard_order",
+    s"""WITH t AS (SELECT doc_id AS id, len($toks)::BIGINT AS ntok FROM documents),
+       |c AS (SELECT id, ntok,
+       |        CASE WHEN ntok > 64 THEN -1
+       |             WHEN ntok <= 0 THEN 8
+       |             ELSE LEAST(8, 64 // ntok) END AS size_class
+       |      FROM t),
+       |r AS (SELECT id, size_class,
+       |        row_number() OVER (PARTITION BY size_class ORDER BY id) - 1 AS r0
+       |      FROM c WHERE size_class >= 1),
+       |bins AS (SELECT DISTINCT size_class, r0 // size_class AS bin FROM r),
+       |sal AS (SELECT size_class::VARCHAR || ':' || bin::VARCHAR AS bin_key, epoch
+       |        FROM bins CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) e),
+       |b AS (SELECT epoch, bin_key,
+       |        ${Cross.hash64Sql("bin_key || '#' || epoch::VARCHAR")} AS h FROM sal)
+       |SELECT epoch::INTEGER AS epoch, bin_key, h % 4 AS shard,
+       |  (row_number() OVER (PARTITION BY epoch, h % 4 ORDER BY h, bin_key) - 1)::BIGINT AS pos
+       |FROM b
+       |ORDER BY epoch, shard, pos""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tk", TextFns.tokens(col("text")))
+    val packed = graft.operators.Packing.packHarmonic(docs, col("doc_id"),
+      size(col("tk")), binSize = 64L, classes = 8)
+    val bins = packed.filter(col("size_class") >= 1L)
+      .select(concat_ws(":", col("size_class"), col("bin")).as("bin_key"))
+      .distinct()
+    graft.operators.Sampling.epochShardOrder(bins, col("bin_key"),
+        epochs = 3, nShards = 4, bucketBits = 6)
+      .withColumnRenamed("k", "bin_key")
+      .orderBy("epoch", "shard", "pos")
+  }
+
   /** Per-source lexical richness (Profile.lexicalRichness): vocabulary,
     * hapax legomena, hapax fraction — the template/OCR-noise detector
     * the Zipf slope corroborates. Flat SQL recount. */
@@ -2784,5 +2827,5 @@ object TextAnalysis {
       .orderBy("key", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284, q339, q340, q342, q343)
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q39, q109, q112, q113, q116, q124, q128, q135, q139, q142, q148, q149, q152, q154, q155, q156, q157, q158, q159, q161, q162, q165, q167, q168, q169, q173, q174, q177, q182, q183, q187, q188, q192, q194, q195, q196, q198, q199, q200, q201, q202, q204, q206, q208, q209, q212, q213, q217, q218, q219, q220, q223, q229, q231, q233, q234, q237, q239, q249, q250, q253, q255, q256, q258, q260, q261, q271, q272, q284, q339, q340, q342, q343, q344)
 }
