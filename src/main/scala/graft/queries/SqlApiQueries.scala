@@ -522,6 +522,85 @@ object SqlApiQueries {
     cmCellsCheck(cube, direct)
   }
 
+  /** PINNED read of the MONITOR serving table under a racing
+    * compactor — q338's contract on the ADDITIVE reduce family: the
+    * ANN gate exercises latest-wins, where a double-applied reduce is
+    * masked by idempotence-per-key; the CM cube's additive fold is the
+    * adversarial dual (any torn read that sees a delta twice, or a
+    * base and its consumed delta together, INFLATES cells — exactly
+    * what q331 proves redelivery cannot do, now required while the
+    * files churn underneath the reader). The fixpoint shortcut is also
+    * exercised on this family: a compacted manifest's pinned read
+    * skips the reduce because summing one-row-per-(key, q) groups is
+    * content-identity. Every raced probe must row-equal the quiesced
+    * cube; the final frame re-checks cells against the direct batch
+    * build, so `cells_match` AND `race_ok` both ride the hash. */
+  val q345 = QueryDef(
+    "q345_monitor_pinned_read",
+    """SELECT event_type AS key, floor(epoch(ts))::BIGINT // 3600 AS q,
+      |       COUNT(*)::BIGINT AS n, 1::BIGINT AS cells_match,
+      |       1::BIGINT AS race_ok
+      |FROM events GROUP BY 1, 2 ORDER BY key, q""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{SlidingSketches => SS}
+    import graft.streaming.{EventStreams, SlidingMonitor}
+    val ev = Tables.events(spark, dir)
+    val replay = java.nio.file.Files.createTempDirectory("graft_pinned_cm_replay")
+    graft.core.TempPaths.register(replay)
+    ev.select(col("user_id"), col("event_type"), col("sec")).repartition(4)
+      .write.mode("overwrite").parquet(replay.toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.toString)
+    val keyRows = SS.cmKeyRows(stream, col("user_id"), col("sec"), 3600L,
+      key = col("event_type"))
+    val emissions = SlidingMonitor.cmQuantumMonitor(keyRows,
+      depth = 4, width = 32).toDF()
+    val path = graft.core.TempPaths.gatePath("q345_serving")
+    graft.core.TempPaths.clearDir(path)
+    val reduce = (df: org.apache.spark.sql.DataFrame) =>
+      SlidingMonitor.cmAdditiveReduce(df)
+    val q = emissions.writeStream.outputMode("update")
+      .queryName("q345_monitor_serve")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStreams.foldLog(path, batch.select("key", "q", "entries"), id,
+          compactEvery = 3)(reduce)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    EventStreams.compactLog(spark, path)(reduce)
+    val expected = EventStreams.readCompactedBase(spark, path)
+      .orderBy("key", "q").collect().toSeq
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val rotator = new Thread(() => {
+      try while (!stop.get())
+        EventStreams.compactLog(spark, path)(reduce)
+      catch { case t: Throwable => errs.add(t) }
+    }, "q345-rotator")
+    rotator.start()
+    var matched = 0
+    val nProbes = 6
+    try (1 to nProbes).foreach { _ =>
+      val got = EventStreams.withPinnedRead(spark, path)(reduce)(
+        df => df.orderBy("key", "q").collect().toSeq)
+      if (got == expected) matched += 1
+    } finally { stop.set(true); rotator.join() }
+    val raceOk = matched == nProbes && errs.isEmpty
+    val served = EventStreams.readCompactedBase(spark, path)
+    val direct = SS.cmHourly(ev, col("user_id"), col("sec"), 3600L,
+      depth = 4, width = 32, key = col("event_type"))
+    cmCellsCheck(explodeCells(served, "cnt"), direct)
+      .withColumn("race_ok",
+        org.apache.spark.sql.functions.lit(if (raceOk) 1L else 0L))
+      .orderBy("key", "q")
+  }
+
   /** The decayed-MG monitor's cube from pure SQL
     * ([[monitorDecayedLatestSql]]) — q323's read-contract gate for the
     * dm family, driven UNDER KEY EVICTION because eviction is exactly
@@ -666,5 +745,5 @@ object SqlApiQueries {
       .orderBy("key", "q", "phi")
   }
 
-  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331, q333, q335, q336)
+  val all: Seq[QueryDef] = Seq(q102, q103, q126, q175, q226, q278, q282, q289, q309, q323, q326, q331, q333, q335, q336, q345)
 }
