@@ -63,7 +63,12 @@ object Bench {
     // steps (the ratchet gap the windowed promotion rule below also
     // closes) and now carries a standing isolated entry; q335 drives
     // the same eviction-monitor replay class as q330
-    "q296_stream_kmv_sliding", "q335_sql_dm_monitor_cube")
+    "q296_stream_kmv_sliding", "q335_sql_dm_monitor_cube",
+    // round-14 additions, isolated from day one: q343 is a 3-batch
+    // streaming replay whose per-batch encode JITs the BPE fold chain
+    // (the heaviest new gate, 18.9 s warmed at sf0.1); q345 is the
+    // monitor-replay class (q326's) plus a racing compactor thread
+    "q343_stream_bpe_encode", "q345_monitor_pinned_read")
 
   /** Box-state canary: one pinned, CODE-STABLE gate run FIRST and LAST
     * in every isolated pass, both walls recorded in the JSON
