@@ -430,22 +430,24 @@ object SqlApiQueries {
       SlidingMonitor.cmAdditiveReduce(df)
     val saved = java.nio.file.Files.createTempDirectory("graft_redeliver_saved")
     graft.core.TempPaths.register(saved)
-    val q = emissions.writeStream.outputMode("update")
-      .queryName("q331_redeliver")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        val slice = batch.select("key", "q", "entries")
-        // keep the batch bytes so the post-compaction redelivery below
-        // replays the REAL rows, not a recomputation
-        slice.write.mode("overwrite").parquet(s"$saved/b$id")
-        EventStreams.foldLog(path, slice, id, compactEvery = 3)(reduce)
-        if (id == 1L) // at-least-once: duplicate of a still-LIVE batch
-          EventStreams.foldLog(path,
-            batch.sparkSession.read.parquet(s"$saved/b$id"), id,
-            compactEvery = 3)(reduce)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    EventStreams.withStreamShuffleConf(spark, emissions) {
+      val q = emissions.writeStream.outputMode("update")
+        .queryName("q331_redeliver")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val slice = batch.select("key", "q", "entries")
+          // keep the batch bytes so the post-compaction redelivery below
+          // replays the REAL rows, not a recomputation
+          slice.write.mode("overwrite").parquet(s"$saved/b$id")
+          EventStreams.foldLog(path, slice, id, compactEvery = 3)(reduce)
+          if (id == 1L) // at-least-once: duplicate of a still-LIVE batch
+            EventStreams.foldLog(path,
+              batch.sparkSession.read.parquet(s"$saved/b$id"), id,
+              compactEvery = 3)(reduce)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // redeliver batch 0 AFTER a compaction consumed it: the manifest's
     // consumed-batchId ranges must no-op it
     EventStreams.foldLog(path, spark.read.parquet(s"$saved/b0"), 0L,
@@ -564,15 +566,17 @@ object SqlApiQueries {
     graft.core.TempPaths.clearDir(path)
     val reduce = (df: org.apache.spark.sql.DataFrame) =>
       SlidingMonitor.cmAdditiveReduce(df)
-    val q = emissions.writeStream.outputMode("update")
-      .queryName("q345_monitor_serve")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        EventStreams.foldLog(path, batch.select("key", "q", "entries"), id,
-          compactEvery = 3)(reduce)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    EventStreams.withStreamShuffleConf(spark, emissions) {
+      val q = emissions.writeStream.outputMode("update")
+        .queryName("q345_monitor_serve")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          EventStreams.foldLog(path, batch.select("key", "q", "entries"), id,
+            compactEvery = 3)(reduce)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     EventStreams.compactLog(spark, path)(reduce)
     val expected = EventStreams.readCompactedBase(spark, path)
       .orderBy("key", "q").collect().toSeq

@@ -1427,15 +1427,17 @@ object TextAnalysis {
       graft.operators.Cdc.compactLatest(df, "doc_id", "ver")
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val q = stream.writeStream.outputMode("append").queryName("q343_encode")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val enc = graft.operators.Bpe.encodeDocs(batch, col("doc_id"),
-            TextFns.tokens(col("text")), mt, Some(vocab))
-          .withColumn("ver", lit(batchId))
-        EventStreams.foldLog(outDir, enc, batchId, compactEvery = 2)(reduce)
-        ()
-      }.start()
-    try q.processAllAvailable() finally q.stop()
+    EventStreams.withStreamShuffleConf(spark, stream.toDF()) {
+      val q = stream.writeStream.outputMode("append").queryName("q343_encode")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val enc = graft.operators.Bpe.encodeDocs(batch, col("doc_id"),
+              TextFns.tokens(col("text")), mt, Some(vocab))
+            .withColumn("ver", lit(batchId))
+          EventStreams.foldLog(outDir, enc, batchId, compactEvery = 2)(reduce)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
     EventStreams.readLog(spark, outDir)(reduce)
       .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
         concat_ws(" ", transform(col("ids"), _.cast("string"))).as("ids"))

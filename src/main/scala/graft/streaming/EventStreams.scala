@@ -84,15 +84,93 @@ object EventStreams {
     * reported) — the observable the key-eviction gate needs: state
     * size after the last (possibly no-data, timeout-firing) batch. */
   def runToCompletionStateRows(spark: SparkSession, streamed: DataFrame,
-      name: String, mode: String = "complete"): (DataFrame, Long) = {
-    val q = streamed.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val stateRows = Option(q.lastProgress)
-      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-    (spark.table(name), stateRows)
+      name: String, mode: String = "complete"): (DataFrame, Long) =
+    withStreamShuffleConf(spark, streamed) {
+      val q = streamed.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      (spark.table(name), stateRows)
+    }
+
+  /** Total on-disk bytes of every file-replay source in a streaming
+    * plan, honoring a `pathGlobFilter` option (the single-file table
+    * shape [[streamTable]] produces). None when the plan has no file
+    * stream or any source's size is unknowable (e.g. a memory
+    * stream) — callers then leave the session sizing alone. */
+  private[graft] def streamInputBytes(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+    // the ANALYZED plan: a raw readStream Dataset's `logical` is still
+    // the pre-resolution UnresolvedDataSource node; only analysis
+    // produces the StreamingRelation carrying the DataSource
+    val sizes = df.queryExecution.analyzed.collect {
+      case sr: StreamingRelation =>
+        val ds = sr.dataSource
+        val paths =
+          if (ds.paths.nonEmpty) ds.paths else ds.options.get("path").toSeq
+        if (paths.isEmpty) -1L
+        else paths.map { p =>
+          val f = new java.io.File(p.stripPrefix("file:"))
+          ds.options.get("pathGlobFilter") match {
+            case Some(glob) if f.isDirectory =>
+              val m = java.nio.file.FileSystems.getDefault
+                .getPathMatcher("glob:" + glob)
+              Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+                .filter(c => m.matches(c.toPath.getFileName))
+                .map(dirSize).sum
+            case _ => dirSize(f)
+          }
+        }.sum
+    }
+    if (sizes.isEmpty || sizes.exists(_ < 0L)) None else Some(sizes.sum)
   }
+
+  /** Scale-adaptive shuffle sizing for a finite replayed stream
+    * (optimization guide §2.2/§2.4): every stateful exchange, state
+    * store and sink task costs O(shuffle partitions) PER MICRO-BATCH
+    * regardless of rows — AQE cannot coalesce stateful plans, so a
+    * session default sized for batch scans (cores, or thousands on a
+    * cluster) multiplies straight into per-trigger latency. Partitions
+    * here derive from the stream's INPUT BYTES (ceil(bytes / 32 MB),
+    * clamped to [1, session default]) — at replay scale that is the
+    * tightest upper bound on what the stateful exchanges can carry
+    * (the monitors shuffle pre-folded summaries, strictly smaller than
+    * their input), and at 100 TB the derived count exceeds any
+    * configured default, so the clamp hands sizing back to the
+    * cluster profile. Measured at sf0.1/local[32]: q276 20.2→6.1 s,
+    * q331 16.4→8.1 s warmed (OPTIMIZATION_r14.md). Results are
+    * partition-count independent by construction (Verify ships hashes
+    * at 4 partitions, Bench at 32, same hashes). */
+  private[graft] val StreamTargetBytesPerPartition: Long = 32L * 1024 * 1024
+
+  private[graft] def streamShufflePartitions(spark: SparkSession,
+      streamed: DataFrame): Option[Int] = {
+    val defaultN = spark.sessionState.conf.numShufflePartitions
+    streamInputBytes(streamed)
+      .map(b => math.max(1L, math.min(defaultN.toLong,
+        (b + StreamTargetBytesPerPartition - 1) / StreamTargetBytesPerPartition)).toInt)
+      .filter(_ < defaultN)
+  }
+
+  /** Run `body` (which must START and FINISH the streaming query) with
+    * `spark.sql.shuffle.partitions` set to the derived count, restoring
+    * the previous value after — the conf is captured by the query at
+    * start and pinned for its checkpoint lifetime, so the override
+    * window only needs to cover the run. foreachBatch fold jobs inside
+    * the run see the same sizing, which is intended: their slices are
+    * the stream's own micro-batches. */
+  private[graft] def withStreamShuffleConf[T](spark: SparkSession,
+      streamed: DataFrame)(body: => T): T =
+    streamShufflePartitions(spark, streamed) match {
+      case None => body
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try body finally spark.conf.set(key, prev)
+    }
 
   /** Sliding windowed aggregation: 1-hour windows every 30 minutes, so
     * each event lands in exactly two windows. Mirrors the batch sliding
@@ -367,17 +445,19 @@ object EventStreams {
   def runUpsertToCompletion(spark: SparkSession, stream: DataFrame,
       path: String, key: String, version: String, name: String,
       buckets: Int = 16): DataFrame = {
-    val q = stream.writeStream
-      .outputMode("append").queryName(name)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        foldParquet(path, batch, key, buckets) { (snapshot, slice) =>
-          graft.operators.Cdc.compactLatest(
-            snapshot.unionByName(slice), key, version)
+    withStreamShuffleConf(spark, stream) {
+      val q = stream.writeStream
+        .outputMode("append").queryName(name)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          foldParquet(path, batch, key, buckets) { (snapshot, slice) =>
+            graft.operators.Cdc.compactLatest(
+              snapshot.unionByName(slice), key, version)
+          }
+          ()
         }
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     readFold(spark, path)
   }
 
@@ -443,14 +523,16 @@ object EventStreams {
     require(compactEvery >= 2, s"compactEvery out of range: $compactEvery")
     val reduce = (df: DataFrame) =>
       graft.operators.Cdc.compactLatest(df, key, version)
-    val q = stream.writeStream
-      .outputMode(mode).queryName(name)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldLog(path, batch, batchId, compactEvery, compactBytes)(reduce)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffleConf(spark, stream) {
+      val q = stream.writeStream
+        .outputMode(mode).queryName(name)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          foldLog(path, batch, batchId, compactEvery, compactBytes)(reduce)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     readLog(spark, path)(reduce)
   }
 
@@ -890,6 +972,7 @@ object EventStreams {
     // fresh state per run: the pid-keyed base is stable WITHIN a run
     // (recursive — the fold tables hold bucket subdirs)
     Seq(upsertPath, ksPath, kmvPath).foreach(graft.core.TempPaths.clearDir)
+    withStreamShuffleConf(spark, deduped) {
     val q = deduped.writeStream
       .outputMode("append").queryName(name)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
@@ -933,6 +1016,7 @@ object EventStreams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    }
     (readFold(spark, upsertPath), readFold(spark, ksPath),
       readFold(spark, kmvPath))
   }

@@ -1179,4 +1179,37 @@ class PipelineSpec extends SparkSpec {
     // physical dirs referenced by the final manifest all exist
     m.live.foreach(n => assert(new java.io.File(path, n).exists, s"missing $n"))
   }
+
+  test("adaptive stream shuffle sizing derives from replay bytes, clamps, restores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_adapt_stream")
+    graft.core.TempPaths.register(dir)
+    val df = spark.range(0, 1000).selectExpr("id AS user_id", "id AS sec")
+    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def stream = spark.readStream.schema(df.schema).parquet(dir.toString).toDF()
+    // a few KB of replay → bytes found, derived count 1 (< session's 4)
+    assert(EventStreams.streamInputBytes(stream).exists(_ > 0L))
+    assert(EventStreams.streamShufflePartitions(spark, stream).contains(1))
+    // pathGlobFilter (the single-file-table shape) sizes just the match
+    val glob = spark.readStream.schema(
+        spark.read.parquet(s"${sf()}/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf()).toDF()
+    val globBytes = EventStreams.streamInputBytes(glob)
+    assert(globBytes.exists(b =>
+      b > 0L && b < new java.io.File(sf()).listFiles.map(_.length).sum))
+    // batch plan (no streaming file source) → None → conf untouched
+    assert(EventStreams.streamInputBytes(df).isEmpty)
+    // the override covers exactly the body and restores even on throw
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    EventStreams.withStreamShuffleConf(spark, stream) {
+      assert(spark.conf.get(key) == "1")
+    }
+    assert(spark.conf.get(key) == before)
+    intercept[RuntimeException] {
+      EventStreams.withStreamShuffleConf(spark, stream) {
+        assert(spark.conf.get(key) == "1"); throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) == before)
+  }
 }

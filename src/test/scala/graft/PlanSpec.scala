@@ -436,11 +436,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("suffix-array doubling round: banded windows, equi-joins only") {
+  test("suffix-array doubling round: banded windows, lead shift, equi-joins only") {
     // the per-round dense rank must window WITHIN bands (the global
     // prefix-sum of band counts is the only single-partition window,
-    // over <= bands rows), and the shifted self-join must stay an
-    // equi-join — a cartesian or nested loop here would be quadratic
+    // over <= bands rows); the pos+gap shift must be a window lead over
+    // doc_id (positions are dense per doc — one exchange, no self-join);
+    // and a cartesian or nested loop anywhere here would be quadratic
     // in corpus size every round
     val docs = Tables.documents(spark, sf())
     val ranks = docs
@@ -451,6 +452,7 @@ class PlanSpec extends SparkSpec {
       ranks, gap = 1L, total = 1000L, bands = 16)
     val p = planOf(nxt)
     assert(p.contains("windowspecdefinition(band"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
