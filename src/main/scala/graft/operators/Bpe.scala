@@ -35,31 +35,18 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Left-to-right greedy merge of adjacent (a, b) into the
-    * concatenated symbol, as a pure fold expression (no UDF): state is
-    * (accumulated symbols, pending previous symbol); each step either
-    * completes a merge, flushes the pending symbol, or starts a new
-    * pending one. "aaa" under merge (a,a) → ["aa", "a"], exactly the
-    * reference greedy semantics. */
-  private def applyMerge(syms: Column, a: String, b: String): Column = {
-    val empty = array().cast("array<string>")
-    aggregate(
-      syms,
-      struct(empty.as("acc"), lit(null).cast("string").as("prev")),
-      (st, s) =>
-        when(st.getField("prev").isNotNull &&
-            st.getField("prev") === a && s === b,
-          struct(concat(st.getField("acc"), array(lit(a + b))).as("acc"),
-            lit(null).cast("string").as("prev")))
-        .otherwise(struct(
-          when(st.getField("prev").isNotNull,
-            concat(st.getField("acc"), array(st.getField("prev"))))
-            .otherwise(st.getField("acc")).as("acc"),
-          s.as("prev"))),
-      st =>
-        when(st.getField("prev").isNotNull,
-          concat(st.getField("acc"), array(st.getField("prev"))))
-          .otherwise(st.getField("acc")))
-  }
+    * concatenated symbol: state is (accumulated symbols, pending
+    * previous symbol); each step either completes a merge, flushes the
+    * pending symbol, or starts a new pending one. "aaa" under merge
+    * (a,a) → ["aa", "a"], exactly the reference greedy semantics.
+    * Evaluated by [[graft.plans.BpeMergeFold]] — round 14 replaced the
+    * original per-merge `aggregate()` HOF here because nMerges NESTED
+    * lambda folds cost more in driver planning/codegen than the jobs
+    * themselves (optimization guide §4; q339 9.7 s warm wall vs 4.3 s
+    * job total), and the streaming encode re-paid it per micro-batch.
+    * BpeSpec pins the semantics equality. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    graft.plans.BpeMergeFold.applyMerges(syms, Seq((a, b)))
 
   /** Train `nMerges` BPE merges over the corpus' word vocabulary.
     * Returns (rank, a, b, merged, pair_count) ordered by rank — the
@@ -116,11 +103,10 @@ object Bpe {
   def segment(docs: DataFrame, toks: Column, mergeTable: DataFrame): DataFrame = {
     val ms = mergeTable.select("rank", "a", "b")
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
-    val init = wordFreq(docs, toks)
-      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
-    ms.foldLeft(init) { case (d, (a, b)) =>
-      d.select(col("word"), col("freq"), applyMerge(col("syms"), a, b).as("syms"))
-    }
+    wordFreq(docs, toks)
+      .select(col("word"), col("freq"),
+        graft.plans.BpeMergeFold.applyMerges(
+          split(col("word"), ""), ms.toSeq).as("syms"))
   }
 
   /** Encode EVERY document to its token-id sequence — the artifact a

@@ -122,4 +122,27 @@ class BpeSpec extends SparkSpec {
     assert(enc(oov, Some(vocab)).forall(_ == -1),
       "symbols outside the artifact vocab must take the unk id -1")
   }
+
+  test("BpeMergeFold pins the greedy fold semantics merge by merge") {
+    // the whole-table replay expression that round 14 swapped in for
+    // the nested aggregate() HOF chain: same greedy left-to-right
+    // semantics, one planning-time node (optimization guide §4)
+    import graft.plans.BpeMergeFold
+    def run(syms: Seq[String], ms: Seq[(String, String)]): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(BpeMergeFold.applyMerges(col("syms"), ms).as("out"))
+        .collect().head.getSeq[String](0)
+    // overlap never chains: "aaa" under (a,a) -> [aa, a]
+    assert(run(Seq("a", "a", "a"), Seq(("a", "a"))) == Seq("aa", "a"))
+    // a later merge consumes an earlier merge's output
+    assert(run("lower".split("").toSeq,
+      Seq(("l", "o"), ("lo", "w"), ("e", "r"))) == Seq("low", "er"))
+    // no-match and degenerate inputs pass through
+    assert(run(Seq("x", "y"), Seq(("a", "b"))) == Seq("x", "y"))
+    assert(run(Seq("x"), Seq(("x", "x"))) == Seq("x"))
+    assert(run(Seq.empty, Seq(("a", "b"))) == Seq.empty)
+    // repeated application inside ONE table: (a,b) then (ab,ab)
+    assert(run(Seq("a", "b", "a", "b"), Seq(("a", "b"), ("ab", "ab"))) ==
+      Seq("abab"))
+  }
 }
