@@ -69,15 +69,30 @@ object Dedup {
     // (Caching.releasing: pairs out are tiny next to the shingle index)
     val sh = shingleSet(docs, shingleN)
     Caching.releasing(sh) {
-      val bands = bandTable(minhashSignatures(spark, docs, k, shingleN), rowsPerBand)
-      val a = bands.as("a"); val b = bands.as("b")
-      val cands = a.join(b,
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      withJaccard(cands, sh)
+      withJaccard(minhashCandidatePairs(spark, sh, k, rowsPerBand), sh)
     }
+  }
+
+  /** Banded candidate pairs from a PRECOMPUTED (caller-cached) shingle
+    * set — the candidate-generation half of [[minhashNearDups]] without
+    * the exact-Jaccard verification, for compositions that attach their
+    * own verification metric over the SAME shingle set (q248's
+    * IDF-weighted Jaccard): one shingle pass serves both halves instead
+    * of each operator rebuilding and re-caching it. Row-identical to
+    * [[minhashNearDups]]'s pair set: every banded doc has ≥ 1 shingle
+    * by construction, so the verification join never drops pairs. */
+  def minhashCandidatePairs(spark: SparkSession, sh: DataFrame,
+      k: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = Lsh.signatures(spark,
+        sh.select(col("doc_id").as("id"), col("sh").as("token")), k)
+      .withColumnRenamed("id", "doc_id")
+    val bands = bandTable(sigs, rowsPerBand)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
@@ -509,36 +524,43 @@ object Dedup {
       shingleN: Int): DataFrame = {
     val sh = shingleSet(docs, shingleN)
     Caching.releasing(sh) {
-      val n = docs.count()
-      val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .withColumn("idf", Cross.r6(log(2.0, lit(n.toDouble) / col("df").cast("double"))))
-      val wsh = sh.join(dfs.select("sh", "idf"), "sh")
-      val docMass = wsh.groupBy("doc_id").agg(Cross.dsum(col("idf"), 6).as("w"))
-      val inter = pairs.select("doc_a", "doc_b")
-        .join(wsh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(wsh.select(col("doc_id").as("doc_b"), col("sh"), col("idf")),
-          Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b")
-        .agg(Cross.dsum(col("idf"), 6).as("w_inter"))
-      // docMass joins are LEFT + zero-fill like the w_inter side: a
-      // caller-supplied pair whose endpoint has no shingles (doc shorter
-      // than shingleN tokens) must still emit a row — wjaccard 0 via the
-      // zero-union guard — not silently vanish from the output.
-      pairs.select("doc_a", "doc_b")
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .na.fill(0.0, Seq("w_inter"))
-        .join(docMass.select(col("doc_id").as("doc_a"), col("w").as("wa")),
-          Seq("doc_a"), "left")
-        .join(docMass.select(col("doc_id").as("doc_b"), col("w").as("wb")),
-          Seq("doc_b"), "left")
-        .na.fill(0.0, Seq("wa", "wb"))
-        .select(col("doc_a"), col("doc_b"),
-          Cross.r6(col("w_inter")).as("w_inter"),
-          Cross.r6(col("wa") + col("wb") - col("w_inter")).as("w_union"),
-          Cross.r6(when(col("wa") + col("wb") - col("w_inter") > 0.0,
-            col("w_inter") / (col("wa") + col("wb") - col("w_inter")))
-            .otherwise(0.0)).as("wjaccard"))
+      weightedJaccardOn(pairs, sh, docs.count())
     }
+  }
+
+  /** [[weightedJaccard]] over a PRECOMPUTED (caller-cached) shingle set
+    * and corpus size — the composition entry (q248) that scores
+    * candidates mined from the SAME shingle pass. Lazy: the caller owns
+    * materialization and cache release. */
+  def weightedJaccardOn(pairs: DataFrame, sh: DataFrame, n: Long): DataFrame = {
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("idf", Cross.r6(log(2.0, lit(n.toDouble) / col("df").cast("double"))))
+    val wsh = sh.join(dfs.select("sh", "idf"), "sh")
+    val docMass = wsh.groupBy("doc_id").agg(Cross.dsum(col("idf"), 6).as("w"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(wsh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(wsh.select(col("doc_id").as("doc_b"), col("sh"), col("idf")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(Cross.dsum(col("idf"), 6).as("w_inter"))
+    // docMass joins are LEFT + zero-fill like the w_inter side: a
+    // caller-supplied pair whose endpoint has no shingles (doc shorter
+    // than shingleN tokens) must still emit a row — wjaccard 0 via the
+    // zero-union guard — not silently vanish from the output.
+    pairs.select("doc_a", "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0.0, Seq("w_inter"))
+      .join(docMass.select(col("doc_id").as("doc_a"), col("w").as("wa")),
+        Seq("doc_a"), "left")
+      .join(docMass.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("doc_b"), "left")
+      .na.fill(0.0, Seq("wa", "wb"))
+      .select(col("doc_a"), col("doc_b"),
+        Cross.r6(col("w_inter")).as("w_inter"),
+        Cross.r6(col("wa") + col("wb") - col("w_inter")).as("w_union"),
+        Cross.r6(when(col("wa") + col("wb") - col("w_inter") > 0.0,
+          col("w_inter") / (col("wa") + col("wb") - col("w_inter")))
+          .otherwise(0.0)).as("wjaccard"))
   }
 
   /** Attach exact Jaccard to (doc_a, doc_b) pairs given the shingle set.

@@ -1247,9 +1247,17 @@ object DedupQueries {
        |JOIN dm wb ON wb.doc_id = c.doc_b
        |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
     val docs = graft.core.Tables.documents(spark, dir)
-    val pairs = Dedup.minhashNearDups(spark, docs, K, R, ShingleN)
-    Dedup.weightedJaccard(pairs, docs, ShingleN)
-      .orderBy("doc_a", "doc_b")
+    // ONE shingle pass serves candidate mining AND the weighted metric
+    // (round 14, guide §2.4): minhashNearDups + weightedJaccard each
+    // built and cached their own shingle set, and the mined pairs'
+    // exact-Jaccard column was computed only to be dropped here —
+    // row-identical candidates come straight from the band join.
+    val sh = Dedup.shingleSet(docs, ShingleN)
+    graft.core.Caching.releasing(sh) {
+      val pairs = Dedup.minhashCandidatePairs(spark, sh, K, R)
+        .localCheckpoint(true) // feeds the inter mass AND the final frame
+      Dedup.weightedJaccardOn(pairs, sh, docs.count())
+    }.orderBy("doc_a", "doc_b")
   }
 
   /** Local clustering coefficients (Graph.clusteringCoefficients):
