@@ -213,7 +213,7 @@ object ContentQueries {
 
   private def sharedInputs(spark: SparkSession, dir: String) = {
     val tfidf = ContentBased.bizTfidf(bizTextDF(spark, dir)).cache()
-    val bizProf = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V)).cache()
+    val bizProfFull = ContentBased.bizProfiles(tfidf, ContentBased.vocabulary(tfidf, V)).cache()
     // reviews is a lineitem⋈orders join referenced from FOUR separate
     // subtrees of the q76 plan (user profiles, user avg, biz avg, the
     // dedup'd ground truth) — Catalyst does not dedupe common subtrees
@@ -221,7 +221,6 @@ object ContentQueries {
     // ~2 s of q76's 10 s). 600k × 3 narrow columns; SessionHygiene
     // releases it between gates.
     val reviews = Tables.reviews(spark, dir).cache()
-    val userProf = ContentBased.userProfiles(reviews, bizProf).cache()
     // Capped test grid: strides alone would scale the grid quadratically
     // with SF (1M pairs at sf0.1 — a test set should not outgrow the
     // corpus); ORDER BY + LIMIT pins each side deterministically, sized so
@@ -236,6 +235,18 @@ object ContentQueries {
       .select(col("p_partkey").as("business_id")).orderBy("business_id").limit(110)
       .union(p.filter(pmod(col("p_partkey"), lit(101)) === 0)
         .select((col("p_partkey") + 10000000L).as("business_id")).orderBy("business_id").limit(20))
+    // Prune the PROFILE build to the grid's entities (round 14, guide
+    // §3.2 semi-join pre-filter): q75/q76 read profiles only for grid
+    // pairs, but userProfiles otherwise folds rated×bizProf for EVERY
+    // user (the gate's dominant shuffle) and profileCosine's norm
+    // aggregates run over every entity. Values are untouched: a user's
+    // profile is a function of that user's own reviews and the GLOBAL
+    // tfidf/df table (which stays unpruned — bizProfFull feeds the
+    // user-profile fold so non-grid rated businesses still contribute),
+    // and the shifted synthetic grid ids never had profiles either way.
+    val userProf = ContentBased.userProfiles(
+      reviews.join(pu, Seq("user_id"), "left_semi"), bizProfFull).cache()
+    val bizProf = bizProfFull.join(pb, Seq("business_id"), "left_semi").cache()
     (reviews, userProf, bizProf, pu.crossJoin(pb))
   }
 
