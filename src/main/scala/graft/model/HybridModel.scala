@@ -53,13 +53,21 @@ object HybridModel {
     Fitted(als, gbt)
   }
 
-  def predict(fitted: Fitted, pairs: DataFrame, reviews: DataFrame): DataFrame = {
-    val f = features(pairs, reviews, fitted.als)
+  def predict(fitted: Fitted, pairs: DataFrame, reviews: DataFrame): DataFrame =
+    predictOnFeatures(fitted, features(pairs, reviews, fitted.als))
+      .select(col("user_id"), col("business_id"), col("pred"))
+
+  /** [[predict]] over a PRECOMPUTED [[features]] frame, keeping the
+    * feature columns alongside the score — the composition entry for
+    * callers that read both (the gate reductions): one feature join
+    * instead of predict-then-rejoin-features (round 14, guide §2.4). */
+  def predictOnFeatures(fitted: Fitted, f: DataFrame): DataFrame = {
     val assembled = new VectorAssembler()
       .setInputCols(Array("als_pred", "f_uavg", "f_bavg")).setOutputCol("features")
       .transform(f)
     fitted.gbt.transform(assembled)
-      .select(col("user_id"), col("business_id"), col("prediction").as("pred"))
+      .select(col("user_id"), col("business_id"),
+        col("f_uavg"), col("f_bavg"), col("prediction").as("pred"))
   }
 
   /** Reference-exact head: the sklearn-shaped MLP (30,10,30) over the same
@@ -98,11 +106,16 @@ object HybridModel {
   /** Distributed MLP scoring: the ~1.5k-double weight set broadcasts and
     * the forward pass runs per row (a UDF is justified here — no builtin
     * expresses an MLP forward pass; the feature join stays declarative). */
-  def predictMlp(fitted: FittedMlp, pairs: DataFrame, reviews: DataFrame): DataFrame = {
-    val f = features(pairs, reviews, fitted.als)
+  def predictMlp(fitted: FittedMlp, pairs: DataFrame, reviews: DataFrame): DataFrame =
+    predictMlpOnFeatures(fitted, features(pairs, reviews, fitted.als))
+      .select(col("user_id"), col("business_id"), col("pred"))
+
+  /** [[predictMlp]] over a precomputed [[features]] frame, keeping the
+    * feature columns — see [[predictOnFeatures]]. */
+  def predictMlpOnFeatures(fitted: FittedMlp, f: DataFrame): DataFrame = {
     val bc = f.sparkSession.sparkContext.broadcast(fitted.mlp)
     val score = udf((a: Double, u: Double, b: Double) => bc.value.forward(Array(a, u, b)))
-    f.select(col("user_id"), col("business_id"),
+    f.select(col("user_id"), col("business_id"), col("f_uavg"), col("f_bavg"),
       score(col("als_pred"), col("f_uavg"), col("f_bavg")).as("pred"))
   }
 }

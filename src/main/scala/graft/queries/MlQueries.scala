@@ -97,13 +97,18 @@ object MlQueries {
       .crossJoin(Tables.part(spark, dir).filter(pmod(col("p_partkey"), lit(69)) === 0)
         .select(col("p_partkey").as("business_id")))
 
-  /** Reduce a hybrid head's predictions to the driver-checkable frame:
-    * keys + exact feature micros + score-finiteness (see
-    * [[hybridReductionSql]]). */
-  private def hybridReduction(preds: org.apache.spark.sql.DataFrame,
-      feats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Reduce a hybrid head's feature-carrying predictions
+    * (HybridModel.predict*OnFeatures output) to the driver-checkable
+    * frame: keys + exact feature micros + score-finiteness (see
+    * [[hybridReductionSql]]). Round 14: the reduction used to rejoin a
+    * SECOND features(pairs) computation onto the predictions — the same
+    * deterministic frame the head had just scored — doubling the
+    * user/biz-average passes and the ALS transform per gate (guide
+    * §2.4); the scored frame now carries its own features. */
+  private def hybridReduction(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.core.Cross
-    preds.join(feats, Seq("user_id", "business_id"))
+    scored
       .select(col("user_id"), col("business_id"),
         Cross.micro6(Cross.r6(col("f_uavg"))).as("uavg_micro"),
         Cross.micro6(Cross.r6(col("f_bavg"))).as("bavg_micro"),
@@ -114,12 +119,16 @@ object MlQueries {
   /** R5-substitute: hybrid ALS + averages → GBT regressor predictions,
     * reduced per [[hybridReductionSql]]. */
   val q81 = QueryDef("q81_hybrid_predict", hybridReductionSql) { (spark, dir) =>
-    val reviews = Tables.reviews(spark, dir)
+    // cache: the lineitem⋈orders join feeds ~7 separate subtrees here
+    // (ALS train, GBT train features' avgs + global mean + dedup, the
+    // predict features' avgs + global mean) and Catalyst does not dedupe
+    // common subtrees across joins; SessionHygiene releases it after
+    // the gate (the q76 rationale, round 14)
+    val reviews = Tables.reviews(spark, dir).cache()
     val fitted = HybridModel.fit(reviews, gbtIter = 5)
     val pairs = hybridPairs(spark, dir)
-    hybridReduction(
-      HybridModel.predict(fitted, pairs, reviews),
-      HybridModel.features(pairs, reviews, fitted.als))
+    hybridReduction(HybridModel.predictOnFeatures(fitted,
+      HybridModel.features(pairs, reviews, fitted.als)))
   }
 
   /** R5 reference-exact head: the sklearn-shaped (30,10,30) MLP hybrid
@@ -127,7 +136,8 @@ object MlQueries {
     * substitution; GBT (q81) stays the distributed default. Same
     * driver-checked reduction as q81 ([[hybridReductionSql]]). */
   val q95 = QueryDef("q95_hybrid_mlp_predict", hybridReductionSql) { (spark, dir) =>
-    val reviews = Tables.reviews(spark, dir)
+    // cached for the same multi-subtree reason as q81
+    val reviews = Tables.reviews(spark, dir).cache()
     // light params: the gate verifies the head's plumbing (driver fit +
     // broadcast scoring), not model quality. The ALS leg matches q81's
     // HybridModel.fit default (maxIter = 1) so FitCache serves both
@@ -138,9 +148,8 @@ object MlQueries {
       MlpRegressor.Params(epochs = 10),
       sampleCap = 1 << 16) // plumbing gate: cap the driver fit at any SF
     val pairs = hybridPairs(spark, dir)
-    hybridReduction(
-      HybridModel.predictMlp(fitted, pairs, reviews),
-      HybridModel.features(pairs, reviews, fitted.als))
+    hybridReduction(HybridModel.predictMlpOnFeatures(fitted,
+      HybridModel.features(pairs, reviews, fitted.als)))
   }
 
   /** R4/X10/A11: MLlib MinHashLSH over users' rated-business sets with
