@@ -282,13 +282,19 @@ object SlidingSketches {
       (if (keyed) Seq(col("key")) else Nil) ++ cs
     val kcols = (if (keyed) Seq("key") else Nil)
     val cov = broadcast(if (keyed) covered else covered.drop("key"))
+    // item hash hoisted ABOVE the ×|starts| join (round 14, guide §2.3
+    // "project before the exchange" applied to an expensive expression):
+    // keyHash is the md5-backed shared hash, and evaluating it on the
+    // joined frame re-hashed every event once PER WINDOW START; the
+    // (row, bucket) cells of an item do not depend on the start.
+    val rawx = raw.withColumn("x", Sketches.keyHash(col("item")))
     val joined =
-      if (keyed) raw.join(cov, "key")
-      else raw.crossJoin(cov)
+      if (keyed) rawx.join(cov, "key")
+      else rawx.crossJoin(cov)
     val inSuffix = col("sec") >= col("t_cov_sec")
     // direct covered-suffix cells from raw rows
     val direct = joined.filter(inSuffix)
-      .select(gcols(col("start"), Sketches.keyHash(col("item")).as("x"),
+      .select(gcols(col("start"), col("x"),
         Sketches.paramsExplode(depth).as("p")): _*)
       .groupBy(gcols(col("start"), col("p.row").as("row"),
         pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
@@ -305,14 +311,16 @@ object SlidingSketches {
     val cellsOk = direct.join(emitted, cellKeys, "full_outer")
       .groupBy(gcols(col("start")): _*)
       .agg(min((col("dcnt") <=> col("cnt")).cast("long")).as("cells_match"))
-    // per-(start, item) exact suffix + window counts
+    // per-(start, item) exact suffix + window counts; x rides the
+    // grouping (functionally dependent on item) so the probe side
+    // below never re-hashes
     val perItem = joined
-      .groupBy(gcols(col("start"), col("n_cov"), col("stale_ok"), col("item")): _*)
+      .groupBy(gcols(col("start"), col("n_cov"), col("stale_ok"),
+        col("item"), col("x")): _*)
       .agg(sum(when(inSuffix, 1L).otherwise(0L)).as("c_cov"),
         sum(when(col("sec") >= col("start"), 1L).otherwise(0L)).as("n_window"))
     // probe estimates off the emitted cells
-    val est = perItem.select(gcols(col("start"), col("item"),
-        Sketches.keyHash(col("item")).as("x"),
+    val est = perItem.select(gcols(col("start"), col("item"), col("x"),
         Sketches.paramsExplode(depth).as("p")): _*)
       .select(gcols(col("start"), col("item"), col("p.row").as("row"),
         pmod(graft.functions.HashFns.happly(col("p.a"), col("p.b"), col("x")),
@@ -405,17 +413,21 @@ object SlidingSketches {
     * so EH depth is free for MG). */
   def mgSlidingCheck(raw: DataFrame, covered: DataFrame,
       keyed: Boolean, k: Int): DataFrame = {
+    // emap built ONCE per broadcast cov row (round 14): evaluating
+    // map_from_entries on the joined frame rebuilt the O(k) map per
+    // (event × start) row — the lookup below is per row, the build
+    // belongs on the tiny broadcast side
     val cov = broadcast(covered
       .withColumn("mass", coalesce(aggregate(col("entries"), lit(0L),
-        (acc, e) => acc + e.getField("est")), lit(0L))))
+        (acc, e) => acc + e.getField("est")), lit(0L)))
+      .withColumn("emap", map_from_entries(col("entries"))))
     val joined =
       if (keyed) raw.join(cov, "key")
       else raw.drop("key").crossJoin(cov.drop("key"))
     val keyCols = if (keyed) Seq(col("key")) else Nil
     val inSuffix = col("sec") >= col("t_cov_sec")
     val perItem = joined
-      .withColumn("est_i",
-        element_at(map_from_entries(col("entries")), col("item")))
+      .withColumn("est_i", element_at(col("emap"), col("item")))
       .groupBy(keyCols ++ Seq(col("start"), col("n_cov"), col("stale_ok"),
         col("mass"), col("item"), col("est_i")): _*)
       .agg(sum(when(inSuffix, 1L).otherwise(0L)).as("c_cov"),
