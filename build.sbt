@@ -1,5 +1,18 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The bench driver scrapes only the last ~2000 chars of stdout for the
+// one-line JSON contract; sbt's trailing "[success] Total time: ..."
+// line sits between the JSON and EOF and has eaten ~75 chars of that
+// window every round. Suppress it so the bench's compact contract line
+// is the final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Pass the forked run's stdout through RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] " (and the child's stderr with
+// "[error] ", ONTO STDOUT), which both corrupts the bench's one-line
+// JSON contract for a strict parser and stuffs Spark logs into the
+// driver's stdout capture window.
+run / outputStrategy := Some(StdoutOutput)
 name := "yelp_recommenderspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -157,6 +157,41 @@ object Bench {
           kv.substring(i + 1).trim.toDouble).toOption
     }.toMap
 
+  /** Compact driver-contract stdout line. The bench driver captures
+    * only the last ~2000 characters of stdout (every
+    * BENCH_r01..r14.json stores a 2000-char `tail` and `parsed:null` —
+    * the full JSON line has exceeded that window since round 1, so the
+    * driver has NEVER parsed a bench line). The full-telemetry JSON
+    * still goes to the snapshot file (all 345 per-gate entries survive
+    * there) and is printed first for logs; THIS line prints LAST and
+    * must fit the window entirely. A 345-gate map cannot (the gate
+    * names alone are ~6.5 KB), so `queries` carries failed gates first
+    * (-1 sentinels must stay visible) then the most expensive gates
+    * that fit the budget, `value` stays the FULL-suite total, and
+    * `queries_n`/`queries_full` say how many gates exist and where the
+    * complete map lives. Budget 1700 leaves headroom for an sbt
+    * trailer even though build.sbt now suppresses it. */
+  private[graft] def compactLine(total: Double,
+      queries: Map[String, Double], sfDir: String, cpus: String,
+      budget: Int = 1700): String = {
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val cpusJson = cpus.trim.toIntOption.map(_.toString)
+      .getOrElse("\"" + cpus + "\"")
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","sf":"$sfDir","cpus":$cpusJson,"queries_n":${queries.size}""" +
+      s""","queries_full":"BENCH_LOCAL.json","queries":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    queries.toSeq
+      .sortBy { case (n, v) => (if (v < 0) 0 else 1, -v, n) }
+      .foreach { case (k, v) =>
+        val ent = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v)
+        if (sb.length + ent.length + 2 <= budget) { sb.append(ent); first = false }
+      }
+    sb.append("}}").toString
+  }
+
   /** AUTO-PROMOTED movers: gates whose freshly-merged sharded wall
     * exceeds 2× + 2 s of the MIN over a WINDOW of prior committed
     * snapshots (the round-over-round regression rule). Rounds 8–11
@@ -522,6 +557,10 @@ object Bench {
     commitSnapshot(json,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     println(json)
+    // the parsable contract line goes LAST (see compactLine)
+    println(compactLine(total, parseNumMap(mapOf(json, "queries")),
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
     outs.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
   }
 
@@ -699,6 +738,13 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     }
     println(json)
+    // single-JVM full runs (SPARK_GRAFT_BENCH_SHARDS=1) talk to the
+    // driver directly, so they owe the same compact last line; shard
+    // children have stdout discarded and filtered dev runs just get a
+    // readable summary
+    println(compactLine(total,
+      results.map { case (k, v, _, _, _, _, _, _) => k -> v }.toMap,
+      sfDir, cpus))
     spark.stop()
   }
 }

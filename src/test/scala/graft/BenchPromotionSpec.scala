@@ -203,4 +203,40 @@ class BenchPromotionSpec extends AnyFunSuite {
     assert(read("bench_prior_1.json").contains("r12"),
       "a non-default out path must not rotate the window")
   }
+
+  // --- compactLine: the driver-parsable final stdout line ---
+
+  test("compactLine fits the driver's 2000-char tail and round-trips") {
+    val qs = (1 to 400).map(i => f"q$i%03d_some_longish_gate_name" -> i * 0.123).toMap
+    val line = Bench.compactLine(987.654321, qs, "/root/testdata/sf0.1", "32")
+    assert(line.length <= 1700, s"line too long: ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":987.654,"unit":"sec""""))
+    assert(line.contains(""""cpus":32"""))
+    assert(line.contains(""""queries_n":400"""))
+    assert(line.endsWith("}}"))
+    // the queries that made the cut parse back with the shard parser and
+    // are the MOST EXPENSIVE ones
+    val body = line.substring(line.indexOf("\"queries\":{") + 11, line.length - 2)
+    val parsed = Bench.parseNumMap(body)
+    assert(parsed.nonEmpty && parsed.size < qs.size)
+    // greedy fill may squeeze one short-valued small gate into the last
+    // few bytes; the MOST EXPENSIVE gates must all be present regardless
+    val top30 = qs.toSeq.sortBy(-_._2).take(30).map(_._1)
+    assert(top30.forall(parsed.contains),
+      s"an expensive gate missing from the compact map: ${top30.filterNot(parsed.contains)}")
+  }
+
+  test("compactLine keeps -1 failure sentinels ahead of big walls") {
+    val qs = (1 to 300).map(i => f"q$i%03d_gate_with_a_long_name_padding" -> 100.0).toMap +
+      ("q999_failed_gate" -> -1.0)
+    val line = Bench.compactLine(1.0, qs, "/sf", "8")
+    assert(line.contains(""""q999_failed_gate":-1"""))
+  }
+
+  test("compactLine with few queries includes them all") {
+    val qs = Map("q01_a" -> 1.5, "q02_b" -> -1.0)
+    val line = Bench.compactLine(0.5, qs, "/sf", "notanint")
+    assert(line.contains(""""q01_a":1.500""") && line.contains(""""q02_b":-1"""))
+    assert(line.contains(""""cpus":"notanint""""))
+  }
 }
