@@ -31,8 +31,15 @@ object ContentBased {
     val tok = bizText
       .select(col("business_id"), explode(TextFns.contentTokens(col("text"))).as("term"))
     val tf = tok.groupBy("business_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.select("business_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derived FROM tf (round 15, guide §2.4): tf already holds one
+    // row per distinct (business, term), so the document frequency is a
+    // row count per term over tf — identical to the old
+    // `tok.distinct().groupBy(term).count()`, but now both consumers of
+    // the tokenize → explode → partial-count subtree share ONE
+    // (business_id, term) exchange (the old distinct's exchange carried
+    // different aggregate expressions, so ReuseExchange could not fire
+    // and the corpus was tokenized twice per tfidf build).
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = bizText.select("business_id").distinct().count()
     tf.join(df, "term")
       .select(col("business_id"), col("term"),

@@ -109,12 +109,21 @@ object SuffixArray {
       .join(reps.select((col("rank") - 1L).as("ra"), col("d").as("db"),
         col("p").as("pb")), "ra")
       .withColumn("acc", lit(0L))
-    levels.foreach { case (plen, rdf) =>
+    // checkpoint every SECOND level (round 15, guide §5 lineage/driver):
+    // each descent level adds two left joins to the plan, and a
+    // per-level localCheckpoint spent one materialization job + plan
+    // compile per level while the lineage it cut was only ever 2 joins
+    // deep. Every 2 levels halves the checkpoint jobs; the worst plan
+    // between checkpoints is 4 joins over rank tables — still constant
+    // size, so plan-compile time cannot grow with level count. The LAST
+    // level always checkpoints (downstream consumes `pairs` twice:
+    // lcpNext and lcpPrev).
+    levels.zipWithIndex.foreach { case ((plen, rdf), i) =>
       val la = rdf.select(col("doc_id").as("la_d"), col("pos").as("la_p"),
         col("r").as("xra"))
       val lb = rdf.select(col("doc_id").as("lb_d"), col("pos").as("lb_p"),
         col("r").as("xrb"))
-      pairs = pairs
+      val stepped = pairs
         .join(la, col("da") === col("la_d") &&
           col("la_p") === col("pa") + col("acc"), "left")
         .join(lb, col("db") === col("lb_d") &&
@@ -123,7 +132,9 @@ object SuffixArray {
           when(col("xra").isNotNull && col("xra") === col("xrb"), lit(plen))
             .otherwise(lit(0L)))
         .drop("la_d", "la_p", "lb_d", "lb_p", "xra", "xrb")
-        .localCheckpoint()
+      pairs =
+        if (i % 2 == 1 || i == levels.size - 1) stepped.localCheckpoint()
+        else stepped
     }
     val lcp = pairs.select(col("ra"), col("acc").as("lcp"))
 

@@ -56,11 +56,21 @@ object Winnow {
     require(k >= 1, s"k-gram order must be >= 1, got $k")
     require(w >= 2, s"window must be >= 2, got $w")
     val sh = TextFns.shingles(TextFns.tokens(text), k)
+    // n (the doc's k-gram count) as a windowed count over the SAME
+    // doc_id partition the stencil below already exchanges on — NOT as
+    // `size(sh)` selected next to the posexplode (round 15, guide §7.2
+    // "duplicated expensive expression"): the analyzer splits that
+    // select into Generate(posexplode(sh)) with the size() left in the
+    // Project ABOVE it, so the full tokenize+shingle chain re-ran per
+    // EXPLODED ROW — the measured q196 wall was ~8 s for a 270k-token
+    // corpus whose stencil itself costs well under a second.
+    // n == size(sh) exactly: posexplode emits every element, and docs
+    // with empty shingle arrays produce no rows either way.
     val g = docs
-      .select(id.as("doc_id"), size(sh).cast("long").as("n"),
-        posexplode(sh).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("n"), col("pos").cast("long").as("pos"),
+      .select(id.as("doc_id"), posexplode(sh).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
         Cross.hash31(col("gram")).as("h"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val ord = Window.partitionBy("doc_id").orderBy("pos")
     // first offset whose neighbor beats h[p]; lag/lead past the document
     // edge is null -> the CASE misses -> falls through to w ("no blocker")

@@ -342,23 +342,22 @@ object ContentQueries {
        |  SELECT 'continuous', 'user', u.entity_id, u.term, v.max_tfidf
        |  FROM utok u JOIN vocab v ON u.term = v.term) t
        |ORDER BY encoding, kind, entity_id, term""".stripMargin) { (spark, dir) =>
-    import graft.functions.TextFns
     val bt = bizTextDF(spark, dir)
-    val vocab = ContentBased.vocabulary(ContentBased.bizTfidf(bt).cache(), V).cache()
-    // Prune tokens to the vocabulary BEFORE the user fan-out join: the
+    val tfidf = ContentBased.bizTfidf(bt).cache()
+    val vocab = ContentBased.vocabulary(tfidf, V).cache()
+    // bizTok from the CACHED tfidf instead of a fresh tokenize pass
+    // (round 15, guide §2.4): tfidf already holds exactly the distinct
+    // (business, term) pairs — the old explode + vocab-join + distinct
+    // chain re-tokenized the whole corpus a second time (third, before
+    // bizTfidf's own df leg was deduplicated) to rebuild the same set.
+    // Prune to the vocabulary BEFORE the user fan-out join: the
     // encoding only keeps vocab terms anyway, and joining rated pairs
     // against the full token table first multiplies every rater by every
     // token of the business (~40x more rows for identical output).
-    // distinct BEFORE the rater join: encodedProfiles applies set
-    // semantics anyway, and without it a term repeated 20x in one text
-    // fans out 20x per rater through the join
     // cache both pruned token tables: they are small (entities × ≤V vocab
-    // terms) and each feeds TWO union arms — uncached, the tokenize +
-    // join + distinct chain re-ran per arm (4× for bizTok via userTok)
-    val bizTok = bt.select(col("business_id").as("entity_id"),
-      explode(TextFns.contentTokens(col("text"))).as("term"))
+    // terms) and each feeds TWO union arms
+    val bizTok = tfidf.select(col("business_id").as("entity_id"), col("term"))
       .join(vocab.select("term"), "term")
-      .distinct()
       .cache()
     // distinct ONCE at build (a user rating two businesses sharing a
     // term duplicates (user, term)); the arms then pass

@@ -1951,7 +1951,10 @@ object EventQueries {
     import graft.operators.{SlidingSketches => SS}
     import graft.streaming.{EventStreams, SlidingMonitor}
     val ev = Tables.events(spark, dir)
-    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
+    // one scan for both loop-control scalars (guide §2.4)
+    val mmSec = ev.agg(min(col("sec")).cast("long"),
+      max(col("sec")).cast("long")).head
+    val smax = mmSec.getLong(1)
     val qMax = smax / 3600L
     val horizon = 240L
     // starts inside the final horizon (newest 240 quanta)
@@ -1965,7 +1968,7 @@ object EventQueries {
     // (sequential writes can share a millisecond, which would leave
     // FileStreamSource trigger order unspecified), so eviction's
     // monotone cutoff never sees in-horizon data late
-    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    val qMin = mmSec.getLong(0) / 3600L
     writeOrderedReplay((0 until 4).map { i =>
       val lo = qMin + i.toLong * (qMax - qMin + 1) / 4
       val hi = qMin + (i.toLong + 1) * (qMax - qMin + 1) / 4
@@ -2324,8 +2327,12 @@ object EventQueries {
     import graft.operators.{SlidingSketches => SS}
     import graft.streaming.{EventStreams, SlidingMonitor}
     val ev = Tables.events(spark, dir)
-    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
-    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    // one scan for both loop-control scalars (guide §2.4: two driver
+    // actions over the same relation for min and max were two jobs)
+    val mmSec = ev.agg(min(col("sec")).cast("long"),
+      max(col("sec")).cast("long")).head
+    val smax = mmSec.getLong(1)
+    val qMin = mmSec.getLong(0) / 3600L
     val qMax = smax / 3600L
     val horizon = 240L
     val starts = (0 until 4).map(k => (qMax - k.toLong * 50L) * 3600L).distinct
@@ -2389,8 +2396,12 @@ object EventQueries {
     import graft.operators.{SlidingSketches => SS}
     import graft.streaming.{EventStreams, SlidingMonitor}
     val ev = Tables.events(spark, dir)
-    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
-    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    // one scan for both loop-control scalars (guide §2.4: two driver
+    // actions over the same relation for min and max were two jobs)
+    val mmSec = ev.agg(min(col("sec")).cast("long"),
+      max(col("sec")).cast("long")).head
+    val smax = mmSec.getLong(1)
+    val qMin = mmSec.getLong(0) / 3600L
     val qMax = smax / 3600L
     val horizon = 240L
     val starts = (0 until 4).map(k => (qMax - k.toLong * 50L) * 3600L).distinct
@@ -2535,8 +2546,12 @@ object EventQueries {
     val ev = Tables.events(spark, dir)
     val keyCol = concat(col("user_id").cast("string"), lit("_"),
       col("event_type").cast("string"))
-    val smax = ev.agg(max(col("sec")).cast("long")).head.getLong(0)
-    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
+    // one scan for both loop-control scalars (guide §2.4: two driver
+    // actions over the same relation for min and max were two jobs)
+    val mmSec = ev.agg(min(col("sec")).cast("long"),
+      max(col("sec")).cast("long")).head
+    val smax = mmSec.getLong(1)
+    val qMin = mmSec.getLong(0) / 3600L
     val qMax = smax / 3600L
     val horizon = 48L
     val starts = (0 until 4).map(k => (qMax - k.toLong * 12L) * 3600L).distinct
@@ -2621,8 +2636,11 @@ object EventQueries {
     val keyCol = concat(col("user_id").cast("string"), lit("_"),
       col("event_type").cast("string"))
     val itemCol = floor(col("value")).cast("long").cast("string")
-    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
-    val qMax = ev.agg(max(col("sec")).cast("long")).head.getLong(0) / 3600L
+    // one scan for both loop-control scalars (guide §2.4)
+    val mmSec = ev.agg(min(col("sec")).cast("long"),
+      max(col("sec")).cast("long")).head
+    val qMin = mmSec.getLong(0) / 3600L
+    val qMax = mmSec.getLong(1) / 3600L
     val horizon = 48L
     val starts = (0 until 4).map(k => (qMax - k.toLong * 12L) * 3600L).distinct
     val replay = java.nio.file.Files.createTempDirectory("graft_mgevict_replay")
@@ -2696,8 +2714,11 @@ object EventQueries {
     val keyCol = concat(col("user_id").cast("string"), lit("_"),
       col("event_type").cast("string"))
     val itemCol = floor(col("value")).cast("long").cast("string")
-    val qMin = ev.agg(min(col("sec")).cast("long")).head.getLong(0) / 3600L
-    val qMax = ev.agg(max(col("sec")).cast("long")).head.getLong(0) / 3600L
+    // one scan for both loop-control scalars (guide §2.4)
+    val mmSec = ev.agg(min(col("sec")).cast("long"),
+      max(col("sec")).cast("long")).head
+    val qMin = mmSec.getLong(0) / 3600L
+    val qMax = mmSec.getLong(1) / 3600L
     val horizon = 48L
     val starts = (0 until 4).map(k => (qMax - k.toLong * 12L) * 3600L).distinct
     val replay = java.nio.file.Files.createTempDirectory("graft_cmevict_replay")

@@ -571,4 +571,62 @@ class SlidingEhSpec extends SparkSpec {
         s"mg flags: $r")
     }
   }
+
+  test("cm sliding check: single-pass legs keep flags green and counts exact") {
+    // pins the round-15 restructure (direct cells derived from the
+    // per-item pass instead of a second pass over the raw × starts
+    // join): cells_match == 1 IS the equivalence proof — the derived
+    // direct build must still equal the EH-merged cells cell for cell —
+    // and n_window is re-checked against an independent raw count.
+    // Starts span the whole range so items with data only BEFORE the
+    // covered suffix exist (c_cov = 0 rows, which the derived direct
+    // leg must NOT turn into spurious zero cells).
+    val dir = sf("sf0.001")
+    val ev = core.Tables.events(spark, dir)
+    val mm = ev.agg(min(col("sec")).cast("long").as("a"),
+      max(col("sec")).cast("long").as("b")).head
+    val starts = (0 until 4)
+      .map(kk => ((mm.getLong(0) + kk.toLong * (mm.getLong(1) - mm.getLong(0)) / 4) / 3600L) * 3600L)
+      .distinct
+    for (keyed <- Seq(false, true)) {
+      val keyCol = if (keyed) col("event_type") else lit("")
+      val hourly = SlidingSketches.cmHourly(ev, col("user_id"), col("sec"), 3600L,
+        depth = 4, width = 32, key = keyCol)
+      val cells = SlidingSketches.cmSlidingCells(hourly, 3600L, depth = 4,
+        width = 32, starts)
+      val raw = ev.select(keyCol.cast("string").as("key"),
+        col("sec").cast("long").as("sec"),
+        col("user_id").cast("string").as("item"))
+      val out = SlidingSketches.cmSlidingCheck(raw, cells, depth = 4,
+        width = 32, keyed = keyed)
+      val rows = out.collect()
+      assert(rows.nonEmpty, s"keyed=$keyed produced no rows")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("never_under") == 1L &&
+          r.getAs[Long]("cells_match") == 1L &&
+          r.getAs[Long]("coverage_ok") == 1L &&
+          r.getAs[Long]("stale_ok") == 1L, s"cm flags (keyed=$keyed): $r")
+      }
+      // independent n_window oracle straight off the raw events
+      val kc = if (keyed) Seq("key") else Nil
+      val expect = starts.map { s =>
+        raw.filter(col("sec") >= s)
+          .groupBy((kc.map(col) :+ col("item")): _*)
+          .agg(count(lit(1)).as("n"))
+          .withColumn("start", lit(s))
+      }.reduce(_ unionByName _)
+        .collect()
+        .map(r => (kc.map(r.getAs[String]).mkString,
+          r.getAs[Long]("start"), r.getAs[String]("item")) -> r.getAs[Long]("n"))
+        .toMap
+      val got = rows.map(r => (kc.map(r.getAs[String]).mkString,
+        r.getAs[Long]("start"), r.getAs[String]("item")) -> r.getAs[Long]("n_window"))
+      assert(got.toMap.size == got.length, "duplicate (key, start, item) rows")
+      got.foreach { case (k, n) =>
+        assert(expect.get(k).contains(n), s"n_window mismatch at $k: got $n, want ${expect.get(k)}")
+      }
+      assert(got.length == expect.size,
+        s"row count ${got.length} != expected ${expect.size} (keyed=$keyed)")
+    }
+  }
 }
