@@ -110,14 +110,24 @@ object Multimodal {
       threshold: Long): DataFrame = {
     require(frameBytes >= 1, "frameBytes must be >= 1")
     require(threshold >= 0, "threshold must be >= 0")
+    // byte values extracted INSIDE the generator (round 15, guide §2.3
+    // "project before the exchange" applied to a Generate): the old
+    // `explode(sequence(0, n-1))` carried the doc's FULL hex string
+    // into every per-byte output row (an UnsafeRow copy of ~2n chars,
+    // n times per doc) just so a projection above could slice 2 chars
+    // back out. posexplode over the transformed array streams plain
+    // longs; pos is exactly the old byte index j.
     val bytes = payloads
       .select(col("doc_id"), lower(hex(col("payload"))).as("hx"),
         octet_length(col("payload")).as("n"))
       .filter(col("n") > 0)
       .select(col("doc_id"),
-        explode(expr("sequence(0, n - 1)")).as("j"), col("hx"))
+        posexplode(expr(
+          "transform(sequence(0, n - 1), " +
+            "i -> cast(conv(substring(hx, i * 2 + 1, 2), 16, 10) as bigint))"))
+          .as(Seq("j", "v")))
       .select(col("doc_id"), (col("j") / frameBytes).cast("long").as("f"),
-        conv(expr("substring(hx, j * 2 + 1, 2)"), 16, 10).cast("long").as("v"))
+        col("v"))
     val energy = bytes.groupBy("doc_id", "f")
       .agg(sum((col("v") - 128L) * (col("v") - 128L)).as("energy"))
     val silent = energy.filter(col("energy") < threshold)
